@@ -1,0 +1,256 @@
+"""(M,D)-outlier detection — exact and grid-approximate.
+
+Re-expresses the reference's two outlier algorithms
+(``ExactOutliers`` big_data_computing_1.py:30-52 and ``MRApproxOutliers``
+big_data_computing_1.py:78-114 / big_data_computing_2.py:84-113) as pure
+DataFrame plans.
+
+Definitions (reference semantics, preserved exactly):
+- |B(p,D)| = number of points within distance D of p, **including p itself**
+  (the reference seeds ``counts = [1]*n``, big_data_computing_1.py:33).
+- p is an (M,D)-outlier iff |B(p,D)| <= M  (big_data_computing_1.py:43).
+- Grid approximation: cells of side Λ = D/(2√2); N3 = points in the 3×3
+  cell neighborhood, N7 in the 7×7 (big_data_computing_1.py:91-95).
+  A cell is **sure-outlier** if N3<=M ∧ N7<=M, **uncertain** if N3<=M ∧ N7>M
+  (big_data_computing_1.py:101-103).
+
+Scale design (100 TB target):
+- ExactOutliers: the reference is a driver-local O(n²) loop gated at
+  n <= 200k (big_data_computing_1.py:178). Here it is a **grid-bucketed
+  distance self-join**: bucket points into cells of side D, explode each
+  point to its 3×3 neighbor cells on the probe side, equi-join on the cell
+  key, then filter on true squared distance. Catalyst executes it as a
+  shuffled hash join on the cell key — O(n · local density) instead of
+  O(n²), and fully distributed. No driver gate needed.
+- MRApproxOutliers: points → cell counts is one partial+final hash
+  aggregation (Catalyst does the map-side combine the reference hand-rolls
+  in ``gather_pairs``, big_data_computing_1.py:67-75). The N3/N7
+  neighborhood sums become a **broadcast equi-join**: the (small) cell
+  table explodes 49 neighbor offsets on the probe side and joins the cell
+  table again on the shifted key — replacing the reference's
+  ``collectAsMap`` + closure-captured dict (big_data_computing_1.py:87-95),
+  which would OOM the driver at scale. The cell table is ~|points| / density
+  rows, so the broadcast holds far beyond the reference's limits; if it ever
+  outgrows the broadcast threshold AQE falls back to a shuffled hash join
+  with no code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geometry import cell_coord, grid_lambda, sq_dist_2d
+
+_OFFSETS_3X3 = [(di, dj) for di in range(-1, 2) for dj in range(-1, 2)]
+_OFFSETS_7X7 = [(di, dj) for di in range(-3, 4) for dj in range(-3, 4)]
+
+
+def _offsets_array(offsets: list[tuple[int, int]]) -> Column:
+    return F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di, dj in offsets
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact algorithm
+# ---------------------------------------------------------------------------
+
+
+def ball_counts(
+    points: DataFrame,
+    d: float,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """|B(p,D)| per point via grid-bucketed distance self-join.
+
+    Returns DataFrame[id, ball_count] where ball_count includes the point
+    itself. Cell side = D, so every neighbor within D lies in the 3×3
+    cell neighborhood — the equi-join on (cell of probe) = (cell of
+    candidate) is exact after the distance filter.
+    """
+    base = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x).cast("double").alias("x"),
+        F.col(y).cast("double").alias("y"),
+        cell_coord(F.col(x).cast("double"), d).alias("ci"),
+        cell_coord(F.col(y).cast("double"), d).alias("cj"),
+    )
+    probe = base.select(
+        "id",
+        "x",
+        "y",
+        F.explode(_offsets_array(_OFFSETS_3X3)).alias("o"),
+        "ci",
+        "cj",
+    ).select(
+        "id",
+        "x",
+        "y",
+        (F.col("ci") + F.col("o.di")).alias("nci"),
+        (F.col("cj") + F.col("o.dj")).alias("ncj"),
+    )
+    cand = base.select(
+        F.col("ci").alias("nci"),
+        F.col("cj").alias("ncj"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+    )
+    pairs = probe.join(cand, ["nci", "ncj"]).where(
+        sq_dist_2d(F.col("x"), F.col("y"), F.col("cx"), F.col("cy"))
+        <= F.lit(d * d)
+    )
+    return pairs.groupBy("id").agg(F.count("*").alias("ball_count"))
+
+
+def exact_outliers(
+    points: DataFrame,
+    d: float,
+    m: int,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """All (M,D)-outliers: DataFrame[id, ball_count] with ball_count <= M.
+
+    Distributed replacement for the reference's driver-local O(n²) scan
+    (big_data_computing_1.py:30-44); no n <= 200k gate required.
+    """
+    return ball_counts(points, d, id_col, x, y).where(
+        F.col("ball_count") <= F.lit(m)
+    )
+
+
+def exact_outliers_topk(
+    points: DataFrame,
+    d: float,
+    m: int,
+    k: int,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """First K outliers in ascending |B(p,D)| order (reference prints the
+    K smallest-ball points, big_data_computing_1.py:48-53). Tie-break on id
+    for determinism — the reference's sort leaves ties ambiguous."""
+    return (
+        exact_outliers(points, d, m, id_col, x, y)
+        .orderBy("ball_count", "id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid approximation
+# ---------------------------------------------------------------------------
+
+
+def cell_counts(
+    points: DataFrame, d: float, x: str = "x", y: str = "y"
+) -> DataFrame:
+    """Non-empty Λ-grid cells with sizes: DataFrame[ci, cj, cnt].
+
+    One hash aggregation; Catalyst's partial aggregation subsumes the
+    reference's hand-rolled combiner + reduceByKey
+    (big_data_computing_1.py:80-83).
+    """
+    lam = grid_lambda(d)
+    return (
+        points.select(
+            cell_coord(F.col(x).cast("double"), lam).alias("ci"),
+            cell_coord(F.col(y).cast("double"), lam).alias("cj"),
+        )
+        .groupBy("ci", "cj")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cells_with_neighborhood(cells: DataFrame) -> DataFrame:
+    """Attach N3 and N7 neighborhood sums to each cell.
+
+    Explode-49-offsets broadcast equi-join (SURVEY.md J2/A4/A5): each cell
+    emits 49 probe keys (its 7×7 neighborhood); one equi-join against the
+    cell table and a conditional sum produce both N3 and N7 in a single
+    pass. Inner join suffices — the (0,0) offset always self-matches, so
+    every cell survives.
+    """
+    probes = cells.select(
+        "ci",
+        "cj",
+        "cnt",
+        F.explode(_offsets_array(_OFFSETS_7X7)).alias("o"),
+    ).select(
+        "ci",
+        "cj",
+        "cnt",
+        (F.col("ci") + F.col("o.di")).alias("nci"),
+        (F.col("cj") + F.col("o.dj")).alias("ncj"),
+        F.col("o.di").alias("di"),
+        F.col("o.dj").alias("dj"),
+    )
+    nbr = cells.select(
+        F.col("ci").alias("nci"),
+        F.col("cj").alias("ncj"),
+        F.col("cnt").alias("ncnt"),
+    )
+    near3 = (F.abs(F.col("di")) <= 1) & (F.abs(F.col("dj")) <= 1)
+    return (
+        probes.join(F.broadcast(nbr), ["nci", "ncj"])
+        .groupBy("ci", "cj", "cnt")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(near3, F.col("ncnt"))), F.lit(0)
+            ).alias("n3"),
+            F.sum("ncnt").alias("n7"),
+        )
+    )
+
+
+def approx_outlier_cells(
+    points: DataFrame, d: float, x: str = "x", y: str = "y"
+) -> DataFrame:
+    """Full per-cell report: DataFrame[ci, cj, cnt, n3, n7]."""
+    return cells_with_neighborhood(cell_counts(points, d, x, y))
+
+
+def approx_outliers_summary(
+    points: DataFrame, d: float, m: int, x: str = "x", y: str = "y"
+) -> DataFrame:
+    """One-row summary: sure_outliers, uncertain_points (point counts).
+
+    Matches the reference's printed totals (big_data_computing_1.py:101-110):
+    sure cells have N3<=M ∧ N7<=M; uncertain have N3<=M ∧ N7>M. The sums
+    stay in the plan (no collect-then-sum as in the reference,
+    big_data_computing_1.py:101-104).
+    """
+    cells = approx_outlier_cells(points, d, x, y)
+    m_lit = F.lit(m)
+    sure = (F.col("n3") <= m_lit) & (F.col("n7") <= m_lit)
+    uncertain = (F.col("n3") <= m_lit) & (F.col("n7") > m_lit)
+    return cells.agg(
+        F.coalesce(F.sum(F.when(sure, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("sure_outliers"),
+        F.coalesce(F.sum(F.when(uncertain, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("uncertain_points"),
+    )
+
+
+def smallest_cells_topk(
+    points: DataFrame, d: float, k: int, x: str = "x", y: str = "y"
+) -> DataFrame:
+    """K smallest non-empty cells (reference big_data_computing_1.py:112-114).
+
+    The reference's ``sortByKey().sortBy(size)`` leaves the tie order to
+    sort stability; here the order is explicit and total:
+    (cnt, ci, cj) ascending.
+    """
+    return (
+        cell_counts(points, d, x, y).orderBy("cnt", "ci", "cj").limit(k)
+    )

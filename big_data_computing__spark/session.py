@@ -1,0 +1,54 @@
+"""SparkSession builder with engine defaults.
+
+The reference scripts build a raw ``SparkContext`` per script
+(big_data_computing_1.py:123-124, big_data_computing_2.py:123-125,
+big_data_computing_3.py:41-43). The engine centralizes session creation
+with scale-ready defaults: AQE on (runtime coalescing, skew-join
+handling, broadcast fallback), Arrow transfer for the vectorized
+kernels, and a shuffle-partition count sized to the local test harness
+but overridable for cluster deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_NAME = "big_data_computing__spark"
+
+
+def get_session(
+    app_name: str = ENGINE_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Local-mode parallelism comes from ``$SPARK_GRAFT_CPUS`` (harness
+    contract); on a real cluster pass ``master=None`` and submit with
+    ``spark-submit`` so the cluster manager decides.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else 32),
+        )
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
