@@ -1,0 +1,281 @@
+"""Frequent-items detection: exact, reservoir sampling, sticky sampling.
+
+Re-expresses the reference's streaming heavy-hitter toolkit
+(big_data_computing_3.py): exact counts + φ-threshold
+(``get_true_frequent_items`` :10-12), reservoir sampling (:15-22), and
+sticky sampling (:25-33), plus the `+`/`-` truth-membership report
+(:124-137).
+
+The reference's samplers are driver-sequential by construction: each item
+mutates shared state (reservoir array / tracked dict) using a *stateful*
+RNG, so arrival order and RNG state chain every step to the previous one.
+The engine keeps the algorithms' exact decision rules but replaces the
+stateful RNG with a **counter-based PRNG** (functions/hashing.py): each
+arrival-position t gets independent uniform draws
+``u = hash60(tag || seed || t) / 2^60``. Consequences:
+
+- the per-item decisions are identical in distribution to the reference's
+  (uniform slot choice, accept-with-prob m/t, admit-with-prob r/n);
+- the whole sampler becomes a **pure function of the ordered stream** —
+  expressible as one declarative DataFrame plan (filter + group-by +
+  max_by), embarrassingly parallel, no sequential pass;
+- the same arithmetic runs in ANSI SQL, so DuckDB reproduces the sampler
+  bit-for-bit — the samplers are fully correctness-oracle-checked, which
+  the reference (unseeded, stateful) could never be.
+
+Inputs are "stream tables": DataFrame[seq long (1-based arrival order),
+item long]. Batch operators here treat the table as the full stream
+prefix of length n; streaming/ wires the same logic to Structured
+Streaming micro-batches.
+
+Scale notes: exact counts are one partial+final hash aggregation; the
+reservoir reconstruction groups by slot (m groups; m = ⌈1/φ⌉ is small);
+sticky groups by item. No windows over the full stream, no global sorts.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import TWO_POW_60, hash60, uniform01_sql
+
+
+def _u(tag: str, seed: int, t: Column) -> Column:
+    """Counter-based uniform(0,1) draw for arrival position t."""
+    key = F.concat_ws("-", F.lit(tag), F.lit(str(seed)), t.cast("string"))
+    return hash60(key) / F.lit(TWO_POW_60)
+
+
+def _u_sql(tag: str, seed: int, t_expr: str) -> str:
+    return uniform01_sql(f"concat('{tag}', '-', '{seed}', '-', CAST({t_expr} AS VARCHAR))")
+
+
+def reservoir_size(phi: float) -> int:
+    """m = ⌈1/φ⌉ (reference big_data_computing_3.py:58)."""
+    return math.ceil(1.0 / phi)
+
+
+def sticky_rate(phi: float, epsilon: float, delta: float) -> float:
+    """r = log(1/(φ·δ))/ε (reference big_data_computing_3.py:59)."""
+    return math.log(1.0 / (phi * delta)) / epsilon
+
+
+# ---------------------------------------------------------------------------
+# Exact frequent items
+# ---------------------------------------------------------------------------
+
+
+def item_counts(stream: DataFrame, item_col: str = "item") -> DataFrame:
+    """Exact per-item counts: DataFrame[item, cnt]."""
+    return stream.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def true_frequent_items(
+    stream: DataFrame, phi: float, item_col: str = "item"
+) -> DataFrame:
+    """Items with count >= φ·total: DataFrame[item, cnt].
+
+    Fully declarative — the total is a broadcast scalar subplan, not a
+    driver-side count, so the whole thing is one job
+    (reference: big_data_computing_3.py:10-12).
+    """
+    counts = item_counts(stream, item_col)
+    total = stream.agg(F.count("*").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(phi) * F.col("_total"))
+        .select("item", "cnt")
+    )
+
+
+def true_frequent_sql(stream_sql: str, phi: float) -> str:
+    return (
+        f"WITH s AS ({stream_sql}), c AS "
+        f"(SELECT item, COUNT(*) AS cnt FROM s GROUP BY item) "
+        f"SELECT item, cnt FROM c WHERE cnt >= {phi!r} * (SELECT COUNT(*) FROM s)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reservoir sampling (counter-based, distribution-equivalent to reference)
+# ---------------------------------------------------------------------------
+
+
+def reservoir_writes(
+    stream: DataFrame, m: int, seed: int = 0
+) -> DataFrame:
+    """Accepted reservoir writes: DataFrame[slot, seq, item].
+
+    Reference per-item rule (big_data_computing_3.py:15-22): first m items
+    fill the reservoir; afterwards item t picks uniform slot i and replaces
+    it with probability m/t. Here slot and acceptance are counter-based
+    draws on t, making the write set a pure row-wise filter.
+    """
+    seq = F.col("seq")
+    slot = F.when(seq <= m, seq - 1).otherwise(
+        F.floor(_u("res-slot", seed, seq) * m).cast("long")
+    )
+    accepted = (seq <= m) | (
+        _u("res-acc", seed, seq) <= F.lit(float(m)) / seq
+    )
+    return (
+        stream.where(accepted)
+        .select(slot.alias("slot"), "seq", "item")
+    )
+
+
+def reservoir_sample(stream: DataFrame, m: int, seed: int = 0) -> DataFrame:
+    """Final reservoir contents: DataFrame[slot, item].
+
+    Last accepted write per slot wins (max_by on seq) — exactly the state
+    the reference's sequential loop ends with, reconstructed in one
+    group-by over m groups.
+    """
+    return (
+        reservoir_writes(stream, m, seed)
+        .groupBy("slot")
+        .agg(F.max_by("item", "seq").alias("item"))
+    )
+
+
+def reservoir_report(
+    stream: DataFrame, phi: float, seed: int = 0
+) -> DataFrame:
+    """Distinct reservoir items flagged against the exact frequent set:
+    DataFrame[item, flag('+'|'-')] (reference report big_data_computing_3.py:120-128).
+    The membership test is a left join — the reference's Python ``in``
+    against the truth list (J4 in SURVEY.md §2).
+    """
+    m = reservoir_size(phi)
+    sample = reservoir_sample(stream, m, seed).select("item").distinct()
+    truth = true_frequent_items(stream, phi).select(
+        "item", F.lit(True).alias("_hit")
+    )
+    return sample.join(truth, "item", "left").select(
+        "item",
+        F.when(F.col("_hit"), F.lit("+")).otherwise(F.lit("-")).alias("flag"),
+    )
+
+
+def reservoir_report_sql(stream_sql: str, phi: float, seed: int = 0) -> str:
+    """DuckDB twin of :func:`reservoir_report` — identical arithmetic."""
+    m = reservoir_size(phi)
+    u_slot = _u_sql("res-slot", seed, "seq")
+    u_acc = _u_sql("res-acc", seed, "seq")
+    return f"""
+WITH s AS ({stream_sql}),
+writes AS (
+  SELECT CASE WHEN seq <= {m} THEN seq - 1
+              ELSE CAST(FLOOR({u_slot} * {m}) AS BIGINT) END AS slot,
+         seq, item
+  FROM s
+  WHERE seq <= {m} OR {u_acc} <= CAST({m} AS DOUBLE) / seq
+),
+reservoir AS (
+  SELECT slot, max_by(item, seq) AS item FROM writes GROUP BY slot
+),
+sample AS (SELECT DISTINCT item FROM reservoir),
+truth AS (
+  SELECT item FROM s GROUP BY item
+  HAVING COUNT(*) >= {phi!r} * (SELECT COUNT(*) FROM s)
+)
+SELECT sample.item,
+       CASE WHEN truth.item IS NOT NULL THEN '+' ELSE '-' END AS flag
+FROM sample LEFT JOIN truth ON sample.item = truth.item
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sticky sampling (counter-based, reference's simplified Manku–Motwani)
+# ---------------------------------------------------------------------------
+
+
+def sticky_counts(
+    stream: DataFrame, n: int, r: float, seed: int = 0
+) -> DataFrame:
+    """Sticky-sampling estimated counts: DataFrame[item, est_cnt].
+
+    Reference rule (big_data_computing_3.py:25-33): an untracked item is
+    admitted with probability r/n (fixed rate — the reference simplifies
+    Manku–Motwani: no rate doubling, no eviction); once tracked, every
+    occurrence increments. Equivalently: the item's count is the number
+    of its occurrences at-or-after its first "lucky" occurrence, where
+    each position is lucky independently with probability r/n. That
+    reformulation is one group-by + one join — no sequential state.
+    """
+    rate = r / n
+    lucky = _u("sticky", seed, F.col("seq")) < F.lit(rate)
+    admissions = (
+        stream.where(lucky)
+        .groupBy("item")
+        .agg(F.min("seq").alias("aseq"))
+    )
+    return (
+        stream.join(admissions, "item")
+        .where(F.col("seq") >= F.col("aseq"))
+        .groupBy("item")
+        .agg(F.count("*").alias("est_cnt"))
+    )
+
+
+def sticky_report(
+    stream: DataFrame,
+    n: int,
+    phi: float,
+    epsilon: float,
+    delta: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Sticky frequent-item estimate with `+`/`-` truth flags:
+    DataFrame[item, est_cnt, flag]. Output filter est_cnt > (φ−ε)·n
+    (reference big_data_computing_3.py:110)."""
+    r = sticky_rate(phi, epsilon, delta)
+    est = sticky_counts(stream, n, r, seed).where(
+        F.col("est_cnt") > F.lit((phi - epsilon) * n)
+    )
+    truth = true_frequent_items(stream, phi).select(
+        "item", F.lit(True).alias("_hit")
+    )
+    return est.join(truth, "item", "left").select(
+        "item",
+        "est_cnt",
+        F.when(F.col("_hit"), F.lit("+")).otherwise(F.lit("-")).alias("flag"),
+    )
+
+
+def sticky_report_sql(
+    stream_sql: str,
+    n: int,
+    phi: float,
+    epsilon: float,
+    delta: float,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`sticky_report` — identical arithmetic."""
+    rate = sticky_rate(phi, epsilon, delta) / n
+    u = _u_sql("sticky", seed, "seq")
+    return f"""
+WITH s AS ({stream_sql}),
+admissions AS (
+  SELECT item, MIN(seq) AS aseq FROM s WHERE {u} < {rate!r} GROUP BY item
+),
+est AS (
+  SELECT s.item, COUNT(*) AS est_cnt
+  FROM s JOIN admissions ON s.item = admissions.item
+  WHERE s.seq >= admissions.aseq
+  GROUP BY s.item
+  HAVING COUNT(*) > {(phi - epsilon) * n!r}
+),
+truth AS (
+  SELECT item FROM s GROUP BY item
+  HAVING COUNT(*) >= {phi!r} * (SELECT COUNT(*) FROM s)
+)
+SELECT est.item, est.est_cnt,
+       CASE WHEN truth.item IS NOT NULL THEN '+' ELSE '-' END AS flag
+FROM est LEFT JOIN truth ON est.item = truth.item
+"""
