@@ -21,21 +21,27 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def _safe_range(k: Column) -> Column:
+    """sequence(1, k), empty when k < 1 (Spark's sequence(1, 0) would
+    otherwise produce a *descending* [1, 0])."""
+    return F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word n-grams (distinct not applied)."""
     toks = tokens(text)
-    k = F.size(toks) - F.lit(n - 1)
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        _safe_range(F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
 
 
 def char_shingles(text: Column, n: int) -> Column:
     """Array of character n-grams (shingles) of the raw text."""
-    k = F.length(text) - F.lit(n - 1)
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        _safe_range(F.length(text) - F.lit(n - 1)),
         lambda i: F.substring(text, i, n),
     )
 

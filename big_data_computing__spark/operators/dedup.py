@@ -1,0 +1,417 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline extensions (not in the reference, which has no
+string/dedup machinery). Everything is deterministic and Catalyst-only,
+built on the cross-engine md5 hash (functions/hashing.py), so each
+operator has an exact DuckDB-SQL twin for the correctness oracles.
+
+Scale design (100 TB corpus):
+- Exact dedup: one hash aggregation on a 60-bit fingerprint — the
+  canonical groupBy-min survivor pick. No full-text shuffle: only
+  (fingerprint, doc_id) pairs move.
+- MinHash+LSH: signatures are per-document maps (no shuffle); candidate
+  generation shuffles only (band_key, doc_id) pairs and joins documents
+  *within* LSH buckets — the standard way to avoid the O(n²) pair space.
+  Bands use r=2 rows combined arithmetically (sig₀·p + sig₁ fits in a
+  bigint) so bucket keys are fixed-width integers, not strings.
+- SimHash: one 60-bit signature per doc; near-dup candidates join on
+  band-of-bits equality (4 × 15-bit bands → Hamming distance ≤ 3 is
+  guaranteed to collide on ≥ 1 band), verified by popcount(xor).
+- n-gram Jaccard: inverted-index join on distinct shingles (prune-less
+  baseline; at scale add df-based shingle pruning), intersection counts
+  per pair, |A|+|B|−∩ for the union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MINHASH_PRIME,
+    hash60,
+    hash60_sql,
+    minhash_value,
+    minhash_value_sql,
+)
+from ..functions.text import normalized, word_ngrams
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fingerprint groups: DataFrame[fingerprint, n_docs, keep_doc_id].
+
+    keep_doc_id = min doc_id per group (the survivor); n_docs > 1 marks
+    duplicate groups.
+    """
+    fp = hash60(normalized(F.col(text_col)))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def exact_dedup_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deduplicated corpus: DataFrame[doc_id] of survivors (min doc_id per
+    fingerprint group)."""
+    return exact_dedup_groups(docs, text_col).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+
+
+def exact_dedup_groups_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    return f"""
+SELECT {hash60_sql(norm)} AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(
+    docs: DataFrame, text_col: str, ngram: int
+) -> DataFrame:
+    """Distinct (doc_id, shingle-hash x) pairs; x ∈ [0, 2^60)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), ngram))
+            ).alias("shingle"),
+        )
+        .select("doc_id", hash60(F.col("shingle")).alias("x"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    ngram: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures: DataFrame[doc_id, sig array<long>] with
+    sig[i] = min over shingles of h_i(shingle-hash)."""
+    sh = _shingle_hashes(docs, text_col, ngram)
+    aggs = [
+        F.min(minhash_value(F.col("x"), i)).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    ngram: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs (band-collision, r=2 rows/band):
+    DataFrame[doc_a, doc_b, n_bands] with doc_a < doc_b.
+
+    Bucket key for band b = sig[2b]·p + sig[2b+1] — an injective integer
+    combine (both values < p), avoiding string keys. Docs sharing ≥ 1
+    bucket become candidates; n_bands counts collisions (a monotone
+    proxy for similarity).
+    """
+    bands = num_hashes // 2
+    sigs = minhash_signatures(docs, num_hashes, ngram, text_col)
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col("sig")[2 * b] * F.lit(MINHASH_PRIME)
+                            + F.col("sig")[2 * b + 1]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    left = buckets.select(
+        F.col("band"), F.col("bkey"), F.col("doc_id").alias("doc_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("bkey"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def minhash_signatures_sql(num_hashes: int = 16, ngram: int = 3) -> str:
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    mins = ", ".join(
+        f"MIN({minhash_value_sql('x', i)}) AS _s{i}"
+        for i in range(num_hashes)
+    )
+    arr = ", ".join(f"_s{i}" for i in range(num_hashes))
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {ngram - 1}, 0) + 1),
+           i -> array_to_string(t[i:i+{ngram - 1}], ' ')))) AS shingle
+  FROM toks
+),
+xs AS (SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS x FROM grams),
+per_doc AS (SELECT doc_id, {mins} FROM xs GROUP BY doc_id)
+SELECT doc_id, [{arr}] AS sig FROM per_doc
+"""
+
+
+def minhash_lsh_pairs_sql(num_hashes: int = 16, ngram: int = 3) -> str:
+    bands = num_hashes // 2
+    sig_sql = minhash_signatures_sql(num_hashes, ngram)
+    structs = ", ".join(
+        f"{{'band': {b}, 'bkey': sig[{2 * b + 1}] * {MINHASH_PRIME} "
+        f"+ sig[{2 * b + 2}]}}"
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS ({sig_sql}),
+buckets AS (
+  SELECT doc_id, unnest([{structs}], recursive := true) FROM sigs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per document: DataFrame[doc_id, simhash].
+
+    bit b of the signature = 1 iff Σ_tokens (2·bit_b(hash60(token)) − 1) > 0.
+    Distinct tokens weighted once (set semantics) — keeps the SQL twin
+    simple and the operator deterministic.
+    """
+    token_bits = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+                    )
+                )
+            ).alias("tok"),
+        )
+        .select("doc_id", hash60(F.col("tok")).alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b) % 2) * 2 - 1
+        ).alias(f"_b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = token_bits.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_signatures_sql() -> str:
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    h = hash60_sql("tok")
+    bit_sums = ", ".join(
+        f"SUM(((h // {2**b}) % 2) * 2 - 1) AS _b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN _b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tb AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents
+),
+hs AS (SELECT doc_id, {h} AS h FROM tb),
+per_doc AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM per_doc
+"""
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-duplicate pairs: DataFrame[doc_a, doc_b, hamming].
+
+    Band-of-bits blocking: the 60-bit signature splits into 4 × 15-bit
+    bands; any pair within Hamming distance 3 matches on at least one
+    band (pigeonhole), so the join is equi on (band, band_value) and the
+    exact popcount(xor) filter runs only within buckets.
+    """
+    sigs = simhash_signatures(docs, text_col)
+    n_bands = 4
+    width = SIMHASH_BITS // n_bands  # 15 bits
+    bucketed = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), b * width)
+                            % F.lit(2**width)
+                        ).alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bval").alias("bval"),
+    )
+    left = bucketed.select(
+        "band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    right = bucketed.select(
+        "band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    pairs = (
+        left.join(right, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    n_bands, width = 4, SIMHASH_BITS // 4
+    sig_sql = simhash_signatures_sql()
+    structs = ", ".join(
+        f"{{'band': {b}, 'bval': (simhash // {2 ** (b * width)}) % {2**width}}}"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sigs AS ({sig_sql}),
+bucketed AS (
+  SELECT doc_id, simhash, unnest([{structs}], recursive := true) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM bucketed a JOIN bucketed b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with n-gram-set Jaccard ≥ threshold:
+    DataFrame[doc_a, doc_b, jaccard (rounded 6dp)].
+
+    Inverted-index join: explode distinct shingle hashes, self-join on the
+    shingle, count intersections per pair; union = |A| + |B| − ∩.
+    """
+    sh = _shingle_hashes(docs, text_col, ngram)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    left = sh.select(F.col("doc_id").alias("doc_a"), "x")
+    right = sh.select(F.col("doc_id").alias("doc_b"), "x")
+    inter = (
+        left.join(right, "x")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.5, ngram: int = 3) -> str:
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {ngram - 1}, 0) + 1),
+           i -> array_to_string(t[i:i+{ngram - 1}], ' ')))) AS shingle
+  FROM toks
+),
+xs AS (SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS x FROM grams),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM xs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM xs a JOIN xs b ON a.x = b.x AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= {threshold!r}
+"""

@@ -1,0 +1,300 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension: approximate-nearest-neighbor search on
+the `embeddings` table. Three tiers:
+
+1. :func:`cosine_topk` — brute-force exact top-k, the correctness
+   baseline. Catalyst-only (zip_with/aggregate dot products), oracle-
+   checked against DuckDB's list functions.
+2. :func:`hyperplane_lsh_topk` — random-hyperplane (sign) LSH: 60-bit
+   sketch via deterministic md5-derived hyperplanes, candidates = vectors
+   sharing a sketch band, exact re-rank within candidates. Fully
+   deterministic → also oracle-checkable in SQL.
+3. :func:`ivf_topk` — IVF-style: k-center coarse quantizer (reuses the
+   engine's MRFFT, operators/clustering.py), probes the nearest
+   ``nprobe`` cells only. The 100 TB scale path: candidate set shrinks by
+   ~|cells|/nprobe and the centroid assignment is a vectorized matmul.
+
+Scale notes: brute force is O(nq·n·d) — fine for re-ranking buckets,
+wrong as the primary plan; both ANN variants bound the join fan-out by
+bucketing, which is the part that must survive a 1000-executor corpus.
+Embedding-cosine near-dup dedup is :func:`cosine_topk` with queries =
+corpus and a threshold instead of k (see cosine_near_pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+from ..functions.vectors import as_double_vec, cosine, dot, norm
+
+
+def _vec_df(emb: DataFrame) -> DataFrame:
+    """embeddings → DataFrame[vid long, v array<double>]."""
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vid"),
+        as_double_vec(F.col("embedding")).alias("v"),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: DataFrame[query_id, vec_id, score].
+
+    ``queries`` defaults to the corpus itself (self-search, excluding the
+    identical id). Score rounded to 6 dp; ties broken by vec_id so the
+    result is total-order deterministic.
+    """
+    base = _vec_df(emb)
+    q = (
+        queries.select(
+            F.col("vec_id").cast("long").alias("qid"),
+            as_double_vec(F.col("embedding")).alias("qv"),
+        )
+        if queries is not None
+        else base.select(F.col("vid").alias("qid"), F.col("v").alias("qv"))
+    )
+    scored = (
+        q.crossJoin(base)
+        .where(F.col("qid") != F.col("vid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("vec_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def cosine_topk_sql(k: int = 5, query_filter: str = "TRUE") -> str:
+    """DuckDB twin of :func:`cosine_topk` (self-search form)."""
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+q AS (SELECT vid AS qid, vec AS qvec FROM v WHERE {query_filter}),
+scored AS (
+  SELECT q.qid AS query_id, v.vid AS vec_id,
+         ROUND(list_dot_product(q.qvec, v.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(v.vec, v.vec))), 6) AS score
+  FROM q CROSS JOIN v WHERE q.qid <> v.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
+"""
+
+
+def cosine_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: DataFrame[vec_a, vec_b,
+    score] with vec_a < vec_b and cosine ≥ threshold (the embedding
+    near-dup dedup operator)."""
+    base = _vec_df(emb)
+    a = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    b = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .where(F.col("score") >= F.lit(threshold))
+    )
+
+
+def cosine_near_pairs_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+)
+SELECT a.vid AS vec_a, b.vid AS vec_b,
+       ROUND(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS score
+FROM v a JOIN v b ON a.vid < b.vid
+WHERE ROUND(list_dot_product(a.vec, b.vec)
+            / (sqrt(list_dot_product(a.vec, a.vec))
+               * sqrt(list_dot_product(b.vec, b.vec))), 6) >= {threshold!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
+
+LSH_BITS = 16
+LSH_BANDS = 4  # 4 × 4-bit bands
+
+
+def _hyperplane(bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j derived from
+    md5-like integer mixing of (bit, j), mapped to [-1, 1]. Matches the
+    SQL twin exactly (pure integer arithmetic, no float RNG)."""
+    comps = []
+    for j in range(dim):
+        h = (bit * 1000003 + j * 7919 + 12345) * 2654435761 % (2**31)
+        comps.append(h / float(2**30) - 1.0)
+    return comps
+
+
+def sign_sketch(emb: DataFrame, dim: int, bits: int = LSH_BITS) -> DataFrame:
+    """Random-hyperplane sign sketch: DataFrame[vid, v, sketch long]."""
+    base = _vec_df(emb)
+    sketch = None
+    for b in range(bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(b, dim)])
+        term = F.when(
+            dot(F.col("v"), plane) > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sketch = term if sketch is None else sketch + term
+    return base.withColumn("sketch", sketch)
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame, dim: int, k: int = 5, bits: int = LSH_BITS
+) -> DataFrame:
+    """ANN top-k via sign-LSH banding + exact re-rank:
+    DataFrame[query_id, vec_id, score]. Recall < 1 by design; candidates
+    are pairs sharing ≥ 1 of the 4 sketch bands."""
+    width = bits // LSH_BANDS
+    sk = sign_sketch(emb, dim, bits)
+    bucketed = sk.select(
+        "vid",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("sketch"), b * width)
+                            % F.lit(2**width)
+                        ).alias("bval"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vid", "v", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    left = bucketed.select(
+        "band", "bval", F.col("vid").alias("qid"), F.col("v").alias("qv")
+    )
+    right = bucketed.select(
+        "band", "bval", F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    cands = (
+        left.join(right, ["band", "bval"])
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "qv", "cv")
+        .distinct()
+    )
+    scored = cands.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("vec_id"),
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    l: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize with the engine's own MRFFT k-center
+    operator, then search only the ``nprobe`` nearest cells per query.
+    DataFrame[query_id, vec_id, score].
+
+    The scale path: the corpus shuffles once on cell id; each query joins
+    against ~nprobe/n_cells of the data. Uses FFT (not k-means) for the
+    quantizer because FFT is the engine's native k-center primitive and
+    gives covering-radius guarantees.
+    """
+    from .clustering import mr_fft
+
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double_vec(F.col("embedding")).alias("features"),
+    )
+    centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
+    c = np.asarray(centers, dtype=np.float64)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c_sq = (c**2).sum(axis=1)
+
+    def nearest_cells(batch: "pd.Series") -> "pd.Series":
+        x = np.array(batch.tolist(), dtype=np.float64)
+        d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
+        order = np.argsort(d2, axis=1)[:, :nprobe]
+        return pd.Series([row.tolist() for row in order.astype(np.int64)])
+
+    probe_udf = F.pandas_udf(nearest_cells, T.ArrayType(T.LongType()))
+    assign_udf = F.pandas_udf(
+        lambda s: nearest_cells(s).map(lambda cells: cells[0]), T.LongType()
+    )
+
+    corpus = pts.select(
+        F.col("id").alias("vid"),
+        F.col("features").alias("v"),
+        assign_udf("features").alias("cell"),
+    )
+    queries = pts.select(
+        F.col("id").alias("qid"),
+        F.col("features").alias("qv"),
+        F.explode(probe_udf("features")).alias("cell"),
+    )
+    scored = (
+        queries.join(corpus, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("vec_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

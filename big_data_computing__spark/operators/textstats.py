@@ -1,0 +1,195 @@
+"""Text analysis over the `documents` table: token counts, quality
+scoring, language ID, fingerprinting.
+
+Not in the reference (its only string op is `"x,y"`.split(',') —
+big_data_computing_2.py:10-12); these are the training-data-pipeline
+extensions the engine adds as first-class operators. Everything is
+Catalyst-only (no UDFs) and has an exact DuckDB-SQL twin for the
+correctness oracles.
+
+Scale notes: all operators are embarrassingly parallel per-document maps
+— no shuffles at all; filters/projections push down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+from ..functions.text import normalized, token_count, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and ASCII so the SQL twin is simple.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def _count_tokens_in(toks: Column, words: tuple[str, ...]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: DataFrame[doc_id, n_tokens,
+    n_distinct_tokens, avg_token_len]."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: DataFrame[doc_id, n_chars, n_tokens,
+    stopword_ratio, distinct_ratio, quality_score].
+
+    quality_score blends length, lexical diversity, and stopword presence
+    (the standard cheap pre-filter shape for LLM corpus curation); rounded
+    to 6 dp so float results hash-match the SQL oracle.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_ratio = _count_tokens_in(toks, STOPWORDS).cast("double") / n_tok
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    score = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: DataFrame[doc_id, pred_lang, marker_hits].
+
+    Scores each candidate language by marker-token hits; argmax with a
+    deterministic tie-break (language code ascending, 'und' if no hits).
+    """
+    toks = tokens(F.col(text_col))
+    scored = docs.select(
+        "doc_id",
+        *[
+            _count_tokens_in(toks, words).alias(f"_hits_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    # greatest-hits argmax via a sorted struct array: order by (-hits, lang)
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.col(f"_hits_{lang}")).alias("neg"),
+                F.lit(lang).alias("lang"),
+                F.col(f"_hits_{lang}").alias("hits"),
+            )
+            for lang in LANG_MARKERS
+        ]
+    )
+    best = F.array_sort(pairs)[0]
+    return scored.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias(
+            "pred_lang"
+        ),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: 60-bit hash of the normalized text.
+    DataFrame[doc_id, fingerprint] — the key for exact dedup."""
+    return docs.select(
+        "doc_id", hash60(normalized(F.col(text_col))).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-SQL twins
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter({_TOKS_SQL}, t -> list_contains([{arr}], t)))"
+    )
+
+
+def token_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks), 6) AS avg_token_len
+FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+
+def quality_scores_sql() -> str:
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS INT) AS n_chars, {_TOKS_SQL} AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> list_contains([{stop_arr}], t))) AS DOUBLE)
+           / len(toks) AS sr,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(sr, 6) AS stopword_ratio,
+       ROUND(dr, 6) AS distinct_ratio,
+       ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + dr * 0.4 + least(sr * 5.0, 1.0) * 0.2, 6) AS quality_score
+FROM r
+"""
+
+
+def language_id_sql() -> str:
+    structs = ", ".join(
+        f"{{'neg': -{_hits_sql(words)}, 'lang': '{lang}', "
+        f"'hits': {_hits_sql(words)}}}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, list_sort([{structs}])[1] AS best FROM documents
+)
+SELECT doc_id,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred_lang,
+       CAST(best.hits AS INT) AS marker_hits
+FROM scored
+"""
+
+
+def fingerprints_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    return (
+        f"SELECT doc_id, {hash60_sql(norm)} AS fingerprint FROM documents"
+    )
