@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Query names are keyed to SURVEY.md §2's operator inventory (s/p/a/j/o/c/t
+prefixes) plus the `x_` training-data-pipeline extensions. Queries without
+an oracle entry (FFT/MRFFT, ANN variants whose candidate sets depend on
+the engine's own clustering, the fake media decoder) are genuinely
+non-SQL-expressible; the driver records rows-only checks for those.
 """
 
 from __future__ import annotations
@@ -12,27 +17,459 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.operators import clustering as _cl
+from big_data_computing__spark.operators import dedup as _dd
+from big_data_computing__spark.operators import frequent as _fr
+from big_data_computing__spark.operators import multimodal as _mm
+from big_data_computing__spark.operators import outliers as _ol
+from big_data_computing__spark.operators import relational as _rel
+from big_data_computing__spark.operators import similarity as _sim
+from big_data_computing__spark.operators import textstats as _ts
+from big_data_computing__spark.sources import readers as _rd
+
+# ---------------------------------------------------------------------------
+# Fixed parameters (chosen so every result class is non-degenerate at
+# sf0.01: 39 sure / 1450 uncertain cells-points, 630 exact outliers)
+# ---------------------------------------------------------------------------
+
+OUTLIER_D = 500.0
+OUTLIER_M = 10
+TOPK = 10
+PHI = 0.008
+EPSILON = 0.003
+DELTA = 0.1
+SEED = 42
+FFT_K = 8
+FFT_L = 4
+CENTER_IDS = (0, 50, 100, 150)
+COSINE_NEARDUP_THRESHOLD = 0.3
+JACCARD_THRESHOLD = 0.2
+SIMHASH_MAX_HAMMING = 10
+ANN_K = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rd.read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rd.read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: grid-approximate (M,D)-outlier summary on the sf0.001
+    point set — the reference's core capability (MRApproxOutliers,
+    big_data_computing_1.py:78-114) as one declarative DataFrame plan."""
+    pts = _rd.customer_points(spark, "/root/testdata/sf0.001")
+    return _ol.approx_outliers_summary(pts, OUTLIER_D, OUTLIER_M)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- core reference surface: outliers (HW1/HW2) --
+
+    def p2_cell_counts(spark, sf_dir):
+        return _ol.cell_counts(_rd.customer_points(spark, sf_dir), OUTLIER_D)
+
+    def a4_cell_neighborhood(spark, sf_dir):
+        return _ol.approx_outlier_cells(
+            _rd.customer_points(spark, sf_dir), OUTLIER_D
+        )
+
+    def c7_approx_outliers_summary(spark, sf_dir):
+        return _ol.approx_outliers_summary(
+            _rd.customer_points(spark, sf_dir), OUTLIER_D, OUTLIER_M
+        )
+
+    def o2_smallest_cells_topk(spark, sf_dir):
+        return _ol.smallest_cells_topk(
+            _rd.customer_points(spark, sf_dir), OUTLIER_D, TOPK
+        )
+
+    def c6_exact_outliers(spark, sf_dir):
+        return _ol.exact_outliers(
+            _rd.customer_points(spark, sf_dir), OUTLIER_D, OUTLIER_M
+        )
+
+    def o1_exact_outliers_topk(spark, sf_dir):
+        return _ol.exact_outliers_topk(
+            _rd.customer_points(spark, sf_dir), OUTLIER_D, OUTLIER_M, TOPK
+        )
+
+    # -- core reference surface: clustering (HW2) --
+
+    def c5_radius_fixed_centers(spark, sf_dir):
+        # MRFFT Round 3 (radius) with a deterministic center set — the
+        # SQL-checkable twin of the full pipeline's R3.
+        pts = _rd.embedding_points(spark, sf_dir)
+        centers = pts.where(F.col("id").isin(*CENTER_IDS)).select(
+            F.col("features").alias("cf")
+        )
+        from big_data_computing__spark.functions.geometry import dist_vec
+
+        per_point = (
+            pts.crossJoin(F.broadcast(centers))
+            .select(
+                "id", dist_vec(F.col("features"), F.col("cf")).alias("d")
+            )
+            .groupBy("id")
+            .agg(F.min("d").alias("min_dist"))
+        )
+        return per_point.agg(
+            F.round(F.max("min_dist"), 6).alias("radius")
+        )
+
+    def c2_fft_coreset(spark, sf_dir):
+        # rows-only: iterative seeded kernel, not SQL-expressible
+        return _cl.fft_coreset(
+            _rd.embedding_points(spark, sf_dir), FFT_K, FFT_L, SEED
+        )
+
+    def c3_mrfft_radius(spark, sf_dir):
+        res = _cl.mr_fft(
+            _rd.embedding_points(spark, sf_dir), FFT_K, FFT_L, SEED
+        )
+        return spark.createDataFrame(
+            [(round(res.radius, 6), res.coreset_size)],
+            "radius double, coreset_size int",
+        )
+
+    # -- core reference surface: frequent items (HW3, batch form) --
+
+    def t4_true_frequent_items(spark, sf_dir):
+        return _fr.true_frequent_items(
+            _rd.event_stream_table(spark, sf_dir), PHI
+        )
+
+    def t5_reservoir_report(spark, sf_dir):
+        return _fr.reservoir_report(
+            _rd.event_stream_table(spark, sf_dir), PHI, SEED
+        )
+
+    def t6_sticky_report(spark, sf_dir):
+        stream = _rd.event_stream_table(spark, sf_dir)
+        n = stream.count()
+        return _fr.sticky_report(stream, n, PHI, EPSILON, DELTA, SEED)
+
+    def a11_distinct_items(spark, sf_dir):
+        return _rel.distinct_count(
+            _rd.event_stream_table(spark, sf_dir), "item"
+        )
+
+    # -- generic relational machinery (TPC-H-style) --
+
+    def a2_pricing_summary(spark, sf_dir):
+        li = _rd.read_table(spark, sf_dir, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * 100))
+                .cast("long")
+                .alias("sum_base_cents"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    )
+                )
+                .cast("long")
+                .alias("sum_disc_cents"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def j2_star_join_revenue(spark, sf_dir):
+        li = _rd.read_table(spark, sf_dir, "lineitem")
+        orders = _rd.read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust = _rd.read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        nation = _rd.read_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey"
+        )
+        region = _rd.read_table(spark, sf_dir, "region")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+            )
+            .join(
+                F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            )
+        )
+        return joined.groupBy("r_name").agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+
+    def o1_topk_orders(spark, sf_dir):
+        orders = _rd.read_table(spark, sf_dir, "orders")
+        return _rel.top_k(
+            orders.select("o_orderkey", "o_totalprice"),
+            TOPK,
+            F.desc("o_totalprice"),
+            F.asc("o_orderkey"),
+        )
+
+    def j4_anti_join_customers(spark, sf_dir):
+        # customers with no high-value (> 400k) order: anti join
+        cust = _rd.read_table(spark, sf_dir, "customer")
+        big = _rd.read_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        return cust.join(
+            big, cust.c_custkey == big.o_custkey, "left_anti"
+        ).select("c_custkey")
+
+    # -- extensions: text analysis --
+
+    def x_token_stats(spark, sf_dir):
+        return _ts.token_stats(_docs(spark, sf_dir))
+
+    def x_quality_scores(spark, sf_dir):
+        return _ts.quality_scores(_docs(spark, sf_dir))
+
+    def x_language_id(spark, sf_dir):
+        return _ts.language_id(_docs(spark, sf_dir))
+
+    def x_fingerprints(spark, sf_dir):
+        return _ts.fingerprints(_docs(spark, sf_dir))
+
+    # -- extensions: dedup --
+
+    def x_dedup_exact(spark, sf_dir):
+        return _dd.exact_dedup_groups(_docs(spark, sf_dir))
+
+    def x_dedup_minhash_lsh(spark, sf_dir):
+        return _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+    def x_dedup_simhash(spark, sf_dir):
+        return _dd.simhash_near_pairs(
+            _docs(spark, sf_dir), SIMHASH_MAX_HAMMING
+        )
+
+    def x_dedup_ngram_jaccard(spark, sf_dir):
+        return _dd.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), JACCARD_THRESHOLD
+        )
+
+    def x_dedup_embedding(spark, sf_dir):
+        return _sim.cosine_near_pairs(
+            _emb(spark, sf_dir), COSINE_NEARDUP_THRESHOLD
+        )
+
+    # -- extensions: similarity search --
+
+    def x_ann_cosine_topk(spark, sf_dir):
+        return _sim.cosine_topk(_emb(spark, sf_dir), k=ANN_K)
+
+    def x_ann_lsh_topk(spark, sf_dir):
+        # rows-only: recall depends on the engine's LSH band layout
+        return _sim.hyperplane_lsh_topk(_emb(spark, sf_dir), dim=64, k=ANN_K)
+
+    def x_ann_ivf_topk(spark, sf_dir):
+        # rows-only: candidate cells come from the engine's own MRFFT
+        return _sim.ivf_topk(
+            _emb(spark, sf_dir), k=ANN_K, n_cells=FFT_K, seed=SEED, l=FFT_L
+        )
+
+    # -- extensions: multimodal plumbing --
+
+    def x_media_metadata(spark, sf_dir):
+        return _mm.media_metadata(
+            _mm.documents_as_media(_docs(spark, sf_dir))
+        )
+
+    def x_frame_sample(spark, sf_dir):
+        return _mm.frame_sample(_mm.documents_as_media(_docs(spark, sf_dir)))
+
+    def x_decode_features(spark, sf_dir):
+        # rows-only: deterministic fake decoder (no codecs in this env)
+        return _mm.decode_features(
+            _mm.documents_as_media(_docs(spark, sf_dir)), fake=True
+        )
+
+    for fn in (
+        p2_cell_counts,
+        a4_cell_neighborhood,
+        c7_approx_outliers_summary,
+        o2_smallest_cells_topk,
+        c6_exact_outliers,
+        o1_exact_outliers_topk,
+        c5_radius_fixed_centers,
+        c2_fft_coreset,
+        c3_mrfft_radius,
+        t4_true_frequent_items,
+        t5_reservoir_report,
+        t6_sticky_report,
+        a11_distinct_items,
+        a2_pricing_summary,
+        j2_star_join_revenue,
+        o1_topk_orders,
+        j4_anti_join_customers,
+        x_token_stats,
+        x_quality_scores,
+        x_language_id,
+        x_fingerprints,
+        x_dedup_exact,
+        x_dedup_minhash_lsh,
+        x_dedup_simhash,
+        x_dedup_ngram_jaccard,
+        x_dedup_embedding,
+        x_ann_cosine_topk,
+        x_ann_lsh_topk,
+        x_ann_ivf_topk,
+        x_media_metadata,
+        x_frame_sample,
+        x_decode_features,
+    ):
+        q[fn.__name__] = fn
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB, tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_PTS = _rd.CUSTOMER_POINTS_SQL
+_LAM = OUTLIER_D / (2 * 2**0.5)
+
+_CELLS = (
+    f"SELECT CAST(FLOOR(x/{_LAM!r}) AS BIGINT) AS ci, "
+    f"CAST(FLOOR(y/{_LAM!r}) AS BIGINT) AS cj, COUNT(*) AS cnt "
+    f"FROM pts GROUP BY 1, 2"
+)
+
+_NEIGHBORHOOD = f"""
+pts AS ({_PTS}),
+cells AS ({_CELLS}),
+nb AS (
+  SELECT a.ci, a.cj, a.cnt,
+         SUM(CASE WHEN abs(b.ci - a.ci) <= 1 AND abs(b.cj - a.cj) <= 1
+                  THEN b.cnt ELSE 0 END) AS n3,
+         SUM(b.cnt) AS n7
+  FROM cells a JOIN cells b
+    ON b.ci BETWEEN a.ci - 3 AND a.ci + 3
+   AND b.cj BETWEEN a.cj - 3 AND a.cj + 3
+  GROUP BY 1, 2, 3
+)"""
+
+_BALL_COUNTS = f"""
+pts AS ({_PTS}),
+balls AS (
+  SELECT a.id, COUNT(*) AS ball_count
+  FROM pts a JOIN pts b
+    ON ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+       <= {OUTLIER_D * OUTLIER_D!r}
+  GROUP BY a.id
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    m = OUTLIER_M
+    centers = ", ".join(str(c) for c in CENTER_IDS)
+    return {
+        "p2_cell_counts": f"WITH pts AS ({_PTS}) {_CELLS}",
+        "a4_cell_neighborhood": f"WITH {_NEIGHBORHOOD} "
+        "SELECT ci, cj, cnt, n3, n7 FROM nb",
+        "c7_approx_outliers_summary": f"""
+WITH {_NEIGHBORHOOD}
+SELECT CAST(COALESCE(SUM(CASE WHEN n3 <= {m} AND n7 <= {m} THEN cnt END), 0)
+            AS BIGINT) AS sure_outliers,
+       CAST(COALESCE(SUM(CASE WHEN n3 <= {m} AND n7 > {m} THEN cnt END), 0)
+            AS BIGINT) AS uncertain_points
+FROM nb""",
+        "o2_smallest_cells_topk": f"WITH pts AS ({_PTS}), cells AS ({_CELLS}) "
+        f"SELECT ci, cj, cnt FROM cells ORDER BY cnt, ci, cj LIMIT {TOPK}",
+        "c6_exact_outliers": f"WITH {_BALL_COUNTS} "
+        f"SELECT id, ball_count FROM balls WHERE ball_count <= {m}",
+        "o1_exact_outliers_topk": f"WITH {_BALL_COUNTS} "
+        f"SELECT id, ball_count FROM balls WHERE ball_count <= {m} "
+        f"ORDER BY ball_count, id LIMIT {TOPK}",
+        "c5_radius_fixed_centers": f"""
+WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+c AS (SELECT vec FROM v WHERE id IN ({centers})),
+d AS (SELECT v.id, MIN(list_distance(v.vec, c.vec)) AS min_dist
+      FROM v CROSS JOIN c GROUP BY v.id)
+SELECT ROUND(MAX(min_dist), 6) AS radius FROM d""",
+        "t4_true_frequent_items": _fr.true_frequent_sql(
+            _rd.EVENT_STREAM_SQL, PHI
+        ),
+        "t5_reservoir_report": _fr.reservoir_report_sql(
+            _rd.EVENT_STREAM_SQL, PHI, SEED
+        ),
+        "t6_sticky_report": _fr.sticky_report_sql(
+            _rd.EVENT_STREAM_SQL, 10000, PHI, EPSILON, DELTA, SEED
+        ),
+        "a11_distinct_items": "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)"
+        " AS n_distinct FROM events",
+        "a2_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice * 100)) AS BIGINT) AS sum_base_cents,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "j2_star_join_revenue": """
+SELECT r_name,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+        "o1_topk_orders": f"SELECT o_orderkey, o_totalprice FROM orders "
+        f"ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {TOPK}",
+        "j4_anti_join_customers": "SELECT c_custkey FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_totalprice > 400000)",
+        "x_token_stats": _ts.token_stats_sql(),
+        "x_quality_scores": _ts.quality_scores_sql(),
+        "x_language_id": _ts.language_id_sql(),
+        "x_fingerprints": _ts.fingerprints_sql(),
+        "x_dedup_exact": _dd.exact_dedup_groups_sql(),
+        "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
+        "x_dedup_simhash": _dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING),
+        "x_dedup_ngram_jaccard": _dd.ngram_jaccard_pairs_sql(
+            JACCARD_THRESHOLD
+        ),
+        "x_dedup_embedding": _sim.cosine_near_pairs_sql(
+            COSINE_NEARDUP_THRESHOLD
+        ),
+        "x_ann_cosine_topk": _sim.cosine_topk_sql(ANN_K),
+        "x_media_metadata": _mm.media_metadata_sql(),
+        "x_frame_sample": _mm.frame_sample_sql(),
+    }

@@ -1,0 +1,178 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-data-pipeline extension. Image/audio/video payloads are opaque
+``binary`` columns with a typed metadata struct; decode / feature-extract
+/ resize / frame-sample run as Arrow-batched kernels over ``mapInPandas``.
+
+The actual media codecs are NOT available in this environment, so the
+decode step is stubbed: :func:`decode_features` raises
+``NotImplementedError`` unless ``fake=True``, in which case it computes a
+deterministic fake feature vector from the payload bytes. The Spark-side
+plumbing — schema, batch iteration, partitioning, UDF signatures — is
+real and tested; swapping in a real codec is a one-function change.
+
+Scale notes: payload bytes never shuffle — metadata extraction projects
+away the binary column before any wide operation; the mapInPandas decode
+is a narrow transformation that preserves partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: wrap `documents` text as binary payloads with
+    metadata — the stand-in corpus for multimodal plumbing tests.
+    DataFrame[media_id, payload binary, meta struct<mime,n_bytes>]."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata projection (no payload movement): DataFrame[media_id,
+    mime, n_bytes, payload_hash]. The binary column is pruned from any
+    downstream shuffle."""
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("payload_hash"),
+    )
+
+
+def media_metadata_sql() -> str:
+    """DuckDB twin of :func:`media_metadata` over documents_as_media."""
+    return """
+SELECT doc_id AS media_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS payload_hash
+FROM documents
+"""
+
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_features(
+    media: DataFrame, fake: bool = False, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Decode payloads → feature vectors via mapInPandas:
+    DataFrame[media_id, features array<double>].
+
+    With ``fake=False`` this raises NotImplementedError at execution time
+    (no media codecs in this environment). With ``fake=True`` it derives a
+    deterministic vector from the payload bytes: feature j = mean of every
+    dim-th byte starting at j, scaled to [0, 1] — a stand-in with the same
+    schema, batching, and partitioning behavior a real decoder would have.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires codec libraries not present "
+                    "in this environment; pass fake=True for the "
+                    "deterministic stand-in"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                buf = bytes(payload or b"")
+                vec = []
+                for j in range(dim):
+                    sl = buf[j::dim]
+                    vec.append(
+                        (sum(sl) / len(sl) / 255.0) if sl else 0.0
+                    )
+                feats.append(vec)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, _FEATURES_SCHEMA
+    )
+
+
+def frame_sample(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """'Frame' sampler stand-in: emit up to ``max_frames`` fixed-stride
+    byte-offset frames per payload — the row-explosion shape of video
+    frame sampling (one row per sampled frame), Catalyst-only.
+    DataFrame[media_id, frame_idx, offset]."""
+    n = F.col("meta.n_bytes")
+    frames = F.least(
+        F.ceil(n / F.lit(every_n_bytes)).cast("int"), F.lit(max_frames)
+    )
+    return media.select(
+        "media_id",
+        F.explode(
+            F.when(frames >= 1, F.sequence(F.lit(0), frames - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("frame_idx"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * every_n_bytes).cast("long").alias("offset"),
+    )
+
+
+def frame_sample_sql(every_n_bytes: int = 64, max_frames: int = 8) -> str:
+    """DuckDB twin of :func:`frame_sample` over documents_as_media."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+f AS (
+  SELECT media_id,
+         least(CAST(ceil(n_bytes / {float(every_n_bytes)!r}) AS INT),
+               {max_frames}) AS frames
+  FROM m
+)
+SELECT media_id,
+       CAST(unnest(range(0, frames)) AS INT) AS frame_idx,
+       CAST(unnest(range(0, frames)) * {every_n_bytes} AS BIGINT) AS offset
+FROM f WHERE frames >= 1
+"""

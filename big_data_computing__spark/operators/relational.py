@@ -1,0 +1,70 @@
+"""Generic relational operators: the reusable machinery layer.
+
+The reference's relational surface (scan, filter, partial+final
+aggregation, broadcast lookup join, semi/anti membership, sort/top-K,
+distinct — SURVEY.md §2.1-2.7) generalized into small composable helpers
+with deterministic semantics. Each is a thin, opinionated wrapper over
+DataFrame ops — the point is the *contract* (explicit tie-breaks,
+broadcast hints, aliased outputs), not reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
+    """Deterministic top-K: ORDER BY the given columns LIMIT k.
+
+    Callers must pass a total order (include a unique key as the last
+    column) — the engine refuses ambiguity by convention where the
+    reference left tie order to sort stability
+    (big_data_computing_1.py:112). Physical plan: TakeOrderedAndProject —
+    per-partition heaps + driver merge, no global sort.
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def membership_flags(
+    df: DataFrame,
+    truth: DataFrame,
+    on: str,
+    flag_col: str = "flag",
+) -> DataFrame:
+    """Annotate rows `+`/`-` by key membership in `truth` (the reference's
+    report diffing, big_data_computing_3.py:124-137; J4). Broadcast left
+    join — truth is the small side by construction."""
+    t = truth.select(F.col(on)).distinct().withColumn("_hit", F.lit(True))
+    return (
+        df.join(F.broadcast(t), on, "left")
+        .withColumn(
+            flag_col,
+            F.when(F.col("_hit"), F.lit("+")).otherwise(F.lit("-")),
+        )
+        .drop("_hit")
+    )
+
+
+def star_join(
+    fact: DataFrame, dims: list[tuple[DataFrame, str]]
+) -> DataFrame:
+    """Fact table joined to small dimensions, all broadcast: the engine's
+    default plan shape for star schemas (dimension tables ride along with
+    every executor; the fact table never shuffles)."""
+    out = fact
+    for dim, key in dims:
+        out = out.join(F.broadcast(dim), key)
+    return out
+
+
+def grouped_count(df: DataFrame, *keys: str) -> DataFrame:
+    """groupBy(keys).count() with map-side partial aggregation (Catalyst
+    HashAggregateExec partial+final — subsumes the reference's hand-rolled
+    combiner, big_data_computing_1.py:67-75)."""
+    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
+def distinct_count(df: DataFrame, col: str) -> DataFrame:
+    """Exact distinct count of one column as a 1-row DataFrame."""
+    return df.agg(F.countDistinct(col).alias("n_distinct"))

@@ -25,8 +25,10 @@ corpus and a threshold instead of k (see cosine_near_pairs).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import hash60, hash60_sql
 from ..functions.vectors import as_double_vec, cosine, dot, norm
@@ -161,16 +163,26 @@ def _hyperplane(bit: int, dim: int) -> list[float]:
 
 
 def sign_sketch(emb: DataFrame, dim: int, bits: int = LSH_BITS) -> DataFrame:
-    """Random-hyperplane sign sketch: DataFrame[vid, v, sketch long]."""
-    base = _vec_df(emb)
-    sketch = None
-    for b in range(bits):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(b, dim)])
-        term = F.when(
-            dot(F.col("v"), plane) > 0, F.lit(2**b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sketch = term if sketch is None else sketch + term
-    return base.withColumn("sketch", sketch)
+    """Random-hyperplane sign sketch: DataFrame[vid, v, sketch long].
+
+    One (batch × planes) matmul per Arrow batch — bits·dim multiplies per
+    row fused into BLAS instead of bits separate Catalyst aggregate
+    expressions (which codegen poorly at dim=64).
+    """
+    planes = np.array(
+        [_hyperplane(b, dim) for b in range(bits)], dtype=np.float64
+    )
+    weights = (2 ** np.arange(bits, dtype=np.int64))
+
+    def compute(batch):
+        x = np.array(batch.tolist(), dtype=np.float64)
+        signs = (x @ planes.T) > 0
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    compute.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+
+    udf = F.pandas_udf(compute, T.LongType())
+    return _vec_df(emb).withColumn("sketch", udf(F.col("v")))
 
 
 def hyperplane_lsh_topk(
@@ -256,22 +268,22 @@ def ivf_topk(
     )
     centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
     c = np.asarray(centers, dtype=np.float64)
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
     c_sq = (c**2).sum(axis=1)
 
-    def nearest_cells(batch: "pd.Series") -> "pd.Series":
+    def nearest_cells(batch):
         x = np.array(batch.tolist(), dtype=np.float64)
         d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
         order = np.argsort(d2, axis=1)[:, :nprobe]
         return pd.Series([row.tolist() for row in order.astype(np.int64)])
 
+    def nearest_cell(batch):
+        return nearest_cells(batch).map(lambda cells: cells[0])
+
+    nearest_cells.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    nearest_cell.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+
     probe_udf = F.pandas_udf(nearest_cells, T.ArrayType(T.LongType()))
-    assign_udf = F.pandas_udf(
-        lambda s: nearest_cells(s).map(lambda cells: cells[0]), T.LongType()
-    )
+    assign_udf = F.pandas_udf(nearest_cell, T.LongType())
 
     corpus = pts.select(
         F.col("id").alias("vid"),

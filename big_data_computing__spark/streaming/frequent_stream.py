@@ -1,0 +1,186 @@
+"""Streaming frequent items on Structured Streaming.
+
+Re-expresses the reference's DStream pipeline (big_data_computing_3.py):
+socket text stream → per-batch driver-state updates → stop after n items
+→ exact / reservoir / sticky reports.
+
+Mapping (SURVEY.md §2.9):
+- T1 micro-batch ingestion → ``spark.readStream`` (socket, rate, or file
+  source); the reference's 10 ms batch interval is below practical
+  Structured Streaming latency — semantics, not latency, is the parity
+  target.
+- T4 exact counts → stateful ``groupBy().count()`` in update mode
+  (:func:`exact_counts_query`) — Spark's distributed streaming state
+  replaces the reference's driver dict (big_data_computing_3.py:84-88).
+- T2/T5/T6 samplers → ``foreachBatch`` over a :class:`SamplerState`. The
+  engine's samplers are **counter-based** (operators/frequent.py): each
+  batch only appends its accepted writes / admissions, keyed by the
+  stream position — so the streaming run produces *bit-identical* results
+  to the batch operator on the same prefix, which the reference's
+  stateful-RNG samplers cannot.
+- T3 stop-at-n → batch-granular cutoff in foreachBatch: a batch that
+  *starts* at-or-past n is skipped; the batch that crosses n is processed
+  in full, then the query stops (replicates big_data_computing_3.py:75-77).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.hashing import TWO_POW_60
+from ..operators.frequent import reservoir_size, sticky_rate
+
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("item", T.LongType(), False),
+    ]
+)
+
+
+def socket_items(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Socket text stream → DataFrame[item long] (one int per line —
+    the reference's source, big_data_computing_3.py:62). Unbounded;
+    arrival order is assigned downstream."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .select(F.col("value").cast("long").alias("item"))
+    )
+
+
+def file_items(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source replay of an item stream (test harness): parquet files
+    with schema (seq, item) dropped into `directory`."""
+    return spark.readStream.schema(ITEM_SCHEMA).parquet(directory)
+
+
+def exact_counts_query(
+    items: DataFrame, checkpoint: str, query_name: str = "exact_counts"
+) -> StreamingQuery:
+    """Stateful exact per-item counts, update mode → in-memory sink.
+
+    Read results via ``spark.sql(f"SELECT * FROM {query_name}")``.
+    """
+    counts = items.groupBy("item").count()
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def _u(tag: str, seed: int, t: int) -> float:
+    """Python twin of operators.frequent._u — same md5 counter PRNG."""
+    import hashlib
+
+    key = f"{tag}-{seed}-{t}".encode()
+    return (
+        int(hashlib.md5(key).hexdigest()[:15], 16) / TWO_POW_60
+    )
+
+
+@dataclass
+class SamplerState:
+    """Driver-held sampler state for foreachBatch (the engine's analogue
+    of the reference's dicts/lists, big_data_computing_3.py:65-69), fed by
+    the same counter-based PRNG as the batch operators so streaming and
+    batch runs agree exactly."""
+
+    n: int
+    phi: float
+    epsilon: float
+    delta: float
+    seed: int = 0
+    processed: int = 0
+    stopped: bool = False
+    counts: dict[int, int] = field(default_factory=dict)
+    reservoir: dict[int, int] = field(default_factory=dict)  # slot → item
+    sticky: dict[int, int] = field(default_factory=dict)  # item → count
+
+    def __post_init__(self) -> None:
+        self.m = reservoir_size(self.phi)
+        self.rate = sticky_rate(self.phi, self.epsilon, self.delta) / self.n
+
+    def update(self, rows: list[tuple[int, int]]) -> None:
+        """Apply one micro-batch of (seq, item) rows.
+
+        Batch-granular cutoff: skip entirely if already at n
+        (big_data_computing_3.py:75-76); the crossing batch is processed
+        in full.
+        """
+        if self.stopped or self.processed >= self.n:
+            self.stopped = True
+            return
+        for seq, item in sorted(rows):
+            self.processed += 1
+            self.counts[item] = self.counts.get(item, 0) + 1
+            # reservoir (counter-based; matches operators.frequent)
+            if seq <= self.m:
+                self.reservoir[seq - 1] = item
+            else:
+                if _u("res-acc", self.seed, seq) <= self.m / seq:
+                    slot = int(_u("res-slot", self.seed, seq) * self.m)
+                    self.reservoir[slot] = item
+            # sticky
+            if item in self.sticky:
+                self.sticky[item] += 1
+            elif _u("sticky", self.seed, seq) < self.rate:
+                self.sticky[item] = 1
+        if self.processed >= self.n:
+            self.stopped = True
+
+    # -- reports (reference big_data_computing_3.py:110-137) --
+
+    def true_frequent(self) -> list[int]:
+        threshold = self.phi * self.processed
+        return sorted(
+            item for item, c in self.counts.items() if c >= threshold
+        )
+
+    def reservoir_items(self) -> list[int]:
+        return sorted(set(self.reservoir.values()))
+
+    def sticky_frequent(self) -> list[tuple[int, int]]:
+        cut = (self.phi - self.epsilon) * self.n
+        return sorted(
+            (item, c) for item, c in self.sticky.items() if c > cut
+        )
+
+
+def run_sampler_stream(
+    items: DataFrame,
+    state: SamplerState,
+    checkpoint: str,
+    timeout_s: float = 120.0,
+) -> SamplerState:
+    """Drive a (seq, item) stream through the samplers until n items are
+    processed, then stop the query (T3 semantics). Returns the final state.
+    """
+    query = (
+        items.writeStream.foreachBatch(
+            lambda batch_df, _epoch: state.update(
+                [(r["seq"], r["item"]) for r in batch_df.collect()]
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    while not state.stopped and _time.time() < deadline:
+        _time.sleep(0.2)
+    query.stop()
+    query.awaitTermination(30)
+    return state

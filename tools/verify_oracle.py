@@ -1,0 +1,85 @@
+"""Local mimic of the driver's correctness gate: run every queries()
+entry at sf0.01 and hash-compare against oracle_sql() via DuckDB.
+
+Usage: python tools/verify_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from big_data_computing__spark.session import get_session
+from big_data_computing__spark.sources.readers import TABLES
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sorted(
+                tuple(r) for r in sdf.select(sorted(sdf.columns)).collect()
+            )
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: SPARK ERROR {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(
+                f"ok   {name}: rows-only ({len(srows)} rows, "
+                f"{time.time() - t0:.1f}s)"
+            )
+            if len(srows) == 0:
+                print(f"     WARNING: {name} returned 0 rows")
+            continue
+        try:
+            dres = con.execute(oracles[name])
+            dcols = [d[0] for d in dres.description]
+            draw = dres.fetchall()
+            order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            drows = sorted(tuple(r[i] for i in order) for r in draw)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: DUCK ERROR {str(e)[:200]}")
+            continue
+        if srows == drows:
+            print(
+                f"ok   {name}: {len(srows)} rows match "
+                f"({time.time() - t0:.1f}s)"
+            )
+        else:
+            failures.append(name)
+            print(
+                f"FAIL {name}: mismatch spark={len(srows)} duck={len(drows)}"
+            )
+            sonly = [r for r in srows if r not in drows][:2]
+            donly = [r for r in drows if r not in srows][:2]
+            print(f"     spark-only: {sonly}")
+            print(f"     duck-only:  {donly}")
+    print(
+        f"\n{len(qs) - len(failures)}/{len(qs)} queries pass "
+        f"({len(oracles)} oracle-checked)"
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
