@@ -83,12 +83,16 @@ FROM documents GROUP BY 1
 def _shingle_hashes(
     docs: DataFrame, text_col: str, ngram: int
 ) -> DataFrame:
-    """Distinct (doc_id, shingle-hash x) pairs; x ∈ [0, 2^60)."""
+    """Distinct (doc_id, shingle-hash x) pairs over the *normalized* text
+    (lowercase, collapsed whitespace — near-dup detection should not be
+    case/spacing sensitive); x ∈ [0, 2^60)."""
     return (
         docs.select(
             "doc_id",
             F.explode(
-                F.array_distinct(word_ngrams(F.col(text_col), ngram))
+                F.array_distinct(
+                    word_ngrams(normalized(F.col(text_col)), ngram)
+                )
             ).alias("shingle"),
         )
         .select("doc_id", hash60(F.col("shingle")).alias("x"))
@@ -164,7 +168,11 @@ def minhash_lsh_pairs(
 
 
 def minhash_signatures_sql(num_hashes: int = 16, ngram: int = 3) -> str:
-    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    toks = (
+        "list_filter(string_split("
+        "trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), "
+        "t -> t <> '')"
+    )
     mins = ", ".join(
         f"MIN({minhash_value_sql('x', i)}) AS _s{i}"
         for i in range(num_hashes)
@@ -227,7 +235,8 @@ def simhash_signatures(
             F.explode(
                 F.array_distinct(
                     F.filter(
-                        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+                        F.split(normalized(F.col(text_col)), " "),
+                        lambda t: t != F.lit(""),
                     )
                 )
             ).alias("tok"),
@@ -251,7 +260,11 @@ def simhash_signatures(
 
 
 def simhash_signatures_sql() -> str:
-    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    toks = (
+        "list_filter(string_split("
+        "trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), "
+        "t -> t <> '')"
+    )
     h = hash60_sql("tok")
     bit_sums = ", ".join(
         f"SUM(((h // {2**b}) % 2) * 2 - 1) AS _b{b}"
@@ -391,7 +404,11 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(threshold: float = 0.5, ngram: int = 3) -> str:
-    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    toks = (
+        "list_filter(string_split("
+        "trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), "
+        "t -> t <> '')"
+    )
     return f"""
 WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
 grams AS (

@@ -1,0 +1,90 @@
+"""FFT/MRFFT: kernel correctness, determinism, k-center guarantees."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_computing__spark.operators import clustering as C
+from big_data_computing__spark.sources.readers import embedding_points
+
+
+def test_sequential_fft_spread():
+    # 4 well-separated clusters in 2-D: FFT(4) must pick one per cluster
+    rng = np.random.default_rng(0)
+    blobs = [
+        rng.normal(loc, 0.1, size=(20, 2))
+        for loc in [(0, 0), (10, 0), (0, 10), (10, 10)]
+    ]
+    pts = np.vstack(blobs)
+    centers = C.sequential_fft(pts, 4, seed=7)
+    got = {(round(c[0] / 10), round(c[1] / 10)) for c in centers}
+    assert got == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
+def test_sequential_fft_deterministic():
+    pts = np.random.default_rng(1).normal(size=(50, 3))
+    a = C.sequential_fft(pts, 5, seed=3)
+    b = C.sequential_fft(pts, 5, seed=3)
+    assert np.array_equal(a, b)
+
+
+def test_sequential_fft_k_exceeds_n():
+    pts = np.random.default_rng(1).normal(size=(3, 2))
+    assert len(C.sequential_fft(pts, 10, seed=0)) == 3
+
+
+def test_mrfft_radius_covers_all_points(spark, sf_dir):
+    pts = embedding_points(spark, sf_dir).cache()
+    res = C.mr_fft(pts, k=8, l=4, seed=42)
+    assert res.coreset_size <= 8 * 4
+    # radius is the k-center objective: every point within radius of a center
+    from pyspark.sql import functions as F
+
+    over = (
+        C.min_dist_to_centers(pts, res.centers)
+        .where(F.col("min_dist") > res.radius + 1e-9)
+        .count()
+    )
+    assert over == 0
+    assert res.radius > 0
+    assert set(res.timings_ms) == {"r1_coreset", "r2_centers", "r3_radius"}
+
+
+def test_mrfft_deterministic_across_runs(spark, sf_dir):
+    pts = embedding_points(spark, sf_dir)
+    r1 = C.mr_fft(pts, k=4, l=2, seed=9)
+    r2 = C.mr_fft(pts, k=4, l=2, seed=9)
+    assert r1.radius == r2.radius
+    assert np.array_equal(r1.centers, r2.centers)
+
+
+def test_catalyst_min_dist_matches_pandas(spark, sf_dir):
+    pts = embedding_points(spark, sf_dir).limit(50).cache()
+    centers = np.array(
+        [r["features"] for r in pts.limit(3).collect()], dtype=np.float64
+    )
+    from pyspark.sql import functions as F
+
+    expr_rows = pts.select(
+        "id",
+        C.min_dist_to_centers_expr(
+            F.col("features"), centers.tolist()
+        ).alias("d"),
+    ).collect()
+    udf_rows = C.min_dist_to_centers(pts, centers).select(
+        "id", "min_dist"
+    ).collect()
+    e = {r["id"]: r["d"] for r in expr_rows}
+    u = {r["id"]: r["min_dist"] for r in udf_rows}
+    for k in e:
+        assert abs(e[k] - u[k]) < 1e-9
+
+
+def test_assign_clusters_partitions_all_points(spark, sf_dir):
+    pts = embedding_points(spark, sf_dir)
+    res = C.mr_fft(pts, k=4, l=2, seed=1)
+    assigned = C.assign_clusters(pts, res.centers)
+    assert assigned.count() == pts.count()
+    n_clusters = assigned.select("cluster").distinct().count()
+    assert 1 <= n_clusters <= 4

@@ -1,0 +1,112 @@
+"""Dedup + text analysis on planted fixtures (exact and near duplicates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.operators import dedup as D
+from big_data_computing__spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    near = "the quick brown fox jumps over the lazy cat near the old barn"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),  # exact dup of 1
+        (3, "  The  Quick  Brown  Fox  Jumps  Over  The  Lazy  Dog  "
+            "Near  The  Old  Barn ", "en", "s", 10),  # normalized dup of 1
+        (4, near, "en", "s", len(near)),  # near dup (1 word changed)
+        (5, "completely different text about spark query engines and "
+            "distributed joins", "en", "s", 20),
+        (6, "der hund und die katze ist das haus", "de", "s", 20),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    dup_groups = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_docs"] == 3  # docs 1, 2, 3 (normalized)
+    assert dup_groups[0]["keep_doc_id"] == 1
+    survivors = {
+        r["doc_id"] for r in D.exact_dedup_survivors(docs).collect()
+    }
+    assert survivors == {1, 4, 5, 6}
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs).collect()
+    }
+    # exact dups always collide on all bands; near dup should collide too
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs
+    # unrelated docs must not pair with the fox docs
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_simhash_hamming(spark, docs):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signatures(docs).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[3]  # same token set
+    ham_near = bin(sigs[1] ^ sigs[4]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham_near < ham_far
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, max_hamming=15).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_token_stats(spark, docs):
+    stats = {
+        r["doc_id"]: r for r in TS.token_stats(docs).collect()
+    }
+    assert stats[1]["n_tokens"] == 13
+    assert stats[1]["n_distinct_tokens"] == 11  # 'the' ×3
+    assert stats[3]["n_tokens"] == 13  # multi-space split yields no empties
+
+
+def test_language_id(spark, docs):
+    langs = {
+        r["doc_id"]: r["pred_lang"]
+        for r in TS.language_id(docs).collect()
+    }
+    assert langs[1] == "en"
+    assert langs[6] == "de"
+
+
+def test_quality_scores_bounds(spark, docs):
+    for r in TS.quality_scores(docs).collect():
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_fingerprint_normalization(spark, docs):
+    fps = {
+        r["doc_id"]: r["fingerprint"]
+        for r in TS.fingerprints(docs).collect()
+    }
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[1] != fps[4]

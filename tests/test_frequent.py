@@ -1,0 +1,95 @@
+"""Frequent-items operators: hand fixtures, guarantees, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.operators import frequent as FR
+from big_data_computing__spark.sources.readers import event_stream_table
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # 20 items: item 1 appears 10 times, item 2 five times, rest singletons
+    items = [1] * 10 + [2] * 5 + [3, 4, 5, 6, 7]
+    rows = [(i + 1, item) for i, item in enumerate(items)]
+    return spark.createDataFrame(rows, "seq long, item long")
+
+
+def test_true_frequent(spark, stream):
+    rows = FR.true_frequent_items(stream, phi=0.25).collect()
+    got = {(r["item"], r["cnt"]) for r in rows}
+    assert got == {(1, 10), (2, 5)}
+
+
+def test_true_frequent_threshold_inclusive(spark, stream):
+    # count >= phi*total (reference uses >=, big_data_computing_3.py:12)
+    rows = FR.true_frequent_items(stream, phi=0.5).collect()
+    assert {(r["item"], r["cnt"]) for r in rows} == {(1, 10)}
+
+
+def test_reservoir_fills_first_m(spark, stream):
+    # m=20 >= stream length → reservoir is exactly the stream items
+    sample = FR.reservoir_sample(stream, m=20, seed=0).collect()
+    assert len(sample) == 20
+    slots = {r["slot"] for r in sample}
+    assert slots == set(range(20))
+
+
+def test_reservoir_deterministic(spark, stream):
+    a = sorted(
+        (r["slot"], r["item"])
+        for r in FR.reservoir_sample(stream, m=3, seed=5).collect()
+    )
+    b = sorted(
+        (r["slot"], r["item"])
+        for r in FR.reservoir_sample(stream, m=3, seed=5).collect()
+    )
+    assert a == b
+    assert len(a) <= 3
+
+
+def test_reservoir_report_flags(spark, stream):
+    rows = FR.reservoir_report(stream, phi=0.25, seed=1).collect()
+    flags = {r["item"]: r["flag"] for r in rows}
+    for item, flag in flags.items():
+        assert flag == ("+" if item in (1, 2) else "-")
+
+
+def test_sticky_counts_frequent_item_caught(spark, stream):
+    # r large → everything admitted at first occurrence → exact counts
+    rows = FR.sticky_counts(stream, n=20, r=1e9, seed=0).collect()
+    got = {(r["item"], r["est_cnt"]) for r in rows}
+    assert (1, 10) in got and (2, 5) in got
+    assert len(got) == 7
+
+
+def test_sticky_underestimates(spark, stream):
+    # est count can never exceed the true count
+    est = {
+        r["item"]: r["est_cnt"]
+        for r in FR.sticky_counts(stream, n=20, r=5.0, seed=3).collect()
+    }
+    true = {
+        r["item"]: r["cnt"] for r in FR.item_counts(stream).collect()
+    }
+    for item, c in est.items():
+        assert c <= true[item]
+
+
+def test_sticky_report_epsilon_guarantee(spark, sf_dir):
+    """Every true-frequent item must appear in the sticky report when the
+    (phi, epsilon, delta) guarantee holds — the reference's printed
+    invariant is that '+' rows cover the truth set w.h.p."""
+    stream = event_stream_table(spark, sf_dir).cache()
+    n = stream.count()
+    phi, eps, delta = 0.02, 0.008, 0.1
+    truth = {
+        r["item"] for r in FR.true_frequent_items(stream, phi).collect()
+    }
+    report = FR.sticky_report(stream, n, phi, eps, delta, seed=0).collect()
+    reported = {r["item"] for r in report}
+    assert truth <= reported
+    plus = {r["item"] for r in report if r["flag"] == "+"}
+    assert plus == truth & reported

@@ -1,0 +1,94 @@
+"""Outlier operators vs hand-computed fixtures and self-oracle parity.
+
+Mirrors the reference's own verification method (SURVEY.md §5): exact
+and approximate results must bracket each other —
+sure <= exact_outlier_points <= sure + uncertain.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from big_data_computing__spark.operators import outliers as O
+from big_data_computing__spark.sources.readers import customer_points
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # 5 points: a tight cluster of 3 within distance 1, two isolated
+    rows = [
+        (1, 0.0, 0.0),
+        (2, 0.5, 0.0),
+        (3, 0.0, 0.5),
+        (4, 100.0, 100.0),
+        (5, -100.0, 50.0),
+    ]
+    return spark.createDataFrame(rows, "id long, x double, y double")
+
+
+def test_ball_counts_include_self(spark, tiny):
+    counts = {
+        r["id"]: r["ball_count"]
+        for r in O.ball_counts(tiny, d=1.0).collect()
+    }
+    # cluster of 3: each sees all 3 (pairwise distances <= 1)
+    assert counts[1] == 3 and counts[2] == 3 and counts[3] == 3
+    assert counts[4] == 1 and counts[5] == 1
+
+
+def test_exact_outliers_threshold(spark, tiny):
+    ids = {r["id"] for r in O.exact_outliers(tiny, d=1.0, m=2).collect()}
+    assert ids == {4, 5}
+    ids_m3 = {r["id"] for r in O.exact_outliers(tiny, d=1.0, m=3).collect()}
+    assert ids_m3 == {1, 2, 3, 4, 5}
+
+
+def test_exact_outliers_topk_order(spark, tiny):
+    rows = O.exact_outliers_topk(tiny, d=1.0, m=3, k=3).collect()
+    assert [r["id"] for r in rows] == [4, 5, 1]  # counts 1,1,3; id tiebreak
+
+
+def test_cell_counts_lambda(spark, tiny):
+    # D = 2*sqrt(2) → Λ = 1: cells are unit squares
+    d = 2.0 * math.sqrt(2.0)
+    cells = {
+        (r["ci"], r["cj"]): r["cnt"]
+        for r in O.cell_counts(tiny, d).collect()
+    }
+    assert cells[(0, 0)] == 3
+    assert cells[(100, 100)] == 1
+    assert cells[(-100, 50)] == 1
+
+
+def test_neighborhood_sums(spark, tiny):
+    d = 2.0 * math.sqrt(2.0)
+    cells = {
+        (r["ci"], r["cj"]): (r["cnt"], r["n3"], r["n7"])
+        for r in O.approx_outlier_cells(tiny, d).collect()
+    }
+    # isolated cells: N3 = N7 = own count
+    assert cells[(100, 100)] == (1, 1, 1)
+    assert cells[(0, 0)] == (3, 3, 3)
+
+
+def test_summary_bracket_self_oracle(spark, sf_dir):
+    """sure <= exact outliers <= sure + uncertain (reference's printed
+    invariant, big_data_computing_1.py:180-186)."""
+    pts = customer_points(spark, sf_dir).cache()
+    d, m = 500.0, 10
+    summary = O.approx_outliers_summary(pts, d, m).collect()[0]
+    exact = O.exact_outliers(pts, d, m).count()
+    assert summary["sure_outliers"] <= exact
+    assert exact <= summary["sure_outliers"] + summary["uncertain_points"]
+
+
+def test_negative_coordinates_floor(spark):
+    # floor-division cell ids must match Python // for negatives
+    pts = spark.createDataFrame(
+        [(1, -0.1, -0.1)], "id long, x double, y double"
+    )
+    d = 2.0 * math.sqrt(2.0)  # Λ = 1
+    [row] = O.cell_counts(pts, d).collect()
+    assert (row["ci"], row["cj"]) == (-1, -1)

@@ -1,0 +1,124 @@
+"""Similarity search: exact top-k ground truth, ANN recall, plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.operators import multimodal as MM
+from big_data_computing__spark.operators import similarity as S
+from big_data_computing__spark.sources.readers import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def _brute_truth(emb, k):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    truth = {}
+    for q in ids:
+        scores = []
+        for v in ids:
+            if v == q:
+                continue
+            a, b = vecs[q], vecs[v]
+            s = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            scores.append((round(s, 6), v))
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        truth[q] = [v for _, v in scores[:k]]
+    return truth
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    small = emb.where(F.col("vec_id") < 60).cache()
+    truth = _brute_truth(small, k=3)
+    got = {}
+    for r in S.cosine_topk(small, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
+    for q, pairs in got.items():
+        pairs.sort(key=lambda t: (-t[0], t[1]))
+        assert [v for _, v in pairs] == truth[q]
+
+
+def test_lsh_recall(spark, emb):
+    """Sign-LSH ANN must achieve reasonable recall@3 vs exact top-3."""
+    exact = {}
+    for r in S.cosine_topk(emb, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in S.hyperplane_lsh_topk(emb, dim=64, k=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(
+        len(exact[q] & approx.get(q, set())) for q in exact
+    )
+    total = sum(len(v) for v in exact.values())
+    assert hits / total > 0.5, f"LSH recall too low: {hits}/{total}"
+
+
+def test_ivf_recall(spark, emb):
+    exact = {}
+    for r in S.cosine_topk(emb, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in S.ivf_topk(emb, k=3, n_cells=8, nprobe=3, seed=42).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total > 0.4, f"IVF recall too low: {hits}/{total}"
+
+
+def test_cosine_near_pairs_symmetric_threshold(spark, emb):
+    pairs = S.cosine_near_pairs(emb, threshold=0.3).collect()
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["score"] >= 0.3
+
+
+# -- multimodal plumbing --
+
+
+def test_media_roundtrip(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    media = MM.documents_as_media(docs)
+    meta = MM.media_metadata(media).collect()
+    assert len(meta) == 20
+    for r in meta:
+        assert r["mime"] == "text/plain"
+        assert r["n_bytes"] > 0
+
+
+def test_decode_features_fake(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    media = MM.documents_as_media(docs)
+    feats = MM.decode_features(media, fake=True).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r["features"]) == MM.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["features"])
+
+
+def test_decode_features_stub_raises(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(5)
+    media = MM.documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplemented|codec"):
+        MM.decode_features(media, fake=False).collect()
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    media = MM.documents_as_media(docs)
+    frames = MM.frame_sample(media, every_n_bytes=64, max_frames=8)
+    per_doc = (
+        frames.groupBy("media_id").count().collect()
+    )
+    sizes = {
+        r["media_id"]: r["meta"]["n_bytes"] for r in media.collect()
+    }
+    for r in per_doc:
+        expected = min((sizes[r["media_id"]] + 63) // 64, 8)
+        assert r["count"] == expected
