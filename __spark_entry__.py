@@ -46,7 +46,9 @@ FFT_L = 4
 CENTER_IDS = (0, 50, 100, 150)
 COSINE_NEARDUP_THRESHOLD = 0.3
 JACCARD_THRESHOLD = 0.2
-SIMHASH_MAX_HAMMING = 10
+# 3 = the pigeonhole-complete threshold for the 4-band blocking (every
+# pair within Hamming 3 is guaranteed to collide on >= 1 band)
+SIMHASH_MAX_HAMMING = 3
 ANN_K = 3
 
 

@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query wall-clock includes plan build + execution to completion
+(count-style consumption; results are not materialized to the driver
+beyond what the query itself collects). Mirrors the reference's
+per-operator ms instrumentation (big_data_computing_2.py:54).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from big_data_computing__spark.session import get_session
+
+# Headline set: every SURVEY §2 core operator + one per extension family.
+BENCH_QUERIES = [
+    "c7_approx_outliers_summary",
+    "c6_exact_outliers",
+    "o2_smallest_cells_topk",
+    "c3_mrfft_radius",
+    "c5_radius_fixed_centers",
+    "t4_true_frequent_items",
+    "t5_reservoir_report",
+    "t6_sticky_report",
+    "a2_pricing_summary",
+    "j2_star_join_revenue",
+    "o1_topk_orders",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_ann_cosine_topk",
+    "x_token_stats",
+    "x_quality_scores",
+    "x_media_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_session(app_name="bdc_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen paths once with the cheapest query
+    qs["o1_topk_orders"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

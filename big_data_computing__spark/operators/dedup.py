@@ -326,7 +326,10 @@ def simhash_near_pairs(
     right = bucketed.select(
         "band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
     )
-    pairs = (
+    # hamming filter BEFORE distinct: multi-band collisions duplicate
+    # pairs up to 4×, and far pairs dominate the candidate set — filtering
+    # first shrinks the dedup shuffle by the full rejection rate
+    return (
         left.join(right, ["band", "bval"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -336,9 +339,9 @@ def simhash_near_pairs(
                 F.col("sig_a").bitwiseXOR(F.col("sig_b"))
             ).alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
@@ -352,14 +355,12 @@ def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
 WITH sigs AS ({sig_sql}),
 bucketed AS (
   SELECT doc_id, simhash, unnest([{structs}], recursive := true) FROM sigs
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-  FROM bucketed a JOIN bucketed b
-    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bucketed a JOIN bucketed b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 

@@ -31,15 +31,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import hash60, hash60_sql
-from ..functions.vectors import as_double_vec, cosine, dot, norm
+from ..functions.vectors import as_double_vec, dot, norm
 
 
 def _vec_df(emb: DataFrame) -> DataFrame:
-    """embeddings → DataFrame[vid long, v array<double>]."""
+    """embeddings → DataFrame[vid long, v array<double>, nrm double].
+
+    The L2 norm is computed once per vector here so pairwise scoring does
+    dot(a,b)/(nrm_a·nrm_b) — identical float expression shape to the SQL
+    oracle but without recomputing two norms per pair (3× less array
+    arithmetic in the O(n²) stage).
+    """
     return emb.select(
         F.col("vec_id").cast("long").alias("vid"),
         as_double_vec(F.col("embedding")).alias("v"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
 
 
 def cosine_topk(
@@ -55,12 +61,11 @@ def cosine_topk(
     """
     base = _vec_df(emb)
     q = (
-        queries.select(
-            F.col("vec_id").cast("long").alias("qid"),
-            as_double_vec(F.col("embedding")).alias("qv"),
-        )
-        if queries is not None
-        else base.select(F.col("vid").alias("qid"), F.col("v").alias("qv"))
+        _vec_df(queries) if queries is not None else base
+    ).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         q.crossJoin(base)
@@ -68,7 +73,11 @@ def cosine_topk(
         .select(
             F.col("qid").alias("query_id"),
             F.col("vid").alias("vec_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -111,15 +120,26 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     score] with vec_a < vec_b and cosine ≥ threshold (the embedding
     near-dup dedup operator)."""
     base = _vec_df(emb)
-    a = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
-    b = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    a = base.select(
+        F.col("vid").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("score"),
         )
         .where(F.col("score") >= F.lit(threshold))
     )
@@ -213,22 +233,39 @@ def hyperplane_lsh_topk(
     ).select(
         "vid", "v", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
     )
-    left = bucketed.select(
-        "band", "bval", F.col("vid").alias("qid"), F.col("v").alias("qv")
-    )
-    right = bucketed.select(
-        "band", "bval", F.col("vid").alias("cid"), F.col("v").alias("cv")
-    )
+    left = bucketed.select("band", "bval", F.col("vid").alias("qid"))
+    right = bucketed.select("band", "bval", F.col("vid").alias("cid"))
+    # dedup candidate id-pairs first (cheap fixed-width shuffle), then
+    # fetch vectors once per surviving pair
     cands = (
         left.join(right, ["band", "bval"])
         .where(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qv", "cv")
+        .select("qid", "cid")
         .distinct()
     )
-    scored = cands.select(
-        F.col("qid").alias("query_id"),
-        F.col("cid").alias("vec_id"),
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+    base = _vec_df(emb)
+    qside = base.select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cside = base.select(
+        F.col("vid").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = (
+        cands.join(qside, "qid")
+        .join(cside, "cid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("vec_id"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -288,11 +325,13 @@ def ivf_topk(
     corpus = pts.select(
         F.col("id").alias("vid"),
         F.col("features").alias("v"),
+        norm(F.col("features")).alias("nrm"),
         assign_udf("features").alias("cell"),
     )
     queries = pts.select(
         F.col("id").alias("qid"),
         F.col("features").alias("qv"),
+        norm(F.col("features")).alias("qnrm"),
         F.explode(probe_udf("features")).alias("cell"),
     )
     scored = (
@@ -301,7 +340,11 @@ def ivf_topk(
         .select(
             F.col("qid").alias("query_id"),
             F.col("vid").alias("vec_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
