@@ -24,9 +24,11 @@ from big_data_computing__spark.operators import dedup as _dd
 from big_data_computing__spark.operators import frequent as _fr
 from big_data_computing__spark.operators import multimodal as _mm
 from big_data_computing__spark.operators import outliers as _ol
+from big_data_computing__spark.operators import pipelines as _pl
 from big_data_computing__spark.operators import relational as _rel
 from big_data_computing__spark.operators import similarity as _sim
 from big_data_computing__spark.operators import textstats as _ts
+from big_data_computing__spark.operators import windows as _wd
 from big_data_computing__spark.sources import readers as _rd
 
 # ---------------------------------------------------------------------------
@@ -171,6 +173,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.event_stream_table(spark, sf_dir), "item"
         )
 
+    def c8_fft_radius_outliers(spark, sf_dir):
+        # rows-only: the composed HW2 pipeline (MRFFT radius → grid
+        # outliers, big_data_computing_2.py:161-169); D depends on the
+        # engine's own clustering
+        res = _pl.fft_radius_outliers(
+            _rd.customer_points(spark, sf_dir),
+            k=FFT_K,
+            l=FFT_L,
+            m=OUTLIER_M,
+            seed=SEED,
+        )
+        return res.summary.select(
+            F.lit(round(res.radius, 6)).alias("radius"),
+            "sure_outliers",
+            "uncertain_points",
+        )
+
+    # -- extended surface: window functions / event-time windows --
+
+    def w1_top_order_per_segment(spark, sf_dir):
+        orders = _rd.read_table(spark, sf_dir, "orders")
+        cust = _rd.read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        joined = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        return _wd.top_per_group(
+            joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+            ["c_mktsegment"],
+            "o_totalprice",
+            "o_orderkey",
+            n=3,
+        )
+
+    def w2_tumbling_window_counts(spark, sf_dir):
+        return _wd.tumbling_window_counts(
+            _rd.read_table(spark, sf_dir, "events")
+        )
+
+    def w3_sessionize(spark, sf_dir):
+        return _wd.sessionize(_rd.read_table(spark, sf_dir, "events"))
+
     # -- generic relational machinery (TPC-H-style) --
 
     def a2_pricing_summary(spark, sf_dir):
@@ -289,7 +334,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- extensions: similarity search --
 
     def x_ann_cosine_topk(spark, sf_dir):
-        return _sim.cosine_topk(_emb(spark, sf_dir), k=ANN_K)
+        # query set = 10% of the corpus (vec_id % 10 == 0) — the standard
+        # ANN-benchmark shape; the exact-scoring path itself is what the
+        # oracle checks
+        emb = _emb(spark, sf_dir)
+        return _sim.cosine_topk(
+            emb, queries=emb.where(F.col("vec_id") % 10 == 0), k=ANN_K
+        )
 
     def x_ann_lsh_topk(spark, sf_dir):
         # rows-only: recall depends on the engine's LSH band layout
@@ -331,6 +382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t5_reservoir_report,
         t6_sticky_report,
         a11_distinct_items,
+        c8_fft_radius_outliers,
+        w1_top_order_per_segment,
+        w2_tumbling_window_counts,
+        w3_sessionize,
         a2_pricing_summary,
         j2_star_join_revenue,
         o1_topk_orders,
@@ -432,6 +487,19 @@ SELECT ROUND(MAX(min_dist), 6) AS radius FROM d""",
         ),
         "a11_distinct_items": "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)"
         " AS n_distinct FROM events",
+        "w1_top_order_per_segment": """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
+         ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+  FROM j
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 3""",
+        "w2_tumbling_window_counts": _wd.tumbling_window_counts_sql(),
+        "w3_sessionize": _wd.sessionize_sql(),
         "a2_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
@@ -471,7 +539,9 @@ GROUP BY r_name""",
         "x_dedup_embedding": _sim.cosine_near_pairs_sql(
             COSINE_NEARDUP_THRESHOLD
         ),
-        "x_ann_cosine_topk": _sim.cosine_topk_sql(ANN_K),
+        "x_ann_cosine_topk": _sim.cosine_topk_sql(
+            ANN_K, query_filter="qid % 10 = 0"
+        ),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),
     }

@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "a2_pricing_summary",
     "j2_star_join_revenue",
     "o1_topk_orders",
+    "w1_top_order_per_segment",
+    "w2_tumbling_window_counts",
+    "w3_sessionize",
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",

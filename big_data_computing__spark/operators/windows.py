@@ -1,0 +1,139 @@
+"""Window-function and event-time-window operators.
+
+The reference has no SQL window functions (SURVEY.md §2.5) and no
+event-time windows (§2.9) — these are part of the engine's extended
+surface (§7): ranking/top-per-group for batch analytics, tumbling-window
+aggregation for event streams (batch twin here; the streaming form with
+watermarks lives in streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    n: int = 1,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-n rows per group by order_col DESC (tiebreak ASC for a total,
+    deterministic order). row_number over a partitioned window — one
+    shuffle on the group keys, no global sort."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(order_col), F.asc(tiebreak_col)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n)
+    )
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_minutes: int = 60,
+) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form):
+    DataFrame[window_start, key, n_events, sum_value].
+
+    The events fixture stores ts as nanos-since-epoch (long, see
+    session.py nanosAsLong); event time is normalized to MICROseconds
+    (floor-division) because that is the finest precision DuckDB's
+    TIMESTAMP carries — both engines then window on identical integers.
+    """
+    micros = 60_000_000 * window_minutes
+    # integer `div`, not float division: nanos ~1.7e18 exceed double's
+    # exact-integer range, so ts/1000.0 could round across a microsecond
+    ts_us = F.expr(f"(`{ts_col}` div 1000)").cast("long")
+    wstart = (ts_us - (ts_us % F.lit(micros))).alias("window_start_us")
+    return (
+        events.groupBy(wstart, F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100)
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+    )
+
+
+def tumbling_window_counts_sql(window_minutes: int = 60) -> str:
+    micros = 60_000_000 * window_minutes
+    return f"""
+SELECT CAST(epoch_us(ts) - (epoch_us(ts) % {micros}) AS BIGINT)
+         AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session windows via the lag-gap-cumsum idiom:
+    DataFrame[user_id, session_id, session_start_ns, n_events].
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_minutes``. One shuffle on user_id; the windows are
+    per-user (bounded partitions), not global. Event time normalized to
+    microseconds (see tumbling_window_counts).
+    """
+    gap_us = 60_000_000 * gap_minutes
+    base = events.withColumn(
+        "_ts_us", F.expr(f"(`{ts_col}` div 1000)").cast("long")
+    )
+    w_user = Window.partitionBy(user_col).orderBy("_ts_us")
+    with_gap = base.withColumn(
+        "_new",
+        F.when(
+            (F.col("_ts_us") - F.lag("_ts_us").over(w_user)) > gap_us, 1
+        ).otherwise(0),
+    )
+    with_sess = with_gap.withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sess.groupBy(user_col, "session_id").agg(
+        F.min("_ts_us").alias("session_start_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    gap_us = 60_000_000 * gap_minutes
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+g AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER
+                (PARTITION BY user_id ORDER BY ts_us) > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts_us) AS session_start_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY 1, 2
+"""
