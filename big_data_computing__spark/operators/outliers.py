@@ -170,7 +170,9 @@ def cell_counts(
     )
 
 
-def cells_with_neighborhood(cells: DataFrame) -> DataFrame:
+def cells_with_neighborhood(
+    cells: DataFrame, cache_cells: bool = True
+) -> DataFrame:
     """Attach N3 and N7 neighborhood sums to each cell.
 
     Explode-49-offsets broadcast equi-join (SURVEY.md J2/A4/A5): each cell
@@ -178,7 +180,15 @@ def cells_with_neighborhood(cells: DataFrame) -> DataFrame:
     cell table and a conditional sum produce both N3 and N7 in a single
     pass. Inner join suffices — the (0,0) offset always self-matches, so
     every cell survives.
+
+    The cell table feeds both join sides, so without caching Spark would
+    scan + aggregate the points twice (the same recomputation bug the
+    reference has, SURVEY.md §3 EP1.6). ``cache_cells`` persists the
+    (small) cell table between the two uses; Spark's LRU eviction
+    reclaims it.
     """
+    if cache_cells:
+        cells = cells.cache()
     probes = cells.select(
         "ci",
         "cj",
