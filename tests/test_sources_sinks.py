@@ -1,0 +1,112 @@
+"""Sources and sinks: CSV point parse, parquet round-trip with partition
+pruning, streaming windowed aggregation with watermark."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.sources.readers import (
+    read_points_csv,
+    read_table,
+)
+from big_data_computing__spark.sources.sinks import write_parquet
+from big_data_computing__spark.streaming.windows_stream import (
+    nanos_to_timestamp,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bdc_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_points_csv(spark, tmpdir):
+    path = tmpdir + "/pts.csv"
+    with open(path, "w") as fh:
+        fh.write("1.5,2.5\n-3.0,4.25\nnot,a_point\n")
+    df = read_points_csv(spark, path)
+    assert df.schema.simpleString() == "struct<x:double,y:double>"
+    rows = df.collect()
+    assert (1.5, 2.5) in {(r["x"], r["y"]) for r in rows}
+    # malformed line → nulls (PERMISSIVE), not an executor crash
+    assert any(r["x"] is None for r in rows)
+
+
+def test_parquet_sink_partition_pruning(spark, sf_dir, tmpdir):
+    events = read_table(spark, sf_dir, "events")
+    out = tmpdir + "/events_out"
+    write_parquet(events, out, partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # partition pruning: filtering the partition column must prune paths
+    pruned = back.where(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() == events.where(
+        F.col("event_type") == "click"
+    ).count()
+    # directory layout is hive-style
+    assert any(
+        name.startswith("event_type=") for name in os.listdir(out)
+    )
+
+
+def test_streaming_windowed_counts_with_watermark(spark, sf_dir, tmpdir):
+    """Replay events through a file stream; windowed counts must equal
+    the batch computation (no late data in replay, so the watermark drops
+    nothing)."""
+    events = nanos_to_timestamp(
+        read_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value"
+        )
+    )
+    data_dir = tmpdir + "/stream"
+    events.write.parquet(data_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(data_dir)
+    agg = windowed_event_counts(stream)
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", tmpdir + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM win_counts")
+    # batch twin: same expression on the static frame
+    batch = (
+        events.groupBy(
+            F.window(F.col("ts"), "1 hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    g = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    # append mode with availableNow emits all finalized windows; the final
+    # (unfinalized) window may be withheld — require containment + bulk
+    assert set(g) <= set(b)
+    assert len(g) >= len(b) - 10
+    for key, val in g.items():
+        assert val[0] == b[key][0]
