@@ -252,6 +252,36 @@ def approx_outliers_summary(
     )
 
 
+def detect_outliers(
+    points: DataFrame,
+    d: float,
+    m: int,
+    mode: str = "auto",
+    exact_threshold: int = 200_000,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+):
+    """Cost-based exact/approx switch (reference EP1: ExactOutliers runs
+    only when n <= 200,000, big_data_computing_1.py:178; the engine keeps
+    the gate as an explicit option since the *distributed* exact join has
+    no hard driver limit — the gate is now about join fan-out cost, not
+    driver memory).
+
+    mode='exact'  → DataFrame[id, ball_count] of outliers
+    mode='approx' → 1-row DataFrame[sure_outliers, uncertain_points]
+    mode='auto'   → exact below ``exact_threshold`` rows, else approx.
+    Returns (mode_used, DataFrame).
+    """
+    if mode == "auto":
+        mode = "exact" if points.count() <= exact_threshold else "approx"
+    if mode == "exact":
+        return "exact", exact_outliers(points, d, m, id_col, x, y)
+    if mode == "approx":
+        return "approx", approx_outliers_summary(points, d, m, x, y)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def smallest_cells_topk(
     points: DataFrame, d: float, k: int, x: str = "x", y: str = "y"
 ) -> DataFrame:

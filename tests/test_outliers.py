@@ -92,3 +92,15 @@ def test_negative_coordinates_floor(spark):
     d = 2.0 * math.sqrt(2.0)  # Λ = 1
     [row] = O.cell_counts(pts, d).collect()
     assert (row["ci"], row["cj"]) == (-1, -1)
+
+
+def test_detect_outliers_auto_switch(spark, sf_dir):
+    pts = customer_points(spark, sf_dir)
+    mode, df = O.detect_outliers(pts, d=500.0, m=10, mode="auto")
+    assert mode == "exact"  # 150 rows at sf0.001
+    assert set(df.columns) == {"id", "ball_count"}
+    mode2, df2 = O.detect_outliers(
+        pts, d=500.0, m=10, mode="auto", exact_threshold=10
+    )
+    assert mode2 == "approx"
+    assert set(df2.columns) == {"sure_outliers", "uncertain_points"}
