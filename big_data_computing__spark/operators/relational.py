@@ -68,3 +68,42 @@ def grouped_count(df: DataFrame, *keys: str) -> DataFrame:
 def distinct_count(df: DataFrame, col: str) -> DataFrame:
     """Exact distinct count of one column as a 1-row DataFrame."""
     return df.agg(F.countDistinct(col).alias("n_distinct"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys (the principled form
+    of the reference's random-regrouping trick, big_data_computing_1.py:81
+    — SURVEY.md A3).
+
+    Phase 1 groups on (keys + random salt) so a hot key's rows spread over
+    ``salt`` reducers; phase 2 merges the partials. Only sum/count/min/max
+    (re-aggregatable) functions are supported: ``aggs`` maps column →
+    one of 'sum' | 'count' | 'min' | 'max'.
+
+    Note: plain ``groupBy`` already does map-side partial aggregation and
+    AQE splits skewed *join* partitions — reach for this only when a
+    single group's *post-combine* partials still overload one reducer
+    (extreme cardinality-1-ish skew at 100 TB).
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1_aggs = []
+    for col, fn in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"{fn!r} is not re-aggregatable")
+        first = F.count(col) if fn == "count" else getattr(F, fn)(col)
+        phase1_aggs.append(first.alias(f"_p_{col}"))
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=0) * salt).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(*phase1_aggs)
+    return partial.groupBy(*keys).agg(
+        *[
+            merge_fn[fn](f"_p_{col}").alias(f"{fn}_{col}")
+            for col, fn in aggs.items()
+        ]
+    )

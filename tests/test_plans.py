@@ -1,0 +1,100 @@
+"""Plan-quality regression tests: lock in the physical-plan properties
+the engine is designed around (pushdown, broadcast joins, top-K heaps).
+A refactor that silently degrades a plan (e.g. loses a broadcast and
+falls back to SortMergeJoin) fails here, not in production."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from big_data_computing__spark.operators import relational as R
+from big_data_computing__spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_bad_joins_in_headline_plans(spark):
+    qs = entrymod.queries()
+    for name in [
+        "a2_pricing_summary",
+        "j2_star_join_revenue",
+        "c7_approx_outliers_summary",
+        "c6_exact_outliers",
+        "o2_smallest_cells_topk",
+        "x_dedup_minhash_lsh",
+        "w2_tumbling_window_counts",
+    ]:
+        plan = _plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = read_table(spark, SF, "lineitem")
+    df = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = read_table(spark, SF, "lineitem")
+    df = li.groupBy("l_returnflag").count()
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_returnflag:string>" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    orders = read_table(spark, SF, "orders")
+    df = R.top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        5,
+        F.desc("o_totalprice"),
+        F.asc("o_orderkey"),
+    )
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_star_join_all_broadcast(spark):
+    fact = read_table(spark, SF, "orders")
+    cust = read_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = R.star_join(fact, [(cust, "o_custkey")])
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_matches_plain(spark):
+    events = read_table(spark, SF, "events")
+    plain = {
+        (r["event_type"],): (r["sum_value"], r["count_value"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count("value").alias("count_value"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["sum_value"], r["count_value"])
+        for r in R.salted_agg(
+            events, ["event_type"], {"value": "sum"}, salt=8
+        )
+        .join(
+            R.salted_agg(events, ["event_type"], {"value": "count"}, salt=8)
+            .withColumnRenamed("count_value", "count_value"),
+            "event_type",
+        )
+        .collect()
+    }
+    assert set(plain) == set(salted)
+    for key in plain:
+        assert abs(plain[key][0] - salted[key][0]) < 1e-6
+        assert plain[key][1] == salted[key][1]
