@@ -308,6 +308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_fingerprints(spark, sf_dir):
         return _ts.fingerprints(_docs(spark, sf_dir))
 
+    def x_bpe_token_counts(spark, sf_dir):
+        return _ts.bpe_token_counts(_docs(spark, sf_dir))
+
+    def x_rolling_fingerprints(spark, sf_dir):
+        return _ts.rolling_fingerprints(_docs(spark, sf_dir))
+
     # -- extensions: dedup --
 
     def x_dedup_exact(spark, sf_dir):
@@ -394,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_quality_scores,
         x_language_id,
         x_fingerprints,
+        x_bpe_token_counts,
+        x_rolling_fingerprints,
         x_dedup_exact,
         x_dedup_minhash_lsh,
         x_dedup_simhash,
@@ -530,6 +538,8 @@ GROUP BY r_name""",
         "x_quality_scores": _ts.quality_scores_sql(),
         "x_language_id": _ts.language_id_sql(),
         "x_fingerprints": _ts.fingerprints_sql(),
+        "x_bpe_token_counts": _ts.bpe_token_counts_sql(),
+        "x_rolling_fingerprints": _ts.rolling_fingerprints_sql(),
         "x_dedup_exact": _dd.exact_dedup_groups_sql(),
         "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
         "x_dedup_simhash": _dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING),

@@ -116,6 +116,85 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the shape (not the merges) of a byte-pair-encoding pre-tokenization.
+# Plain ASCII classes so the Java (Spark) and RE2-ish (DuckDB) regex
+# dialects agree exactly.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token counting: DataFrame[doc_id, n_bpe_tokens,
+    n_word_tokens]. n_bpe_tokens uses the BPE-ish regex (letters / digit
+    runs / punctuation split); n_word_tokens is the whitespace count for
+    comparison. The standard cheap proxy for LLM token budgeting."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+        token_count(F.col(text_col)).alias("n_word_tokens"),
+    )
+
+
+def bpe_token_counts_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT)
+         AS n_bpe_tokens,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT)
+         AS n_word_tokens
+FROM documents
+"""
+
+
+# polynomial rolling hash parameters: base 131, Mersenne prime modulus —
+# acc stays < 2^31 so acc*131+code < 2^39, no bigint overflow anywhere
+ROLLING_BASE = 131
+ROLLING_MOD = 2147483647
+
+
+def rolling_fingerprints(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the normalized text's
+    character codes: DataFrame[doc_id, rolling_fp].
+
+    h = fold(codes, 0, (acc, c) → (acc·B + c) mod p) — the classic
+    Rabin–Karp accumulator, expressed as a Catalyst higher-order
+    aggregate (no UDF) with an exact SQL twin.
+    """
+    norm = normalized(F.col(text_col))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(F.substring(norm, i, 1)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(ROLLING_BASE) + c) % F.lit(ROLLING_MOD),
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp"))
+
+
+def rolling_fingerprints_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    return f"""
+WITH n AS (SELECT doc_id, {norm} AS t FROM documents),
+codes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) + 1),
+                        i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)) AS cs
+  FROM n
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                   (acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})
+         AS rolling_fp
+FROM codes
+"""
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit hash of the normalized text.
     DataFrame[doc_id, fingerprint] — the key for exact dedup."""

@@ -110,3 +110,21 @@ def test_fingerprint_normalization(spark, docs):
     }
     assert fps[1] == fps[2] == fps[3]
     assert fps[1] != fps[4]
+
+
+def test_bpe_token_counts(spark, docs):
+    rows = {
+        r["doc_id"]: r for r in TS.bpe_token_counts(docs).collect()
+    }
+    # doc 1: 13 plain words, no punctuation → bpe == word count
+    assert rows[1]["n_bpe_tokens"] == rows[1]["n_word_tokens"] == 13
+
+
+def test_rolling_fingerprint_normalization(spark, docs):
+    fps = {
+        r["doc_id"]: r["rolling_fp"]
+        for r in TS.rolling_fingerprints(docs).collect()
+    }
+    assert fps[1] == fps[2] == fps[3]  # normalized dups agree
+    assert fps[1] != fps[4]
+    assert all(0 <= v < 2147483647 for v in fps.values())
