@@ -85,7 +85,12 @@ def _shingle_hashes(
 ) -> DataFrame:
     """Distinct (doc_id, shingle-hash x) pairs over the *normalized* text
     (lowercase, collapsed whitespace — near-dup detection should not be
-    case/spacing sensitive); x ∈ [0, 2^60)."""
+    case/spacing sensitive); x ∈ [0, 2^60).
+
+    No global distinct: array_distinct already dedups within the document,
+    so a distinct here would shuffle the full shingle stream to remove
+    (effectively) nothing.
+    """
     return (
         docs.select(
             "doc_id",
@@ -96,7 +101,6 @@ def _shingle_hashes(
             ).alias("shingle"),
         )
         .select("doc_id", hash60(F.col("shingle")).alias("x"))
-        .distinct()
     )
 
 
@@ -187,7 +191,7 @@ grams AS (
            i -> array_to_string(t[i:i+{ngram - 1}], ' ')))) AS shingle
   FROM toks
 ),
-xs AS (SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS x FROM grams),
+xs AS (SELECT doc_id, {hash60_sql('shingle')} AS x FROM grams),
 per_doc AS (SELECT doc_id, {mins} FROM xs GROUP BY doc_id)
 SELECT doc_id, [{arr}] AS sig FROM per_doc
 """
@@ -419,7 +423,7 @@ grams AS (
            i -> array_to_string(t[i:i+{ngram - 1}], ' ')))) AS shingle
   FROM toks
 ),
-xs AS (SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS x FROM grams),
+xs AS (SELECT doc_id, {hash60_sql('shingle')} AS x FROM grams),
 sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM xs GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
