@@ -10,13 +10,10 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from big_data_computing__spark.operators import relational as R
+from big_data_computing__spark.plans import executed_plan
 from big_data_computing__spark.sources.readers import read_table
 
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_no_bad_joins_in_headline_plans(spark):
@@ -30,7 +27,7 @@ def test_no_bad_joins_in_headline_plans(spark):
         "x_dedup_minhash_lsh",
         "w2_tumbling_window_counts",
     ]:
-        plan = _plan(qs[name](spark, SF))
+        plan = executed_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
 
@@ -38,14 +35,14 @@ def test_no_bad_joins_in_headline_plans(spark):
 def test_filter_pushdown_reaches_scan(spark):
     li = read_table(spark, SF, "lineitem")
     df = li.where(F.col("l_quantity") > 45).select("l_orderkey")
-    plan = _plan(df)
+    plan = executed_plan(df)
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
 
 
 def test_column_pruning_reaches_scan(spark):
     li = read_table(spark, SF, "lineitem")
     df = li.groupBy("l_returnflag").count()
-    plan = _plan(df)
+    plan = executed_plan(df)
     assert "ReadSchema: struct<l_returnflag:string>" in plan
 
 
@@ -57,7 +54,7 @@ def test_topk_uses_take_ordered(spark):
         F.desc("o_totalprice"),
         F.asc("o_orderkey"),
     )
-    assert "TakeOrderedAndProject" in _plan(df)
+    assert "TakeOrderedAndProject" in executed_plan(df)
 
 
 def test_star_join_all_broadcast(spark):
@@ -66,7 +63,7 @@ def test_star_join_all_broadcast(spark):
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
     joined = R.star_join(fact, [(cust, "o_custkey")])
-    plan = _plan(joined)
+    plan = executed_plan(joined)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
