@@ -241,6 +241,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def a12_rollup_pricing(spark, sf_dir):
+        # grouping sets (beyond the reference's flat groupBy): rollup over
+        # (returnflag, linestatus) with null-safe 'ALL' markers so the
+        # oracle hash never compares raw NULL group keys
+        li = _rd.read_table(spark, sf_dir, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+                F.count("*").alias("count_order"),
+            )
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "sum_qty",
+                "count_order",
+            )
+        )
+
     def j2_star_join_revenue(spark, sf_dir):
         li = _rd.read_table(spark, sf_dir, "lineitem")
         orders = _rd.read_table(spark, sf_dir, "orders").select(
@@ -393,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w2_tumbling_window_counts,
         w3_sessionize,
         a2_pricing_summary,
+        a12_rollup_pricing,
         j2_star_join_revenue,
         o1_topk_orders,
         j4_anti_join_customers,
@@ -518,6 +538,13 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""",
+        "a12_rollup_pricing": """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "j2_star_join_revenue": """
 SELECT r_name,
        CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)

@@ -171,7 +171,9 @@ def cell_counts(
 
 
 def cells_with_neighborhood(
-    cells: DataFrame, cache_cells: bool = True
+    cells: DataFrame,
+    cache_cells: bool = True,
+    broadcast_cells: bool = True,
 ) -> DataFrame:
     """Attach N3 and N7 neighborhood sums to each cell.
 
@@ -186,6 +188,12 @@ def cells_with_neighborhood(
     reference has, SURVEY.md §3 EP1.6). ``cache_cells`` persists the
     (small) cell table between the two uses; Spark's LRU eviction
     reclaims it.
+
+    ``broadcast_cells``: the cell table is |points|/density rows — far
+    smaller than the input, but with a tiny D over a huge domain it can
+    still be large. Set False to drop the broadcast hint and let the
+    equi-join shuffle (AQE will still convert back to broadcast at
+    runtime if the actual size allows).
     """
     if cache_cells:
         cells = cells.cache()
@@ -209,8 +217,9 @@ def cells_with_neighborhood(
         F.col("cnt").alias("ncnt"),
     )
     near3 = (F.abs(F.col("di")) <= 1) & (F.abs(F.col("dj")) <= 1)
+    build = F.broadcast(nbr) if broadcast_cells else nbr
     return (
-        probes.join(F.broadcast(nbr), ["nci", "ncj"])
+        probes.join(build, ["nci", "ncj"])
         .groupBy("ci", "cj", "cnt")
         .agg(
             F.coalesce(

@@ -31,8 +31,14 @@ def get_session(
     ``spark-submit`` so the cluster manager decides.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # local mode = single JVM: driver memory is the only heap knob that
+    # matters, and Spark's 1g default starves 32 concurrent task threads.
+    # Only effective if set before the JVM starts (first session in the
+    # process); harmless afterwards.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

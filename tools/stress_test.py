@@ -1,0 +1,130 @@
+"""Scale stress: run flagship operators at 20-100x the bench scale
+factor to verify the plans hold up (no driver OOM, no broadcast
+overflow, no pair-space explosion) — the local proxy for the 100 TB
+design review. Synthetic data is derived deterministically from the
+sf0.1 fixtures by replication + jitter/offset.
+
+Usage: python tools/stress_test.py [--points N_REPLICAS] [--docs N]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.operators import dedup as dd
+from big_data_computing__spark.operators import outliers as ol
+from big_data_computing__spark.operators import similarity as sim
+from big_data_computing__spark.session import get_session
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    spark = get_session(app_name="bdc_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+
+    # --- 12M 2-D points: lineitem-derived, 20 jittered replicas ---
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_quantity") * 2000).alias("y"),
+    )
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    pts = (
+        li.crossJoin(reps)
+        .select(
+            F.monotonically_increasing_id().alias("id"),
+            (F.col("x") + F.col("rep") * 37.0).alias("x"),
+            (F.col("y") + F.col("rep") * 53.0).alias("y"),
+        )
+        .cache()
+    )
+    n_pts = pts.count()
+
+    t0 = time.time()
+    row = ol.approx_outliers_summary(pts, d=300.0, m=100).collect()[0]
+    results["approx_outliers_12M"] = {
+        "rows": n_pts,
+        "sure": row["sure_outliers"],
+        "uncertain": row["uncertain_points"],
+        "sec": round(time.time() - t0, 1),
+    }
+
+    t0 = time.time()
+    n_out = ol.exact_outliers(pts, d=50.0, m=3).count()
+    results["exact_outliers_12M"] = {
+        "rows": n_pts,
+        "outliers": n_out,
+        "sec": round(time.time() - t0, 1),
+    }
+    pts.unpersist()
+
+    # --- 50k documents: 10 offset replicas ---
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_base = docs.count()
+    big_docs = (
+        docs.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_base).alias("doc_id"),
+            # make replicas near- (not exact-) duplicates: prepend a
+            # replica marker token so minhash has real work to do
+            F.concat_ws(
+                " ", F.concat(F.lit("rep"), F.col("rep")), F.col("text")
+            ).alias("text"),
+        )
+        .cache()
+    )
+    n_docs = big_docs.count()
+
+    t0 = time.time()
+    n_pairs = dd.minhash_lsh_pairs(big_docs).count()
+    results["minhash_lsh_50k_docs"] = {
+        "docs": n_docs,
+        "candidate_pairs": n_pairs,
+        "sec": round(time.time() - t0, 1),
+    }
+
+    t0 = time.time()
+    n_sim = dd.simhash_near_pairs(big_docs, max_hamming=3).count()
+    results["simhash_50k_docs"] = {
+        "docs": n_docs,
+        "pairs": n_sim,
+        "sec": round(time.time() - t0, 1),
+    }
+    big_docs.unpersist()
+
+    # --- 20k embeddings: 10 jittered replicas, IVF ANN ---
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    big_emb = (
+        emb.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + (F.col("rep") % 7).cast("float") * 0.01,
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    n_vec = big_emb.count()
+    t0 = time.time()
+    n_ann = sim.ivf_topk(big_emb, k=3, n_cells=32, nprobe=2, seed=42).count()
+    results["ivf_ann_20k_vectors"] = {
+        "vectors": n_vec,
+        "result_rows": n_ann,
+        "sec": round(time.time() - t0, 1),
+    }
+
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
