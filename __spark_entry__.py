@@ -260,6 +260,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def a13_quantile_stats(spark, sf_dir):
+        # exact interpolated percentiles (Spark `percentile` ==
+        # DuckDB `quantile_cont`, verified bit-equal after 4dp rounding)
+        li = _rd.read_table(spark, sf_dir, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "p50_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+                "p90_price"
+            ),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias(
+                "p50_qty"
+            ),
+        )
+
+    def a14_approx_distinct(spark, sf_dir):
+        # rows-only: HLL sketches differ across engines by design; the
+        # 5%-of-exact accuracy contract is asserted in tests instead
+        ev = _rd.read_table(spark, sf_dir, "events")
+        return ev.agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("props").alias("approx_props"),
+        )
+
     def j2_star_join_revenue(spark, sf_dir):
         li = _rd.read_table(spark, sf_dir, "lineitem")
         orders = _rd.read_table(spark, sf_dir, "orders").select(
@@ -413,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w3_sessionize,
         a2_pricing_summary,
         a12_rollup_pricing,
+        a13_quantile_stats,
+        a14_approx_distinct,
         j2_star_join_revenue,
         o1_topk_orders,
         j4_anti_join_customers,
@@ -545,6 +572,12 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "a13_quantile_stats": """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+FROM lineitem GROUP BY l_returnflag""",
         "j2_star_join_revenue": """
 SELECT r_name,
        CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)

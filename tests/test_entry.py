@@ -23,6 +23,7 @@ def test_queries_oracle_keys_align(spark):
     # the documented non-SQL-expressible set is the only unoracled part
     unoracled = set(qs) - set(oracles)
     assert unoracled == {
+        "a14_approx_distinct",
         "c2_fft_coreset",
         "c3_mrfft_radius",
         "c8_fft_radius_outliers",

@@ -95,3 +95,12 @@ def test_salted_agg_matches_plain(spark):
     for key in plain:
         assert abs(plain[key][0] - salted[key][0]) < 1e-6
         assert plain[key][1] == salted[key][1]
+
+
+def test_approx_count_distinct_accuracy(spark):
+    events = read_table(spark, "/root/testdata/sf0.01", "events")
+    approx = events.agg(
+        F.approx_count_distinct("user_id").alias("a")
+    ).collect()[0]["a"]
+    exact = events.select("user_id").distinct().count()
+    assert abs(approx - exact) / exact < 0.05

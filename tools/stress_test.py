@@ -43,6 +43,10 @@ def main() -> None:
             (F.col("x") + F.col("rep") * 37.0).alias("x"),
             (F.col("y") + F.col("rep") * 53.0).alias("y"),
         )
+        # the replica crossJoin preserves the scan's (few) partitions —
+        # without this, 12M rows sit in 3 partitions and every downstream
+        # stage runs on 3 of 32 cores
+        .repartition(64)
         .cache()
     )
     n_pts = pts.count()
@@ -78,6 +82,7 @@ def main() -> None:
                 " ", F.concat(F.lit("rep"), F.col("rep")), F.col("text")
             ).alias("text"),
         )
+        .repartition(64)
         .cache()
     )
     n_docs = big_docs.count()
@@ -111,6 +116,7 @@ def main() -> None:
                 lambda x: x + (F.col("rep") % 7).cast("float") * 0.01,
             ).alias("embedding"),
         )
+        .repartition(64)
         .cache()
     )
     n_vec = big_emb.count()
