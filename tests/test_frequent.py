@@ -93,3 +93,35 @@ def test_sticky_report_epsilon_guarantee(spark, sf_dir):
     assert truth <= reported
     plus = {r["item"] for r in report if r["flag"] == "+"}
     assert plus == truth & reported
+
+
+def test_samplers_partitioning_invariant(spark, sf_dir):
+    """The counter-based PRNG makes sampler output a pure function of the
+    data — identical under any physical partitioning (the stateful-RNG
+    reference can't guarantee this even for two runs on the same layout).
+    """
+    base = event_stream_table(spark, sf_dir)
+    phi, seed = 0.02, 11
+    m = FR.reservoir_size(phi)
+    variants = [base.repartition(1), base.repartition(37, "item")]
+    expected = sorted(
+        (r["slot"], r["item"])
+        for r in FR.reservoir_sample(base, m, seed).collect()
+    )
+    for v in variants:
+        got = sorted(
+            (r["slot"], r["item"])
+            for r in FR.reservoir_sample(v, m, seed).collect()
+        )
+        assert got == expected
+    n = base.count()
+    exp_sticky = sorted(
+        (r["item"], r["est_cnt"])
+        for r in FR.sticky_counts(base, n, 50.0, seed).collect()
+    )
+    for v in variants:
+        got = sorted(
+            (r["item"], r["est_cnt"])
+            for r in FR.sticky_counts(v, n, 50.0, seed).collect()
+        )
+        assert got == exp_sticky
