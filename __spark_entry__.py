@@ -358,6 +358,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_rolling_fingerprints(spark, sf_dir):
         return _ts.rolling_fingerprints(_docs(spark, sf_dir))
 
+    def x_winnow_fingerprints(spark, sf_dir):
+        return _ts.winnow_fingerprints(_docs(spark, sf_dir))
+
+    def s6_sql_interface(spark, sf_dir):
+        # the SQL-string entry path (SURVEY §3 lifecycle): register the
+        # fixture as a temp view and run the literal SQL through
+        # spark.sql — same Catalyst plan as the DataFrame form
+        _rd.read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+            "lineitem_v"
+        )
+        return spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem_v
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            """
+        )
+
     # -- extensions: dedup --
 
     def x_dedup_exact(spark, sf_dir):
@@ -449,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_fingerprints,
         x_bpe_token_counts,
         x_rolling_fingerprints,
+        x_winnow_fingerprints,
+        s6_sql_interface,
         x_dedup_exact,
         x_dedup_minhash_lsh,
         x_dedup_simhash,
@@ -600,6 +623,14 @@ GROUP BY r_name""",
         "x_fingerprints": _ts.fingerprints_sql(),
         "x_bpe_token_counts": _ts.bpe_token_counts_sql(),
         "x_rolling_fingerprints": _ts.rolling_fingerprints_sql(),
+        "x_winnow_fingerprints": _ts.winnow_fingerprints_sql(),
+        "s6_sql_interface": """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_exact": _dd.exact_dedup_groups_sql(),
         "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
         "x_dedup_simhash": _dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING),

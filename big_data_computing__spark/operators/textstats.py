@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, hash60_sql
-from ..functions.text import normalized, token_count, tokens
+from ..functions.text import normalized, token_count, tokens, word_ngrams
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small and ASCII so the SQL twin is simple.
@@ -201,6 +201,75 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", hash60(normalized(F.col(text_col))).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken): the distinct set of
+    per-window minimum k-gram hashes — DataFrame[doc_id, fp].
+
+    Each document's word k-grams are hashed in position order; every
+    sliding window of ``w`` consecutive positions contributes its minimum
+    hash (rightmost minimum on ties, via min over (hash, -pos)).
+    Guarantees any shared substring of ≥ w+k-1 words yields a shared
+    fingerprint — the robust local-fingerprinting scheme plagiarism
+    detectors use. One window function partitioned by doc, no global
+    shuffle beyond the doc key.
+    """
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            word_ngrams(normalized(F.col(text_col)), k)
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", hash60(F.col("gram")).alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    # rightmost-min tie-break: minimize (h, -pos) as a struct
+    picked = grams.select(
+        "doc_id",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win)[
+            "h"
+        ].alias("fp"),
+        F.count("*").over(win).alias("_wlen"),
+    )
+    # only full windows select fingerprints (standard definition)
+    return picked.where(F.col("_wlen") == w).select("doc_id", "fp").distinct()
+
+
+def winnow_fingerprints_sql(k: int = 4, w: int = 5) -> str:
+    toks = (
+        "list_filter(string_split("
+        "trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), "
+        "t -> t <> '')"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {hash60_sql("array_to_string(t[i:i+" + str(k - 1) + "], ' ')")} AS h
+  FROM toks, UNNEST(range(1, greatest(len(t) - {k - 1}, 0) + 1)) AS u(i)
+),
+wins AS (
+  SELECT doc_id,
+         (min({{'h': h, 'np': -pos}}) OVER
+            (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)).h AS fp,
+         count(*) OVER
+            (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wlen
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM wins WHERE wlen = {w}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -128,3 +128,23 @@ def test_rolling_fingerprint_normalization(spark, docs):
     assert fps[1] == fps[2] == fps[3]  # normalized dups agree
     assert fps[1] != fps[4]
     assert all(0 <= v < 2147483647 for v in fps.values())
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Two docs sharing a long substring must share >= 1 winnowing
+    fingerprint (w+k-1 = 8 words guaranteed; here 10 shared words)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, shared + " one two three unique tail words here", "en", "s", 1),
+        (2, "different head words " + shared, "en", "s", 1),
+        (3, "totally unrelated content with no overlap at all whatsoever "
+            "in any window", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fps = {}
+    for r in TS.winnow_fingerprints(docs, k=4, w=5).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared substring produced no shared fingerprint"
+    assert not (fps[1] & fps[3])
