@@ -338,6 +338,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             big, cust.c_custkey == big.o_custkey, "left_anti"
         ).select("c_custkey")
 
+    def f1_json_extract(spark, sf_dir):
+        # JSON scalar functions over the events.props payload column
+        ev = _rd.read_table(spark, sf_dir, "events")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return ev.groupBy("event_type").agg(
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.round(F.sum(k)).cast("long").alias("sum_k"),
+        )
+
+    def so1_set_ops(spark, sf_dir):
+        # dataset set operations (absent from the reference): heavy
+        # clickers ∩ heavy purchasers ∖ heavy-error users (threshold 14
+        # keeps all three sets distinct at sf0.01)
+        ev = _rd.read_table(spark, sf_dir, "events")
+
+        def heavy(kind):
+            return (
+                ev.where(F.col("event_type") == kind)
+                .groupBy("user_id")
+                .count()
+                .where(F.col("count") >= 14)
+                .select("user_id")
+            )
+
+        return (
+            heavy("click")
+            .intersect(heavy("purchase"))
+            .subtract(heavy("error"))
+            .select(F.col("user_id").cast("long").alias("user_id"))
+        )
+
     # -- extensions: text analysis --
 
     def x_token_stats(spark, sf_dir):
@@ -464,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         j2_star_join_revenue,
         o1_topk_orders,
         j4_anti_join_customers,
+        f1_json_extract,
+        so1_set_ops,
         x_token_stats,
         x_quality_scores,
         x_language_id,
@@ -617,6 +651,24 @@ GROUP BY r_name""",
         "j4_anti_join_customers": "SELECT c_custkey FROM customer "
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "AND o_totalprice > 400000)",
+        "f1_json_extract": """
+SELECT event_type,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       CAST(ROUND(SUM(CAST(json_extract_string(props, '$.k') AS INT)))
+            AS BIGINT) AS sum_k
+FROM events GROUP BY event_type""",
+        "so1_set_ops": """
+SELECT CAST(user_id AS BIGINT) AS user_id FROM (
+  (SELECT user_id FROM events WHERE event_type = 'click'
+   GROUP BY user_id HAVING COUNT(*) >= 14
+   INTERSECT
+   SELECT user_id FROM events WHERE event_type = 'purchase'
+   GROUP BY user_id HAVING COUNT(*) >= 14)
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING COUNT(*) >= 14
+)""",
         "x_token_stats": _ts.token_stats_sql(),
         "x_quality_scores": _ts.quality_scores_sql(),
         "x_language_id": _ts.language_id_sql(),
