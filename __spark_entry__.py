@@ -113,6 +113,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.customer_points(spark, sf_dir), OUTLIER_D, OUTLIER_M, TOPK
         )
 
+    def c9_outliers_nd(spark, sf_dir):
+        # d-dimensional (M,D)-outliers over the 64-dim embeddings
+        # (D=1.3/M=40 gives a small non-degenerate outlier set)
+        return _ol.exact_outliers_nd(
+            _rd.embedding_points(spark, sf_dir), d=1.3, m=40
+        )
+
     # -- core reference surface: clustering (HW2) --
 
     def c5_radius_fixed_centers(spark, sf_dir):
@@ -478,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o2_smallest_cells_topk,
         c6_exact_outliers,
         o1_exact_outliers_topk,
+        c9_outliers_nd,
         c5_radius_fixed_centers,
         c2_fft_coreset,
         c3_mrfft_radius,
@@ -581,6 +589,20 @@ FROM nb""",
         "o1_exact_outliers_topk": f"WITH {_BALL_COUNTS} "
         f"SELECT id, ball_count FROM balls WHERE ball_count <= {m} "
         f"ORDER BY ball_count, id LIMIT {TOPK}",
+        "c9_outliers_nd": """
+WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+b AS (
+  -- same float expression shape as the engine (sequential sum of
+  -- squared diffs, compared squared) so boundary cases agree bit-exactly
+  SELECT a.id, COUNT(*) AS ball_count
+  FROM v a JOIN v b2
+    ON list_sum(list_transform(range(1, len(a.vec) + 1),
+                i -> (a.vec[i] - b2.vec[i]) * (a.vec[i] - b2.vec[i])))
+       <= 1.3 * 1.3
+  GROUP BY a.id
+)
+SELECT id, ball_count FROM b WHERE ball_count <= 40""",
         "c5_radius_fixed_centers": f"""
 WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
                   CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

@@ -261,6 +261,51 @@ def approx_outliers_summary(
     )
 
 
+def ball_counts_nd(
+    points: DataFrame,
+    d: float,
+    id_col: str = "id",
+    features_col: str = "features",
+) -> DataFrame:
+    """|B(p,D)| for d-dimensional points (the generalization HW2's
+    dimension-agnostic parser implies, big_data_computing_2.py:10-12).
+
+    Brute-force distance self-join — the 2-D grid bucketing does not
+    generalize (3^dim neighbor probes); at scale, pre-partition with the
+    engine's own k-center cells (IVF pattern, similarity.py) and join
+    within radius-adjacent cells. This baseline is the correctness
+    anchor; squared-distance comparison avoids the sqrt per pair.
+    """
+    a = points.select(
+        F.col(id_col).alias("id"), F.col(features_col).alias("fa")
+    )
+    b = points.select(
+        F.col(id_col).alias("bid"), F.col(features_col).alias("fb")
+    )
+    from ..functions.geometry import sq_dist_vec
+
+    return (
+        a.crossJoin(b)
+        .where(sq_dist_vec(F.col("fa"), F.col("fb")) <= F.lit(d * d))
+        .groupBy("id")
+        .agg(F.count("*").alias("ball_count"))
+    )
+
+
+def exact_outliers_nd(
+    points: DataFrame,
+    d: float,
+    m: int,
+    id_col: str = "id",
+    features_col: str = "features",
+) -> DataFrame:
+    """(M,D)-outliers in d dimensions: DataFrame[id, ball_count] with
+    ball_count <= M (ball includes the point itself)."""
+    return ball_counts_nd(points, d, id_col, features_col).where(
+        F.col("ball_count") <= F.lit(m)
+    )
+
+
 def detect_outliers(
     points: DataFrame,
     d: float,
