@@ -54,6 +54,17 @@ SIMHASH_MAX_HAMMING = 3
 ANN_K = 3
 
 
+def _prepare(spark: SparkSession) -> SparkSession:
+    """Runtime session prep for driver-supplied sessions: the events
+    fixture stores timestamp[ns], which Spark refuses to read unless
+    nanosAsLong is set (our own get_session sets it at build time, but
+    the harness hands us its session); UTC pins timestamp-literal
+    comparisons. Both confs are runtime-settable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rd.read_table(spark, sf_dir, "documents")
 
@@ -71,7 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: grid-approximate (M,D)-outlier summary on the sf0.001
     point set — the reference's core capability (MRApproxOutliers,
     big_data_computing_1.py:78-114) as one declarative DataFrame plan."""
-    pts = _rd.customer_points(spark, "/root/testdata/sf0.001")
+    pts = _rd.customer_points(_prepare(spark), "/root/testdata/sf0.001")
     return _ol.approx_outliers_summary(pts, OUTLIER_D, OUTLIER_M)
 
 
@@ -526,8 +537,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_frame_sample,
         x_decode_features,
     ):
-        q[fn.__name__] = fn
+        q[fn.__name__] = _with_prepare(fn)
     return q
+
+
+def _with_prepare(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_prepare(spark), sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
