@@ -110,3 +110,42 @@ def test_streaming_windowed_counts_with_watermark(spark, sf_dir, tmpdir):
     assert len(g) >= len(b) - 10
     for key, val in g.items():
         assert val[0] == b[key][0]
+
+
+def test_show_report_prints(spark, sf_dir, capsys):
+    from big_data_computing__spark.sources.sinks import show_report
+
+    df = read_table(spark, sf_dir, "region")
+    show_report(df, "regions", n=5)
+    out = capsys.readouterr().out
+    assert "== regions ==" in out
+    assert "r_regionkey" in out
+
+
+def test_streaming_exact_counts_memory_sink(spark, sf_dir, tmpdir):
+    from big_data_computing__spark.sources.readers import event_stream_table
+    from big_data_computing__spark.streaming.frequent_stream import (
+        exact_counts_query,
+        file_items,
+    )
+
+    data = tmpdir + "/items"
+    event_stream_table(spark, sf_dir).write.parquet(data)
+    items = file_items(spark, data)
+    query = exact_counts_query(items, tmpdir + "/ckpt2", "t_exact_counts")
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = {
+        r["item"]: r["count"]
+        for r in spark.sql("SELECT * FROM t_exact_counts").collect()
+    }
+    truth = {
+        r["item"]: r["cnt"]
+        for r in event_stream_table(spark, sf_dir)
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == truth
