@@ -32,17 +32,28 @@ BENCH_QUERIES = [
     "t5_reservoir_report",
     "t6_sticky_report",
     "a2_pricing_summary",
+    "a12_rollup_pricing",
+    "a13_quantile_stats",
     "j2_star_join_revenue",
     "o1_topk_orders",
     "w1_top_order_per_segment",
     "w2_tumbling_window_counts",
     "w3_sessionize",
+    "f1_json_extract",
+    "so1_set_ops",
+    # c9_outliers_nd and x_rolling_fingerprints stay correctness-gated
+    # but out of the headline set: both are deliberate exact baselines
+    # (brute-force n-d distance join; per-char rolling hash) whose scale
+    # paths are ivf_topk and winnow/md5 fingerprints respectively
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
+    "x_dedup_ngram_jaccard",
     "x_ann_cosine_topk",
     "x_token_stats",
+    "x_bpe_token_counts",
     "x_quality_scores",
+    "x_winnow_fingerprints",
     "x_media_metadata",
 ]
 

@@ -20,3 +20,15 @@ Design rules (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+from .session import get_session  # noqa: E402,F401
+
+__all__ = [
+    "get_session",
+    # operator modules (import as big_data_computing__spark.operators.X)
+    "functions",
+    "operators",
+    "plans",
+    "sources",
+    "streaming",
+]
