@@ -384,11 +384,20 @@ def ngram_jaccard_pairs(
 
     Inverted-index join: explode distinct shingle hashes, self-join on the
     shingle, count intersections per pair; union = |A| + |B| − ∩.
+
+    Exact pruning: shingles with document frequency 1 cannot contribute
+    to any pair, so they are dropped from the join (not from the per-doc
+    set sizes). On natural corpora this removes the long unique-shingle
+    tail — most of the posting-list volume.
     """
-    sh = _shingle_hashes(docs, text_col, ngram)
+    sh = _shingle_hashes(docs, text_col, ngram).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    left = sh.select(F.col("doc_id").alias("doc_a"), "x")
-    right = sh.select(F.col("doc_id").alias("doc_b"), "x")
+    shared = sh.groupBy("x").agg(F.count("*").alias("_df")).where(
+        F.col("_df") >= 2
+    )
+    pruned = sh.join(shared.select("x"), "x", "left_semi")
+    left = pruned.select(F.col("doc_id").alias("doc_a"), "x")
+    right = pruned.select(F.col("doc_id").alias("doc_b"), "x")
     inter = (
         left.join(right, "x")
         .where(F.col("doc_a") < F.col("doc_b"))
