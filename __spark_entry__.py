@@ -356,6 +356,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             big, cust.c_custkey == big.o_custkey, "left_anti"
         ).select("c_custkey")
 
+    def j5_asof_join(spark, sf_dir):
+        # as-of join: each 'error' event matched to the same user's most
+        # recent 'click' at-or-before it (union + last-non-null window —
+        # one shuffle on user_id, no range-join blowup). Event time in
+        # microseconds (DuckDB's timestamp precision); -1 = no prior click
+        ev = _rd.read_table(spark, sf_dir, "events")
+        ts_us = F.expr("(ts div 1000)").cast("long")
+        errors = ev.where(F.col("event_type") == "error").select(
+            "user_id",
+            ts_us.alias("ets"),
+            F.col("event_id").alias("error_event_id"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id",
+            ts_us.alias("cts"),
+            F.col("event_id").alias("click_event_id"),
+        )
+        joined = _rel.as_of_join(
+            errors,
+            clicks,
+            key="user_id",
+            left_ts="ets",
+            right_ts="cts",
+            right_cols=["click_event_id"],
+            tiebreak="click_event_id",
+        )
+        return joined.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "error_event_id",
+            F.coalesce("click_event_id", F.lit(-1))
+            .cast("long")
+            .alias("click_event_id"),
+        )
+
     def f1_json_extract(spark, sf_dir):
         # JSON scalar functions over the events.props payload column
         ev = _rd.read_table(spark, sf_dir, "events")
@@ -515,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         j2_star_join_revenue,
         o1_topk_orders,
         j4_anti_join_customers,
+        j5_asof_join,
         f1_json_extract,
         so1_set_ops,
         x_token_stats,
@@ -692,6 +727,32 @@ GROUP BY r_name""",
         "j4_anti_join_customers": "SELECT c_custkey FROM customer "
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "AND o_totalprice > 400000)",
+        "j5_asof_join": """
+WITH base AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+u AS (
+  SELECT user_id, ts_us AS _ts, 1 AS _side,
+         event_id AS error_event_id, CAST(NULL AS BIGINT) AS click_event_id
+  FROM base WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id, ts_us, 0, NULL, event_id
+  FROM base WHERE event_type = 'click'
+),
+c AS (
+  SELECT user_id, _side, error_event_id,
+         last_value(click_event_id IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY _ts, _side, COALESCE(click_event_id, -1)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS click_event_id
+  FROM u
+)
+SELECT user_id, error_event_id,
+       CAST(COALESCE(click_event_id, -1) AS BIGINT) AS click_event_id
+FROM c WHERE _side = 1""",
         "f1_json_extract": """
 SELECT event_type,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,

@@ -10,7 +10,7 @@ broadcast hints, aliased outputs), not reimplementation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,6 +68,62 @@ def grouped_count(df: DataFrame, *keys: str) -> DataFrame:
 def distinct_count(df: DataFrame, col: str) -> DataFrame:
     """Exact distinct count of one column as a 1-row DataFrame."""
     return df.agg(F.countDistinct(col).alias("n_distinct"))
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: each left row gains the right row with the largest
+    ``right_ts`` <= ``left_ts`` for the same key (or nulls if none).
+
+    Spark has no native as-of join; the scale-correct plan is the
+    union + last-non-null-window idiom: tag and union both sides, sort
+    within each key by (ts, side), and carry the latest right payload
+    forward with ``last(..., ignorenulls=True)``. One shuffle on the key,
+    no range-join blowup; rows at equal timestamps match (right sorts
+    before left on the tie). ``tiebreak`` (a right-side column) makes the
+    winner among equal right timestamps deterministic.
+    """
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    )
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_cols],
+    )
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    order = ["_ts", "_side"] + ([tiebreak] if tiebreak else [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *[
+            c
+            for c in unioned.columns
+            if c not in right_cols and c != "_side"
+        ],
+        F.col("_side"),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side", "_ts")
 
 
 def salted_agg(

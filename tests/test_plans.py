@@ -104,3 +104,23 @@ def test_approx_count_distinct_accuracy(spark):
     ).collect()[0]["a"]
     exact = events.select("user_id").distinct().count()
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_as_of_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)],
+        "k long, lts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 900), (1, 15, 901), (1, 20, 902), (2, 6, 903)],
+        "k long, rts long, rid long",
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in R.as_of_join(
+            left, right, "k", "lts", "rts", ["rid"], tiebreak="rid"
+        ).collect()
+    }
+    assert out[100] == 900  # rts 8 <= 10
+    assert out[101] == 902  # equal ts matches (20 <= 20)
+    assert out[102] is None  # no right row at-or-before 5
