@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "w3_sessionize",
     "f1_json_extract",
     "so1_set_ops",
+    "j5_asof_join",
     # c9_outliers_nd and x_rolling_fingerprints stay correctness-gated
     # but out of the headline set: both are deliberate exact baselines
     # (brute-force n-d distance join; per-char rolling hash) whose scale

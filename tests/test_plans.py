@@ -124,3 +124,32 @@ def test_as_of_join_semantics(spark):
     assert out[100] == 900  # rts 8 <= 10
     assert out[101] == 902  # equal ts matches (20 <= 20)
     assert out[102] is None  # no right row at-or-before 5
+
+
+def test_as_of_join_randomized_vs_naive(spark):
+    """Seeded random instance vs a naive per-row reference computation."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    left_rows = [
+        (int(rng.integers(1, 6)), int(rng.integers(0, 1000)), i)
+        for i in range(200)
+    ]
+    right_rows = [
+        (int(rng.integers(1, 6)), int(rng.integers(0, 1000)), 1000 + i)
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(left_rows, "k long, lts long, lid long")
+    right = spark.createDataFrame(right_rows, "k long, rts long, rid long")
+    got = {
+        r["lid"]: r["rid"]
+        for r in R.as_of_join(
+            left, right, "k", "lts", "rts", ["rid"], tiebreak="rid"
+        ).collect()
+    }
+    for k, lts, lid in left_rows:
+        cands = [
+            (rts, rid) for rk, rts, rid in right_rows if rk == k and rts <= lts
+        ]
+        expected = max(cands)[1] if cands else None
+        assert got[lid] == expected, (lid, got[lid], expected)
