@@ -131,6 +131,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.embedding_points(spark, sf_dir), d=1.3, m=40
         )
 
+    def c9b_outliers_nd_ivf(spark, sf_dir):
+        # same semantics as c9 via the IVF-cell-pruned scale path —
+        # exact by the triangle inequality, so it shares c9's oracle
+        return _ol.ball_counts_nd_ivf(
+            _rd.embedding_points(spark, sf_dir),
+            d=1.3,
+            n_cells=8,
+            seed=SEED,
+        ).where(F.col("ball_count") <= 40)
+
     # -- core reference surface: clustering (HW2) --
 
     def c5_radius_fixed_centers(spark, sf_dir):
@@ -531,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c6_exact_outliers,
         o1_exact_outliers_topk,
         c9_outliers_nd,
+        c9b_outliers_nd_ivf,
         c5_radius_fixed_centers,
         c2_fft_coreset,
         c3_mrfft_radius,
@@ -644,6 +655,20 @@ FROM nb""",
         f"SELECT id, ball_count FROM balls WHERE ball_count <= {m} "
         f"ORDER BY ball_count, id LIMIT {TOPK}",
         "c9_outliers_nd": """
+WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+b AS (
+  -- same float expression shape as the engine (sequential sum of
+  -- squared diffs, compared squared) so boundary cases agree bit-exactly
+  SELECT a.id, COUNT(*) AS ball_count
+  FROM v a JOIN v b2
+    ON list_sum(list_transform(range(1, len(a.vec) + 1),
+                i -> (a.vec[i] - b2.vec[i]) * (a.vec[i] - b2.vec[i])))
+       <= 1.3 * 1.3
+  GROUP BY a.id
+)
+SELECT id, ball_count FROM b WHERE ball_count <= 40""",
+        "c9b_outliers_nd_ivf": """
 WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
                   CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 b AS (

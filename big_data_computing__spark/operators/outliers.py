@@ -306,6 +306,82 @@ def exact_outliers_nd(
     )
 
 
+def ball_counts_nd_ivf(
+    points: DataFrame,
+    d: float,
+    n_cells: int = 16,
+    l: int = 4,
+    seed: int = 42,
+    id_col: str = "id",
+    features_col: str = "features",
+) -> DataFrame:
+    """|B(p,D)| in d dimensions via IVF-cell pruning — EXACT, and the
+    scale path for :func:`ball_counts_nd`.
+
+    Partition the corpus into k-center cells (the engine's own MRFFT);
+    record each cell's covering radius r_c. A point p only needs to probe
+    cells with dist(p, centroid_c) <= r_c + D: by the triangle
+    inequality any q in cell c with dist(p, q) <= D satisfies it, so no
+    neighbor is missed. The join fans out to the qualifying cells only
+    (≈ local density) instead of the full corpus — the d-dimensional
+    analogue of the 2-D grid bucketing in :func:`ball_counts`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .clustering import assign_clusters, min_dist_to_centers, mr_fft
+
+    res = mr_fft(points, k=n_cells, l=l, seed=seed, id_col=id_col,
+                 features_col=features_col)
+    centers = np.asarray(res.centers, dtype=np.float64)
+    assigned = assign_clusters(
+        min_dist_to_centers(points, centers, features_col),
+        centers,
+        features_col,
+    ).cache()
+    radii_rows = (
+        assigned.groupBy("cluster")
+        .agg(F.max("min_dist").alias("r"))
+        .collect()
+    )
+    radii = np.zeros(len(centers))
+    for row in radii_rows:
+        radii[row["cluster"]] = row["r"]
+
+    c_sq = (centers**2).sum(axis=1)
+    bound = radii + d
+
+    def probe_cells(batch):
+        x = np.array(batch.tolist(), dtype=np.float64)
+        d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ centers.T) + c_sq[None, :]
+        np.maximum(d2, 0.0, out=d2)
+        dist = np.sqrt(d2)
+        return pd.Series(
+            [np.nonzero(row <= bound)[0].tolist() for row in dist]
+        )
+
+    probe_cells.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    probe_udf = F.pandas_udf(probe_cells, T.ArrayType(T.IntegerType()))
+
+    queries = points.select(
+        F.col(id_col).alias("id"),
+        F.col(features_col).alias("qf"),
+        F.explode(probe_udf(features_col)).alias("cluster"),
+    )
+    corpus = assigned.select(
+        F.col("cluster"), F.col(features_col).alias("cf")
+    )
+    from ..functions.geometry import sq_dist_vec
+
+    return (
+        queries.join(corpus, "cluster")
+        .where(sq_dist_vec(F.col("qf"), F.col("cf")) <= F.lit(d * d))
+        .groupBy("id")
+        .agg(F.count("*").alias("ball_count"))
+    )
+
+
 def detect_outliers(
     points: DataFrame,
     d: float,

@@ -104,3 +104,19 @@ def test_detect_outliers_auto_switch(spark, sf_dir):
     )
     assert mode2 == "approx"
     assert set(df2.columns) == {"sure_outliers", "uncertain_points"}
+
+
+def test_ivf_ball_counts_exactly_match_brute_force(spark, sf_dir):
+    """IVF-cell pruning must be exact — identical counts to brute force."""
+    from big_data_computing__spark.sources.readers import embedding_points
+
+    pts = embedding_points(spark, sf_dir).cache()
+    brute = {
+        r["id"]: r["ball_count"]
+        for r in O.ball_counts_nd(pts, d=1.3).collect()
+    }
+    ivf = {
+        r["id"]: r["ball_count"]
+        for r in O.ball_counts_nd_ivf(pts, d=1.3, n_cells=8, seed=1).collect()
+    }
+    assert ivf == brute
