@@ -313,6 +313,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.approx_count_distinct("props").alias("approx_props"),
         )
 
+    def a15_cube_order_stats(spark, sf_dir):
+        # CUBE over (orderstatus, orderpriority) with null-safe markers
+        orders = _rd.read_table(spark, sf_dir, "orders")
+        return (
+            orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice") * 100))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .select(
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n_orders",
+                "total_cents",
+            )
+        )
+
+    def a16_argmax_customer(spark, sf_dir):
+        # arg-max aggregate: richest customer per market segment
+        cust = _rd.read_table(spark, sf_dir, "customer")
+        # composite integer order key (acctbal cents * 1e6 + custkey):
+        # exact lexicographic (balance, key) tie-break in both engines
+        okey = (
+            F.round(F.col("c_acctbal") * 100).cast("long") * 1_000_000
+            + F.col("c_custkey")
+        )
+        return cust.groupBy("c_mktsegment").agg(
+            F.max_by("c_custkey", okey).alias("richest_custkey"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+
+    def j6_above_avg_orders(spark, sf_dir):
+        # correlated-subquery shape: orders above their customer's mean
+        # order value (decorrelated as an aggregate + self-join)
+        orders = _rd.read_table(spark, sf_dir, "orders")
+        means = orders.groupBy("o_custkey").agg(
+            F.avg("o_totalprice").alias("_avg"), F.count("*").alias("_n")
+        )
+        return (
+            orders.join(means, "o_custkey")
+            .where((F.col("_n") >= 2) & (F.col("o_totalprice") > F.col("_avg")))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+
+    def f3_date_functions(spark, sf_dir):
+        # date/time scalar functions: revenue by order year
+        orders = _rd.read_table(spark, sf_dir, "orders")
+        return orders.groupBy(
+            F.year("o_orderdate").alias("order_year")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("total_cents"),
+        )
+
     def j2_star_join_revenue(spark, sf_dir):
         li = _rd.read_table(spark, sf_dir, "lineitem")
         orders = _rd.read_table(spark, sf_dir, "orders").select(
@@ -557,6 +615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a12_rollup_pricing,
         a13_quantile_stats,
         a14_approx_distinct,
+        a15_cube_order_stats,
+        a16_argmax_customer,
+        j6_above_avg_orders,
+        f3_date_functions,
         j2_star_join_revenue,
         o1_topk_orders,
         j4_anti_join_customers,
@@ -730,6 +792,33 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "a15_cube_order_stats": """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "a16_argmax_customer": """
+SELECT c_mktsegment,
+       max_by(c_custkey,
+              CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+         AS richest_custkey,
+       MAX(c_acctbal) AS max_acctbal
+FROM customer GROUP BY c_mktsegment""",
+        "j6_above_avg_orders": """
+WITH m AS (
+  SELECT o_custkey, AVG(o_totalprice) AS a, COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o.o_custkey, o_totalprice
+FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+WHERE m.n >= 2 AND o_totalprice > m.a""",
+        "f3_date_functions": """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1""",
         "a13_quantile_stats": """
 SELECT l_returnflag,
        ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
