@@ -87,6 +87,14 @@ def fft_coreset(
 
     def run_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.array(pdf["features"].tolist(), dtype=np.float64)
+        # Shuffle arrival order is not deterministic; the seeded kernel
+        # indexes into the row order (first-center draw, argmax ties), so
+        # fix a canonical lexicographic order first. This makes the
+        # coreset a pure function of the row *set* — stable across runs,
+        # partitionings, and cluster sizes, which is what lets the driver
+        # pin golden oracle values for the FFT family.
+        if len(mat) > 1:
+            mat = mat[np.lexsort(mat.T[::-1])]
         centers = sequential_fft(mat, k, seed=seed + int(key[0]))
         return pd.DataFrame(
             {"grp": int(key[0]), "features": [list(c) for c in centers]}

@@ -250,26 +250,40 @@ def sticky_report(
 
 def sticky_report_sql(
     stream_sql: str,
-    n: int,
+    n: int | None,
     phi: float,
     epsilon: float,
     delta: float,
     seed: int = 0,
 ) -> str:
-    """DuckDB twin of :func:`sticky_report` — identical arithmetic."""
-    rate = sticky_rate(phi, epsilon, delta) / n
+    """DuckDB twin of :func:`sticky_report` — identical arithmetic.
+
+    ``n=None`` derives the stream length inside the SQL
+    (``SELECT COUNT(*) FROM s``), so the oracle tracks the engine query
+    (which computes ``n = stream.count()``) at any scale factor instead
+    of silently diverging away from a hardcoded fixture size. Float shape
+    is preserved: DuckDB's ``DOUBLE / BIGINT`` and ``DOUBLE * BIGINT``
+    are the same IEEE ops as Python's ``r / n`` and ``(phi-epsilon) * n``.
+    """
+    r = sticky_rate(phi, epsilon, delta)
+    if n is None:
+        rate_expr = f"({r!r} / (SELECT COUNT(*) FROM s))"
+        thresh_expr = f"({(phi - epsilon)!r} * (SELECT COUNT(*) FROM s))"
+    else:
+        rate_expr = repr(r / n)
+        thresh_expr = repr((phi - epsilon) * n)
     u = _u_sql("sticky", seed, "seq")
     return f"""
 WITH s AS ({stream_sql}),
 admissions AS (
-  SELECT item, MIN(seq) AS aseq FROM s WHERE {u} < {rate!r} GROUP BY item
+  SELECT item, MIN(seq) AS aseq FROM s WHERE {u} < {rate_expr} GROUP BY item
 ),
 est AS (
   SELECT s.item, COUNT(*) AS est_cnt
   FROM s JOIN admissions ON s.item = admissions.item
   WHERE s.seq >= admissions.aseq
   GROUP BY s.item
-  HAVING COUNT(*) > {(phi - epsilon) * n!r}
+  HAVING COUNT(*) > {thresh_expr}
 ),
 truth AS (
   SELECT item FROM s GROUP BY item

@@ -298,12 +298,31 @@ def exact_outliers_nd(
     m: int,
     id_col: str = "id",
     features_col: str = "features",
+    method: str = "ivf",
+    brute_threshold: int = 10_000,
+    **ivf_kwargs,
 ) -> DataFrame:
     """(M,D)-outliers in d dimensions: DataFrame[id, ball_count] with
-    ball_count <= M (ball includes the point itself)."""
-    return ball_counts_nd(points, d, id_col, features_col).where(
-        F.col("ball_count") <= F.lit(m)
-    )
+    ball_count <= M (ball includes the point itself).
+
+    ``method``: 'ivf' (default — the IVF-cell-pruned exact scale path,
+    :func:`ball_counts_nd_ivf`), 'brute' (all-pairs join — the
+    correctness baseline, quadratic), or 'auto' (brute below
+    ``brute_threshold`` rows, mirroring the reference's 200k exact gate
+    at big_data_computing_1.py:178, else ivf). Both paths are exact;
+    they share one oracle.
+    """
+    if method == "auto":
+        method = "brute" if points.count() <= brute_threshold else "ivf"
+    if method == "brute":
+        counts = ball_counts_nd(points, d, id_col, features_col)
+    elif method == "ivf":
+        counts = ball_counts_nd_ivf(
+            points, d, id_col=id_col, features_col=features_col, **ivf_kwargs
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return counts.where(F.col("ball_count") <= F.lit(m))
 
 
 def ball_counts_nd_ivf(

@@ -145,6 +145,105 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
 
 
+def cosine_near_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    l: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via IVF-cell candidate pruning — EXACT,
+    and the scale path for :func:`cosine_near_pairs` (which stays as the
+    all-pairs correctness baseline).
+
+    Reduction: for unit vectors, cos(a,b) ≥ t ⟺ ‖â − b̂‖² ≤ 2 − 2t, so
+    cosine near-dup search is a fixed-radius L2 search on the normalized
+    vectors — the same problem :func:`ball_counts_nd_ivf` solves. The
+    corpus is quantized into k-center cells (the engine's own MRFFT on
+    the normalized vectors); a cell pair (i, j) can contain a qualifying
+    pair only if dist(cᵢ, cⱼ) ≤ rᵢ + rⱼ + D (triangle inequality, with
+    rᵢ the cell's covering radius), so only those cell pairs join. The
+    final filter recomputes the exact rounded cosine with the identical
+    expression shape as the brute path — output sets are equal by
+    construction (asserted in tests), and the oracle is shared.
+
+    Scale: one shuffle assigns cells; the join touches only
+    radius-adjacent cell pairs (≈ local density × n), not n². The margin
+    1e-6 on the radius covers the 6-dp score rounding plus float slop in
+    the normalized-space bound.
+    """
+    import math
+
+    from .clustering import assign_clusters, min_dist_to_centers, mr_fft
+
+    d_thresh = math.sqrt(max(2.0 - 2.0 * (threshold - 1e-6), 0.0))
+    base = _vec_df(emb)
+    unit = base.select(
+        "vid",
+        "v",
+        "nrm",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
+    )
+    res = mr_fft(
+        unit.select(F.col("vid").alias("id"), F.col("u").alias("features")),
+        k=n_cells,
+        l=l,
+        seed=seed,
+    )
+    centers = np.asarray(res.centers, dtype=np.float64)
+    assigned = assign_clusters(
+        min_dist_to_centers(unit, centers, features_col="u"),
+        centers,
+        features_col="u",
+    ).cache()
+    radii_rows = (
+        assigned.groupBy("cluster").agg(F.max("min_dist").alias("r")).collect()
+    )
+    radii = np.zeros(len(centers))
+    for row in radii_rows:
+        radii[row["cluster"]] = row["r"]
+    cdist = np.sqrt(
+        np.maximum(
+            ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2),
+            0.0,
+        )
+    )
+    spark = emb.sparkSession
+    cell_pairs = [
+        (int(i), int(j))
+        for i in range(len(centers))
+        for j in range(len(centers))
+        if cdist[i, j] <= radii[i] + radii[j] + d_thresh + 1e-9
+    ]
+    cp = spark.createDataFrame(cell_pairs, "ca int, cb int")
+    a = assigned.select(
+        F.col("vid").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("cluster").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("cluster").alias("cb"),
+    )
+    return (
+        a.join(F.broadcast(cp), "ca")
+        .join(b, "cb")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= F.lit(threshold))
+    )
+
+
 def cosine_near_pairs_sql(threshold: float = 0.9) -> str:
     return f"""
 WITH v AS (

@@ -24,9 +24,6 @@ def test_queries_oracle_keys_align(spark):
     unoracled = set(qs) - set(oracles)
     assert unoracled == {
         "a14_approx_distinct",
-        "c2_fft_coreset",
-        "c3_mrfft_radius",
-        "c8_fft_radius_outliers",
         "x_ann_lsh_topk",
         "x_ann_ivf_topk",
         "x_decode_features",

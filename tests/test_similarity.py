@@ -122,3 +122,21 @@ def test_frame_sample_counts(spark, sf_dir):
     for r in per_doc:
         expected = min((sizes[r["media_id"]] + 63) // 64, 8)
         assert r["count"] == expected
+
+
+def test_blocked_near_pairs_equal_brute_sf001(spark):
+    """The IVF-cell-pruned near-dup path is exact: pair set AND scores
+    equal the all-pairs baseline at sf0.01 (the driver's oracle scale)."""
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    brute = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in S.cosine_near_pairs(emb, 0.3).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in S.cosine_near_pairs_blocked(
+            emb, 0.3, n_cells=8, l=4, seed=42
+        ).collect()
+    }
+    assert brute == blocked
+    assert len(brute) > 0
