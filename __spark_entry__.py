@@ -584,11 +584,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def x_ann_lsh_topk(spark, sf_dir):
-        # rows-only: recall depends on the engine's LSH band layout
+        # oracle: the sketch is deterministic integer arithmetic, so the
+        # whole band/candidate/re-rank plan has an exact SQL twin
         return _sim.hyperplane_lsh_topk(_emb(spark, sf_dir), dim=64, k=ANN_K)
 
     def x_ann_ivf_topk(spark, sf_dir):
-        # rows-only: candidate cells come from the engine's own MRFFT
+        # oracle: quantizer centers come from the engine's own MRFFT,
+        # which is deterministic at fixed sf — pinned as SQL literals
         return _sim.ivf_topk(
             _emb(spark, sf_dir), k=ANN_K, n_cells=FFT_K, seed=SEED, l=FFT_L
         )
@@ -1008,6 +1010,10 @@ GROUP BY l_returnflag, l_linestatus""",
         ),
         "x_ann_cosine_topk": _sim.cosine_topk_sql(
             ANN_K, query_filter="qid % 10 = 0"
+        ),
+        "x_ann_lsh_topk": _sim.hyperplane_lsh_topk_sql(ANN_K, dim=64),
+        "x_ann_ivf_topk": _sim.ivf_topk_sql(
+            ANN_K, _gold.C3_CENTERS, nprobe=2
         ),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),

@@ -157,6 +157,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    # Both sides of the self-join read `buckets`; without persistence the
+    # whole upstream (shingle explode → md5 → 16-way min aggregation) runs
+    # twice — measured ~2× the operator's wall at sf0.1. The persisted
+    # footprint is 3 fixed-width ints × bands per doc, far smaller than
+    # the text, and spills cleanly (MEMORY_AND_DISK default).
+    buckets = buckets.cache()
     left = buckets.select(
         F.col("band"), F.col("bkey"), F.col("doc_id").alias("doc_a")
     )

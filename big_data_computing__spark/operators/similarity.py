@@ -291,12 +291,20 @@ def sign_sketch(emb: DataFrame, dim: int, bits: int = LSH_BITS) -> DataFrame:
     planes = np.array(
         [_hyperplane(b, dim) for b in range(bits)], dtype=np.float64
     )
-    weights = (2 ** np.arange(bits, dtype=np.int64))
 
     def compute(batch):
         x = np.array(batch.tolist(), dtype=np.float64)
-        signs = (x @ planes.T) > 0
-        return pd.Series((signs @ weights).astype(np.int64))
+        out = np.zeros(len(x), dtype=np.int64)
+        # element-sequential accumulation (not BLAS matmul): the float
+        # sum order matches DuckDB's list_dot_product exactly, so the
+        # sign test — and therefore the sketch — is bit-identical to the
+        # SQL oracle even for near-zero dots
+        for b in range(bits):
+            acc = np.zeros(len(x))
+            for j in range(dim):
+                acc += x[:, j] * planes[b, j]
+            out |= (acc > 0).astype(np.int64) << b
+        return pd.Series(out)
 
     compute.__annotations__ = {"batch": pd.Series, "return": pd.Series}
 
@@ -374,6 +382,121 @@ def hyperplane_lsh_topk(
     )
 
 
+def ivf_topk_sql(
+    k: int,
+    centers: list[list[float]],
+    nprobe: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` given the engine's quantizer
+    centers as literals (the MRFFT quantizer is deterministic at a fixed
+    scale factor, so the centers are pinnable constants — see
+    tools/gen_fft_golden.py). Replicates cell assignment (argmin with
+    lower-cell tie-break), nprobe probing, and exact re-rank."""
+    cvals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(v)) for v in cv) + "])"
+        for i, cv in enumerate(centers)
+    )
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+c AS (SELECT * FROM (VALUES {cvals}) t(cell, cvec)),
+d AS (
+  SELECT v.vid, c.cell,
+         list_dot_product(v.vec, v.vec)
+           - 2 * list_dot_product(v.vec, c.cvec)
+           + list_dot_product(c.cvec, c.cvec) AS d2
+  FROM v CROSS JOIN c
+),
+rc AS (
+  SELECT vid, cell,
+         row_number() OVER (PARTITION BY vid ORDER BY d2, cell) AS rk
+  FROM d
+),
+corpus AS (SELECT vid, cell FROM rc WHERE rk = 1),
+probes AS (SELECT vid AS qid, cell FROM rc WHERE rk <= {nprobe}),
+scored AS (
+  SELECT p.qid AS query_id, co.vid AS vec_id,
+         ROUND(list_dot_product(qv.vec, cv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec))
+                  * sqrt(list_dot_product(cv.vec, cv.vec))), 6) AS score
+  FROM probes p
+  JOIN corpus co ON p.cell = co.cell AND p.qid <> co.vid
+  JOIN v qv ON qv.vid = p.qid
+  JOIN v cv ON cv.vid = co.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
+"""
+
+
+def hyperplane_lsh_topk_sql(
+    k: int = 5, dim: int = 64, bits: int = LSH_BITS
+) -> str:
+    """DuckDB twin of :func:`hyperplane_lsh_topk`.
+
+    The hyperplanes are pure integer arithmetic (no float RNG), so SQL
+    regenerates them exactly; the sketch, banding, candidate join, and
+    re-rank replicate the engine's plan bit-for-bit (the engine's sign
+    kernel accumulates element-sequentially to match list_dot_product).
+    """
+    width = bits // LSH_BANDS
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+planes AS (
+  SELECT bit, list(w ORDER BY j) AS pl FROM (
+    SELECT t1.range AS bit, t2.range AS j,
+           CAST(((t1.range * 1000003 + t2.range * 7919 + 12345)
+                 * 2654435761) % 2147483648 AS DOUBLE)
+             / 1073741824.0 - 1.0 AS w
+    FROM range({bits}) t1, range({dim}) t2
+  ) GROUP BY bit
+),
+sk AS (
+  SELECT vid,
+         CAST(SUM(CASE WHEN list_dot_product(v.vec, p.pl) > 0
+                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS sketch
+  FROM v CROSS JOIN planes p GROUP BY vid
+),
+bb AS (
+  SELECT vid, t.range AS band,
+         (sketch >> (t.range * {width})) % {2**width} AS bval
+  FROM sk, range({LSH_BANDS}) t
+),
+cands AS (
+  SELECT DISTINCT a.vid AS qid, b.vid AS cid
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bval = b.bval
+  WHERE a.vid <> b.vid
+),
+scored AS (
+  SELECT qid AS query_id, cid AS vec_id,
+         ROUND(list_dot_product(qv.vec, cv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec))
+                  * sqrt(list_dot_product(cv.vec, cv.vec))), 6) AS score
+  FROM cands
+  JOIN v qv ON qv.vid = qid
+  JOIN v cv ON cv.vid = cid
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------
@@ -404,12 +527,33 @@ def ivf_topk(
     )
     centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
     c = np.asarray(centers, dtype=np.float64)
-    c_sq = (c**2).sum(axis=1)
+
+    def _d2_seq(x: np.ndarray) -> np.ndarray:
+        """(n × cells) squared distances via the x·x − 2x·c + c·c
+        identity with element-sequential accumulation — the float shape
+        of the SQL oracle's list_dot_product expression, so cell
+        assignment tie-breaks agree bit-exactly."""
+        n, dim_ = x.shape
+        x_sq = np.zeros(n)
+        for j in range(dim_):
+            x_sq += x[:, j] * x[:, j]
+        d2 = np.empty((n, len(c)))
+        for kk in range(len(c)):
+            c_sq = 0.0
+            for j in range(dim_):
+                c_sq += c[kk, j] * c[kk, j]
+            dot_ = np.zeros(n)
+            for j in range(dim_):
+                dot_ += x[:, j] * c[kk, j]
+            d2[:, kk] = x_sq - 2.0 * dot_ + c_sq
+        return d2
 
     def nearest_cells(batch):
         x = np.array(batch.tolist(), dtype=np.float64)
-        d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
-        order = np.argsort(d2, axis=1)[:, :nprobe]
+        d2 = _d2_seq(x)
+        # stable sort: equal distances resolve to the lower cell index,
+        # matching the oracle's ORDER BY d2, cell
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.tolist() for row in order.astype(np.int64)])
 
     def nearest_cell(batch):

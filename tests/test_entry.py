@@ -24,8 +24,6 @@ def test_queries_oracle_keys_align(spark):
     unoracled = set(qs) - set(oracles)
     assert unoracled == {
         "a14_approx_distinct",
-        "x_ann_lsh_topk",
-        "x_ann_ivf_topk",
         "x_decode_features",
     }
 
