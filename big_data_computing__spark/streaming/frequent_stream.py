@@ -57,6 +57,37 @@ def socket_items(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
+def collect_in_arrival_order(batch_df: DataFrame, col: str = "item") -> list:
+    """Collect a socket-source micro-batch in true line-arrival order.
+
+    Spark's socket source distributes the lines buffered for an epoch
+    round-robin across ``default.parallelism`` partitions
+    (``slices(idx % numPartitions)`` in TextSocketMicroBatchStream), so a
+    plain ``collect()`` returns them partition-major — interleaved with
+    stride = partition count, not in arrival order. Gathering per
+    partition (``glom``) and re-interleaving inverts that exactly.
+
+    Arrival order is the samplers' semantic input (the reference's
+    "order of the stream", big_data_computing_3.py:80), so the ingest
+    layer must recover it before assigning stream positions. The
+    round-robin inversion is validated end-to-end by
+    tools/compare_streaming.py (streaming ≡ batch bit-parity fails if
+    the layout assumption ever breaks).
+    """
+    parts = batch_df.select(col).rdd.map(lambda r: r[0]).glom().collect()
+    out: list = []
+    i = 0
+    while True:
+        added = False
+        for p in parts:
+            if i < len(p):
+                out.append(p[i])
+                added = True
+        if not added:
+            return out
+        i += 1
+
+
 def file_items(spark: SparkSession, directory: str) -> DataFrame:
     """File-source replay of an item stream (test harness): parquet files
     with schema (seq, item) dropped into `directory`."""

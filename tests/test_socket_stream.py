@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from big_data_computing__spark.streaming.frequent_stream import (
     SamplerState,
+    collect_in_arrival_order,
     socket_items,
 )
 
@@ -55,9 +56,11 @@ def test_socket_source_counts(spark, tmp_path):
     lock = threading.Lock()
 
     def on_batch(batch_df, _epoch):
-        rows = [r["item"] for r in batch_df.collect()]
+        # socket source has no seq column: recover line-arrival order
+        # (the source scatters lines round-robin across partitions —
+        # a plain collect() interleaves them) and assign positions
+        rows = collect_in_arrival_order(batch_df)
         with lock:
-            # socket source has no seq column: assign arrival order
             start = len(seen)
             seen.extend(rows)
             state.update(
@@ -77,5 +80,7 @@ def test_socket_source_counts(spark, tmp_path):
     server.sock.close()
 
     assert state.processed == len(items)
+    # arrival order fully recovered — not just the multiset
+    assert seen == items
     assert state.counts[7] == 30 and state.counts[13] == 15
     assert state.true_frequent() == [7, 13]
