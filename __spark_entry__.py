@@ -572,6 +572,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seed=SEED,
         )
 
+    def x_dedup_components(spark, sf_dir):
+        # pairs → duplicate groups: transitive closure over the MinHash
+        # candidate graph (min-label propagation; recursive-CTE oracle)
+        return _dd.duplicate_components(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
+    def x_dedup_survivors(spark, sf_dir):
+        # end-to-end dedup output: one survivor per duplicate component
+        docs = _docs(spark, sf_dir)
+        return _dd.dedup_survivors(docs, _dd.minhash_lsh_pairs(docs))
+
     # -- extensions: similarity search --
 
     def x_ann_cosine_topk(spark, sf_dir):
@@ -664,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_simhash,
         x_dedup_ngram_jaccard,
         x_dedup_embedding,
+        x_dedup_components,
+        x_dedup_survivors,
         x_ann_cosine_topk,
         x_ann_lsh_topk,
         x_ann_ivf_topk,
@@ -1008,6 +1022,16 @@ GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_embedding": _sim.cosine_near_pairs_sql(
             COSINE_NEARDUP_THRESHOLD
         ),
+        "x_dedup_components": _dd.duplicate_components_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        "x_dedup_survivors": f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({_dd.duplicate_components_sql(
+      f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})")})
+  WHERE doc_id <> component_id
+)""",
         "x_ann_cosine_topk": _sim.cosine_topk_sql(
             ANN_K, query_filter="qid % 10 = 0"
         ),

@@ -224,6 +224,110 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Connected components: near-dup pairs → duplicate groups
+# ---------------------------------------------------------------------------
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph:
+    DataFrame[doc_id, component_id] for every doc appearing in a pair,
+    with component_id = min doc_id in the component.
+
+    The missing piece between pairwise dedup (MinHash/SimHash/Jaccard/
+    embedding pairs) and an actual deduplicated corpus: transitive
+    closure groups A~B~C into one unit so one survivor is kept per
+    group, not per pair.
+
+    Algorithm: min-label propagation to fixpoint — a driver-coordinated
+    loop of joins (the standard Spark CC shape; GraphX Pregel does the
+    same). Iterations = graph diameter, which for near-dup graphs is
+    tiny (duplicate clusters are dense and small); ``max_iterations``
+    bounds pathological chains. Each round is one shuffle join on node
+    id plus a partial+final min aggregation; labels are cached and the
+    convergence check is a count of changed labels (bounded driver
+    data: one long). At 100 TB the per-round shuffle is on
+    (node, label) pairs only — never documents.
+    """
+    edges = (
+        pairs.select(F.col(doc_a).alias("s"), F.col(doc_b).alias("t"))
+        .union(pairs.select(F.col(doc_b).alias("s"), F.col(doc_a).alias("t")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lab"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "s"), "s"
+        ).select(F.col("t").alias("id"), "lab")
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("component_id")
+    )
+
+
+def duplicate_components_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`duplicate_components`: transitive closure
+    via a recursive CTE over the same pair set."""
+    return f"""
+WITH RECURSIVE
+p AS ({pairs_sql}),
+nodes AS (
+  SELECT doc_a AS id FROM p UNION SELECT doc_b FROM p
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.t, r.lab FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id
+"""
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Deduplicated corpus ids: DataFrame[doc_id] keeping, per duplicate
+    component, only the min-id representative; docs in no component pass
+    through. The end-to-end output of a near-dup pipeline
+    (pairs → components → survivors)."""
+    comp = duplicate_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    return docs.select(F.col(doc_id).alias("doc_id")).join(
+        losers, "doc_id", "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

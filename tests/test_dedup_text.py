@@ -148,3 +148,35 @@ def test_winnow_shared_substring_guarantee(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared substring produced no shared fingerprint"
     assert not (fps[1] & fps[3])
+
+
+def test_duplicate_components_hand_graph(spark):
+    """CC over a hand-built pair graph: two chains and an isolated pair.
+    Transitivity: 1-2, 2-3 → {1,2,3} labeled 1 even though (1,3) was
+    never a candidate pair."""
+    from big_data_computing__spark.operators.dedup import (
+        dedup_survivors,
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components(pairs).collect()
+    }
+    assert comp == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]],
+        "doc_id long",
+    )
+    survivors = {
+        r["doc_id"] for r in dedup_survivors(docs, pairs).collect()
+    }
+    assert survivors == {1, 10, 20, 99}

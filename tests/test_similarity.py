@@ -140,3 +140,35 @@ def test_blocked_near_pairs_equal_brute_sf001(spark):
     }
     assert brute == blocked
     assert len(brute) > 0
+
+
+def test_blocked_near_pairs_clustered_regime(spark):
+    """Pruning-engaged regime: tight clusters at a realistic dedup
+    threshold (0.9). The triangle-inequality blocking keeps only the
+    diagonal cell pairs (measured 8/64 at sf0.1 — STRESS.md) and must
+    still be exact."""
+    import numpy as np
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    X = np.array(
+        [r["embedding"] for r in emb.limit(200).collect()], dtype=np.float64
+    )
+    anchors = X[::50][:4]
+    lab = np.arange(len(X)) % 4
+    Xc = anchors[lab] + 0.08 * (X - anchors[lab])
+    clustered = spark.createDataFrame(
+        [(int(i), [float(v) for v in Xc[i]]) for i in range(len(Xc))],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    brute = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in S.cosine_near_pairs(clustered, 0.9).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in S.cosine_near_pairs_blocked(
+            clustered, 0.9, n_cells=4, l=2, seed=42
+        ).collect()
+    }
+    assert brute == blocked
+    assert len(brute) > 0
