@@ -584,6 +584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         return _dd.dedup_survivors(docs, _dd.minhash_lsh_pairs(docs))
 
+    def x_clean_corpus(spark, sf_dir):
+        # the composed curation pipeline: quality filter → language
+        # filter → exact dedup → near-dup CC survivors, one oracle for
+        # the whole flow (pipelines.py)
+        return _pl.clean_corpus(_docs(spark, sf_dir))
+
     # -- extensions: similarity search --
 
     def x_ann_cosine_topk(spark, sf_dir):
@@ -678,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_embedding,
         x_dedup_components,
         x_dedup_survivors,
+        x_clean_corpus,
         x_ann_cosine_topk,
         x_ann_lsh_topk,
         x_ann_ivf_topk,
@@ -1025,6 +1032,7 @@ GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_components": _dd.duplicate_components_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
+        "x_clean_corpus": _pl.clean_corpus_sql(),
         "x_dedup_survivors": f"""
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (

@@ -177,7 +177,12 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_signatures_sql(num_hashes: int = 16, ngram: int = 3) -> str:
+def minhash_signatures_sql(
+    num_hashes: int = 16, ngram: int = 3, source: str = "documents"
+) -> str:
+    """``source``: table/CTE name with (doc_id, text) — parameterized so
+    composed pipelines (clean_corpus) can run the same SQL over a
+    filtered corpus CTE."""
     toks = (
         "list_filter(string_split("
         "trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), "
@@ -189,7 +194,7 @@ def minhash_signatures_sql(num_hashes: int = 16, ngram: int = 3) -> str:
     )
     arr = ", ".join(f"_s{i}" for i in range(num_hashes))
     return f"""
-WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {toks} AS t FROM {source}),
 grams AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -203,9 +208,11 @@ SELECT doc_id, [{arr}] AS sig FROM per_doc
 """
 
 
-def minhash_lsh_pairs_sql(num_hashes: int = 16, ngram: int = 3) -> str:
+def minhash_lsh_pairs_sql(
+    num_hashes: int = 16, ngram: int = 3, source: str = "documents"
+) -> str:
     bands = num_hashes // 2
-    sig_sql = minhash_signatures_sql(num_hashes, ngram)
+    sig_sql = minhash_signatures_sql(num_hashes, ngram, source)
     structs = ", ".join(
         f"{{'band': {b}, 'bkey': sig[{2 * b + 1}] * {MINHASH_PRIME} "
         f"+ sig[{2 * b + 2}]}}"

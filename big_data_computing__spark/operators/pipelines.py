@@ -20,6 +20,86 @@ from .clustering import MRFFTResult, mr_fft
 from .outliers import approx_outliers_summary
 
 
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.45,
+    lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end LLM-corpus curation pipeline: DataFrame[doc_id] of the
+    documents that survive all four stages —
+
+    1. quality filter  (heuristic score ≥ min_quality, textstats.py)
+    2. language filter (marker-word language ID == lang)
+    3. exact dedup     (min doc_id per normalized-text fingerprint)
+    4. near-dup dedup  (MinHash-LSH pairs → connected components → one
+       survivor per component, dedup.py)
+
+    Each stage is the already-oracled operator; the composition is one
+    declarative plan per stage boundary (joins/semi-joins on doc_id — no
+    text column ever shuffles past stage 2, and stages 3-4 move only
+    (hash, id) pairs). The SQL twin (:func:`clean_corpus_sql`) runs the
+    identical four stages in DuckDB, so the whole pipeline — not just
+    its pieces — is correctness-checked.
+    """
+    from .dedup import dedup_survivors, minhash_lsh_pairs
+    from .textstats import language_id, quality_scores
+    from ..functions.hashing import hash60
+    from ..functions.text import normalized
+
+    q = quality_scores(docs, text_col).select("doc_id", "quality_score")
+    lng = language_id(docs, text_col).select("doc_id", "pred_lang")
+    kept = (
+        docs.join(q, "doc_id")
+        .join(lng, "doc_id")
+        .where(
+            (F.col("quality_score") >= F.lit(min_quality))
+            & (F.col("pred_lang") == F.lit(lang))
+        )
+        .select("doc_id", text_col)
+    )
+    fp = kept.select(
+        "doc_id", hash60(normalized(F.col(text_col))).alias("f")
+    )
+    exact_keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    kept2 = kept.join(
+        exact_keep.select("doc_id"), "doc_id", "left_semi"
+    ).cache()
+    pairs = minhash_lsh_pairs(kept2, text_col=text_col)
+    return dedup_survivors(kept2.select("doc_id"), pairs)
+
+
+def clean_corpus_sql(min_quality: float = 0.45, lang: str = "en") -> str:
+    """DuckDB twin of :func:`clean_corpus` — the same four stages
+    composed over the `documents` view."""
+    from .dedup import duplicate_components_sql, minhash_lsh_pairs_sql
+    from .textstats import language_id_sql, quality_scores_sql
+
+    norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    from ..functions.hashing import hash60_sql
+
+    pairs_sql = minhash_lsh_pairs_sql(source="kept2")
+    comp_sql = duplicate_components_sql(
+        f"SELECT doc_a, doc_b FROM ({pairs_sql})"
+    )
+    return f"""
+WITH q AS ({quality_scores_sql()}),
+l AS ({language_id_sql()}),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN l ON l.doc_id = d.doc_id
+  WHERE q.quality_score >= {min_quality!r} AND l.pred_lang = '{lang}'
+),
+fp AS (SELECT doc_id, {hash60_sql(norm)} AS f FROM kept),
+ek AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+kept2 AS (SELECT k.doc_id, k.text FROM kept k JOIN ek ON ek.doc_id = k.doc_id)
+SELECT doc_id FROM kept2
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({comp_sql}) WHERE doc_id <> component_id
+)"""
+
+
 @dataclass
 class FFTOutlierResult:
     radius: float

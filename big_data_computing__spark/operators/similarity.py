@@ -244,6 +244,33 @@ def cosine_near_pairs_blocked(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    method: str = "auto",
+    blocked_threshold: int = 50_000,
+    **blocked_kwargs,
+) -> DataFrame:
+    """Cost-gated entry point for embedding near-dup pairs.
+
+    'blocked' (:func:`cosine_near_pairs_blocked`) pays a fixed quantizer
+    cost (MRFFT + assignment, ~15 s locally) that only amortizes above
+    ~50k vectors; below that the brute crossJoin is both exact and
+    faster. ``method='auto'`` picks by corpus size — the same explicit
+    cost gate the reference applies to its exact outlier scan
+    (big_data_computing_1.py:178). Both paths produce identical output.
+    """
+    if method == "auto":
+        method = (
+            "brute" if emb.count() <= blocked_threshold else "blocked"
+        )
+    if method == "brute":
+        return cosine_near_pairs(emb, threshold)
+    if method == "blocked":
+        return cosine_near_pairs_blocked(emb, threshold, **blocked_kwargs)
+    raise ValueError(f"unknown method {method!r}")
+
+
 def cosine_near_pairs_sql(threshold: float = 0.9) -> str:
     return f"""
 WITH v AS (

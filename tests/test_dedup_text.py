@@ -180,3 +180,30 @@ def test_duplicate_components_hand_graph(spark):
         r["doc_id"] for r in dedup_survivors(docs, pairs).collect()
     }
     assert survivors == {1, 10, 20, 99}
+
+
+def test_clean_corpus_composition(spark, sf_dir):
+    """The composed curation pipeline: survivors are a subset of the
+    corpus, contain no exact-duplicate texts, and every stage filter
+    actually holds on the output."""
+    from big_data_computing__spark.operators.pipelines import clean_corpus
+    from big_data_computing__spark.operators.textstats import (
+        language_id,
+        quality_scores,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").cache()
+    out = clean_corpus(docs, min_quality=0.45, lang="en")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 < len(ids) <= docs.count()
+    kept = docs.where(F.col("doc_id").isin(*ids)).cache()
+    # no two survivors share a normalized text
+    texts = [r["text"].lower().strip() for r in kept.collect()]
+    assert len(texts) == len(set(texts))
+    # stage filters hold
+    q = {r["doc_id"]: r["quality_score"]
+         for r in quality_scores(kept).collect()}
+    assert all(v >= 0.45 for v in q.values())
+    langs = {r["pred_lang"] for r in language_id(kept).collect()}
+    assert langs == {"en"}
