@@ -256,6 +256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def w3_sessionize(spark, sf_dir):
         return _wd.sessionize(_rd.read_table(spark, sf_dir, "events"))
 
+    def w4_session_window(spark, sf_dir):
+        # Spark's NATIVE session_window operator (the batch twin of the
+        # watermarked streaming form) — boundary semantics oracled
+        return _wd.session_window_counts(
+            _rd.read_table(spark, sf_dir, "events")
+        )
+
     # -- generic relational machinery (TPC-H-style) --
 
     def a2_pricing_summary(spark, sf_dir):
@@ -649,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w1_top_order_per_segment,
         w2_tumbling_window_counts,
         w3_sessionize,
+        w4_session_window,
         a2_pricing_summary,
         a12_rollup_pricing,
         a13_quantile_stats,
@@ -896,6 +904,7 @@ r AS (
 SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 3""",
         "w2_tumbling_window_counts": _wd.tumbling_window_counts_sql(),
         "w3_sessionize": _wd.sessionize_sql(),
+        "w4_session_window": _wd.session_window_counts_sql(),
         "a2_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,

@@ -113,6 +113,78 @@ def sessionize(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session windows via Spark's NATIVE ``session_window`` operator:
+    DataFrame[user_id, session_start_us, session_end_us, n_events].
+
+    The built-in form of :func:`sessionize` (which uses the lag-gap-
+    cumsum idiom): Catalyst plans an UpdatingSessionsExec + merge, the
+    same operator Structured Streaming uses for watermarked session
+    aggregation — so the batch query here is the exact batch twin of the
+    streaming form. Boundary semantics (pinned empirically by test +
+    oracle): an event exactly ``gap`` after the previous one MERGES into
+    the running session (a new session requires diff > gap — the same
+    rule as :func:`sessionize`); session_end = last event + gap.
+    """
+    ts_us = F.expr(f"(`{ts_col}` div 1000)").cast("long")
+    base = events.select(
+        F.col(user_col), F.timestamp_micros(ts_us).alias("_ets")
+    )
+    return (
+        base.groupBy(
+            F.session_window("_ets", f"{gap_minutes} minutes"),
+            user_col,
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+
+
+def session_window_counts_sql(gap_minutes: int = 30) -> str:
+    """DuckDB twin of :func:`session_window_counts` (islands with the
+    native operator's measured boundary rule: new session when
+    diff > gap, merge at exactly gap)."""
+    gap_us = 60_000_000 * gap_minutes
+    return f"""
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ts_us
+  FROM events
+),
+g AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER
+                (PARTITION BY user_id ORDER BY ts_us) > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {gap_us} AS session_end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def sessionize_sql(gap_minutes: int = 30) -> str:
     gap_us = 60_000_000 * gap_minutes
     return f"""

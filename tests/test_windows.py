@@ -58,3 +58,30 @@ def test_fft_radius_outliers_pipeline(spark, sf_dir):
     assert row["sure_outliers"] >= 0
     assert row["uncertain_points"] >= 0
     assert "r1_coreset" in res.timings_ms
+
+
+def test_session_window_boundary_semantics(spark):
+    """Native session_window: an event exactly `gap` after the previous
+    one MERGES (measured — a new session requires diff > gap), and
+    session_end = last event + gap. Pinned so the DuckDB oracle's
+    islands rule can never silently diverge."""
+    from big_data_computing__spark.operators.windows import (
+        session_window_counts,
+    )
+
+    gap_ns = 30 * 60_000_000_000
+    rows = [
+        (1, 0),
+        (1, gap_ns),              # exactly gap after -> merges
+        (1, 2 * gap_ns + 1000),   # gap + 1us after -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    out = sorted(
+        (r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in session_window_counts(df).collect()
+    )
+    gap_us = gap_ns // 1000
+    assert out == [
+        (0, gap_us + gap_us, 2),
+        (2 * gap_us + 1, 3 * gap_us + 1, 1),
+    ]
