@@ -43,6 +43,40 @@ def windowed_event_counts(
     )
 
 
+def streaming_session_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked session-window aggregation over a *streaming* events
+    DataFrame — the streaming form of the batch
+    ``windows.session_window_counts`` (same native operator, same
+    boundary semantics: merge at exactly gap, new session beyond it).
+
+    Append-mode compatible: a session finalizes once the watermark
+    passes its close (last event + gap + delay); events arriving later
+    than the watermark are dropped, which is the late-data contract the
+    replay test pins. State is bounded per (user, open session) — the
+    100 TB-safe shape for sessionization over an unbounded stream.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col(user_col),
+            "n_events",
+        )
+    )
+
+
 def nanos_to_timestamp(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Convert the fixture's nanos-since-epoch long into a proper
     timestamp column (microsecond precision)."""

@@ -85,3 +85,76 @@ def test_session_window_boundary_semantics(spark):
         (0, gap_us + gap_us, 2),
         (2 * gap_us + 1, 3 * gap_us + 1, 1),
     ]
+
+
+def test_streaming_session_windows_watermark(spark, sf_dir, tmp_path):
+    """Streaming session windows finalize to exactly the batch operator's
+    sessions, and an event arriving later than the watermark is DROPPED
+    (the late-data contract)."""
+    import shutil
+    import tempfile
+
+    from big_data_computing__spark.operators.windows import (
+        session_window_counts,
+    )
+    from big_data_computing__spark.streaming.windows_stream import (
+        nanos_to_timestamp,
+        streaming_session_counts,
+    )
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    rows = sorted(
+        ((r["user_id"], r["ts"]) for r in events.collect()),
+        key=lambda t: t[1],
+    )
+    half = len(rows) // 2
+    max_ts = rows[-1][1]
+    sentinel_user = 99_999_999
+    late_user, late_ts = rows[0][0], rows[0][1]
+    data = tempfile.mkdtemp(prefix="bdc_sess_")
+    chunks = [
+        rows[:half],
+        rows[half:],
+        # sentinel advances the watermark far past every real session;
+        # the duplicate of the earliest event is now LATE and must drop
+        [(sentinel_user, max_ts + 10 * 24 * 3600 * 10**9),
+         (late_user, late_ts)],
+    ]
+    for part in chunks:
+        # one file per chunk: maxFilesPerTrigger=1 must see whole chunks,
+        # else the watermark advances mid-chunk and drops legit events
+        spark.createDataFrame(
+            part, "user_id long, ts long"
+        ).coalesce(1).write.mode("append").parquet(data)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    out = streaming_session_counts(nanos_to_timestamp(stream))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["s_us"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, unix_micros(session_start) AS s_us, "
+            "n_events FROM sess_test"
+        ).collect()
+        if r["user_id"] != sentinel_user
+    }
+    want = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in session_window_counts(events).collect()
+    }
+    # the late duplicate was dropped: streaming == plain batch exactly
+    assert got == want
+    shutil.rmtree(data, ignore_errors=True)
