@@ -263,6 +263,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.read_table(spark, sf_dir, "events")
         )
 
+    def w5_moving_avg(spark, sf_dir):
+        # frame-window function: trailing 5-order moving average of each
+        # customer's order totals (ROWS BETWEEN 4 PRECEDING AND CURRENT)
+        orders = _rd.read_table(spark, sf_dir, "orders")
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("o_custkey").orderBy(
+            "o_orderdate", "o_orderkey"
+        ).rowsBetween(-4, 0)
+        # exact integer cents inside the frame: sum/count of bigints
+        # divides identically in both engines (no float-sum order risk)
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(cents).over(w) / F.count(cents).over(w))
+            .cast("long")
+            .alias("trail5_avg_cents"),
+        )
+
+    def j7_full_outer(spark, sf_dir):
+        # full outer join with null-key handling: per-user click vs
+        # purchase counts, users present on either side
+        ev = _rd.read_table(spark, sf_dir, "events")
+
+        def per(kind):
+            return (
+                ev.where(F.col("event_type") == kind)
+                .groupBy(F.col("user_id").cast("long").alias("user_id"))
+                .agg(F.count("*").alias(f"n_{kind}"))
+            )
+
+        return (
+            per("click")
+            .join(per("purchase"), "user_id", "full_outer")
+            .select(
+                "user_id",
+                F.coalesce("n_click", F.lit(0)).alias("n_click"),
+                F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+            )
+        )
+
     # -- generic relational machinery (TPC-H-style) --
 
     def a2_pricing_summary(spark, sf_dir):
@@ -657,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w2_tumbling_window_counts,
         w3_sessionize,
         w4_session_window,
+        w5_moving_avg,
+        j7_full_outer,
         a2_pricing_summary,
         a12_rollup_pricing,
         a13_quantile_stats,
@@ -905,6 +949,32 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 3""",
         "w2_tumbling_window_counts": _wd.tumbling_window_counts_sql(),
         "w3_sessionize": _wd.sessionize_sql(),
         "w4_session_window": _wd.session_window_counts_sql(),
+        "w5_moving_avg": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(
+         CAST(SUM(cents) OVER w AS DOUBLE) / COUNT(cents) OVER w
+       ) AS BIGINT) AS trail5_avg_cents
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+        "j7_full_outer": """
+WITH c AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(n_click, 0) AS n_click,
+       COALESCE(n_purchase, 0) AS n_purchase
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""",
         "a2_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
