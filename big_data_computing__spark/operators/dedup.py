@@ -255,10 +255,21 @@ def duplicate_components(
     same). Iterations = graph diameter, which for near-dup graphs is
     tiny (duplicate clusters are dense and small); ``max_iterations``
     bounds pathological chains. Each round is one shuffle join on node
-    id plus a partial+final min aggregation; labels are cached and the
-    convergence check is a count of changed labels (bounded driver
-    data: one long). At 100 TB the per-round shuffle is on
-    (node, label) pairs only — never documents.
+    id plus a partial+final min aggregation; the convergence check is a
+    count of changed labels (bounded driver data: one long). At 100 TB
+    the per-round shuffle is on (node, label) pairs only — never
+    documents.
+
+    Each round's labels are ``localCheckpoint``-ed, not just cached:
+    caching truncates *execution* but the logical plan still nests the
+    previous round's plan twice (propagate + union), so the lineage —
+    and with it optimizer time and the plan-description string Spark
+    builds for every action — grows exponentially with the iteration
+    count (observed: a 15-round chain graph spent >17 min inside
+    ``explainString`` before the fix). Checkpointing resets the plan to
+    a leaf each round — the standard practice for iterative DataFrame
+    algorithms (GraphFrames does the same). On a real cluster prefer
+    reliable ``checkpoint()`` if executor loss matters mid-algorithm.
     """
     edges = (
         pairs.select(F.col(doc_a).alias("s"), F.col(doc_b).alias("t"))
@@ -270,7 +281,7 @@ def duplicate_components(
         edges.select(F.col("s").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lab"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         prop = edges.join(
@@ -278,16 +289,14 @@ def duplicate_components(
         ).select(F.col("t").alias("id"), "lab")
         new_labels = (
             labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
-        ).cache()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
-        old = labels
         labels = new_labels
-        old.unpersist()
         if changed == 0:
             break
     return labels.select(

@@ -207,3 +207,41 @@ def test_clean_corpus_composition(spark, sf_dir):
     assert all(v >= 0.45 for v in q.values())
     langs = {r["pred_lang"] for r in language_id(kept).collect()}
     assert langs == {"en"}
+
+
+def test_duplicate_components_vs_union_find(spark):
+    """CC operator vs a plain Python union-find on seeded random graphs —
+    independent implementations must agree exactly."""
+    import random
+
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n_nodes, n_edges = 60, 45
+        edges = [
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {(v, find(v)) for v in touched}
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            (r["doc_id"], r["component_id"])
+            for r in duplicate_components(pairs).collect()
+        }
+        assert got == want, f"seed {seed}"
