@@ -529,6 +529,23 @@ SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
 # ---------------------------------------------------------------------------
 
 
+def build_ivf_centroids(
+    emb: DataFrame, n_cells: int = 16, l: int = 4, seed: int = 42
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer once and return its centroids as a
+    plain (serializable) list — persist alongside the corpus and feed to
+    :func:`ivf_topk` via ``centers=`` so repeated queries skip the MRFFT
+    training jobs. Deterministic for fixed (data, params)."""
+    from .clustering import mr_fft
+
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double_vec(F.col("embedding")).alias("features"),
+    )
+    res = mr_fft(pts, k=n_cells, l=l, seed=seed)
+    return [[float(v) for v in c] for c in res.centers]
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -536,6 +553,7 @@ def ivf_topk(
     nprobe: int = 2,
     seed: int = 42,
     l: int = 4,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize with the engine's own MRFFT k-center
     operator, then search only the ``nprobe`` nearest cells per query.
@@ -545,14 +563,19 @@ def ivf_topk(
     against ~nprobe/n_cells of the data. Uses FFT (not k-means) for the
     quantizer because FFT is the engine's native k-center primitive and
     gives covering-radius guarantees.
-    """
-    from .clustering import mr_fft
 
+    ``centers``: pretrained centroids from :func:`build_ivf_centroids`;
+    when given, the quantizer-training jobs are skipped entirely (the
+    index-reuse path for repeated queries against a stable corpus).
+    """
     pts = emb.select(
         F.col("vec_id").cast("long").alias("id"),
         as_double_vec(F.col("embedding")).alias("features"),
     )
-    centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
+    if centers is None:
+        from .clustering import mr_fft
+
+        centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
     c = np.asarray(centers, dtype=np.float64)
 
     def _d2_seq(x: np.ndarray) -> np.ndarray:

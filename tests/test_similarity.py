@@ -172,3 +172,18 @@ def test_blocked_near_pairs_clustered_regime(spark):
     }
     assert brute == blocked
     assert len(brute) > 0
+
+
+def test_ivf_pretrained_centroids_equal_inline(spark, emb):
+    """ivf_topk with persisted centroids returns exactly the inline-
+    trained result (index-reuse path)."""
+    cents = S.build_ivf_centroids(emb, n_cells=4, l=2, seed=9)
+    inline = {
+        tuple(r) for r in S.ivf_topk(
+            emb, k=3, n_cells=4, l=2, seed=9
+        ).collect()
+    }
+    reused = {
+        tuple(r) for r in S.ivf_topk(emb, k=3, centers=cents).collect()
+    }
+    assert inline == reused and len(inline) > 0
