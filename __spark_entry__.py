@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_computing__spark.operators import clustering as _cl
+from big_data_computing__spark.operators import curation as _cu
 from big_data_computing__spark.operators import dedup as _dd
 from big_data_computing__spark.operators import frequent as _fr
 from big_data_computing__spark.operators import multimodal as _mm
@@ -53,6 +54,7 @@ JACCARD_THRESHOLD = 0.2
 # pair within Hamming 3 is guaranteed to collide on >= 1 band)
 SIMHASH_MAX_HAMMING = 3
 ANN_K = 3
+BALANCED_CAP = 50
 
 
 def _prepare(spark: SparkSession) -> SparkSession:
@@ -281,6 +283,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum(cents).over(w) / F.count(cents).over(w))
             .cast("long")
             .alias("trail5_avg_cents"),
+        )
+
+    def w6_ntile_quartiles(spark, sf_dir):
+        # rank-bucket stats: NTILE(4) of o_totalprice within priority
+        # (total order via the o_orderkey tie-break), then per-tile aggs
+        return _rel.ntile_quartiles(_rd.read_table(spark, sf_dir, "orders"))
+
+    def a17_pivot_events(spark, sf_dir):
+        # long→wide pivot with explicit pivot values (no discovery scan)
+        return _rel.pivot_event_values(
+            _rd.read_table(spark, sf_dir, "events")
         )
 
     def j7_full_outer(spark, sf_dir):
@@ -574,6 +587,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_winnow_fingerprints(spark, sf_dir):
         return _ts.winnow_fingerprints(_docs(spark, sf_dir))
 
+    # -- extensions: corpus curation (operators/curation.py) --
+
+    def x_repetition(spark, sf_dir):
+        # Gopher-style within-doc repetition signals
+        return _cu.repetition_metrics(_docs(spark, sf_dir))
+
+    def x_contamination(spark, sf_dir):
+        # held-out-split n-gram leakage (doc_id % 10 == 0 is the holdout)
+        return _cu.contamination(_docs(spark, sf_dir))
+
+    def x_stratified_sample(spark, sf_dir):
+        # deterministic rate-based stratified sampling report per lang
+        return _cu.stratified_sample_report(_docs(spark, sf_dir))
+
+    def x_balanced_sample(spark, sf_dir):
+        # ≤ cap docs per lang, ranked by counter-based hash
+        return _cu.balanced_sample(_docs(spark, sf_dir), cap=BALANCED_CAP)
+
+    def x_top_ngrams(spark, sf_dir):
+        # corpus-wide top-k bigrams (word-count shape, TakeOrdered)
+        return _cu.top_ngrams(_docs(spark, sf_dir))
+
+    def x_domain_mixture(spark, sf_dir):
+        # per-source token counts + sqrt-temperature mixture weights
+        return _cu.domain_mixture(_docs(spark, sf_dir))
+
     def s6_sql_interface(spark, sf_dir):
         # the SQL-string entry path (SURVEY §3 lifecycle): register the
         # fixture as a temp view and run the literal SQL through
@@ -700,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w3_sessionize,
         w4_session_window,
         w5_moving_avg,
+        w6_ntile_quartiles,
+        a17_pivot_events,
         j7_full_outer,
         a2_pricing_summary,
         a12_rollup_pricing,
@@ -722,6 +763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_bpe_token_counts,
         x_rolling_fingerprints,
         x_winnow_fingerprints,
+        x_repetition,
+        x_contamination,
+        x_stratified_sample,
+        x_balanced_sample,
+        x_top_ngrams,
+        x_domain_mixture,
         s6_sql_interface,
         # multimodal before the heavier dedup/ANN queries: round-1's
         # driver run recorded no CORRECTNESS rows for the tail entries,
@@ -962,6 +1009,8 @@ SELECT o_custkey, o_orderkey,
 FROM o
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+        "w6_ntile_quartiles": _rel.ntile_quartiles_sql(),
+        "a17_pivot_events": _rel.pivot_event_values_sql(),
         "j7_full_outer": """
 WITH c AS (
   SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS n_click
@@ -1092,6 +1141,12 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_bpe_token_counts": _ts.bpe_token_counts_sql(),
         "x_rolling_fingerprints": _ts.rolling_fingerprints_sql(),
         "x_winnow_fingerprints": _ts.winnow_fingerprints_sql(),
+        "x_repetition": _cu.repetition_metrics_sql(),
+        "x_contamination": _cu.contamination_sql(),
+        "x_stratified_sample": _cu.stratified_sample_report_sql(),
+        "x_balanced_sample": _cu.balanced_sample_sql(cap=BALANCED_CAP),
+        "x_top_ngrams": _cu.top_ngrams_sql(),
+        "x_domain_mixture": _cu.domain_mixture_sql(),
         "s6_sql_interface": """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,

@@ -1,0 +1,377 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+within-document repetition metrics, cross-split contamination checks,
+stratified sampling, corpus-level n-gram statistics, and domain mixture
+weights.
+
+Not in the reference (whose only text processing is ``"x,y".split(',')``,
+big_data_computing_2.py:10-12); these extend the engine's
+training-data-pipeline surface beyond dedup (dedup.py) and per-document
+text analysis (textstats.py) to the *corpus-level* decisions a data
+pipeline makes: what to drop for repetition, what leaked across splits,
+how much of each stratum/domain to keep.
+
+Scale notes:
+- repetition: one shuffle keyed (doc_id, token) with full map-side
+  partial aggregation, then a doc_id-keyed rollup — the token stream
+  never concentrates on one key because doc_id is in every grouping key.
+- contamination: distinct n-gram hashes per split, then a hash-keyed
+  equi-join; only (doc_id, hash) pairs shuffle, never text.
+- sampling: pure per-row counter-based decisions (functions/hashing.py)
+  or a per-stratum window rank — deterministic, no RNG state.
+- top-ngrams: partial-aggregated count per n-gram then
+  TakeOrderedAndProject — the classic scalable word-count shape.
+- mixture: per-domain aggregate (domains are few) + a single-partition
+  window over the tiny aggregate, not over the data.
+
+Every operator is Catalyst-only (no UDFs) with an exact DuckDB-SQL twin
+for the correctness oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, uniform01, uniform01_sql
+from ..functions.text import token_count, tokens, word_ngrams
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB list expression for space-joined word n-grams (twin of
+    functions.text.word_ngrams — 1-based list indexing, empty when the
+    document has fewer than n tokens)."""
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, len(toks) - {n - 2}), i -> {joined})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals: DataFrame[doc_id, n_tokens,
+    top_token_frac, dup_bigram_frac, dup_trigram_frac].
+
+    - ``top_token_frac``: occurrences of the most frequent token divided
+      by total tokens (high → degenerate repetition).
+    - ``dup_{bi,tri}gram_frac``: 1 − distinct/total word n-grams.
+
+    The filters a curation pipeline derives from these (e.g. drop when
+    dup_bigram_frac > 0.2) follow the repetition-removal heuristics of
+    the Gopher/MassiveText data work. Documents with zero tokens are
+    omitted (nothing to measure).
+    """
+    toks = tokens(F.col(text_col))
+    bi = word_ngrams(F.col(text_col), 2)
+    tri = word_ngrams(F.col(text_col), 3)
+
+    tok_counts = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").cast("int").alias("n_tokens"),
+            F.max("count").cast("int").alias("top_tok_cnt"),
+        )
+    )
+    grams = docs.select(
+        "doc_id",
+        F.size(bi).alias("n_bi"),
+        F.size(F.array_distinct(bi)).alias("d_bi"),
+        F.size(tri).alias("n_tri"),
+        F.size(F.array_distinct(tri)).alias("d_tri"),
+    )
+
+    def dup_frac(n: str, d: str) -> F.Column:
+        return F.round(
+            F.when(
+                F.col(n) > 0,
+                F.lit(1.0) - F.col(d).cast("double") / F.col(n),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return tok_counts.join(grams, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("top_tok_cnt").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_token_frac"),
+        dup_frac("n_bi", "d_bi").alias("dup_bigram_frac"),
+        dup_frac("n_tri", "d_tri").alias("dup_trigram_frac"),
+    )
+
+
+def repetition_metrics_sql() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tc AS (
+  SELECT doc_id, CAST(SUM(cnt) AS INT) AS n_tokens,
+         CAST(MAX(cnt) AS INT) AS top_tok_cnt
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+gr AS (
+  SELECT doc_id,
+         len(bi) AS n_bi, len(list_distinct(bi)) AS d_bi,
+         len(tri) AS n_tri, len(list_distinct(tri)) AS d_tri
+  FROM (SELECT doc_id, {_ngrams_sql(2)} AS bi, {_ngrams_sql(3)} AS tri
+        FROM base)
+)
+SELECT tc.doc_id, n_tokens,
+       ROUND(CAST(top_tok_cnt AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+       ROUND(CASE WHEN n_bi > 0
+                  THEN 1.0 - CAST(d_bi AS DOUBLE) / n_bi
+                  ELSE 0.0 END, 6) AS dup_bigram_frac,
+       ROUND(CASE WHEN n_tri > 0
+                  THEN 1.0 - CAST(d_tri AS DOUBLE) / n_tri
+                  ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM tc JOIN gr ON tc.doc_id = gr.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-split contamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame,
+    n: int = 3,
+    holdout_mod: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out-set contamination: for each document in the held-out
+    split (``doc_id % holdout_mod == 0``), the fraction of its distinct
+    word n-grams that also appear anywhere in the training split.
+    DataFrame[doc_id, n_ngrams, n_contaminated, contamination_frac].
+
+    The train-side n-gram set is reduced to distinct 60-bit hashes before
+    the join, so the shuffle moves one bigint per distinct n-gram — never
+    the text. This is the decontamination check run before any training
+    corpus ships (the n-gram-overlap definition used by GPT-3/PaLM-style
+    dataset reports). Held-out documents with fewer than ``n`` tokens are
+    omitted (no n-grams to leak).
+    """
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "g"
+        ),
+    ).select("doc_id", hash60(F.col("g")).alias("h"))
+    test = grams.where(F.col("doc_id") % holdout_mod == 0)
+    train = (
+        grams.where(F.col("doc_id") % holdout_mod != 0)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        test.join(train, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_ngrams"),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+def contamination_sql(n: int = 3, holdout_mod: int = 10) -> str:
+    from ..functions.hashing import hash60_sql
+
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, {hash60_sql('g')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({_ngrams_sql(n)})) AS g
+        FROM base)
+),
+test AS (SELECT * FROM grams WHERE doc_id % {holdout_mod} = 0),
+train AS (SELECT DISTINCT h FROM grams WHERE doc_id % {holdout_mod} <> 0)
+SELECT test.doc_id,
+       CAST(COUNT(*) AS INT) AS n_ngrams,
+       CAST(SUM(CASE WHEN train.h IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN train.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS contamination_frac
+FROM test LEFT JOIN train ON test.h = train.h
+GROUP BY test.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified / balanced sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_report(
+    docs: DataFrame, strata_col: str = "lang", fraction: float = 0.25
+) -> DataFrame:
+    """Deterministic rate-based stratified sampling report:
+    DataFrame[stratum, n_total, n_kept]. A row is kept when its
+    counter-based uniform draw (keyed on doc_id — functions/hashing.py)
+    falls below ``fraction``; per-row, stateless, reproducible."""
+    u = uniform01(F.concat(F.lit("ss:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select(F.col(strata_col).alias("stratum"), u.alias("u"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("int").alias("n_total"),
+            F.sum((F.col("u") < F.lit(fraction)).cast("int"))
+            .cast("int")
+            .alias("n_kept"),
+        )
+    )
+
+
+def stratified_sample_report_sql(
+    strata_col: str = "lang", fraction: float = 0.25
+) -> str:
+    u = uniform01_sql("concat('ss:', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT {strata_col} AS stratum,
+       CAST(COUNT(*) AS INT) AS n_total,
+       CAST(SUM(CASE WHEN {u} < {fraction!r} THEN 1 ELSE 0 END) AS INT)
+         AS n_kept
+FROM documents GROUP BY {strata_col}
+"""
+
+
+def balanced_sample(
+    docs: DataFrame, strata_col: str = "lang", cap: int = 50
+) -> DataFrame:
+    """Deterministic balanced sample: at most ``cap`` documents per
+    stratum, chosen by rank over a counter-based hash (a reproducible
+    'random' order). DataFrame[doc_id, stratum].
+
+    The shuffle is keyed by stratum; with few large strata the window
+    rank concentrates — at 100 TB prefer rate-based sampling
+    (:func:`stratified_sample_report`) or pre-aggregate per-partition
+    top-``cap`` (the rank only needs the best ``cap`` rows of each
+    partition, which AQE's skew handling and the window's rank-limit
+    pushdown — ``WindowGroupLimit`` in Spark 3.5+ — already exploit).
+    """
+    key = hash60(F.concat(F.lit("bs:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", F.col(strata_col).alias("stratum"), key.alias("_k"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy(
+                    F.col("_k").asc(), F.col("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rn") <= cap)
+        .select("doc_id", "stratum")
+    )
+
+
+def balanced_sample_sql(strata_col: str = "lang", cap: int = 50) -> str:
+    from ..functions.hashing import hash60_sql
+
+    key = hash60_sql("concat('bs:', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, stratum FROM (
+  SELECT doc_id, {strata_col} AS stratum,
+         ROW_NUMBER() OVER (PARTITION BY {strata_col}
+                            ORDER BY {key} ASC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {cap}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level n-gram statistics
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: DataFrame[ngram, cnt], ordered by
+    count descending with the n-gram string as a deterministic
+    tie-break. Partial aggregation (map-side combine) then
+    TakeOrderedAndProject — only k rows ever reach the driver."""
+    return (
+        docs.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def top_ngrams_sql(n: int = 2, k: int = 20) -> str:
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({_ngrams_sql(n)}) AS ngram FROM base)
+GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weights
+# ---------------------------------------------------------------------------
+
+
+def domain_mixture(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain (source) corpus statistics and sqrt-scaled sampling
+    weights: DataFrame[source, n_docs, n_tokens, weight], where
+    weight ∝ sqrt(n_tokens), normalized to sum to 1 — the standard
+    temperature-style domain re-weighting (τ = 0.5) used when mixing
+    heterogeneous sources into one training corpus.
+
+    sqrt (not pow) so the arithmetic is IEEE-correctly-rounded and
+    bit-identical across engines. The window runs over the per-domain
+    aggregate (a handful of rows), never over the raw data.
+    """
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    s = F.sqrt(F.col("n_tokens").cast("double"))
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(s / F.sum(s).over(w), 6).alias("weight"),
+    )
+
+
+def domain_mixture_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+         CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE))
+             / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight
+FROM per
+"""

@@ -163,3 +163,94 @@ def salted_agg(
             for col, fn in aggs.items()
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / ntile (wide-format reshaping and rank-bucket statistics)
+# ---------------------------------------------------------------------------
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_values(
+    events: DataFrame,
+    event_types: tuple[str, ...] = PIVOT_EVENT_TYPES,
+) -> DataFrame:
+    """Long→wide pivot: per event day, one column per event type holding
+    ROUND(SUM(value), 6) — DataFrame[day_idx, click, error, ...], where
+    day_idx is the integer epoch day (the fixture stores ts as
+    nanos-since-epoch, see windows.tumbling_window_counts for the
+    cross-engine timestamp convention).
+
+    The pivot values are passed explicitly, which is the scalable form:
+    Spark otherwise runs an extra distinct-scan job to discover them, and
+    an unbounded value set would explode the schema. One shuffle on the
+    grouping key; each pivot cell is an independent partial aggregate
+    (map-side combined), so skew in event_type does not concentrate —
+    the key is the day, not the type.
+    """
+    day = F.expr("((ts div 1000) div 86400000000)").cast("long")
+    return (
+        events.groupBy(day.alias("day_idx"))
+        .pivot("event_type", list(event_types))
+        .agg(F.round(F.sum("value"), 6))
+    )
+
+
+def pivot_event_values_sql(
+    event_types: tuple[str, ...] = PIVOT_EVENT_TYPES,
+) -> str:
+    cells = ", ".join(
+        f"ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 6)"
+        f" AS \"{t}\""
+        for t in event_types
+    )
+    return (
+        f"SELECT epoch_us(ts) // 86400000000 AS day_idx, {cells} "
+        f"FROM events GROUP BY 1"
+    )
+
+
+def ntile_quartiles(orders: DataFrame, n: int = 4) -> DataFrame:
+    """Rank-bucket statistics: orders split into ``n`` equal-frequency
+    tiles of o_totalprice *within* each o_orderpriority, then per-tile
+    count/min/max — DataFrame[o_orderpriority, quartile, n_orders,
+    min_price, max_price].
+
+    The ntile order includes o_orderkey as a tie-break so the tile
+    assignment is a total order (deterministic, oracle-checkable). The
+    window partitions by priority — bounded state per partition; the
+    output is the aggregate, so only (priority × n) rows leave the
+    shuffle.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(n).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def ntile_quartiles_sql(n: int = 4) -> str:
+    return f"""
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE({n}) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+SELECT o_orderpriority, quartile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM t GROUP BY o_orderpriority, quartile
+"""

@@ -1,0 +1,197 @@
+"""Corpus-curation operators (operators/curation.py) + the n-gram
+helpers they lean on (functions/text.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.functions.text import (
+    char_shingles,
+    word_ngrams,
+)
+from big_data_computing__spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                 "lang string, source string")
+
+
+# ---------------------------------------------------------------------------
+# n-gram helpers: hand-checked edges (shift-and-zip construction)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_helpers_edges(spark):
+    rows = [("",), ("a",), ("a b",), ("a b c",), ("  x  y ",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        "text",
+        word_ngrams(F.col("text"), 2).alias("w2"),
+        word_ngrams(F.col("text"), 3).alias("w3"),
+        char_shingles(F.col("text"), 2).alias("c2"),
+    ).collect()
+    by_text = {r.text: r for r in got}
+    assert by_text["a b c"].w2 == ["a b", "b c"]
+    assert by_text["a b c"].w3 == ["a b c"]
+    assert by_text["a"].w2 == []
+    assert by_text[""].w2 == []
+    # whitespace tokens are filtered before n-gram construction
+    assert by_text["  x  y "].w2 == ["x y"]
+    assert by_text["a b"].c2 == ["a ", " b"]
+
+
+def test_word_ngrams_match_python_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "one",
+        "aa aa aa aa",
+        "x y z x y z x",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (2, 3, 4):
+        got = {
+            r.text: r.g
+            for r in df.select(
+                "text", word_ngrams(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        for t in texts:
+            toks = t.split()
+            want = [
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            ]
+            assert got[t] == want, (t, n)
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_metrics_hand_computed(spark):
+    rows = [
+        # 4 tokens, top 'a' x2; bigrams [a b, b a, a c] distinct 3
+        (1, "a b a c", "en", "s0"),
+        # degenerate repetition: all same token
+        (2, "z z z z z", "en", "s0"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in C.repetition_metrics(_docs(spark, rows)).collect()
+    }
+    r1 = out[1]
+    assert r1.n_tokens == 4
+    assert r1.top_token_frac == pytest.approx(0.5)
+    assert r1.dup_bigram_frac == pytest.approx(0.0)
+    r2 = out[2]
+    assert r2.n_tokens == 5
+    assert r2.top_token_frac == pytest.approx(1.0)
+    # bigrams: 4 total, 1 distinct -> 0.75 ; trigrams: 3 total, 1 distinct
+    assert r2.dup_bigram_frac == pytest.approx(0.75)
+    assert r2.dup_trigram_frac == pytest.approx(2 / 3, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_hand_computed(spark):
+    rows = [
+        # held-out (doc_id % 10 == 0): shares trigram "p q r" with doc 1
+        (0, "p q r s", "en", "s0"),
+        (1, "p q r zz", "en", "s0"),
+        # held-out with no leakage
+        (10, "m n o", "en", "s0"),
+        (11, "completely different words here", "en", "s0"),
+    ]
+    out = {
+        r.doc_id: r for r in C.contamination(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {0, 10}
+    # doc 0 trigrams: {p q r, q r s} -> 1 of 2 in train
+    assert out[0].n_ngrams == 2
+    assert out[0].n_contaminated == 1
+    assert out[0].contamination_frac == pytest.approx(0.5)
+    assert out[10].n_contaminated == 0
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_report_totals_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = {
+        r.stratum: r
+        for r in C.stratified_sample_report(docs, fraction=0.25).collect()
+    }
+    totals = {
+        r.lang: r.cnt
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert {s: r.n_total for s, r in rep.items()} == totals
+    for r in rep.values():
+        assert 0 <= r.n_kept <= r.n_total
+    # rate is approximately honored overall (counter-based uniform draw)
+    frac = sum(r.n_kept for r in rep.values()) / sum(
+        r.n_total for r in rep.values()
+    )
+    assert 0.15 < frac < 0.35
+    rep2 = {
+        r.stratum: (r.n_total, r.n_kept)
+        for r in C.stratified_sample_report(docs, fraction=0.25).collect()
+    }
+    assert rep2 == {s: (r.n_total, r.n_kept) for s, r in rep.items()}
+
+
+def test_balanced_sample_caps_each_stratum(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.balanced_sample(docs, cap=7).collect()
+    per = {}
+    for r in out:
+        per[r.stratum] = per.get(r.stratum, 0) + 1
+    totals = {
+        r.lang: r.cnt
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    for s, n in per.items():
+        assert n == min(7, totals[s])
+    # sampled ids are a subset of the stratum
+    langs = {(r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()}
+    assert all((r.doc_id, r.stratum) in langs for r in out)
+
+
+# ---------------------------------------------------------------------------
+# corpus stats
+# ---------------------------------------------------------------------------
+
+
+def test_top_ngrams_matches_python_count(spark):
+    rows = [
+        (1, "a b a b c", "en", "s0"),
+        (2, "a b x", "en", "s1"),
+        (3, "a b", "en", "s1"),
+    ]
+    got = [(r.ngram, r.cnt) for r in
+           C.top_ngrams(_docs(spark, rows), n=2, k=3).collect()]
+    # counts: 'a b' x4, 'b a' x1, 'b c' x1, 'b x' x1 -> tie-break by name
+    assert got == [("a b", 4), ("b a", 1), ("b c", 1)]
+
+
+def test_domain_mixture_weights_sum_to_one(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.domain_mixture(docs).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    assert sum(r.weight for r in out) == pytest.approx(1.0, abs=1e-4)
+    # sqrt temperature flattens: max/min weight ratio is sqrt of token ratio
+    toks = {r.source: r.n_tokens for r in out}
+    ws = {r.source: r.weight for r in out}
+    hi, lo = max(toks, key=toks.get), min(toks, key=toks.get)
+    assert ws[hi] / ws[lo] == pytest.approx(
+        (toks[hi] / toks[lo]) ** 0.5, rel=1e-3
+    )

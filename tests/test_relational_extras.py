@@ -1,0 +1,70 @@
+"""Pivot and ntile operators (operators/relational.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.operators.relational import (
+    ntile_quartiles,
+    pivot_event_values,
+)
+
+NS_DAY = 86_400_000_000_000
+
+
+def test_pivot_event_values_hand_computed(spark):
+    rows = [
+        # day 0: two clicks, one view
+        (1, 0 * NS_DAY + 1000, 7, "click", 1.5, "{}"),
+        (2, 0 * NS_DAY + 2000, 7, "click", 2.25, "{}"),
+        (3, 0 * NS_DAY + 3000, 8, "view", 1.0, "{}"),
+        # day 2: one purchase; no clicks -> null cell
+        (4, 2 * NS_DAY + 1000, 9, "purchase", 10.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.day_idx: r for r in pivot_event_values(ev).collect()}
+    assert set(out) == {0, 2}
+    assert out[0].click == 3.75
+    assert out[0].view == 1.0
+    assert out[0].purchase is None
+    assert out[2].purchase == 10.0
+    assert out[2].click is None
+
+
+def test_ntile_quartiles_exact_buckets(spark):
+    # 8 orders in one priority: quartiles of 2 by price
+    rows = [
+        (i, 100 + i, "O", float(10 * i), "2024-01-01", "1-URGENT")
+        for i in range(1, 9)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    out = {
+        r.quartile: r for r in ntile_quartiles(orders, n=4).collect()
+    }
+    assert [out[q].n_orders for q in (1, 2, 3, 4)] == [2, 2, 2, 2]
+    assert out[1].min_price == 10.0 and out[1].max_price == 20.0
+    assert out[4].min_price == 70.0 and out[4].max_price == 80.0
+
+
+def test_ntile_is_deterministic_on_ties(spark):
+    # identical prices: tie-break by o_orderkey makes assignment stable
+    rows = [
+        (i, 1, "O", 50.0, "2024-01-01", "1-URGENT") for i in range(1, 9)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    a = sorted(map(tuple, ntile_quartiles(orders, n=4).collect()))
+    b = sorted(map(tuple, ntile_quartiles(orders, n=4).collect()))
+    assert a == b
+    assert [r[2] for r in a] == [2, 2, 2, 2]
