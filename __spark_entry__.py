@@ -613,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source token counts + sqrt-temperature mixture weights
         return _cu.domain_mixture(_docs(spark, sf_dir))
 
+    def x_pii_report(spark, sf_dir):
+        # per-doc PII audit + redacted-text fingerprint (dialect-neutral
+        # regexes — identical under Java regex and RE2)
+        return _cu.pii_report(_docs(spark, sf_dir))
+
     def s6_sql_interface(spark, sf_dir):
         # the SQL-string entry path (SURVEY §3 lifecycle): register the
         # fixture as a temp view and run the literal SQL through
@@ -769,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_balanced_sample,
         x_top_ngrams,
         x_domain_mixture,
+        x_pii_report,
         s6_sql_interface,
         # multimodal before the heavier dedup/ANN queries: round-1's
         # driver run recorded no CORRECTNESS rows for the tail entries,
@@ -1147,6 +1153,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_balanced_sample": _cu.balanced_sample_sql(cap=BALANCED_CAP),
         "x_top_ngrams": _cu.top_ngrams_sql(),
         "x_domain_mixture": _cu.domain_mixture_sql(),
+        "x_pii_report": _cu.pii_report_sql(),
         "s6_sql_interface": """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,

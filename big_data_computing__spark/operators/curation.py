@@ -375,3 +375,75 @@ SELECT source, n_docs, n_tokens,
              / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Dialect-neutral patterns (no \d, \b, or lookaround): identical
+# semantics under Java regex (Spark) and RE2 (DuckDB), which is what
+# makes the operator oracle-checkable cross-engine.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE = "[+]?[0-9][0-9()\\- ]{6,}[0-9]"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+_PII_ORDER = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / phone-number runs with typed placeholder
+    tags: the input DataFrame with ``text_col`` rewritten. Order
+    matters: emails first (their local part can contain digits), then
+    IPs (dotted digits would otherwise match the phone run), then
+    phones. Pure per-row regexp — embarrassingly parallel, no shuffle.
+    """
+    out = F.col(text_col)
+    for pat, tag in _PII_ORDER:
+        out = F.regexp_replace(out, pat, tag)
+    return docs.withColumn(text_col, out)
+
+
+def pii_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII audit: DataFrame[doc_id, n_emails, n_phones,
+    n_ips, redacted_fp] where redacted_fp is the 60-bit fingerprint of
+    the redacted text (lets a pipeline verify redaction output without
+    moving the text)."""
+    red = F.col(text_col)
+    for pat, tag in _PII_ORDER:
+        red = F.regexp_replace(red, pat, tag)
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL), 0)
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(PII_PHONE), 0)
+        ).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(PII_IPV4), 0)
+        ).alias("n_ips"),
+        hash60(red).alias("redacted_fp"),
+    )
+
+
+def pii_report_sql() -> str:
+    from ..functions.hashing import hash60_sql
+
+    red = "text"
+    for pat, tag in _PII_ORDER:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS INT) AS n_ips,
+       {hash60_sql(red)} AS redacted_fp
+FROM documents
+"""

@@ -195,3 +195,28 @@ def test_domain_mixture_weights_sum_to_one(spark, sf_dir):
     assert ws[hi] / ws[lo] == pytest.approx(
         (toks[hi] / toks[lo]) ** 0.5, rel=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_report_and_redaction(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@example.org or call +1 (555) 123-4567",
+         "en", "s0"),
+        (2, "server at 10.0.42.7 went down", "en", "s0"),
+        (3, "no pii here at all", "en", "s0"),
+    ]
+    docs = _docs(spark, rows)
+    rep = {r.doc_id: r for r in C.pii_report(docs).collect()}
+    assert (rep[1].n_emails, rep[1].n_phones, rep[1].n_ips) == (1, 1, 0)
+    assert (rep[2].n_emails, rep[2].n_phones, rep[2].n_ips) == (0, 0, 1)
+    assert (rep[3].n_emails, rep[3].n_phones, rep[3].n_ips) == (0, 0, 0)
+
+    red = {r.doc_id: r.text for r in C.redact_pii(docs).collect()}
+    assert "<EMAIL>" in red[1] and "<PHONE>" in red[1]
+    assert "jane" not in red[1] and "555" not in red[1]
+    assert red[2] == "server at <IP> went down"
+    assert red[3] == "no pii here at all"
