@@ -706,6 +706,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf_dir), k=ANN_K, n_cells=FFT_K, seed=SEED, l=FFT_L
         )
 
+    def x_ann_pq_topk(spark, sf_dir):
+        # compressed-domain ANN: PQ codes + ADC scan + exact re-rank;
+        # codebooks train deterministically (hash-ranked sample + seeded
+        # FFT) so the whole approximate pipeline is hash-checkable
+        return _sim.pq_topk(_emb(spark, sf_dir), k=ANN_K, seed=SEED)
+
     # -- extensions: multimodal plumbing --
 
     def x_media_metadata(spark, sf_dir):
@@ -793,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_cosine_topk,
         x_ann_lsh_topk,
         x_ann_ivf_topk,
+        x_ann_pq_topk,
     ):
         q[fn.__name__] = _with_prepare(fn)
     return q
@@ -1188,6 +1195,7 @@ WHERE doc_id NOT IN (
         "x_ann_ivf_topk": _sim.ivf_topk_sql(
             ANN_K, _gold.C3_CENTERS, nprobe=2
         ),
+        "x_ann_pq_topk": _sim.pq_topk_sql(ANN_K, _gold.PQ_CODEBOOKS),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),
     }

@@ -646,3 +646,256 @@ def ivf_topk(
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN scoring
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_KS = 16  # centroids per subspace codebook
+PQ_SAMPLE = 512  # training-sample size pulled to the driver
+PQ_SHORTLIST = 32  # ADC candidates kept per query before exact re-rank
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Element-sequential dot product — matches DuckDB's
+    list_dot_product accumulation order, so distances (and therefore
+    argmin code assignment) are bit-identical to the SQL twin."""
+    acc = 0.0
+    for t in range(len(a)):
+        acc += float(a[t]) * float(b[t])
+    return acc
+
+
+def _pq_d2(s: np.ndarray, c: np.ndarray) -> float:
+    """Squared distance in the exact expression shape of the SQL twin:
+    dot(s,s) - 2*dot(s,c) + dot(c,c), each dot element-sequential."""
+    return _seq_dot(s, s) - 2.0 * _seq_dot(s, c) + _seq_dot(c, c)
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    sample: int = PQ_SAMPLE,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: the embedding dimension is split into ``m``
+    contiguous subspaces and each gets a ``ks``-centroid codebook from
+    the engine's seeded FFT (k-center) kernel, fitted on a deterministic
+    hash-ranked sample.
+
+    Driver data is bounded by construction (``sample`` vectors — the
+    same bounded-pull pattern as the MRFFT coreset); at 100 TB the
+    sample is still ``sample`` rows. Returns plain nested lists —
+    serializable, pinnable as SQL literals (tools/gen_fft_golden.py),
+    and reusable across queries like :func:`build_ivf_centroids`.
+    """
+    from .clustering import sequential_fft
+
+    key = hash60(F.concat(F.lit("pq:"), F.col("vid").cast("string")))
+    rows = (
+        _vec_df(emb)
+        .select("vid", "v", key.alias("_k"))
+        .orderBy(F.col("_k").asc(), F.col("vid").asc())
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    dsub = X.shape[1] // m
+    books = []
+    for j in range(m):
+        sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        cents = sequential_fft(sub, ks, seed=seed + j)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    shortlist: int = PQ_SHORTLIST,
+    seed: int = 42,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN (self-search, queries = vec_id % 10 == 0):
+    DataFrame[query_id, vec_id, score].
+
+    Pipeline — the compressed-scan tier of the engine's ANN stack:
+
+    1. encode every vector as ``m`` 4-bit-ish codes (argmin centroid per
+       subspace, lower index on ties) — the corpus the scan touches is
+       ``m`` small ints per vector instead of d floats (64× smaller at
+       d=64/m=8: the memory-bounded path when embeddings don't fit);
+    2. per query, build the asymmetric-distance lookup table
+       LUT[j][c] = d2(q_subj, centroid_jc) (m·ks doubles, built once);
+    3. ADC scan: approx d2 of a pair = Σ_j LUT[j][code_j] — m array
+       lookups + adds per pair, no float multiplies;
+    4. keep ``shortlist`` candidates per query (ties → lower vec_id),
+       exact-cosine re-rank, return top ``k``.
+
+    Exact-parity discipline: codes, LUTs, and the ADC sum are computed
+    in the same float expression shape and accumulation order as the
+    DuckDB twin (see :func:`_seq_dot`), so the operator is hash-green
+    against SQL despite being approximate. Compose with IVF cells
+    (:func:`ivf_topk`) to prune the candidate set before the ADC scan
+    at cluster scale; kernels are Arrow-batched pandas_udfs.
+    """
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        emb, m=m, ks=ks, seed=seed
+    )
+    C = np.array(books, dtype=np.float64)  # (m, ks, dsub)
+    dsub = C.shape[2]
+
+    def encode(batch: pd.Series) -> pd.Series:
+        out = []
+        for vec in batch:
+            x = np.asarray(vec, dtype=np.float64)
+            codes = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                d2s = [_pq_d2(s, C[j, c]) for c in range(ks)]
+                codes.append(int(np.argmin(d2s)))
+            out.append(codes)
+        return pd.Series(out)
+
+    def lut(batch: pd.Series) -> pd.Series:
+        out = []
+        for vec in batch:
+            x = np.asarray(vec, dtype=np.float64)
+            flat = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                flat.extend(_pq_d2(s, C[j, c]) for c in range(ks))
+            out.append(flat)
+        return pd.Series(out)
+
+    encode.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    lut.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    encode_udf = F.pandas_udf(encode, T.ArrayType(T.IntegerType()))
+    lut_udf = F.pandas_udf(lut, T.ArrayType(T.DoubleType()))
+
+    base = _vec_df(emb)
+    corpus = base.select("vid", "v", "nrm", encode_udf("v").alias("codes"))
+    q = base.where(F.col("vid") % 10 == 0).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        lut_udf("v").alias("lut"),
+    )
+    # ADC sum in fixed j order (left-assoc chain = the SQL twin's order)
+    ad2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"), F.lit(j * ks) + F.element_at("codes", j + 1) + 1
+        )
+        ad2 = term if ad2 is None else ad2 + term
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.asc("ad2"), F.asc("vid")
+    )
+    cands = (
+        q.crossJoin(corpus.select("vid", "codes"))
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "qv", "qnrm", "vid", ad2.alias("ad2"))
+        .withColumn("crk", F.row_number().over(cand_w))
+        .where(F.col("crk") <= shortlist)
+    )
+    rerank = cands.join(base, "vid").select(
+        F.col("qid").alias("query_id"),
+        F.col("vid").alias("vec_id"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def pq_topk_sql(
+    k: int,
+    codebooks: list[list[list[float]]],
+    shortlist: int = PQ_SHORTLIST,
+    query_filter: str = "vid % 10 = 0",
+) -> str:
+    """DuckDB twin of :func:`pq_topk` with the codebooks as literals
+    (pinned at sf0.01 by tools/gen_fft_golden.py). Replicates code
+    assignment, LUT construction, the ADC sum (same left-assoc order),
+    the shortlist cut, and the exact re-rank."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def d2(s: str, c: list[float]) -> str:
+        cc = repr(_seq_dot(np.array(c), np.array(c)))
+        return (
+            f"(list_dot_product({s}, {s})"
+            f" - 2 * list_dot_product({s}, {lit(c)}) + {cc})"
+        )
+
+    slices = ", ".join(
+        f"vec[{j * dsub + 1}:{(j + 1) * dsub}] AS s{j}" for j in range(m)
+    )
+    code_cols = ", ".join(
+        "list_sort(["
+        + ", ".join(
+            f"{{'d': {d2(f's{j}', codebooks[j][c])}, 'c': {c}}}"
+            for c in range(ks)
+        )
+        + f"])[1].c AS code{j}"
+        for j in range(m)
+    )
+    lut_list = "[" + ", ".join(
+        d2(f"s{j}", codebooks[j][c])
+        for j in range(m)
+        for c in range(ks)
+    ) + "]"
+    adc = " + ".join(
+        f"q.lut[{j * ks} + c.code{j} + 1]" for j in range(m)
+    )
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+sub AS (SELECT vid, vec, {slices} FROM v),
+c AS (SELECT vid, {code_cols} FROM sub),
+q AS (SELECT vid AS qid, vec AS qvec, {lut_list} AS lut
+      FROM sub WHERE {query_filter}),
+cand AS (
+  SELECT q.qid, q.qvec, c.vid, {adc} AS ad2
+  FROM q CROSS JOIN c WHERE q.qid <> c.vid
+),
+short AS (
+  SELECT qid, qvec, vid FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY qid ORDER BY ad2 ASC, vid ASC) AS crk
+    FROM cand
+  ) WHERE crk <= {shortlist}
+),
+rerank AS (
+  SELECT s.qid AS query_id, s.vid AS vec_id,
+         ROUND(list_dot_product(s.qvec, v.vec)
+               / (sqrt(list_dot_product(s.qvec, s.qvec))
+                  * sqrt(list_dot_product(v.vec, v.vec))), 6) AS score
+  FROM short s JOIN v ON v.vid = s.vid
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM rerank
+) WHERE rk <= {k}
+"""

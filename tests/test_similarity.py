@@ -187,3 +187,49 @@ def test_ivf_pretrained_centroids_equal_inline(spark, emb):
         tuple(r) for r in S.ivf_topk(emb, k=3, centers=cents).collect()
     }
     assert inline == reused and len(inline) > 0
+
+
+def test_pq_recall_and_codebook_reuse(spark, emb):
+    """PQ-ADC ANN: decent recall@3 vs exact, and the pretrained-codebook
+    path returns exactly the inline-trained result."""
+    exact = {}
+    for r in S.cosine_topk(
+        emb, queries=emb.where(F.col("vec_id") % 10 == 0), k=3
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    books = S.train_pq_codebooks(emb, seed=42)
+    inline = S.pq_topk(emb, k=3, seed=42).collect()
+    reused = S.pq_topk(emb, k=3, codebooks=books).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert set(got) == set(exact)
+        hits = sum(len(got[q] & exact[q]) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    # uniform-random synthetic embeddings are the worst case for PQ
+    # (no cluster structure for the codebooks to exploit — same floor
+    # note as COVERAGE.md's LSH/IVF table); chance for a shortlist of
+    # 32 from 499 would be ~0.064
+    r32 = recall(inline)
+    assert r32 > 0.3, f"PQ recall too low: {r32}"
+    # widening the ADC shortlist must raise recall toward exact
+    r128 = recall(
+        S.pq_topk(emb, k=3, codebooks=books, shortlist=128).collect()
+    )
+    assert r128 > r32
+    assert r128 > 0.6, f"PQ recall@128-shortlist too low: {r128}"
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    books = S.train_pq_codebooks(emb, seed=7)
+    books2 = S.train_pq_codebooks(emb, seed=7)
+    assert books == books2
+    assert len(books) == S.PQ_M
+    assert all(len(b) == S.PQ_KS for b in books)
+    d = len(emb.first()["embedding"])
+    assert all(len(c) == d // S.PQ_M for b in books for c in b)
