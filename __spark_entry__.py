@@ -712,6 +712,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FFT) so the whole approximate pipeline is hash-checkable
         return _sim.pq_topk(_emb(spark, sf_dir), k=ANN_K, seed=SEED)
 
+    def x_ann_ivf_pq_topk(spark, sf_dir):
+        # the composed two-tier index: IVF cell pruning → PQ-ADC
+        # shortlist → exact re-rank (FAISS IVF-PQ shape, oracled
+        # end-to-end via the pinned center + codebook goldens)
+        return _sim.ivf_pq_topk(
+            _emb(spark, sf_dir), k=ANN_K, n_cells=FFT_K, seed=SEED, l=FFT_L
+        )
+
     # -- extensions: multimodal plumbing --
 
     def x_media_metadata(spark, sf_dir):
@@ -800,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_lsh_topk,
         x_ann_ivf_topk,
         x_ann_pq_topk,
+        x_ann_ivf_pq_topk,
     ):
         q[fn.__name__] = _with_prepare(fn)
     return q
@@ -1196,6 +1205,9 @@ WHERE doc_id NOT IN (
             ANN_K, _gold.C3_CENTERS, nprobe=2
         ),
         "x_ann_pq_topk": _sim.pq_topk_sql(ANN_K, _gold.PQ_CODEBOOKS),
+        "x_ann_ivf_pq_topk": _sim.ivf_pq_topk_sql(
+            ANN_K, _gold.C3_CENTERS, _gold.PQ_CODEBOOKS, nprobe=2
+        ),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),
     }

@@ -899,3 +899,281 @@ SELECT query_id, vec_id, score FROM (
   FROM rerank
 ) WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF × PQ composition: cell-pruned candidates, compressed-domain scoring
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    l: int = 4,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    shortlist: int = PQ_SHORTLIST,
+    centers: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The full two-tier ANN index (the FAISS IVF-PQ architecture,
+    rebuilt on DataFrames): DataFrame[query_id, vec_id, score].
+
+    1. **IVF tier** — MRFFT coarse quantizer; the corpus shuffles once
+       on cell id and each query touches only its ``nprobe`` nearest
+       cells (candidate *pruning*: ~nprobe/n_cells of the data).
+    2. **PQ tier** — within probed cells, candidates are scored from
+       ``m``-byte PQ codes via the query's ADC lookup table (scan
+       *compression*: no float multiplies, no full vectors touched).
+    3. **Exact tier** — the ``shortlist`` best ADC candidates per query
+       are re-ranked with exact cosine; top ``k`` returned.
+
+    Both quantizers are deterministic (seeded FFT) and persistable
+    (``centers=`` / ``codebooks=`` skip training — the index-reuse
+    path), and every tier keeps the oracle-parity float discipline, so
+    the *composed* index is hash-checkable end-to-end against SQL.
+    At 100 TB: vectors are touched exactly twice (once per quantizer
+    assignment, once for the shortlist re-rank join); the ADC scan
+    moves only (cell, codes) pairs — 8 bytes of payload per vector.
+    """
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double_vec(F.col("embedding")).alias("features"),
+    )
+    if centers is None:
+        from .clustering import mr_fft
+
+        centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(emb, m=m, ks=ks, seed=seed)
+    )
+    c = np.asarray(centers, dtype=np.float64)
+    C = np.array(books, dtype=np.float64)
+    dsub = C.shape[2]
+
+    def _d2_cells(x: np.ndarray) -> np.ndarray:
+        n, dim_ = x.shape
+        x_sq = np.zeros(n)
+        for j in range(dim_):
+            x_sq += x[:, j] * x[:, j]
+        d2 = np.empty((n, len(c)))
+        for kk in range(len(c)):
+            c_sq = 0.0
+            for j in range(dim_):
+                c_sq += c[kk, j] * c[kk, j]
+            dot_ = np.zeros(n)
+            for j in range(dim_):
+                dot_ += x[:, j] * c[kk, j]
+            d2[:, kk] = x_sq - 2.0 * dot_ + c_sq
+        return d2
+
+    def nearest_cells(batch):
+        x = np.array(batch.tolist(), dtype=np.float64)
+        order = np.argsort(_d2_cells(x), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.tolist() for row in order.astype(np.int64)])
+
+    def nearest_cell(batch):
+        return nearest_cells(batch).map(lambda cells: cells[0])
+
+    def encode(batch):
+        out = []
+        for vec in batch:
+            x = np.asarray(vec, dtype=np.float64)
+            out.append(
+                [
+                    int(
+                        np.argmin(
+                            [
+                                _pq_d2(x[j * dsub : (j + 1) * dsub], C[j, cc])
+                                for cc in range(ks)
+                            ]
+                        )
+                    )
+                    for j in range(m)
+                ]
+            )
+        return pd.Series(out)
+
+    def lut(batch):
+        out = []
+        for vec in batch:
+            x = np.asarray(vec, dtype=np.float64)
+            flat = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                flat.extend(_pq_d2(s, C[j, cc]) for cc in range(ks))
+            out.append(flat)
+        return pd.Series(out)
+
+    for fn in (nearest_cells, nearest_cell, encode, lut):
+        fn.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    probe_udf = F.pandas_udf(nearest_cells, T.ArrayType(T.LongType()))
+    assign_udf = F.pandas_udf(nearest_cell, T.LongType())
+    encode_udf = F.pandas_udf(encode, T.ArrayType(T.IntegerType()))
+    lut_udf = F.pandas_udf(lut, T.ArrayType(T.DoubleType()))
+
+    base = pts.select(
+        F.col("id").alias("vid"),
+        F.col("features").alias("v"),
+        norm(F.col("features")).alias("nrm"),
+    )
+    corpus = pts.select(
+        F.col("id").alias("vid"),
+        assign_udf("features").alias("cell"),
+        encode_udf("features").alias("codes"),
+    )
+    queries = pts.select(
+        F.col("id").alias("qid"),
+        lut_udf("features").alias("lut"),
+        F.explode(probe_udf("features")).alias("cell"),
+    )
+    ad2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"), F.lit(j * ks) + F.element_at("codes", j + 1) + 1
+        )
+        ad2 = term if ad2 is None else ad2 + term
+    cand_w = Window.partitionBy("qid").orderBy(F.asc("ad2"), F.asc("vid"))
+    cands = (
+        queries.join(corpus, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", ad2.alias("ad2"))
+        .withColumn("crk", F.row_number().over(cand_w))
+        .where(F.col("crk") <= shortlist)
+        .select("qid", "vid")
+    )
+    rerank = (
+        cands.join(base, "vid")
+        .join(
+            base.select(
+                F.col("vid").alias("qid"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "qid",
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("vec_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def ivf_pq_topk_sql(
+    k: int,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`: the IVF assignment CTEs of
+    :func:`ivf_topk_sql` composed with the PQ code/LUT/ADC CTEs of
+    :func:`pq_topk_sql`, both quantizers injected as pinned literals."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cvals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(v)) for v in cv) + "])"
+        for i, cv in enumerate(centers)
+    )
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def d2(s: str, cc: list[float]) -> str:
+        csq = repr(_seq_dot(np.array(cc), np.array(cc)))
+        return (
+            f"(list_dot_product({s}, {s})"
+            f" - 2 * list_dot_product({s}, {lit(cc)}) + {csq})"
+        )
+
+    slices = ", ".join(
+        f"vec[{j * dsub + 1}:{(j + 1) * dsub}] AS s{j}" for j in range(m)
+    )
+    code_cols = ", ".join(
+        "list_sort(["
+        + ", ".join(
+            f"{{'d': {d2(f's{j}', codebooks[j][cc])}, 'c': {cc}}}"
+            for cc in range(ks)
+        )
+        + f"])[1].c AS code{j}"
+        for j in range(m)
+    )
+    lut_list = (
+        "["
+        + ", ".join(
+            d2(f"s{j}", codebooks[j][cc])
+            for j in range(m)
+            for cc in range(ks)
+        )
+        + "]"
+    )
+    adc = " + ".join(f"q.lut[{j * ks} + pc.code{j} + 1]" for j in range(m))
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+ctr AS (SELECT * FROM (VALUES {cvals}) t(cell, cvec)),
+cd AS (
+  SELECT v.vid, ctr.cell,
+         list_dot_product(v.vec, v.vec)
+           - 2 * list_dot_product(v.vec, ctr.cvec)
+           + list_dot_product(ctr.cvec, ctr.cvec) AS d2
+  FROM v CROSS JOIN ctr
+),
+rc AS (
+  SELECT vid, cell,
+         row_number() OVER (PARTITION BY vid ORDER BY d2, cell) AS rk
+  FROM cd
+),
+cell_of AS (SELECT vid, cell FROM rc WHERE rk = 1),
+probes AS (SELECT vid AS qid, cell FROM rc WHERE rk <= {nprobe}),
+sub AS (SELECT vid, vec, {slices} FROM v),
+pcodes AS (SELECT vid, {code_cols} FROM sub),
+q AS (SELECT vid AS qid, {lut_list} AS lut FROM sub),
+cand AS (
+  SELECT p.qid, co.vid, {adc} AS ad2
+  FROM probes p
+  JOIN cell_of co ON p.cell = co.cell AND p.qid <> co.vid
+  JOIN pcodes pc ON pc.vid = co.vid
+  JOIN q ON q.qid = p.qid
+),
+short AS (
+  SELECT qid, vid FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY qid ORDER BY ad2 ASC, vid ASC) AS crk
+    FROM cand
+  ) WHERE crk <= {shortlist}
+),
+rerank AS (
+  SELECT s.qid AS query_id, s.vid AS vec_id,
+         ROUND(list_dot_product(qv.vec, cv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec))
+                  * sqrt(list_dot_product(cv.vec, cv.vec))), 6) AS score
+  FROM short s JOIN v qv ON qv.vid = s.qid JOIN v cv ON cv.vid = s.vid
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM rerank
+) WHERE rk <= {k}
+"""
