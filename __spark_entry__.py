@@ -613,6 +613,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source token counts + sqrt-temperature mixture weights
         return _cu.domain_mixture(_docs(spark, sf_dir))
 
+    def x_domain_quality(spark, sf_dir):
+        # per-source quality-score distribution (exact percentiles)
+        return _cu.domain_quality(_docs(spark, sf_dir))
+
+    def x_token_budget_sample(spark, sf_dir):
+        # per-source token-budget enforcement via ordered running sum
+        return _cu.token_budget_sample(_docs(spark, sf_dir))
+
     def x_pii_report(spark, sf_dir):
         # per-doc PII audit + redacted-text fingerprint (dialect-neutral
         # regexes — identical under Java regex and RE2)
@@ -788,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_balanced_sample,
         x_top_ngrams,
         x_domain_mixture,
+        x_domain_quality,
+        x_token_budget_sample,
         x_pii_report,
         s6_sql_interface,
         # multimodal before the heavier dedup/ANN queries: round-1's
@@ -1170,6 +1180,8 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_top_ngrams": _cu.top_ngrams_sql(),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_pii_report": _cu.pii_report_sql(),
+        "x_domain_quality": _cu.domain_quality_sql(),
+        "x_token_budget_sample": _cu.token_budget_sample_sql(),
         "s6_sql_interface": """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,

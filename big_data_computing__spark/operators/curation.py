@@ -447,3 +447,108 @@ SELECT doc_id,
        {hash60_sql(red)} AS redacted_fp
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quality distributions / token-budget sampling
+# ---------------------------------------------------------------------------
+
+
+def domain_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain distribution of the heuristic quality score:
+    DataFrame[source, n_docs, avg_quality, p25, p50, p75].
+
+    The percentile is exact (Spark ``percentile``, DuckDB
+    ``quantile_cont`` — both linear-interpolation on the sorted values).
+    One shuffle keyed by source with partial aggregation; the quality
+    expression itself is the zero-shuffle textstats operator.
+    """
+    from .textstats import quality_scores
+
+    q = quality_scores(docs, text_col).select("doc_id", "quality_score")
+    per = docs.select("doc_id", "source").join(q, "doc_id")
+    return per.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.expr("percentile(quality_score, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(quality_score, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(quality_score, 0.75)"), 6).alias("p75"),
+    )
+
+
+def domain_quality_sql() -> str:
+    from .textstats import quality_scores_sql
+
+    return f"""
+WITH qs AS ({quality_scores_sql()}),
+per AS (
+  SELECT d.source, qs.quality_score
+  FROM documents d JOIN qs ON d.doc_id = qs.doc_id
+)
+SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+       ROUND(AVG(quality_score), 6) AS avg_quality,
+       ROUND(quantile_cont(quality_score, 0.25), 6) AS p25,
+       ROUND(quantile_cont(quality_score, 0.5), 6) AS p50,
+       ROUND(quantile_cont(quality_score, 0.75), 6) AS p75
+FROM per GROUP BY source
+"""
+
+
+def token_budget_sample(
+    docs: DataFrame, budget: int = 800, text_col: str = "text"
+) -> DataFrame:
+    """Length-balanced sampling: per source, keep documents in
+    deterministic hash order while the *running token total* stays
+    within ``budget`` — DataFrame[doc_id, source, n_tokens, cum_tokens].
+
+    This is the budget-enforcement form of domain mixing: where
+    :func:`balanced_sample` caps document *counts*, this caps *tokens*
+    (what the training run actually consumes). The cumulative sum is a
+    per-source ordered window — bounded state per partition, and the
+    output is capped at ~budget/avg_len docs per source by construction.
+    A document is kept iff the budget is not yet exhausted *before* it
+    (so the first document of a source always survives — a budget
+    smaller than every document still yields one doc per source).
+    """
+    key = hash60(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(key.asc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.coalesce(
+            F.sum(token_count(F.col(text_col))).over(w), F.lit(0)
+        ).alias("prev_tokens"),
+    )
+    return ranked.where(F.col("prev_tokens") < budget).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("prev_tokens") + F.col("n_tokens"))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+
+
+def token_budget_sample_sql(budget: int = 800) -> str:
+    from ..functions.hashing import hash60_sql
+
+    key = hash60_sql("concat('tb:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         len({_TOKS_SQL}) AS n_tokens,
+         COALESCE(SUM(len({_TOKS_SQL})) OVER
+           (PARTITION BY source ORDER BY {key} ASC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_tokens
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(prev_tokens + n_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE prev_tokens < {budget}
+"""

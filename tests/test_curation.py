@@ -220,3 +220,36 @@ def test_pii_report_and_redaction(spark):
     assert "jane" not in red[1] and "555" not in red[1]
     assert red[2] == "server at <IP> went down"
     assert red[3] == "no pii here at all"
+
+
+def test_domain_quality_distribution(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.domain_quality(docs).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    for r in out:
+        assert 0.0 <= r.p25 <= r.p50 <= r.p75 <= 1.0
+        assert 0.0 <= r.avg_quality <= 1.0
+
+
+def test_token_budget_sample_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 300
+    out = C.token_budget_sample(docs, budget=budget).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r)
+    assert set(per) == {
+        r.source for r in docs.select("source").distinct().collect()
+    }
+    for source, rows in per.items():
+        rows.sort(key=lambda r: r.cum_tokens)
+        # running sum is consistent and the budget bounds the PREVIOUS
+        # total (so overshoot is at most one document)
+        run = 0
+        for r in rows:
+            assert r.cum_tokens == run + r.n_tokens
+            assert run < budget
+            run = r.cum_tokens
+    # determinism
+    again = sorted(map(tuple, C.token_budget_sample(docs, budget=budget).collect()))
+    assert again == sorted(map(tuple, out))
