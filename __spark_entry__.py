@@ -680,6 +680,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_dedup_components_star(spark, sf_dir):
+        # same contract as x_dedup_components via large-star/small-star
+        # contraction (O(log² n) rounds on any graph shape vs diameter
+        # rounds for min-label propagation); shares the oracle
+        return _dd.duplicate_components_star(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_dedup_survivors(spark, sf_dir):
         # end-to-end dedup output: one survivor per duplicate component
         docs = _docs(spark, sf_dir)
@@ -812,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_ngram_jaccard,
         x_dedup_embedding,
         x_dedup_components,
+        x_dedup_components_star,
         x_dedup_survivors,
         x_clean_corpus,
         x_ann_cosine_topk,
@@ -1199,6 +1208,9 @@ GROUP BY l_returnflag, l_linestatus""",
             COSINE_NEARDUP_THRESHOLD
         ),
         "x_dedup_components": _dd.duplicate_components_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        "x_dedup_components_star": _dd.duplicate_components_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "x_clean_corpus": _pl.clean_corpus_sql(),

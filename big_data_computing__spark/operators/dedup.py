@@ -239,7 +239,7 @@ def duplicate_components(
     pairs: DataFrame,
     doc_a: str = "doc_a",
     doc_b: str = "doc_b",
-    max_iterations: int = 25,
+    max_iterations: int = 100,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph:
     DataFrame[doc_id, component_id] for every doc appearing in a pair,
@@ -299,6 +299,15 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # returning silently-wrong components is worse than failing:
+        # propagation needs diameter rounds, so a graph deeper than the
+        # bound must go to the round-logarithmic star variant
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the bound); use "
+            "duplicate_components_star for high-diameter graphs"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lab").alias("component_id")
     )
@@ -572,3 +581,97 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= {threshold!r}
 """
+
+
+def duplicate_components_star(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — same contract as :func:`duplicate_components`
+    (DataFrame[doc_id, component_id], component_id = min id), different
+    convergence behavior: O(log² n) rounds on ANY graph shape, where
+    min-label propagation needs diameter rounds.
+
+    The algorithm (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14):
+
+    - **large-star**: every node attaches its strictly-larger neighbors
+      to the minimum of its closed neighborhood;
+    - **small-star**: every node attaches its not-larger neighbors (and
+      itself) to that minimum.
+
+    Both are one groupBy-min plus one re-join per round (map-side
+    combined; only (node, node) long pairs shuffle), with per-round
+    ``localCheckpoint`` for the same lineage reason as the sibling.
+    Prefer this form when duplicate chains are long (bot-generated
+    near-identical sequences); the min-label sibling does fewer total
+    shuffles on the dense, tiny-diameter clusters typical of web dedup.
+    """
+    edges = (
+        pairs.select(F.col(doc_a).alias("u"), F.col(doc_b).alias("v"))
+        .union(pairs.select(F.col(doc_b).alias("u"), F.col(doc_a).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    members = edges.select(F.col("u").alias("doc_id")).distinct()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # operate on the symmetrized neighborhood (the paper's map step
+        # emits every edge in both directions)
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge high → low, then attach each node's smaller
+        # neighbors (and the node itself) to the neighborhood minimum
+        dir_ = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v")).distinct()
+        mins = dir_.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        out = (
+            dir_.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        return (
+            out.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        )
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        edges = small_star(large_star(edges))
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            # overflow-free order-insensitive checksum (edges are
+            # distinct, so xor cannot cancel duplicates)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # fixpoint: every edge points a node at its component min
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component_id")
+    )
+    roots = members.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component_id"))
+    return labels.union(roots)

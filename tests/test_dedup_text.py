@@ -245,3 +245,36 @@ def test_duplicate_components_vs_union_find(spark):
             for r in duplicate_components(pairs).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_duplicate_components_star_matches_minlabel(spark):
+    """Star contraction vs min-label propagation vs union-find on
+    adversarial graph shapes (chains are the star algorithm's reason to
+    exist: diameter >> log² n)."""
+    import random
+
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components,
+        duplicate_components_star,
+    )
+
+    rng = random.Random(11)
+    cases = [
+        [(i, i + 1) for i in range(30)],               # chain
+        [(0, i) for i in range(1, 20)],                # star
+        [(i + 1, i) for i in range(25)],               # reversed chain
+        [tuple(rng.sample(range(80), 2)) for _ in range(60)],  # random
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+        )
+        a = {
+            (r["doc_id"], r["component_id"])
+            for r in duplicate_components_star(df).collect()
+        }
+        b = {
+            (r["doc_id"], r["component_id"])
+            for r in duplicate_components(df).collect()
+        }
+        assert a == b and len(a) > 0
