@@ -128,6 +128,32 @@ def main() -> None:
         "sec": round(time.time() - t0, 1),
     }
 
+    t0 = time.time()
+    n_pq = sim.ivf_pq_topk(
+        big_emb, k=3, n_cells=32, nprobe=2, seed=42
+    ).count()
+    results["ivf_pq_ann_20k_vectors"] = {
+        "vectors": n_vec,
+        "result_rows": n_pq,
+        "sec": round(time.time() - t0, 1),
+    }
+    big_emb.unpersist()
+
+    # --- star CC on a 100k-node 5k-hop chain forest (the shape the
+    # min-label sibling now refuses: diameter >> its round bound) ---
+    chains = (
+        spark.range(100_000)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        .where((F.col("doc_a") + 1) % 5000 != 0)  # break into 20 chains
+        .repartition(64)
+    )
+    t0 = time.time()
+    n_nodes = dd.duplicate_components_star(chains).count()
+    results["star_cc_100k_chain"] = {
+        "nodes": n_nodes,
+        "sec": round(time.time() - t0, 1),
+    }
+
     print(json.dumps(results, indent=2))
     spark.stop()
 
