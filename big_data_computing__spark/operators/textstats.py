@@ -54,14 +54,12 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality scoring: DataFrame[doc_id, n_chars, n_tokens,
-    stopword_ratio, distinct_ratio, quality_score].
-
-    quality_score blends length, lexical diversity, and stopword presence
-    (the standard cheap pre-filter shape for LLM corpus curation); rounded
-    to 6 dp so float results hash-match the SQL oracle.
-    """
+def _quality_parts(
+    text_col: str,
+) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, stopword_ratio, distinct_ratio, unrounded score) — the
+    single source of the quality formula, shared by the batch operator
+    and the streaming gate (streaming/curation_stream.py)."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     stop_ratio = _count_tokens_in(toks, STOPWORDS).cast("double") / n_tok
@@ -71,6 +69,23 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + distinct_ratio * 0.4
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
     )
+    return n_tok, stop_ratio, distinct_ratio, score
+
+
+def quality_score_expr(text_col: str = "text") -> Column:
+    """The rounded quality score as one stateless per-row Column."""
+    return F.round(_quality_parts(text_col)[3], 6)
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: DataFrame[doc_id, n_chars, n_tokens,
+    stopword_ratio, distinct_ratio, quality_score].
+
+    quality_score blends length, lexical diversity, and stopword presence
+    (the standard cheap pre-filter shape for LLM corpus curation); rounded
+    to 6 dp so float results hash-match the SQL oracle.
+    """
+    n_tok, stop_ratio, distinct_ratio, score = _quality_parts(text_col)
     return docs.select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
