@@ -63,7 +63,9 @@ def char_shingles(text: Column, n: int) -> Column:
     where the transform-over-positions form re-evaluates ``text`` (and
     copies a substring) per position.
     """
-    chars = F.split(text, "")
+    # split('', '') yields [''] — drop empties so n=1 on an empty string
+    # returns [] (matching the transform-based form this replaced)
+    chars = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
     out = chars
     for j in range(1, n):
         shifted = F.slice(

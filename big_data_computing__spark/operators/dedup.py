@@ -161,8 +161,12 @@ def minhash_lsh_pairs(
     # whole upstream (shingle explode → md5 → 16-way min aggregation) runs
     # twice — measured ~2× the operator's wall at sf0.1. The persisted
     # footprint is 3 fixed-width ints × bands per doc, far smaller than
-    # the text, and spills cleanly (MEMORY_AND_DISK default).
-    buckets = buckets.cache()
+    # the text, and spills cleanly (MEMORY_AND_DISK).
+    # localCheckpoint (not cache): blocks are dropped by the
+    # ContextCleaner when the result DataFrame is garbage-collected, so
+    # repeated calls in a long-lived session don't accumulate storage —
+    # a plain cache() with no unpersist hook would.
+    buckets = buckets.localCheckpoint()
     left = buckets.select(
         F.col("band"), F.col("bkey"), F.col("doc_id").alias("doc_a")
     )
@@ -275,7 +279,8 @@ def duplicate_components(
         pairs.select(F.col(doc_a).alias("s"), F.col(doc_b).alias("t"))
         .union(pairs.select(F.col(doc_b).alias("s"), F.col(doc_a).alias("t")))
         .distinct()
-        .cache()
+        # read once per round: persist, with GC-driven cleanup
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("s").alias("id"))
@@ -525,7 +530,9 @@ def ngram_jaccard_pairs(
     set sizes). On natural corpora this removes the long unique-shingle
     tail — most of the posting-list volume.
     """
-    sh = _shingle_hashes(docs, text_col, ngram).cache()
+    # read 3× (sizes, df-prune, join); localCheckpoint so the blocks are
+    # freed on GC instead of living until session end like cache() would
+    sh = _shingle_hashes(docs, text_col, ngram).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     shared = sh.groupBy("x").agg(F.count("*").alias("_df")).where(
         F.col("_df") >= 2
@@ -667,6 +674,14 @@ def duplicate_components_star(
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])
+    else:
+        # same contract as the min-label sibling: a silently-partial
+        # contraction is a wrong answer, not a degraded one. O(log² n)
+        # rounds makes exhaustion pathological, but fail loudly anyway.
+        raise RuntimeError(
+            f"duplicate_components_star did not reach its edge-set "
+            f"fixpoint in {max_iterations} rounds; raise max_iterations"
+        )
     # fixpoint: every edge points a node at its component min
     labels = edges.select(
         F.col("u").alias("doc_id"), F.col("v").alias("component_id")

@@ -62,9 +62,11 @@ def clean_corpus(
         "doc_id", hash60(normalized(F.col(text_col))).alias("f")
     )
     exact_keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    # read twice (LSH pairs + survivor anti-join); localCheckpoint so the
+    # persisted stage is freed on GC rather than at session end
     kept2 = kept.join(
         exact_keep.select("doc_id"), "doc_id", "left_semi"
-    ).cache()
+    ).localCheckpoint()
     pairs = minhash_lsh_pairs(kept2, text_col=text_col)
     return dedup_survivors(kept2.select("doc_id"), pairs)
 

@@ -191,11 +191,14 @@ def cosine_near_pairs_blocked(
         seed=seed,
     )
     centers = np.asarray(res.centers, dtype=np.float64)
+    # read 3× (radii collect + both join sides); localCheckpoint so the
+    # blocks are freed when the result DataFrame is GC'd — cache() here
+    # leaked storage across repeated operator calls in one session
     assigned = assign_clusters(
         min_dist_to_centers(unit, centers, features_col="u"),
         centers,
         features_col="u",
-    ).cache()
+    ).localCheckpoint()
     radii_rows = (
         assigned.groupBy("cluster").agg(F.max("min_dist").alias("r")).collect()
     )

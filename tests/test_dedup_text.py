@@ -278,3 +278,19 @@ def test_duplicate_components_star_matches_minlabel(spark):
             for r in duplicate_components(df).collect()
         }
         assert a == b and len(a) > 0
+
+
+def test_duplicate_components_star_raises_without_convergence(spark):
+    """Truncated iteration budget must raise, not return partial labels
+    (same loud-failure contract as the min-label sibling)."""
+    import pytest
+
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), int(i + 1)) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach"):
+        duplicate_components_star(df, max_iterations=1)
