@@ -717,23 +717,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def x_ann_ivf_topk(spark, sf_dir):
         # oracle: quantizer centers come from the engine's own MRFFT,
-        # which is deterministic at fixed sf — pinned as SQL literals
+        # which is deterministic at fixed sf — pinned as SQL literals.
+        # parity=True: oracle runs use the SQL twin's float accumulation
+        # order (production callers take the vectorized default)
         return _sim.ivf_topk(
-            _emb(spark, sf_dir), k=ANN_K, n_cells=FFT_K, seed=SEED, l=FFT_L
+            _emb(spark, sf_dir),
+            k=ANN_K,
+            n_cells=FFT_K,
+            seed=SEED,
+            l=FFT_L,
+            parity=True,
         )
 
     def x_ann_pq_topk(spark, sf_dir):
         # compressed-domain ANN: PQ codes + ADC scan + exact re-rank;
         # codebooks train deterministically (hash-ranked sample + seeded
         # FFT) so the whole approximate pipeline is hash-checkable
-        return _sim.pq_topk(_emb(spark, sf_dir), k=ANN_K, seed=SEED)
+        return _sim.pq_topk(
+            _emb(spark, sf_dir), k=ANN_K, seed=SEED, parity=True
+        )
 
     def x_ann_ivf_pq_topk(spark, sf_dir):
         # the composed two-tier index: IVF cell pruning → PQ-ADC
         # shortlist → exact re-rank (FAISS IVF-PQ shape, oracled
         # end-to-end via the pinned center + codebook goldens)
         return _sim.ivf_pq_topk(
-            _emb(spark, sf_dir), k=ANN_K, n_cells=FFT_K, seed=SEED, l=FFT_L
+            _emb(spark, sf_dir),
+            k=ANN_K,
+            n_cells=FFT_K,
+            seed=SEED,
+            l=FFT_L,
+            parity=True,
         )
 
     # -- extensions: multimodal plumbing --

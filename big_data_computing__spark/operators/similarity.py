@@ -557,6 +557,7 @@ def ivf_topk(
     seed: int = 42,
     l: int = 4,
     centers: list[list[float]] | None = None,
+    parity: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize with the engine's own MRFFT k-center
     operator, then search only the ``nprobe`` nearest cells per query.
@@ -570,6 +571,8 @@ def ivf_topk(
     ``centers``: pretrained centroids from :func:`build_ivf_centroids`;
     when given, the quantizer-training jobs are skipped entirely (the
     index-reuse path for repeated queries against a stable corpus).
+
+    ``parity``: see :func:`_d2_to_centers` — True only for oracle runs.
     """
     pts = emb.select(
         F.col("vec_id").cast("long").alias("id"),
@@ -580,43 +583,7 @@ def ivf_topk(
 
         centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
     c = np.asarray(centers, dtype=np.float64)
-
-    def _d2_seq(x: np.ndarray) -> np.ndarray:
-        """(n × cells) squared distances via the x·x − 2x·c + c·c
-        identity with element-sequential accumulation — the float shape
-        of the SQL oracle's list_dot_product expression, so cell
-        assignment tie-breaks agree bit-exactly."""
-        n, dim_ = x.shape
-        x_sq = np.zeros(n)
-        for j in range(dim_):
-            x_sq += x[:, j] * x[:, j]
-        d2 = np.empty((n, len(c)))
-        for kk in range(len(c)):
-            c_sq = 0.0
-            for j in range(dim_):
-                c_sq += c[kk, j] * c[kk, j]
-            dot_ = np.zeros(n)
-            for j in range(dim_):
-                dot_ += x[:, j] * c[kk, j]
-            d2[:, kk] = x_sq - 2.0 * dot_ + c_sq
-        return d2
-
-    def nearest_cells(batch):
-        x = np.array(batch.tolist(), dtype=np.float64)
-        d2 = _d2_seq(x)
-        # stable sort: equal distances resolve to the lower cell index,
-        # matching the oracle's ORDER BY d2, cell
-        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([row.tolist() for row in order.astype(np.int64)])
-
-    def nearest_cell(batch):
-        return nearest_cells(batch).map(lambda cells: cells[0])
-
-    nearest_cells.__annotations__ = {"batch": pd.Series, "return": pd.Series}
-    nearest_cell.__annotations__ = {"batch": pd.Series, "return": pd.Series}
-
-    probe_udf = F.pandas_udf(nearest_cells, T.ArrayType(T.LongType()))
-    assign_udf = F.pandas_udf(nearest_cell, T.LongType())
+    probe_udf, assign_udf = _cell_probe_udfs(c, nprobe, parity)
 
     corpus = pts.select(
         F.col("id").alias("vid"),
@@ -664,7 +631,9 @@ PQ_SHORTLIST = 32  # ADC candidates kept per query before exact re-rank
 def _seq_dot(a: np.ndarray, b: np.ndarray) -> float:
     """Element-sequential dot product — matches DuckDB's
     list_dot_product accumulation order, so distances (and therefore
-    argmin code assignment) are bit-identical to the SQL twin."""
+    argmin code assignment) are bit-identical to the SQL twin.
+    PARITY-MODE ONLY: the production kernels use numpy matmuls
+    (:func:`_d2_to_centers`)."""
     acc = 0.0
     for t in range(len(a)):
         acc += float(a[t]) * float(b[t])
@@ -673,8 +642,131 @@ def _seq_dot(a: np.ndarray, b: np.ndarray) -> float:
 
 def _pq_d2(s: np.ndarray, c: np.ndarray) -> float:
     """Squared distance in the exact expression shape of the SQL twin:
-    dot(s,s) - 2*dot(s,c) + dot(c,c), each dot element-sequential."""
+    dot(s,s) - 2*dot(s,c) + dot(c,c), each dot element-sequential.
+    PARITY-MODE ONLY (see :func:`_seq_dot`)."""
     return _seq_dot(s, s) - 2.0 * _seq_dot(s, c) + _seq_dot(c, c)
+
+
+def _d2_to_centers(x: np.ndarray, c: np.ndarray, parity: bool) -> np.ndarray:
+    """(n × |c|) squared distances between rows of ``x`` and centers ``c``
+    via the x·x − 2x·c + c·c identity.
+
+    ``parity=False`` (production default): one BLAS matmul — the fast
+    path. ``parity=True``: element-sequential accumulation per dimension,
+    the float shape of the SQL oracle's ``list_dot_product``, so argmin
+    tie-breaks agree bit-exactly with DuckDB. The two differ only by
+    float-summation order (≤ last-ulp), which can matter solely when two
+    centers are at *exactly* equal distance; oracle runs use parity=True
+    so the driver's hash compare is deterministic by construction.
+    """
+    if not parity:
+        return (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+    n, dim_ = x.shape
+    x_sq = np.zeros(n)
+    for j in range(dim_):
+        x_sq += x[:, j] * x[:, j]
+    d2 = np.empty((n, len(c)))
+    for kk in range(len(c)):
+        c_sq = 0.0
+        for j in range(dim_):
+            c_sq += c[kk, j] * c[kk, j]
+        dot_ = np.zeros(n)
+        for j in range(dim_):
+            dot_ += x[:, j] * c[kk, j]
+        d2[:, kk] = x_sq - 2.0 * dot_ + c_sq
+    return d2
+
+
+def _cell_probe_udfs(c: np.ndarray, nprobe: int, parity: bool):
+    """(probe_udf → array<long> of the ``nprobe`` nearest cells,
+    assign_udf → long nearest cell) over a features column."""
+
+    def nearest_cells(batch):
+        x = np.array(batch.tolist(), dtype=np.float64)
+        d2 = _d2_to_centers(x, c, parity)
+        # stable sort: equal distances resolve to the lower cell index,
+        # matching the oracle's ORDER BY d2, cell
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.tolist() for row in order.astype(np.int64)])
+
+    def nearest_cell(batch):
+        return nearest_cells(batch).map(lambda cells: cells[0])
+
+    nearest_cells.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    nearest_cell.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return (
+        F.pandas_udf(nearest_cells, T.ArrayType(T.LongType())),
+        F.pandas_udf(nearest_cell, T.LongType()),
+    )
+
+
+def _pq_code_udfs(C: np.ndarray, m: int, ks: int, parity: bool):
+    """(encode_udf → array<int> of per-subspace codes, lut_udf →
+    array<double> flat m·ks ADC table) for PQ codebooks ``C`` of shape
+    (m, ks, dsub).
+
+    Production path: one (batch × ks) matmul per subspace — m BLAS calls
+    per Arrow batch. Parity path: the element-sequential per-vector
+    loops whose accumulation order matches the SQL twin (argmin code
+    ties at exactly-equal distance resolve identically to DuckDB).
+    """
+    dsub = C.shape[2]
+
+    def encode(batch: pd.Series) -> pd.Series:
+        if not parity:
+            x = np.array(batch.tolist(), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                d2 = _d2_to_centers(
+                    x[:, j * dsub : (j + 1) * dsub], C[j], parity
+                )
+                # np.argmin returns the FIRST minimum → lower code on ties
+                codes[:, j] = np.argmin(d2, axis=1)
+            return pd.Series([row.tolist() for row in codes])
+        out = []
+        for vec in batch:
+            x = np.asarray(vec, dtype=np.float64)
+            codes = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                d2s = [_pq_d2(s, C[j, c]) for c in range(ks)]
+                codes.append(int(np.argmin(d2s)))
+            out.append(codes)
+        return pd.Series(out)
+
+    def lut(batch: pd.Series) -> pd.Series:
+        if not parity:
+            x = np.array(batch.tolist(), dtype=np.float64)
+            flat = np.concatenate(
+                [
+                    _d2_to_centers(
+                        x[:, j * dsub : (j + 1) * dsub], C[j], parity
+                    )
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+            return pd.Series([row.tolist() for row in flat])
+        out = []
+        for vec in batch:
+            x = np.asarray(vec, dtype=np.float64)
+            flat = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                flat.extend(_pq_d2(s, C[j, c]) for c in range(ks))
+            out.append(flat)
+        return pd.Series(out)
+
+    encode.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    lut.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return (
+        F.pandas_udf(encode, T.ArrayType(T.IntegerType())),
+        F.pandas_udf(lut, T.ArrayType(T.DoubleType())),
+    )
 
 
 def train_pq_codebooks(
@@ -723,9 +815,18 @@ def pq_topk(
     shortlist: int = PQ_SHORTLIST,
     seed: int = 42,
     codebooks: list[list[list[float]]] | None = None,
+    parity: bool = False,
 ) -> DataFrame:
-    """PQ-ADC ANN (self-search, queries = vec_id % 10 == 0):
+    """Flat-PQ ADC ANN (self-search, queries = vec_id % 10 == 0):
     DataFrame[query_id, vec_id, score].
+
+    **BASELINE, not the scale path.** The ADC stage scans queries ×
+    corpus (a deliberate crossJoin — that IS flat-PQ semantics: every
+    code is visited, compression comes from the codes being m bytes
+    instead of d floats). Like :func:`cosine_topk` it exists as the
+    correctness/recall baseline for its indexed sibling;
+    :func:`ivf_pq_topk` (cell pruning *then* ADC) is the registered
+    100 TB path.
 
     Pipeline — the compressed-scan tier of the engine's ANN stack:
 
@@ -740,46 +841,17 @@ def pq_topk(
     4. keep ``shortlist`` candidates per query (ties → lower vec_id),
        exact-cosine re-rank, return top ``k``.
 
-    Exact-parity discipline: codes, LUTs, and the ADC sum are computed
-    in the same float expression shape and accumulation order as the
-    DuckDB twin (see :func:`_seq_dot`), so the operator is hash-green
-    against SQL despite being approximate. Compose with IVF cells
-    (:func:`ivf_topk`) to prune the candidate set before the ADC scan
-    at cluster scale; kernels are Arrow-batched pandas_udfs.
+    ``parity=True`` (oracle runs only) computes codes and LUTs in the
+    same float accumulation order as the DuckDB twin (:func:`_seq_dot`),
+    so the operator is hash-green against SQL despite being
+    approximate; the default is the vectorized numpy kernel
+    (:func:`_pq_code_udfs`). Kernels are Arrow-batched pandas_udfs.
     """
     books = codebooks if codebooks is not None else train_pq_codebooks(
         emb, m=m, ks=ks, seed=seed
     )
     C = np.array(books, dtype=np.float64)  # (m, ks, dsub)
-    dsub = C.shape[2]
-
-    def encode(batch: pd.Series) -> pd.Series:
-        out = []
-        for vec in batch:
-            x = np.asarray(vec, dtype=np.float64)
-            codes = []
-            for j in range(m):
-                s = x[j * dsub : (j + 1) * dsub]
-                d2s = [_pq_d2(s, C[j, c]) for c in range(ks)]
-                codes.append(int(np.argmin(d2s)))
-            out.append(codes)
-        return pd.Series(out)
-
-    def lut(batch: pd.Series) -> pd.Series:
-        out = []
-        for vec in batch:
-            x = np.asarray(vec, dtype=np.float64)
-            flat = []
-            for j in range(m):
-                s = x[j * dsub : (j + 1) * dsub]
-                flat.extend(_pq_d2(s, C[j, c]) for c in range(ks))
-            out.append(flat)
-        return pd.Series(out)
-
-    encode.__annotations__ = {"batch": pd.Series, "return": pd.Series}
-    lut.__annotations__ = {"batch": pd.Series, "return": pd.Series}
-    encode_udf = F.pandas_udf(encode, T.ArrayType(T.IntegerType()))
-    lut_udf = F.pandas_udf(lut, T.ArrayType(T.DoubleType()))
+    encode_udf, lut_udf = _pq_code_udfs(C, m, ks, parity)
 
     base = _vec_df(emb)
     corpus = base.select("vid", "v", "nrm", encode_udf("v").alias("codes"))
@@ -921,6 +993,7 @@ def ivf_pq_topk(
     shortlist: int = PQ_SHORTLIST,
     centers: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    parity: bool = False,
 ) -> DataFrame:
     """The full two-tier ANN index (the FAISS IVF-PQ architecture,
     rebuilt on DataFrames): DataFrame[query_id, vec_id, score].
@@ -936,8 +1009,10 @@ def ivf_pq_topk(
 
     Both quantizers are deterministic (seeded FFT) and persistable
     (``centers=`` / ``codebooks=`` skip training — the index-reuse
-    path), and every tier keeps the oracle-parity float discipline, so
-    the *composed* index is hash-checkable end-to-end against SQL.
+    path). With ``parity=True`` (oracle runs only) every tier keeps the
+    SQL twin's float accumulation order, so the *composed* index is
+    hash-checkable end-to-end against SQL; the default runs the
+    vectorized numpy kernels (:func:`_pq_code_udfs`).
     At 100 TB: vectors are touched exactly twice (once per quantizer
     assignment, once for the shortlist re-rank join); the ADC scan
     moves only (cell, codes) pairs — 8 bytes of payload per vector.
@@ -957,68 +1032,8 @@ def ivf_pq_topk(
     )
     c = np.asarray(centers, dtype=np.float64)
     C = np.array(books, dtype=np.float64)
-    dsub = C.shape[2]
-
-    def _d2_cells(x: np.ndarray) -> np.ndarray:
-        n, dim_ = x.shape
-        x_sq = np.zeros(n)
-        for j in range(dim_):
-            x_sq += x[:, j] * x[:, j]
-        d2 = np.empty((n, len(c)))
-        for kk in range(len(c)):
-            c_sq = 0.0
-            for j in range(dim_):
-                c_sq += c[kk, j] * c[kk, j]
-            dot_ = np.zeros(n)
-            for j in range(dim_):
-                dot_ += x[:, j] * c[kk, j]
-            d2[:, kk] = x_sq - 2.0 * dot_ + c_sq
-        return d2
-
-    def nearest_cells(batch):
-        x = np.array(batch.tolist(), dtype=np.float64)
-        order = np.argsort(_d2_cells(x), axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([row.tolist() for row in order.astype(np.int64)])
-
-    def nearest_cell(batch):
-        return nearest_cells(batch).map(lambda cells: cells[0])
-
-    def encode(batch):
-        out = []
-        for vec in batch:
-            x = np.asarray(vec, dtype=np.float64)
-            out.append(
-                [
-                    int(
-                        np.argmin(
-                            [
-                                _pq_d2(x[j * dsub : (j + 1) * dsub], C[j, cc])
-                                for cc in range(ks)
-                            ]
-                        )
-                    )
-                    for j in range(m)
-                ]
-            )
-        return pd.Series(out)
-
-    def lut(batch):
-        out = []
-        for vec in batch:
-            x = np.asarray(vec, dtype=np.float64)
-            flat = []
-            for j in range(m):
-                s = x[j * dsub : (j + 1) * dsub]
-                flat.extend(_pq_d2(s, C[j, cc]) for cc in range(ks))
-            out.append(flat)
-        return pd.Series(out)
-
-    for fn in (nearest_cells, nearest_cell, encode, lut):
-        fn.__annotations__ = {"batch": pd.Series, "return": pd.Series}
-    probe_udf = F.pandas_udf(nearest_cells, T.ArrayType(T.LongType()))
-    assign_udf = F.pandas_udf(nearest_cell, T.LongType())
-    encode_udf = F.pandas_udf(encode, T.ArrayType(T.IntegerType()))
-    lut_udf = F.pandas_udf(lut, T.ArrayType(T.DoubleType()))
+    probe_udf, assign_udf = _cell_probe_udfs(c, nprobe, parity)
+    encode_udf, lut_udf = _pq_code_udfs(C, m, ks, parity)
 
     base = pts.select(
         F.col("id").alias("vid"),

@@ -2,19 +2,24 @@
 unbounded document stream.
 
 The streaming face of operators/curation.py's stateless stages. PII
-redaction and quality gating are pure per-row expressions, so the SAME
-Column expressions the batch operators use run unchanged under
-Structured Streaming — no state, no watermark needed, and batch ≡
-streaming bit-for-bit by construction (asserted by replay in
-tests/test_curation_stream.py). A filtering ingest pipeline composes
-them ahead of the stateful stages (streaming dedup, windowed aggs).
+redaction, quality gating, and repetition scoring are pure per-row
+expressions, so the SAME Column expressions the batch operators use (or
+provably-equal per-row reformulations — see
+:func:`with_repetition_metrics`) run unchanged under Structured
+Streaming — no state, no watermark needed, and batch ≡ streaming
+bit-for-bit by construction (asserted by replay in
+tests/test_curation_stream.py). :func:`repetition_window_stream` adds
+the watermarked event-time rollup, and
+:func:`curation_ingest_stream` composes the stages with streaming exact
+dedup into the continuous training-data ingest pipeline.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens, word_ngrams
 from ..operators.curation import _PII_ORDER
 from ..operators.textstats import quality_score_expr
 
@@ -42,3 +47,144 @@ def quality_gate_stream(
     return docs.withColumn(
         "quality_score", quality_score_expr(text_col)
     ).where(F.col("quality_score") >= F.lit(min_quality))
+
+
+def _max_equal_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array — i.e. the max multiplicity of any element. One linear
+    ``aggregate`` pass with a (prev, run, best) accumulator; constant
+    work per element, so no quadratic higher-order-function blowup.
+    The '' sentinel is safe because tokens() never emits empty strings.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def with_repetition_metrics(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Streaming twin of operators.curation.repetition_metrics: appends
+    ``n_tokens, top_token_frac, dup_bigram_frac, dup_trigram_frac`` and
+    drops zero-token documents (the batch operator omits them too).
+
+    The batch operator counts token multiplicity with an
+    explode → groupBy — a shuffle, disallowed mid-stream in append mode.
+    Here the same quantity (max token multiplicity) is computed per-row:
+    sort the token array and take the longest equal-adjacent run
+    (:func:`_max_equal_run`). Values are identical by construction —
+    replay parity is asserted in tests — and the stage stays a
+    stateless per-row map, valid on unbounded streams and free of any
+    shuffle in batch mode as a bonus.
+    """
+    toks = tokens(F.col(text_col))
+    bi = word_ngrams(F.col(text_col), 2)
+    tri = word_ngrams(F.col(text_col), 3)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.round(
+            F.when(
+                n > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(arr)).cast("double") / n,
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    n_tokens = F.size(toks)
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "top_token_frac",
+            F.round(
+                _max_equal_run(F.array_sort(toks)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .withColumn("dup_bigram_frac", dup_frac(bi))
+        .withColumn("dup_trigram_frac", dup_frac(tri))
+    )
+
+
+def repetition_window_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    delay: str = "30 seconds",
+    degenerate_threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Watermarked event-time rollup of repetition quality over a
+    document stream: DataFrame[window_start, window_end, n_docs,
+    mean_dup_bigram_frac, n_degenerate].
+
+    The per-doc metrics are the stateless map above; the only stateful
+    piece is Spark's native watermarked tumbling-window aggregate, so
+    state is bounded by (windows inside the watermark horizon) and late
+    documents beyond ``delay`` are dropped — the standard continuous
+    corpus-quality monitor shape for an ingest pipeline.
+    """
+    per_doc = with_repetition_metrics(docs, text_col)
+    return (
+        per_doc.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_bigram_frac"), 6).alias(
+                "mean_dup_bigram_frac"
+            ),
+            F.sum(
+                (F.col("dup_bigram_frac") > F.lit(degenerate_threshold))
+                .cast("int")
+            ).alias("n_degenerate"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs",
+            "mean_dup_bigram_frac",
+            "n_degenerate",
+        )
+    )
+
+
+def curation_ingest_stream(
+    docs: DataFrame,
+    min_quality: float = 0.45,
+    max_dup_bigram_frac: float = 0.2,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """The composed continuous training-data ingest pipeline over a
+    document stream: PII redaction → quality gate → repetition gate →
+    streaming exact dedup (first-seen fingerprints). Returns the
+    surviving documents with ``quality_score``, repetition metrics, and
+    ``fingerprint`` columns attached.
+
+    Every stage before dedup is a stateless per-row map (this module);
+    dedup is the only stateful stage and its state is bounded by the
+    watermark when ``ts_col`` is given (streaming/dedup_stream.py).
+    """
+    from .dedup_stream import dedup_stream
+
+    gated = quality_gate_stream(
+        redact_pii_stream(docs, text_col), min_quality, text_col
+    )
+    reps = with_repetition_metrics(gated, text_col).where(
+        F.col("dup_bigram_frac") <= F.lit(max_dup_bigram_frac)
+    )
+    return dedup_stream(reps, text_col, ts_col, watermark_delay)

@@ -63,3 +63,153 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     assert planted and all(
         "<EMAIL>" in t and "<IP>" in t and "bob@" not in t for t in planted
     )
+
+
+def test_repetition_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The per-row (sort + max-run) streaming reformulation must equal
+    the batch explode→groupBy operator value-for-value on real docs."""
+    from big_data_computing__spark.operators.curation import (
+        repetition_metrics,
+    )
+    from big_data_computing__spark.streaming.curation_stream import (
+        with_repetition_metrics,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    data = str(tmp_path / "docs")
+    docs.write.parquet(data)
+
+    cols = [
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+    ]
+    stream = spark.readStream.schema(docs.schema).parquet(data)
+    query = (
+        with_repetition_metrics(stream)
+        .select(*cols)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rep_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rep"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM rep_stream_out").collect()
+    }
+    want = {tuple(r) for r in repetition_metrics(docs).select(*cols).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_repetition_window_stream_watermarked_rollup(spark, sf_dir, tmp_path):
+    """Watermarked tumbling-window repetition monitor: file replay must
+    equal the batch groupBy-window computation of the same metrics."""
+    from big_data_computing__spark.streaming.curation_stream import (
+        repetition_window_stream,
+        with_repetition_metrics,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") * 7),
+    )
+    data = str(tmp_path / "docs_ts")
+    docs.write.parquet(data)
+
+    stream = spark.readStream.schema(docs.schema).parquet(data)
+    query = (
+        repetition_window_stream(stream, ts_col="ts", window="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rep_win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM rep_win_out").collect()}
+
+    # append mode emits a window only once the watermark passes its end;
+    # the final window (end > max_event_time - delay) legitimately stays
+    # open in state, so the batch expectation excludes it
+    final_wm = docs.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 SECONDS")).alias("wm")
+    ).collect()[0]["wm"]
+    want = {
+        tuple(r)
+        for r in with_repetition_metrics(docs)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_bigram_frac"), 6).alias(
+                "mean_dup_bigram_frac"
+            ),
+            F.sum((F.col("dup_bigram_frac") > 0.2).cast("int")).alias(
+                "n_degenerate"
+            ),
+        )
+        .where(F.col("w.end") <= F.lit(final_wm))
+        .select(
+            F.col("w.start"), F.col("w.end"), "n_docs",
+            "mean_dup_bigram_frac", "n_degenerate",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_curation_ingest_stream_composed(spark, sf_dir, tmp_path):
+    """The composed ingest pipeline (redact → quality gate → repetition
+    gate → streaming exact dedup): surviving fingerprint set must equal
+    the batch-computed expectation (survivor doc_ids can differ — dedup
+    keeps whichever duplicate arrives first)."""
+    from big_data_computing__spark.functions.hashing import hash60
+    from big_data_computing__spark.functions.text import normalized
+    from big_data_computing__spark.streaming.curation_stream import (
+        curation_ingest_stream,
+        with_repetition_metrics,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # plant exact duplicates so the dedup stage has real work
+    dup = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    seeded = docs.unionByName(dup)
+    data = str(tmp_path / "docs_ingest")
+    seeded.write.parquet(data)
+
+    stream = spark.readStream.schema(seeded.schema).parquet(data)
+    query = (
+        curation_ingest_stream(stream)
+        .select("fingerprint")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = [r["fingerprint"] for r in spark.sql(
+        "SELECT fingerprint FROM ingest_out"
+    ).collect()]
+
+    red = redact_pii(seeded)
+    scores = quality_scores(red).select("doc_id", "quality_score")
+    kept = red.join(scores, "doc_id").where(F.col("quality_score") >= 0.45)
+    batch = with_repetition_metrics(kept).where(
+        F.col("dup_bigram_frac") <= 0.2
+    )
+    want = {
+        r["f"]
+        for r in batch.select(
+            hash60(normalized(F.col("text"))).alias("f")
+        ).collect()
+    }
+    assert set(got) == want and len(got) == len(want) > 0

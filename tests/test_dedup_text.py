@@ -294,3 +294,43 @@ def test_duplicate_components_star_raises_without_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not reach"):
         duplicate_components_star(df, max_iterations=1)
+
+
+def test_simhash_xxhash64_production_mode(spark, docs):
+    """hash_mode='xxhash64' (the production fast path) must preserve
+    SimHash semantics: identical token sets → identical signatures, and
+    the planted near-dup still lands within the hamming threshold."""
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signatures(docs, hash_mode="xxhash64").collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[3]  # same token set
+    assert all(0 <= s < 2**60 for s in sigs.values())
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_pairs(
+            docs, max_hamming=10, hash_mode="xxhash64"
+        ).collect()
+    }
+    assert (1, 4) in pairs  # near dup survives the hash swap
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_hash60_modes(spark):
+    """xxhash64 mode: deterministic, in [0, 2^60), distinct from md5
+    mode but same contract; md5 mode unchanged."""
+    from big_data_computing__spark.functions.hashing import hash60
+
+    df = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(200)], "s string"
+    )
+    out = df.select(
+        hash60(F.col("s")).alias("h_md5"),
+        hash60(F.col("s"), "xxhash64").alias("h_xx"),
+        hash60(F.col("s"), "xxhash64").alias("h_xx2"),
+    ).collect()
+    assert all(0 <= r["h_xx"] < 2**60 for r in out)
+    assert all(r["h_xx"] == r["h_xx2"] for r in out)  # deterministic
+    assert len({r["h_xx"] for r in out}) == 200  # no collisions here
+    with pytest.raises(ValueError):
+        hash60(F.col("s"), "fnv")

@@ -273,3 +273,19 @@ def test_ivf_pq_composed_recall_and_reuse(spark, emb):
     hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total > 0.25, f"IVF-PQ recall too low: {hits}/{total}"
+
+
+def test_vectorized_kernels_match_parity_mode(spark, emb):
+    """The production numpy-matmul kernels and the oracle-parity
+    element-sequential kernels must produce identical results on the
+    fixture (they can differ only when two centroids are at exactly
+    equal distance, which the seeded FFT centroids never are)."""
+    cases = [
+        (S.ivf_topk, dict(k=3, n_cells=8, nprobe=2, seed=42)),
+        (S.pq_topk, dict(k=3, seed=42)),
+        (S.ivf_pq_topk, dict(k=3, n_cells=4, l=2, seed=9)),
+    ]
+    for fn, kw in cases:
+        fast = sorted(tuple(r) for r in fn(emb, **kw).collect())
+        par = sorted(tuple(r) for r in fn(emb, parity=True, **kw).collect())
+        assert fast == par and len(fast) > 0, fn.__name__

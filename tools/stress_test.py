@@ -102,6 +102,17 @@ def main() -> None:
         "pairs": n_sim,
         "sec": round(time.time() - t0, 1),
     }
+
+    # A/B: the production hash mode (JVM xxhash64 vs md5 hex digest)
+    t0 = time.time()
+    n_sim_xx = dd.simhash_near_pairs(
+        big_docs, max_hamming=3, hash_mode="xxhash64"
+    ).count()
+    results["simhash_50k_docs_xxhash64"] = {
+        "docs": n_docs,
+        "pairs": n_sim_xx,
+        "sec": round(time.time() - t0, 1),
+    }
     big_docs.unpersist()
 
     # --- 20k embeddings: 10 jittered replicas, IVF ANN ---
@@ -135,6 +146,18 @@ def main() -> None:
     results["ivf_pq_ann_20k_vectors"] = {
         "vectors": n_vec,
         "result_rows": n_pq,
+        "sec": round(time.time() - t0, 1),
+    }
+
+    # A/B: oracle-parity kernels (element-sequential accumulation) vs
+    # the vectorized default the two timings above used
+    t0 = time.time()
+    n_pq_par = sim.ivf_pq_topk(
+        big_emb, k=3, n_cells=32, nprobe=2, seed=42, parity=True
+    ).count()
+    results["ivf_pq_ann_20k_vectors_parity"] = {
+        "vectors": n_vec,
+        "result_rows": n_pq_par,
         "sec": round(time.time() - t0, 1),
     }
     big_emb.unpersist()

@@ -1,11 +1,17 @@
 """Local mimic of the driver's correctness gate: run every queries()
 entry at sf0.01 and hash-compare against oracle_sql() via DuckDB.
 
-Usage: python tools/verify_oracle.py [sf_dir]
+Usage: python tools/verify_oracle.py [sf_dir] [only1,only2,...]
+         [--json OUT.json]
+
+--json writes a per-query artifact (the committed full-registry runs,
+e.g. ORACLE_FULL_r03.json — the driver's own CORRECTNESS files cover
+only the first 50 registry entries per round).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -19,7 +25,14 @@ from big_data_computing__spark.sources.readers import TABLES
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    results: dict[str, dict] = {}
     spark = get_session()
     con = duckdb.connect()
     for t in TABLES:
@@ -29,7 +42,7 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    only = set(argv[1].split(",")) if len(argv) > 1 else None
     failures = []
     for name, fn in qs.items():
         if only is not None and name not in only:
@@ -42,6 +55,7 @@ def main() -> int:
             )
         except Exception as e:
             failures.append(name)
+            results[name] = {"match": False, "err": f"spark: {str(e)[:120]}"}
             print(f"FAIL {name}: SPARK ERROR {str(e)[:200]}")
             continue
         if name not in oracles:
@@ -51,6 +65,13 @@ def main() -> int:
             )
             if len(srows) == 0:
                 print(f"     WARNING: {name} returned 0 rows")
+            results[name] = {
+                "match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "sec": round(time.time() - t0, 1),
+                "err": "no_oracle",
+            }
             continue
         try:
             dres = con.execute(oracles[name])
@@ -60,8 +81,16 @@ def main() -> int:
             drows = sorted(tuple(r[i] for i in order) for r in draw)
         except Exception as e:
             failures.append(name)
+            results[name] = {"match": False, "err": f"duck: {str(e)[:120]}"}
             print(f"FAIL {name}: DUCK ERROR {str(e)[:200]}")
             continue
+        results[name] = {
+            "match": srows == drows,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "sec": round(time.time() - t0, 1),
+            "err": None,
+        }
         if srows == drows:
             print(
                 f"ok   {name}: {len(srows)} rows match "
@@ -80,6 +109,10 @@ def main() -> int:
         f"\n{len(qs) - len(failures)}/{len(qs)} queries pass "
         f"({len(oracles)} oracle-checked)"
     )
+    if json_out is not None:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
