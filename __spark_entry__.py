@@ -750,6 +750,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parity=True,
         )
 
+    def x_ann_ivf_rpq_topk(spark, sf_dir):
+        # residual encoding (the full FAISS IVF-PQ design): codebooks
+        # fitted on x − center[cell], one ADC table per probed cell;
+        # oracled end-to-end via pinned center + residual-codebook goldens
+        return _sim.ivf_rpq_topk(
+            _emb(spark, sf_dir),
+            k=ANN_K,
+            n_cells=FFT_K,
+            seed=SEED,
+            l=FFT_L,
+            parity=True,
+        )
+
     # -- extensions: multimodal plumbing --
 
     def x_media_metadata(spark, sf_dir):
@@ -792,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_ivf_topk,
         x_ann_pq_topk,
         x_ann_ivf_pq_topk,
+        x_ann_ivf_rpq_topk,
         x_dedup_components,
         x_dedup_components_star,
         x_dedup_survivors,
@@ -1259,6 +1273,9 @@ WHERE doc_id NOT IN (
         "x_ann_pq_topk": _sim.pq_topk_sql(ANN_K, _gold.PQ_CODEBOOKS),
         "x_ann_ivf_pq_topk": _sim.ivf_pq_topk_sql(
             ANN_K, _gold.C3_CENTERS, _gold.PQ_CODEBOOKS, nprobe=2
+        ),
+        "x_ann_ivf_rpq_topk": _sim.ivf_rpq_topk_sql(
+            ANN_K, _gold.C3_CENTERS, _gold.RPQ_CODEBOOKS, nprobe=2
         ),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),

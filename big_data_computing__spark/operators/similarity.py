@@ -1195,3 +1195,349 @@ SELECT query_id, vec_id, score FROM (
   FROM rerank
 ) WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ: IVF×PQ with codebooks fitted on (vector − cell centroid)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks_residual(
+    emb: DataFrame,
+    centers: list[list[float]],
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    sample: int = PQ_SAMPLE,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on IVF *residuals* ``x − center[cell(x)]``
+    (the actual FAISS IVF-PQ encoding; :func:`train_pq_codebooks` fits
+    raw vectors).
+
+    Residuals concentrate near the origin once the coarse quantizer has
+    absorbed the cluster structure, so the same ``m × ks`` code budget
+    spends its resolution on *within-cell* variation — tighter ADC
+    distances on clustered corpora at identical index size. Same
+    bounded-driver-pull contract as the raw trainer (``sample`` rows at
+    any corpus scale); assignment uses the parity kernel so regenerated
+    goldens are machine-independent.
+    """
+    from .clustering import sequential_fft
+
+    c = np.asarray(centers, dtype=np.float64)
+    key = hash60(F.concat(F.lit("pq:"), F.col("vid").cast("string")))
+    rows = (
+        _vec_df(emb)
+        .select("vid", "v", key.alias("_k"))
+        .orderBy(F.col("_k").asc(), F.col("vid").asc())
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    cells = np.argmin(_d2_to_centers(X, c, parity=True), axis=1)
+    R = X - c[cells]
+    dsub = R.shape[1] // m
+    books = []
+    for j in range(m):
+        sub = np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub])
+        cents = sequential_fft(sub, ks, seed=seed + j)
+        books.append([[float(v) for v in c_] for c_ in cents])
+    return books
+
+
+def _rpq_code_udfs(
+    c: np.ndarray, C: np.ndarray, m: int, ks: int, parity: bool
+):
+    """Residual-PQ kernels: (encode_udf(v, cell) → array<int> codes of
+    ``v − c[cell]``, lut_udf(v, cell) → array<double> flat m·ks ADC
+    table of the query's residual against that probed cell).
+
+    Unlike the raw-PQ kernels the LUT is per (query, probed cell) — the
+    residual depends on which cell is being searched — so the query side
+    computes ``nprobe`` small tables instead of one. The subtraction is
+    a single exact IEEE op per element, identical in both the vectorized
+    and parity paths (and in the SQL twin's ``vec[i] − cvec[i]``).
+    """
+    dsub = C.shape[2]
+
+    def _residuals(vb: pd.Series, cellb: pd.Series) -> np.ndarray:
+        x = np.array(vb.tolist(), dtype=np.float64)
+        return x - c[cellb.to_numpy(dtype=np.int64)]
+
+    def encode(vb: pd.Series, cellb: pd.Series) -> pd.Series:
+        r = _residuals(vb, cellb)
+        if not parity:
+            codes = np.empty((len(r), m), dtype=np.int64)
+            for j in range(m):
+                d2 = _d2_to_centers(
+                    r[:, j * dsub : (j + 1) * dsub], C[j], parity
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            return pd.Series([row.tolist() for row in codes])
+        out = []
+        for x in r:
+            codes = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                d2s = [_pq_d2(s, C[j, cc]) for cc in range(ks)]
+                codes.append(int(np.argmin(d2s)))
+            out.append(codes)
+        return pd.Series(out)
+
+    def lut(vb: pd.Series, cellb: pd.Series) -> pd.Series:
+        r = _residuals(vb, cellb)
+        if not parity:
+            flat = np.concatenate(
+                [
+                    _d2_to_centers(
+                        r[:, j * dsub : (j + 1) * dsub], C[j], parity
+                    )
+                    for j in range(m)
+                ],
+                axis=1,
+            )
+            return pd.Series([row.tolist() for row in flat])
+        out = []
+        for x in r:
+            flat = []
+            for j in range(m):
+                s = x[j * dsub : (j + 1) * dsub]
+                flat.extend(_pq_d2(s, C[j, cc]) for cc in range(ks))
+            out.append(flat)
+        return pd.Series(out)
+
+    encode.__annotations__ = {
+        "vb": pd.Series, "cellb": pd.Series, "return": pd.Series
+    }
+    lut.__annotations__ = {
+        "vb": pd.Series, "cellb": pd.Series, "return": pd.Series
+    }
+    return (
+        F.pandas_udf(encode, T.ArrayType(T.IntegerType())),
+        F.pandas_udf(lut, T.ArrayType(T.DoubleType())),
+    )
+
+
+def ivf_rpq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    l: int = 4,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    shortlist: int = PQ_SHORTLIST,
+    centers: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    parity: bool = False,
+) -> DataFrame:
+    """IVF×PQ with **residual encoding** — the full FAISS IVF-PQ design:
+    DataFrame[query_id, vec_id, score].
+
+    :func:`ivf_pq_topk` PQ-encodes raw vectors, so the codebooks spend
+    resolution re-describing the cluster structure the IVF tier already
+    captured. Here each corpus vector stores codes of its *residual*
+    ``x − center[cell]`` and each query builds one ADC table per probed
+    cell from its own residual against that cell — tighter compressed
+    distances on clustered data at the same ``m``-byte code size.
+
+    Plan shape is identical to :func:`ivf_pq_topk` (one shuffle on cell
+    id, codes-only ADC scan, bounded shortlist re-rank); the only extra
+    cost is ``nprobe`` LUTs per query instead of one, each m·ks doubles.
+    Deterministic + persistable (``centers=``/``codebooks=``) like its
+    siblings; ``parity=True`` keeps the SQL twin's float accumulation
+    order for oracle runs.
+    """
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double_vec(F.col("embedding")).alias("features"),
+    )
+    if centers is None:
+        from .clustering import mr_fft
+
+        centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks_residual(emb, centers, m=m, ks=ks, seed=seed)
+    )
+    c = np.asarray(centers, dtype=np.float64)
+    C = np.array(books, dtype=np.float64)
+    probe_udf, assign_udf = _cell_probe_udfs(c, nprobe, parity)
+    encode_udf, lut_udf = _rpq_code_udfs(c, C, m, ks, parity)
+
+    base = pts.select(
+        F.col("id").alias("vid"),
+        F.col("features").alias("v"),
+        norm(F.col("features")).alias("nrm"),
+    )
+    corpus = pts.withColumn("cell", assign_udf("features")).select(
+        F.col("id").alias("vid"),
+        "cell",
+        encode_udf("features", "cell").alias("codes"),
+    )
+    queries = pts.select(
+        F.col("id").alias("qid"),
+        "features",
+        F.explode(probe_udf("features")).alias("cell"),
+    ).select("qid", "cell", lut_udf("features", "cell").alias("lut"))
+    ad2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"), F.lit(j * ks) + F.element_at("codes", j + 1) + 1
+        )
+        ad2 = term if ad2 is None else ad2 + term
+    cand_w = Window.partitionBy("qid").orderBy(F.asc("ad2"), F.asc("vid"))
+    cands = (
+        queries.join(corpus, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", ad2.alias("ad2"))
+        .withColumn("crk", F.row_number().over(cand_w))
+        .where(F.col("crk") <= shortlist)
+        .select("qid", "vid")
+    )
+    rerank = (
+        cands.join(base, "vid")
+        .join(
+            base.select(
+                F.col("vid").alias("qid"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+            ),
+            "qid",
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("vec_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def ivf_rpq_topk_sql(
+    k: int,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+) -> str:
+    """DuckDB twin of :func:`ivf_rpq_topk`: the IVF CTEs of
+    :func:`ivf_pq_topk_sql` plus residual slices
+    ``[vec[i] − cvec[i] FOR i IN range(...)]`` feeding the PQ
+    code/LUT/ADC CTEs; query LUTs are per (qid, probed cell)."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    cvals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(v)) for v in cv) + "])"
+        for i, cv in enumerate(centers)
+    )
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def d2(s: str, cc: list[float]) -> str:
+        csq = repr(_seq_dot(np.array(cc), np.array(cc)))
+        return (
+            f"(list_dot_product({s}, {s})"
+            f" - 2 * list_dot_product({s}, {lit(cc)}) + {csq})"
+        )
+
+    rvec = f"[vec[i] - cvec[i] FOR i IN range(1, {dim + 1})]"
+    slices = ", ".join(
+        f"rvec[{j * dsub + 1}:{(j + 1) * dsub}] AS s{j}" for j in range(m)
+    )
+    code_cols = ", ".join(
+        "list_sort(["
+        + ", ".join(
+            f"{{'d': {d2(f's{j}', codebooks[j][cc])}, 'c': {cc}}}"
+            for cc in range(ks)
+        )
+        + f"])[1].c AS code{j}"
+        for j in range(m)
+    )
+    lut_list = (
+        "["
+        + ", ".join(
+            d2(f"s{j}", codebooks[j][cc])
+            for j in range(m)
+            for cc in range(ks)
+        )
+        + "]"
+    )
+    adc = " + ".join(f"q.lut[{j * ks} + pc.code{j} + 1]" for j in range(m))
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+ctr AS (SELECT * FROM (VALUES {cvals}) t(cell, cvec)),
+cd AS (
+  SELECT v.vid, ctr.cell,
+         list_dot_product(v.vec, v.vec)
+           - 2 * list_dot_product(v.vec, ctr.cvec)
+           + list_dot_product(ctr.cvec, ctr.cvec) AS d2
+  FROM v CROSS JOIN ctr
+),
+rc AS (
+  SELECT vid, cell,
+         row_number() OVER (PARTITION BY vid ORDER BY d2, cell) AS rk
+  FROM cd
+),
+cell_of AS (SELECT vid, cell FROM rc WHERE rk = 1),
+probes AS (SELECT vid AS qid, cell FROM rc WHERE rk <= {nprobe}),
+crsub AS (
+  SELECT t.vid, t.cell, {slices} FROM (
+    SELECT co.vid, co.cell, {rvec} AS rvec
+    FROM cell_of co JOIN v ON v.vid = co.vid
+    JOIN ctr ON ctr.cell = co.cell
+  ) t
+),
+pcodes AS (SELECT vid, cell, {code_cols} FROM crsub),
+qrsub AS (
+  SELECT t.qid, t.cell, {slices} FROM (
+    SELECT p.qid, p.cell, {rvec} AS rvec
+    FROM probes p JOIN v ON v.vid = p.qid
+    JOIN ctr ON ctr.cell = p.cell
+  ) t
+),
+qlut AS (SELECT qid, cell, {lut_list} AS lut FROM qrsub),
+cand AS (
+  SELECT q.qid, pc.vid, {adc} AS ad2
+  FROM qlut q
+  JOIN pcodes pc ON pc.cell = q.cell AND q.qid <> pc.vid
+),
+short AS (
+  SELECT qid, vid FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY qid ORDER BY ad2 ASC, vid ASC) AS crk
+    FROM cand
+  ) WHERE crk <= {shortlist}
+),
+rerank AS (
+  SELECT s.qid AS query_id, s.vid AS vec_id,
+         ROUND(list_dot_product(qv.vec, cv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec))
+                  * sqrt(list_dot_product(cv.vec, cv.vec))), 6) AS score
+  FROM short s JOIN v qv ON qv.vid = s.qid JOIN v cv ON cv.vid = s.vid
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM rerank
+) WHERE rk <= {k}
+"""

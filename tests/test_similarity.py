@@ -284,8 +284,100 @@ def test_vectorized_kernels_match_parity_mode(spark, emb):
         (S.ivf_topk, dict(k=3, n_cells=8, nprobe=2, seed=42)),
         (S.pq_topk, dict(k=3, seed=42)),
         (S.ivf_pq_topk, dict(k=3, n_cells=4, l=2, seed=9)),
+        (S.ivf_rpq_topk, dict(k=3, n_cells=4, l=2, seed=9)),
     ]
     for fn, kw in cases:
         fast = sorted(tuple(r) for r in fn(emb, **kw).collect())
         par = sorted(tuple(r) for r in fn(emb, parity=True, **kw).collect())
         assert fast == par and len(fast) > 0, fn.__name__
+
+
+def test_ivf_rpq_residual_encoding(spark, emb):
+    """Residual IVF-PQ: deterministic, index-reuse path exact, recall at
+    least comparable to the raw-vector IVF-PQ at identical settings, and
+    the residual codebooks actually differ from the raw ones (they are
+    fitted on x − centroid, not x)."""
+    from big_data_computing__spark.functions.vectors import as_double_vec
+    from big_data_computing__spark.operators.clustering import mr_fft
+
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double_vec(F.col("embedding")).alias("features"),
+    )
+    centers = [
+        [float(v) for v in c] for c in mr_fft(pts, k=4, l=2, seed=9).centers
+    ]
+    rbooks = S.train_pq_codebooks_residual(emb, centers, seed=9)
+    assert rbooks != S.train_pq_codebooks(emb, seed=9)
+
+    inline = sorted(
+        map(tuple, S.ivf_rpq_topk(emb, k=3, n_cells=4, l=2, seed=9).collect())
+    )
+    reused = sorted(
+        map(
+            tuple,
+            S.ivf_rpq_topk(
+                emb, k=3, centers=centers, codebooks=rbooks
+            ).collect(),
+        )
+    )
+    assert inline == reused and len(inline) > 0
+
+    exact = {}
+    for r in S.cosine_topk(emb, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r[0], set()).add(r[1])
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    raw = sorted(
+        map(tuple, S.ivf_pq_topk(emb, k=3, n_cells=4, l=2, seed=9).collect())
+    )
+    r_res, r_raw = recall(inline), recall(raw)
+    # near-uniform fixture embeddings are PQ's hardest regime; residual
+    # encoding must at minimum not collapse vs the raw-vector variant
+    assert r_res > 0.25, f"residual IVF-PQ recall too low: {r_res}"
+    assert r_res >= r_raw - 0.1, (r_res, r_raw)
+
+
+def test_ivf_rpq_sql_twin_matches(spark, emb):
+    """ivf_rpq_topk(parity=True) must hash-match its DuckDB twin with
+    the same centers/codebooks injected as literals — the same check the
+    driver's oracle gate runs, minus the golden pinning."""
+    import duckdb
+
+    from big_data_computing__spark.functions.vectors import as_double_vec
+    from big_data_computing__spark.operators.clustering import mr_fft
+
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double_vec(F.col("embedding")).alias("features"),
+    )
+    centers = [
+        [float(v) for v in c] for c in mr_fft(pts, k=4, l=2, seed=9).centers
+    ]
+    rbooks = S.train_pq_codebooks_residual(emb, centers, seed=9)
+    got = sorted(
+        map(
+            tuple,
+            S.ivf_rpq_topk(
+                emb, k=3, centers=centers, codebooks=rbooks, parity=True
+            ).collect(),
+        )
+    )
+    pdf = emb.toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                S.ivf_rpq_topk_sql(3, centers, rbooks, nprobe=2)
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
