@@ -58,12 +58,10 @@ BALANCED_CAP = 50
 
 
 def _prepare(spark: SparkSession) -> SparkSession:
-    """Runtime session prep for driver-supplied sessions: the events
-    fixture stores timestamp[ns], which Spark refuses to read unless
-    nanosAsLong is set (our own get_session sets it at build time, but
-    the harness hands us its session); UTC pins timestamp-literal
-    comparisons. Both confs are runtime-settable."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Runtime session prep for driver-supplied sessions: UTC pins
+    TIMESTAMP_NTZ→TIMESTAMP casts (events.ts is timestamp[us], read as
+    NTZ) and timestamp-literal comparisons so event-time micros match
+    DuckDB's epoch_us exactly. Runtime-settable."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
 
@@ -504,7 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one shuffle on user_id, no range-join blowup). Event time in
         # microseconds (DuckDB's timestamp precision); -1 = no prior click
         ev = _rd.read_table(spark, sf_dir, "events")
-        ts_us = F.expr("(ts div 1000)").cast("long")
+        ts_us = _wd.event_time_us(ev, "ts")
         errors = ev.where(F.col("event_type") == "error").select(
             "user_id",
             ts_us.alias("ets"),

@@ -178,9 +178,8 @@ def pivot_event_values(
 ) -> DataFrame:
     """Long→wide pivot: per event day, one column per event type holding
     ROUND(SUM(value), 6) — DataFrame[day_idx, click, error, ...], where
-    day_idx is the integer epoch day (the fixture stores ts as
-    nanos-since-epoch, see windows.tumbling_window_counts for the
-    cross-engine timestamp convention).
+    day_idx is the integer epoch day (see windows.event_time_us for the
+    cross-engine event-time convention).
 
     The pivot values are passed explicitly, which is the scalable form:
     Spark otherwise runs an extra distinct-scan job to discover them, and
@@ -189,7 +188,9 @@ def pivot_event_values(
     (map-side combined), so skew in event_type does not concentrate —
     the key is the day, not the type.
     """
-    day = F.expr("((ts div 1000) div 86400000000)").cast("long")
+    day = F.expr(
+        "(unix_micros(cast(ts as timestamp)) div 86400000000)"
+    ).cast("long")
     return (
         events.groupBy(day.alias("day_idx"))
         .pivot("event_type", list(event_types))

@@ -9,8 +9,26 @@ watermarks lives in streaming/).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def event_time_us(df: DataFrame, ts_col: str = "ts") -> Column:
+    """Event time as microseconds-since-epoch (long) — the engine's
+    canonical unit for integer window math. The events fixture's
+    ``timestamp[us]`` column (read as TIMESTAMP_NTZ) converts via the
+    UTC-pinned session timezone, so the result equals DuckDB's
+    ``epoch_us(ts)`` exactly; long columns are taken as micros as-is."""
+    if dict(df.dtypes).get(ts_col) in ("bigint", "int", "long"):
+        return F.col(ts_col).cast("long")
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def _event_timestamp(df: DataFrame, ts_col: str) -> Column:
+    """TIMESTAMP form of :func:`event_time_us` (same conventions)."""
+    if dict(df.dtypes).get(ts_col) in ("bigint", "int", "long"):
+        return F.timestamp_micros(F.col(ts_col))
+    return F.col(ts_col).cast("timestamp")
 
 
 def top_per_group(
@@ -42,15 +60,12 @@ def tumbling_window_counts(
     """Tumbling event-time window aggregation (batch form):
     DataFrame[window_start, key, n_events, sum_value].
 
-    The events fixture stores ts as nanos-since-epoch (long, see
-    session.py nanosAsLong); event time is normalized to MICROseconds
-    (floor-division) because that is the finest precision DuckDB's
-    TIMESTAMP carries — both engines then window on identical integers.
+    Event time is normalized to MICROseconds since epoch (see
+    :func:`event_time_us`) — both engines then window on identical
+    integers.
     """
     micros = 60_000_000 * window_minutes
-    # integer `div`, not float division: nanos ~1.7e18 exceed double's
-    # exact-integer range, so ts/1000.0 could round across a microsecond
-    ts_us = F.expr(f"(`{ts_col}` div 1000)").cast("long")
+    ts_us = event_time_us(events, ts_col)
     wstart = (ts_us - (ts_us % F.lit(micros))).alias("window_start_us")
     return (
         events.groupBy(wstart, F.col(key_col))
@@ -83,7 +98,7 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Session windows via the lag-gap-cumsum idiom:
-    DataFrame[user_id, session_id, session_start_ns, n_events].
+    DataFrame[user_id, session_id, session_start_us, n_events].
 
     A new session starts when the gap to the previous event of the same
     user exceeds ``gap_minutes``. One shuffle on user_id; the windows are
@@ -91,9 +106,7 @@ def sessionize(
     microseconds (see tumbling_window_counts).
     """
     gap_us = 60_000_000 * gap_minutes
-    base = events.withColumn(
-        "_ts_us", F.expr(f"(`{ts_col}` div 1000)").cast("long")
-    )
+    base = events.withColumn("_ts_us", event_time_us(events, ts_col))
     w_user = Window.partitionBy(user_col).orderBy("_ts_us")
     with_gap = base.withColumn(
         "_new",
@@ -131,9 +144,8 @@ def session_window_counts(
     the running session (a new session requires diff > gap — the same
     rule as :func:`sessionize`); session_end = last event + gap.
     """
-    ts_us = F.expr(f"(`{ts_col}` div 1000)").cast("long")
     base = events.select(
-        F.col(user_col), F.timestamp_micros(ts_us).alias("_ets")
+        F.col(user_col), _event_timestamp(events, ts_col).alias("_ets")
     )
     return (
         base.groupBy(

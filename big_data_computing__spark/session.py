@@ -43,10 +43,9 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UTC pins TIMESTAMP_NTZ→TIMESTAMP casts and timestamp literals so
+        # event-time arithmetic matches DuckDB's epoch_us exactly
         .config("spark.sql.session.timeZone", "UTC")
-        # the events fixture stores timestamp[ns]; Spark reads it as long
-        # (nanos since epoch) — convert explicitly where event time matters
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else 32),

@@ -22,10 +22,11 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Tumbling-window counts over a *streaming* events DataFrame.
 
-    ``events`` must carry a real timestamp column (for the fixture's
-    nanos-as-long ts, convert with ``nanos_to_timestamp`` first).
-    Append-mode compatible: the watermark bounds state and finalizes
-    windows ``watermark_delay`` after their end.
+    ``events`` must carry a real timestamp column (the events fixture's
+    timestamp[us] ``ts`` qualifies as-is; normalize other sources with
+    ``as_event_timestamp`` first). Append-mode compatible: the watermark
+    bounds state and finalizes windows ``watermark_delay`` after their
+    end.
     """
     return (
         events.withWatermark(ts_col, watermark_delay)
@@ -77,10 +78,11 @@ def streaming_session_counts(
     )
 
 
-def nanos_to_timestamp(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Convert the fixture's nanos-since-epoch long into a proper
-    timestamp column (microsecond precision)."""
-    return df.withColumn(
-        ts_col,
-        F.timestamp_micros(F.expr(f"(`{ts_col}` div 1000)").cast("long")),
-    )
+def as_event_timestamp(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP for watermarking:
+    TIMESTAMP_NTZ (the fixture's timestamp[us] read shape) casts via the
+    UTC session timezone; long micros-since-epoch convert numerically."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in ("bigint", "long", "int"):
+        return df.withColumn(ts_col, F.timestamp_micros(F.col(ts_col)))
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

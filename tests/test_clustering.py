@@ -77,8 +77,12 @@ def test_catalyst_min_dist_matches_pandas(spark, sf_dir):
     ).collect()
     e = {r["id"]: r["d"] for r in expr_rows}
     u = {r["id"]: r["min_dist"] for r in udf_rows}
+    # 1e-6, not 1e-9: the vectorized kernel uses the (x²+c²−2xc) matmul
+    # identity, whose cancellation error near d=0 is ~sqrt(eps·‖x‖²)≈1e-8
+    # (same trade FAISS makes); exact zeros occur here because the centers
+    # are drawn from the points themselves.
     for k in e:
-        assert abs(e[k] - u[k]) < 1e-9
+        assert abs(e[k] - u[k]) < 1e-6
 
 
 def test_assign_clusters_partitions_all_points(spark, sf_dir):

@@ -16,7 +16,7 @@ from big_data_computing__spark.sources.readers import (
 )
 from big_data_computing__spark.sources.sinks import write_parquet
 from big_data_computing__spark.streaming.windows_stream import (
-    nanos_to_timestamp,
+    as_event_timestamp,
     windowed_event_counts,
 )
 
@@ -62,7 +62,7 @@ def test_streaming_windowed_counts_with_watermark(spark, sf_dir, tmpdir):
     """Replay events through a file stream; windowed counts must equal
     the batch computation (no late data in replay, so the watermark drops
     nothing)."""
-    events = nanos_to_timestamp(
+    events = as_event_timestamp(
         read_table(spark, sf_dir, "events").select(
             "ts", "event_type", "value"
         )

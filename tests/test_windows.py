@@ -69,18 +69,18 @@ def test_session_window_boundary_semantics(spark):
         session_window_counts,
     )
 
-    gap_ns = 30 * 60_000_000_000
+    gap_us = 30 * 60_000_000
     rows = [
         (1, 0),
-        (1, gap_ns),              # exactly gap after -> merges
-        (1, 2 * gap_ns + 1000),   # gap + 1us after -> new session
+        (1, gap_us),            # exactly gap after -> merges
+        (1, 2 * gap_us + 1),    # gap + 1us after -> new session
     ]
+    # long ts = micros-since-epoch (the engine's synthetic-input unit)
     df = spark.createDataFrame(rows, "user_id long, ts long")
     out = sorted(
         (r["session_start_us"], r["session_end_us"], r["n_events"])
         for r in session_window_counts(df).collect()
     )
-    gap_us = gap_ns // 1000
     assert out == [
         (0, gap_us + gap_us, 2),
         (2 * gap_us + 1, 3 * gap_us + 1, 1),
@@ -97,12 +97,15 @@ def test_streaming_session_windows_watermark(spark, sf_dir, tmp_path):
     from big_data_computing__spark.operators.windows import (
         session_window_counts,
     )
+    from datetime import timedelta
+
     from big_data_computing__spark.streaming.windows_stream import (
-        nanos_to_timestamp,
+        as_event_timestamp,
         streaming_session_counts,
     )
 
     events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    # ts collects as datetime (the fixture's timestamp[us] read as NTZ)
     rows = sorted(
         ((r["user_id"], r["ts"]) for r in events.collect()),
         key=lambda t: t[1],
@@ -117,22 +120,22 @@ def test_streaming_session_windows_watermark(spark, sf_dir, tmp_path):
         rows[half:],
         # sentinel advances the watermark far past every real session;
         # the duplicate of the earliest event is now LATE and must drop
-        [(sentinel_user, max_ts + 10 * 24 * 3600 * 10**9),
+        [(sentinel_user, max_ts + timedelta(days=10)),
          (late_user, late_ts)],
     ]
     for part in chunks:
         # one file per chunk: maxFilesPerTrigger=1 must see whole chunks,
         # else the watermark advances mid-chunk and drops legit events
         spark.createDataFrame(
-            part, "user_id long, ts long"
+            part, "user_id long, ts timestamp_ntz"
         ).coalesce(1).write.mode("append").parquet(data)
 
     stream = (
-        spark.readStream.schema("user_id long, ts long")
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
         .option("maxFilesPerTrigger", 1)
         .parquet(data)
     )
-    out = streaming_session_counts(nanos_to_timestamp(stream))
+    out = streaming_session_counts(as_event_timestamp(stream))
     q = (
         out.writeStream.outputMode("append")
         .format("memory")
