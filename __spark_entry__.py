@@ -761,6 +761,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parity=True,
         )
 
+    def x_ann_opq_topk(spark, sf_dir):
+        # OPQ: learned orthogonal rotation (Procrustes-alternated with
+        # codebook fits) before PQ encoding — flat-ADC baseline tier,
+        # oracled via the pinned rotation + rotated-codebook goldens
+        return _sim.opq_topk(
+            _emb(spark, sf_dir),
+            k=ANN_K,
+            seed=SEED,
+            rotation=_gold.OPQ_ROTATION,
+            codebooks=_gold.OPQ_CODEBOOKS,
+            parity=True,
+        )
+
     # -- extensions: multimodal plumbing --
 
     def x_media_metadata(spark, sf_dir):
@@ -804,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_pq_topk,
         x_ann_ivf_pq_topk,
         x_ann_ivf_rpq_topk,
+        x_ann_opq_topk,
         x_dedup_components,
         x_dedup_components_star,
         x_dedup_survivors,
@@ -1274,6 +1288,9 @@ WHERE doc_id NOT IN (
         ),
         "x_ann_ivf_rpq_topk": _sim.ivf_rpq_topk_sql(
             ANN_K, _gold.C3_CENTERS, _gold.RPQ_CODEBOOKS, nprobe=2
+        ),
+        "x_ann_opq_topk": _sim.opq_topk_sql(
+            ANN_K, _gold.OPQ_ROTATION, _gold.OPQ_CODEBOOKS
         ),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),

@@ -1541,3 +1541,272 @@ SELECT query_id, vec_id, score FROM (
   FROM rerank
 ) WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# OPQ: learned orthogonal rotation before PQ (optimized product quantization)
+# ---------------------------------------------------------------------------
+
+OPQ_ITERS = 5  # alternating codebook-fit / Procrustes-rotation rounds
+
+
+def train_opq(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    sample: int = PQ_SAMPLE,
+    seed: int = 42,
+    iters: int = OPQ_ITERS,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train an OPQ transform: an orthogonal rotation ``R`` plus PQ
+    codebooks fitted in the rotated space (Ge et al., "Optimized
+    Product Quantization", CVPR 2013 — the OPQ pre-transform FAISS
+    exposes as ``OPQ<m>``).
+
+    Plain PQ splits dimensions into ``m`` contiguous subspaces, so
+    correlated / unbalanced dimensions waste code budget. OPQ
+    alternates (a) fit codebooks on the rotated sample and (b) solve
+    the orthogonal Procrustes problem ``min_R ||X·Rᵀ − Y||_F`` (Y =
+    the codebook reconstruction) via SVD, aligning the data to the
+    subspace grid. Same bounded-driver-pull contract as
+    :func:`train_pq_codebooks` (``sample`` rows at any corpus scale).
+
+    Returns ``(rotation, codebooks)`` as plain nested lists (pinnable
+    as SQL literals). Determinism: the alternation is a pure function
+    of (data, seed) *per BLAS/LAPACK build* — the SVD step is not
+    bit-portable across platforms, so goldens are pinned per
+    environment by tools/gen_fft_golden.py (which asserts same-process
+    determinism), like every other golden in plans/fft_golden_sf001.py.
+    """
+    from .clustering import sequential_fft
+
+    key = hash60(F.concat(F.lit("pq:"), F.col("vid").cast("string")))
+    rows = (
+        _vec_df(emb)
+        .select("vid", "v", key.alias("_k"))
+        .orderBy(F.col("_k").asc(), F.col("vid").asc())
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    dsub = d // m
+    R = np.eye(d)
+
+    def fit_books(Xr: np.ndarray) -> np.ndarray:
+        books = np.empty((m, ks, dsub))
+        for j in range(m):
+            sub = np.ascontiguousarray(Xr[:, j * dsub : (j + 1) * dsub])
+            books[j] = sequential_fft(sub, ks, seed=seed + j)
+        return books
+
+    def reconstruct(Xr: np.ndarray, books: np.ndarray) -> np.ndarray:
+        Y = np.empty_like(Xr)
+        for j in range(m):
+            sub = Xr[:, j * dsub : (j + 1) * dsub]
+            codes = np.argmin(
+                _d2_to_centers(sub, books[j], parity=False), axis=1
+            )
+            Y[:, j * dsub : (j + 1) * dsub] = books[j][codes]
+        return Y
+
+    books = fit_books(X)
+    for _ in range(iters):
+        Y = reconstruct(X @ R.T, books)
+        # Procrustes: min ||X·A − Y|| over orthogonal A; A = U·Vᵀ from
+        # SVD(XᵀY); the rotation applied per-vector is R = Aᵀ
+        u, _s, vt = np.linalg.svd(X.T @ Y)
+        R = (u @ vt).T
+        books = fit_books(X @ R.T)
+    return (
+        [[float(v) for v in row] for row in R],
+        [[[float(v) for v in c] for c in b] for b in books],
+    )
+
+
+def _rotate_udf(Rm: np.ndarray, parity: bool):
+    """pandas_udf rotating a vector column: out[i] = Σ_j R[i][j]·x[j].
+
+    Production: one BLAS matmul per Arrow batch. Parity: sequential-j
+    accumulation per output dimension — the float order of the SQL
+    twin's ``list_dot_product(vec, R_row_i)``.
+    """
+    def rotate(batch: pd.Series) -> pd.Series:
+        x = np.array(batch.tolist(), dtype=np.float64)
+        if not parity:
+            return pd.Series((x @ Rm.T).tolist())
+        n, d = x.shape
+        out = np.empty((n, d))
+        for i in range(d):
+            acc = np.zeros(n)
+            for j in range(d):
+                acc += x[:, j] * Rm[i, j]
+            out[:, i] = acc
+        return pd.Series(out.tolist())
+
+    rotate.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return F.pandas_udf(rotate, T.ArrayType(T.DoubleType()))
+
+
+def opq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    shortlist: int = PQ_SHORTLIST,
+    seed: int = 42,
+    rotation: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    parity: bool = False,
+) -> DataFrame:
+    """OPQ-ADC ANN (self-search, queries = vec_id % 10 == 0):
+    DataFrame[query_id, vec_id, score].
+
+    :func:`pq_topk` with the learned OPQ rotation applied before
+    encoding — codes and ADC tables are built from ``R·x``, the exact
+    re-rank stays on the original vectors (cosine is rotation-
+    invariant; re-ranking unrotated avoids a second rotation pass).
+    Same **baseline, not scale path** status as its flat sibling: the
+    ADC stage is a deliberate queries × corpus scan; the rotation is
+    an O(d²) matmul per vector, amortized by Arrow batching. For the
+    indexed tier, compose the same rotation in front of
+    :func:`ivf_rpq_topk` — distances are rotation-invariant, so cell
+    pruning commutes with ``R``.
+
+    Deterministic + persistable (``rotation=``/``codebooks=``);
+    ``parity=True`` keeps the SQL twin's float accumulation order.
+    """
+    if rotation is None or codebooks is None:
+        trained_r, trained_b = train_opq(emb, m=m, ks=ks, seed=seed)
+        rotation = rotation if rotation is not None else trained_r
+        codebooks = codebooks if codebooks is not None else trained_b
+    Rm = np.asarray(rotation, dtype=np.float64)
+    C = np.array(codebooks, dtype=np.float64)
+    rot_udf = _rotate_udf(Rm, parity)
+    encode_udf, lut_udf = _pq_code_udfs(C, m, ks, parity)
+
+    base = _vec_df(emb).withColumn("rv", rot_udf("v"))
+    corpus = base.select("vid", encode_udf("rv").alias("codes"))
+    q = base.where(F.col("vid") % 10 == 0).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        lut_udf("rv").alias("lut"),
+    )
+    ad2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"), F.lit(j * ks) + F.element_at("codes", j + 1) + 1
+        )
+        ad2 = term if ad2 is None else ad2 + term
+    cand_w = Window.partitionBy("qid").orderBy(F.asc("ad2"), F.asc("vid"))
+    cands = (
+        q.crossJoin(corpus)
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "qv", "qnrm", "vid", ad2.alias("ad2"))
+        .withColumn("crk", F.row_number().over(cand_w))
+        .where(F.col("crk") <= shortlist)
+    )
+    vsrc = _vec_df(emb)
+    rerank = cands.join(vsrc, "vid").select(
+        F.col("qid").alias("query_id"),
+        F.col("vid").alias("vec_id"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def opq_topk_sql(
+    k: int,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    shortlist: int = PQ_SHORTLIST,
+    query_filter: str = "vid % 10 = 0",
+) -> str:
+    """DuckDB twin of :func:`opq_topk` with the rotation matrix and
+    codebooks as literals: a ``rot`` CTE materializes
+    ``rvec[i] = list_dot_product(vec, R_row_i)``, then the flat-PQ
+    code/LUT/ADC/shortlist CTEs of :func:`pq_topk_sql` run over
+    ``rvec``; the exact re-rank joins back to the original vectors."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def d2(s: str, c: list[float]) -> str:
+        cc = repr(_seq_dot(np.array(c), np.array(c)))
+        return (
+            f"(list_dot_product({s}, {s})"
+            f" - 2 * list_dot_product({s}, {lit(c)}) + {cc})"
+        )
+
+    rvec = "[" + ", ".join(
+        f"list_dot_product(vec, {lit(row)})" for row in rotation
+    ) + "]"
+    slices = ", ".join(
+        f"rvec[{j * dsub + 1}:{(j + 1) * dsub}] AS s{j}" for j in range(m)
+    )
+    code_cols = ", ".join(
+        "list_sort(["
+        + ", ".join(
+            f"{{'d': {d2(f's{j}', codebooks[j][c])}, 'c': {c}}}"
+            for c in range(ks)
+        )
+        + f"])[1].c AS code{j}"
+        for j in range(m)
+    )
+    lut_list = "[" + ", ".join(
+        d2(f"s{j}", codebooks[j][c])
+        for j in range(m)
+        for c in range(ks)
+    ) + "]"
+    adc = " + ".join(
+        f"q.lut[{j * ks} + c.code{j} + 1]" for j in range(m)
+    )
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+rot AS (SELECT vid, {rvec} AS rvec FROM v),
+sub AS (SELECT vid, rvec, {slices} FROM rot),
+c AS (SELECT vid, {code_cols} FROM sub),
+q AS (SELECT vid AS qid, {lut_list} AS lut
+      FROM sub WHERE {query_filter}),
+cand AS (
+  SELECT q.qid, c.vid, {adc} AS ad2
+  FROM q CROSS JOIN c WHERE q.qid <> c.vid
+),
+short AS (
+  SELECT qid, vid FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY qid ORDER BY ad2 ASC, vid ASC) AS crk
+    FROM cand
+  ) WHERE crk <= {shortlist}
+),
+rerank AS (
+  SELECT s.qid AS query_id, s.vid AS vec_id,
+         ROUND(list_dot_product(qv.vec, cv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec))
+                  * sqrt(list_dot_product(cv.vec, cv.vec))), 6) AS score
+  FROM short s JOIN v qv ON qv.vid = s.qid JOIN v cv ON cv.vid = s.vid
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM rerank
+) WHERE rk <= {k}
+"""

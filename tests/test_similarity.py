@@ -381,3 +381,85 @@ def test_ivf_rpq_sql_twin_matches(spark, emb):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_opq_rotation_properties(spark, emb):
+    """OPQ training: the learned rotation is orthogonal, deterministic,
+    and reduces per-sample PQ reconstruction error vs the unrotated
+    codebooks (the OPQ objective; measured on the training sample)."""
+    import numpy as np
+
+    r1, b1 = S.train_opq(emb, seed=7)
+    r2, b2 = S.train_opq(emb, seed=7)
+    assert r1 == r2 and b1 == b2
+    Rm = np.array(r1)
+    assert np.abs(Rm @ Rm.T - np.eye(len(Rm))).max() < 1e-12
+
+    from big_data_computing__spark.functions.hashing import hash60
+
+    key = hash60(F.concat(F.lit("pq:"), F.col("vid").cast("string")))
+    rows = (
+        S._vec_df(emb)
+        .select("vid", "v", key.alias("_k"))
+        .orderBy(F.col("_k").asc(), F.col("vid").asc())
+        .limit(S.PQ_SAMPLE)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows])
+
+    def recon_err(Xs, B):
+        m = len(B)
+        dsub = Xs.shape[1] // m
+        Bm = np.array(B)
+        err = 0.0
+        for j in range(m):
+            sub = Xs[:, j * dsub : (j + 1) * dsub]
+            err += S._d2_to_centers(sub, Bm[j], parity=False).min(axis=1).sum()
+        return err / len(Xs)
+
+    e_pq = recon_err(X, S.train_pq_codebooks(emb, seed=7))
+    e_opq = recon_err(X @ Rm.T, b1)
+    assert e_opq < e_pq, (e_opq, e_pq)
+
+
+def test_opq_topk_parity_and_reuse(spark, emb):
+    """opq_topk: vectorized == parity kernels, and passing the trained
+    (rotation, codebooks) back in reproduces the inline-trained result
+    (the index-persistence contract)."""
+    r, b = S.train_opq(emb, seed=42)
+    inline = sorted(map(tuple, S.opq_topk(emb, k=3, seed=42).collect()))
+    reused = sorted(
+        map(tuple, S.opq_topk(emb, k=3, rotation=r, codebooks=b).collect())
+    )
+    par = sorted(
+        map(
+            tuple,
+            S.opq_topk(
+                emb, k=3, rotation=r, codebooks=b, parity=True
+            ).collect(),
+        )
+    )
+    assert inline == reused == par and len(inline) > 0
+
+
+def test_opq_sql_twin_matches(spark, emb):
+    """opq_topk(parity=True) must hash-match its DuckDB twin with the
+    same rotation/codebooks as literals — the driver's oracle check
+    minus the golden pinning."""
+    import duckdb
+
+    r, b = S.train_opq(emb, seed=42)
+    got = sorted(
+        map(
+            tuple,
+            S.opq_topk(
+                emb, k=3, rotation=r, codebooks=b, parity=True
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    want = sorted(
+        map(tuple, con.execute(S.opq_topk_sql(3, r, b)).fetchall())
+    )
+    assert got == want and len(got) > 0
