@@ -615,6 +615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source quality-score distribution (exact percentiles)
         return _cu.domain_quality(_docs(spark, sf_dir))
 
+    def x_mixture_resample(spark, sf_dir):
+        # τ=0.5 importance resampling: downsample-only per-domain keep
+        # rates (order-independent cancelled form) + counter-based draws
+        return _cu.mixture_resample_report(_docs(spark, sf_dir))
+
     def x_token_budget_sample(spark, sf_dir):
         # per-source token-budget enforcement via ordered running sum
         return _cu.token_budget_sample(_docs(spark, sf_dir))
@@ -808,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEVER driver-verified (r1+r2 both truncated these) --
         x_domain_mixture,
         x_domain_quality,
+        x_mixture_resample,
         x_token_budget_sample,
         x_pii_report,
         x_frame_sample,
@@ -1242,6 +1248,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_balanced_sample": _cu.balanced_sample_sql(cap=BALANCED_CAP),
         "x_top_ngrams": _cu.top_ngrams_sql(),
         "x_domain_mixture": _cu.domain_mixture_sql(),
+        "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "x_pii_report": _cu.pii_report_sql(),
         "x_domain_quality": _cu.domain_quality_sql(),
         "x_token_budget_sample": _cu.token_budget_sample_sql(),

@@ -552,3 +552,139 @@ SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
        CAST(prev_tokens + n_tokens AS BIGINT) AS cum_tokens
 FROM ranked WHERE prev_tokens < {budget}
 """
+
+
+# ---------------------------------------------------------------------------
+# Importance resampling to a target domain mixture
+# ---------------------------------------------------------------------------
+
+
+def mixture_resample_rates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain keep rates that move the corpus to the τ=0.5
+    temperature mixture by *downsampling only*:
+    DataFrame[source, n_docs, n_tokens, rate].
+
+    The target share of domain d is ∝ sqrt(n_tokens_d) (the same τ=0.5
+    scaling :func:`domain_mixture` reports); the downsample-only rates
+    that realize those proportions in expectation are
+
+        rate_d = r_d / max_e r_e,   r_d = sqrt(n_tokens_d) / n_tokens_d
+
+    (the global Σsqrt and total-token factors cancel in the
+    normalization, so the most over-represented domain is cut hardest
+    and the most under-represented keeps 100%). Written in exactly this
+    cancelled form on purpose: every r_d derives from one BIGINT token
+    count via correctly-rounded sqrt/division, and the normalizer is a
+    MAX — order-independent, so Spark and DuckDB produce bit-identical
+    rates with no cross-domain float-summation-order hazard (a Σ-based
+    form would compare draws against an engine-order-dependent sum).
+
+    Scale: one map-side-combinable aggregate to ~|domains| rows, one
+    window over that tiny aggregate. The rate column is unrounded — it
+    feeds :func:`mixture_resample`'s keep decision.
+    """
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    r = F.sqrt(F.col("n_tokens").cast("double")) / F.col("n_tokens").cast(
+        "double"
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (r / F.max(r).over(w)).alias("rate"),
+    )
+
+
+def mixture_resample(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Documents surviving the τ=0.5 mixture resample — the corpus
+    :func:`mixture_resample_rates` describes, materialized:
+    DataFrame[doc_id, source] (kept rows only).
+
+    Keep decision: counter-based uniform draw (keyed ``'mr:' + doc_id``)
+    < the domain's rate — deterministic, reproducible on any cluster
+    size, no RNG state. The tiny rate table joins back onto the corpus
+    (broadcast by size), so the only full-data shuffles are the two
+    map-side-combinable per-domain aggregates.
+    """
+    rates = mixture_resample_rates(docs, text_col).select("source", "rate")
+    u = uniform01(F.concat(F.lit("mr:"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(u < F.col("rate"))
+        .select("doc_id", "source")
+    )
+
+
+def mixture_resample_report(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Oracle-facing summary of the resample: DataFrame[source, n_docs,
+    n_tokens, rate(6dp), n_kept, kept_tokens] — per-domain before/after
+    sizes, so the oracle checks the rates AND every keep decision's
+    aggregate effect without materializing doc lists."""
+    rates = mixture_resample_rates(docs, text_col)
+    u = uniform01(F.concat(F.lit("mr:"), F.col("doc_id").cast("string")))
+    kept = (
+        docs.join(
+            F.broadcast(rates.select("source", "rate")), "source"
+        )
+        .where(u < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.sum(token_count(F.col(text_col)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+def mixture_resample_report_sql() -> str:
+    u = uniform01_sql("concat('mr:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS INT) AS n_docs,
+         CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_docs, n_tokens,
+         (sqrt(CAST(n_tokens AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
+           / MAX(sqrt(CAST(n_tokens AS DOUBLE))
+                 / CAST(n_tokens AS DOUBLE)) OVER () AS rate
+  FROM per
+),
+kept AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS INT) AS n_kept,
+         CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS kept_tokens
+  FROM documents d JOIN rates r ON r.source = d.source
+  WHERE {u} < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.n_tokens,
+       ROUND(r.rate, 6) AS rate,
+       CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON k.source = r.source
+"""

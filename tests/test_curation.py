@@ -253,3 +253,41 @@ def test_token_budget_sample_invariants(spark, sf_dir):
     # determinism
     again = sorted(map(tuple, C.token_budget_sample(docs, budget=budget).collect()))
     assert again == sorted(map(tuple, out))
+
+
+def test_mixture_resample_invariants(spark, sf_dir):
+    """Downsample-only τ=0.5 resampling: the most under-represented
+    domain keeps 100%, every rate is in (0, 1], the report's kept
+    counts equal the materialized sample, and resampling moves the
+    token shares toward the sqrt-temperature target."""
+    import math
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = {r["source"]: r for r in C.mixture_resample_report(docs).collect()}
+    rates = [r["rate"] for r in rep.values()]
+    assert max(rates) == 1.0
+    assert all(0.0 < r <= 1.0 for r in rates)
+    # rate=1 belongs to the domain with the smallest token count
+    # (r_d = 1/sqrt(n_d) is monotone decreasing in n_d)
+    smallest = min(rep.values(), key=lambda r: r["n_tokens"])
+    assert smallest["rate"] == 1.0
+    for r in rep.values():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+
+    kept = C.mixture_resample(docs).groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in kept} == {
+        s: r["n_kept"] for s, r in rep.items() if r["n_kept"] > 0
+    }
+
+    # in expectation the resample hits the sqrt target EXACTLY:
+    # E[kept_tokens_d] = rate_d·n_tokens_d ∝ sqrt(n_tokens_d)
+    # (the realized counts carry binomial noise — on the near-uniform
+    # fixture that noise can exceed the small systematic correction, so
+    # the deterministic expectation is the right invariant to pin)
+    exp_kept = {s: r["rate"] * r["n_tokens"] for s, r in rep.items()}
+    etot = sum(exp_kept.values())
+    ssum = sum(math.sqrt(r["n_tokens"]) for r in rep.values())
+    for s, r in rep.items():
+        assert abs(
+            exp_kept[s] / etot - math.sqrt(r["n_tokens"]) / ssum
+        ) < 1e-6  # rate is reported at 6 dp
