@@ -620,6 +620,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rates (order-independent cancelled form) + counter-based draws
         return _cu.mixture_resample_report(_docs(spark, sf_dir))
 
+    def j8_band_join(spark, sf_dir):
+        # temporal band self-join |ts_a − ts_b| ≤ 60 s via exact 3-bucket
+        # blocking (1-D analog of the outlier grid join); oracle runs the
+        # UNbucketed theta join, certifying the blocking finds every pair
+        return _wd.band_join_report(
+            _rd.read_table(spark, sf_dir, "events"), delta_seconds=60
+        )
+
     def x_token_budget_sample(spark, sf_dir):
         # per-source token-budget enforcement via ordered running sum
         return _cu.token_budget_sample(_docs(spark, sf_dir))
@@ -814,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_domain_mixture,
         x_domain_quality,
         x_mixture_resample,
+        j8_band_join,
         x_token_budget_sample,
         x_pii_report,
         x_frame_sample,
@@ -1249,6 +1258,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_top_ngrams": _cu.top_ngrams_sql(),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
+        "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),
         "x_pii_report": _cu.pii_report_sql(),
         "x_domain_quality": _cu.domain_quality_sql(),
         "x_token_budget_sample": _cu.token_budget_sample_sql(),

@@ -161,3 +161,52 @@ def test_streaming_session_windows_watermark(spark, sf_dir, tmp_path):
     # the late duplicate was dropped: streaming == plain batch exactly
     assert got == want
     shutil.rmtree(data, ignore_errors=True)
+
+
+def test_band_join_boundary_and_blocking(spark, sf_dir):
+    """Band join: a pair exactly Δ apart is KEPT, Δ+1us is dropped,
+    pairs straddling a bucket boundary are found, and each pair exactly
+    once — then the bucketed plan must equal the naive theta join on
+    the real fixture."""
+    d_us = 60 * 1_000_000
+    rows = [
+        ("a", 1, 0),
+        ("a", 2, d_us),           # exactly Δ -> kept
+        ("a", 3, 2 * d_us + 1),   # Δ+1us from id 2 -> dropped
+        ("b", 4, d_us - 1),       # bucket 0 ...
+        ("b", 5, d_us + 1),       # ... bucket 1, gap 2us -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts long"
+    )
+    got = sorted(
+        (r["event_type"], r["a_id"], r["b_id"], r["gap_us"])
+        for r in W.band_join_pairs(df, 60).collect()
+    )
+    assert got == [("a", 1, 2, d_us), ("b", 4, 5, 2)]
+
+    # fixture: bucketed == naive theta join (via the aggregate report)
+    events = read_table(spark, sf_dir, "events")
+    rep = {
+        r["event_type"]: (r["n_pairs"], r["sum_gap_us"])
+        for r in W.band_join_report(events, 60).collect()
+    }
+    ev = events.select(
+        "event_id", "event_type", W.event_time_us(events).alias("u")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.u") - F.col("b.u")) <= d_us),
+        )
+        .groupBy(F.col("a.event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.abs(F.col("a.u") - F.col("b.u"))).alias("s"),
+        )
+    )
+    want = {r["event_type"]: (r["n"], r["s"]) for r in naive.collect()}
+    assert rep == want and len(rep) > 0
