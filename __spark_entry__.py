@@ -146,6 +146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.embedding_points(spark, sf_dir), d=1.3, m=40, method="brute"
         )
 
+    def c10_outliers_grid3(spark, sf_dir):
+        # low-dimensional grid index (array<long> cell keys, 27-neighbor
+        # explode) over the first 3 embedding dims; the oracle is the
+        # UNindexed theta join, certifying the grid blocking is exact
+        pts = _rd.embedding_points(spark, sf_dir).select(
+            "id", F.slice("features", 1, 3).alias("features")
+        )
+        return _ol.exact_outliers_grid_nd(pts, d=0.1, m=2, dims=3)
+
     # -- core reference surface: clustering (HW2) --
 
     def c5_radius_fixed_centers(spark, sf_dir):
@@ -851,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c8_fft_radius_outliers,
         c9_outliers_nd,
         c9b_outliers_nd_brute,
+        c10_outliers_grid3,
         t4_true_frequent_items,
         t5_reservoir_report,
         t6_sticky_report,
@@ -1071,6 +1081,7 @@ b AS (
   GROUP BY a.id
 )
 SELECT id, ball_count FROM b WHERE ball_count <= 40""",
+        "c10_outliers_grid3": _ol.exact_outliers_grid3_sql(0.1, 2),
         "c5_radius_fixed_centers": f"""
 WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
                   CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

@@ -443,3 +443,106 @@ def smallest_cells_topk(
     return (
         cell_counts(points, d, x, y).orderBy("cnt", "ci", "cj").limit(k)
     )
+
+
+def ball_counts_grid_nd(
+    points: DataFrame,
+    d: float,
+    dims: int,
+    id_col: str = "id",
+    features_col: str = "features",
+) -> DataFrame:
+    """|B(p,D)| in LOW dimension via a d-dimensional grid:
+    DataFrame[id, ball_count]. The 2-D :func:`ball_counts` generalized
+    with ``array<long>`` cell keys — cell side = D, every neighbor
+    within D lies in the 3^dims cell neighborhood, so the equi-join on
+    the cell-key array is exact after the distance filter.
+
+    The grid is the right index when ``dims`` is small (the probe side
+    replicates 3^dims ×: 27 at dims=3): cell occupancy is meaningful
+    and the neighborhood is constant-size, so candidates scale with
+    n·density and the shuffle key (the cell array) has no hot key.
+    Past ~6 dims occupancy collapses and the replication factor
+    explodes — use :func:`ball_counts_nd_ivf` (data-adaptive cells)
+    there; both are exact and they share the brute-force oracle.
+    """
+    import itertools
+
+    from ..functions.geometry import sq_dist_vec
+
+    if dims < 1 or 3**dims > 1000:
+        raise ValueError(f"grid method needs 1 <= dims <= 6, got {dims}")
+    cell = F.transform(
+        F.col(features_col),
+        lambda v: F.floor(v / F.lit(float(d))).cast("long"),
+    )
+    base = points.select(
+        F.col(id_col).alias("id"),
+        F.col(features_col).alias("f"),
+        cell.alias("cell"),
+    )
+    offsets = F.array(
+        *[
+            F.array(*[F.lit(o) for o in off])
+            for off in itertools.product((-1, 0, 1), repeat=dims)
+        ]
+    )
+    probe = base.select(
+        "id",
+        "f",
+        F.explode(offsets).alias("off"),
+        "cell",
+    ).select(
+        "id",
+        "f",
+        F.zip_with("cell", "off", lambda c, o: c + o).alias("ncell"),
+    )
+    cand = base.select(
+        F.col("cell").alias("ncell"), F.col("f").alias("cf")
+    )
+    return (
+        probe.join(cand, "ncell")
+        .where(sq_dist_vec(F.col("f"), F.col("cf")) <= F.lit(d * d))
+        .groupBy("id")
+        .agg(F.count("*").alias("ball_count"))
+    )
+
+
+def exact_outliers_grid_nd(
+    points: DataFrame,
+    d: float,
+    m: int,
+    dims: int,
+    id_col: str = "id",
+    features_col: str = "features",
+) -> DataFrame:
+    """(M,D)-outliers via the low-dimensional grid index:
+    DataFrame[id, ball_count] with ball_count <= M (ball includes the
+    point itself). Exact — same contract as :func:`exact_outliers_nd`,
+    different index (see :func:`ball_counts_grid_nd`)."""
+    return ball_counts_grid_nd(
+        points, d, dims, id_col, features_col
+    ).where(F.col("ball_count") <= F.lit(m))
+
+
+def exact_outliers_grid3_sql(d: float, m: int) -> str:
+    """DuckDB twin of the registered 3-D grid-outlier query (first three
+    embedding dimensions as the point set). Deliberately UNindexed — the
+    plain theta self-join — so the hash match certifies the grid
+    blocking finds exactly the true balls."""
+    return f"""
+WITH p AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+q AS (SELECT id, v[1] AS x, v[2] AS y, v[3] AS z FROM p),
+cnt AS (
+  SELECT a.id, CAST(COUNT(*) AS BIGINT) AS ball_count
+  FROM q a JOIN q b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+       + (a.z-b.z)*(a.z-b.z) <= {d!r} * {d!r}
+  GROUP BY a.id
+)
+SELECT id, ball_count FROM cnt WHERE ball_count <= {m}
+"""

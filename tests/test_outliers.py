@@ -120,3 +120,33 @@ def test_ivf_ball_counts_exactly_match_brute_force(spark, sf_dir):
         for r in O.ball_counts_nd_ivf(pts, d=1.3, n_cells=8, seed=1).collect()
     }
     assert ivf == brute
+
+
+def test_grid_nd_ball_counts_exactly_match_brute_force(spark, sf_dir):
+    """The low-dim grid index (array<long> cell keys, 3^d neighbor
+    explode) must be exact — identical counts to brute force on the
+    3-D projection — and refuse dimensions where the neighborhood
+    explode is unreasonable."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from big_data_computing__spark.sources.readers import embedding_points
+
+    pts = (
+        embedding_points(spark, sf_dir)
+        .select("id", F.slice("features", 1, 3).alias("features"))
+        .cache()
+    )
+    brute = {
+        r["id"]: r["ball_count"]
+        for r in O.ball_counts_nd(pts, d=0.25).collect()
+    }
+    grid = {
+        r["id"]: r["ball_count"]
+        for r in O.ball_counts_grid_nd(pts, d=0.25, dims=3).collect()
+    }
+    assert grid == brute and len(grid) > 0
+    pts.unpersist()
+
+    with _pytest.raises(ValueError):
+        O.ball_counts_grid_nd(pts, d=0.25, dims=12)
