@@ -861,7 +861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c9_outliers_nd,
         c9b_outliers_nd_brute,
         c10_outliers_grid3,
-        t4_true_frequent_items,
         t5_reservoir_report,
         t6_sticky_report,
         w4_session_window,
@@ -874,21 +873,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_stratified_sample,
         x_balanced_sample,
         x_top_ngrams,
-        # -- twice-green keepers: flagship custom operators worth
-        # re-verifying every round (fill the window to exactly 50) --
-        s6_sql_interface,
-        c5_radius_fixed_centers,
+        # -- event-time queries whose code CHANGED this round (the
+        # timestamp[us] fixture migration) — must re-verify, so they
+        # close the window at exactly 50 --
         j5_asof_join,
         w3_sessionize,
+        w2_tumbling_window_counts,
+        # ---- position 51+: hash-green in BOTH r1 and r2 and unchanged;
+        # the driver truncates here and the full local artifact
+        # (ORACLE_FULL_r03.json) covers them ----
+        s6_sql_interface,
+        c5_radius_fixed_centers,
+        t4_true_frequent_items,
         a13_quantile_stats,
         o2_smallest_cells_topk,
         a16_argmax_customer,
-        # ---- position 51+: hash-green in BOTH r1 and r2; the driver
-        # truncates here and the full local artifact covers them ----
         o1_exact_outliers_topk,
         a11_distinct_items,
         w1_top_order_per_segment,
-        w2_tumbling_window_counts,
         a2_pricing_summary,
         a12_rollup_pricing,
         a14_approx_distinct,
