@@ -796,6 +796,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parity=True,
         )
 
+    def x_ann_opq_ivf_rpq_topk(spark, sf_dir):
+        # the fully composed FAISS index string (OPQ8,IVF8,PQ8):
+        # rotation → cell pruning → residual ADC → exact re-rank,
+        # oracled end-to-end via pinned rotation/center/codebook goldens
+        return _sim.opq_ivf_rpq_topk(
+            _emb(spark, sf_dir),
+            k=ANN_K,
+            n_cells=FFT_K,
+            seed=SEED,
+            l=FFT_L,
+            rotation=_gold.OPQ_ROTATION,
+            centers=_gold.OPQ_IVF_CENTERS,
+            codebooks=_gold.OPQ_RPQ_CODEBOOKS,
+            parity=True,
+        )
+
     # -- extensions: multimodal plumbing --
 
     def x_media_metadata(spark, sf_dir):
@@ -842,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_ivf_pq_topk,
         x_ann_ivf_rpq_topk,
         x_ann_opq_topk,
+        x_ann_opq_ivf_rpq_topk,
         x_dedup_components,
         x_dedup_components_star,
         x_dedup_survivors,
@@ -861,7 +878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c9_outliers_nd,
         c9b_outliers_nd_brute,
         c10_outliers_grid3,
-        t5_reservoir_report,
         t6_sticky_report,
         w4_session_window,
         w5_moving_avg,
@@ -885,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s6_sql_interface,
         c5_radius_fixed_centers,
         t4_true_frequent_items,
+        t5_reservoir_report,
         a13_quantile_stats,
         o2_smallest_cells_topk,
         a16_argmax_customer,
@@ -1321,6 +1338,13 @@ WHERE doc_id NOT IN (
         ),
         "x_ann_opq_topk": _sim.opq_topk_sql(
             ANN_K, _gold.OPQ_ROTATION, _gold.OPQ_CODEBOOKS
+        ),
+        "x_ann_opq_ivf_rpq_topk": _sim.opq_ivf_rpq_topk_sql(
+            ANN_K,
+            _gold.OPQ_ROTATION,
+            _gold.OPQ_IVF_CENTERS,
+            _gold.OPQ_RPQ_CODEBOOKS,
+            nprobe=2,
         ),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),

@@ -188,9 +188,13 @@ def pivot_event_values(
     (map-side combined), so skew in event_type does not concentrate —
     the key is the day, not the type.
     """
-    day = F.expr(
-        "(unix_micros(cast(ts as timestamp)) div 86400000000)"
-    ).cast("long")
+    from .windows import event_time_us
+
+    us_day = F.lit(86_400_000_000)
+    ts_us = event_time_us(events, "ts")
+    # (us − us % day) is an exact multiple, so the division is exact —
+    # no float-floor hazard at day boundaries
+    day = ((ts_us - (ts_us % us_day)) / us_day).cast("long")
     return (
         events.groupBy(day.alias("day_idx"))
         .pivot("event_type", list(event_types))

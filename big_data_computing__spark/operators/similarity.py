@@ -1432,11 +1432,16 @@ def ivf_rpq_topk_sql(
     codebooks: list[list[list[float]]],
     nprobe: int = 2,
     shortlist: int = PQ_SHORTLIST,
+    v_cte: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivf_rpq_topk`: the IVF CTEs of
     :func:`ivf_pq_topk_sql` plus residual slices
     ``[vec[i] − cvec[i] FOR i IN range(...)]`` feeding the PQ
-    code/LUT/ADC CTEs; query LUTs are per (qid, probed cell)."""
+    code/LUT/ADC CTEs; query LUTs are per (qid, probed cell).
+
+    ``v_cte`` overrides the source-vector CTE body (SELECT producing
+    ``vid, vec``) — :func:`opq_ivf_rpq_topk_sql` injects the rotated
+    vectors here and reuses the whole pipeline unchanged."""
     m = len(codebooks)
     ks = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -1479,11 +1484,15 @@ def ivf_rpq_topk_sql(
         + "]"
     )
     adc = " + ".join(f"q.lut[{j * ks} + pc.code{j} + 1]" for j in range(m))
+    if v_cte is None:
+        v_cte = (
+            "SELECT CAST(vec_id AS BIGINT) AS vid,\n"
+            "         CAST(embedding AS DOUBLE[]) AS vec\n"
+            "  FROM embeddings"
+        )
     return f"""
 WITH v AS (
-  SELECT CAST(vec_id AS BIGINT) AS vid,
-         CAST(embedding AS DOUBLE[]) AS vec
-  FROM embeddings
+  {v_cte}
 ),
 ctr AS (SELECT * FROM (VALUES {cvals}) t(cell, cvec)),
 cd AS (
@@ -1810,3 +1819,130 @@ SELECT query_id, vec_id, score FROM (
   FROM rerank
 ) WHERE rk <= {k}
 """
+
+
+def rotate_embeddings(
+    emb: DataFrame,
+    rotation: list[list[float]],
+    parity: bool = False,
+) -> DataFrame:
+    """The embeddings table with the OPQ rotation applied to the vector
+    column: DataFrame[vec_id, embedding array<double>]. ``parity=True``
+    rotates with the SQL twin's accumulation order (see
+    :func:`_rotate_udf`) — required when the result feeds an
+    oracle-checked pipeline or golden training."""
+    Rm = np.asarray(rotation, dtype=np.float64)
+    rot_udf = _rotate_udf(Rm, parity)
+    return emb.select(
+        F.col("vec_id"),
+        rot_udf(as_double_vec(F.col("embedding"))).alias("embedding"),
+    )
+
+
+def train_opq_ivf_rpq(
+    emb: DataFrame,
+    n_cells: int = 16,
+    l: int = 4,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[float]], list[list[list[float]]]]:
+    """Train the full composed index: (rotation, rotated-space IVF
+    centers, rotated-space residual codebooks). Rotation from
+    :func:`train_opq`; centers/books fitted on the PARITY-rotated
+    vectors so pinned goldens reproduce under oracle runs."""
+    from .clustering import mr_fft
+
+    rotation, _flat_books = train_opq(emb, m=m, ks=ks, seed=seed)
+    remb = rotate_embeddings(emb, rotation, parity=True)
+    pts = remb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double_vec(F.col("embedding")).alias("features"),
+    )
+    centers = [
+        [float(v) for v in c]
+        for c in mr_fft(pts, k=n_cells, l=l, seed=seed).centers
+    ]
+    books = train_pq_codebooks_residual(
+        remb, centers, m=m, ks=ks, seed=seed
+    )
+    return rotation, centers, books
+
+
+def opq_ivf_rpq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    l: int = 4,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    shortlist: int = PQ_SHORTLIST,
+    rotation: list[list[float]] | None = None,
+    centers: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    parity: bool = False,
+) -> DataFrame:
+    """The fully composed FAISS-style index — OPQ rotation → IVF cell
+    pruning → residual-PQ ADC → exact re-rank (the ``OPQ<m>,IVF<c>,
+    PQ<m>`` index string): DataFrame[query_id, vec_id, score].
+
+    Distances are rotation-invariant, so cell pruning commutes with
+    ``R`` and the whole :func:`ivf_rpq_topk` pipeline runs unchanged on
+    the rotated vectors — the rotation is one Arrow-batched matmul per
+    vector, after which plan shape, state bounds, and scale story are
+    exactly the residual-IVF-PQ ones. Scores are cosine in rotated
+    space (= cosine in the original space up to float rounding).
+    Deterministic + persistable via ``rotation=``/``centers=``/
+    ``codebooks=`` (see :func:`train_opq_ivf_rpq`).
+    """
+    if rotation is None:
+        rotation, centers, codebooks = train_opq_ivf_rpq(
+            emb, n_cells=n_cells, l=l, m=m, ks=ks, seed=seed
+        )
+    remb = rotate_embeddings(emb, rotation, parity=parity)
+    return ivf_rpq_topk(
+        remb,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        seed=seed,
+        l=l,
+        m=m,
+        ks=ks,
+        shortlist=shortlist,
+        centers=centers,
+        codebooks=codebooks,
+        parity=parity,
+    )
+
+
+def opq_ivf_rpq_topk_sql(
+    k: int,
+    rotation: list[list[float]],
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+) -> str:
+    """DuckDB twin of :func:`opq_ivf_rpq_topk`: injects the rotated
+    vectors (``list_dot_product`` per output dimension — the parity
+    kernel's accumulation order) as the source CTE of
+    :func:`ivf_rpq_topk_sql`; everything downstream is shared."""
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    rvec = "[" + ", ".join(
+        f"list_dot_product(vec0, {lit(row)})" for row in rotation
+    ) + "]"
+    v_cte = (
+        "SELECT vid, " + rvec + " AS vec FROM (\n"
+        "    SELECT CAST(vec_id AS BIGINT) AS vid,\n"
+        "           CAST(embedding AS DOUBLE[]) AS vec0\n"
+        "    FROM embeddings)"
+    )
+    return ivf_rpq_topk_sql(
+        k, centers, codebooks, nprobe=nprobe,
+        shortlist=shortlist, v_cte=v_cte,
+    )

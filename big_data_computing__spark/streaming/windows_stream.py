@@ -86,3 +86,58 @@ def as_event_timestamp(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     if dtype in ("bigint", "long", "int"):
         return df.withColumn(ts_col, F.timestamp_micros(F.col(ts_col)))
     return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
+def streaming_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    delta_seconds: int = 60,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream temporal band join — the streaming face of
+    ``operators/windows.band_join_pairs``: pairs of same-key events from
+    two streams within ``delta_seconds`` of each other,
+    DataFrame[key, a_id, b_id, gap_us].
+
+    Uses Structured Streaming's native stream-stream inner join with a
+    time-range condition: both sides carry watermarks, so the join state
+    each side buffers is bounded to (Δ + watermark delay) of event time
+    — the engine never holds more than that window of either stream,
+    which is the property that lets the join run forever at ingest
+    scale. The id-ordering filter keeps the output pair set identical to
+    the batch operator's (each unordered pair once, ``a_id < b_id``).
+    """
+    d_us = int(delta_seconds) * 1_000_000
+    a = left.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("a_id"),
+        F.col(ts_col).cast("timestamp").alias("a_ts"),
+    ).withWatermark("a_ts", watermark_delay)
+    b = right.select(
+        F.col(key_col).alias("kb"),
+        F.col(id_col).alias("b_id"),
+        F.col(ts_col).cast("timestamp").alias("b_ts"),
+    ).withWatermark("b_ts", watermark_delay)
+    joined = a.join(
+        b,
+        (F.col("k") == F.col("kb"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (
+            F.col("b_ts")
+            >= F.col("a_ts") - F.expr(f"INTERVAL {delta_seconds} SECONDS")
+        )
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {delta_seconds} SECONDS")
+        ),
+    )
+    gap = F.abs(F.unix_micros("a_ts") - F.unix_micros("b_ts"))
+    return joined.where(gap <= d_us).select(
+        F.col("k").alias(key_col),
+        "a_id",
+        "b_id",
+        gap.alias("gap_us"),
+    )

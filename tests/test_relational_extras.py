@@ -9,17 +9,17 @@ from big_data_computing__spark.operators.relational import (
     pivot_event_values,
 )
 
-NS_DAY = 86_400_000_000_000
+US_DAY = 86_400_000_000  # long ts = micros-since-epoch (engine unit)
 
 
 def test_pivot_event_values_hand_computed(spark):
     rows = [
         # day 0: two clicks, one view
-        (1, 0 * NS_DAY + 1000, 7, "click", 1.5, "{}"),
-        (2, 0 * NS_DAY + 2000, 7, "click", 2.25, "{}"),
-        (3, 0 * NS_DAY + 3000, 8, "view", 1.0, "{}"),
+        (1, 0 * US_DAY + 1000, 7, "click", 1.5, "{}"),
+        (2, 0 * US_DAY + 2000, 7, "click", 2.25, "{}"),
+        (3, 0 * US_DAY + 3000, 8, "view", 1.0, "{}"),
         # day 2: one purchase; no clicks -> null cell
-        (4, 2 * NS_DAY + 1000, 9, "purchase", 10.0, "{}"),
+        (4, 2 * US_DAY + 1000, 9, "purchase", 10.0, "{}"),
     ]
     ev = spark.createDataFrame(
         rows,

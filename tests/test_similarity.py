@@ -463,3 +463,39 @@ def test_opq_sql_twin_matches(spark, emb):
         map(tuple, con.execute(S.opq_topk_sql(3, r, b)).fetchall())
     )
     assert got == want and len(got) > 0
+
+
+def test_opq_ivf_rpq_composed(spark, emb):
+    """Full composed index (OPQ rotation → IVF → residual PQ):
+    train/reuse parity, vectorized == parity kernels, and the SQL twin
+    hash-matches with all three artifact sets injected as literals."""
+    import duckdb
+
+    rot, centers, books = S.train_opq_ivf_rpq(emb, n_cells=4, l=2, seed=9)
+    kw = dict(
+        k=3, n_cells=4, l=2, seed=9,
+        rotation=rot, centers=centers, codebooks=books,
+    )
+    inline = sorted(
+        map(
+            tuple,
+            S.opq_ivf_rpq_topk(emb, k=3, n_cells=4, l=2, seed=9).collect(),
+        )
+    )
+    reused = sorted(map(tuple, S.opq_ivf_rpq_topk(emb, **kw).collect()))
+    par = sorted(
+        map(tuple, S.opq_ivf_rpq_topk(emb, parity=True, **kw).collect())
+    )
+    assert inline == reused == par and len(inline) > 0
+
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                S.opq_ivf_rpq_topk_sql(3, rot, centers, books, nprobe=2)
+            ).fetchall(),
+        )
+    )
+    assert par == want

@@ -210,3 +210,40 @@ def test_band_join_boundary_and_blocking(spark, sf_dir):
     )
     want = {r["event_type"]: (r["n"], r["s"]) for r in naive.collect()}
     assert rep == want and len(rep) > 0
+
+
+def test_streaming_band_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream band join (watermarked time-range join) over a
+    replay of the events fixture must produce exactly the batch band
+    join's pairs — inner stream-stream joins emit eagerly, so replay
+    parity is exact."""
+    from big_data_computing__spark.streaming.windows_stream import (
+        streaming_band_join,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    data = str(tmp_path / "band_events")
+    events.coalesce(1).write.parquet(data)
+    stream = spark.readStream.schema(events.schema).parquet(data)
+    out = streaming_band_join(stream, stream, delta_seconds=600)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("band_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_band"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["a_id"], r["b_id"], r["gap_us"])
+        for r in spark.sql("SELECT * FROM band_stream").collect()
+    }
+    want = {
+        (r["event_type"], r["a_id"], r["b_id"], r["gap_us"])
+        for r in W.band_join_pairs(events, 600).collect()
+    }
+    assert got == want and len(got) > 0
