@@ -612,6 +612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ≤ cap docs per lang, ranked by counter-based hash
         return _cu.balanced_sample(_docs(spark, sf_dir), cap=BALANCED_CAP)
 
+    def x_tfidf_top_terms(spark, sf_dir):
+        # per-doc keyword extraction by tf·(N/df) — the linear-idf form
+        # (exact-rounded ops only; ln is not bit-portable cross-engine)
+        return _ts.tfidf_top_terms(_docs(spark, sf_dir))
+
     def x_top_ngrams(spark, sf_dir):
         # corpus-wide top-k bigrams (word-count shape, TakeOrdered)
         return _cu.top_ngrams(_docs(spark, sf_dir))
@@ -878,7 +883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c9_outliers_nd,
         c9b_outliers_nd_brute,
         c10_outliers_grid3,
-        t6_sticky_report,
         w4_session_window,
         w5_moving_avg,
         w6_ntile_quartiles,
@@ -888,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_contamination,
         x_stratified_sample,
         x_balanced_sample,
+        x_tfidf_top_terms,
         x_top_ngrams,
         # -- event-time queries whose code CHANGED this round (the
         # timestamp[us] fixture migration) — must re-verify, so they
@@ -902,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c5_radius_fixed_centers,
         t4_true_frequent_items,
         t5_reservoir_report,
+        t6_sticky_report,
         a13_quantile_stats,
         o2_smallest_cells_topk,
         a16_argmax_customer,
@@ -1286,6 +1292,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_stratified_sample": _cu.stratified_sample_report_sql(),
         "x_balanced_sample": _cu.balanced_sample_sql(cap=BALANCED_CAP),
         "x_top_ngrams": _cu.top_ngrams_sql(),
+        "x_tfidf_top_terms": _ts.tfidf_top_terms_sql(),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),

@@ -356,3 +356,90 @@ def fingerprints_sql() -> str:
     return (
         f"SELECT doc_id, {hash60_sql(norm)} AS fingerprint FROM documents"
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf·idf:
+    DataFrame[doc_id, term, tf, df, score].
+
+    The idf factor is the LINEAR form ``N/df`` (score = tf·N/df,
+    rounded to 6 dp), not the textbook ``ln(N/df)``: ln is not
+    bit-portable across engines (Spark's and DuckDB's libm results
+    measurably differ in the last ulp), while multiply and divide are
+    IEEE correctly-rounded everywhere — so this variant is exactly
+    reproducible cross-engine from integer (tf, df, N). Within one
+    document the two orderings differ only in how strongly rare terms
+    are promoted; both are standard keyword-extraction weightings.
+
+    Shape: one (doc_id, term) aggregation (map-side combined — the
+    word-count shape), a term-keyed df aggregation over the distinct
+    pairs, a term-keyed join of the two, and a per-doc WindowGroupLimit
+    for the top-k — every stage keyed on high-cardinality columns, no
+    hot keys, no driver state.
+    """
+    from pyspark.sql import Window
+
+    pairs = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = pairs.groupBy("doc_id", "term").agg(
+        F.count("*").cast("int").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count("*").cast("int").alias("df")
+    )
+    n = docs.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS INT) AS tf
+  FROM pairs GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS INT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * (n.n_docs / CAST(dfreq.df AS DOUBLE)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""

@@ -291,3 +291,28 @@ def test_mixture_resample_invariants(spark, sf_dir):
         assert abs(
             exp_kept[s] / etot - math.sqrt(r["n_tokens"]) / ssum
         ) < 1e-6  # rate is reported at 6 dp
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """tf·(N/df) on a 3-doc corpus, hand-checked: a term appearing
+    twice in one doc and nowhere else scores 2·3/1 = 6; ubiquitous
+    terms score tf·1; ties break term-ascending."""
+    from big_data_computing__spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    rows = [
+        (1, "apple apple common", "en", "s"),
+        (2, "banana common", "en", "s"),
+        (3, "common cherry", "en", "s"),
+    ]
+    docs = _docs(spark, rows)
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    assert out[(1, "apple")] == (2, 1, 6.0)
+    assert out[(2, "banana")] == (1, 1, 3.0)
+    assert out[(3, "cherry")] == (1, 1, 3.0)
+    # 'common' is in every doc: tf·(3/3) = 1.0, ranked below the rares
+    assert out[(1, "common")] == (1, 3, 1.0)
