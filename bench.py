@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "x_dedup_simhash",
     "x_dedup_ngram_jaccard",
     "x_ann_cosine_topk",
+    # indexed ANN tier (the scale path, vs the brute baseline above)
+    "x_ann_ivf_rpq_topk",
     "x_token_stats",
     "x_bpe_token_counts",
     "x_quality_scores",
@@ -60,6 +62,11 @@ BENCH_QUERIES = [
     # contamination join (the two distinct plan shapes in curation.py)
     "x_repetition",
     "x_contamination",
+    # round-3 additions: banded temporal join, mixture resampling,
+    # tf-idf keyword extraction
+    "j8_band_join",
+    "x_mixture_resample",
+    "x_tfidf_top_terms",
 ]
 
 

@@ -188,3 +188,27 @@ def curation_ingest_stream(
         F.col("dup_bigram_frac") <= F.lit(max_dup_bigram_frac)
     )
     return dedup_stream(reps, text_col, ts_col, watermark_delay)
+
+
+def mixture_gate_stream(
+    docs: DataFrame, rates: DataFrame
+) -> DataFrame:
+    """Streaming mixture-resample gate: keep arriving documents by the
+    same counter-based draw as the batch
+    ``operators.curation.mixture_resample``, against PRE-COMPUTED
+    per-domain rates (a tiny static DataFrame[source, rate] from
+    ``mixture_resample_rates`` on a reference snapshot).
+
+    A stream-static broadcast join + a stateless per-row predicate —
+    no state, no watermark, and replay ≡ batch bit-for-bit because the
+    keep decision is a pure function of (doc_id, rate). Rates are
+    frozen at training time by design: the target mixture is a
+    training-run constant, not a moving estimate (recompute and restart
+    the query to re-target — the standard static-enrichment pattern).
+    """
+    from ..functions.hashing import uniform01
+
+    u = uniform01(F.concat(F.lit("mr:"), F.col("doc_id").cast("string")))
+    return docs.join(F.broadcast(rates), "source").where(
+        u < F.col("rate")
+    )

@@ -213,3 +213,42 @@ def test_curation_ingest_stream_composed(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert set(got) == want and len(got) == len(want) > 0
+
+
+def test_mixture_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming mixture gate (stream-static broadcast join + counter
+    draw) over a replay must keep exactly the batch resample's docs."""
+    from big_data_computing__spark.operators.curation import (
+        mixture_resample,
+        mixture_resample_rates,
+    )
+    from big_data_computing__spark.streaming.curation_stream import (
+        mixture_gate_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    rates = mixture_resample_rates(docs).select("source", "rate")
+    data = str(tmp_path / "mix_docs")
+    docs.write.parquet(data)
+
+    stream = spark.readStream.schema(docs.schema).parquet(data)
+    out = mixture_gate_stream(stream, rates).select("doc_id", "source")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mix_gate")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mix"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["source"])
+        for r in spark.sql("SELECT * FROM mix_gate").collect()
+    }
+    want = {
+        (r["doc_id"], r["source"])
+        for r in mixture_resample(docs).collect()
+    }
+    assert got == want and len(got) > 0
