@@ -207,6 +207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.event_stream_table(spark, sf_dir), PHI
         )
 
+    def t9_cms_frequent(spark, sf_dir):
+        # count-min sketch (mergeable depth×width summary) probed for
+        # the true-frequent items; estimate ≥ true count by construction
+        return _fr.cms_frequent_report(
+            _rd.event_stream_table(spark, sf_dir), PHI
+        )
+
     def t5_reservoir_report(spark, sf_dir):
         return _fr.reservoir_report(
             _rd.event_stream_table(spark, sf_dir), PHI, SEED
@@ -853,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_domain_quality,
         x_mixture_resample,
         j8_band_join,
+        t9_cms_frequent,
         x_token_budget_sample,
         x_pii_report,
         x_frame_sample,
@@ -893,7 +901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_stratified_sample,
         x_balanced_sample,
         x_tfidf_top_terms,
-        x_top_ngrams,
         # -- event-time queries whose code CHANGED this round (the
         # timestamp[us] fixture migration) — must re-verify, so they
         # close the window at exactly 50 --
@@ -905,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ORACLE_FULL_r03.json) covers them ----
         s6_sql_interface,
         c5_radius_fixed_centers,
+        x_top_ngrams,
         t4_true_frequent_items,
         t5_reservoir_report,
         t6_sticky_report,
@@ -1118,6 +1126,9 @@ SELECT ROUND(MAX(min_dist), 6) AS radius FROM d""",
         "c3_mrfft_radius": _c3_golden_sql(),
         "c8_fft_radius_outliers": _c8_golden_sql(m),
         "t4_true_frequent_items": _fr.true_frequent_sql(
+            _rd.EVENT_STREAM_SQL, PHI
+        ),
+        "t9_cms_frequent": _fr.cms_frequent_report_sql(
             _rd.EVENT_STREAM_SQL, PHI
         ),
         "t5_reservoir_report": _fr.reservoir_report_sql(

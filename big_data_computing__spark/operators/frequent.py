@@ -40,7 +40,12 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import TWO_POW_60, hash60, uniform01_sql
+from ..functions.hashing import (
+    TWO_POW_60,
+    hash60,
+    hash60_sql,
+    uniform01_sql,
+)
 
 
 def _u(tag: str, seed: int, t: Column) -> Column:
@@ -292,4 +297,139 @@ truth AS (
 SELECT est.item, est.est_cnt,
        CASE WHEN truth.item IS NOT NULL THEN '+' ELSE '-' END AS flag
 FROM est LEFT JOIN truth ON est.item = truth.item
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+
+
+def _cms_bucket(item: Column, row: int, width: int) -> Column:
+    """Deterministic bucket of ``item`` in sketch row ``row`` — the
+    engine's counter-based hash (functions/hashing.py), so the sketch
+    is a pure function of the data and SQL-twinnable."""
+    return hash60(
+        F.concat(F.lit(f"cms{row}:"), item.cast("string"))
+    ) % F.lit(width)
+
+
+def cms_sketch(
+    stream: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    item_col: str = "item",
+) -> DataFrame:
+    """Count-min sketch of an item stream (Cormode & Muthukrishnan):
+    DataFrame[row, bucket, cnt] — ``depth`` hash rows × ``width``
+    buckets of ADDITIVE counters.
+
+    The mergeable-summary shape: one map-side-combinable aggregation
+    keyed (row, bucket) produces ≤ depth·width rows regardless of
+    stream size, and sketches of partitions/days/shards merge by
+    adding counters — the property that makes CMS the standard
+    frequency summary for unbounded or sharded streams where exact
+    per-item state (|distinct items| keys) is too large.
+    """
+    rows = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(item_col), r, width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return rows.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_frequent_report(
+    stream: DataFrame,
+    phi: float,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    item_col: str = "item",
+) -> DataFrame:
+    """True-frequent items with their count-min estimates:
+    DataFrame[item, cnt, cms_estimate] — estimate = min over sketch
+    rows of the item's bucket counter, never below the true count
+    (the CMS one-sided error guarantee, asserted in tests; the
+    ε = e/width overestimate bound is the classic analysis).
+
+    The sketch (≤ depth·width rows) broadcasts to the per-item probe —
+    no second full-data shuffle: estimates come from the summary, the
+    way a production pipeline would query a sketch built elsewhere.
+    """
+    sketch = cms_sketch(stream, width, depth, item_col)
+    items = true_frequent_items(stream, phi, item_col)
+    probe = items.select(
+        "item",
+        "cnt",
+        *[
+            _cms_bucket(F.col("item"), r, width).alias(f"b{r}")
+            for r in range(depth)
+        ],
+    )
+    out = probe
+    for r in range(depth):
+        side = sketch.where(F.col("row") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        out = out.join(F.broadcast(side), f"b{r}")
+    est = F.least(*[F.col(f"c{r}") for r in range(depth)])
+    return out.select(
+        "item", "cnt", est.cast("long").alias("cms_estimate")
+    )
+
+
+def cms_frequent_report_sql(
+    stream_sql: str,
+    phi: float,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> str:
+    """DuckDB twin of :func:`cms_frequent_report`."""
+    def bucket(r: str, item_expr: str) -> str:
+        return (
+            hash60_sql(f"concat('cms{r}:', CAST({item_expr} AS VARCHAR))")
+            + f" % {width}"
+        )
+
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {bucket(r, 'item')} AS bucket FROM s"
+        for r in range(depth)
+    )
+    probe_cols = ", ".join(
+        f"{bucket(r, 'item')} AS b{r}" for r in range(depth)
+    )
+    joins = " ".join(
+        f"JOIN sk sk{r} ON sk{r}.row = {r} AND sk{r}.bucket = p.b{r}"
+        for r in range(depth)
+    )
+    least = ", ".join(f"sk{r}.cnt" for r in range(depth))
+    return f"""
+WITH s AS ({stream_sql}),
+sk AS (
+  SELECT row, bucket, COUNT(*) AS cnt
+  FROM ({bucket_rows}) GROUP BY row, bucket
+),
+freq AS (
+  SELECT item, COUNT(*) AS cnt FROM s GROUP BY item
+  HAVING COUNT(*) >= {phi!r} * (SELECT COUNT(*) FROM s)
+),
+p AS (SELECT item, cnt, {probe_cols} FROM freq)
+SELECT p.item, p.cnt,
+       CAST(LEAST({least}) AS BIGINT) AS cms_estimate
+FROM p {joins}
 """

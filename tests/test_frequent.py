@@ -125,3 +125,35 @@ def test_samplers_partitioning_invariant(spark, sf_dir):
             for r in FR.sticky_counts(v, n, 50.0, seed).collect()
         )
         assert got == exp_sticky
+
+
+def test_cms_one_sided_error_and_merge(spark, sf_dir):
+    """Count-min: estimate >= true count for EVERY item (one-sided
+    error), the sketch is bounded at depth*width rows, and sketches of
+    disjoint halves merged by adding counters equal the whole-stream
+    sketch (the mergeable-summary property)."""
+    stream = event_stream_table(spark, sf_dir).cache()
+    rep = FR.cms_frequent_report(stream, phi=0.004).collect()
+    assert len(rep) > 0
+    for r in rep:
+        assert r["cms_estimate"] >= r["cnt"], r
+
+    sk = FR.cms_sketch(stream)
+    assert sk.count() <= FR.CMS_DEPTH * FR.CMS_WIDTH
+
+    half = stream.count() // 2
+    lo = stream.where(F.col("seq") <= half)
+    hi = stream.where(F.col("seq") > half)
+    merged = {
+        (r["row"], r["bucket"]): r["s"]
+        for r in FR.cms_sketch(lo)
+        .unionByName(FR.cms_sketch(hi))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"] for r in sk.collect()
+    }
+    assert merged == whole
+    stream.unpersist()
