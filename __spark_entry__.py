@@ -641,6 +641,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rates (order-independent cancelled form) + counter-based draws
         return _cu.mixture_resample_report(_docs(spark, sf_dir))
 
+    def x_bloom_contamination(spark, sf_dir):
+        # contamination answered from a Bloom filter of the train split
+        # (≤ m_bits broadcast positions vs a multi-TB exact hash set at
+        # scale); one-sided — flags every true leak, tested vs exact
+        return _cu.bloom_contamination(_docs(spark, sf_dir))
+
     def j8_band_join(spark, sf_dir):
         # temporal band self-join |ts_a − ts_b| ≤ 60 s via exact 3-bucket
         # blocking (1-D analog of the outlier grid join); oracle runs the
@@ -861,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_mixture_resample,
         j8_band_join,
         t9_cms_frequent,
+        x_bloom_contamination,
         x_token_budget_sample,
         x_pii_report,
         x_frame_sample,
@@ -899,7 +906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_repetition,
         x_contamination,
         x_stratified_sample,
-        x_balanced_sample,
         x_tfidf_top_terms,
         # -- event-time queries whose code CHANGED this round (the
         # timestamp[us] fixture migration) — must re-verify, so they
@@ -912,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ORACLE_FULL_r03.json) covers them ----
         s6_sql_interface,
         c5_radius_fixed_centers,
+        x_balanced_sample,
         x_top_ngrams,
         t4_true_frequent_items,
         t5_reservoir_report,
@@ -1306,6 +1313,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_tfidf_top_terms": _ts.tfidf_top_terms_sql(),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
+        "x_bloom_contamination": _cu.bloom_contamination_sql(),
         "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),
         "x_pii_report": _cu.pii_report_sql(),
         "x_domain_quality": _cu.domain_quality_sql(),

