@@ -207,6 +207,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.event_stream_table(spark, sf_dir), PHI
         )
 
+    def t10_hll_estimate(spark, sf_dir):
+        # deterministic HyperLogLog (integer-ops registers, exact-int
+        # harmonic sum) — the oracle-checkable twin of a14's native
+        # sketch. Raw estimate (no ln-based range corrections), so the
+        # item is event_id: 10k distinct at sf0.01, safely above the
+        # 2.5·m small-range threshold where the raw formula is valid
+        ev = _rd.read_table(spark, sf_dir, "events").select(
+            F.col("event_id").cast("long").alias("item")
+        )
+        return _fr.hll_estimate(ev)
+
     def t9_cms_frequent(spark, sf_dir):
         # count-min sketch (mergeable depth×width summary) probed for
         # the true-frequent items; estimate ≥ true count by construction
@@ -867,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_mixture_resample,
         j8_band_join,
         t9_cms_frequent,
+        t10_hll_estimate,
         x_bloom_contamination,
         x_token_budget_sample,
         x_pii_report,
@@ -905,7 +917,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         j7_full_outer,
         x_repetition,
         x_contamination,
-        x_stratified_sample,
         x_tfidf_top_terms,
         # -- event-time queries whose code CHANGED this round (the
         # timestamp[us] fixture migration) — must re-verify, so they
@@ -918,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ORACLE_FULL_r03.json) covers them ----
         s6_sql_interface,
         c5_radius_fixed_centers,
+        x_stratified_sample,
         x_balanced_sample,
         x_top_ngrams,
         t4_true_frequent_items,
@@ -1137,6 +1149,9 @@ SELECT ROUND(MAX(min_dist), 6) AS radius FROM d""",
         ),
         "t9_cms_frequent": _fr.cms_frequent_report_sql(
             _rd.EVENT_STREAM_SQL, PHI
+        ),
+        "t10_hll_estimate": _fr.hll_estimate_sql(
+            "SELECT CAST(event_id AS BIGINT) AS item FROM events"
         ),
         "t5_reservoir_report": _fr.reservoir_report_sql(
             _rd.EVENT_STREAM_SQL, PHI, SEED

@@ -433,3 +433,121 @@ SELECT p.item, p.cnt,
        CAST(LEAST({least}) AS BIGINT) AS cms_estimate
 FROM p {joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers → ~6.5% standard error
+_HLL_K = 54  # exact-integer scale: Σ 2^(K−rho) ≤ 2^(K+8) < 2^63
+
+
+def hll_registers(
+    stream: DataFrame, p: int = HLL_P, item_col: str = "item"
+) -> DataFrame:
+    """HyperLogLog registers from the engine's counter-based hash:
+    DataFrame[bucket, m] with m = max over the bucket's items of rho
+    (1-based position of the first set bit in the hash's low 60−p
+    bits; rho = 60−p+1 when they are all zero).
+
+    Unlike Spark's native ``approx_count_distinct`` (whose sketch is
+    engine-internal and therefore rows-only in the oracle gate), every
+    register here is a pure function of the data via hash60, computed
+    with INTEGER ops only (shiftright / x&−x / bit_count — no log2,
+    whose cast behavior differs between engines): DuckDB reproduces
+    the sketch bit-for-bit. One map-side-combinable MAX aggregation to
+    ≤ 2^p rows; registers of shards merge by element-wise MAX
+    (tested) — the mergeable-summary property that makes HLL the
+    standard distinct-count sketch for sharded corpora.
+    """
+    w = 60 - p
+    h = hash60(F.col(item_col).cast("string"))
+    bucket = (h % F.lit(2**p)).alias("bucket")
+    low = F.shiftright(h, p)  # integer shift — no double round-trip
+    lowest = low.bitwiseAND(-low)
+    # rho = trailing zeros + 1 = bit_count(lowest − 1) + 1; all-integer
+    rho = F.when(low == F.lit(0), F.lit(w + 1)).otherwise(
+        F.bit_count(lowest - F.lit(1)).cast("long") + F.lit(1)
+    )
+    return (
+        stream.select(bucket, rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("m"))
+    )
+
+
+def hll_estimate(
+    stream: DataFrame, p: int = HLL_P, item_col: str = "item"
+) -> DataFrame:
+    """Raw HyperLogLog cardinality estimate, cross-engine exact:
+    1-row DataFrame[z_scaled, n_absent_registers, estimate].
+
+    The harmonic denominator is EXACT integer arithmetic —
+    z_scaled = Σ_j 2^(K − M_j) as BIGINT (K = 54; registers never seen
+    by any item contribute 2^K, i.e. M_j = 0) — so no
+    float-summation-order hazard exists anywhere; the estimate
+    α·m²·2^K / z_scaled is one correctly-rounded double division,
+    reported at 3 dp. Deliberately the RAW estimate: the small-range
+    (linear-counting) correction needs ln, which is not bit-portable
+    across engines — a14's native sketch remains the production path,
+    this operator makes the HLL family oracle-checkable.
+    """
+    m = 2**p
+    K = _HLL_K
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(stream, p, item_col)
+    present = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({K} - m AS INT))")
+        ).alias("z_p"),
+        F.count("*").alias("n_present"),
+    )
+    z = F.col("z_p") + (F.lit(m) - F.col("n_present")) * F.lit(2**K)
+    return present.select(
+        z.cast("long").alias("z_scaled"),
+        (F.lit(m) - F.col("n_present")).cast("int").alias(
+            "n_absent_registers"
+        ),
+        F.round(
+            F.lit(alpha * m * m) * F.lit(float(2**K)) / z.cast("double"),
+            3,
+        ).alias("estimate"),
+    )
+
+
+def hll_estimate_sql(stream_sql: str, p: int = HLL_P) -> str:
+    m = 2**p
+    K = _HLL_K
+    w = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = hash60_sql("CAST(item AS VARCHAR)")
+    return f"""
+WITH s AS ({stream_sql}),
+hb AS (
+  SELECT {h} % {m} AS bucket,
+         CAST({h} // {m} AS BIGINT) AS low
+  FROM s
+),
+r AS (
+  SELECT bucket,
+         CASE WHEN low = 0 THEN {w + 1}
+              ELSE CAST(bit_count((low & -low) - 1) AS BIGINT) + 1
+         END AS rho
+  FROM hb
+),
+regs AS (SELECT bucket, CAST(MAX(rho) AS BIGINT) AS mreg FROM r
+         GROUP BY bucket),
+agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST({K} - mreg AS INT))
+              AS BIGINT) AS z_p,
+         COUNT(*) AS n_present
+  FROM regs
+)
+SELECT CAST(z_p + ({m} - n_present) * {2**K} AS BIGINT) AS z_scaled,
+       CAST({m} - n_present AS INT) AS n_absent_registers,
+       ROUND({alpha * m * m!r} * {float(2**K)!r}
+             / CAST(z_p + ({m} - n_present) * {2**K} AS DOUBLE), 3)
+         AS estimate
+FROM agg
+"""

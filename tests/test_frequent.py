@@ -157,3 +157,37 @@ def test_cms_one_sided_error_and_merge(spark, sf_dir):
     }
     assert merged == whole
     stream.unpersist()
+
+
+def test_hll_accuracy_and_merge(spark, sf_dir):
+    """Deterministic HLL: raw estimate within the sketch's error band
+    of the exact distinct count (3σ ≈ 20% at 256 registers) on a
+    stream with cardinality ≥ 2.5·m (the raw formula's valid regime —
+    below it linear counting would be needed, which the operator
+    deliberately omits; see hll_estimate docstring), and shard
+    registers merged by element-wise MAX equal the whole-stream
+    registers (the mergeable-summary property)."""
+    big = spark.range(5000).select(
+        F.col("id").alias("seq"), F.col("id").alias("item")
+    )
+    est = FR.hll_estimate(big).collect()[0]["estimate"]
+    assert abs(est - 5000) / 5000 < 0.20, est
+
+    stream = event_stream_table(spark, sf_dir).cache()
+
+    half = stream.count() // 2
+    lo = stream.where(F.col("seq") <= half)
+    hi = stream.where(F.col("seq") > half)
+    merged = {
+        (r["bucket"], r["mm"])
+        for r in FR.hll_registers(lo)
+        .unionByName(FR.hll_registers(hi))
+        .groupBy("bucket")
+        .agg(F.max("m").alias("mm"))
+        .collect()
+    }
+    whole = {
+        (r["bucket"], r["m"]) for r in FR.hll_registers(stream).collect()
+    }
+    assert merged == whole
+    stream.unpersist()
