@@ -259,3 +259,49 @@ SELECT o_orderpriority, quartile, CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(MAX(o_totalprice), 2) AS max_price
 FROM t GROUP BY o_orderpriority, quartile
 """
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-tolerant equi-join: salt the big side's key with a
+    deterministic per-row shard, replicate the small side ``salt``
+    ways, join on (key, salt) — a hot key's rows spread across
+    ``salt`` reducers instead of stalling one.
+
+    The manual form of what AQE's skew-join split does at runtime
+    (spark.sql.adaptive.skewJoin, on by default in the engine
+    session): reach for it when the skew is KNOWN ahead of time and
+    the spread should be planned statically — e.g. a fact table where
+    one tenant is half the data and the dimension side is small enough
+    to replicate ``salt``× but too big to broadcast whole. The salt is
+    a counter-based hash of a row-unique expression, not rand(): the
+    result is reproducible run-to-run. Row-identical to
+    ``big.join(small, key, how)`` (asserted in tests); 'inner' and
+    'left' only — replication makes right/full null accounting
+    ambiguous.
+    """
+    from ..functions.hashing import hash60
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    shard = (
+        hash60(
+            F.concat_ws(
+                "\x1f", F.lit("sj"), *[F.col(c).cast("string")
+                                       for c in big.columns]
+            )
+        )
+        % F.lit(salt)
+    )
+    b = big.withColumn("_salt", shard.cast("int"))
+    reps = F.explode(
+        F.array(*[F.lit(i) for i in range(salt)])
+    ).alias("_salt")
+    s = small.select("*", reps)
+    joined = b.join(s, [key, "_salt"], how)
+    return joined.drop("_salt")

@@ -153,3 +153,33 @@ def test_as_of_join_randomized_vs_naive(spark):
         ]
         expected = max(cands)[1] if cands else None
         assert got[lid] == expected, (lid, got[lid], expected)
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    """salted_join must be row-identical to the plain equi-join for
+    inner and left, including unmatched-left rows, and reject
+    replication-ambiguous join types."""
+    import pytest as _pytest
+
+    from big_data_computing__spark.operators.relational import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    # make some left rows unmatched so 'left' semantics are exercised
+    dims = cust.where(F.col("o_custkey") % 3 != 0)
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, orders.join(dims, "o_custkey", how).collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(orders, dims, "o_custkey",
+                                   salt=8, how=how).collect())
+        )
+        assert plain == salted and len(salted) > 0, how
+
+    with _pytest.raises(ValueError):
+        salted_join(orders, dims, "o_custkey", how="full")
