@@ -191,3 +191,34 @@ def test_hll_accuracy_and_merge(spark, sf_dir):
     }
     assert merged == whole
     stream.unpersist()
+
+
+def test_sketches_run_as_streaming_aggregations(spark, sf_dir, tmp_path):
+    """cms_sketch and hll_registers are valid STREAMING aggregations
+    as-is (their state is the sketch itself: ≤ depth·width / 2^p
+    keys) — replaying the fixture through a file stream in complete
+    mode must reproduce the batch sketch exactly."""
+    stream_df = event_stream_table(spark, sf_dir)
+    data = str(tmp_path / "sketch_events")
+    stream_df.write.parquet(data)
+    src = spark.readStream.schema(stream_df.schema).parquet(data)
+
+    for name, build, keyfn in (
+        ("cms_c", FR.cms_sketch,
+         lambda r: ((r["row"], r["bucket"]), r["cnt"])),
+        ("hll_c", FR.hll_registers,
+         lambda r: (r["bucket"], r["m"])),
+    ):
+        q = (
+            build(src)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {keyfn(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {keyfn(r) for r in build(stream_df).collect()}
+        assert got == want and len(got) > 0, name
