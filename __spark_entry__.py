@@ -652,6 +652,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rates (order-independent cancelled form) + counter-based draws
         return _cu.mixture_resample_report(_docs(spark, sf_dir))
 
+    def x_pagerank_dupgraph(spark, sf_dir):
+        # duplicate-graph centrality in EXACT integer arithmetic
+        # (rank div degree fan-out, BIGINT sums — no float-order
+        # hazard); the oracle unrolls the same 6 rounds to the same bits
+        return _dd.pagerank_integer(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_bloom_contamination(spark, sf_dir):
         # contamination answered from a Bloom filter of the train split
         # (≤ m_bits broadcast positions vs a multi-TB exact hash set at
@@ -880,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t9_cms_frequent,
         t10_hll_estimate,
         x_bloom_contamination,
+        x_pagerank_dupgraph,
         x_token_budget_sample,
         x_pii_report,
         x_frame_sample,
@@ -908,7 +917,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c3_mrfft_radius,
         c8_fft_radius_outliers,
         c9_outliers_nd,
-        c9b_outliers_nd_brute,
         c10_outliers_grid3,
         w4_session_window,
         w5_moving_avg,
@@ -929,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ORACLE_FULL_r03.json) covers them ----
         s6_sql_interface,
         c5_radius_fixed_centers,
+        c9b_outliers_nd_brute,
         x_stratified_sample,
         x_balanced_sample,
         x_top_ngrams,
@@ -1329,6 +1338,9 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "x_bloom_contamination": _cu.bloom_contamination_sql(),
+        "x_pagerank_dupgraph": _dd.pagerank_integer_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
         "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),
         "x_pii_report": _cu.pii_report_sql(),
         "x_domain_quality": _cu.domain_quality_sql(),

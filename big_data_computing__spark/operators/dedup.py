@@ -703,3 +703,133 @@ def duplicate_components_star(
         labels.select("doc_id"), "doc_id", "left_anti"
     ).select("doc_id", F.col("doc_id").alias("component_id"))
     return labels.union(roots)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-graph centrality: deterministic integer PageRank
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12
+PR_DAMPING_PCT = 85
+PR_ITERATIONS = 6
+
+
+def pagerank_integer(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> DataFrame:
+    """PageRank over the (undirected) duplicate-pair graph in EXACT
+    integer arithmetic: DataFrame[doc_id, rank_scaled] with ranks as
+    BIGINTs scaled by ``scale``.
+
+    Centrality on the near-dup graph is the canonical-representative
+    signal (rank duplicates by connectivity, keep the hub) — and the
+    engine's demonstration that *iterative numeric* algorithms can be
+    oracle-exact: every update is floor division and BIGINT sums
+    (``rank div degree`` fan-out, ``(damping·Σ)div 100`` combine), so
+    there is no float-summation-order hazard at all and DuckDB unrolls
+    the same recurrence to the same bits. The floors leak a little
+    probability mass (< 1 ulp of scale per node per round) — this is a
+    deterministic PageRank *variant*, documented as such; ranks ORDER
+    the same way the float algorithm's would for any separation above
+    the leak.
+
+    Shape per round: one shuffle join of (node, rank) onto edges +
+    a partial+final BIGINT sum keyed by target — the CC loop's cost
+    model — with per-round ``localCheckpoint`` for the same
+    exponential-lineage reason (see :func:`duplicate_components`).
+    Nodes are those appearing in ≥ 1 pair (degree ≥ 1, no dangling
+    mass). ``iterations`` is fixed, not convergence-tested: the oracle
+    unrolls exactly that many rounds.
+    """
+    edges = (
+        pairs.select(F.col(doc_a).alias("s"), F.col(doc_b).alias("t"))
+        .union(
+            pairs.select(F.col(doc_b).alias("s"), F.col(doc_a).alias("t"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("s").agg(F.count("*").cast("long").alias("deg"))
+    n = deg.count()  # bounded driver scalar (one long), like CC's check
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    rank = deg.select(
+        F.col("s").alias("id"), F.lit(scale // n).alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank, edges.s == rank.id)
+            .join(deg, "s")
+            .select("t", F.expr("rank div deg").alias("c"))
+            .groupBy("t")
+            .agg(F.sum("c").alias("total"))
+        )
+        ids = deg.select(F.col("s").alias("id"))
+        rank = (
+            ids.join(contrib, ids.id == contrib.t, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(CAST({damping_pct} AS BIGINT)"
+                        " * coalesce(total, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select(
+        F.col("id").alias("doc_id"), F.col("rank").alias("rank_scaled")
+    )
+
+
+def pagerank_integer_sql(
+    pairs_sql: str,
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> str:
+    """DuckDB twin of :func:`pagerank_integer`: the fixed-round
+    recurrence UNROLLED into one CTE per iteration (aggregation inside
+    a recursive CTE's step is not portable SQL; unrolling is — and the
+    round count is part of the operator's contract)."""
+    rounds = []
+    prev = "pr0"
+    for k in range(1, iterations + 1):
+        rounds.append(f"""
+pr{k} AS (
+  SELECT d.s AS id,
+         (SELECT base FROM params)
+         + ({damping_pct}::BIGINT * COALESCE(SUM(p.rank // dd.deg), 0))
+           // 100 AS rank
+  FROM deg d
+  LEFT JOIN edges e ON e.t = d.s
+  LEFT JOIN {prev} p ON p.id = e.s
+  LEFT JOIN deg dd ON dd.s = e.s
+  GROUP BY d.s
+)""")
+        prev = f"pr{k}"
+    return f"""
+WITH
+p AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY s),
+params AS (
+  SELECT CAST(({100 - damping_pct} * {scale}::BIGINT)
+              // (100 * COUNT(*)) AS BIGINT) AS base,
+         CAST({scale}::BIGINT // COUNT(*) AS BIGINT) AS r0
+  FROM deg
+),
+pr0 AS (SELECT s AS id, (SELECT r0 FROM params) AS rank FROM deg),
+{','.join(rounds)}
+SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_scaled FROM {prev}
+"""

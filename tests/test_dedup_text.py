@@ -334,3 +334,32 @@ def test_hash60_modes(spark):
     assert len({r["h_xx"] for r in out}) == 200  # no collisions here
     with pytest.raises(ValueError):
         hash60(F.col("s"), "fnv")
+
+
+def test_pagerank_integer_properties(spark):
+    """Integer PageRank on a hand-built star+chain graph: the hub
+    outranks leaves, two runs are bit-identical, ranks are positive,
+    and total mass stays within the documented floor-leak bound
+    (n·(iterations+1) scale units below the ideal)."""
+    from big_data_computing__spark.operators.dedup import (
+        PR_ITERATIONS,
+        PR_SCALE,
+        pagerank_integer,
+    )
+
+    # star: 1 is hub of 2..5; chain 6-7 attached via 5
+    pairs = spark.createDataFrame(
+        [(1, i) for i in range(2, 6)] + [(5, 6), (6, 7)],
+        "doc_a long, doc_b long",
+    )
+    r1 = {r["doc_id"]: r["rank_scaled"]
+          for r in pagerank_integer(pairs).collect()}
+    r2 = {r["doc_id"]: r["rank_scaled"]
+          for r in pagerank_integer(pairs).collect()}
+    assert r1 == r2
+    assert all(v > 0 for v in r1.values())
+    assert r1[1] == max(r1.values())          # hub wins
+    assert r1[1] > r1[7]                      # leaf of chain is lowest-ish
+    n = len(r1)
+    leak_bound = n * (PR_ITERATIONS + 1) * (n + 100)
+    assert PR_SCALE - sum(r1.values()) < leak_bound
