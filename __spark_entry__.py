@@ -115,6 +115,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.customer_points(spark, sf_dir), OUTLIER_D, TOPK
         )
 
+    def o3_zorder_cells(spark, sf_dir):
+        # Z-order (Morton) layout keys for the cell grid — the
+        # multi-dim data-skipping write order (OPTIMIZE ZORDER shape);
+        # unrolled integer interleave, bit-identical cross-engine
+        return _ol.zorder_cells_topk(
+            _rd.customer_points(spark, sf_dir), OUTLIER_D, 100
+        )
+
     def c6_exact_outliers(spark, sf_dir):
         return _ol.exact_outliers(
             _rd.customer_points(spark, sf_dir), OUTLIER_D, OUTLIER_M
@@ -889,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t10_hll_estimate,
         x_bloom_contamination,
         x_pagerank_dupgraph,
+        o3_zorder_cells,
         x_token_budget_sample,
         x_pii_report,
         x_frame_sample,
@@ -911,7 +920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_ngram_jaccard,
         x_dedup_embedding,
         x_ann_cosine_topk,
-        x_media_metadata,
         a4_cell_neighborhood,
         c2_fft_coreset,
         c3_mrfft_radius,
@@ -947,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a13_quantile_stats,
         o2_smallest_cells_topk,
         a16_argmax_customer,
+        x_media_metadata,
         o1_exact_outliers_topk,
         a11_distinct_items,
         w1_top_order_per_segment,
@@ -1109,6 +1118,7 @@ SELECT CAST(COALESCE(SUM(CASE WHEN n3 <= {m} AND n7 <= {m} THEN cnt END), 0)
 FROM nb""",
         "o2_smallest_cells_topk": f"WITH pts AS ({_PTS}), cells AS ({_CELLS}) "
         f"SELECT ci, cj, cnt FROM cells ORDER BY cnt, ci, cj LIMIT {TOPK}",
+        "o3_zorder_cells": _ol.zorder_cells_topk_sql(OUTLIER_D, 100),
         "c6_exact_outliers": f"WITH {_BALL_COUNTS} "
         f"SELECT id, ball_count FROM balls WHERE ball_count <= {m}",
         "o1_exact_outliers_topk": f"WITH {_BALL_COUNTS} "

@@ -546,3 +546,96 @@ cnt AS (
 )
 SELECT id, ball_count FROM cnt WHERE ball_count <= {m}
 """
+
+
+def zorder_key(
+    x: Column, y: Column, bits: int = 20
+) -> Column:
+    """Morton (Z-order) key of two non-negative quantized coordinates:
+    bit i of x lands at position 2i, bit i of y at 2i+1 — a 2·bits-bit
+    space-filling-curve key whose sort order keeps spatial neighbors in
+    the same file/row-group ranges.
+
+    This is the layout half of multi-dimensional data skipping (what
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` does): write sorted by this
+    key and min/max statistics prune BOTH dimensions on read, where a
+    lexicographic (x, y) sort prunes only the leading one. Pure integer
+    shifts/masks, unrolled — identical bits in any engine.
+    """
+    xi = x.cast("long")
+    yi = y.cast("long")
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = (
+            acc
+            + F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(yi, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return acc
+
+
+def zorder_cells_topk(
+    points: DataFrame,
+    d: float,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Grid cells with their Z-order keys, top-``k`` by key:
+    DataFrame[ci, cj, zkey, cnt] — the write-layout preview for the
+    points table (cells ordered as a Z-order-sorted writer would place
+    them). Coordinates are offset to non-negative before interleaving
+    (Morton keys need unsigned inputs); the offset is the corpus min
+    cell index, computed in-plan as a broadcast 1-row aggregate.
+    """
+    cells = cell_counts(points, d, x, y)
+    mins = cells.agg(
+        F.min("ci").alias("min_ci"), F.min("cj").alias("min_cj")
+    )
+    keyed = cells.crossJoin(F.broadcast(mins)).select(
+        "ci",
+        "cj",
+        zorder_key(
+            F.col("ci") - F.col("min_ci"), F.col("cj") - F.col("min_cj")
+        ).alias("zkey"),
+        "cnt",
+    )
+    return keyed.orderBy("zkey", "ci", "cj").limit(k)
+
+
+def zorder_cells_topk_sql(d: float, k: int, bits: int = 20) -> str:
+    """DuckDB twin of :func:`zorder_cells_topk` — same unrolled
+    interleave, same Λ literal, same customer-point derivation as the
+    p2 oracle."""
+    from ..functions.geometry import grid_lambda
+
+    terms = " + ".join(
+        f"(((cix >> {i}) & 1) << {2 * i})"
+        f" + (((cjx >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    lam = repr(grid_lambda(d))
+    return f"""
+WITH cp AS (
+  SELECT CAST(c_acctbal AS DOUBLE) AS x,
+         CAST((c_custkey * 2654435761) % 10000 AS DOUBLE) AS y
+  FROM customer
+),
+pts AS (
+  SELECT CAST(FLOOR(x / {lam}) AS BIGINT) AS ci,
+         CAST(FLOOR(y / {lam}) AS BIGINT) AS cj
+  FROM cp
+),
+cells AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pts GROUP BY ci, cj),
+mins AS (SELECT MIN(ci) AS min_ci, MIN(cj) AS min_cj FROM cells),
+keyed AS (
+  SELECT ci, cj, CAST({terms} AS BIGINT) AS zkey, cnt
+  FROM (SELECT ci, cj, ci - (SELECT min_ci FROM mins) AS cix,
+               cj - (SELECT min_cj FROM mins) AS cjx, cnt
+        FROM cells)
+)
+SELECT ci, cj, zkey, cnt FROM keyed ORDER BY zkey, ci, cj LIMIT {k}
+"""

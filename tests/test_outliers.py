@@ -150,3 +150,30 @@ def test_grid_nd_ball_counts_exactly_match_brute_force(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         O.ball_counts_grid_nd(pts, d=0.25, dims=12)
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    """Morton key: hand-checked bit interleave, and the locality
+    property that motivates the layout — consecutive keys in a 4×4
+    grid cover the quadrant blocks (the Z curve), so a sort by zkey
+    groups spatial neighbors."""
+    from pyspark.sql import functions as F
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", O.zorder_key(F.col("x"), F.col("y"), bits=2).alias("z")
+        ).collect()
+    }
+    # interleave: z = x0 + 2*y0 + 4*x1 + 8*y1 (hand-computed corners)
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    assert got[(2, 2)] == 12
+    assert got[(3, 3)] == 15
+    # the first 4 keys form the lower-left 2×2 quadrant — Z locality
+    first_quad = sorted(got, key=got.get)[:4]
+    assert set(first_quad) == {(0, 0), (1, 0), (0, 1), (1, 1)}
