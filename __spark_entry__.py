@@ -868,9 +868,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _mm.frame_sample(_mm.documents_as_media(_docs(spark, sf_dir)))
 
     def x_decode_features(spark, sf_dir):
-        # rows-only: deterministic fake decoder (no codecs in this env)
-        return _mm.decode_features(
-            _mm.documents_as_media(_docs(spark, sf_dir)), fake=True
+        # rows-only: deterministic fake decoder (no codecs in this env).
+        # Scalar shape (media_id, dim, value) — the r3 array<double>
+        # column crashed the driver's canonicalizer (same failure mode
+        # c2_fft_coreset hit in round 1), so flatten via posexplode.
+        return (
+            _mm.decode_features(
+                _mm.documents_as_media(_docs(spark, sf_dir)), fake=True
+            )
+            .select(
+                "media_id", F.posexplode("features").alias("dim", "value")
+            )
+            .select(
+                "media_id", "dim", F.round("value", 6).alias("value")
+            )
         )
 
     # Registry ORDER is the driver's verification order, and the driver

@@ -561,10 +561,31 @@ def zorder_key(
     key and min/max statistics prune BOTH dimensions on read, where a
     lexicographic (x, y) sort prunes only the leading one. Pure integer
     shifts/masks, unrolled — identical bits in any engine.
+
+    Inputs must lie in ``[0, 2**bits - 1]``: only the low ``bits`` bits
+    are interleaved, so a wider coordinate would silently alias onto the
+    same key and corrupt the layout order. The expression raises at
+    execution time on any out-of-range coordinate rather than alias.
     """
     xi = x.cast("long")
     yi = y.cast("long")
-    acc = F.lit(0).cast("long")
+    limit = F.lit((1 << bits) - 1).cast("long")
+    bad = (xi < 0) | (xi > limit) | (yi < 0) | (yi > limit)
+    acc = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"zorder_key: coordinate outside [0, 2**{bits} - 1]: "
+                    "(x="
+                ),
+                xi.cast("string"),
+                F.lit(", y="),
+                yi.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0)).cast("long")
     for i in range(bits):
         acc = (
             acc

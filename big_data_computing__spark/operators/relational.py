@@ -192,9 +192,11 @@ def pivot_event_values(
 
     us_day = F.lit(86_400_000_000)
     ts_us = event_time_us(events, "ts")
-    # (us − us % day) is an exact multiple, so the division is exact —
-    # no float-floor hazard at day boundaries
-    day = ((ts_us - (ts_us % us_day)) / us_day).cast("long")
+    # pmod gives the non-negative remainder, so (us − pmod) is the exact
+    # FLOOR multiple for negative timestamps too — matching DuckDB's //
+    # (plain % truncates toward zero and would disagree pre-epoch); the
+    # division of an exact multiple carries no float-floor hazard
+    day = ((ts_us - F.pmod(ts_us, us_day)) / us_day).cast("long")
     return (
         events.groupBy(day.alias("day_idx"))
         .pivot("event_type", list(event_types))

@@ -1685,10 +1685,15 @@ def opq_topk(
     Deterministic + persistable (``rotation=``/``codebooks=``);
     ``parity=True`` keeps the SQL twin's float accumulation order.
     """
-    if rotation is None or codebooks is None:
-        trained_r, trained_b = train_opq(emb, m=m, ks=ks, seed=seed)
-        rotation = rotation if rotation is not None else trained_r
-        codebooks = codebooks if codebooks is not None else trained_b
+    if (rotation is None) != (codebooks is None):
+        raise ValueError(
+            "opq_topk: rotation and codebooks must be supplied together "
+            "— codebooks are fitted to a specific rotation, so mixing a "
+            "supplied value with a freshly trained counterpart would "
+            "silently degrade the shortlist"
+        )
+    if rotation is None:
+        rotation, codebooks = train_opq(emb, m=m, ks=ks, seed=seed)
     Rm = np.asarray(rotation, dtype=np.float64)
     C = np.array(codebooks, dtype=np.float64)
     rot_udf = _rotate_udf(Rm, parity)

@@ -96,6 +96,7 @@ def streaming_band_join(
     ts_col: str = "ts",
     id_col: str = "event_id",
     watermark_delay: str = "10 minutes",
+    self_pairs: bool = True,
 ) -> DataFrame:
     """Stream-stream temporal band join — the streaming face of
     ``operators/windows.band_join_pairs``: pairs of same-key events from
@@ -109,6 +110,14 @@ def streaming_band_join(
     which is the property that lets the join run forever at ingest
     scale. The id-ordering filter keeps the output pair set identical to
     the batch operator's (each unordered pair once, ``a_id < b_id``).
+
+    .. warning:: ``left`` and ``right`` must be the SAME logical stream
+       (self-join semantics, like the batch operator). The ``a_id <
+       b_id`` dedup filter assumes every qualifying pair appears in both
+       orientations; with two genuinely different sources a pair whose
+       left-side id is larger would be silently dropped. For distinct
+       streams, call with ``self_pairs=False`` to keep every (a, b)
+       pair without the ordering filter.
     """
     d_us = int(delta_seconds) * 1_000_000
     a = left.select(
@@ -121,10 +130,15 @@ def streaming_band_join(
         F.col(id_col).alias("b_id"),
         F.col(ts_col).cast("timestamp").alias("b_ts"),
     ).withWatermark("b_ts", watermark_delay)
+    pair_cond = (
+        (F.col("a_id") < F.col("b_id"))
+        if self_pairs
+        else (F.col("a_id") != F.col("b_id"))
+    )
     joined = a.join(
         b,
         (F.col("k") == F.col("kb"))
-        & (F.col("a_id") < F.col("b_id"))
+        & pair_cond
         & (
             F.col("b_ts")
             >= F.col("a_ts") - F.expr(f"INTERVAL {delta_seconds} SECONDS")
