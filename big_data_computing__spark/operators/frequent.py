@@ -196,6 +196,96 @@ FROM sample LEFT JOIN truth ON sample.item = truth.item
 
 
 # ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis–Spirakis A-Res ≡ A-ExpJ)
+# ---------------------------------------------------------------------------
+
+
+def weighted_reservoir_keys(
+    rows: DataFrame,
+    weight_col: str = "w",
+    id_col: str = "item",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-row A-Res sort keys: DataFrame[id, w, key].
+
+    Efraimidis–Spirakis weighted reservoir sampling ("Weighted random
+    sampling with a reservoir", IPL 2006): row i draws u_i ~ U(0,1] and
+    gets key u_i^(1/w_i); the size-m sample is the m largest keys. The
+    A-ExpJ variant is the same estimator with an exponential-jump trick
+    that skips RNG draws during a *sequential* visit — a distributed
+    top-m doesn't visit sequentially, so A-Res IS A-ExpJ here (identical
+    selection law, one declarative TakeOrderedAndProject instead of a
+    stateful scan). Generalizes the reference's uniform reservoir
+    (big_data_computing_3.py:15-22): w ≡ const reduces to it.
+
+    The key is computed as ln(u)/w — the same monotone transform of
+    u^(1/w) both engines can evaluate without `pow`. u is a dyadic
+    rational from the counter-based 60-bit hash (bit-identical across
+    engines); ln's last-ulp libm differences can only flip an ordering
+    when two keys land within ~2 ulp of each other, so the key is
+    ORDER-ONLY: callers must never emit the float key into an oracle-
+    hashed result (see :func:`weighted_reservoir_sample`).
+    """
+    w = F.col(weight_col).cast("double")
+    u = _u("wres", seed, F.col(id_col).cast("long"))
+    return rows.select(
+        F.col(id_col).alias("item"),
+        F.col(weight_col).alias("w"),
+        (F.log(u) / w).alias("key"),
+    )
+
+
+def weighted_reservoir_sample(
+    rows: DataFrame,
+    m: int,
+    weight_col: str = "w",
+    id_col: str = "item",
+    seed: int = 0,
+) -> DataFrame:
+    """Size-m weighted sample without replacement: DataFrame[rank, item, w]
+    (rank 1 = largest key). P(i in sample) is the A-Res inclusion law —
+    for m=1 exactly w_i/Σw.
+
+    Plan shape: narrow key projection → TakeOrderedAndProject(m) → rank
+    window over the m survivors only. Nothing but m rows ever reaches
+    the driver side of the sort, so the operator scales like any top-K:
+    per-partition heaps + one m-row merge, no global sort shuffle. The
+    float key is dropped from the output (order-only, see
+    :func:`weighted_reservoir_keys`); ties break on item id so the
+    ordering is total and engine-independent.
+    """
+    from pyspark.sql import Window
+
+    keyed = weighted_reservoir_keys(rows, weight_col, id_col, seed)
+    top = keyed.orderBy(F.desc("key"), F.asc("item")).limit(m)
+    rk = Window.orderBy(F.desc("key"), F.asc("item"))
+    return top.select(
+        F.row_number().over(rk).alias("rank"), "item", "w"
+    )
+
+
+def weighted_reservoir_sql(
+    rows_sql: str, m: int, seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`weighted_reservoir_sample` over a subquery
+    producing (item, w) — identical key arithmetic (counter-based u,
+    ln(u)/w ordering), key excluded from output."""
+    u = _u_sql("wres", seed, "item")
+    return f"""
+WITH r AS ({rows_sql}),
+keyed AS (
+  SELECT item, w, ln({u}) / CAST(w AS DOUBLE) AS key FROM r
+),
+top AS (
+  SELECT item, w, key FROM keyed ORDER BY key DESC, item LIMIT {m}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, item) AS INT) AS rank,
+       item, w
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sticky sampling (counter-based, reference's simplified Manku–Motwani)
 # ---------------------------------------------------------------------------
 

@@ -222,3 +222,75 @@ def test_sketches_run_as_streaming_aggregations(spark, sf_dir, tmp_path):
         got = {keyfn(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
         want = {keyfn(r) for r in build(stream_df).collect()}
         assert got == want and len(got) > 0, name
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir (Efraimidis–Spirakis A-Res / A-ExpJ)
+# ---------------------------------------------------------------------------
+
+
+def _ares_keys_py(items, weights, seed):
+    """Pure-python replica of weighted_reservoir_keys' arithmetic:
+    u = md5-hash60("wres-{seed}-{item}") / 2^60, key = ln(u)/w."""
+    import hashlib
+    import math
+
+    out = {}
+    for it, w in zip(items, weights):
+        s = f"wres-{seed}-{it}".encode()
+        u = int(hashlib.md5(s).hexdigest()[:15], 16) / float(2**60)
+        out[it] = math.log(u) / float(w)
+    return out
+
+
+def test_weighted_reservoir_matches_sequential_reference(spark):
+    """The distributed top-m selection must equal a sequential A-ExpJ
+    pass fed the same per-item keys (A-ExpJ keeps the m largest keys —
+    the jump trick only skips draws, never changes the selection)."""
+    items = list(range(1, 41))
+    weights = [(i % 7) + 1 for i in items]
+    m, seed = 8, 42
+    df = spark.createDataFrame(
+        list(zip(items, weights)), "item long, w long"
+    )
+    got = [
+        (r["rank"], r["item"], r["w"])
+        for r in FR.weighted_reservoir_sample(df, m, seed=seed).collect()
+    ]
+    keys = _ares_keys_py(items, weights, seed)
+    want_items = sorted(items, key=lambda i: (-keys[i], i))[:m]
+    want = [(rk + 1, i, weights[i - 1]) for rk, i in enumerate(want_items)]
+    assert got == want
+
+
+def test_weighted_reservoir_m1_inclusion_proportional_to_weight():
+    """For m=1 the A-Res inclusion law is exactly P(i) = w_i/Σw; check
+    the key arithmetic empirically over many counter-based seeds (no
+    Spark needed — the selection is a pure function of the keys)."""
+    items = list(range(1, 7))
+    weights = [1, 1, 2, 2, 4, 4]
+    total = float(sum(weights))
+    trials = 4000
+    wins = {i: 0 for i in items}
+    for seed in range(trials):
+        keys = _ares_keys_py(items, weights, seed)
+        wins[max(items, key=lambda i: keys[i])] += 1
+    for i, w in zip(items, weights):
+        p = w / total
+        sd = (p * (1 - p) / trials) ** 0.5
+        assert abs(wins[i] / trials - p) < 4 * sd, (i, wins[i] / trials, p)
+
+
+def test_weighted_reservoir_uniform_weights_reduce_to_uniform():
+    """w ≡ const: every item's m=1 win rate approaches 1/n — the
+    degenerate case that must match the unweighted reservoir law."""
+    items = list(range(1, 9))
+    trials = 4000
+    wins = {i: 0 for i in items}
+    for seed in range(trials):
+        keys = _ares_keys_py(items, [5] * len(items), seed)
+        wins[max(items, key=lambda i: keys[i])] += 1
+    p = 1 / len(items)
+    sd = (p * (1 - p) / trials) ** 0.5
+    for i in items:
+        assert abs(wins[i] / trials - p) < 4 * sd, (i, wins[i] / trials)
