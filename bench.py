@@ -51,7 +51,12 @@ BENCH_QUERIES = [
     "x_dedup_simhash",
     "x_dedup_ngram_jaccard",
     "x_ann_cosine_topk",
-    # indexed ANN tier (the scale path, vs the brute baseline above)
+    # indexed ANN tier (the scale path, vs the brute baseline above).
+    # Both kernels of the same plan: _prod runs the vectorized
+    # production kernels a deployment uses; _topk runs the element-
+    # sequential parity kernels the oracle hash needs. Keeping both in
+    # the headline set makes the parity tax a committed, per-round A/B.
+    "x_ann_ivf_rpq_prod",
     "x_ann_ivf_rpq_topk",
     "x_token_stats",
     "x_bpe_token_counts",
@@ -67,7 +72,15 @@ BENCH_QUERIES = [
     "j8_band_join",
     "x_mixture_resample",
     "x_tfidf_top_terms",
+    # round-4 addition: weighted (A-ExpJ) reservoir
+    "x_weighted_reservoir",
 ]
+
+# Repeats per query; the reported time is the MEDIAN. One slow run on a
+# contended host no longer poisons the artifact (r2's c7=15.6 s and
+# r3's t4/c5 episodes were exactly this), and at bench sizes the extra
+# runs are cheap.
+REPEATS = 3
 
 
 def main() -> None:
@@ -82,10 +95,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.collect()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
