@@ -1,0 +1,212 @@
+"""Streaming ANN ingest: query vectors arrive as a stream and are
+searched against a PERSISTED IVF-PQ index via a stream-static join.
+
+The batch tiers (`operators/similarity.ivf_pq_topk`) train quantizers
+and encode the corpus inline. At ingest scale the index is built once
+and queried forever, so this module splits the lifecycle the way FAISS
+deployments do:
+
+1. :func:`write_ann_index` — one batch job trains the coarse quantizer
+   (MRFFT centroids) and PQ codebooks, encodes the corpus, and persists
+   three artifacts: a ``codes`` parquet table (vid, cell, codes — the
+   8-byte-per-vector ADC scan set), a ``vectors`` parquet table
+   (vid, v, nrm — the exact re-rank set), and a ``quantizers.json``
+   (centers + codebooks, driver-side small state like a FAISS index
+   header).
+2. :func:`streaming_ann_candidates` — the DECLARATIVE streaming plan:
+   each micro-batch of query vectors computes its probe cells and ADC
+   lookup table (same pandas UDFs as batch), explodes to one row per
+   probed cell, and stream-static joins the static ``codes`` table on
+   cell id. Structured Streaming plans the static side like any batch
+   relation (broadcast or shuffled per micro-batch), and the join needs
+   no watermark because the static side never grows stale state.
+3. :func:`streaming_ann_topk` — per-micro-batch shortlist + exact
+   re-rank via ``foreachBatch`` (window top-k is a batch-only
+   operation; each query's rows are wholly contained in its arrival
+   batch, so per-batch top-k is exact, not approximate), appended to a
+   parquet result sink.
+
+Scale: the streaming side moves (qid, lut, cell) rows — m·ks doubles
+per query per probed cell; corpus vectors are never re-encoded and only
+shortlisted candidates' full vectors are read in the re-rank join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_vec, dot, norm
+from ..operators.similarity import (
+    PQ_KS,
+    PQ_M,
+    PQ_SHORTLIST,
+    _cell_probe_udfs,
+    _pq_code_udfs,
+    build_ivf_centroids,
+    train_pq_codebooks,
+)
+
+import numpy as np
+
+QUANTIZERS_NAME = "quantizers.json"
+
+
+def write_ann_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    seed: int = 42,
+    l: int = 4,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train quantizers and persist the searchable index under ``path``.
+    Returns (centers, codebooks) for callers that keep them in memory."""
+    centers = build_ivf_centroids(emb, n_cells=n_cells, seed=seed, l=l)
+    books = train_pq_codebooks(emb, m=m, ks=ks, seed=seed)
+    c = np.asarray(centers, dtype=np.float64)
+    C = np.array(books, dtype=np.float64)
+    _, assign_udf = _cell_probe_udfs(c, 1, parity=False)
+    encode_udf, _ = _pq_code_udfs(C, m, ks, parity=False)
+
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vid"),
+        as_double_vec(F.col("embedding")).alias("v"),
+    )
+    (
+        base.select(
+            "vid",
+            assign_udf("v").alias("cell"),
+            encode_udf("v").alias("codes"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codes"))
+    )
+    (
+        base.select("vid", "v", norm(F.col("v")).alias("nrm"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    with open(os.path.join(path, QUANTIZERS_NAME), "w") as fh:
+        json.dump({"centers": centers, "codebooks": books}, fh)
+    return centers, books
+
+
+def load_quantizers(
+    path: str,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    with open(os.path.join(path, QUANTIZERS_NAME)) as fh:
+        q = json.load(fh)
+    return q["centers"], q["codebooks"]
+
+
+def streaming_ann_candidates(
+    query_stream: DataFrame,
+    spark: SparkSession,
+    path: str,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ADC-scored candidate stream: DataFrame[qid, vid, ad2] (streaming).
+
+    ``query_stream``: streaming DataFrame[qid long, v array<double>].
+    The probed-cell explode and the stream-static equi-join on ``cell``
+    are the whole plan — identical candidate-set semantics to the batch
+    ``ivf_pq_topk`` (self-matches excluded by the qid != vid filter).
+    """
+    centers, books = load_quantizers(path)
+    c = np.asarray(centers, dtype=np.float64)
+    C = np.array(books, dtype=np.float64)
+    m, ks = C.shape[0], C.shape[1]
+    probe_udf, _ = _cell_probe_udfs(c, nprobe, parity=False)
+    _, lut_udf = _pq_code_udfs(C, m, ks, parity=False)
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    q = query_stream.select(
+        F.col("qid"),
+        lut_udf("v").alias("lut"),
+        F.explode(probe_udf("v")).alias("cell"),
+    )
+    ad2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("lut"), F.lit(j * ks) + F.element_at("codes", j + 1) + 1
+        )
+        ad2 = term if ad2 is None else ad2 + term
+    return (
+        q.join(codes, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", ad2.alias("ad2"))
+    )
+
+
+def streaming_ann_topk(
+    query_stream: DataFrame,
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 3,
+    nprobe: int = 2,
+    shortlist: int = PQ_SHORTLIST,
+):
+    """End-to-end streaming search writing DataFrame[query_id, vec_id,
+    score] rows to a parquet sink; returns the StreamingQuery.
+
+    The candidate stream is declarative (stream-static join); the
+    shortlist cut, exact re-rank, and final top-k run per micro-batch
+    in ``foreachBatch`` — exact because every query's candidate rows
+    arrive in the batch its vector arrived in.
+    """
+    cands = streaming_ann_candidates(query_stream, spark, path, nprobe)
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+
+    def finish(batch: DataFrame, _epoch: int) -> None:
+        cand_w = Window.partitionBy("qid").orderBy(
+            F.asc("ad2"), F.asc("vid")
+        )
+        short = (
+            batch.withColumn("crk", F.row_number().over(cand_w))
+            .where(F.col("crk") <= shortlist)
+            .select("qid", "vid")
+        )
+        rerank = (
+            short.join(vectors, "vid")
+            .join(
+                vectors.select(
+                    F.col("vid").alias("qid"),
+                    F.col("v").alias("qv"),
+                    F.col("nrm").alias("qnrm"),
+                ),
+                "qid",
+            )
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("vid").alias("vec_id"),
+                F.round(
+                    dot(F.col("qv"), F.col("v"))
+                    / (F.col("qnrm") * F.col("nrm")),
+                    6,
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        (
+            rerank.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .drop("rk")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        cands.writeStream.foreachBatch(finish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
