@@ -187,3 +187,107 @@ def sticky_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir (A-Res / A-ExpJ)
+# ---------------------------------------------------------------------------
+
+_WRES_OUT = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("epoch", T.LongType()),
+        T.StructField("item", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("key", T.DoubleType()),
+    ]
+)
+_WRES_STATE = T.StructType(
+    [
+        T.StructField("epoch", T.LongType()),
+        T.StructField("items", T.ArrayType(T.LongType())),
+        T.StructField("ws", T.ArrayType(T.LongType())),
+        T.StructField("keys", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def weighted_reservoir_stream(
+    rows: DataFrame,
+    m: int,
+    n_buckets: int = 8,
+    seed: int = 0,
+    weight_col: str = "w",
+    id_col: str = "item",
+) -> DataFrame:
+    """Streaming A-Res: DataFrame[bucket, epoch, item, w, key] — each
+    bucket's current top-m candidates, re-emitted per micro-batch with a
+    monotone epoch (final sample = latest epoch per bucket, unioned,
+    global top-m; see tests).
+
+    The A-Res key is a pure per-row function (counter-based u on the
+    item id, operators/frequent.py::weighted_reservoir_keys), so top-m
+    selection decomposes: per-bucket top-m states merge into the exact
+    global top-m because top-m(∪ buckets) = top-m(∪ per-bucket top-ms).
+    State per bucket is ≤ m (item, w, key) triples — bounded regardless
+    of stream length, the property a driver-side heap would lose at
+    high cardinality. Item→bucket hashing makes state hot-spot-free;
+    the final cut touches n_buckets·m rows.
+    """
+    from ..operators.frequent import weighted_reservoir_keys
+
+    keyed = weighted_reservoir_keys(rows, weight_col, id_col, seed)
+    bucketed = keyed.select(
+        F.pmod(F.col("item"), F.lit(n_buckets)).alias("bucket"),
+        "item",
+        "w",
+        "key",
+    )
+
+    def update(
+        key: Any, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.exists:
+            epoch, items, ws, keys = state.get
+            entries = list(zip(items, ws, keys))
+        else:
+            epoch, entries = 0, []
+        for pdf in batches:
+            for it, w, k in zip(pdf["item"], pdf["w"], pdf["key"]):
+                entries.append((int(it), int(w), float(k)))
+        # dedup by item: the key is a pure function of the item id, so
+        # re-occurrences carry identical entries (a second stateful
+        # dropDuplicates upstream is both unnecessary and unsupported
+        # alongside this operator in update mode)
+        entries = list({e[0]: e for e in entries}.values())
+        # keep the m largest keys, item-id tie-break — the same total
+        # order as the batch operator
+        entries.sort(key=lambda e: (-e[2], e[0]))
+        entries = entries[:m]
+        epoch += 1
+        state.update(
+            (
+                epoch,
+                [e[0] for e in entries],
+                [e[1] for e in entries],
+                [e[2] for e in entries],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(entries),
+                "epoch": [epoch] * len(entries),
+                "item": [e[0] for e in entries],
+                "w": [e[1] for e in entries],
+                "key": [e[2] for e in entries],
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=_WRES_OUT,
+        stateStructType=_WRES_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -77,3 +77,62 @@ def test_sticky_stream_matches_batch(spark, sf_dir, replay):
         for row in FR.sticky_counts(batch, n, r, seed).collect()
     }
     assert got == expected
+
+
+def test_weighted_reservoir_stream_matches_batch(spark, sf_dir, replay):
+    """Union of the buckets' final top-m states, cut to the global
+    top-m, must equal the batch A-Res sample exactly (same keys, same
+    tie-break)."""
+    from big_data_computing__spark.streaming.distributed_samplers import (
+        weighted_reservoir_stream,
+    )
+
+    m, seed = 8, 7
+    # weighted rows derived from the replayed stream: weight = item%9+1
+    src = spark.readStream.schema("seq long, item long").parquet(
+        str(replay / "data")
+    )
+    # no stream-side dropDuplicates (a second stateful op is not
+    # supported in update mode); the state update dedups by item
+    rows = src.select(
+        "item", (F.col("item") % 9 + 1).cast("long").alias("w")
+    )
+    _run(
+        weighted_reservoir_stream(rows, m, n_buckets=4, seed=seed),
+        replay,
+        "wres_stream",
+    )
+    got = [
+        (r["rank"], r["item"], r["w"])
+        for r in spark.sql(
+            """
+            WITH latest AS (
+              SELECT bucket, MAX(epoch) AS e FROM wres_stream GROUP BY bucket
+            ),
+            final AS (
+              SELECT s.item, s.w, s.key FROM wres_stream s
+              JOIN latest l ON s.bucket = l.bucket AND s.epoch = l.e
+            ),
+            cut AS (
+              SELECT item, w, key FROM final
+              ORDER BY key DESC, item LIMIT 8
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, item) AS INT)
+                     AS rank, item, w
+            FROM cut
+            """
+        ).collect()
+    ]
+    batch_rows = (
+        event_stream_table(spark, sf_dir)
+        .select("item")
+        .dropDuplicates(["item"])
+        .select("item", (F.col("item") % 9 + 1).cast("long").alias("w"))
+    )
+    want = [
+        (r["rank"], r["item"], r["w"])
+        for r in FR.weighted_reservoir_sample(
+            batch_rows, m, seed=seed
+        ).collect()
+    ]
+    assert got == want and len(got) == m
