@@ -46,6 +46,7 @@ EPSILON = 0.003
 DELTA = 0.1
 SEED = 42
 WRES_M = 64  # weighted-reservoir sample size (documents ∝ length)
+WRES_STRAT_M = 8  # per-stratum (per-source) weighted sample size
 FFT_K = 8
 FFT_L = 4
 CENTER_IDS = (0, 50, 100, 150)
@@ -256,6 +257,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("n_chars") + 1).cast("long").alias("w"),
         )
         return _fr.weighted_reservoir_sample(rows, m=WRES_M, seed=SEED)
+
+    def x_weighted_reservoir_strat(spark, sf_dir):
+        # per-source A-ExpJ: an independent length-weighted sample
+        # inside every document source — the "k docs per domain,
+        # longer more likely" curation draw; WindowGroupLimit plan
+        rows = _docs(spark, sf_dir).select(
+            F.col("source").alias("stratum"),
+            F.col("doc_id").alias("item"),
+            (F.col("n_chars") + 1).cast("long").alias("w"),
+        )
+        return _fr.weighted_reservoir_stratified(
+            rows, m=WRES_STRAT_M, seed=SEED
+        )
 
     def a11_distinct_items(spark, sf_dir):
         return _rel.distinct_count(
@@ -937,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_opq_topk,  # rotation/codebook supply gate
         # -- NEW this round --
         x_weighted_reservoir,
+        x_weighted_reservoir_strat,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
         s6_sql_interface,
         c5_radius_fixed_centers,
@@ -1227,6 +1242,12 @@ SELECT ROUND(MAX(min_dist), 6) AS radius FROM d""",
             "SELECT doc_id AS item, CAST(n_chars + 1 AS BIGINT) AS w "
             "FROM documents",
             WRES_M,
+            SEED,
+        ),
+        "x_weighted_reservoir_strat": _fr.weighted_reservoir_stratified_sql(
+            "SELECT source AS stratum, doc_id AS item, "
+            "CAST(n_chars + 1 AS BIGINT) AS w FROM documents",
+            WRES_STRAT_M,
             SEED,
         ),
         "a11_distinct_items": "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)"

@@ -264,6 +264,67 @@ def weighted_reservoir_sample(
     )
 
 
+def weighted_reservoir_stratified(
+    rows: DataFrame,
+    m: int,
+    strata_col: str = "stratum",
+    weight_col: str = "w",
+    id_col: str = "item",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum A-Res: an independent size-m weighted sample WITHOUT
+    replacement inside every stratum — DataFrame[stratum, rank, item, w].
+
+    The stratified counterpart of :func:`weighted_reservoir_sample`
+    (curation's "sample k docs per source/domain, longer docs more
+    likely" draw). Same order-only ln(u)/w key; the per-stratum cut is
+    a rank window, which Spark executes as WindowGroupLimit — per-key
+    top-m with no global sort, the shape that survives a stratum-count
+    or corpus-size scale-up. Draw independence across strata is free:
+    the key depends only on the item id, and an item sits in one
+    stratum.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    u = _u("wres", seed, F.col(id_col).cast("long"))
+    keyed = rows.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("item"),
+        F.col(weight_col).alias("w"),
+        (F.log(u) / w).alias("key"),
+    )
+    rk = Window.partitionBy("stratum").orderBy(
+        F.desc("key"), F.asc("item")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= m)
+        .select("stratum", "rank", "item", "w")
+    )
+
+
+def weighted_reservoir_stratified_sql(
+    rows_sql: str, m: int, seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`weighted_reservoir_stratified` over a
+    subquery producing (stratum, item, w)."""
+    u = _u_sql("wres", seed, "item")
+    return f"""
+WITH r AS ({rows_sql}),
+keyed AS (
+  SELECT stratum, item, w, ln({u}) / CAST(w AS DOUBLE) AS key FROM r
+),
+ranked AS (
+  SELECT stratum, item, w,
+         CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+                                 ORDER BY key DESC, item) AS INT) AS rank
+  FROM keyed
+)
+SELECT stratum, rank, item, w FROM ranked WHERE rank <= {m}
+"""
+
+
 def weighted_reservoir_sql(
     rows_sql: str, m: int, seed: int = 0
 ) -> str:

@@ -294,3 +294,40 @@ def test_weighted_reservoir_uniform_weights_reduce_to_uniform():
     sd = (p * (1 - p) / trials) ** 0.5
     for i in items:
         assert abs(wins[i] / trials - p) < 4 * sd, (i, wins[i] / trials)
+
+
+def test_weighted_reservoir_stratified_structure(spark):
+    """Each stratum gets an independent top-min(m, n_s) sample; ranks
+    are dense from 1; items stay in their own stratum; and the sample
+    inside each stratum equals the unstratified operator run on that
+    stratum alone (draw independence)."""
+    rows = [
+        (s, s * 100 + i, (i % 5) + 1)
+        for s in (1, 2, 3)
+        for i in range(1, (8, 3, 12)[s - 1] + 1)
+    ]
+    df = spark.createDataFrame(rows, "stratum long, item long, w long")
+    m, seed = 5, 42
+    got = FR.weighted_reservoir_stratified(df, m, seed=seed).collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r["stratum"], []).append(
+            (r["rank"], r["item"], r["w"])
+        )
+    sizes = {1: 8, 2: 3, 3: 12}
+    for s, entries in by_stratum.items():
+        entries.sort()
+        assert [e[0] for e in entries] == list(
+            range(1, min(m, sizes[s]) + 1)
+        )
+        assert all(e[1] // 100 == s for e in entries)
+        solo = [
+            (r["rank"], r["item"], r["w"])
+            for r in FR.weighted_reservoir_sample(
+                df.where(F.col("stratum") == s).select("item", "w"),
+                m,
+                seed=seed,
+            ).collect()
+        ]
+        assert entries == sorted(solo), s
+    assert set(by_stratum) == {1, 2, 3}
