@@ -1,5 +1,15 @@
 """Z-order write layout + per-file min/max manifest pruning.
 
+Two layers:
+
+* the original single-shot layout writers (``write_zordered`` /
+  ``write_lexicographic`` + ``read_pruned``), which produce one
+  immutable directory with one ``_file_manifest.json``; and
+* :class:`ZTable`, the evolving form — a versioned snapshot log with
+  incremental ``append``, ``compact`` (OPTIMIZE ZORDER), time-travel
+  reads, and ``vacuum`` — an Iceberg/Delta-shaped metadata layer over
+  plain parquet.
+
 The data-skipping story in two halves, the way Delta/Iceberg do it:
 
 1. **Layout** (`write_zordered` / `write_lexicographic`): cluster rows
@@ -37,11 +47,13 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "_file_manifest.json"
 
 
-def _write_manifest(
+def _file_stats(
     spark: SparkSession, path: str, x: str, y: str
 ) -> list[dict]:
-    """Scan the just-written files' metadata column and record per-file
-    min/max of the layout columns. Returns the manifest entries."""
+    """Per-file min/max of the layout columns for every parquet file
+    under ``path``, via the hidden ``_metadata.file_path`` column — the
+    stats a Delta transaction log / Iceberg manifest records. One tiny
+    aggregate; the non-projected columns' data pages are never read."""
     stats = (
         spark.read.parquet(path)
         .select(F.col("_metadata.file_path").alias("file"), x, y)
@@ -56,6 +68,15 @@ def _write_manifest(
     )
     entries = [r.asDict() for r in stats.collect()]
     entries.sort(key=lambda e: e["file"])
+    return entries
+
+
+def _write_manifest(
+    spark: SparkSession, path: str, x: str, y: str
+) -> list[dict]:
+    """Scan the just-written files' metadata column and record per-file
+    min/max of the layout columns. Returns the manifest entries."""
+    entries = _file_stats(spark, path, x, y)
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump({"x": x, "y": y, "files": entries}, fh, indent=1)
     return entries
@@ -78,6 +99,20 @@ def write_zordered(
     compact Z-curve segment ≈ a small box in both dimensions. The key
     is a transient column — dropped before the write.
     """
+    _zorder_write(df, path, x, y, n_files, cell, bits)
+    return _write_manifest(df.sparkSession, path, x, y)
+
+
+def _zorder_write(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    n_files: int,
+    cell: float,
+    bits: int,
+) -> None:
+    """Write the data files of a Z-ordered layout (no manifest)."""
     from ..operators.outliers import zorder_key
 
     ci = F.floor(F.col(x) / cell).cast("long")
@@ -96,7 +131,6 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
-    return _write_manifest(df.sparkSession, path, x, y)
 
 
 def write_lexicographic(
@@ -167,3 +201,271 @@ def read_pruned(
         & (F.col(y) <= y_range[1])
     )
     return res, len(files), total
+
+
+# ---------------------------------------------------------------------------
+# ZTable — versioned snapshot log over the Z-order layout
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIR = "_snapshots"
+
+
+class ZTable:
+    """An evolving Z-ordered table: plain parquet data files plus an
+    Iceberg/Delta-shaped snapshot log.
+
+    Layout on disk::
+
+        <path>/_snapshots/v00000.json   # one immutable snapshot per commit
+        <path>/data-v00000/part-*.parquet
+        <path>/data-v00001/part-*.parquet
+
+    Each snapshot is the COMPLETE live-file list (with per-file min/max
+    stats) at that version — readers never list directories, they read
+    exactly the files a snapshot names. That gives:
+
+    * **incremental append** — a commit writes one new data dir, scans
+      only those files for stats, and writes snapshot ``v+1`` = parent's
+      entries + the new ones. Cost is O(batch), not O(table).
+    * **snapshot isolation / time travel** — ``read(version=n)`` sees
+      exactly version ``n``'s files; a concurrent append creates new
+      dirs the pinned list never references, so pinned readers are
+      unaffected mid-scan.
+    * **compaction** (``OPTIMIZE ... ZORDER``) — rewrites the live rows
+      into fresh Z-ordered files and commits a snapshot listing ONLY
+      those; the old files stay on disk for time travel until
+      ``vacuum`` drops versions.
+
+    Commit protocol: stats are computed first, then the snapshot JSON is
+    written to a temp name and published with ``os.link`` — which fails
+    with ``FileExistsError`` if another writer already committed that
+    version (optimistic concurrency, first writer wins, the loser's
+    data dir is orphaned and vacuum-able). Single-filesystem only — the
+    100 TB deployment would swap this one primitive for an object-store
+    conditional PUT, exactly as Delta's LogStore does; everything else
+    (manifest shape, planning, isolation) is storage-agnostic.
+    """
+
+    def __init__(self, path: str, x: str = "x", y: str = "y"):
+        self.path = path
+        self.x = x
+        self.y = y
+
+    # -- snapshot log -----------------------------------------------------
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(
+            self.path, SNAPSHOT_DIR, f"v{version:05d}.json"
+        )
+
+    def versions(self) -> list[int]:
+        """Committed versions still present in the log, ascending."""
+        d = os.path.join(self.path, SNAPSHOT_DIR)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshots under {self.path}")
+        return vs[-1]
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        p = self._snap_path(v)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"version {v} of {self.path} does not exist "
+                "(never committed, or vacuumed away)"
+            )
+        with open(p) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """One summary row per retained snapshot (the DESCRIBE HISTORY
+        view): version, operation, file and row counts."""
+        out = []
+        for v in self.versions():
+            s = self.snapshot(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": s["operation"],
+                    "n_files": len(s["files"]),
+                    "n_rows": sum(e["n_rows"] for e in s["files"]),
+                }
+            )
+        return out
+
+    def _commit(
+        self, version: int, operation: str, files: list[dict], meta: dict
+    ) -> int:
+        snap = {
+            "version": version,
+            "operation": operation,
+            "x": self.x,
+            "y": self.y,
+            **meta,
+            "files": sorted(files, key=lambda e: e["file"]),
+        }
+        final = self._snap_path(version)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=1)
+        try:
+            os.link(tmp, final)  # atomic publish; loses race -> raises
+        finally:
+            os.unlink(tmp)
+        return version
+
+    # -- writes -----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        df: DataFrame,
+        path: str,
+        x: str = "x",
+        y: str = "y",
+        n_files: int = 16,
+        cell: float = 1.0,
+        bits: int = 20,
+    ) -> "ZTable":
+        """Commit version 0 with ``df`` as the initial Z-ordered data."""
+        t = cls(path, x, y)
+        if t.versions():
+            raise FileExistsError(f"{path} already has a snapshot log")
+        t._write_commit(df, 0, "create", n_files, cell, bits, [])
+        return t
+
+    def _write_commit(
+        self,
+        df: DataFrame,
+        version: int,
+        operation: str,
+        n_files: int,
+        cell: float,
+        bits: int,
+        carried: list[dict],
+    ) -> int:
+        data_dir = os.path.join(self.path, f"data-v{version:05d}")
+        _zorder_write(df, data_dir, self.x, self.y, n_files, cell, bits)
+        new = _file_stats(df.sparkSession, data_dir, self.x, self.y)
+        return self._commit(
+            version,
+            operation,
+            carried + new,
+            {"cell": cell, "bits": bits},
+        )
+
+    def append(self, df: DataFrame, n_files: int = 4) -> int:
+        """Commit a new version = parent's files + ``df`` written as
+        fresh Z-ordered files. Only the new files are scanned for stats."""
+        parent = self.snapshot()
+        return self._write_commit(
+            df,
+            parent["version"] + 1,
+            "append",
+            n_files,
+            parent["cell"],
+            parent["bits"],
+            parent["files"],
+        )
+
+    def compact(self, spark: SparkSession, n_files: int = 16) -> int:
+        """OPTIMIZE: rewrite the live rows into ``n_files`` fresh
+        Z-ordered files (restoring global clustering lost to appends)
+        and commit a snapshot that lists only those."""
+        parent = self.snapshot()
+        live = self.read(spark)
+        return self._write_commit(
+            live,
+            parent["version"] + 1,
+            "compact",
+            n_files,
+            parent["cell"],
+            parent["bits"],
+            [],
+        )
+
+    # -- reads ------------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Scan exactly the files of ``version`` (default: latest)."""
+        files = [e["file"] for e in self.snapshot(version)["files"]]
+        return spark.read.parquet(*files)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        x_range: tuple[float, float],
+        y_range: tuple[float, float],
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Range query planned through the snapshot's min/max stats:
+        (result with exact residual filter, n_files_read, n_files_total)."""
+        snap = self.snapshot(version)
+        xs, xe = x_range
+        ys, ye = y_range
+        keep = [
+            e["file"]
+            for e in snap["files"]
+            if e["max_x"] >= xs
+            and e["min_x"] <= xe
+            and e["max_y"] >= ys
+            and e["min_y"] <= ye
+        ]
+        total = len(snap["files"])
+        if not keep:
+            df = self.read(spark, version).where(F.lit(False))
+            return df, 0, total
+        df = spark.read.parquet(*keep)
+        res = df.where(
+            (F.col(self.x) >= xs)
+            & (F.col(self.x) <= xe)
+            & (F.col(self.y) >= ys)
+            & (F.col(self.y) <= ye)
+        )
+        return res, len(keep), total
+
+    # -- maintenance ------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete every
+        data file no retained snapshot references (including orphans from
+        lost commit races). Returns the deleted file paths."""
+        import shutil
+
+        vs = self.versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        kept, dropped = vs[-keep_last:], vs[:-keep_last]
+        live: set[str] = set()
+        for v in kept:
+            live.update(e["file"] for e in self.snapshot(v)["files"])
+        removed: list[str] = []
+        for v in dropped:
+            os.unlink(self._snap_path(v))
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("data-v"):
+                continue
+            d = os.path.join(self.path, name)
+            for f in sorted(os.listdir(d)):
+                full = os.path.join(d, f)
+                # snapshots record file:// URIs from _metadata.file_path
+                if f.endswith(".parquet") and not any(
+                    u.endswith(full) for u in live
+                ):
+                    os.unlink(full)
+                    removed.append(full)
+            if not any(f.endswith(".parquet") for f in os.listdir(d)):
+                shutil.rmtree(d)
+        return removed

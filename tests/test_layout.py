@@ -89,3 +89,123 @@ def test_empty_box_reads_zero_files(spark, sf_dir, tmp_path):
     )
     assert n_read == 0
     assert res.count() == 0
+
+
+# -- ZTable: snapshot log / append / time travel / compact / vacuum ------
+
+
+def _seed_table(spark, sf_dir, tmp_path, n_files=8):
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0)
+    t = L.ZTable.create(
+        base, str(tmp_path / "ztable"), n_files=n_files, cell=200.0
+    )
+    return t, base, extra
+
+
+def test_ztable_create_and_read(spark, sf_dir, tmp_path):
+    t, base, _ = _seed_table(spark, sf_dir, tmp_path)
+    assert t.versions() == [0]
+    assert t.read(spark).count() == base.count()
+    snap = t.snapshot()
+    assert snap["operation"] == "create"
+    assert sum(e["n_rows"] for e in snap["files"]) == base.count()
+
+
+def test_ztable_append_is_incremental_and_time_travels(
+    spark, sf_dir, tmp_path
+):
+    """Append commits parent files + new files; a pinned version-0 read
+    is unaffected by the append (snapshot isolation / time travel)."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    v0_files = {e["file"] for e in t.snapshot(0)["files"]}
+    t.append(extra, n_files=4)
+    assert t.versions() == [0, 1]
+    s1 = t.snapshot(1)
+    # incremental: every v0 entry carried over verbatim, new files added
+    assert v0_files < {e["file"] for e in s1["files"]}
+    assert t.read(spark).count() == base.count() + extra.count()
+    # time travel: v0 still reads exactly the original rows
+    assert t.read(spark, version=0).count() == base.count()
+
+
+def test_ztable_pruned_read_exact_across_versions(
+    spark, sf_dir, tmp_path
+):
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra, n_files=4)
+    pts = customer_points(spark, sf_dir)
+    want = sorted(
+        (r["x"], r["y"])
+        for r in pts.where(
+            (F.col("x").between(*BOX_X)) & (F.col("y").between(*BOX_Y))
+        ).collect()
+    )
+    assert want
+    res, n_read, n_total = t.read_pruned(spark, BOX_X, BOX_Y)
+    got = sorted((r["x"], r["y"]) for r in res.collect())
+    assert got == want
+    assert 0 < n_read < n_total
+
+
+def test_ztable_compact_restores_clustering(spark, sf_dir, tmp_path):
+    """After many small appends the table is fragmented; compaction
+    rewrites to globally Z-ordered files, so a box query prunes at least
+    as well as before while the rows are unchanged."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    for i in range(4):
+        lo, hi = 5000.0 + 1250.0 * i, 5000.0 + 1250.0 * (i + 1)
+        t.append(
+            extra.where(
+                (F.col("y") >= lo) & (F.col("y") < hi)
+            ),
+            n_files=4,
+        )
+    frag_res, frag_read, frag_total = t.read_pruned(spark, BOX_X, BOX_Y)
+    want = sorted((r["x"], r["y"]) for r in frag_res.collect())
+    v = t.compact(spark, n_files=frag_total)
+    assert t.snapshot(v)["operation"] == "compact"
+    res, n_read, n_total = t.read_pruned(spark, BOX_X, BOX_Y)
+    assert sorted((r["x"], r["y"]) for r in res.collect()) == want
+    assert n_total == frag_total
+    assert n_read <= frag_read
+    hist = t.history()
+    assert [h["operation"] for h in hist] == [
+        "create", "append", "append", "append", "append", "compact"
+    ]
+    # compaction preserved the row count
+    assert hist[-1]["n_rows"] == hist[-2]["n_rows"]
+
+
+def test_ztable_vacuum_drops_old_versions(spark, sf_dir, tmp_path):
+    import pytest
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra, n_files=4)
+    t.compact(spark, n_files=8)
+    n = t.read(spark).count()
+    removed = t.vacuum(keep_last=1)
+    assert removed, "pre-compaction files must be deleted"
+    assert t.versions() == [2]
+    assert t.read(spark).count() == n
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(0)
+
+
+def test_ztable_concurrent_commit_loses_race(spark, sf_dir, tmp_path):
+    """Two writers committing the same version: the second publish must
+    fail loudly, never silently clobber the log."""
+    import pytest
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t2 = L.ZTable(t.path)  # second handle on the same table
+    t.append(extra.limit(10), n_files=1)
+    snap_before = t2.snapshot(0)  # t2 still believes v0 is latest
+    with pytest.raises(FileExistsError):
+        t2._write_commit(
+            extra.limit(5), 1, "append", 1,
+            snap_before["cell"], snap_before["bits"], snap_before["files"],
+        )
+    # the winning commit is intact
+    assert t.snapshot(1)["operation"] == "append"
