@@ -696,6 +696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_triangle_counts(spark, sf_dir):
+        # per-node triangle participation on the duplicate graph —
+        # cluster-cohesion signal; degree-oriented wedge join keeps the
+        # fan-out O(m^1.5) instead of sum-of-deg^2
+        return _dd.triangle_counts(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_bloom_contamination(spark, sf_dir):
         # contamination answered from a Bloom filter of the train split
         # (≤ m_bits broadcast positions vs a multi-TB exact hash set at
@@ -952,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW this round --
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
+        x_triangle_counts,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
         s6_sql_interface,
         c5_radius_fixed_centers,
@@ -1421,6 +1430,9 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "x_bloom_contamination": _cu.bloom_contamination_sql(),
         "x_pagerank_dupgraph": _dd.pagerank_integer_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        "x_triangle_counts": _dd.triangle_counts_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),

@@ -72,8 +72,10 @@ BENCH_QUERIES = [
     "j8_band_join",
     "x_mixture_resample",
     "x_tfidf_top_terms",
-    # round-4 addition: weighted (A-ExpJ) reservoir
+    # round-4 additions: weighted (A-ExpJ) reservoir; duplicate-graph
+    # triangle cohesion (degree-oriented wedge join)
     "x_weighted_reservoir",
+    "x_triangle_counts",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -833,3 +833,119 @@ pr0 AS (SELECT s AS id, (SELECT r0 FROM params) AS rank FROM deg),
 {','.join(rounds)}
 SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_scaled FROM {prev}
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-graph triangle counting (degree-oriented, each triangle once)
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+) -> DataFrame:
+    """Per-node triangle participation over the undirected duplicate
+    graph: DataFrame[doc_id, n_triangles] for every node in >= 1
+    triangle. Triangle density separates genuine duplicate CLUSTERS
+    (near-cliques: one document copied many times) from chains of
+    borderline pairwise matches — the standard confidence signal on top
+    of the CC components (x_dedup_components gives membership, this
+    gives cohesion).
+
+    Plan: the degree-orientation trick (Cohen's MapReduce triangle
+    counting / the "compact-forward" algorithm). Orient every canonical
+    edge from its lower endpoint in the total order ord(n) = (deg(n),
+    n); each triangle {x,y,z} with ord x < y < z then appears as
+    exactly one wedge (x->y, x->z) closed by (y->z). Out-degrees under
+    this orientation are O(sqrt(m)), so the wedge join's fan-out is
+    O(m^1.5) worst-case instead of the naive sum of deg^2 — the
+    difference between a star node of degree d contributing d^2 wedges
+    and contributing 0. Three shuffles total (degree agg, wedge self-
+    join on src, closure join on (dst_lo, dst_hi)); no driver state.
+
+    The reference has no graph operators at all; this extends the CC /
+    PageRank family (dedup.py:242,717) the way a curation pipeline
+    ranks duplicate clusters by cohesion.
+    """
+    e = (
+        pairs.select(
+            F.least(doc_a, doc_b).alias("u"),
+            F.greatest(doc_a, doc_b).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_is_u, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("dd").alias("dy")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("z"), F.col("dd").alias("dz")
+    )
+    wedges = e1.join(e2, "src").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closure = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(closure, ["y", "z"]).select(
+        F.col("src").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .union(tri.select(F.col("b").alias("doc_id")))
+        .union(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def triangle_counts_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts`. Enumerates each triangle
+    once by sorted NODE ids (e1=(x,y), e2=(y,z), e3=(x,z) with x<y<z)
+    rather than by the degree order — a different traversal of the same
+    triangle set, so the per-node counts are identical; degree
+    orientation is a distributed-fan-out optimization, not a semantic
+    one."""
+    return f"""
+WITH p AS ({pairs_sql}),
+e AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM p WHERE doc_a <> doc_b
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY doc_id
+"""

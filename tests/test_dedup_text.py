@@ -363,3 +363,59 @@ def test_pagerank_integer_properties(spark):
     n = len(r1)
     leak_bound = n * (PR_ITERATIONS + 1) * (n + 100)
     assert PR_SCALE - sum(r1.values()) < leak_bound
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Two triangles sharing edge (2,3), plus a pendant and an isolated
+    edge: {1,2,3} and {2,3,4}. Node 1 and 4 sit in one triangle each,
+    nodes 2 and 3 in two; pendant/isolated nodes don't appear."""
+    from big_data_computing__spark.operators.dedup import triangle_counts
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle A
+        (2, 4), (3, 4),                  # triangle B closes via (2,3)
+        (4, 5),                          # pendant
+        (8, 9),                          # isolated edge
+        (3, 2),                          # reversed duplicate — ignored
+    ]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangle_counts(pairs).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Property check on a deterministic pseudo-random graph: the
+    degree-oriented distributed count equals the itertools brute force,
+    including on a high-degree hub (the case the orientation exists
+    for)."""
+    from itertools import combinations
+
+    from big_data_computing__spark.operators.dedup import triangle_counts
+
+    # hub node 0 connected to everyone + a sparse ring + chords
+    n = 40
+    edges = [(0, i) for i in range(1, n)]
+    edges += [(i, i % (n - 1) + 1) for i in range(1, n)]
+    edges += [(i, (i * 7) % (n - 1) + 1) for i in range(1, n, 3)]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want: dict[int, int] = {}
+    for x, y, z in combinations(range(n), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for node in (x, y, z):
+                want[node] = want.get(node, 0) + 1
+    assert sum(want.values()) % 3 == 0 and want, "fixture sanity"
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangle_counts(pairs).collect()
+    }
+    assert got == want
