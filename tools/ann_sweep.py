@@ -9,9 +9,20 @@ steady-state cost of a persisted index — not repeated training.
 
 Usage:
     python tools/ann_sweep.py [sf_dir] [k] [nprobe,nprobe,...]
+    python tools/ann_sweep.py --clustered [sf_dir] [k]
 
 Defaults: /root/testdata/sf0.01, k=3, nprobe sweep 1,2,4,8. Prints one
 markdown table and one machine-readable JSON line.
+
+``--clustered`` reshapes the fixture into the regime real embedding
+corpora live in — tight clusters with anisotropic (decaying per-
+dimension) variance — and compares the PQ tiers pairwise: flat PQ vs
+OPQ (does the learned rotation buy recall when dimension variance is
+unbalanced?) and IVF-PQ vs residual IVF-PQ (does encoding residuals buy
+recall when vectors share large cluster offsets?). The near-uniform
+random fixture cannot express either gain (STRESS.md documents why);
+this mode exists so the claims "OPQ helps on structured data" and
+"residual coding helps on clustered data" are measured, not asserted.
 """
 
 from __future__ import annotations
@@ -45,7 +56,111 @@ def recall_at_k(pred: dict[int, set[int]], truth: dict[int, set[int]]) -> float:
     return hits / denom if denom else 0.0
 
 
+def clustered_fixture(emb, n_clusters: int = 8, blend: float = 0.25,
+                      decay: float = 16.0):
+    """Deterministically reshape the embeddings into ``n_clusters``
+    tight anisotropic clusters: row i becomes
+    ``(center[i % C] + blend·vec[i]) ⊙ exp(-j/decay)`` — cluster
+    structure from the shared centers (rows 0..C-1 of the fixture
+    itself), anisotropy from the exponential per-dimension damping.
+    Same schema as the source table, so every ANN tier runs unchanged."""
+    from pyspark.sql import functions as F
+
+    seeds = emb.where(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("center")
+    )
+    return (
+        emb.withColumn("c", F.col("vec_id") % n_clusters)
+        .join(F.broadcast(seeds), "c")
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"transform(zip_with(center, embedding,"
+                f" (c, v) -> c + {blend} * v),"
+                f" (x, j) -> x * exp(-j / {decay}))"
+            ),
+        )
+        .drop("c", "center")
+    )
+
+
+def run_clustered(sf_dir: str, k: int) -> None:
+    spark = get_session(app_name="ann_sweep_clustered")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = clustered_fixture(
+        read_table(spark, sf_dir, "embeddings")
+    ).cache()
+    emb.count()
+
+    queries = emb.where("vec_id % 10 = 0")
+    truth = _topk_sets(sim.cosine_topk(emb, queries=queries, k=k))
+
+    centers = sim.build_ivf_centroids(emb, n_cells=N_CELLS, seed=SEED, l=L)
+    flat_books = sim.train_pq_codebooks(emb, seed=SEED)
+    res_books = sim.train_pq_codebooks_residual(
+        emb, centers=centers, seed=SEED
+    )
+    rotation, opq_books = sim.train_opq(emb, seed=SEED)
+    crot, ccenters, cbooks = sim.train_opq_ivf_rpq(
+        emb, n_cells=N_CELLS, l=L, seed=SEED
+    )
+
+    # the two A/Bs this mode exists for, plus the composed index
+    variants = {
+        "pq_flat": lambda: sim.pq_topk(emb, k=k, codebooks=flat_books),
+        "opq": lambda: sim.opq_topk(
+            emb, k=k, rotation=rotation, codebooks=opq_books
+        ),
+        "ivf_pq@2": lambda: sim.ivf_pq_topk(
+            emb, k=k, n_cells=N_CELLS, nprobe=2,
+            centers=centers, codebooks=flat_books,
+        ),
+        "ivf_rpq@2": lambda: sim.ivf_rpq_topk(
+            emb, k=k, n_cells=N_CELLS, nprobe=2,
+            centers=centers, codebooks=res_books,
+        ),
+        "opq_ivf_rpq@2": lambda: sim.opq_ivf_rpq_topk(
+            emb, k=k, n_cells=N_CELLS, nprobe=2,
+            rotation=crot, centers=ccenters, codebooks=cbooks,
+        ),
+    }
+    rows = []
+    for name, build in variants.items():
+        t0 = time.time()
+        pred = _topk_sets(build())
+        rows.append(
+            {
+                "variant": name,
+                "recall": round(recall_at_k(pred, truth), 3),
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+
+    print(f"\n| variant | recall@{k} | wall (s) |")
+    print("|---------|-----------|----------|")
+    for r in rows:
+        print(f"| {r['variant']} | {r['recall']} | {r['wall_sec']} |")
+    print(
+        json.dumps(
+            {
+                "metric": "ann_recall_clustered",
+                "sf_dir": sf_dir,
+                "k": k,
+                "n_cells": N_CELLS,
+                "rows": rows,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
+        run_clustered(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     probes = (
