@@ -763,6 +763,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), JACCARD_THRESHOLD
         )
 
+    def x_dedup_jaccard_prefix(spark, sf_dir):
+        # PPJoin prefix-filtered variant — output-identical to
+        # x_dedup_ngram_jaccard (shares its oracle); the index holds
+        # only each doc's rarest-first prefix, so stop-shingle df²
+        # fan-out never happens: the 100 TB shape of this join
+        return _dd.ngram_jaccard_pairs_prefix(
+            _docs(spark, sf_dir), JACCARD_THRESHOLD
+        )
+
     def x_dedup_embedding(spark, sf_dir):
         # IVF-cell-pruned exact path (registered default; the all-pairs
         # crossJoin form is the test-only baseline — similarity.py)
@@ -961,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
         x_triangle_counts,
+        x_dedup_jaccard_prefix,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
         s6_sql_interface,
         c5_radius_fixed_centers,
@@ -1450,6 +1460,11 @@ GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
         "x_dedup_simhash": _dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING),
         "x_dedup_ngram_jaccard": _dd.ngram_jaccard_pairs_sql(
+            JACCARD_THRESHOLD
+        ),
+        # the prefix-filtered variant is output-identical by design, so
+        # it shares the baseline's oracle verbatim
+        "x_dedup_jaccard_prefix": _dd.ngram_jaccard_pairs_sql(
             JACCARD_THRESHOLD
         ),
         "x_dedup_embedding": _sim.cosine_near_pairs_sql(

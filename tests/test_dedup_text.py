@@ -419,3 +419,28 @@ def test_triangle_counts_matches_bruteforce(spark):
         for r in triangle_counts(pairs).collect()
     }
     assert got == want
+
+
+def test_prefix_jaccard_equals_baseline(spark, sf_dir):
+    """PPJoin prefix filtering is lossless: identical (doc_a, doc_b,
+    jaccard) rows as the full inverted-index join on the real corpus,
+    at two thresholds (including one low enough to stress the prefix
+    length math)."""
+    from big_data_computing__spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for t in (0.5, 0.2):
+        want = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        )
+        assert got == want, f"threshold {t}"
+        assert want, "fixture must produce pairs for the test to bite"
