@@ -113,6 +113,40 @@ def main() -> None:
         "pairs": n_sim_xx,
         "sec": round(time.time() - t0, 1),
     }
+
+    # A/B: full inverted-index Jaccard vs PPJoin prefix filtering, in
+    # the regime the prefix exists for — boilerplate shingles shared by
+    # EVERY document (df = corpus size), which the baseline joins at
+    # df²/2 rows per shingle and the rarity-ordered prefix never
+    # indexes. (On the replica corpus above the A/B is uninformative:
+    # all sharing is genuine duplication, nothing can be pruned, and
+    # prefix verification overhead makes it ~3× SLOWER — measured and
+    # documented in STRESS.md. Regime matters.)
+    boiler_txt = (
+        "this document is provided under the standard license terms "
+        "all rights reserved see the website for details"
+    )
+    boiler = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.lit(boiler_txt), F.col("text")).alias("text"),
+    ).repartition(32).cache()
+    n_boiler = boiler.count()
+    t0 = time.time()
+    n_jac = dd.ngram_jaccard_pairs(boiler, threshold=0.5).count()
+    results["jaccard_full_index_boiler_5k"] = {
+        "docs": n_boiler,
+        "pairs": n_jac,
+        "sec": round(time.time() - t0, 1),
+    }
+    t0 = time.time()
+    n_jac_p = dd.ngram_jaccard_pairs_prefix(boiler, threshold=0.5).count()
+    results["jaccard_prefix_boiler_5k"] = {
+        "docs": n_boiler,
+        "pairs": n_jac_p,
+        "sec": round(time.time() - t0, 1),
+    }
+    assert n_jac_p == n_jac, (n_jac_p, n_jac)
+    boiler.unpersist()
     big_docs.unpersist()
 
     # --- 20k embeddings: 10 jittered replicas, IVF ANN ---
