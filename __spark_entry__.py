@@ -704,6 +704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_dup_cluster_report(spark, sf_dir):
+        # the graph family composed: per-cluster size, edge count,
+        # triangle count, density — near-clique (collapse it) vs sparse
+        # chain (review it). One output row per cluster at any scale.
+        return _dd.dup_cluster_report(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_bloom_contamination(spark, sf_dir):
         # contamination answered from a Bloom filter of the train split
         # (≤ m_bits broadcast positions vs a multi-TB exact hash set at
@@ -971,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_weighted_reservoir_strat,
         x_triangle_counts,
         x_dedup_jaccard_prefix,
+        x_dup_cluster_report,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
         s6_sql_interface,
         c5_radius_fixed_centers,
@@ -1443,6 +1452,9 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "x_triangle_counts": _dd.triangle_counts_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        "x_dup_cluster_report": _dd.dup_cluster_report_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),

@@ -955,7 +955,22 @@ def triangle_counts(
     PageRank family (dedup.py:242,717) the way a curation pipeline
     ranks duplicate clusters by cohesion.
     """
-    e = (
+    tri = _oriented_triangles(_canonical_edges(pairs, doc_a, doc_b))
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .union(tri.select(F.col("b").alias("doc_id")))
+        .union(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def _canonical_edges(
+    pairs: DataFrame, doc_a: str = "doc_a", doc_b: str = "doc_b"
+) -> DataFrame:
+    """Distinct undirected edges as (u, v) with u < v, self-loops out."""
+    return (
         pairs.select(
             F.least(doc_a, doc_b).alias("u"),
             F.greatest(doc_a, doc_b).alias("v"),
@@ -963,6 +978,11 @@ def triangle_counts(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def _oriented_triangles(e: DataFrame) -> DataFrame:
+    """Each triangle exactly once as (a, b, c), via the degree-oriented
+    wedge join described in :func:`triangle_counts`."""
     deg = (
         e.select(F.col("u").alias("n"))
         .union(e.select(F.col("v").alias("n")))
@@ -996,16 +1016,8 @@ def triangle_counts(
     closure = oriented.select(
         F.col("src").alias("y"), F.col("dst").alias("z")
     )
-    tri = wedges.join(closure, ["y", "z"]).select(
+    return wedges.join(closure, ["y", "z"]).select(
         F.col("src").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
-    )
-    nodes = (
-        tri.select(F.col("a").alias("doc_id"))
-        .union(tri.select(F.col("b").alias("doc_id")))
-        .union(tri.select(F.col("c").alias("doc_id")))
-    )
-    return nodes.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_triangles")
     )
 
 
@@ -1035,4 +1047,101 @@ nodes AS (
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY doc_id
+"""
+
+
+def dup_cluster_report(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+) -> DataFrame:
+    """Per-duplicate-cluster cohesion report: DataFrame[component_id,
+    n_docs, n_edges, n_triangles, density(6dp)].
+
+    The composition the graph family exists for: connected components
+    give cluster MEMBERSHIP, edge count and triangle count give cluster
+    COHESION — a near-clique (density → 1, triangles ~ n³) is one
+    document copied many times and safe to collapse to one survivor; a
+    sparse chain (density → 2/n, zero triangles) is a run of borderline
+    pairwise matches that deserves review before deletion. One row per
+    cluster, so the output is tiny at any corpus scale; the cost is the
+    CC loop + the oriented triangle join, both already bounded.
+    """
+    comp = duplicate_components(pairs, doc_a, doc_b)
+    e = _canonical_edges(pairs, doc_a, doc_b)
+    tri = _oriented_triangles(e)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    ecnt = (
+        e.join(
+            comp.select(F.col("doc_id").alias("u"), "component_id"), "u"
+        )
+        .groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    tcnt = (
+        tri.join(
+            comp.select(F.col("doc_id").alias("a"), "component_id"), "a"
+        )
+        .groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        sizes.join(ecnt, "component_id")
+        .join(tcnt, "component_id", "left")
+        .select(
+            "component_id",
+            "n_docs",
+            "n_edges",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.col("n_edges")
+                / (F.col("n_docs") * (F.col("n_docs") - F.lit(1))),
+                6,
+            ).alias("density"),
+        )
+    )
+
+
+def dup_cluster_report_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`dup_cluster_report`: recursive-CTE
+    components + sorted-id triangle enumeration, same aggregate
+    expressions (single float division, rounded 6dp)."""
+    return f"""
+WITH
+comp AS ({duplicate_components_sql(pairs_sql)}),
+p AS ({pairs_sql}),
+e AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM p WHERE doc_a <> doc_b
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+sizes AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM comp GROUP BY component_id
+),
+ecnt AS (
+  SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM e JOIN comp c ON c.doc_id = e.u GROUP BY c.component_id
+),
+tcnt AS (
+  SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM tri JOIN comp c ON c.doc_id = tri.a GROUP BY c.component_id
+)
+SELECT s.component_id, s.n_docs, ecnt.n_edges,
+       CAST(COALESCE(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(2.0 * ecnt.n_edges / (s.n_docs * (s.n_docs - 1)), 6)
+         AS density
+FROM sizes s
+JOIN ecnt USING (component_id)
+LEFT JOIN tcnt USING (component_id)
 """

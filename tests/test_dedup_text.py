@@ -444,3 +444,26 @@ def test_prefix_jaccard_equals_baseline(spark, sf_dir):
         )
         assert got == want, f"threshold {t}"
         assert want, "fixture must produce pairs for the test to bite"
+
+
+def test_dup_cluster_report_hand_graph(spark):
+    """Triangle {1,2,3} + chain 10-11-12: the clique reports density 1
+    with one triangle; the chain reports density 2/3 with none."""
+    from big_data_computing__spark.operators.dedup import dup_cluster_report
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)], ["doc_a", "doc_b"]
+    )
+    rows = {
+        r["component_id"]: r for r in dup_cluster_report(pairs).collect()
+    }
+    assert set(rows) == {1, 10}
+    clique, chain = rows[1], rows[10]
+    assert (clique["n_docs"], clique["n_edges"], clique["n_triangles"]) == (
+        3, 3, 1
+    )
+    assert clique["density"] == 1.0
+    assert (chain["n_docs"], chain["n_edges"], chain["n_triangles"]) == (
+        3, 2, 0
+    )
+    assert abs(chain["density"] - 0.666667) < 1e-9
