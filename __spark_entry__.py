@@ -228,6 +228,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _fr.hll_estimate(ev)
 
+    def t11_histogram_quantiles(spark, sf_dir):
+        # the MERGEABLE quantile summary (O(bins) integer counters,
+        # unions by adding) next to a13's exact interpolated
+        # percentiles; error bounded by one bin width by construction
+        return _fr.histogram_quantiles(
+            _rd.read_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+        )
+
     def t9_cms_frequent(spark, sf_dir):
         # count-min sketch (mergeable depth×width summary) probed for
         # the true-frequent items; estimate ≥ true count by construction
@@ -980,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_triangle_counts,
         x_dedup_jaccard_prefix,
         x_dup_cluster_report,
+        t11_histogram_quantiles,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
         s6_sql_interface,
         c5_radius_fixed_centers,
@@ -1259,6 +1268,9 @@ SELECT ROUND(MAX(min_dist), 6) AS radius FROM d""",
         ),
         "t10_hll_estimate": _fr.hll_estimate_sql(
             "SELECT CAST(event_id AS BIGINT) AS item FROM events"
+        ),
+        "t11_histogram_quantiles": _fr.histogram_quantiles_sql(
+            "SELECT l_extendedprice AS v FROM lineitem"
         ),
         "t5_reservoir_report": _fr.reservoir_report_sql(
             _rd.EVENT_STREAM_SQL, PHI, SEED

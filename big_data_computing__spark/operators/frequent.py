@@ -702,3 +702,126 @@ SELECT CAST(z_p + ({m} - n_present) * {2**K} AS BIGINT) AS z_scaled,
          AS estimate
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_bins: int = HIST_BINS,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Approximate quantiles from an equi-width histogram:
+    DataFrame[q, est] with ``est`` = the lower edge (2dp) of the first
+    bin whose cumulative count reaches ``⌈q·n⌉``.
+
+    The MERGEABLE member of the quantile family: ``a13_quantile_stats``
+    is the exact interpolated percentile (needs the sorted data /
+    full-width aggregation state); this is the O(n_bins) summary that
+    unions by adding counters — so it is valid unchanged as streaming
+    state (like the CMS and HLL sketches above) and costs one narrow
+    aggregate at any scale. Error is bounded by one bin width, by
+    construction.
+
+    Bit-portability: values are converted to integer cents, so bin
+    edges, widths, and cumulative ranks are ALL integer arithmetic —
+    the only floats are the final /100 and the ``⌈q·n⌉`` rank (IEEE
+    double in both engines). ``bounds`` fixes (lo, hi) in cents for the
+    streaming/merge case where bounds must be agreed upfront; default
+    derives them from the data (one extra tiny aggregate).
+    """
+    cents = F.round(F.col(col) * 100).cast("long")
+    vals = df.select(cents.alias("c")).where(F.col("c").isNotNull())
+    if bounds is None:
+        stats = vals.agg(
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+            F.count("*").alias("n"),
+        )
+    else:
+        lo_b, hi_b = int(bounds[0]), int(bounds[1])
+        stats = vals.agg(
+            F.lit(lo_b).cast("long").alias("lo"),
+            F.lit(hi_b).cast("long").alias("hi"),
+            F.count("*").alias("n"),
+        )
+    binned = (
+        vals.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(hi - lo + {n_bins}) div {n_bins}"),
+            ),
+        )
+        .withColumn("bin", F.expr("(c - lo) div w"))
+        .groupBy("bin", "lo", "w", "n")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = binned.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    return (
+        cum.select("bin", "lo", "w", "n", "cum")
+        .crossJoin(F.broadcast(cum.sparkSession.range(1).select(qs)))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(
+            F.round(
+                (F.min("bin") * F.first("w") + F.first("lo")) / 100.0, 2
+            ).alias("est")
+        )
+    )
+
+
+def histogram_quantiles_sql(
+    source_expr: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_bins: int = HIST_BINS,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` (data-derived bounds).
+    ``source_expr``: SQL producing one numeric column named ``v``."""
+    qlist = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in quantiles)
+    return f"""
+WITH vals AS (
+  SELECT CAST(ROUND(v * 100) AS BIGINT) AS c FROM ({source_expr})
+  WHERE v IS NOT NULL
+),
+s AS (SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n FROM vals),
+b AS (
+  SELECT lo, n,
+         GREATEST(CAST(1 AS BIGINT), (hi - lo + {n_bins}) // {n_bins})
+           AS w
+  FROM s
+),
+bins AS (
+  SELECT (vals.c - b.lo) // b.w AS bin, COUNT(*) AS cnt
+  FROM vals, b GROUP BY 1
+),
+cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM bins
+),
+qs AS (SELECT unnest([{qlist}]) AS q)
+SELECT qs.q AS q,
+       ROUND((MIN(cum.bin) * b.w + b.lo) / 100.0, 2) AS est
+FROM qs, cum, b
+WHERE cum.cum >= CEIL(qs.q * b.n)
+GROUP BY qs.q, b.w, b.lo
+"""

@@ -331,3 +331,53 @@ def test_weighted_reservoir_stratified_structure(spark):
         ]
         assert entries == sorted(solo), s
     assert set(by_stratum) == {1, 2, 3}
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark, sf_dir):
+    """The sketch's two contracts: (1) every estimate is within one bin
+    width of the exact percentile; (2) with agreed bounds, sketching two
+    halves and merging (adding counters) equals sketching the whole —
+    here asserted via the stronger end-result property that the
+    fixed-bounds estimate is independent of how rows are split."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing__spark.operators.frequent import (
+        histogram_quantiles,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    est = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(li, "l_extendedprice").collect()
+    }
+    lo, hi, n = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice"), F.count("*")
+    ).collect()[0]
+    width = ((hi - lo) * 100 + 64) // 64 / 100 + 0.01
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q})").alias(str(q))
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ]
+    ).collect()[0]
+    for q in (0.25, 0.5, 0.75, 0.95):
+        assert abs(est[q] - exact[str(q)]) <= width, (q, est[q], exact[str(q)])
+
+    # split-independence under fixed bounds (mergeability in effect)
+    bounds = (int(lo * 100), int(hi * 100))
+    whole = sorted(
+        (r["q"], r["est"])
+        for r in histogram_quantiles(
+            li, "l_extendedprice", bounds=bounds
+        ).collect()
+    )
+    # a biased split: cheap rows first half, expensive second — any
+    # split-sensitivity in the binning would show here
+    again = sorted(
+        (r["q"], r["est"])
+        for r in histogram_quantiles(
+            li.orderBy("l_extendedprice"), "l_extendedprice", bounds=bounds
+        ).collect()
+    )
+    assert whole == again
