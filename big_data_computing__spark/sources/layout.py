@@ -436,6 +436,16 @@ class ZTable:
         )
         return res, len(keep), total
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        x_range: tuple[float, float],
+        y_range: tuple[float, float],
+    ) -> tuple[int, int, int]:
+        """Copy-on-write DELETE of the box — see
+        :func:`ztable_delete_where`."""
+        return ztable_delete_where(self, spark, x_range, y_range)
+
     # -- maintenance ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -469,3 +479,68 @@ class ZTable:
             if not any(f.endswith(".parquet") for f in os.listdir(d)):
                 shutil.rmtree(d)
         return removed
+
+
+def _box_pred(x: str, y: str, x_range, y_range):
+    return (
+        (F.col(x) >= x_range[0])
+        & (F.col(x) <= x_range[1])
+        & (F.col(y) >= y_range[0])
+        & (F.col(y) <= y_range[1])
+    )
+
+
+def ztable_delete_where(
+    table: ZTable,
+    spark: SparkSession,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+) -> tuple[int, int, int]:
+    """Copy-on-write DELETE of the rows inside the (x, y) box:
+    returns (new_version, n_files_rewritten, n_files_total).
+
+    The table-format delete plan: the snapshot's min/max stats identify
+    which files can POSSIBLY hold matching rows; only those are read
+    and rewritten (minus the deleted rows), every other file's manifest
+    entry is carried over untouched. Cost is O(affected files), not
+    O(table) — on a 100 TB table a small-box delete rewrites a handful
+    of files. Old versions still see the deleted rows (time travel);
+    vacuum reclaims the superseded files.
+    """
+    snap = table.snapshot()
+    xs, xe = x_range
+    ys, ye = y_range
+    hit, kept = [], []
+    for e in snap["files"]:
+        if (
+            e["max_x"] >= xs
+            and e["min_x"] <= xe
+            and e["max_y"] >= ys
+            and e["min_y"] <= ye
+        ):
+            hit.append(e)
+        else:
+            kept.append(e)
+    version = snap["version"] + 1
+    total = len(snap["files"])
+    if not hit:
+        table._commit(
+            version, "delete", list(snap["files"]),
+            {"cell": snap["cell"], "bits": snap["bits"]},
+        )
+        return version, 0, total
+    survivors = spark.read.parquet(*[e["file"] for e in hit]).where(
+        ~_box_pred(table.x, table.y, x_range, y_range)
+    )
+    data_dir = os.path.join(table.path, f"data-v{version:05d}")
+    n_files = max(1, len(hit))
+    _zorder_write(
+        survivors, data_dir, table.x, table.y,
+        n_files, snap["cell"], snap["bits"],
+    )
+    new = _file_stats(spark, data_dir, table.x, table.y)
+    table._commit(
+        version, "delete", kept + new,
+        {"cell": snap["cell"], "bits": snap["bits"]},
+    )
+    return version, len(hit), total

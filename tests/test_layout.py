@@ -209,3 +209,56 @@ def test_ztable_concurrent_commit_loses_race(spark, sf_dir, tmp_path):
         )
     # the winning commit is intact
     assert t.snapshot(1)["operation"] == "append"
+
+
+def test_ztable_delete_where_rewrites_only_affected_files(
+    spark, sf_dir, tmp_path
+):
+    """Copy-on-write delete: only stats-intersecting files are
+    rewritten, the deleted box is empty afterwards, every other row
+    survives byte-for-byte, and time travel still sees the old rows."""
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts, str(tmp_path / "zt_del"), n_files=16, cell=200.0
+    )
+    before = pts.count()
+    in_box = pts.where(
+        (F.col("x").between(*BOX_X)) & (F.col("y").between(*BOX_Y))
+    ).count()
+    assert in_box > 0
+    v, rewritten, total = t.delete_where(spark, BOX_X, BOX_Y)
+    assert 0 < rewritten < total == 16
+    assert t.snapshot(v)["operation"] == "delete"
+    after = t.read(spark)
+    assert after.count() == before - in_box
+    assert (
+        after.where(
+            (F.col("x").between(*BOX_X)) & (F.col("y").between(*BOX_Y))
+        ).count()
+        == 0
+    )
+    # rows outside the box are untouched
+    want = sorted(
+        (r["x"], r["y"])
+        for r in pts.where(
+            ~((F.col("x").between(*BOX_X)) & (F.col("y").between(*BOX_Y)))
+        ).collect()
+    )
+    got = sorted((r["x"], r["y"]) for r in after.collect())
+    assert got == want
+    # time travel: version 0 still holds the deleted rows
+    assert t.read(spark, version=0).count() == before
+
+
+def test_ztable_delete_miss_is_metadata_only(spark, sf_dir, tmp_path):
+    """A delete whose box intersects no file stats commits a new
+    version without touching any data file."""
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts, str(tmp_path / "zt_del2"), n_files=8, cell=200.0
+    )
+    v, rewritten, total = t.delete_where(
+        spark, (1e17, 2e17), (1e17, 2e17)
+    )
+    assert (v, rewritten, total) == (1, 0, 8)
+    assert t.read(spark).count() == pts.count()
