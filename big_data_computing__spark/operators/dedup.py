@@ -955,7 +955,13 @@ def triangle_counts(
     PageRank family (dedup.py:242,717) the way a curation pipeline
     ranks duplicate clusters by cohesion.
     """
-    tri = _oriented_triangles(_canonical_edges(pairs, doc_a, doc_b))
+    # checkpoint the edge list: the wedge join references it four times
+    # (degrees, two join sides, closure) — without this the upstream
+    # pair generator (e.g. the whole MinHash pipeline) replays per
+    # reference. Bounded: two longs per edge.
+    tri = _oriented_triangles(
+        _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    )
     nodes = (
         tri.select(F.col("a").alias("doc_id"))
         .union(tri.select(F.col("b").alias("doc_id")))
@@ -1067,8 +1073,14 @@ def dup_cluster_report(
     cluster, so the output is tiny at any corpus scale; the cost is the
     CC loop + the oriented triangle join, both already bounded.
     """
-    comp = duplicate_components(pairs, doc_a, doc_b)
-    e = _canonical_edges(pairs, doc_a, doc_b)
+    # replay guard: materialize the edge list once, then feed the SAME
+    # checkpointed frame to the CC loop, the triangle join, and the
+    # per-cluster edge counts — the upstream pair generator (e.g. the
+    # whole MinHash pipeline) runs exactly once
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    comp = duplicate_components(
+        e.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    )
     tri = _oriented_triangles(e)
     sizes = comp.groupBy("component_id").agg(
         F.count("*").cast("long").alias("n_docs")
