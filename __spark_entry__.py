@@ -982,7 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a17_pivot_events,  # pmod floor-division day_idx
         o3_zorder_cells,  # zorder_key range guard
         x_ann_opq_topk,  # rotation/codebook supply gate
-        # -- NEW this round --
+        # -- NEW this round (6 entries; together with the 34-query
+        # r3-unverified block below, the window lands at exactly 50 with
+        # three r3-green spill rows at 48-50) --
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
         x_triangle_counts,

@@ -73,9 +73,13 @@ BENCH_QUERIES = [
     "x_mixture_resample",
     "x_tfidf_top_terms",
     # round-4 additions: weighted (A-ExpJ) reservoir; duplicate-graph
-    # triangle cohesion (degree-oriented wedge join)
+    # triangle cohesion (degree-oriented wedge join); the prefix-
+    # filtered Jaccard A/B against the full-index baseline above; the
+    # mergeable histogram-quantile sketch
     "x_weighted_reservoir",
     "x_triangle_counts",
+    "x_dedup_jaccard_prefix",
+    "t11_histogram_quantiles",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -825,3 +825,31 @@ FROM qs, cum, b
 WHERE cum.cum >= CEIL(qs.q * b.n)
 GROUP BY qs.q, b.w, b.lo
 """
+
+
+def histogram_bins(
+    df: DataFrame,
+    col: str,
+    bounds: tuple[int, int],
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """The histogram sketch STATE on its own: fixed-bounds equi-width
+    bin counts, DataFrame[bin, cnt].
+
+    This is the streaming-facing primitive behind
+    :func:`histogram_quantiles`: with bounds agreed upfront (in integer
+    cents), the groupBy is a valid Structured Streaming aggregation in
+    complete mode — state is ≤ ``n_bins`` counters, merging across
+    batches/partitions is counter addition (same contract as
+    :func:`cms_sketch` / :func:`hll_registers`, pinned by the same
+    replay-parity test)."""
+    lo, hi = int(bounds[0]), int(bounds[1])
+    w = max(1, (hi - lo + n_bins) // n_bins)
+    cents = F.round(F.col(col) * 100).cast("long")
+    return (
+        df.select(cents.alias("c"))
+        .where(F.col("c").isNotNull())
+        .select(F.expr(f"(c - {lo}) div {w}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -381,3 +381,44 @@ def test_histogram_quantiles_error_bound_and_merge(spark, sf_dir):
         ).collect()
     )
     assert whole == again
+
+
+def test_histogram_bins_run_as_streaming_aggregation(
+    spark, sf_dir, tmp_path
+):
+    """histogram_bins joins the CMS/HLL contract: replaying lineitem
+    through a file stream in complete mode reproduces the batch bin
+    counters exactly."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing__spark.operators.frequent import histogram_bins
+    from big_data_computing__spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    lo, hi = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]
+    bounds = (int(lo * 100), int(hi * 100))
+
+    data = str(tmp_path / "hist_rows")
+    li.write.parquet(data)
+    src = spark.readStream.schema(li.schema).parquet(data)
+    q = (
+        histogram_bins(src, "l_extendedprice", bounds)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hist_c")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bin"], r["cnt"])
+        for r in spark.sql("SELECT * FROM hist_c").collect()
+    }
+    want = {
+        (r["bin"], r["cnt"])
+        for r in histogram_bins(li, "l_extendedprice", bounds).collect()
+    }
+    assert got == want and len(got) > 1
