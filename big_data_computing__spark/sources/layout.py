@@ -436,6 +436,12 @@ class ZTable:
         )
         return res, len(keep), total
 
+    def upsert(
+        self, spark: SparkSession, df: DataFrame, n_files: int = 4
+    ) -> tuple[int, int, int]:
+        """Coordinate-keyed MERGE — see :func:`ztable_upsert`."""
+        return ztable_upsert(self, spark, df, n_files)
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -541,6 +547,83 @@ def ztable_delete_where(
     new = _file_stats(spark, data_dir, table.x, table.y)
     table._commit(
         version, "delete", kept + new,
+        {"cell": snap["cell"], "bits": snap["bits"]},
+    )
+    return version, len(hit), total
+
+
+def ztable_upsert(
+    table: ZTable,
+    spark: SparkSession,
+    df: DataFrame,
+    n_files: int = 4,
+) -> tuple[int, int, int]:
+    """Coordinate-keyed MERGE: rows of ``df`` REPLACE any existing row
+    at the same (x, y) and are inserted otherwise. Returns
+    (new_version, n_files_rewritten, n_files_total).
+
+    The copy-on-write plan, like :func:`ztable_delete_where` but with
+    the match set coming from data: each batch row is tested against
+    the (tiny, broadcast) per-file stats boxes, so only files that can
+    possibly hold a matched coordinate are read, anti-joined on (x, y)
+    against the batch keys, and rewritten together with the batch;
+    every other manifest entry carries over. Cost is O(affected files
+    + batch).
+
+    The key is fixed to the layout columns (x, y) by design: stats
+    pruning is only sound when the match key is the thing the stats
+    describe — a MERGE on a non-layout key could match a row in a file
+    whose box excludes the incoming row's coordinates, and would have
+    to scan the full table. That trade is the same one Delta users hit
+    when the MERGE condition isn't aligned with partitioning/Z-order.
+    """
+    snap = table.snapshot()
+    version = snap["version"] + 1
+    total = len(snap["files"])
+    x, y = table.x, table.y
+    boxes = spark.createDataFrame(
+        [
+            (e["file"], e["min_x"], e["max_x"], e["min_y"], e["max_y"])
+            for e in snap["files"]
+        ],
+        ["file", "min_x", "max_x", "min_y", "max_y"],
+    )
+    keys = (
+        df.select(F.col(x).alias("_kx"), F.col(y).alias("_ky"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hit_rows = (
+        keys.join(
+            F.broadcast(boxes),
+            (F.col("_kx") >= F.col("min_x"))
+            & (F.col("_kx") <= F.col("max_x"))
+            & (F.col("_ky") >= F.col("min_y"))
+            & (F.col("_ky") <= F.col("max_y")),
+        )
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    hit = {r["file"] for r in hit_rows}
+    kept = [e for e in snap["files"] if e["file"] not in hit]
+    if hit:
+        old = spark.read.parquet(*sorted(hit)).join(
+            keys,
+            (F.col(x) == F.col("_kx")) & (F.col(y) == F.col("_ky")),
+            "left_anti",
+        )
+        merged = old.select(*df.columns).unionByName(df)
+    else:
+        merged = df
+    data_dir = os.path.join(table.path, f"data-v{version:05d}")
+    _zorder_write(
+        merged, data_dir, x, y,
+        max(n_files, len(hit)), snap["cell"], snap["bits"],
+    )
+    new = _file_stats(spark, data_dir, x, y)
+    table._commit(
+        version, "merge", kept + new,
         {"cell": snap["cell"], "bits": snap["bits"]},
     )
     return version, len(hit), total

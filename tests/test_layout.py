@@ -262,3 +262,57 @@ def test_ztable_delete_miss_is_metadata_only(spark, sf_dir, tmp_path):
     )
     assert (v, rewritten, total) == (1, 0, 8)
     assert t.read(spark).count() == pts.count()
+
+
+def test_ztable_upsert_replaces_and_inserts(spark, sf_dir, tmp_path):
+    """Coordinate-keyed MERGE: batch rows replace existing rows at the
+    same (x, y) and insert elsewhere; only stats-matched files are
+    rewritten; time travel sees the pre-merge payloads."""
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts, str(tmp_path / "zt_ups"), n_files=16, cell=200.0
+    )
+    n0 = pts.count()
+    # batch: 50 existing coordinates with a flipped payload id, plus 5
+    # brand-new points far outside any current file box
+    existing = pts.limit(50).select(
+        (F.col("id") + 1_000_000).alias("id"), "x", "y"
+    )
+    novel = spark.range(5).select(
+        (F.col("id") + 2_000_000).alias("id"),
+        (F.col("id").cast("double") + 50_000.0).alias("x"),
+        (F.col("id").cast("double") + 50_000.0).alias("y"),
+    )
+    batch = existing.unionByName(novel).localCheckpoint()
+    v, rewritten, total = t.upsert(spark, batch)
+    assert 0 < rewritten <= total == 16
+    assert t.snapshot(v)["operation"] == "merge"
+    after = t.read(spark)
+    assert after.count() == n0 + 5  # replacements don't grow the table
+    # every batch payload present exactly; no stale payload remains
+    assert after.where(F.col("id") >= 1_000_000).count() == 55
+    stale = after.join(
+        batch.select("x", "y"), ["x", "y"], "left_semi"
+    ).where(F.col("id") < 1_000_000)
+    assert stale.count() == 0
+    # time travel: the create snapshot still shows the old payloads
+    assert t.read(spark, version=0).where(
+        F.col("id") >= 1_000_000
+    ).count() == 0
+
+
+def test_ztable_upsert_into_empty_region_carries_all_files(
+    spark, sf_dir, tmp_path
+):
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts, str(tmp_path / "zt_ups2"), n_files=8, cell=200.0
+    )
+    novel = spark.range(7).select(
+        (F.col("id") + 3_000_000).alias("id"),
+        (F.col("id").cast("double") + 90_000.0).alias("x"),
+        (F.col("id").cast("double") + 90_000.0).alias("y"),
+    )
+    v, rewritten, total = t.upsert(spark, novel)
+    assert (rewritten, total) == (0, 8)
+    assert t.read(spark).count() == pts.count() + 7
