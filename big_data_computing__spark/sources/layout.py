@@ -353,6 +353,7 @@ class ZTable:
         cell: float,
         bits: int,
         carried: list[dict],
+        extra_meta: dict | None = None,
     ) -> int:
         data_dir = os.path.join(self.path, f"data-v{version:05d}")
         _zorder_write(df, data_dir, self.x, self.y, n_files, cell, bits)
@@ -361,12 +362,19 @@ class ZTable:
             version,
             operation,
             carried + new,
-            {"cell": cell, "bits": bits},
+            {"cell": cell, "bits": bits, **(extra_meta or {})},
         )
 
-    def append(self, df: DataFrame, n_files: int = 4) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        n_files: int = 4,
+        extra_meta: dict | None = None,
+    ) -> int:
         """Commit a new version = parent's files + ``df`` written as
-        fresh Z-ordered files. Only the new files are scanned for stats."""
+        fresh Z-ordered files. Only the new files are scanned for stats.
+        ``extra_meta`` is recorded in the snapshot (e.g. a streaming
+        batch id for idempotent replays)."""
         parent = self.snapshot()
         return self._write_commit(
             df,
@@ -376,6 +384,7 @@ class ZTable:
             parent["cell"],
             parent["bits"],
             parent["files"],
+            extra_meta,
         )
 
     def compact(self, spark: SparkSession, n_files: int = 16) -> int:

@@ -1,0 +1,69 @@
+"""Streaming ingest into the ZTable snapshot log: micro-batch appends
+must land exactly once — Structured Streaming's checkpoint covers
+steady state, the snapshot-side batch-id guard covers sink-committed-
+but-not-checkpointed replays."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.sources import layout as L
+from big_data_computing__spark.sources.readers import customer_points
+from big_data_computing__spark.streaming.table_stream import (
+    append_batch,
+    last_committed_batch_id,
+    table_append_stream,
+)
+
+
+def _make_table(spark, sf_dir, tmp_path):
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    incoming = pts.where(F.col("y") >= 5000.0)
+    t = L.ZTable.create(
+        base, str(tmp_path / "zt_stream"), n_files=8, cell=200.0
+    )
+    return t, base, incoming
+
+
+def test_stream_appends_land_in_snapshot_log(spark, sf_dir, tmp_path):
+    t, base, incoming = _make_table(spark, sf_dir, tmp_path)
+    src_dir = str(tmp_path / "incoming")
+    # several files so availableNow produces at least one batch with
+    # real data to append
+    incoming.repartition(3).write.parquet(src_dir)
+    src = spark.readStream.schema(incoming.schema).parquet(src_dir)
+    q = (
+        table_append_stream(
+            src, t, str(tmp_path / "ckpt"), n_files=2
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert t.read(spark).count() == base.count() + incoming.count()
+    assert last_committed_batch_id(t) is not None
+    ops = [h["operation"] for h in t.history()]
+    assert ops[0] == "create" and "append" in ops
+    # the pruned read spans base + streamed rows exactly
+    res, n_read, n_total = t.read_pruned(
+        spark, (-1e18, 1e18), (-1e18, 1e18)
+    )
+    assert res.count() == base.count() + incoming.count()
+
+
+def test_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
+    """The crash-replay case the engine checkpoint cannot cover: the
+    same (batch_id, data) delivered twice must commit once."""
+    t, base, incoming = _make_table(spark, sf_dir, tmp_path)
+    batch = incoming.limit(100)
+    assert append_batch(t, batch, batch_id=0) is True
+    n_after_first = t.read(spark).count()
+    versions_after_first = t.versions()
+    # replay: same batch id arrives again (sink committed, offset lost)
+    assert append_batch(t, batch, batch_id=0) is False
+    assert t.read(spark).count() == n_after_first
+    assert t.versions() == versions_after_first
+    # the next batch id proceeds normally
+    assert append_batch(t, incoming.limit(10), batch_id=1) is True
+    assert t.read(spark).count() == n_after_first + 10
