@@ -712,6 +712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_kcore_nodes(spark, sf_dir):
+        # 2-core of the duplicate graph (peel-to-fixed-point): strips
+        # pendant chains, keeps every cycle — the collapse-safe kernel
+        # of each cluster (the fixture graph's 3-core is empty, so k=2
+        # keeps the row a real check); engine raises if the peel
+        # outruns the oracle's unrolled round bound
+        return _dd.kcore_nodes(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir)), k=2
+        )
+
     def x_dup_cluster_report(spark, sf_dir):
         # the graph family composed: per-cluster size, edge count,
         # triangle count, density — near-clique (collapse it) vs sparse
@@ -982,14 +992,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a17_pivot_events,  # pmod floor-division day_idx
         o3_zorder_cells,  # zorder_key range guard
         x_ann_opq_topk,  # rotation/codebook supply gate
-        # -- NEW this round (6 entries; together with the 34-query
+        # -- NEW this round (7 entries; together with the 34-query
         # r3-unverified block below, the window lands at exactly 50 with
-        # three r3-green spill rows at 48-50) --
+        # two r3-green spill rows at 49-50) --
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
         x_triangle_counts,
         x_dedup_jaccard_prefix,
         x_dup_cluster_report,
+        x_kcore_nodes,
         t11_histogram_quantiles,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
         s6_sql_interface,
@@ -1470,6 +1481,10 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         ),
         "x_dup_cluster_report": _dd.dup_cluster_report_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        "x_kcore_nodes": _dd.kcore_nodes_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
+            k=2,
         ),
         "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),
         "x_pii_report": _cu.pii_report_sql(),

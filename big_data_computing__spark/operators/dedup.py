@@ -1157,3 +1157,105 @@ FROM sizes s
 JOIN ecnt USING (component_id)
 LEFT JOIN tcnt USING (component_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k, peel to fixed point)
+# ---------------------------------------------------------------------------
+
+KCORE_MAX_ROUNDS = 20
+
+
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int = 3,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = KCORE_MAX_ROUNDS,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node has
+    degree ≥ k): DataFrame[doc_id, degree] with the node's degree
+    INSIDE the core.
+
+    The peeling fixed point: repeatedly drop nodes whose current degree
+    is < k; what survives is the k-core (unique, order-independent —
+    Matula & Beck's classic result, which is why the parallel
+    delete-all-weak-nodes-at-once rounds below land on the same answer
+    as sequential peeling). On the duplicate graph the 3-core is the
+    "hard kernel" of a duplicate cluster — nodes tied into at least
+    three mutual near-dup relations — a stronger collapse-safe signal
+    than triangle membership alone.
+
+    Per round: one degree aggregation + two semi-joins to keep edges
+    whose BOTH endpoints stay; ``localCheckpoint`` per round (the CC
+    loop's lineage rule). Raises after ``max_iterations`` rounds
+    without convergence so the unrolled-round oracle can never silently
+    diverge from a still-peeling computation; converged rounds are
+    idempotent, so an oracle that unrolls MORE rounds than the engine
+    needed computes the identical fixed point.
+    """
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    for _ in range(max_iterations):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .union(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").cast("long").alias("deg"))
+        ).localCheckpoint()
+        strong = deg.where(F.col("deg") >= k).select("n")
+        n_weak = deg.count() - strong.count()
+        if n_weak == 0:
+            return deg.select(
+                F.col("n").alias("doc_id"), F.col("deg").alias("degree")
+            )
+        e = (
+            e.join(strong.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(strong.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"kcore_nodes: no fixed point after {max_iterations} rounds "
+        "(raise max_iterations; the oracle unrolls the same bound)"
+    )
+
+
+def kcore_nodes_sql(
+    pairs_sql: str, k: int = 3, rounds: int = KCORE_MAX_ROUNDS
+) -> str:
+    """DuckDB twin of :func:`kcore_nodes`: the peel unrolled into
+    ``rounds`` CTE pairs (degree, filtered edges). Safe because the
+    engine RAISES if it needs more than ``rounds`` rounds, and a
+    converged edge set is a fixed point of further rounds."""
+    # every round MATERIALIZED: e_{i} references e_{i-1} three times
+    # (degree count twice via the union, filter once) — inlined CTEs
+    # would re-expand the whole prefix 3^rounds times
+    ctes = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY n
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN d{i} a ON a.n = e.u AND a.deg >= {k}
+  JOIN d{i} b ON b.n = e.v AND b.deg >= {k}
+)""")
+        prev = f"e{i}"
+    # AS MATERIALIZED: without it DuckDB inlines the pair-generator CTE
+    # into every unrolled round — 20 re-reads of the corpus (observed as
+    # a too-many-open-files failure), vs one materialized edge list
+    return f"""
+WITH p AS MATERIALIZED ({pairs_sql}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM p WHERE doc_a <> doc_b
+),
+{','.join(ctes)}
+SELECT n AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}
+) GROUP BY n
+"""

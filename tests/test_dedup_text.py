@@ -467,3 +467,43 @@ def test_dup_cluster_report_hand_graph(spark):
         3, 2, 0
     )
     assert abs(chain["density"] - 0.666667) < 1e-9
+
+
+def test_kcore_hand_graph(spark):
+    """Pendant chain hanging off a triangle plus a 4-clique: the 2-core
+    keeps triangle+clique (chain peeled back in cascading rounds); the
+    3-core keeps only the clique."""
+    from big_data_computing__spark.operators.dedup import kcore_nodes
+
+    edges = (
+        [(1, 2), (2, 3), (1, 3)]              # triangle
+        + [(3, 4), (4, 5), (5, 6)]            # pendant chain, cascades
+        + [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    )
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    core2 = {
+        r["doc_id"]: r["degree"]
+        for r in kcore_nodes(pairs, k=2).collect()
+    }
+    assert core2 == {1: 2, 2: 2, 3: 2, 10: 3, 11: 3, 12: 3, 13: 3}
+    core3 = {
+        r["doc_id"]: r["degree"]
+        for r in kcore_nodes(pairs, k=3).collect()
+    }
+    assert core3 == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_kcore_raises_without_convergence(spark):
+    """A long chain at k=2 peels one node per end per round; with
+    max_iterations too low the operator must refuse, not return a
+    half-peeled set (the oracle contract)."""
+    import pytest
+
+    from big_data_computing__spark.operators.dedup import kcore_nodes
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        kcore_nodes(pairs, k=2, max_iterations=3)
+    # with enough rounds the chain peels to nothing: empty 2-core
+    assert kcore_nodes(pairs, k=2, max_iterations=10).count() == 0
