@@ -228,6 +228,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _fr.hll_estimate(ev)
 
+    def t12_hll_by_type(spark, sf_dir):
+        # distinct orders per returnflag via the deterministic HLL —
+        # the grouped production shape of approximate distinct counting.
+        # lineitem/orderkey keeps every group's cardinality (~12k at
+        # sf0.01, ~1.2k at sf0.001) above the 2.5·m small-range
+        # threshold where the raw ln-free estimator is valid (same
+        # regime contract as the global t10)
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", F.col("l_orderkey").cast("long").alias("item")
+        )
+        return _fr.hll_estimate_by(li, "l_returnflag")
+
     def t11_histogram_quantiles(spark, sf_dir):
         # the MERGEABLE quantile summary (O(bins) integer counters,
         # unions by adding) next to a13's exact interpolated
@@ -1002,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dup_cluster_report,
         x_kcore_nodes,
         t11_histogram_quantiles,
+        t12_hll_by_type,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
         s6_sql_interface,
         c5_radius_fixed_centers,
@@ -1284,6 +1297,11 @@ SELECT ROUND(MAX(min_dist), 6) AS radius FROM d""",
         ),
         "t11_histogram_quantiles": _fr.histogram_quantiles_sql(
             "SELECT l_extendedprice AS v FROM lineitem"
+        ),
+        "t12_hll_by_type": _fr.hll_estimate_by_sql(
+            "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"
+            " FROM lineitem",
+            "l_returnflag",
         ),
         "t5_reservoir_report": _fr.reservoir_report_sql(
             _rd.EVENT_STREAM_SQL, PHI, SEED

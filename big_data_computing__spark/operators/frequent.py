@@ -853,3 +853,95 @@ def histogram_bins(
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def hll_estimate_by(
+    stream: DataFrame,
+    group_col: str,
+    p: int = HLL_P,
+    item_col: str = "item",
+) -> DataFrame:
+    """Per-group HyperLogLog estimate — the production shape of
+    approximate distinct counting ("distinct users per event type"):
+    DataFrame[<group_col>, z_scaled, estimate(3dp)].
+
+    Same integer-exact register/harmonic machinery as
+    :func:`hll_estimate`, keyed by (group, bucket): one map-side-
+    combinable MAX aggregation to ≤ groups·2^p rows, then a per-group
+    sum. Groups share nothing, so the sketch of each group is exactly
+    the global sketch of that group's rows (merge property unchanged).
+    Raw estimate, same ln-free portability contract as the global twin.
+    """
+    m = 2**p
+    K = _HLL_K
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    w = 60 - p
+    h = hash60(F.col(item_col).cast("string"))
+    bucket = (h % F.lit(2**p)).alias("bucket")
+    low = F.shiftright(h, p)
+    lowest = low.bitwiseAND(-low)
+    rho = F.when(low == F.lit(0), F.lit(w + 1)).otherwise(
+        F.bit_count(lowest - F.lit(1)).cast("long") + F.lit(1)
+    )
+    regs = (
+        stream.select(F.col(group_col).alias("g"), bucket, rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").cast("long").alias("m"))
+    )
+    present = regs.groupBy("g").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({K} - m AS INT))")
+        ).alias("z_p"),
+        F.count("*").alias("n_present"),
+    )
+    z = F.col("z_p") + (F.lit(m) - F.col("n_present")) * F.lit(2**K)
+    return present.select(
+        F.col("g").alias(group_col),
+        z.cast("long").alias("z_scaled"),
+        F.round(
+            F.lit(alpha * m * m) * F.lit(float(2**K)) / z.cast("double"),
+            3,
+        ).alias("estimate"),
+    )
+
+
+def hll_estimate_by_sql(
+    stream_sql: str, group_col: str, p: int = HLL_P
+) -> str:
+    """DuckDB twin of :func:`hll_estimate_by`. ``stream_sql`` must
+    yield columns (<group_col>, item)."""
+    m = 2**p
+    K = _HLL_K
+    w = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = hash60_sql("CAST(item AS VARCHAR)")
+    return f"""
+WITH s AS ({stream_sql}),
+hb AS (
+  SELECT {group_col} AS g, {h} % {m} AS bucket,
+         CAST({h} // {m} AS BIGINT) AS low
+  FROM s
+),
+r AS (
+  SELECT g, bucket,
+         CASE WHEN low = 0 THEN {w + 1}
+              ELSE CAST(bit_count((low & -low) - 1) AS BIGINT) + 1
+         END AS rho
+  FROM hb
+),
+regs AS (SELECT g, bucket, CAST(MAX(rho) AS BIGINT) AS mreg FROM r
+         GROUP BY g, bucket),
+agg AS (
+  SELECT g,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST({K} - mreg AS INT))
+              AS BIGINT) AS z_p,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY g
+)
+SELECT g AS {group_col},
+       CAST(z_p + ({m} - n_present) * {2**K} AS BIGINT) AS z_scaled,
+       ROUND({alpha * m * m!r} * {float(2**K)!r}
+             / CAST(z_p + ({m} - n_present) * {2**K} AS DOUBLE), 3)
+         AS estimate
+FROM agg
+"""

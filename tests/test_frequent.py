@@ -422,3 +422,39 @@ def test_histogram_bins_run_as_streaming_aggregation(
         for r in histogram_bins(li, "l_extendedprice", bounds).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_hll_by_group_matches_per_group_global(spark, sf_dir):
+    """Groups share nothing: the per-group sketch must equal the global
+    sketch run on that group's rows alone, and in the valid regime
+    (cardinality above the 2.5*m small-range threshold) the estimate
+    must land near the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing__spark.operators.frequent import (
+        hll_estimate,
+        hll_estimate_by,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_orderkey").cast("long").alias("item")
+    )
+    by = {
+        r["l_returnflag"]: (r["z_scaled"], r["estimate"])
+        for r in hll_estimate_by(li, "l_returnflag").collect()
+    }
+    assert len(by) > 1
+    for flag, (z, est) in sorted(by.items()):
+        alone = hll_estimate(
+            li.where(F.col("l_returnflag") == flag)
+        ).collect()[0]
+        assert (alone["z_scaled"], alone["estimate"]) == (z, est), flag
+        truth = (
+            li.where(F.col("l_returnflag") == flag)
+            .select("item")
+            .distinct()
+            .count()
+        )
+        if truth > 2.5 * 256:  # raw-estimator validity regime
+            assert abs(est - truth) / truth < 0.2, (flag, est, truth)
