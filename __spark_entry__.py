@@ -1004,9 +1004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a17_pivot_events,  # pmod floor-division day_idx
         o3_zorder_cells,  # zorder_key range guard
         x_ann_opq_topk,  # rotation/codebook supply gate
-        # -- NEW this round (7 entries; together with the 34-query
+        # -- NEW this round (8 entries; together with the 34-query
         # r3-unverified block below, the window lands at exactly 50 with
-        # two r3-green spill rows at 49-50) --
+        # one r3-green spill row at position 50) --
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
         x_triangle_counts,
