@@ -724,6 +724,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_minhash_similarity(spark, sf_dir):
+        # LSH candidates + the unbiased MinHash Jaccard estimate from
+        # signature agreement — threshold on similarity without ever
+        # re-reading the text (signatures computed once, shared with
+        # bucket generation)
+        return _dd.minhash_similarity_pairs(_docs(spark, sf_dir))
+
     def x_kcore_nodes(spark, sf_dir):
         # 2-core of the duplicate graph (peel-to-fixed-point): strips
         # pendant chains, keeps every cycle — the collapse-safe kernel
@@ -1004,15 +1011,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a17_pivot_events,  # pmod floor-division day_idx
         o3_zorder_cells,  # zorder_key range guard
         x_ann_opq_topk,  # rotation/codebook supply gate
-        # -- NEW this round (8 entries; together with the 34-query
-        # r3-unverified block below, the window lands at exactly 50 with
-        # one r3-green spill row at position 50) --
+        # -- NEW this round (9 entries; together with the 34-query
+        # r3-unverified block below, positions 1-50 are exactly the
+        # smoke prefix + changed + new + previously-unverified set) --
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
         x_triangle_counts,
         x_dedup_jaccard_prefix,
         x_dup_cluster_report,
         x_kcore_nodes,
+        x_minhash_similarity,
         t11_histogram_quantiles,
         t12_hll_by_type,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
@@ -1500,6 +1508,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_dup_cluster_report": _dd.dup_cluster_report_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
+        "x_minhash_similarity": _dd.minhash_similarity_pairs_sql(),
         "x_kcore_nodes": _dd.kcore_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
             k=2,

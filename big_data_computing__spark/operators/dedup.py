@@ -129,6 +129,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     ngram: int = 3,
     text_col: str = "text",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (band-collision, r=2 rows/band):
     DataFrame[doc_a, doc_b, n_bands] with doc_a < doc_b.
@@ -136,10 +137,12 @@ def minhash_lsh_pairs(
     Bucket key for band b = sig[2b]·p + sig[2b+1] — an injective integer
     combine (both values < p), avoiding string keys. Docs sharing ≥ 1
     bucket become candidates; n_bands counts collisions (a monotone
-    proxy for similarity).
+    proxy for similarity). ``sigs`` lets a caller that also needs the
+    signatures (minhash_similarity_pairs) compute them once.
     """
     bands = num_hashes // 2
-    sigs = minhash_signatures(docs, num_hashes, ngram, text_col)
+    if sigs is None:
+        sigs = minhash_signatures(docs, num_hashes, ngram, text_col)
     buckets = sigs.select(
         "doc_id",
         F.explode(
@@ -1258,4 +1261,75 @@ e0 AS MATERIALIZED (
 SELECT n AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
   SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}
 ) GROUP BY n
+"""
+
+
+def minhash_similarity_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    ngram: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs WITH the MinHash similarity estimate:
+    DataFrame[doc_a, doc_b, n_bands, est_jaccard(6dp)].
+
+    est_jaccard = (# agreeing signature components) / num_hashes — the
+    unbiased MinHash estimator of the true n-gram Jaccard (each
+    component agrees with probability exactly J). This closes the
+    candidates-only gap of :func:`minhash_lsh_pairs`: a curation
+    pipeline can THRESHOLD on estimated similarity without ever
+    re-touching the text (the exact-verification alternative,
+    :func:`ngram_jaccard_pairs`, re-reads every candidate's shingles).
+    Signatures are computed once and shared with bucket generation;
+    the estimate join moves only (doc_id, 16 longs) rows.
+    """
+    sigs = minhash_signatures(
+        docs, num_hashes, ngram, text_col
+    ).localCheckpoint()
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes, ngram, text_col, sigs=sigs
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    matches = sum(
+        F.when(F.col("sa")[i] == F.col("sb")[i], 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.round(
+                matches.cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_similarity_pairs_sql(
+    num_hashes: int = 16, ngram: int = 3
+) -> str:
+    """DuckDB twin of :func:`minhash_similarity_pairs`: the pair SQL
+    joined back to the signature CTE, agreement counted by the same
+    per-component sum (DuckDB lists are 1-based; the values match the
+    0-based Spark getItem on the same arrays)."""
+    terms = " + ".join(
+        f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    # outer CTE named msigs: the embedded pair SQL defines its own
+    # `sigs` CTE, and shadowing a MATERIALIZED name confuses DuckDB's
+    # planner (observed as a bogus recursive-CTE error)
+    return f"""
+WITH msigs AS MATERIALIZED ({minhash_signatures_sql(num_hashes, ngram)}),
+pairs AS ({minhash_lsh_pairs_sql(num_hashes, ngram)})
+SELECT p.doc_a, p.doc_b, p.n_bands,
+       ROUND(CAST(({terms}) AS DOUBLE) / {float(num_hashes)!r}, 6)
+         AS est_jaccard
+FROM pairs p
+JOIN msigs a ON a.doc_id = p.doc_a
+JOIN msigs b ON b.doc_id = p.doc_b
 """

@@ -507,3 +507,36 @@ def test_kcore_raises_without_convergence(spark):
         kcore_nodes(pairs, k=2, max_iterations=3)
     # with enough rounds the chain peels to nothing: empty 2-core
     assert kcore_nodes(pairs, k=2, max_iterations=10).count() == 0
+
+
+def test_minhash_similarity_estimates_track_exact_jaccard(spark, sf_dir):
+    """The signature-agreement estimate must track the exact n-gram
+    Jaccard on the real corpus: for every LSH candidate pair that has
+    an exact Jaccard, |est - exact| is within the 16-hash estimator's
+    plausible band; and near-identical pairs estimate near 1."""
+    from big_data_computing__spark.operators.dedup import (
+        minhash_similarity_pairs,
+        ngram_jaccard_pairs,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_similarity_pairs(docs).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert est, "fixture must produce candidate pairs"
+    checked = 0
+    for pair, e in est.items():
+        if pair in exact:
+            # std error of a 16-trial binomial mean is ≤ 0.125; allow 4σ
+            assert abs(e - exact[pair]) <= 0.5, (pair, e, exact[pair])
+            checked += 1
+    assert checked > 0
+    high = [e for pair, e in est.items() if exact.get(pair, 0) > 0.9]
+    if high:
+        assert min(high) >= 0.75
