@@ -724,6 +724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_containment_pairs(spark, sf_dir):
+        # asymmetric near-dup: winnowing-fingerprint containment —
+        # catches the short-doc-pasted-into-long-doc case Jaccard
+        # misses (low symmetric overlap, containment ~1 one way)
+        return _ts.containment_pairs(_docs(spark, sf_dir))
+
     def x_minhash_similarity(spark, sf_dir):
         # LSH candidates + the unbiased MinHash Jaccard estimate from
         # signature agreement — threshold on similarity without ever
@@ -1021,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dup_cluster_report,
         x_kcore_nodes,
         x_minhash_similarity,
+        x_containment_pairs,
         t11_histogram_quantiles,
         t12_hll_by_type,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
@@ -1509,6 +1516,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "x_minhash_similarity": _dd.minhash_similarity_pairs_sql(),
+        "x_containment_pairs": _ts.containment_pairs_sql(),
         "x_kcore_nodes": _dd.kcore_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
             k=2,

@@ -443,3 +443,85 @@ SELECT doc_id, term, tf, df, score FROM (
   FROM scored
 ) WHERE rk <= {k}
 """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup detection — document CONTAINMENT over the
+    winnowing fingerprints: DataFrame[doc_a, doc_b, containment_a,
+    containment_b] for pairs where max(containment) ≥ threshold, with
+    containment_a = |fp(A) ∩ fp(B)| / |fp(A)| (the share of A's
+    fingerprinted content that also appears in B).
+
+    Jaccard misses the copy-with-additions case: a short document
+    pasted verbatim into a much longer one has low symmetric overlap
+    but containment ≈ 1 in one direction — exactly what quote/boiler
+    expansion looks like in a crawl. Broder's containment measure over
+    winnowed fingerprints inherits winnowing's guarantee (any shared
+    run of ≥ w+k-1 words shares a fingerprint), so a contained copy of
+    meaningful length cannot score 0.
+
+    Same inverted-index + df≥2-prune join shape as the Jaccard
+    operator; only (doc_id, fp) longs shuffle.
+    """
+    fps = winnow_fingerprints(docs, k, w, text_col).localCheckpoint()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= 2)
+    )
+    pruned = fps.join(shared.select("fp"), "fp", "left_semi")
+    inter = (
+        pruned.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(pruned.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nb"))
+    ca = F.col("inter").cast("double") / F.col("na")
+    cb = F.col("inter").cast("double") / F.col("nb")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(F.greatest(ca, cb) >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
+
+
+def containment_pairs_sql(
+    threshold: float = 0.8, k: int = 4, w: int = 5
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` over the same winnowing
+    fingerprint SQL."""
+    return f"""
+WITH fps AS MATERIALIZED ({winnow_fingerprints_sql(k, w)}),
+sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+shared AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= 2),
+pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN shared USING (fp)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / sa.nfp, 6) AS containment_a,
+       ROUND(CAST(inter AS DOUBLE) / sb.nfp, 6) AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE GREATEST(CAST(inter AS DOUBLE) / sa.nfp,
+               CAST(inter AS DOUBLE) / sb.nfp) >= {threshold!r}
+"""

@@ -540,3 +540,43 @@ def test_minhash_similarity_estimates_track_exact_jaccard(spark, sf_dir):
     high = [e for pair, e in est.items() if exact.get(pair, 0) > 0.9]
     if high:
         assert min(high) >= 0.75
+
+
+def test_containment_catches_subset_copy(spark):
+    """A short document pasted verbatim into a much longer one:
+    symmetric Jaccard is low (the pair is invisible to the 0.5-Jaccard
+    operator) but containment of the short doc is ~1 — the case this
+    operator exists for."""
+    from big_data_computing__spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from big_data_computing__spark.operators.textstats import (
+        containment_pairs,
+    )
+
+    short = " ".join(f"quoted token{i} payload{i * 7}" for i in range(12))
+    long_doc = (
+        " ".join(f"filler word{i} stuff{i * 3}" for i in range(80))
+        + " "
+        + short
+        + " "
+        + " ".join(f"tail item{i} extra{i * 5}" for i in range(80))
+    )
+    unrelated = " ".join(f"other thing{i} text{i * 11}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, unrelated)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert ca >= 0.8 and cb < 0.5, (ca, cb)  # asymmetric by design
+    assert (1, 3) not in got and (2, 3) not in got
+    # and the symmetric Jaccard operator indeed misses the pair
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac
