@@ -1008,18 +1008,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covered by the committed full local run (tools/verify_oracle.py →
     # ORACLE_FULL_r04.json).
     for fn in (
-        # -- smoke prefix: fast, repeatedly-green core — proves harness --
+        # -- smoke prefix: one fast, repeatedly-green core query proves
+        # the harness (c7/c6 dropped from the prefix this session: both
+        # hold driver rows from r1-r3, and their slots keep the entire
+        # never-driver-verified block inside the 50-row cap) --
         p2_cell_counts,
-        c7_approx_outliers_summary,
-        c6_exact_outliers,
         # -- code CHANGED this round (r4) — must re-verify --
         x_decode_features,  # flattened to (media_id, dim, value)
         a17_pivot_events,  # pmod floor-division day_idx
         o3_zorder_cells,  # zorder_key range guard
         x_ann_opq_topk,  # rotation/codebook supply gate
-        # -- NEW this round (9 entries; together with the 34-query
-        # r3-unverified block below, positions 1-50 are exactly the
-        # smoke prefix + changed + new + previously-unverified set) --
+        # -- NEW this round (10 entries; 1 smoke + 4 changed + 10 new +
+        # the 34-query r3-unverified block + 1 spill = exactly 50) --
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
         x_triangle_counts,
@@ -1075,9 +1075,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t10_hll_estimate,
         x_bloom_contamination,
         x_pagerank_dupgraph,
-        # ---- position 51+: driver-green in r3 (CORRECTNESS_r03.json)
-        # and unchanged; the driver truncates here and the full local
-        # artifact covers them ----
+        # ---- position 51+: driver-green in r1-r3 and unchanged; the
+        # driver truncates here and the full local artifact covers
+        # them (c7/c6 moved here from the smoke prefix — three prior
+        # driver rows each) ----
+        c7_approx_outliers_summary,
+        c6_exact_outliers,
         x_token_budget_sample,
         x_pii_report,
         x_frame_sample,
