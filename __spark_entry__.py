@@ -724,6 +724,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_dedup_snm(spark, sf_dir):
+        # sorted-neighborhood blocking (third family: order-based,
+        # O(n·window) candidates regardless of shingle skew) + exact
+        # Jaccard verification; global order from the two-pass
+        # distributed rank, not a single-partition window
+        return _dd.snm_pairs(_docs(spark, sf_dir))
+
     def x_containment_pairs(spark, sf_dir):
         # asymmetric near-dup: winnowing-fingerprint containment —
         # catches the short-doc-pasted-into-long-doc case Jaccard
@@ -1028,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_kcore_nodes,
         x_minhash_similarity,
         x_containment_pairs,
+        x_dedup_snm,
         t11_histogram_quantiles,
         t12_hll_by_type,
         # -- no r3 driver row (sat past position 50 in the r3 window) --
@@ -1520,6 +1528,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         ),
         "x_minhash_similarity": _dd.minhash_similarity_pairs_sql(),
         "x_containment_pairs": _ts.containment_pairs_sql(),
+        "x_dedup_snm": _dd.snm_pairs_sql(),
         "x_kcore_nodes": _dd.kcore_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
             k=2,

@@ -307,3 +307,51 @@ def salted_join(
     s = small.select("*", reps)
     joined = b.join(s, [key, "_salt"], how)
     return joined.drop("_salt")
+
+
+def global_rank(
+    df: DataFrame,
+    *order_cols: str,
+    rank_col: str = "rank",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """1-based global row rank under a TOTAL order, without the
+    single-partition window Spark's bare ``row_number() OVER (ORDER BY
+    ...)`` degenerates to.
+
+    The two-pass distributed ranking idiom: range-repartition on the
+    order columns (contiguous key ranges per partition), count rows per
+    partition, cumulative-sum those ≤ ``n_partitions`` counts on the
+    driver, then add each partition's offset to its local sorted
+    row_number. Partition boundaries affect only the SPLIT, never the
+    result: rank = global position in the total order regardless of
+    where the range sampler cut, so the output is deterministic even
+    though the sampler isn't part of the contract.
+
+    ``order_cols`` must be a total order (include a unique tie-break
+    column) — same requirement every deterministic rank in this engine
+    imposes (see ntile_quartiles).
+    """
+    part = df.repartitionByRange(n_partitions, *order_cols)
+    withpid = part.withColumn("_pid", F.spark_partition_id())
+    withpid = withpid.localCheckpoint()  # pin the split both passes see
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in withpid.groupBy("_pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return withpid.select(
+        *df.columns,
+        (F.row_number().over(w) + off[F.col("_pid")])
+        .cast("long")
+        .alias(rank_col),
+    )

@@ -580,3 +580,28 @@ def test_containment_catches_subset_copy(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_snm_window_semantics(spark):
+    """SNM candidates are exactly the rank-window neighbors: two
+    identical docs adjacent in sort order pair up; identical docs
+    forced far apart by the blocking key do NOT (the documented SNM
+    recall trade)."""
+    from big_data_computing__spark.operators.dedup import snm_pairs
+
+    same = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [(1, "aaa " + same), (2, "aab " + same)]  # adjacent keys
+    # identical bodies, but keys at opposite ends of the order, with
+    # > window distinct docs between them
+    docs += [(3, "ccc " + same), (4, "zzz " + same)]
+    docs += [
+        (10 + i, f"m{i:02d} " + " ".join(f"w{i}x{j}" for j in range(40)))
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in snm_pairs(df, window=3, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    assert (3, 4) not in got  # sorted apart: the SNM blind spot

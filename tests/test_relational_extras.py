@@ -68,3 +68,30 @@ def test_ntile_is_deterministic_on_ties(spark):
     b = sorted(map(tuple, ntile_quartiles(orders, n=4).collect()))
     assert a == b
     assert [r[2] for r in a] == [2, 2, 2, 2]
+
+
+def test_global_rank_matches_sorted_position(spark, sf_dir):
+    """global_rank (range partitions + offset cumsum) must equal the
+    position in the globally sorted order, for several partition
+    counts including ones that force uneven splits."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing__spark.operators.relational import global_rank
+    from big_data_computing__spark.sources.readers import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    want = [
+        r["c_custkey"]
+        for r in cust.orderBy("c_acctbal", "c_custkey").collect()
+    ]
+    for nparts in (1, 7, 32):
+        got = {
+            r["rank"]: r["c_custkey"]
+            for r in global_rank(
+                cust, "c_acctbal", "c_custkey", n_partitions=nparts
+            ).collect()
+        }
+        assert len(got) == len(want)
+        assert [got[i + 1] for i in range(len(want))] == want, nparts
