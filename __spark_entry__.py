@@ -724,6 +724,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_train_shards(spark, sf_dir):
+        # training-output stage: deterministic hash-shard assignment,
+        # audited as per-shard doc/token stats
+        return _cu.shard_stats(_docs(spark, sf_dir))
+
+    def x_train_order(spark, sf_dir):
+        # deterministic epoch order: per-domain pseudorandom shuffle
+        # merged by the i/sqrt(n_d) weighted-interleave key; global seq
+        # from the two-pass rank, reproducible on any engine
+        return _cu.interleave_order(_docs(spark, sf_dir))
+
     def x_dedup_snm(spark, sf_dir):
         # sorted-neighborhood blocking (third family: order-based,
         # O(n·window) candidates regardless of shingle skew) + exact
@@ -1025,8 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a17_pivot_events,  # pmod floor-division day_idx
         o3_zorder_cells,  # zorder_key range guard
         x_ann_opq_topk,  # rotation/codebook supply gate
-        # -- NEW this round (10 entries; 1 smoke + 4 changed + 10 new +
-        # the 34-query r3-unverified block + 1 spill = exactly 50) --
+        # -- NEW this round (11 entries; 1 smoke + 4 changed + 11 new +
+        # the 34-query r3-unverified block = exactly 50, no spill) --
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
         x_triangle_counts,
@@ -1083,10 +1094,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t10_hll_estimate,
         x_bloom_contamination,
         x_pagerank_dupgraph,
-        # ---- position 51+: driver-green in r1-r3 and unchanged; the
-        # driver truncates here and the full local artifact covers
-        # them (c7/c6 moved here from the smoke prefix — three prior
-        # driver rows each) ----
+        # ---- position 51+: the driver truncates here; the committed
+        # full local artifact covers everything below. First: the two
+        # newest queries that no longer fit the 50-cap (added after the
+        # window filled; front of the r5 rotation queue), then c7/c6
+        # (moved from the smoke prefix — three prior driver rows each)
+        x_train_shards,
+        x_train_order,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1529,6 +1543,8 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_minhash_similarity": _dd.minhash_similarity_pairs_sql(),
         "x_containment_pairs": _ts.containment_pairs_sql(),
         "x_dedup_snm": _dd.snm_pairs_sql(),
+        "x_train_shards": _cu.shard_stats_sql(),
+        "x_train_order": _cu.interleave_order_sql(),
         "x_kcore_nodes": _dd.kcore_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
             k=2,

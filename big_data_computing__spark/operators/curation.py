@@ -830,3 +830,119 @@ SELECT doc_id,
        ROUND(CAST(SUM(flagged) AS DOUBLE) / COUNT(*), 6) AS flag_frac
 FROM per_gram GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-output stage: deterministic shards + weighted interleave order
+# ---------------------------------------------------------------------------
+
+TRAIN_SHARDS = 16
+
+
+def shard_stats(
+    docs: DataFrame,
+    n_shards: int = TRAIN_SHARDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic training-shard assignment, reported as per-shard
+    stats: DataFrame[shard, n_docs, n_tokens].
+
+    shard = hash60("shard-" ‖ doc_id) mod n_shards — the global
+    pseudorandom shuffle a training job wants (neighbors in the corpus
+    land in different shards), as a pure function of doc_id: any two
+    runs, any partitioning, any engine assign identically (the write
+    itself is then a repartition on this column). Balance follows from
+    the hash; the stats output is the auditable contract (even shard
+    sizes, token totals for step-count planning).
+    """
+    from ..functions.hashing import hash60
+
+    shard = (
+        hash60(F.concat(F.lit("shard-"), F.col("doc_id").cast("string")))
+        % F.lit(n_shards)
+    ).alias("shard")
+    return (
+        docs.select(shard, token_count(F.col(text_col)).alias("toks"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def shard_stats_sql(n_shards: int = TRAIN_SHARDS) -> str:
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql("CONCAT('shard-', CAST(doc_id AS VARCHAR))")
+    toks = (
+        "len(list_filter(string_split("
+        "trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), "
+        "t -> t <> ''))"
+    )
+    return f"""
+SELECT {h} % {n_shards} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({toks}) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1
+"""
+
+
+def interleave_order(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Deterministic training order with domains interleaved by size:
+    DataFrame[seq, doc_id, source] where seq is the 1-based global
+    training position.
+
+    Within each domain, documents are shuffled pseudorandomly (ordered
+    by hash of doc_id). Across domains, position i of domain d gets
+    merge key i/√n_d — the standard weighted-interleave construction:
+    a domain with weight w_d = √n_d (the sqrt-temperature mixture this
+    engine's domain_mixture uses) appears every ~1/w_d positions, so
+    no stretch of the training stream is dominated by one source and
+    small domains are spread across the whole epoch rather than
+    exhausted early. The global sequence comes from
+    :func:`~.relational.global_rank` (two-pass rank — no single-
+    partition window); every step is a pure function of the data, so
+    the order is reproducible across runs, partitionings, and engines.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+    from .relational import global_rank
+
+    nd = Window.partitionBy(source_col)
+    wd = Window.partitionBy(source_col).orderBy(
+        hash60(F.concat(F.lit("ord-"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        (
+            F.row_number().over(wd).cast("double")
+            / F.sqrt(F.count("*").over(nd).cast("double"))
+        ).alias("_key"),
+    )
+    return global_rank(keyed, "_key", "doc_id", rank_col="seq").select(
+        "seq", "doc_id", "source"
+    )
+
+
+def interleave_order_sql() -> str:
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql("CONCAT('ord-', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY {h}, doc_id
+         ) AS DOUBLE)
+         / SQRT(CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE))
+           AS _key
+  FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY _key, doc_id) AS BIGINT) AS seq,
+       doc_id, source
+FROM keyed
+"""

@@ -361,3 +361,40 @@ def test_bloom_contamination_one_sided_vs_exact(spark, sf_dir):
     # of a partition is the property production sharding relies on)
     assert merged <= whole
     docs.unpersist()
+
+
+def test_interleave_order_spreads_small_domains(spark, sf_dir):
+    """The weighted-interleave contract: (1) the order is a
+    permutation; (2) no domain is exhausted early — every domain's
+    documents span most of the sequence (max seq position of each
+    domain lands in the last ~quarter of the stream), unlike a
+    concatenated-by-domain order."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing__spark.operators.curation import (
+        interleave_order,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = interleave_order(docs)
+    seqs = [r["seq"] for r in out.select("seq").collect()]
+    assert sorted(seqs) == list(range(1, n + 1))
+    spans = {
+        r["source"]: (r["lo"], r["hi"])
+        for r in out.groupBy("source")
+        .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
+        .collect()
+    }
+    assert len(spans) > 1
+    for src, (lo, hi) in spans.items():
+        assert hi >= 0.75 * n, (src, lo, hi)  # reaches deep into epoch
+
+    # determinism under re-partitioning: identical sequence
+    again = {
+        r["doc_id"]: r["seq"]
+        for r in interleave_order(docs.repartition(17)).collect()
+    }
+    first = {r["doc_id"]: r["seq"] for r in out.collect()}
+    assert again == first
