@@ -724,6 +724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_dedup_snm2(spark, sf_dir):
+        # two-pass SNM (forward + reversed-prefix keys, unioned) — the
+        # standard mitigation for the single-key blind spot; candidates
+        # stay O(2·n·window)
+        return _dd.snm_pairs_multipass(_docs(spark, sf_dir))
+
     def x_train_shards(spark, sf_dir):
         # training-output stage: deterministic hash-shard assignment,
         # audited as per-shard doc/token stats
@@ -1101,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (moved from the smoke prefix — three prior driver rows each)
         x_train_shards,
         x_train_order,
+        x_dedup_snm2,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1543,6 +1550,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_minhash_similarity": _dd.minhash_similarity_pairs_sql(),
         "x_containment_pairs": _ts.containment_pairs_sql(),
         "x_dedup_snm": _dd.snm_pairs_sql(),
+        "x_dedup_snm2": _dd.snm_pairs_multipass_sql(),
         "x_train_shards": _cu.shard_stats_sql(),
         "x_train_order": _cu.interleave_order_sql(),
         "x_kcore_nodes": _dd.kcore_nodes_sql(

@@ -1347,6 +1347,7 @@ def snm_pairs(
     ngram: int = 3,
     text_col: str = "text",
     key_len: int = 24,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood near-dup pairs: DataFrame[doc_a, doc_b,
     jaccard(6dp)] — candidates are documents within ``window``
@@ -1373,7 +1374,11 @@ def snm_pairs(
     """
     from .relational import global_rank
 
-    key = F.substring(normalized(F.col(text_col)), 1, key_len)
+    key = (
+        key_expr
+        if key_expr is not None
+        else F.substring(normalized(F.col(text_col)), 1, key_len)
+    )
     ranked = global_rank(
         docs.select("doc_id", key.alias("k")), "k", "doc_id"
     ).localCheckpoint()
@@ -1434,6 +1439,7 @@ def snm_pairs_sql(
     threshold: float = 0.5,
     ngram: int = 3,
     key_len: int = 24,
+    key_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`snm_pairs`: plain ROW_NUMBER over the same
     total order (the distributed two-pass rank computes exactly this),
@@ -1444,11 +1450,12 @@ def snm_pairs_sql(
         "list_filter(string_split("
         f"{norm}, ' '), t -> t <> '')"
     )
+    key = key_sql or f"substring({norm}, 1, {key_len})"
     return f"""
 WITH ranked AS MATERIALIZED (
   SELECT doc_id,
          ROW_NUMBER() OVER (
-           ORDER BY substring({norm}, 1, {key_len}), doc_id
+           ORDER BY {key}, doc_id
          ) AS rank
   FROM documents
 ),
@@ -1481,4 +1488,49 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= {threshold!r}
+"""
+
+
+def snm_pairs_multipass(
+    docs: DataFrame,
+    window: int = 10,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    text_col: str = "text",
+    key_len: int = 24,
+) -> DataFrame:
+    """Two-pass SNM (the standard blind-spot mitigation): run the
+    sorted-neighborhood join under TWO independent blocking keys — the
+    normalized-text prefix and the REVERSED normalized-text prefix —
+    and union the verified pairs. A duplicate pair missed by one key
+    (docs differing in their first characters sort apart) is caught by
+    the other unless they differ at BOTH ends; candidates stay
+    O(2·n·window). Pairs found by both passes dedup exactly (verified
+    Jaccard is identical, same rounding).
+    """
+    fwd = snm_pairs(docs, window, threshold, ngram, text_col, key_len)
+    rev_key = F.substring(
+        F.reverse(normalized(F.col(text_col))), 1, key_len
+    )
+    rev = snm_pairs(
+        docs, window, threshold, ngram, text_col, key_len,
+        key_expr=rev_key,
+    )
+    return fwd.union(rev).distinct()
+
+
+def snm_pairs_multipass_sql(
+    window: int = 10,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    key_len: int = 24,
+) -> str:
+    norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+    rev_key = f"substring(reverse({norm}), 1, {key_len})"
+    return f"""
+SELECT DISTINCT * FROM (
+  ({snm_pairs_sql(window, threshold, ngram, key_len)})
+  UNION
+  ({snm_pairs_sql(window, threshold, ngram, key_len, key_sql=rev_key)})
+)
 """

@@ -605,3 +605,32 @@ def test_snm_window_semantics(spark):
     }
     assert (1, 2) in got
     assert (3, 4) not in got  # sorted apart: the SNM blind spot
+
+
+def test_snm_multipass_closes_reversed_blind_spot(spark):
+    """The pair sorted apart by the forward key (differing first
+    token) but adjacent under the reversed key (identical suffix) is
+    missed by single-pass SNM and caught by the two-pass union."""
+    from big_data_computing__spark.operators.dedup import (
+        snm_pairs,
+        snm_pairs_multipass,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [(3, "ccc " + same), (4, "zzz " + same)]
+    docs += [
+        (10 + i, f"m{i:02d} " + " ".join(f"w{i}x{j}" for j in range(40)))
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in snm_pairs(df, window=3, threshold=0.5).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"])
+        for r in snm_pairs_multipass(df, window=3, threshold=0.5).collect()
+    }
+    assert (3, 4) not in single
+    assert (3, 4) in multi
+    assert single <= multi
