@@ -724,6 +724,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_ktruss_edges(spark, sf_dir):
+        # 4-truss of the simhash duplicate graph (every surviving edge
+        # supported by >= 2 triangles INSIDE the truss): the edge-level
+        # cohesion peel — splits collapse-the-cluster near-cliques from
+        # review-each-pair chains. Engine raises if the peel outruns the
+        # oracle's unrolled round bound (the k-core contract).
+        return _dd.ktruss_edges(
+            _dd.simhash_near_pairs(_docs(spark, sf_dir)), k=4
+        )
+
+    def x_dup_spans(spark, sf_dir):
+        # fraction of duplicated 10-token windows per document — the
+        # exact-substring dedup signal (Lee et al. 2022) in bounded
+        # fixed-width form; catches embedded quoted blocks whole-doc
+        # fingerprints miss. Only (hash, doc_id) pairs shuffle.
+        return _dd.dup_span_report(_docs(spark, sf_dir))
+
     def x_dedup_snm2(spark, sf_dir):
         # two-pass SNM (forward + reversed-prefix keys, unioned) — the
         # standard mitigation for the single-key blind spot; candidates
@@ -1108,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_train_shards,
         x_train_order,
         x_dedup_snm2,
+        x_ktruss_edges,
+        x_dup_spans,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1551,6 +1570,12 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_containment_pairs": _ts.containment_pairs_sql(),
         "x_dedup_snm": _dd.snm_pairs_sql(),
         "x_dedup_snm2": _dd.snm_pairs_multipass_sql(),
+        "x_dup_spans": _dd.dup_span_report_sql(),
+        "x_ktruss_edges": _dd.ktruss_edges_sql(
+            f"SELECT doc_a, doc_b FROM "
+            f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
+            k=4,
+        ),
         "x_train_shards": _cu.shard_stats_sql(),
         "x_train_order": _cu.interleave_order_sql(),
         "x_kcore_nodes": _dd.kcore_nodes_sql(

@@ -1264,6 +1264,246 @@ SELECT n AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
 """
 
 
+KTRUSS_MAX_ROUNDS = 10
+
+
+def ktruss_edges(
+    pairs: DataFrame,
+    k: int = 3,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = KTRUSS_MAX_ROUNDS,
+) -> DataFrame:
+    """Edges of the k-truss (the maximal subgraph where every edge is
+    supported by >= k-2 triangles): DataFrame[doc_a, doc_b, support]
+    with each edge's triangle support INSIDE the truss (doc_a < doc_b).
+
+    The truss is the edge-analog of the k-core and a strictly stronger
+    cohesion filter: the 3-truss keeps only edges that close at least
+    one triangle, the 4-truss only edges in >= 2 triangles, so chains
+    of borderline pairwise matches fall away while copied-many-times
+    near-cliques survive intact. Like the core, the k-truss is unique
+    and order-independent (peeling is a monotone fixed point), so the
+    parallel delete-all-weak-edges-at-once rounds below reach the same
+    answer as sequential peeling.
+
+    Per round: one triangle enumeration (the degree-oriented wedge join
+    from :func:`triangle_counts` — fan-out O(m^1.5), not sum-of-deg^2),
+    one (u, v) support aggregation, one join back to the edge list;
+    ``localCheckpoint`` per round (the CC loop's lineage rule). Rounds
+    are bounded by ``max_iterations`` and the engine RAISES on
+    exhaustion so the unrolled-round oracle can never silently diverge;
+    a converged edge set is a fixed point of further rounds, so an
+    oracle that unrolls MORE rounds computes the identical truss.
+
+    The reference has no graph operators (this extends the CC /
+    triangle / k-core family, dedup.py:245,933,1172); the composition
+    a curation pipeline uses to split "collapse the whole cluster"
+    decisions from "review each borderline pair" ones.
+    """
+    if k < 3:
+        raise ValueError(
+            "ktruss_edges: k must be >= 3 (the 2-truss is every edge; "
+            "use the edge list itself)"
+        )
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    for _ in range(max_iterations):
+        tri = _oriented_triangles(e)
+        # the wedge join emits triangles in DEGREE order, not id order,
+        # so canonicalize each of the 3 member edges back to u < v
+        tri_edges = (
+            tri.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .union(
+                tri.select(
+                    F.least("a", "c").alias("u"),
+                    F.greatest("a", "c").alias("v"),
+                )
+            )
+            .union(
+                tri.select(
+                    F.least("b", "c").alias("u"),
+                    F.greatest("b", "c").alias("v"),
+                )
+            )
+        )
+        support = tri_edges.groupBy("u", "v").agg(
+            F.count("*").cast("long").alias("support")
+        )
+        # inner join: an edge in NO triangle has support 0 < k-2 for
+        # every legal k, so dropping it via the join is the filter
+        kept = (
+            e.join(support, ["u", "v"])
+            .where(F.col("support") >= k - 2)
+            .localCheckpoint()
+        )
+        if kept.count() == e.count():
+            return kept.select(
+                F.col("u").alias("doc_a"),
+                F.col("v").alias("doc_b"),
+                "support",
+            )
+        e = kept.select("u", "v").localCheckpoint()
+    raise RuntimeError(
+        f"ktruss_edges: no fixed point after {max_iterations} rounds "
+        "(raise max_iterations; the oracle unrolls the same bound)"
+    )
+
+
+def ktruss_edges_sql(
+    pairs_sql: str, k: int = 3, rounds: int = KTRUSS_MAX_ROUNDS
+) -> str:
+    """DuckDB twin of :func:`ktruss_edges`: the peel unrolled into
+    ``rounds`` (triangles, support, filtered edges) CTE triples. The
+    oracle enumerates each triangle once by sorted node ids (a < b < c
+    via e1=(a,b), e2=(b,c), e3=(a,c)) — a different traversal of the
+    same triangle set as the engine's degree orientation, so member
+    edges and supports are identical. Every round MATERIALIZED for the
+    same reason as :func:`kcore_nodes_sql` (3 references per round)."""
+    ctes = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+t{i} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.u = e1.v
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+s{i} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT a AS u, b AS v FROM t{i}
+    UNION ALL SELECT b, c FROM t{i}
+    UNION ALL SELECT a, c FROM t{i}
+  ) GROUP BY u, v
+),
+e{i} AS MATERIALIZED (
+  SELECT s.u, s.v, s.support
+  FROM s{i} s JOIN {prev} e ON e.u = s.u AND e.v = s.v
+  WHERE s.support >= {k - 2}
+)""")
+        prev = f"e{i}"
+    return f"""
+WITH p AS MATERIALIZED ({pairs_sql}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM p WHERE doc_a <> doc_b
+),
+{','.join(ctes)}
+SELECT u AS doc_a, v AS doc_b, support FROM {prev}
+"""
+
+
+DUP_SPAN_WINDOW = 10
+
+
+def dup_span_report(
+    docs: DataFrame,
+    window: int = DUP_SPAN_WINDOW,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span report: DataFrame[doc_id,
+    n_windows, n_dup_windows, dup_frac(6dp)] where a "window" is a run
+    of ``window`` consecutive word tokens (stride 1) and a window is
+    *duplicated* when its hash occurs in >= 2 distinct documents.
+
+    This is the exact-substring dedup signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") in its
+    bounded fixed-width form — the fraction-of-duplicated-n-grams
+    quality column curation pipelines threshold on — as opposed to the
+    document-level verdicts the pairwise family gives: a doc that
+    merely EMBEDS a big quoted block scores high here while staying
+    invisible to whole-doc fingerprints.
+
+    Plan: posexplode the W-token windows (the same inverted-index
+    stream the MinHash shingler already materializes), one (hash →
+    distinct-doc count) aggregation, one hash-keyed join back, one
+    per-doc aggregation. Only (hash, doc_id) pairs ever shuffle — never
+    text — and every step is Catalyst-native with an exact SQL twin.
+    Docs shorter than ``window`` tokens report 0 windows / 0.0 frac
+    (complete per-doc output, the curation-join-friendly shape).
+    """
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            word_ngrams(normalized(F.col(text_col)), window)
+        ).alias("gram"),
+    ).select("doc_id", hash60(F.col("gram")).alias("h"))
+    ndocs = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        grams.join(ndocs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("nd") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0).cast("long")).alias(
+                "n_windows"
+            ),
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_dup_windows").cast("double")
+                    / F.col("n_windows").cast("double"),
+                    6,
+                )
+            )
+            .alias("dup_frac"),
+        )
+    )
+
+
+def dup_span_report_sql(window: int = DUP_SPAN_WINDOW) -> str:
+    """DuckDB twin of :func:`dup_span_report` (same tokenizer as the
+    winnowing oracle; windows via list slices over an offset range)."""
+    toks = (
+        "list_filter(string_split("
+        "trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), "
+        "t -> t <> '')"
+    )
+    gram = f"array_to_string(t[i:i+{window - 1}], ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+grams AS (
+  SELECT doc_id, {hash60_sql(gram)} AS h
+  FROM toks,
+       UNNEST(range(1, greatest(len(t) - {window - 1}, 0) + 1)) AS u(i)
+),
+cnt AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY h
+),
+per AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM grams g JOIN cnt c USING (h) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(p.n_dup_windows AS DOUBLE)
+                       / CAST(p.n_windows AS DOUBLE), 6)
+       END AS dup_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def minhash_similarity_pairs(
     docs: DataFrame,
     num_hashes: int = 16,

@@ -509,6 +509,148 @@ def test_kcore_raises_without_convergence(spark):
     assert kcore_nodes(pairs, k=2, max_iterations=10).count() == 0
 
 
+def test_ktruss_hand_graph(spark):
+    """4-clique with a pendant triangle hanging off node 13 and a bare
+    chain: the 3-truss keeps clique + triangle (every edge closes a
+    triangle, chain edges close none); the 4-truss keeps only the
+    clique (every clique edge sits in 2 triangles, the pendant
+    triangle's edges in 1 — and (13,14)/(13,15) dropping must CASCADE
+    to (14,15), whose own support was fine until its wing edges left)."""
+    from big_data_computing__spark.operators.dedup import ktruss_edges
+
+    clique = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    wing = [(13, 14), (13, 15), (14, 15)]
+    chain = [(1, 2), (2, 3)]
+    pairs = spark.createDataFrame(
+        clique + wing + chain, ["doc_a", "doc_b"]
+    )
+    t3 = {
+        (r["doc_a"], r["doc_b"]): r["support"]
+        for r in ktruss_edges(pairs, k=3).collect()
+    }
+    assert t3 == {**{e: 2 for e in clique}, **{e: 1 for e in wing}}
+    t4 = {
+        (r["doc_a"], r["doc_b"]): r["support"]
+        for r in ktruss_edges(pairs, k=4).collect()
+    }
+    assert t4 == {e: 2 for e in clique}
+
+
+def test_ktruss_rejects_k_below_3(spark):
+    from big_data_computing__spark.operators.dedup import ktruss_edges
+
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss_edges(pairs, k=2)
+
+
+def test_ktruss_raises_without_convergence(spark):
+    """A ladder of triangles (strip 0-1-2, 1-2-3, ...) at k=4 peels one
+    rung per end per round; with max_iterations too low the operator
+    must refuse, not return a half-peeled edge set."""
+    import pytest
+
+    from big_data_computing__spark.operators.dedup import ktruss_edges
+
+    strip = []
+    for i in range(14):
+        strip += [(i, i + 1), (i, i + 2)]
+    pairs = spark.createDataFrame(strip, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        ktruss_edges(pairs, k=4, max_iterations=2)
+    # with enough rounds the strip peels to nothing: no edge ever has
+    # support 2 once the ends start cascading inward
+    assert ktruss_edges(pairs, k=4, max_iterations=10).count() == 0
+
+
+def test_dup_span_report_hand_corpus(spark):
+    """Docs A and B share an embedded 6-token run inside otherwise
+    unique text (window=4 → the shared run contributes 3 aligned
+    windows to each); C is unique; D is shorter than the window and
+    must still appear with 0 windows / 0.0 frac."""
+    from big_data_computing__spark.operators.dedup import dup_span_report
+
+    shared = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+            (3, "totally unique words nowhere else repeated at all"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_windows"], r["n_dup_windows"], r["dup_frac"]
+        )
+        for r in dup_span_report(docs, window=4).collect()
+    }
+    # doc1: 10 tokens -> 7 windows; shared run at offsets 2..7 gives
+    # windows starting 2,3,4 fully inside the run
+    assert got[1] == (7, 3, round(3 / 7, 6))
+    # doc2: 10 tokens -> 7 windows; run at offsets 3..8 -> starts 3,4,5
+    assert got[2] == (7, 3, round(3 / 7, 6))
+    assert got[3] == (5, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_dup_span_report_self_repetition_not_flagged(spark):
+    """A window repeated WITHIN one document only is not a cross-doc
+    duplicate (distinct-doc count stays 1)."""
+    from big_data_computing__spark.operators.dedup import dup_span_report
+
+    docs = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham")],
+        ["doc_id", "text"],
+    )
+    (row,) = dup_span_report(docs, window=2).collect()
+    assert row["n_windows"] == 7
+    assert row["n_dup_windows"] == 0
+
+
+def test_ktruss_matches_bruteforce_peel(spark):
+    """Property check on a deterministic pseudo-random graph: the
+    distributed parallel peel equals a sequential Python peel,
+    including the per-edge supports inside the truss."""
+    from big_data_computing__spark.operators.dedup import ktruss_edges
+
+    n = 30
+    edges = {(0, i) for i in range(1, n)}
+    edges |= {tuple(sorted((i, i % (n - 1) + 1))) for i in range(1, n)}
+    edges |= {
+        tuple(sorted((i, (i * 11) % (n - 1) + 1)))
+        for i in range(1, n, 2)
+    }
+    edges = {(a, b) for a, b in edges if a != b}
+
+    def support(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(adj[a] & adj[b]) for a, b in es
+        }
+
+    k = 4
+    want = set(edges)
+    while True:
+        sup = support(want)
+        weak = {e for e, s in sup.items() if s < k - 2}
+        if not weak:
+            break
+        want -= weak
+    want_sup = support(want)
+    assert want_sup, "fixture sanity: 4-truss must be non-empty"
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["support"]
+        for r in ktruss_edges(pairs, k=k).collect()
+    }
+    assert got == want_sup
+
+
 def test_minhash_similarity_estimates_track_exact_jaccard(spark, sf_dir):
     """The signature-agreement estimate must track the exact n-gram
     Jaccard on the real corpus: for every LSH candidate pair that has
