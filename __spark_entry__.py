@@ -734,6 +734,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.simhash_near_pairs(_docs(spark, sf_dir)), k=4
         )
 
+    def o4_zorder3_cells(spark, sf_dir):
+        # 3-D Morton layout keys over the first three embedding dims —
+        # the 3-column OPTIMIZE-ZORDER write order (extends o3's 2-D
+        # interleave; 3x20 bits stays inside a signed long)
+        return _ol.zorder3_cells_topk(
+            _rd.embedding_points(spark, sf_dir), cell=0.1, k=100
+        )
+
     def x_dup_spans(spark, sf_dir):
         # fraction of duplicated 10-token windows per document — the
         # exact-substring dedup signal (Lee et al. 2022) in bounded
@@ -1127,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_snm2,
         x_ktruss_edges,
         x_dup_spans,
+        o4_zorder3_cells,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1571,6 +1580,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_dedup_snm": _dd.snm_pairs_sql(),
         "x_dedup_snm2": _dd.snm_pairs_multipass_sql(),
         "x_dup_spans": _dd.dup_span_report_sql(),
+        "o4_zorder3_cells": _ol.zorder3_cells_topk_sql(0.1, 100),
         "x_ktruss_edges": _dd.ktruss_edges_sql(
             f"SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",

@@ -660,3 +660,141 @@ keyed AS (
 )
 SELECT ci, cj, zkey, cnt FROM keyed ORDER BY zkey, ci, cj LIMIT {k}
 """
+
+
+def zorder_key3(
+    x: Column, y: Column, z: Column, bits: int = 20
+) -> Column:
+    """Morton (Z-order) key of THREE non-negative quantized coordinates:
+    bit i of x lands at position 3i, of y at 3i+1, of z at 3i+2 — the
+    3-D extension of :func:`zorder_key` (3·bits <= 60 bits, so the
+    default keeps the key inside a signed 64-bit long with headroom).
+
+    Same contract as the 2-D key: inputs must lie in
+    ``[0, 2**bits - 1]`` and the expression raises at execution time on
+    any out-of-range coordinate rather than silently alias. Pure
+    unrolled integer shifts/masks — identical bits in any engine.
+    """
+    if 3 * bits > 62:
+        raise ValueError(
+            f"zorder_key3: 3*bits = {3 * bits} exceeds the signed-long "
+            "key width; use bits <= 20"
+        )
+    xi, yi, zi = x.cast("long"), y.cast("long"), z.cast("long")
+    limit = F.lit((1 << bits) - 1).cast("long")
+    bad = (
+        (xi < 0) | (xi > limit)
+        | (yi < 0) | (yi > limit)
+        | (zi < 0) | (zi > limit)
+    )
+    acc = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"zorder_key3: coordinate outside [0, 2**{bits} - 1]:"
+                    " (x="
+                ),
+                xi.cast("string"),
+                F.lit(", y="),
+                yi.cast("string"),
+                F.lit(", z="),
+                zi.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0)).cast("long")
+    for i in range(bits):
+        acc = (
+            acc
+            + F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 3 * i)
+            + F.shiftleft(
+                F.shiftright(yi, i).bitwiseAND(F.lit(1)), 3 * i + 1
+            )
+            + F.shiftleft(
+                F.shiftright(zi, i).bitwiseAND(F.lit(1)), 3 * i + 2
+            )
+        )
+    return acc
+
+
+def zorder3_cells_topk(
+    points: DataFrame,
+    cell: float,
+    k: int,
+    bits: int = 20,
+) -> DataFrame:
+    """3-D grid cells of a DataFrame[id, features array<double>] point
+    set (first three dims, width ``cell``) with their 3-D Morton keys,
+    top-``k`` by key: DataFrame[ci, cj, ck, zkey, cnt].
+
+    The write-layout preview for a 3-column ``OPTIMIZE ZORDER`` — the
+    sort order under which per-file min/max statistics prune all three
+    dimensions (the 2-D measurement in STRESS.md generalizes: a
+    lexicographic (ci, cj, ck) sort prunes only the leading axis).
+    Coordinates are offset to non-negative in-plan via a broadcast
+    1-row min aggregate, exactly like the 2-D variant.
+    """
+    cells = (
+        points.select(
+            F.floor(F.element_at("features", 1) / cell).alias("ci"),
+            F.floor(F.element_at("features", 2) / cell).alias("cj"),
+            F.floor(F.element_at("features", 3) / cell).alias("ck"),
+        )
+        .groupBy("ci", "cj", "ck")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    mins = cells.agg(
+        F.min("ci").alias("mi"),
+        F.min("cj").alias("mj"),
+        F.min("ck").alias("mk"),
+    )
+    keyed = cells.crossJoin(F.broadcast(mins)).select(
+        "ci",
+        "cj",
+        "ck",
+        zorder_key3(
+            F.col("ci") - F.col("mi"),
+            F.col("cj") - F.col("mj"),
+            F.col("ck") - F.col("mk"),
+            bits=bits,
+        ).alias("zkey"),
+        "cnt",
+    )
+    return keyed.orderBy("zkey", "ci", "cj", "ck").limit(k)
+
+
+def zorder3_cells_topk_sql(cell: float, k: int, bits: int = 20) -> str:
+    """DuckDB twin of :func:`zorder3_cells_topk` — same unrolled 3-way
+    interleave over the embeddings table's first three dimensions."""
+    terms = " + ".join(
+        f"(((cix >> {i}) & 1) << {3 * i})"
+        f" + (((cjx >> {i}) & 1) << {3 * i + 1})"
+        f" + (((ckx >> {i}) & 1) << {3 * i + 2})"
+        for i in range(bits)
+    )
+    c = repr(cell)
+    return f"""
+WITH p AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pts AS (
+  SELECT CAST(FLOOR(v[1] / {c}) AS BIGINT) AS ci,
+         CAST(FLOOR(v[2] / {c}) AS BIGINT) AS cj,
+         CAST(FLOOR(v[3] / {c}) AS BIGINT) AS ck
+  FROM p
+),
+cells AS (SELECT ci, cj, ck, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pts GROUP BY ci, cj, ck),
+mins AS (SELECT MIN(ci) AS mi, MIN(cj) AS mj, MIN(ck) AS mk FROM cells),
+keyed AS (
+  SELECT ci, cj, ck, CAST({terms} AS BIGINT) AS zkey, cnt
+  FROM (SELECT ci, cj, ck,
+               ci - (SELECT mi FROM mins) AS cix,
+               cj - (SELECT mj FROM mins) AS cjx,
+               ck - (SELECT mk FROM mins) AS ckx, cnt
+        FROM cells)
+)
+SELECT ci, cj, ck, zkey, cnt FROM keyed
+ORDER BY zkey, ci, cj, ck LIMIT {k}
+"""

@@ -177,3 +177,49 @@ def test_zorder_key_interleave_and_locality(spark):
     # the first 4 keys form the lower-left 2×2 quadrant — Z locality
     first_quad = sorted(got, key=got.get)[:4]
     assert set(first_quad) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
+def test_zorder_key3_interleave_and_guard(spark):
+    """3-D Morton key: hand-checked interleave on a 2-bit cube
+    (z = x0 + 2*y0 + 4*z0 + 8*x1 + ...), octant locality (first 8 keys
+    are the unit cube corners), out-of-range raise, and the bits-width
+    ValueError."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    rows = [(x, y, z) for x in range(4) for y in range(4) for z in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = {
+        (r["x"], r["y"], r["z"]): r["k"]
+        for r in df.select(
+            "x", "y", "z",
+            O.zorder_key3(
+                F.col("x"), F.col("y"), F.col("z"), bits=2
+            ).alias("k"),
+        ).collect()
+    }
+    assert got[(0, 0, 0)] == 0
+    assert got[(1, 0, 0)] == 1
+    assert got[(0, 1, 0)] == 2
+    assert got[(0, 0, 1)] == 4
+    assert got[(1, 1, 1)] == 7
+    assert got[(2, 0, 0)] == 8
+    assert got[(3, 3, 3)] == 63
+    first_octant = sorted(got, key=got.get)[:8]
+    assert set(first_octant) == {
+        (x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)
+    }
+    # ordering check: all 64 keys are a bijection onto 0..63
+    assert sorted(got.values()) == list(range(64))
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad = spark.createDataFrame([(4, 0, 0)], "x long, y long, z long")
+    with _pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        bad.select(
+            O.zorder_key3(F.col("x"), F.col("y"), F.col("z"), bits=2)
+        ).collect()
+
+    with _pytest.raises(ValueError, match="bits"):
+        O.zorder_key3(F.col("x"), F.col("y"), F.col("z"), bits=21)
