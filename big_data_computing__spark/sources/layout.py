@@ -48,23 +48,38 @@ MANIFEST_NAME = "_file_manifest.json"
 
 
 def _file_stats(
-    spark: SparkSession, path: str, x: str, y: str
+    spark: SparkSession,
+    path: str,
+    x: str,
+    y: str,
+    extra_cols: tuple[str, ...] | list[str] = (),
 ) -> list[dict]:
-    """Per-file min/max of the layout columns for every parquet file
-    under ``path``, via the hidden ``_metadata.file_path`` column — the
-    stats a Delta transaction log / Iceberg manifest records. One tiny
-    aggregate; the non-projected columns' data pages are never read."""
+    """Per-file min/max of the layout columns (plus any ``extra_cols``)
+    for every parquet file under ``path``, via the hidden
+    ``_metadata.file_path`` column — the stats a Delta transaction log /
+    Iceberg manifest records. One tiny aggregate; the non-projected
+    columns' data pages are never read. Extra columns land in the
+    entries as ``min_<col>`` / ``max_<col>`` keys."""
+    aggs = [
+        F.min(x).alias("min_x"),
+        F.max(x).alias("max_x"),
+        F.min(y).alias("min_y"),
+        F.max(y).alias("max_y"),
+        F.count("*").alias("n_rows"),
+    ]
+    for c in extra_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
     stats = (
         spark.read.parquet(path)
-        .select(F.col("_metadata.file_path").alias("file"), x, y)
-        .groupBy("file")
-        .agg(
-            F.min(x).alias("min_x"),
-            F.max(x).alias("max_x"),
-            F.min(y).alias("min_y"),
-            F.max(y).alias("max_y"),
-            F.count("*").alias("n_rows"),
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            x,
+            y,
+            *extra_cols,
         )
+        .groupBy("file")
+        .agg(*aggs)
     )
     entries = [r.asDict() for r in stats.collect()]
     entries.sort(key=lambda e: e["file"])
@@ -239,11 +254,28 @@ class ZTable:
     Commit protocol: stats are computed first, then the snapshot JSON is
     written to a temp name and published with ``os.link`` — which fails
     with ``FileExistsError`` if another writer already committed that
-    version (optimistic concurrency, first writer wins, the loser's
-    data dir is orphaned and vacuum-able). Single-filesystem only — the
-    100 TB deployment would swap this one primitive for an object-store
-    conditional PUT, exactly as Delta's LogStore does; everything else
-    (manifest shape, planning, isolation) is storage-agnostic.
+    version (optimistic concurrency, first writer wins). Data dirs
+    carry a per-writer random token (``data-v00003-a1b2c3d4``) so two
+    racing writers can never clobber each other's files; snapshots name
+    files explicitly, so the dir name is only a provenance hint, and a
+    loser's dir is orphaned and vacuum-able. ``append`` can REBASE a
+    lost race (``max_retries``): its data files are already on disk and
+    a blind append conflicts with nothing, so the retry just re-reads
+    the new latest snapshot and re-commits metadata — no data rewrite,
+    exactly Delta's blind-append conflict rule. Read-modify-write
+    commits (compact / delete / merge) never auto-retry: their output
+    was derived from the parent snapshot, so a lost race invalidates
+    the data itself and the caller must re-run against the new state.
+    Single-filesystem only — the 100 TB deployment would swap the
+    ``os.link`` publish for an object-store conditional PUT, exactly as
+    Delta's LogStore does; everything else (manifest shape, planning,
+    isolation) is storage-agnostic.
+
+    Beyond the layout pair (x, y), ``create(stats_cols=[...])`` records
+    min/max for any additional columns in every manifest entry (carried
+    through append/compact/delete/merge); ``read_pruned_where`` then
+    plans file skipping from ANY recorded column's range predicate —
+    the Delta ``dataSkippingNumIndexedCols`` story.
     """
 
     def __init__(self, path: str, x: str = "x", y: str = "y"):
@@ -257,6 +289,19 @@ class ZTable:
         return os.path.join(
             self.path, SNAPSHOT_DIR, f"v{version:05d}.json"
         )
+
+    def _new_data_dir(self, version: int) -> str:
+        """Fresh, collision-free data directory for one write attempt.
+        The version in the name is a provenance hint only — snapshots
+        list file paths explicitly — and the random token keeps two
+        racing writers (who both think they're writing ``version``)
+        out of each other's directories."""
+        token = os.urandom(4).hex()
+        return os.path.join(self.path, f"data-v{version:05d}-{token}")
+
+    def stats_cols(self, snap: dict | None = None) -> list[str]:
+        """Extra stats columns recorded by this table's snapshots."""
+        return list((snap or self.snapshot()).get("stats_cols", []))
 
     def versions(self) -> list[int]:
         """Committed versions still present in the log, ascending."""
@@ -336,13 +381,48 @@ class ZTable:
         n_files: int = 16,
         cell: float = 1.0,
         bits: int = 20,
+        stats_cols: tuple[str, ...] | list[str] = (),
     ) -> "ZTable":
-        """Commit version 0 with ``df`` as the initial Z-ordered data."""
+        """Commit version 0 with ``df`` as the initial Z-ordered data.
+        ``stats_cols`` names extra (non-layout) columns whose per-file
+        min/max every snapshot will record for data skipping."""
+        for c in stats_cols:
+            if c in (x, y):
+                raise ValueError(
+                    f"stats_cols: {c!r} is a layout column — its stats "
+                    "are always recorded"
+                )
+            if c in ("x", "y"):
+                raise ValueError(
+                    f"stats_cols: {c!r} would collide with the layout "
+                    "stat keys min_x/max_x/min_y/max_y in the manifest"
+                )
         t = cls(path, x, y)
         if t.versions():
             raise FileExistsError(f"{path} already has a snapshot log")
-        t._write_commit(df, 0, "create", n_files, cell, bits, [])
+        t._write_commit(
+            df, 0, "create", n_files, cell, bits, [],
+            {"stats_cols": list(stats_cols)},
+            list(stats_cols),
+        )
         return t
+
+    def _write_data(
+        self,
+        df: DataFrame,
+        version: int,
+        n_files: int,
+        cell: float,
+        bits: int,
+        stats_cols: list[str],
+    ) -> list[dict]:
+        """Write one attempt's data files and return their stats
+        entries (no commit)."""
+        data_dir = self._new_data_dir(version)
+        _zorder_write(df, data_dir, self.x, self.y, n_files, cell, bits)
+        return _file_stats(
+            df.sparkSession, data_dir, self.x, self.y, stats_cols
+        )
 
     def _write_commit(
         self,
@@ -354,15 +434,22 @@ class ZTable:
         bits: int,
         carried: list[dict],
         extra_meta: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
-        data_dir = os.path.join(self.path, f"data-v{version:05d}")
-        _zorder_write(df, data_dir, self.x, self.y, n_files, cell, bits)
-        new = _file_stats(df.sparkSession, data_dir, self.x, self.y)
+        cols = (
+            self.stats_cols() if stats_cols is None else stats_cols
+        )
+        new = self._write_data(df, version, n_files, cell, bits, cols)
         return self._commit(
             version,
             operation,
             carried + new,
-            {"cell": cell, "bits": bits, **(extra_meta or {})},
+            {
+                "cell": cell,
+                "bits": bits,
+                "stats_cols": cols,
+                **(extra_meta or {}),
+            },
         )
 
     def append(
@@ -370,27 +457,58 @@ class ZTable:
         df: DataFrame,
         n_files: int = 4,
         extra_meta: dict | None = None,
+        max_retries: int = 0,
     ) -> int:
         """Commit a new version = parent's files + ``df`` written as
         fresh Z-ordered files. Only the new files are scanned for stats.
         ``extra_meta`` is recorded in the snapshot (e.g. a streaming
-        batch id for idempotent replays)."""
+        batch id for idempotent replays).
+
+        ``max_retries`` > 0 turns on blind-append rebase: if another
+        writer wins the version race, the data files (already on disk,
+        in this writer's private dir) are re-committed against the NEW
+        latest snapshot — metadata-only, no Spark re-write, the Delta
+        conflict rule for appends. Raises RuntimeError once retries are
+        exhausted; the orphaned data dir is vacuum-able."""
         parent = self.snapshot()
-        return self._write_commit(
+        cols = self.stats_cols(parent)
+        new = self._write_data(
             df,
             parent["version"] + 1,
-            "append",
             n_files,
             parent["cell"],
             parent["bits"],
-            parent["files"],
-            extra_meta,
+            cols,
         )
+        for attempt in range(max_retries + 1):
+            try:
+                return self._commit(
+                    parent["version"] + 1,
+                    "append",
+                    parent["files"] + new,
+                    {
+                        "cell": parent["cell"],
+                        "bits": parent["bits"],
+                        "stats_cols": cols,
+                        **(extra_meta or {}),
+                    },
+                )
+            except FileExistsError:
+                if attempt == max_retries:
+                    raise RuntimeError(
+                        f"append to {self.path} lost the commit race "
+                        f"{max_retries + 1} time(s); data files are "
+                        "written but uncommitted (vacuum-able) — "
+                        "re-call append or raise max_retries"
+                    )
+                parent = self.snapshot()  # rebase onto the new latest
 
     def compact(self, spark: SparkSession, n_files: int = 16) -> int:
         """OPTIMIZE: rewrite the live rows into ``n_files`` fresh
         Z-ordered files (restoring global clustering lost to appends)
-        and commit a snapshot that lists only those."""
+        and commit a snapshot that lists only those. Never auto-retries
+        a lost commit race: the rewrite was derived from the parent
+        snapshot, so the caller must re-run against the new state."""
         parent = self.snapshot()
         live = self.read(spark)
         return self._write_commit(
@@ -401,6 +519,8 @@ class ZTable:
             parent["cell"],
             parent["bits"],
             [],
+            None,
+            self.stats_cols(parent),
         )
 
     # -- reads ------------------------------------------------------------
@@ -444,6 +564,52 @@ class ZTable:
             & (F.col(self.y) <= ye)
         )
         return res, len(keep), total
+
+    def read_pruned_where(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Range query planned through ANY recorded column's stats:
+        ``ranges`` maps column -> (lo, hi); every named column must be
+        a layout column or in ``stats_cols`` (raises otherwise — a
+        typo'd column silently skipping nothing would look like a
+        correct-but-useless plan). Returns (result with exact residual
+        filter, n_files_read, n_files_total)."""
+        snap = self.snapshot(version)
+        indexed = {self.x, self.y, *snap.get("stats_cols", [])}
+        unknown = set(ranges) - indexed
+        if unknown:
+            raise ValueError(
+                f"read_pruned_where: no stats recorded for "
+                f"{sorted(unknown)}; indexed columns: {sorted(indexed)}"
+            )
+        # layout columns are recorded under the fixed keys min_x/max_x/
+        # min_y/max_y whatever their real names; extras under min_<col>
+        key = {self.x: "x", self.y: "y"}
+        keep = [
+            e["file"]
+            for e in snap["files"]
+            if all(
+                e[f"max_{key.get(c, c)}"] >= lo
+                and e[f"min_{key.get(c, c)}"] <= hi
+                for c, (lo, hi) in ranges.items()
+            )
+        ]
+        total = len(snap["files"])
+        pred = None
+        for c, (lo, hi) in ranges.items():
+            p = (F.col(c) >= lo) & (F.col(c) <= hi)
+            pred = p if pred is None else (pred & p)
+        if not keep:
+            df = self.read(spark, version).where(F.lit(False))
+            return df, 0, total
+        return (
+            spark.read.parquet(*keep).where(pred),
+            len(keep),
+            total,
+        )
 
     def upsert(
         self, spark: SparkSession, df: DataFrame, n_files: int = 4
@@ -538,26 +704,24 @@ def ztable_delete_where(
             kept.append(e)
     version = snap["version"] + 1
     total = len(snap["files"])
+    cols = table.stats_cols(snap)
+    meta = {
+        "cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols,
+    }
     if not hit:
-        table._commit(
-            version, "delete", list(snap["files"]),
-            {"cell": snap["cell"], "bits": snap["bits"]},
-        )
+        table._commit(version, "delete", list(snap["files"]), meta)
         return version, 0, total
     survivors = spark.read.parquet(*[e["file"] for e in hit]).where(
         ~_box_pred(table.x, table.y, x_range, y_range)
     )
-    data_dir = os.path.join(table.path, f"data-v{version:05d}")
+    data_dir = table._new_data_dir(version)
     n_files = max(1, len(hit))
     _zorder_write(
         survivors, data_dir, table.x, table.y,
         n_files, snap["cell"], snap["bits"],
     )
-    new = _file_stats(spark, data_dir, table.x, table.y)
-    table._commit(
-        version, "delete", kept + new,
-        {"cell": snap["cell"], "bits": snap["bits"]},
-    )
+    new = _file_stats(spark, data_dir, table.x, table.y, cols)
+    table._commit(version, "delete", kept + new, meta)
     return version, len(hit), total
 
 
@@ -625,14 +789,15 @@ def ztable_upsert(
         merged = old.select(*df.columns).unionByName(df)
     else:
         merged = df
-    data_dir = os.path.join(table.path, f"data-v{version:05d}")
+    cols = table.stats_cols(snap)
+    data_dir = table._new_data_dir(version)
     _zorder_write(
         merged, data_dir, x, y,
         max(n_files, len(hit)), snap["cell"], snap["bits"],
     )
-    new = _file_stats(spark, data_dir, x, y)
+    new = _file_stats(spark, data_dir, x, y, cols)
     table._commit(
         version, "merge", kept + new,
-        {"cell": snap["cell"], "bits": snap["bits"]},
+        {"cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols},
     )
     return version, len(hit), total

@@ -316,3 +316,151 @@ def test_ztable_upsert_into_empty_region_carries_all_files(
     v, rewritten, total = t.upsert(spark, novel)
     assert (rewritten, total) == (0, 8)
     assert t.read(spark).count() == pts.count() + 7
+
+
+def test_ztable_append_rebase_retries_lost_race(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Blind-append rebase: a writer that loses the version race with
+    max_retries > 0 must re-commit its ALREADY-WRITTEN files against
+    the new latest snapshot — metadata only, exactly one data write —
+    and the final table holds all three batches."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    b_rows = extra.where(F.col("y") < 7000.0)
+    c_rows = extra.where(F.col("y") >= 7000.0)
+    t.append(b_rows, n_files=2)  # honest v1
+
+    writes = []
+    orig_write = L._zorder_write
+
+    def counting_write(*a, **kw):
+        writes.append(1)
+        return orig_write(*a, **kw)
+
+    monkeypatch.setattr(L, "_zorder_write", counting_write)
+
+    # feed the next append a STALE parent (v0) on its first snapshot()
+    # read, so its first commit targets v1 and collides
+    stale = t.snapshot(0)
+    orig_snapshot = L.ZTable.snapshot
+    served = []
+
+    def stale_first(self, version=None):
+        if version is None and not served:
+            served.append(1)
+            return stale
+        return orig_snapshot(self, version)
+
+    monkeypatch.setattr(L.ZTable, "snapshot", stale_first)
+    v = t.append(c_rows, n_files=2, max_retries=1)
+    monkeypatch.setattr(L.ZTable, "snapshot", orig_snapshot)
+
+    assert v == 2
+    assert len(writes) == 1, "rebase must not rewrite data files"
+    assert t.snapshot(2)["operation"] == "append"
+    assert (
+        t.read(spark).count()
+        == base.count() + b_rows.count() + c_rows.count()
+    )
+    # v1 (the racing winner) still reads base + B only
+    assert t.read(spark, version=1).count() == base.count() + b_rows.count()
+
+
+def test_ztable_append_race_without_retries_raises(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra.limit(10), n_files=1)
+    stale = t.snapshot(0)
+    orig_snapshot = L.ZTable.snapshot
+    served = []
+
+    def stale_first(self, version=None):
+        if version is None and not served:
+            served.append(1)
+            return stale
+        return orig_snapshot(self, version)
+
+    monkeypatch.setattr(L.ZTable, "snapshot", stale_first)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="lost the commit race"):
+        t.append(extra.limit(5), n_files=1)  # max_retries=0
+
+
+def test_ztable_racing_writers_use_private_data_dirs(
+    spark, sf_dir, tmp_path
+):
+    """Two writers that both believe they're writing the same version
+    must land their parquet files in DIFFERENT directories (random
+    token), so the loser's write can never clobber the winner's data."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    d1 = t._new_data_dir(1)
+    d2 = t._new_data_dir(1)
+    assert d1 != d2
+    assert os.path.basename(d1).startswith("data-v00001-")
+
+
+def test_ztable_stats_cols_prune_non_layout_column(
+    spark, sf_dir, tmp_path
+):
+    """Multi-column stats: a table created with stats_cols=['id'] must
+    prune files from an id-range predicate alone (no layout column in
+    the query), return exactly the true rows, and keep working across
+    append and compact (stats carried through every commit path)."""
+    pts = customer_points(spark, sf_dir).withColumn(
+        "id", F.monotonically_increasing_id()
+    )
+    # correlate id with y so id-ranges are spatially clustered enough
+    # for per-file min/max to bite under the Z-order write
+    pts = pts.withColumn(
+        "id", (F.col("y") * 1000).cast("long")
+    ).localCheckpoint()
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0)
+    t = L.ZTable.create(
+        base,
+        str(tmp_path / "zt_stats"),
+        n_files=8,
+        cell=200.0,
+        stats_cols=["id"],
+    )
+    t.append(extra, n_files=8)
+    assert t.stats_cols() == ["id"]
+    lo, hi = 1_000_000, 2_000_000
+    want = sorted(
+        (r["x"], r["y"], r["id"])
+        for r in pts.where(F.col("id").between(lo, hi)).collect()
+    )
+    assert want, "fixture range must be non-empty"
+    res, n_read, n_total = t.read_pruned_where(spark, {"id": (lo, hi)})
+    got = sorted((r["x"], r["y"], r["id"]) for r in res.collect())
+    assert got == want
+    assert 0 < n_read < n_total, (n_read, n_total)
+    # compaction carries the stats columns
+    t.compact(spark, n_files=16)
+    res2, n_read2, n_total2 = t.read_pruned_where(
+        spark, {"id": (lo, hi)}
+    )
+    assert sorted(
+        (r["x"], r["y"], r["id"]) for r in res2.collect()
+    ) == want
+    assert 0 < n_read2 < n_total2
+    # combined layout + extra predicate prunes at least as hard
+    res3, n_read3, _ = t.read_pruned_where(
+        spark, {"id": (lo, hi), "x": BOX_X}
+    )
+    assert n_read3 <= n_read2
+
+
+def test_ztable_stats_cols_guards(spark, sf_dir, tmp_path):
+    import pytest
+
+    pts = customer_points(spark, sf_dir)
+    with pytest.raises(ValueError, match="layout column"):
+        L.ZTable.create(
+            pts, str(tmp_path / "g1"), stats_cols=["x"]
+        )
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    with pytest.raises(ValueError, match="no stats recorded"):
+        t.read_pruned_where(spark, {"nope": (0, 1)})
