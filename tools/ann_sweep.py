@@ -104,12 +104,24 @@ def run_clustered(sf_dir: str, k: int) -> None:
     crot, ccenters, cbooks = sim.train_opq_ivf_rpq(
         emb, n_cells=N_CELLS, l=L, seed=SEED
     )
+    # larger-m tier: double the subquantizers (FAISS's PQ16/OPQ16) —
+    # does more code budget close the flat-PQ gap, and does the learned
+    # rotation still add recall on top once m is generous?
+    m16 = 16
+    flat_books16 = sim.train_pq_codebooks(emb, m=m16, seed=SEED)
+    rotation16, opq_books16 = sim.train_opq(emb, m=m16, seed=SEED)
 
     # the two A/Bs this mode exists for, plus the composed index
     variants = {
         "pq_flat": lambda: sim.pq_topk(emb, k=k, codebooks=flat_books),
         "opq": lambda: sim.opq_topk(
             emb, k=k, rotation=rotation, codebooks=opq_books
+        ),
+        "pq_flat_m16": lambda: sim.pq_topk(
+            emb, k=k, m=m16, codebooks=flat_books16
+        ),
+        "opq_m16": lambda: sim.opq_topk(
+            emb, k=k, m=m16, rotation=rotation16, codebooks=opq_books16
         ),
         "ivf_pq@2": lambda: sim.ivf_pq_topk(
             emb, k=k, n_cells=N_CELLS, nprobe=2,
