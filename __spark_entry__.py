@@ -734,6 +734,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.simhash_near_pairs(_docs(spark, sf_dir)), k=4
         )
 
+    def w7_funnel(spark, sf_dir):
+        # ordered-funnel conversion (view -> click -> purchase within a
+        # 7-day horizon of the anchor): k-1 user-keyed min-aggregation
+        # joins, no full-stream window — the windowFunnel shape
+        return _wd.funnel_report(_rd.read_table(spark, sf_dir, "events"))
+
+    def w8_cohort_retention(spark, sf_dir):
+        # weekly signup-cohort retention triangle; (user, week) grain
+        # bounds the join by active-user-weeks, not raw events
+        return _wd.cohort_retention(
+            _rd.read_table(spark, sf_dir, "events")
+        )
+
     def o4_zorder3_cells(spark, sf_dir):
         # 3-D Morton layout keys over the first three embedding dims —
         # the 3-column OPTIMIZE-ZORDER write order (extends o3's 2-D
@@ -1136,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ktruss_edges,
         x_dup_spans,
         o4_zorder3_cells,
+        w7_funnel,
+        w8_cohort_retention,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1581,6 +1596,8 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_dedup_snm2": _dd.snm_pairs_multipass_sql(),
         "x_dup_spans": _dd.dup_span_report_sql(),
         "o4_zorder3_cells": _ol.zorder3_cells_topk_sql(0.1, 100),
+        "w7_funnel": _wd.funnel_report_sql(),
+        "w8_cohort_retention": _wd.cohort_retention_sql(),
         "x_ktruss_edges": _dd.ktruss_edges_sql(
             f"SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",

@@ -316,3 +316,172 @@ FROM e a JOIN e b
  AND abs(a.u - b.u) <= {d}
 GROUP BY a.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: funnel conversion + cohort retention
+# ---------------------------------------------------------------------------
+
+FUNNEL_HORIZON_US = 7 * 86_400_000_000  # 7 days
+WEEK_US = 7 * 86_400_000_000
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_us: int = FUNNEL_HORIZON_US,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: DataFrame[step, event_type,
+    users] — how many users completed step i, where completing step i
+    means a strictly-later occurrence of ``steps[i]`` after the user's
+    step-(i-1) time, all within ``horizon_us`` of their step-1 time
+    (the windowFunnel shape event-analytics engines expose).
+
+    Semantics: step 1 anchors at the user's EARLIEST step-1 event; each
+    later step takes the earliest qualifying occurrence (greedy-minimal
+    completion times — the standard definition, and order-independent).
+
+    Plan: one user-keyed aggregation per step, each a semi-join against
+    the previous step's (user, t_prev, t_anchor) — k-1 user-keyed
+    shuffle joins for a k-step funnel, no window over the full event
+    stream and no per-user event-list materialization. All comparisons
+    in integer micros (:func:`event_time_us`), so the DuckDB twin is
+    bit-exact.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_report: need at least 2 steps")
+    us = event_time_us(events, ts_col)
+    typed = events.select(
+        F.col("user_id"), F.col("event_type"), us.alias("u")
+    )
+    # each step table is used twice (its count + the next step's join):
+    # checkpoint so neither re-derives the upstream filter-join chain.
+    # Bounded: one (user, t, anchor) row per surviving user.
+    cur = (
+        typed.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("u").alias("t"))
+        .withColumn("anchor", F.col("t"))
+        .localCheckpoint()
+    )
+    counts = [(1, steps[0], cur.count())]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            typed.where(F.col("event_type") == step)
+            .join(cur.select("user_id", "t", "anchor"), "user_id")
+            .where(
+                (F.col("u") > F.col("t"))
+                & (F.col("u") <= F.col("anchor") + F.lit(horizon_us))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.min("u").alias("t"),
+                F.min("anchor").alias("anchor"),  # unique per user
+            )
+            .localCheckpoint()
+        )
+        counts.append((i, step, nxt.count()))
+        cur = nxt
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(s, n, int(c)) for s, n, c in counts],
+        "step int, event_type string, users bigint",
+    )
+
+
+def funnel_report_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_us: int = FUNNEL_HORIZON_US,
+) -> str:
+    """DuckDB twin of :func:`funnel_report` (chained min-aggregation
+    CTEs, identical integer-micro comparisons)."""
+    ctes = [
+        f"""
+s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t, MIN(epoch_us(ts)) AS anchor
+  FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(f"""
+s{i} AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t, MIN(p.anchor) AS anchor
+  FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{step}'
+    AND epoch_us(e.ts) > p.t
+    AND epoch_us(e.ts) <= p.anchor + {horizon_us}
+  GROUP BY e.user_id
+)"""
+        )
+    selects = [
+        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS users FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    ]
+    return (
+        "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    anchor_type: str = "signup",
+    max_offset: int = 3,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: DataFrame[cohort_week, week_offset,
+    users] — users are cohorted by the epoch week of their first
+    ``anchor_type`` event; ``users`` counts how many of each cohort
+    have ANY event in cohort_week + offset (offset 0..``max_offset``).
+
+    The classic retention triangle. Weeks are integer epoch weeks
+    (floor(micros / 7 days), pmod-floored so pre-epoch times cohort
+    identically in both engines). Plan: one aggregation for cohorts,
+    one distinct (user, week) projection of the activity stream, one
+    user-keyed join — the (user, week) grain keeps the join input
+    bounded by active-user-weeks, not raw events.
+    """
+    us = event_time_us(events, ts_col)
+    wk = ((us - F.pmod(us, F.lit(WEEK_US))) / F.lit(WEEK_US)).cast(
+        "long"
+    )
+    cohorts = (
+        events.where(F.col("event_type") == anchor_type)
+        .select("user_id", wk.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = events.select("user_id", wk.alias("week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .where(F.col("week_offset").between(0, max_offset))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("users"))
+    )
+
+
+def cohort_retention_sql(
+    anchor_type: str = "signup", max_offset: int = 3
+) -> str:
+    """DuckDB twin of :func:`cohort_retention` (// floors like pmod)."""
+    wk = f"(epoch_us(ts) // {WEEK_US})"
+    return f"""
+WITH cohorts AS (
+  SELECT user_id, MIN({wk}) AS cohort_week
+  FROM events WHERE event_type = '{anchor_type}' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, {wk} AS week FROM events
+)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+FROM activity a JOIN cohorts c USING (user_id)
+WHERE a.week - c.cohort_week BETWEEN 0 AND {max_offset}
+GROUP BY 1, 2
+"""

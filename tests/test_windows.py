@@ -247,3 +247,75 @@ def test_streaming_band_join_matches_batch(spark, sf_dir, tmp_path):
         for r in W.band_join_pairs(events, 600).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _ev(rows, spark):
+    # (event_id, us, user_id, event_type) with integer-micro timestamps
+    return spark.createDataFrame(
+        [(i, us, u, t, 0.0) for i, (us, u, t) in enumerate(rows)],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+
+
+def test_funnel_greedy_minimal_and_horizon(spark):
+    """Funnel semantics pinned: (a) steps must be strictly ordered in
+    time; (b) each step takes the EARLIEST qualifying occurrence, so a
+    user whose only click precedes their first view does not convert;
+    (c) later steps must land within the horizon of the step-1 anchor."""
+    import big_data_computing__spark.operators.windows as W
+
+    H = 1000  # tiny horizon for the test
+    rows = [
+        # u1: full clean funnel
+        (100, 1, "view"), (200, 1, "click"), (300, 1, "purchase"),
+        # u2: enters step 1 via the view at 200, but their only click
+        # (100) precedes it -> stops at step 1
+        (100, 2, "click"), (200, 2, "view"),
+        # u3: click inside horizon, purchase OUTSIDE anchor+H -> step 2
+        (100, 3, "view"), (500, 3, "click"), (1200, 3, "purchase"),
+        # u4: greedy anchor bites — an early view anchors the horizon,
+        # so the click at 1150 (> 100+H) never qualifies even though a
+        # later view at 400 would have allowed it
+        (100, 4, "view"), (400, 4, "view"), (1150, 4, "click"),
+        # u5: simultaneous click (ties are NOT strictly later)
+        (100, 5, "view"), (100, 5, "click"),
+    ]
+    got = {
+        r["step"]: r["users"]
+        for r in W.funnel_report(
+            _ev(rows, spark), horizon_us=H
+        ).collect()
+    }
+    assert got == {1: 5, 2: 2, 3: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    """Retention pinned: cohort = week of FIRST signup; any activity in
+    cohort_week+k counts once per user; offsets outside 0..max drop."""
+    import big_data_computing__spark.operators.windows as W
+
+    wk = W.WEEK_US
+    rows = [
+        # u1 signs up week 0, active weeks 0,1,3
+        (0, 1, "signup"), (wk + 5, 1, "view"), (3 * wk + 5, 1, "click"),
+        # u2 signs up week 0 (second signup week 2 ignored), active week 2
+        (10, 2, "signup"), (2 * wk + 1, 2, "signup"),
+        # u3: activity BEFORE signup (week 0), signup week 1, active wk 1
+        (5, 3, "view"), (wk + 7, 3, "signup"),
+        # u4: no signup -> never cohorted
+        (0, 4, "view"), (wk, 4, "view"),
+    ]
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["users"]
+        for r in W.cohort_retention(
+            _ev(rows, spark), max_offset=3
+        ).collect()
+    }
+    assert got == {
+        (0, 0): 2,        # u1, u2 active in their signup week
+        (0, 1): 1,        # u1
+        (0, 2): 1,        # u2's week-2 signup event is activity
+        (0, 3): 1,        # u1
+        (1, 0): 1,        # u3 active in signup week
+        # u3's pre-signup week-0 activity is offset -1: dropped
+    }
