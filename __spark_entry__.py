@@ -762,6 +762,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprints miss. Only (hash, doc_id) pairs shuffle.
         return _dd.dup_span_report(_docs(spark, sf_dir))
 
+    def x_despanned(spark, sf_dir):
+        # the span-removal TRANSFORM over x_dup_spans' signal: tokens
+        # covered by a non-surviving duplicated window are cut, the
+        # min-doc_id occurrence survives verbatim (Lee et al. 2022
+        # exact-substring dedup, bounded fixed-width form). Only hashes,
+        # indices, and the duplicated minority of tokens shuffle.
+        return _dd.despanned_corpus(_docs(spark, sf_dir))
+
     def x_dedup_snm2(spark, sf_dir):
         # two-pass SNM (forward + reversed-prefix keys, unioned) — the
         # standard mitigation for the single-key blind spot; candidates
@@ -1151,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o4_zorder3_cells,
         w7_funnel,
         w8_cohort_retention,
+        x_despanned,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1595,6 +1604,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_dedup_snm": _dd.snm_pairs_sql(),
         "x_dedup_snm2": _dd.snm_pairs_multipass_sql(),
         "x_dup_spans": _dd.dup_span_report_sql(),
+        "x_despanned": _dd.despanned_corpus_sql(),
         "o4_zorder3_cells": _ol.zorder3_cells_topk_sql(0.1, 100),
         "w7_funnel": _wd.funnel_report_sql(),
         "w8_cohort_retention": _wd.cohort_retention_sql(),

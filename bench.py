@@ -80,6 +80,14 @@ BENCH_QUERIES = [
     "x_triangle_counts",
     "x_dedup_jaccard_prefix",
     "t11_histogram_quantiles",
+    # round-4 continuation: edge-level truss peel (iterative triangle
+    # join), bounded exact-substring dup-span signal, 3-D Morton
+    # layout keys, windowFunnel conversion, cohort retention
+    "x_ktruss_edges",
+    "x_dup_spans",
+    "o4_zorder3_cells",
+    "w7_funnel",
+    "w8_cohort_retention",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -1504,6 +1504,146 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def despanned_corpus(
+    docs: DataFrame,
+    window: int = DUP_SPAN_WINDOW,
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level dedup TRANSFORM: DataFrame[doc_id, n_tokens,
+    n_removed, clean_text] — the normalized text with every token
+    covered by a *non-surviving* duplicated window removed.
+
+    The cleaning step :func:`dup_span_report` is the signal for (Lee
+    et al. 2022's exact-substring dedup, bounded to fixed-width
+    windows): a window is duplicated when its hash occurs in >= 2
+    distinct docs; the single doc with the MINIMUM doc_id among them
+    keeps its occurrence (the survivor rule exact_dedup uses at doc
+    granularity), every other doc drops all ``window`` tokens the
+    flagged window covers. Unique text, and the first copy of any
+    duplicated run, survive verbatim.
+
+    Plan: one (hash → distinct-doc count + min-doc) aggregation, one
+    join back to flag windows, an explode of flagged windows into
+    covered token indices (bounded by duplicated-content volume ×
+    window, not corpus size), one anti-join at the (doc, token-index)
+    grain, and an order-preserving re-assembly via
+    ``sort_array(collect_list(struct(idx, tok)))`` — deterministic,
+    Catalyst-only, exact SQL twin. At 100 TB only hashes, indices and
+    the duplicated minority of tokens shuffle.
+    """
+    from ..functions.text import tokens
+
+    base = docs.select(
+        "doc_id", tokens(normalized(F.col(text_col))).alias("t")
+    )
+    # word_ngrams on the same normalized text produces the same gram
+    # strings (and so the same hash60 keys) x_dup_spans flags; pos is
+    # the 0-based start token index of each window
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            word_ngrams(normalized(F.col(text_col)), window)
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", hash60(F.col("gram")).alias("h"))
+    agg = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("keeper"),
+    )
+    flagged = (
+        grams.join(agg, "h")
+        .where((F.col("nd") >= 2) & (F.col("doc_id") != F.col("keeper")))
+        .select("doc_id", "pos")
+    )
+    covered = flagged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + window - 1)
+        ).alias("idx"),
+    ).distinct()
+    tokens = base.select(
+        "doc_id", F.posexplode("t").alias("idx", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("idx", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce("n_kept", F.lit(0).cast("long"))
+            ).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def despanned_corpus_sql(window: int = DUP_SPAN_WINDOW) -> str:
+    """DuckDB twin of :func:`despanned_corpus` (same tokenizer as the
+    dup-span oracle; list slices for windows, range unnest for covered
+    indices, ordered string_agg for re-assembly)."""
+    toks = (
+        "list_filter(string_split("
+        "trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), "
+        "t -> t <> '')"
+    )
+    gram = f"array_to_string(t[i:i+{window - 1}], ' ')"
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, {hash60_sql(gram)} AS h
+  FROM base,
+       UNNEST(range(1, greatest(len(t) - {window - 1}, 0) + 1)) AS u(i)
+),
+agg AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+  FROM grams GROUP BY h
+),
+flagged AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN agg a USING (h)
+  WHERE a.nd >= 2 AND g.doc_id <> a.keeper
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS idx
+  FROM flagged, UNNEST(range(pos, pos + {window})) AS v(j)
+),
+tokens AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx, t[i] AS tok
+  FROM base, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tk.doc_id, tk.idx, tk.tok
+  FROM tokens tk ANTI JOIN covered c
+    ON c.doc_id = tk.doc_id AND c.idx = tk.idx
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def minhash_similarity_pairs(
     docs: DataFrame,
     num_hashes: int = 16,

@@ -609,6 +609,37 @@ def test_dup_span_report_self_repetition_not_flagged(spark):
     assert row["n_dup_windows"] == 0
 
 
+def test_despanned_corpus_survivor_rule(spark):
+    """Span removal pinned: the min-doc_id occurrence of a duplicated
+    window survives verbatim; every other doc loses exactly the covered
+    tokens (including overlap-merged coverage); unique docs and
+    too-short docs pass through unchanged."""
+    from big_data_computing__spark.operators.dedup import despanned_corpus
+
+    shared = "the quick brown fox"          # 4 tokens, window=4
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),      # survivor (min id)
+            (2, f"one two {shared} three"),         # loses the 4 tokens
+            # doc 3 embeds the run twice — both occurrences cut, and the
+            # two coverage ranges merge without double-counting
+            (3, f"{shared} x {shared}"),
+            (4, "totally unique content here okay"),
+            (5, "shorty"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in despanned_corpus(docs, window=4).collect()
+    }
+    assert got[1] == (7, 0, f"alpha beta {shared} gamma")
+    assert got[2] == (7, 4, "one two three")
+    assert got[3] == (9, 8, "x")
+    assert got[4] == (5, 0, "totally unique content here okay")
+    assert got[5] == (1, 0, "shorty")
+
+
 def test_ktruss_matches_bruteforce_peel(spark):
     """Property check on a deterministic pseudo-random graph: the
     distributed parallel peel equals a sequential Python peel,
