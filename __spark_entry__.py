@@ -740,6 +740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins, no full-stream window — the windowFunnel shape
         return _wd.funnel_report(_rd.read_table(spark, sf_dir, "events"))
 
+    def w9_funnel_times(spark, sf_dir):
+        # per-step time-to-convert distribution (exact percentile ==
+        # quantile_cont on integer micros — the a13 pattern); scale
+        # path for the median is the t11 histogram sketch
+        return _wd.funnel_times(_rd.read_table(spark, sf_dir, "events"))
+
     def w8_cohort_retention(spark, sf_dir):
         # weekly signup-cohort retention triangle; (user, week) grain
         # bounds the join by active-user-weeks, not raw events
@@ -1160,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w7_funnel,
         w8_cohort_retention,
         x_despanned,
+        w9_funnel_times,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1607,6 +1614,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_despanned": _dd.despanned_corpus_sql(),
         "o4_zorder3_cells": _ol.zorder3_cells_topk_sql(0.1, 100),
         "w7_funnel": _wd.funnel_report_sql(),
+        "w9_funnel_times": _wd.funnel_times_sql(),
         "w8_cohort_retention": _wd.cohort_retention_sql(),
         "x_ktruss_edges": _dd.ktruss_edges_sql(
             f"SELECT doc_a, doc_b FROM "

@@ -424,6 +424,105 @@ s{i} AS (
     )
 
 
+def funnel_times(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_us: int = FUNNEL_HORIZON_US,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert distribution per funnel step: DataFrame[step,
+    event_type, users, median_gap_us, max_gap_us] for steps 2..k,
+    where gap = completion time − the user's step-1 anchor (integer
+    micros, same greedy-minimal semantics as :func:`funnel_report`).
+
+    median is Spark's exact ``percentile`` ≡ DuckDB ``quantile_cont``
+    (integer inputs: the even-count midpoint average is exact in a
+    double — the a13 cross-engine pattern). Exact percentile gathers
+    each step's gaps per group; with a handful of steps that is k tiny
+    groups — the 100 TB approximation path is the t11 histogram sketch
+    over the same gaps.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_times: need at least 2 steps")
+    us = event_time_us(events, ts_col)
+    typed = events.select(
+        F.col("user_id"), F.col("event_type"), us.alias("u")
+    )
+    cur = (
+        typed.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("u").alias("t"))
+        .withColumn("anchor", F.col("t"))
+        .localCheckpoint()
+    )
+    gaps = None
+    for i, step in enumerate(steps[1:], start=2):
+        cur = (
+            typed.where(F.col("event_type") == step)
+            .join(cur.select("user_id", "t", "anchor"), "user_id")
+            .where(
+                (F.col("u") > F.col("t"))
+                & (F.col("u") <= F.col("anchor") + F.lit(horizon_us))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.min("u").alias("t"),
+                F.min("anchor").alias("anchor"),
+            )
+            .localCheckpoint()
+        )
+        g = cur.select(
+            F.lit(i).alias("step"),
+            F.lit(step).alias("event_type"),
+            (F.col("t") - F.col("anchor")).alias("gap"),
+        )
+        gaps = g if gaps is None else gaps.unionByName(g)
+    return (
+        gaps.groupBy("step", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("users"),
+            F.percentile("gap", F.lit(0.5)).alias("median_gap_us"),
+            F.max("gap").cast("long").alias("max_gap_us"),
+        )
+    )
+
+
+def funnel_times_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_us: int = FUNNEL_HORIZON_US,
+) -> str:
+    """DuckDB twin of :func:`funnel_times` (same chained CTEs as the
+    funnel oracle; quantile_cont for the exact median)."""
+    ctes = [
+        f"""
+s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t, MIN(epoch_us(ts)) AS anchor
+  FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(f"""
+s{i} AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t, MIN(p.anchor) AS anchor
+  FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{step}'
+    AND epoch_us(e.ts) > p.t
+    AND epoch_us(e.ts) <= p.anchor + {horizon_us}
+  GROUP BY e.user_id
+)"""
+        )
+    selects = [
+        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS users, "
+        f"quantile_cont(t - anchor, 0.5) AS median_gap_us, "
+        f"CAST(MAX(t - anchor) AS BIGINT) AS max_gap_us FROM s{i}"
+        for i, s in enumerate(steps[1:], start=2)
+    ]
+    return (
+        "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     anchor_type: str = "signup",
