@@ -1153,10 +1153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_bloom_contamination,
         x_pagerank_dupgraph,
         # ---- position 51+: the driver truncates here; the committed
-        # full local artifact covers everything below. First: the two
-        # newest queries that no longer fit the 50-cap (added after the
-        # window filled; front of the r5 rotation queue), then c7/c6
-        # (moved from the smoke prefix — three prior driver rows each)
+        # full local artifact (ORACLE_FULL_r04.json, 106/106 green)
+        # covers everything below. First: every query added after the
+        # 50-cap window filled — the front of the r5 rotation queue,
+        # in arrival order — then c7/c6 (moved from the smoke prefix;
+        # three prior driver rows each), then the r3-driver-verified
+        # dedup/ANN block.
         x_train_shards,
         x_train_order,
         x_dedup_snm2,

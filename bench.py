@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "o4_zorder3_cells",
     "w7_funnel",
     "w8_cohort_retention",
+    "w9_funnel_times",
+    "x_despanned",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

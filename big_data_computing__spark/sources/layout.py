@@ -148,6 +148,114 @@ def _zorder_write(
     )
 
 
+def write_zordered3(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    n_files: int = 16,
+    cell: float = 1.0,
+    bits: int = 20,
+) -> list[dict]:
+    """3-column Z-order layout: files clustered by the 3-D Morton key
+    (``operators/outliers.zorder_key3``) of the ``cell``-quantized
+    coordinates, plus a manifest with per-file min/max for ALL THREE
+    columns — the ``OPTIMIZE ZORDER BY (x, y, z)`` shape. A
+    lexicographic sort on three columns prunes only the leading one;
+    this layout gives every axis usable stats."""
+    from ..operators.outliers import zorder_key3
+
+    a, b, c = cols
+    q = [F.floor(F.col(col) / cell).cast("long") for col in cols]
+    mins = df.agg(
+        F.min(q[0]).alias("_m0"),
+        F.min(q[1]).alias("_m1"),
+        F.min(q[2]).alias("_m2"),
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(mins))
+        .withColumn(
+            "_zkey",
+            zorder_key3(
+                q[0] - F.col("_m0"),
+                q[1] - F.col("_m1"),
+                q[2] - F.col("_m2"),
+                bits,
+            ),
+        )
+        .drop("_m0", "_m1", "_m2")
+    )
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    entries = _file_stats(df.sparkSession, path, a, b, (c,))
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(
+            {"x": a, "y": b, "cols": [c], "files": entries}, fh, indent=1
+        )
+    return entries
+
+
+def read_pruned3(
+    spark: SparkSession,
+    path: str,
+    ranges: tuple[tuple[float, float], ...],
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> tuple[DataFrame, int, int]:
+    """3-D range query planned through the 3-column manifest: returns
+    (result with exact residual filter, n_files_read, n_files_total).
+    The third column's stats live under ``min_<col>``/``max_<col>``
+    (the multi-column stats convention)."""
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    a, b, c = cols
+    keys = ["x", "y", c]
+    keep = [
+        e["file"]
+        for e in manifest["files"]
+        if all(
+            e[f"max_{k}"] >= lo and e[f"min_{k}"] <= hi
+            for k, (lo, hi) in zip(keys, ranges)
+        )
+    ]
+    total = len(manifest["files"])
+    pred = None
+    for col, (lo, hi) in zip(cols, ranges):
+        p = (F.col(col) >= lo) & (F.col(col) <= hi)
+        pred = p if pred is None else (pred & p)
+    if not keep:
+        df = spark.read.parquet(path).where(F.lit(False))
+        return df, 0, total
+    return spark.read.parquet(*keep).where(pred), len(keep), total
+
+
+def write_lexicographic3(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    n_files: int = 16,
+) -> list[dict]:
+    """3-column comparison layout: contiguous (a, b, c)-lexicographic
+    ranges — trailing-column stats are useless for pruning. Same
+    3-column manifest contract as :func:`write_zordered3`."""
+    a, b, c = cols
+    (
+        df.repartitionByRange(n_files, a, b, c)
+        .sortWithinPartitions(a, b, c)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    entries = _file_stats(df.sparkSession, path, a, b, (c,))
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(
+            {"x": a, "y": b, "cols": [c], "files": entries}, fh, indent=1
+        )
+    return entries
+
+
 def write_lexicographic(
     df: DataFrame,
     path: str,
@@ -402,7 +510,7 @@ class ZTable:
             raise FileExistsError(f"{path} already has a snapshot log")
         t._write_commit(
             df, 0, "create", n_files, cell, bits, [],
-            {"stats_cols": list(stats_cols)},
+            {"stats_cols": list(stats_cols), "columns": list(df.columns)},
             list(stats_cols),
         )
         return t
@@ -458,11 +566,20 @@ class ZTable:
         n_files: int = 4,
         extra_meta: dict | None = None,
         max_retries: int = 0,
+        schema_mode: str = "strict",
     ) -> int:
         """Commit a new version = parent's files + ``df`` written as
         fresh Z-ordered files. Only the new files are scanned for stats.
         ``extra_meta`` is recorded in the snapshot (e.g. a streaming
         batch id for idempotent replays).
+
+        ``schema_mode``: ``"strict"`` (default) rejects a batch whose
+        column set differs from the table's recorded columns;
+        ``"merge"`` is Delta's mergeSchema — the batch may ADD new
+        columns (recorded in the snapshot; reads null-fill them for
+        older files) and may omit non-layout columns (null-filled for
+        the new files on read). Layout and stats columns can never be
+        omitted: their stats are what commits are made of.
 
         ``max_retries`` > 0 turns on blind-append rebase: if another
         writer wins the version race, the data files (already on disk,
@@ -472,6 +589,31 @@ class ZTable:
         exhausted; the orphaned data dir is vacuum-able."""
         parent = self.snapshot()
         cols = self.stats_cols(parent)
+        table_cols = parent.get("columns", list(df.columns))
+        required = {self.x, self.y, *cols}
+        missing_required = required - set(df.columns)
+        if missing_required:
+            raise ValueError(
+                f"append: batch lacks layout/stats columns "
+                f"{sorted(missing_required)}"
+            )
+        if schema_mode == "strict":
+            if set(df.columns) != set(table_cols):
+                raise ValueError(
+                    "append: batch columns "
+                    f"{sorted(set(df.columns))} != table columns "
+                    f"{sorted(set(table_cols))}; pass "
+                    "schema_mode='merge' to evolve the schema"
+                )
+            merged_cols = table_cols
+        elif schema_mode == "merge":
+            merged_cols = list(table_cols) + [
+                c for c in df.columns if c not in set(table_cols)
+            ]
+        else:
+            raise ValueError(
+                f"append: unknown schema_mode {schema_mode!r}"
+            )
         new = self._write_data(
             df,
             parent["version"] + 1,
@@ -490,6 +632,7 @@ class ZTable:
                         "cell": parent["cell"],
                         "bits": parent["bits"],
                         "stats_cols": cols,
+                        "columns": merged_cols,
                         **(extra_meta or {}),
                     },
                 )
@@ -502,6 +645,10 @@ class ZTable:
                         "re-call append or raise max_retries"
                     )
                 parent = self.snapshot()  # rebase onto the new latest
+                pcols = parent.get("columns", merged_cols)
+                merged_cols = list(pcols) + [
+                    c for c in df.columns if c not in set(pcols)
+                ]
 
     def compact(self, spark: SparkSession, n_files: int = 16) -> int:
         """OPTIMIZE: rewrite the live rows into ``n_files`` fresh
@@ -528,9 +675,11 @@ class ZTable:
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
-        """Scan exactly the files of ``version`` (default: latest)."""
+        """Scan exactly the files of ``version`` (default: latest).
+        mergeSchema unifies files written before a schema-evolving
+        append (missing columns read as null, the Delta semantics)."""
         files = [e["file"] for e in self.snapshot(version)["files"]]
-        return spark.read.parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
     def read_pruned(
         self,
@@ -556,7 +705,7 @@ class ZTable:
         if not keep:
             df = self.read(spark, version).where(F.lit(False))
             return df, 0, total
-        df = spark.read.parquet(*keep)
+        df = spark.read.option("mergeSchema", "true").parquet(*keep)
         res = df.where(
             (F.col(self.x) >= xs)
             & (F.col(self.x) <= xe)
@@ -606,7 +755,9 @@ class ZTable:
             df = self.read(spark, version).where(F.lit(False))
             return df, 0, total
         return (
-            spark.read.parquet(*keep).where(pred),
+            spark.read.option("mergeSchema", "true")
+            .parquet(*keep)
+            .where(pred),
             len(keep),
             total,
         )
@@ -711,7 +862,9 @@ def ztable_delete_where(
     if not hit:
         table._commit(version, "delete", list(snap["files"]), meta)
         return version, 0, total
-    survivors = spark.read.parquet(*[e["file"] for e in hit]).where(
+    survivors = spark.read.option("mergeSchema", "true").parquet(
+        *[e["file"] for e in hit]
+    ).where(
         ~_box_pred(table.x, table.y, x_range, y_range)
     )
     data_dir = table._new_data_dir(version)
@@ -781,12 +934,17 @@ def ztable_upsert(
     hit = {r["file"] for r in hit_rows}
     kept = [e for e in snap["files"] if e["file"] not in hit]
     if hit:
-        old = spark.read.parquet(*sorted(hit)).join(
+        old = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(hit)
+        ).join(
             keys,
             (F.col(x) == F.col("_kx")) & (F.col(y) == F.col("_ky")),
             "left_anti",
         )
-        merged = old.select(*df.columns).unionByName(df)
+        # allowMissingColumns: the batch or the hit files may carry
+        # schema-evolved columns the other side lacks (null-filled,
+        # the mergeSchema read semantics)
+        merged = old.unionByName(df, allowMissingColumns=True)
     else:
         merged = df
     cols = table.stats_cols(snap)

@@ -464,3 +464,109 @@ def test_ztable_stats_cols_guards(spark, sf_dir, tmp_path):
     t, base, extra = _seed_table(spark, sf_dir, tmp_path)
     with pytest.raises(ValueError, match="no stats recorded"):
         t.read_pruned_where(spark, {"nope": (0, 1)})
+
+
+def test_ztable_concurrent_appends_all_land_via_rebase(
+    spark, sf_dir, tmp_path
+):
+    """The concurrency claim end-to-end: 4 writers appending
+    concurrently (real thread races on the os.link publish) must ALL
+    land with max_retries — every batch present exactly once, one
+    append commit per writer, no clobbered data files."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    batches = [
+        extra.where(F.col("y") >= 5000.0 + 1250.0 * i).where(
+            F.col("y") < 5000.0 + 1250.0 * (i + 1)
+        ).localCheckpoint()
+        for i in range(4)
+    ]
+    sizes = [b.count() for b in batches]
+    assert all(sizes), "fixture slices must be non-empty"
+
+    def do_append(b):
+        # each thread gets its own handle (no shared snapshot cache)
+        return L.ZTable(t.path).append(b, n_files=1, max_retries=8)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(do_append, batches))
+
+    assert sorted(versions) == [1, 2, 3, 4]
+    assert t.latest_version() == 4
+    assert t.read(spark).count() == base.count() + sum(sizes)
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["create"] + ["append"] * 4
+    # every snapshot's file list is strictly a superset of its parent's
+    for v in range(1, 5):
+        prev = {e["file"] for e in t.snapshot(v - 1)["files"]}
+        cur = {e["file"] for e in t.snapshot(v)["files"]}
+        assert prev < cur
+
+
+def test_ztable_schema_evolution_on_append(spark, sf_dir, tmp_path):
+    """Delta-style mergeSchema: strict append rejects a changed column
+    set; schema_mode='merge' admits an added column, reads null-fill it
+    for pre-evolution files, and the layout/stats columns can never be
+    omitted."""
+    import pytest
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    evolved = extra.withColumn("tag", F.lit("fresh"))
+    with pytest.raises(ValueError, match="schema_mode='merge'"):
+        t.append(evolved, n_files=2)
+    v = t.append(evolved, n_files=2, schema_mode="merge")
+    assert "tag" in t.snapshot(v)["columns"]
+    full = t.read(spark)
+    assert "tag" in full.columns
+    assert full.where(F.col("tag") == "fresh").count() == extra.count()
+    assert full.where(F.col("tag").isNull()).count() == base.count()
+    # a later batch may omit the evolved column (null-filled), but
+    # never the layout columns
+    v2 = t.append(extra.limit(7), n_files=1, schema_mode="merge")
+    assert "tag" in t.snapshot(v2)["columns"]
+    with pytest.raises(ValueError, match="layout/stats"):
+        t.append(
+            extra.select("x").withColumn("tag", F.lit("z")),
+            schema_mode="merge",
+        )
+    # pinned pre-evolution read is unaffected (time travel)
+    assert "tag" not in t.read(spark, version=0).columns
+
+
+def test_zorder3_layout_prunes_all_three_axes(spark, sf_dir, tmp_path):
+    """3-D Morton vs 3-col lexicographic: for a small 3-D box the
+    Z-order manifest prunes hard on every axis; for a trailing-column
+    (z-only) band the lexicographic layout is nearly blind while
+    Z-order still skips most files. Pruned read stays exact."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.uniform(0, 100), rnd.uniform(0, 100), rnd.uniform(0, 100))
+        for _ in range(40_000)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    zp, lp = str(tmp_path / "z3"), str(tmp_path / "l3")
+    L.write_zordered3(df, zp, n_files=64, cell=5.0)
+    L.write_lexicographic3(df, lp, n_files=64)
+
+    box = ((40.0, 55.0), (40.0, 55.0), (40.0, 55.0))
+    zres, zn, zt = L.read_pruned3(spark, zp, box)
+    lres, ln, lt = L.read_pruned3(spark, lp, box)
+    assert zt == lt == 64
+    want = df.where(
+        (F.col("x").between(40.0, 55.0))
+        & (F.col("y").between(40.0, 55.0))
+        & (F.col("z").between(40.0, 55.0))
+    ).count()
+    assert want > 0
+    assert zres.count() == want and lres.count() == want
+    assert zn < ln, (zn, ln)
+    assert zn <= 64 // 4
+
+    zband = ((-1e9, 1e9), (-1e9, 1e9), (40.0, 45.0))
+    _, zn2, _ = L.read_pruned3(spark, zp, zband)
+    _, ln2, _ = L.read_pruned3(spark, lp, zband)
+    assert zn2 < ln2, (zn2, ln2)
+    assert ln2 >= 60, "lexicographic should be nearly blind on z"
