@@ -10,6 +10,7 @@ steady-state cost of a persisted index — not repeated training.
 Usage:
     python tools/ann_sweep.py [sf_dir] [k] [nprobe,nprobe,...]
     python tools/ann_sweep.py --clustered [sf_dir] [k]
+    python tools/ann_sweep.py --shortlist [sf_dir] [k]
 
 Defaults: /root/testdata/sf0.01, k=3, nprobe sweep 1,2,4,8. Prints one
 markdown table and one machine-readable JSON line.
@@ -166,9 +167,78 @@ def run_clustered(sf_dir: str, k: int) -> None:
     spark.stop()
 
 
+def run_shortlist(sf_dir: str, k: int) -> None:
+    """Recall/latency vs ADC shortlist length for the PQ tiers (the
+    other knob a deployed index tunes besides nprobe): fixed nprobe=2,
+    shortlist swept. Recall should rise monotonically to the
+    exact-re-rank ceiling while wall time grows with the re-rank set."""
+    spark = get_session(app_name="ann_sweep_shortlist")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    queries = emb.where("vec_id % 10 = 0")
+    truth = _topk_sets(sim.cosine_topk(emb, queries=queries, k=k))
+    centers = sim.build_ivf_centroids(emb, n_cells=N_CELLS, seed=SEED, l=L)
+    flat_books = sim.train_pq_codebooks(emb, seed=SEED)
+    res_books = sim.train_pq_codebooks_residual(
+        emb, centers=centers, seed=SEED
+    )
+    variants = {
+        "pq_flat": lambda s: sim.pq_topk(
+            emb, k=k, codebooks=flat_books, shortlist=s
+        ),
+        "ivf_pq@2": lambda s: sim.ivf_pq_topk(
+            emb, k=k, n_cells=N_CELLS, nprobe=2,
+            centers=centers, codebooks=flat_books, shortlist=s,
+        ),
+        "ivf_rpq@2": lambda s: sim.ivf_rpq_topk(
+            emb, k=k, n_cells=N_CELLS, nprobe=2,
+            centers=centers, codebooks=res_books, shortlist=s,
+        ),
+    }
+    rows = []
+    for name, build in variants.items():
+        for s in (8, 32, 128, 512):
+            t0 = time.time()
+            pred = _topk_sets(build(s))
+            rows.append(
+                {
+                    "variant": name,
+                    "shortlist": s,
+                    "recall": round(recall_at_k(pred, truth), 3),
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+    print(f"\n| variant | shortlist | recall@{k} | wall (s) |")
+    print("|---------|-----------|-----------|----------|")
+    for r in rows:
+        print(
+            f"| {r['variant']} | {r['shortlist']} | {r['recall']} "
+            f"| {r['wall_sec']} |"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "ann_recall_shortlist",
+                "sf_dir": sf_dir,
+                "k": k,
+                "n_cells": N_CELLS,
+                "rows": rows,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
         run_clustered(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--shortlist":
+        run_shortlist(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
         )
