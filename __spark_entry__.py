@@ -776,6 +776,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # indices, and the duplicated minority of tokens shuffle.
         return _dd.despanned_corpus(_docs(spark, sf_dir))
 
+    def x_dup_cluster_truss(spark, sf_dir):
+        # per-cluster truss kernel: CC membership x 4-truss edges over
+        # the same checkpointed simhash edge list — truss_frac ~ 1 is a
+        # collapse-safe near-clique, low truss_frac flags a chain/star
+        # fringe welded to a hard core (split the decision)
+        return _dd.dup_cluster_truss_report(
+            _dd.simhash_near_pairs(_docs(spark, sf_dir)), k=4
+        )
+
     def x_dedup_snm2(spark, sf_dir):
         # two-pass SNM (forward + reversed-prefix keys, unioned) — the
         # standard mitigation for the single-key blind spot; candidates
@@ -1169,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w8_cohort_retention,
         x_despanned,
         w9_funnel_times,
+        x_dup_cluster_truss,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1618,6 +1628,11 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "w7_funnel": _wd.funnel_report_sql(),
         "w9_funnel_times": _wd.funnel_times_sql(),
         "w8_cohort_retention": _wd.cohort_retention_sql(),
+        "x_dup_cluster_truss": _dd.dup_cluster_truss_report_sql(
+            f"SELECT doc_a, doc_b FROM "
+            f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
+            k=4,
+        ),
         "x_ktruss_edges": _dd.ktruss_edges_sql(
             f"SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",

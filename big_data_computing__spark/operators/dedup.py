@@ -1473,6 +1473,104 @@ SELECT u AS doc_a, v AS doc_b, support FROM {prev}
 """
 
 
+def dup_cluster_truss_report(
+    pairs: DataFrame,
+    k: int = 4,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+) -> DataFrame:
+    """Per-cluster truss-kernel report: DataFrame[component_id, n_docs,
+    n_edges, n_truss_edges, truss_frac(6dp)] — how much of each
+    duplicate cluster survives the k-truss peel.
+
+    The edge-level sequel to :func:`dup_cluster_report`: density and
+    triangle count summarize cohesion globally, but the truss fraction
+    localizes it — a cluster whose edges are ~all in the 4-truss is a
+    hard near-clique kernel (collapse it); a large component with a
+    small truss fraction is a chain/star of borderline matches welded
+    to a small hard core (split the decision: collapse the kernel,
+    review the fringe). Costs one CC loop + one truss peel over the
+    SAME checkpointed edge list; output is one row per cluster.
+    """
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    as_pairs = e.select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
+    )
+    comp = duplicate_components(as_pairs)
+    truss = ktruss_edges(as_pairs, k=k)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    ecnt = (
+        e.join(
+            comp.select(F.col("doc_id").alias("u"), "component_id"), "u"
+        )
+        .groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    tcnt = (
+        truss.join(
+            comp.select(F.col("doc_id").alias("doc_a"), "component_id"),
+            "doc_a",
+        )
+        .groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("n_truss_edges"))
+    )
+    return (
+        sizes.join(ecnt, "component_id")
+        .join(tcnt, "component_id", "left")
+        .select(
+            "component_id",
+            "n_docs",
+            "n_edges",
+            F.coalesce(F.col("n_truss_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_truss_edges"),
+            F.round(
+                F.coalesce(F.col("n_truss_edges"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("n_edges").cast("double"),
+                6,
+            ).alias("truss_frac"),
+        )
+    )
+
+
+def dup_cluster_truss_report_sql(pairs_sql: str, k: int = 4) -> str:
+    """DuckDB twin of :func:`dup_cluster_truss_report` (recursive-CTE
+    components + the unrolled truss peel, nested as derived CTEs)."""
+    return f"""
+WITH
+comp AS ({duplicate_components_sql(pairs_sql)}),
+tr AS ({ktruss_edges_sql(pairs_sql, k)}),
+p AS ({pairs_sql}),
+e AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM p WHERE doc_a <> doc_b
+),
+sizes AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM comp GROUP BY component_id
+),
+ecnt AS (
+  SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM e JOIN comp c ON c.doc_id = e.u GROUP BY c.component_id
+),
+tcnt AS (
+  SELECT c.component_id, CAST(COUNT(*) AS BIGINT) AS n_truss_edges
+  FROM tr JOIN comp c ON c.doc_id = tr.doc_a GROUP BY c.component_id
+)
+SELECT s.component_id, s.n_docs, ecnt.n_edges,
+       CAST(COALESCE(tcnt.n_truss_edges, 0) AS BIGINT) AS n_truss_edges,
+       ROUND(CAST(COALESCE(tcnt.n_truss_edges, 0) AS DOUBLE)
+             / CAST(ecnt.n_edges AS DOUBLE), 6) AS truss_frac
+FROM sizes s
+JOIN ecnt USING (component_id)
+LEFT JOIN tcnt USING (component_id)
+"""
+
+
 DUP_SPAN_WINDOW = 10
 
 

@@ -563,6 +563,32 @@ def test_ktruss_raises_without_convergence(spark):
     assert ktruss_edges(pairs, k=4, max_iterations=10).count() == 0
 
 
+def test_dup_cluster_truss_report_hand_graph(spark):
+    """Component A = 4-clique + pendant chain (6 of 8 edges in the
+    4-truss); component B = bare triangle (no 4-truss: every edge has
+    support 1 < 2). Fractions are per-cluster, not global."""
+    from big_data_computing__spark.operators.dedup import (
+        dup_cluster_truss_report,
+    )
+
+    clique = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    chain = [(13, 14), (14, 15)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pairs = spark.createDataFrame(
+        clique + chain + tri, ["doc_a", "doc_b"]
+    )
+    got = {
+        r["component_id"]: (
+            r["n_docs"], r["n_edges"], r["n_truss_edges"], r["truss_frac"]
+        )
+        for r in dup_cluster_truss_report(pairs, k=4).collect()
+    }
+    assert got == {
+        10: (6, 8, 6, round(6 / 8, 6)),
+        1: (3, 3, 0, 0.0),
+    }
+
+
 def test_dup_span_report_hand_corpus(spark):
     """Docs A and B share an embedded 6-token run inside otherwise
     unique text (window=4 → the shared run contributes 3 aligned
