@@ -343,12 +343,23 @@ def sign_sketch(emb: DataFrame, dim: int, bits: int = LSH_BITS) -> DataFrame:
 
 
 def hyperplane_lsh_topk(
-    emb: DataFrame, dim: int, k: int = 5, bits: int = LSH_BITS
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = LSH_BITS,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """ANN top-k via sign-LSH banding + exact re-rank:
     DataFrame[query_id, vec_id, score]. Recall < 1 by design; candidates
-    are pairs sharing ≥ 1 of the 4 sketch bands."""
-    width = bits // LSH_BANDS
+    are pairs sharing >= 1 of the ``bands`` sketch bands. More bands of
+    fewer bits each = looser buckets (higher recall, more candidates);
+    the sweep tool measures the trade (``ann_sweep.py --bands``)."""
+    if bits % bands:
+        raise ValueError(
+            f"hyperplane_lsh_topk: bits ({bits}) must divide evenly "
+            f"into bands ({bands})"
+        )
+    width = bits // bands
     sk = sign_sketch(emb, dim, bits)
     bucketed = sk.select(
         "vid",
@@ -363,7 +374,7 @@ def hyperplane_lsh_topk(
                             % F.lit(2**width)
                         ).alias("bval"),
                     )
-                    for b in range(LSH_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("bb"),

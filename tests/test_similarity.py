@@ -499,3 +499,29 @@ def test_opq_ivf_rpq_composed(spark, emb):
         )
     )
     assert par == want
+
+
+def test_lsh_bands_knob(spark, sf_dir):
+    """The band-count knob: default call == explicit bands=4 bit-for-bit
+    (the registered oracle's contract is untouched); an indivisible
+    bits/bands split raises; 16 one-bit bands (loosest blocking) find
+    at least as many candidate hits as 2 eight-bit bands (tightest)."""
+    import pytest
+
+    from big_data_computing__spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = sorted(
+        tuple(r)
+        for r in S.hyperplane_lsh_topk(emb, dim=64, k=3).collect()
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in S.hyperplane_lsh_topk(emb, dim=64, k=3, bands=4).collect()
+    )
+    assert base == explicit
+    with pytest.raises(ValueError, match="divide evenly"):
+        S.hyperplane_lsh_topk(emb, dim=64, k=3, bands=5)
+    n_loose = S.hyperplane_lsh_topk(emb, dim=64, k=3, bands=16).count()
+    n_tight = S.hyperplane_lsh_topk(emb, dim=64, k=3, bands=2).count()
+    assert n_loose >= n_tight

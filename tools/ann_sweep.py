@@ -11,6 +11,7 @@ Usage:
     python tools/ann_sweep.py [sf_dir] [k] [nprobe,nprobe,...]
     python tools/ann_sweep.py --clustered [sf_dir] [k]
     python tools/ann_sweep.py --shortlist [sf_dir] [k]
+    python tools/ann_sweep.py --bands [sf_dir] [k]
 
 Defaults: /root/testdata/sf0.01, k=3, nprobe sweep 1,2,4,8. Prints one
 markdown table and one machine-readable JSON line.
@@ -230,7 +231,64 @@ def run_shortlist(sf_dir: str, k: int) -> None:
     spark.stop()
 
 
+def run_bands(sf_dir: str, k: int) -> None:
+    """Recall vs band count for the sign-LSH tier (16-bit sketches):
+    more bands of fewer bits = looser buckets = higher recall and more
+    candidate pairs — the r/b trade every LSH deployment tunes."""
+    from pyspark.sql import functions as F
+
+    spark = get_session(app_name="ann_sweep_bands")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.where("vec_id % 10 = 0")
+    truth = _topk_sets(sim.cosine_topk(emb, queries=queries, k=k))
+    rows = []
+    for bands in (2, 4, 8, 16):
+        t0 = time.time()
+        pred = _topk_sets(
+            sim.hyperplane_lsh_topk(emb, dim=dim, k=k, bands=bands).join(
+                queries.select(F.col("vec_id").alias("query_id")),
+                "query_id",
+                "left_semi",
+            )
+        )
+        rows.append(
+            {
+                "bands": bands,
+                "band_bits": 16 // bands,
+                "recall": round(recall_at_k(pred, truth), 3),
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    print(f"\n| bands | bits/band | recall@{k} | wall (s) |")
+    print("|-------|-----------|-----------|----------|")
+    for r in rows:
+        print(
+            f"| {r['bands']} | {r['band_bits']} | {r['recall']} "
+            f"| {r['wall_sec']} |"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "ann_recall_bands",
+                "sf_dir": sf_dir,
+                "k": k,
+                "rows": rows,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--bands":
+        run_bands(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
         run_clustered(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
