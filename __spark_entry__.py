@@ -746,6 +746,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path for the median is the t11 histogram sketch
         return _wd.funnel_times(_rd.read_table(spark, sf_dir, "events"))
 
+    def w10_event_transitions(spark, sf_dir):
+        # first-order Markov transition matrix of each user's event
+        # stream — per-user lead() window (never a global sort),
+        # deterministic (micros, event_id) total order
+        return _wd.event_transitions(
+            _rd.read_table(spark, sf_dir, "events")
+        )
+
     def w8_cohort_retention(spark, sf_dir):
         # weekly signup-cohort retention triangle; (user, week) grain
         # bounds the join by active-user-weeks, not raw events
@@ -1179,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_despanned,
         w9_funnel_times,
         x_dup_cluster_truss,
+        w10_event_transitions,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1627,6 +1636,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "o4_zorder3_cells": _ol.zorder3_cells_topk_sql(0.1, 100),
         "w7_funnel": _wd.funnel_report_sql(),
         "w9_funnel_times": _wd.funnel_times_sql(),
+        "w10_event_transitions": _wd.event_transitions_sql(),
         "w8_cohort_retention": _wd.cohort_retention_sql(),
         "x_dup_cluster_truss": _dd.dup_cluster_truss_report_sql(
             f"SELECT doc_a, doc_b FROM "

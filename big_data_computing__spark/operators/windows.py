@@ -584,3 +584,46 @@ FROM activity a JOIN cohorts c USING (user_id)
 WHERE a.week - c.cohort_week BETWEEN 0 AND {max_offset}
 GROUP BY 1, 2
 """
+
+
+def event_transitions(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream: DataFrame[prev_type, next_type, n] — the behavioral
+    transition matrix (what follows what), the summary path-analysis
+    and next-event models start from.
+
+    Per-user lead() over the deterministic total order (event-time
+    micros, event_id tiebreak) — the window is partitioned by user, so
+    state per partition is one user's events, never a global sort.
+    """
+    us = event_time_us(events, ts_col)
+    w = Window.partitionBy("user_id").orderBy(
+        us.asc(), F.col("event_id").asc()
+    )
+    nxt = F.lead("event_type").over(w)
+    return (
+        events.select(
+            F.col("event_type").alias("prev_type"), nxt.alias("next_type")
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def event_transitions_sql() -> str:
+    """DuckDB twin of :func:`event_transitions`."""
+    return """
+WITH seq AS (
+  SELECT event_type AS prev_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
