@@ -754,6 +754,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.read_table(spark, sf_dir, "events")
         )
 
+    def w11_rfm_scores(spark, sf_dir):
+        # RFM segmentation via the two-pass distributed rank (never a
+        # single-partition NTILE window); integer tile math matches
+        # DuckDB // exactly
+        return _wd.rfm_scores(_rd.read_table(spark, sf_dir, "events"))
+
     def w8_cohort_retention(spark, sf_dir):
         # weekly signup-cohort retention triangle; (user, week) grain
         # bounds the join by active-user-weeks, not raw events
@@ -1188,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w9_funnel_times,
         x_dup_cluster_truss,
         w10_event_transitions,
+        w11_rfm_scores,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1637,6 +1644,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "w7_funnel": _wd.funnel_report_sql(),
         "w9_funnel_times": _wd.funnel_times_sql(),
         "w10_event_transitions": _wd.event_transitions_sql(),
+        "w11_rfm_scores": _wd.rfm_scores_sql(),
         "w8_cohort_retention": _wd.cohort_retention_sql(),
         "x_dup_cluster_truss": _dd.dup_cluster_truss_report_sql(
             f"SELECT doc_a, doc_b FROM "

@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "w8_cohort_retention",
     "w9_funnel_times",
     "x_despanned",
+    "w10_event_transitions",
+    "w11_rfm_scores",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -627,3 +627,79 @@ SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY prev_type, next_type
 """
+
+
+def rfm_scores(
+    events: DataFrame, tiles: int = 4, ts_col: str = "ts"
+) -> DataFrame:
+    """RFM segmentation: DataFrame[user_id, recency_us, frequency,
+    monetary_cents, r_score, f_score, m_score] — each user scored
+    1..``tiles`` (1 = best) by rank-quartile on recency (latest event
+    time), frequency (event count), and monetary (summed value,
+    integer cents).
+
+    Scores come from the engine's two-pass distributed
+    :func:`relational.global_rank` — never the single-partition
+    ``NTILE() OVER (ORDER BY ...)`` degeneration — with the tile
+    computed from the rank by exact integer ops
+    (``(rank-1)·tiles // n + 1``), so the DuckDB twin (ROW_NUMBER +
+    integer division) is bit-identical. Ties break on user_id: total
+    order, deterministic on any cluster size.
+    """
+    from .relational import global_rank
+
+    us = event_time_us(events, ts_col)
+    per = events.groupBy("user_id").agg(
+        F.max(us).alias("recency_us"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum("value") * 100).cast("long").alias(
+            "monetary_cents"
+        ),
+    )
+    n = per.count()
+    scored = per
+    for metric, score in (
+        ("recency_us", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary_cents", "m_score"),
+    ):
+        neg = f"_neg_{metric}"
+        ranked = global_rank(
+            scored.withColumn(neg, -F.col(metric)),
+            neg,
+            "user_id",
+            rank_col="_rk",
+        )
+        t = (F.col("_rk") - 1) * tiles
+        scored = ranked.withColumn(
+            score,
+            ((t - F.pmod(t, F.lit(n))) / F.lit(n) + 1).cast("int"),
+        ).drop(neg, "_rk")
+    return scored
+
+
+def rfm_scores_sql(tiles: int = 4) -> str:
+    """DuckDB twin of :func:`rfm_scores` (ROW_NUMBER under the same
+    total orders; // floors exactly like the pmod form)."""
+    return f"""
+WITH per AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) AS recency_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+),
+n AS (SELECT COUNT(*) AS n FROM per),
+r AS (
+  SELECT per.*,
+    ROW_NUMBER() OVER (ORDER BY -recency_us, user_id) AS rr,
+    ROW_NUMBER() OVER (ORDER BY -frequency, user_id) AS fr,
+    ROW_NUMBER() OVER (ORDER BY -monetary_cents, user_id) AS mr
+  FROM per
+)
+SELECT user_id, recency_us, frequency, monetary_cents,
+       CAST((rr - 1) * {tiles} // n.n + 1 AS INT) AS r_score,
+       CAST((fr - 1) * {tiles} // n.n + 1 AS INT) AS f_score,
+       CAST((mr - 1) * {tiles} // n.n + 1 AS INT) AS m_score
+FROM r, n
+"""
