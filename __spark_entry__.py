@@ -760,6 +760,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB // exactly
         return _wd.rfm_scores(_rd.read_table(spark, sf_dir, "events"))
 
+    def w12_session_paths(spark, sf_dir):
+        # top common journeys: per-session ordered event-type sequence
+        # (lag-gap-cumsum islands) counted corpus-wide, total-ordered
+        # top-20 — per-session state only, no corpus-grain window
+        return _wd.session_paths(_rd.read_table(spark, sf_dir, "events"))
+
     def w8_cohort_retention(spark, sf_dir):
         # weekly signup-cohort retention triangle; (user, week) grain
         # bounds the join by active-user-weeks, not raw events
@@ -1195,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dup_cluster_truss,
         w10_event_transitions,
         w11_rfm_scores,
+        w12_session_paths,
         c7_approx_outliers_summary,
         c6_exact_outliers,
         x_token_budget_sample,
@@ -1645,6 +1652,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "w9_funnel_times": _wd.funnel_times_sql(),
         "w10_event_transitions": _wd.event_transitions_sql(),
         "w11_rfm_scores": _wd.rfm_scores_sql(),
+        "w12_session_paths": _wd.session_paths_sql(),
         "w8_cohort_retention": _wd.cohort_retention_sql(),
         "x_dup_cluster_truss": _dd.dup_cluster_truss_report_sql(
             f"SELECT doc_a, doc_b FROM "

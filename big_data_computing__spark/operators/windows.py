@@ -703,3 +703,91 @@ SELECT user_id, recency_us, frequency, monetary_cents,
        CAST((mr - 1) * {tiles} // n.n + 1 AS INT) AS m_score
 FROM r, n
 """
+
+
+def session_paths(
+    events: DataFrame,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Top session paths: DataFrame[path, n_sessions] — each session's
+    ordered event-type sequence joined with '>', counted across the
+    corpus, top-``top`` by (count desc, path) total order.
+
+    The "common journeys" report on top of :func:`sessionize` (same
+    lag-gap-cumsum islands, same gap rule). Paths are rebuilt
+    order-preservingly via sort_array(collect_list(struct(ts, id,
+    type))) per session — per-session state only; the heavy grain is
+    (user, session), never the corpus.
+    """
+    gap_us = 60_000_000 * gap_minutes
+    base = events.withColumn("_ts_us", event_time_us(events, ts_col))
+    w_user = Window.partitionBy(user_col).orderBy(
+        "_ts_us", "event_id"
+    )
+    with_sess = base.withColumn(
+        "_new",
+        F.when(
+            (F.col("_ts_us") - F.lag("_ts_us").over(w_user)) > gap_us, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = with_sess.groupBy(user_col, "_sid").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("_ts_us", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top)
+    )
+
+
+def session_paths_sql(top: int = 20, gap_minutes: int = 30) -> str:
+    """DuckDB twin of :func:`session_paths` (same islands; ordered
+    string_agg rebuild)."""
+    gap_us = 60_000_000 * gap_minutes
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events
+),
+g AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER
+                (PARTITION BY user_id ORDER BY ts_us, event_id) > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM s GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT {top}
+"""
