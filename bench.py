@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "x_despanned",
     "w10_event_transitions",
     "w11_rfm_scores",
+    "w12_session_paths",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -319,3 +319,77 @@ def test_cohort_retention_offsets(spark):
         (1, 0): 1,        # u3 active in signup week
         # u3's pre-signup week-0 activity is offset -1: dropped
     }
+
+
+def test_event_transitions_order_and_ties(spark):
+    """Transitions follow the (micros, event_id) total order — two
+    events at the same timestamp order by event_id — and streams never
+    cross users."""
+    import big_data_computing__spark.operators.windows as W
+
+    rows = [
+        # (event_id, ts_us, user, type)
+        (1, 100, 1, "view"), (2, 200, 1, "click"), (3, 200, 1, "buy"),
+        (4, 300, 2, "view"),  # sole event: no transition
+    ]
+    df = spark.createDataFrame(
+        [(i, u, uid, t, 0.0) for i, u, uid, t in rows],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in W.event_transitions(df).collect()
+    }
+    assert got == {("view", "click"): 1, ("click", "buy"): 1}
+
+
+def test_rfm_scores_tile_math(spark):
+    """8 users, tiles=4: ranks 1-2 -> score 1 ... ranks 7-8 -> score 4,
+    independently per metric; user_id breaks exact metric ties."""
+    import big_data_computing__spark.operators.windows as W
+
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        # user u: u events at times ending u*10 (recency = u*10),
+        # each worth u dollars
+        for j in range(u):
+            rows.append((eid, j * 1 + u * 10, u, "buy", float(u)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    got = {
+        r["user_id"]: (r["r_score"], r["f_score"], r["m_score"])
+        for r in W.rfm_scores(df).collect()
+    }
+    # frequency of user u is u, monetary u*u*100 cents, recency
+    # u*10 + (u-1); all three rank users 8..1 best-to-worst
+    for u in range(1, 9):
+        want = (8 - u) // 2 + 1
+        assert got[u] == (want, want, want), (u, got[u])
+
+
+def test_session_paths_islands_and_order(spark):
+    """Paths split at gap > 30 min, preserve in-session order with
+    event_id tiebreak, and count identical journeys across users."""
+    import big_data_computing__spark.operators.windows as W
+
+    m = 60_000_000
+    rows = [
+        (1, 0 * m, 1, "view"), (2, 1 * m, 1, "click"),
+        # 31-min gap -> new session for user 1
+        (3, 32 * m, 1, "view"), (4, 33 * m, 1, "click"),
+        # user 2, same journey once; simultaneous pair ordered by id
+        (5, 0 * m, 2, "view"), (6, 0 * m, 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, uid, t, 0.0) for i, u, uid, t in rows],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in W.session_paths(df, top=10).collect()
+    }
+    assert got == {"view>click": 3}
