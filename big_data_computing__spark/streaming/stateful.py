@@ -54,3 +54,68 @@ def running_item_counts(items: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TRANS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+    ]
+)
+
+_TRANS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _update_transitions(
+    key: Any,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows = rows.sort_values(["u", "event_id"])
+    last_type = None
+    last_us = last_id = 0
+    if state.exists:
+        last_us, last_id, last_type = state.get
+    prevs: list[str] = []
+    nexts: list[str] = []
+    for r in rows.itertuples():
+        if last_type is not None:
+            prevs.append(last_type)
+            nexts.append(r.event_type)
+        last_type, last_us, last_id = r.event_type, int(r.u), int(r.event_id)
+    state.update((last_us, last_id, last_type))
+    yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``windows.event_transitions``: per-user state
+    holds only the LAST event (time, id, type); each micro-batch emits
+    the (prev_type, next_type) pairs its new events close, including
+    the cross-batch pair against the stored last event. Aggregating the
+    emitted pairs over a full ordered replay equals the batch transition
+    matrix bit-for-bit (asserted in tests).
+
+    Arrival-order contract: per-user event order across micro-batches
+    must follow event time (the same in-order assumption every
+    replay-parity twin in streaming/ documents); within a batch events
+    are sorted by (micros, event_id) before pairing, so intra-batch
+    ordering is free. State is O(1) per user — the smallest possible
+    footprint for a first-order Markov stream.
+
+    ``events`` must carry user_id, event_id, event_type, and ``u``
+    (event-time micros, e.g. ``windows.event_time_us``).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
