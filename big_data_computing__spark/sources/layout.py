@@ -148,23 +148,18 @@ def _zorder_write(
     )
 
 
-def write_zordered3(
+def _zorder3_data_write(
     df: DataFrame,
     path: str,
-    cols: tuple[str, str, str] = ("x", "y", "z"),
-    n_files: int = 16,
-    cell: float = 1.0,
-    bits: int = 20,
-) -> list[dict]:
-    """3-column Z-order layout: files clustered by the 3-D Morton key
-    (``operators/outliers.zorder_key3``) of the ``cell``-quantized
-    coordinates, plus a manifest with per-file min/max for ALL THREE
-    columns — the ``OPTIMIZE ZORDER BY (x, y, z)`` shape. A
-    lexicographic sort on three columns prunes only the leading one;
-    this layout gives every axis usable stats."""
+    cols: tuple[str, str, str],
+    n_files: int,
+    cell: float,
+    bits: int,
+) -> None:
+    """Data files of a 3-D Morton layout (no manifest) — the 3-column
+    twin of :func:`_zorder_write`."""
     from ..operators.outliers import zorder_key3
 
-    a, b, c = cols
     q = [F.floor(F.col(col) / cell).cast("long") for col in cols]
     mins = df.agg(
         F.min(q[0]).alias("_m0"),
@@ -191,6 +186,42 @@ def write_zordered3(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _table_data_write(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    zcol: str | None,
+    n_files: int,
+    cell: float,
+    bits: int,
+) -> None:
+    """Dispatch a ZTable data write to the 2-D or 3-D Morton layout
+    depending on whether the table declared a third layout column."""
+    if zcol is None:
+        _zorder_write(df, path, x, y, n_files, cell, bits)
+    else:
+        _zorder3_data_write(df, path, (x, y, zcol), n_files, cell, bits)
+
+
+def write_zordered3(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str, str] = ("x", "y", "z"),
+    n_files: int = 16,
+    cell: float = 1.0,
+    bits: int = 20,
+) -> list[dict]:
+    """3-column Z-order layout: files clustered by the 3-D Morton key
+    (``operators/outliers.zorder_key3``) of the ``cell``-quantized
+    coordinates, plus a manifest with per-file min/max for ALL THREE
+    columns — the ``OPTIMIZE ZORDER BY (x, y, z)`` shape. A
+    lexicographic sort on three columns prunes only the leading one;
+    this layout gives every axis usable stats."""
+    a, b, c = cols
+    _zorder3_data_write(df, path, cols, n_files, cell, bits)
     entries = _file_stats(df.sparkSession, path, a, b, (c,))
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(
@@ -386,10 +417,29 @@ class ZTable:
     the Delta ``dataSkippingNumIndexedCols`` story.
     """
 
-    def __init__(self, path: str, x: str = "x", y: str = "y"):
+    def __init__(
+        self,
+        path: str,
+        x: str = "x",
+        y: str = "y",
+        z: str | None = None,
+    ):
         self.path = path
         self.x = x
         self.y = y
+        # the optional THIRD layout column; persisted in every snapshot
+        # as "zcol", so handles opened without it recover it lazily
+        self._z = z
+
+    def zcol(self, snap: dict | None = None) -> str | None:
+        """The table's third layout column (None for 2-D tables)."""
+        if self._z is not None:
+            return self._z
+        try:
+            self._z = (snap or self.snapshot()).get("zcol")
+        except FileNotFoundError:
+            return None
+        return self._z
 
     # -- snapshot log -----------------------------------------------------
 
@@ -490,10 +540,18 @@ class ZTable:
         cell: float = 1.0,
         bits: int = 20,
         stats_cols: tuple[str, ...] | list[str] = (),
+        z: str | None = None,
     ) -> "ZTable":
         """Commit version 0 with ``df`` as the initial Z-ordered data.
         ``stats_cols`` names extra (non-layout) columns whose per-file
-        min/max every snapshot will record for data skipping."""
+        min/max every snapshot will record for data skipping. ``z``
+        declares a THIRD layout column: data files cluster by the 3-D
+        Morton key (``OPTIMIZE ZORDER BY (x, y, z)``) and z stats are
+        recorded automatically, so ``read_pruned_where({z: ...})``
+        prunes the third axis too."""
+        stats_cols = list(stats_cols)
+        if z is not None and z not in stats_cols:
+            stats_cols = [z] + stats_cols
         for c in stats_cols:
             if c in (x, y):
                 raise ValueError(
@@ -505,13 +563,17 @@ class ZTable:
                     f"stats_cols: {c!r} would collide with the layout "
                     "stat keys min_x/max_x/min_y/max_y in the manifest"
                 )
-        t = cls(path, x, y)
+        t = cls(path, x, y, z)
         if t.versions():
             raise FileExistsError(f"{path} already has a snapshot log")
         t._write_commit(
             df, 0, "create", n_files, cell, bits, [],
-            {"stats_cols": list(stats_cols), "columns": list(df.columns)},
-            list(stats_cols),
+            {
+                "stats_cols": stats_cols,
+                "columns": list(df.columns),
+                "zcol": z,
+            },
+            stats_cols,
         )
         return t
 
@@ -525,9 +587,13 @@ class ZTable:
         stats_cols: list[str],
     ) -> list[dict]:
         """Write one attempt's data files and return their stats
-        entries (no commit)."""
+        entries (no commit). Dispatches to the 2-D or 3-D Morton
+        writer by the table's declared layout."""
         data_dir = self._new_data_dir(version)
-        _zorder_write(df, data_dir, self.x, self.y, n_files, cell, bits)
+        _table_data_write(
+            df, data_dir, self.x, self.y, self.zcol(),
+            n_files, cell, bits,
+        )
         return _file_stats(
             df.sparkSession, data_dir, self.x, self.y, stats_cols
         )
@@ -556,6 +622,7 @@ class ZTable:
                 "cell": cell,
                 "bits": bits,
                 "stats_cols": cols,
+                "zcol": self.zcol(),
                 **(extra_meta or {}),
             },
         )
@@ -633,6 +700,7 @@ class ZTable:
                         "bits": parent["bits"],
                         "stats_cols": cols,
                         "columns": merged_cols,
+                        "zcol": parent.get("zcol"),
                         **(extra_meta or {}),
                     },
                 )
@@ -858,6 +926,7 @@ def ztable_delete_where(
     cols = table.stats_cols(snap)
     meta = {
         "cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols,
+        "zcol": table.zcol(snap),
     }
     if not hit:
         table._commit(version, "delete", list(snap["files"]), meta)
@@ -869,8 +938,8 @@ def ztable_delete_where(
     )
     data_dir = table._new_data_dir(version)
     n_files = max(1, len(hit))
-    _zorder_write(
-        survivors, data_dir, table.x, table.y,
+    _table_data_write(
+        survivors, data_dir, table.x, table.y, table.zcol(snap),
         n_files, snap["cell"], snap["bits"],
     )
     new = _file_stats(spark, data_dir, table.x, table.y, cols)
@@ -949,13 +1018,14 @@ def ztable_upsert(
         merged = df
     cols = table.stats_cols(snap)
     data_dir = table._new_data_dir(version)
-    _zorder_write(
-        merged, data_dir, x, y,
+    _table_data_write(
+        merged, data_dir, x, y, table.zcol(snap),
         max(n_files, len(hit)), snap["cell"], snap["bits"],
     )
     new = _file_stats(spark, data_dir, x, y, cols)
     table._commit(
         version, "merge", kept + new,
-        {"cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols},
+        {"cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols,
+         "zcol": table.zcol(snap)},
     )
     return version, len(hit), total

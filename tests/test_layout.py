@@ -570,3 +570,59 @@ def test_zorder3_layout_prunes_all_three_axes(spark, sf_dir, tmp_path):
     _, ln2, _ = L.read_pruned3(spark, lp, zband)
     assert zn2 < ln2, (zn2, ln2)
     assert ln2 >= 60, "lexicographic should be nearly blind on z"
+
+
+def test_ztable_3d_layout_prunes_z_axis(spark, sf_dir, tmp_path):
+    """A ZTable created with z='w' clusters data by the 3-D Morton key
+    and records w stats, so a w-band read prunes files; the zcol
+    survives append (fresh handle without z), delete, and compact; and
+    pruned reads stay exact throughout."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (rnd.uniform(0, 100), rnd.uniform(0, 100), rnd.uniform(0, 100))
+        for _ in range(30_000)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, w double")
+    half = df.where(F.col("w") < 50.0)
+    rest = df.where(F.col("w") >= 50.0)
+    t = L.ZTable.create(
+        half, str(tmp_path / "zt3"), n_files=16, cell=5.0, z="w"
+    )
+    assert t.snapshot()["zcol"] == "w"
+    # fresh handle (no z passed) recovers the layout from the log and
+    # keeps writing 3-D
+    t2 = L.ZTable(t.path)
+    t2.append(rest, n_files=16)
+    assert t2.snapshot()["zcol"] == "w"
+    band = {"w": (40.0, 45.0)}
+    want = sorted(
+        (r["x"], r["y"], r["w"])
+        for r in df.where(F.col("w").between(40.0, 45.0)).collect()
+    )
+    res, n_read, n_total = t2.read_pruned_where(spark, band)
+    assert sorted((r["x"], r["y"], r["w"]) for r in res.collect()) == want
+    assert 0 < n_read < n_total, (n_read, n_total)
+    # delete a w-region copy-on-write, stats carried
+    v, n_hit, _ = t2.delete_where(spark, (0.0, 10.0), (0.0, 10.0))
+    res2, n_read2, _ = t2.read_pruned_where(spark, band)
+    want2 = sorted(
+        (r["x"], r["y"], r["w"])
+        for r in df.where(
+            (F.col("w").between(40.0, 45.0))
+            & ~((F.col("x").between(0.0, 10.0))
+                & (F.col("y").between(0.0, 10.0)))
+        ).collect()
+    )
+    assert sorted(
+        (r["x"], r["y"], r["w"]) for r in res2.collect()
+    ) == want2
+    # compaction restores one clustered file set, zcol intact
+    t2.compact(spark, n_files=32)
+    assert t2.snapshot()["zcol"] == "w"
+    res3, n_read3, n_total3 = t2.read_pruned_where(spark, band)
+    assert sorted(
+        (r["x"], r["y"], r["w"]) for r in res3.collect()
+    ) == want2
+    assert 0 < n_read3 < n_total3
