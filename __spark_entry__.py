@@ -1033,9 +1033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PRODUCTION twin of x_ann_ivf_rpq_topk: parity=False runs the
         # vectorized (numpy-batched) kernels instead of the element-
         # sequential parity accumulation the oracle hash needs. Same
-        # candidates, same shortlist; float sums may differ in last-ulp
-        # order, so this entry is rows-only — it exists so BENCH times
-        # the path a real deployment runs (VERDICT r3 "What's wrong" #3).
+        # candidates, same shortlist, and the exact re-rank makes the
+        # final top-k kernel-independent (prod ≡ parity pinned by
+        # test_ivf_rpq_prod_matches_parity), so since r5 it shares the
+        # parity twin's oracle. It exists so BENCH times the path a real
+        # deployment runs (VERDICT r3 "What's wrong" #3).
         return _sim.ivf_rpq_topk(
             _emb(spark, sf_dir),
             k=ANN_K,
@@ -1085,7 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _mm.frame_sample(_mm.documents_as_media(_docs(spark, sf_dir)))
 
     def x_decode_features(spark, sf_dir):
-        # rows-only: deterministic fake decoder (no codecs in this env).
+        # deterministic fake decoder (no codecs in this env), oracled
+        # since r5 by a computed DuckDB twin (decode_features_sql).
         # Scalar shape (media_id, dim, value) — the r3 array<double>
         # column crashed the driver's canonicalizer (same failure mode
         # c2_fft_coreset hit in round 1), so flatten via posexplode.
@@ -1103,28 +1106,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registry ORDER is the driver's verification order, and the driver
     # records exactly 50 CORRECTNESS rows per round (a row cap, not a
-    # time budget — r1-r3 each recorded precisely the first 50). The
+    # time budget — r1-r4 each recorded precisely the first 50). The
     # window rotates each round so the cumulative driver-green set stays
     # complete even if the driver regenerates testdata: positions 1-50
-    # hold (a) a cheap smoke prefix, (b) every query whose CODE changed
-    # this round, (c) the 34 queries that sat past position 50 in r3 and
-    # therefore have no r3 driver row. The big dedup / ANN / CC block
-    # that r3's window just verified green is demoted past 50 and stays
+    # hold (a) a cheap smoke prefix, (b) every query whose CODE or
+    # ORACLE changed this round, (c) the 15 round-4 queries that have
+    # never sat inside a 50-row window (VERDICT r4 "What's missing" #1),
+    # then (d) re-verification spill from the oldest driver-green block
+    # (the r3-verified dedup/ANN/clustering family). The freshly
+    # r4-green cheap-relational block is demoted past 50 and stays
     # covered by the committed full local run (tools/verify_oracle.py →
-    # ORACLE_FULL_r04.json).
+    # ORACLE_FULL_r05.json).
     for fn in (
-        # -- smoke prefix: one fast, repeatedly-green core query proves
-        # the harness (c7/c6 dropped from the prefix this session: both
-        # hold driver rows from r1-r3, and their slots keep the entire
-        # never-driver-verified block inside the 50-row cap) --
+        # -- smoke prefix --
         p2_cell_counts,
-        # -- code CHANGED this round (r4) — must re-verify --
-        x_decode_features,  # flattened to (media_id, dim, value)
-        a17_pivot_events,  # pmod floor-division day_idx
-        o3_zorder_cells,  # zorder_key range guard
-        x_ann_opq_topk,  # rotation/codebook supply gate
-        # -- NEW this round (11 entries; 1 smoke + 4 changed + 11 new +
-        # the 34-query r3-unverified block = exactly 50, no spill) --
+        # -- ORACLE added this round (r5) — the two no_oracle retirees:
+        # the fake decoder got a computed DuckDB twin and the production
+        # ANN kernel shares the parity twin's oracle after the
+        # prod ≡ parity row-set pin --
+        x_decode_features,
+        x_ann_ivf_rpq_prod,
+        # -- the 14 remaining never-windowed r4 queries (all hash-green
+        # in ORACLE_FULL_r04.json; this gives each its first driver row)
+        x_train_shards,
+        x_train_order,
+        x_dedup_snm2,
+        x_ktruss_edges,
+        x_dup_spans,
+        x_despanned,
+        x_dup_cluster_truss,
+        o4_zorder3_cells,
+        w7_funnel,
+        w8_cohort_retention,
+        w9_funnel_times,
+        w10_event_transitions,
+        w11_rfm_scores,
+        w12_session_paths,
+        # -- re-verification spill (33 slots): the r3-green dedup / ANN
+        # / clustering / curation block — oldest driver evidence first --
+        c7_approx_outliers_summary,
+        c6_exact_outliers,
+        a4_cell_neighborhood,
+        c2_fft_coreset,
+        c3_mrfft_radius,
+        c8_fft_radius_outliers,
+        c9_outliers_nd,
+        c10_outliers_grid3,
+        x_dedup_exact,
+        x_dedup_minhash_lsh,
+        x_dedup_simhash,
+        x_dedup_ngram_jaccard,
+        x_dedup_embedding,
+        x_dedup_components,
+        x_dedup_components_star,
+        x_dedup_survivors,
+        x_clean_corpus,
+        x_ann_cosine_topk,
+        x_ann_lsh_topk,
+        x_ann_ivf_topk,
+        x_ann_pq_topk,
+        x_ann_ivf_pq_topk,
+        x_ann_ivf_rpq_topk,
+        x_ann_opq_topk,
+        x_ann_opq_ivf_rpq_topk,
+        x_token_budget_sample,
+        x_pii_report,
+        x_frame_sample,
+        x_repetition,
+        x_contamination,
+        x_tfidf_top_terms,
+        x_pagerank_dupgraph,
+        x_bloom_contamination,
+        # ---- position 51+: the driver truncates here; the committed
+        # full local artifact (ORACLE_FULL_r05.json) covers everything
+        # below. All of it holds an r3 or r4 driver-green row. ----
+        a17_pivot_events,
+        o3_zorder_cells,
         x_weighted_reservoir,
         x_weighted_reservoir_strat,
         x_triangle_counts,
@@ -1136,7 +1193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_snm,
         t11_histogram_quantiles,
         t12_hll_by_type,
-        # -- no r3 driver row (sat past position 50 in the r3 window) --
         s6_sql_interface,
         c5_radius_fixed_centers,
         c9b_outliers_nd_brute,
@@ -1171,76 +1227,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_bpe_token_counts,
         x_rolling_fingerprints,
         x_winnow_fingerprints,
-        # -- window spill: cheapest of the r3-green block re-verify
-        # free until the 50-row cap truncates --
         x_domain_mixture,
         x_domain_quality,
         x_mixture_resample,
         j8_band_join,
         t9_cms_frequent,
         t10_hll_estimate,
-        x_bloom_contamination,
-        x_pagerank_dupgraph,
-        # ---- position 51+: the driver truncates here; the committed
-        # full local artifact (ORACLE_FULL_r04.json, 106/106 green)
-        # covers everything below. First: every query added after the
-        # 50-cap window filled — the front of the r5 rotation queue,
-        # in arrival order — then c7/c6 (moved from the smoke prefix;
-        # three prior driver rows each), then the r3-driver-verified
-        # dedup/ANN block.
-        x_train_shards,
-        x_train_order,
-        x_dedup_snm2,
-        x_ktruss_edges,
-        x_dup_spans,
-        o4_zorder3_cells,
-        w7_funnel,
-        w8_cohort_retention,
-        x_despanned,
-        w9_funnel_times,
-        x_dup_cluster_truss,
-        w10_event_transitions,
-        w11_rfm_scores,
-        w12_session_paths,
-        c7_approx_outliers_summary,
-        c6_exact_outliers,
-        x_token_budget_sample,
-        x_pii_report,
-        x_frame_sample,
-        x_ann_lsh_topk,
-        x_ann_ivf_topk,
-        x_ann_pq_topk,
-        x_ann_ivf_pq_topk,
-        x_ann_ivf_rpq_topk,
-        x_ann_opq_ivf_rpq_topk,
-        x_dedup_components,
-        x_dedup_components_star,
-        x_dedup_survivors,
-        x_clean_corpus,
-        x_dedup_exact,
-        x_dedup_minhash_lsh,
-        x_dedup_simhash,
-        x_dedup_ngram_jaccard,
-        x_dedup_embedding,
-        x_ann_cosine_topk,
-        a4_cell_neighborhood,
-        c2_fft_coreset,
-        c3_mrfft_radius,
-        c8_fft_radius_outliers,
-        c9_outliers_nd,
-        c10_outliers_grid3,
         w4_session_window,
         w5_moving_avg,
         w6_ntile_quartiles,
         j7_full_outer,
-        x_repetition,
-        x_contamination,
-        x_tfidf_top_terms,
         j5_asof_join,
         w3_sessionize,
         w2_tumbling_window_counts,
-        # -- production-mode ANN twin (bench-only path; rows-only) --
-        x_ann_ivf_rpq_prod,
     ):
         q[fn.__name__] = _with_prepare(fn)
     return q
@@ -1735,4 +1734,15 @@ WHERE doc_id NOT IN (
         ),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),
+        # the fake decoder is deterministic and byte-arithmetic only, so
+        # it gets a REAL computed oracle (hex-sliced byte means), not a
+        # pinned golden — retires the longest-standing no_oracle row
+        "x_decode_features": _mm.decode_features_sql(),
+        # the production kernel's output is kernel-independent after the
+        # exact re-rank (prod ≡ parity row sets, pinned by
+        # tests/test_similarity.py::test_ivf_rpq_prod_matches_parity and
+        # verified at sf0.01), so it shares the parity twin's oracle
+        "x_ann_ivf_rpq_prod": _sim.ivf_rpq_topk_sql(
+            ANN_K, _gold.C3_CENTERS, _gold.RPQ_CODEBOOKS, nprobe=2
+        ),
     }

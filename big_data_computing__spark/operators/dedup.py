@@ -1736,10 +1736,10 @@ def despanned_corpus(
             F.sequence(F.col("pos"), F.col("pos") + window - 1)
         ).alias("idx"),
     ).distinct()
-    tokens = base.select(
+    tok_rows = base.select(
         "doc_id", F.posexplode("t").alias("idx", "tok")
     )
-    kept = tokens.join(covered, ["doc_id", "idx"], "left_anti")
+    kept = tok_rows.join(covered, ["doc_id", "idx"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.array_join(

@@ -132,6 +132,38 @@ def decode_features(
     )
 
 
+def decode_features_sql(dim: int = FEATURE_DIM) -> str:
+    """DuckDB twin of the deterministic fake decoder over
+    documents_as_media, flattened to (media_id, dim, value) — the
+    registered query shape. Feature j = mean(payload[j::dim]) / 255;
+    DuckDB lacks byte-indexed BLOB substr, so bytes are recovered by
+    slicing the hex encoding two chars at a time. Docs shorter than
+    ``dim`` bytes null-fill via the grid left-join (the kernel's
+    empty-slice 0.0 branch)."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+pos AS (
+  SELECT media_id, hx, unnest(range(nb)) AS i FROM m
+),
+agg AS (
+  SELECT media_id, CAST(i % {dim} AS INT) AS dim,
+         AVG(CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS INT), 2))
+             AS INT)) / 255.0 AS v
+  FROM pos GROUP BY 1, 2
+),
+grid AS (
+  SELECT media_id, CAST(unnest(range({dim})) AS INT) AS dim FROM m
+)
+SELECT g.media_id, g.dim, ROUND(COALESCE(a.v, 0.0), 6) AS value
+FROM grid g LEFT JOIN agg a ON a.media_id = g.media_id AND a.dim = g.dim
+"""
+
+
 def frame_sample(
     media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

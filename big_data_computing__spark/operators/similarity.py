@@ -356,8 +356,8 @@ def hyperplane_lsh_topk(
     the sweep tool measures the trade (``ann_sweep.py --bands``)."""
     if bits % bands:
         raise ValueError(
-            f"hyperplane_lsh_topk: bits ({bits}) must divide evenly "
-            f"into bands ({bands})"
+            f"hyperplane_lsh_topk: bands ({bands}) must divide "
+            f"bits ({bits}) evenly"
         )
     width = bits // bands
     sk = sign_sketch(emb, dim, bits)

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -518,7 +520,15 @@ class ZTable:
         }
         final = self._snap_path(version)
         os.makedirs(os.path.dirname(final), exist_ok=True)
-        tmp = final + ".tmp"
+        # Per-writer unique tmp name: two writers racing for the same
+        # version must never share a staging inode, or one writer's
+        # truncate/rewrite can be published under the other's os.link
+        # (silent snapshot swap) and the winner's cleanup unlink makes
+        # the loser fail with FileNotFoundError instead of the
+        # FileExistsError the rebase loop keys on. os.link(tmp, final)
+        # stays the single atomic claim; FileExistsError is the only
+        # lost-race signal.
+        tmp = f"{final}.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             json.dump(snap, fh, indent=1)
         try:
@@ -734,7 +744,9 @@ class ZTable:
             parent["cell"],
             parent["bits"],
             [],
-            None,
+            # carry the recorded table schema so a later strict-mode
+            # append still enforces it (compact never changes columns)
+            {"columns": parent.get("columns", list(live.columns))},
             self.stats_cols(parent),
         )
 
@@ -928,6 +940,8 @@ def ztable_delete_where(
         "cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols,
         "zcol": table.zcol(snap),
     }
+    if "columns" in snap:  # delete never changes the table schema
+        meta["columns"] = snap["columns"]
     if not hit:
         table._commit(version, "delete", list(snap["files"]), meta)
         return version, 0, total
@@ -1023,9 +1037,15 @@ def ztable_upsert(
         max(n_files, len(hit)), snap["cell"], snap["bits"],
     )
     new = _file_stats(spark, data_dir, x, y, cols)
+    # Schema carries through (and may grow: unionByName above accepts
+    # batch-only columns, the mergeSchema evolution semantics)
+    table_cols = snap.get("columns", list(df.columns))
+    merged_cols = list(table_cols) + [
+        c for c in df.columns if c not in set(table_cols)
+    ]
     table._commit(
         version, "merge", kept + new,
         {"cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols,
-         "zcol": table.zcol(snap)},
+         "zcol": table.zcol(snap), "columns": merged_cols},
     )
     return version, len(hit), total

@@ -626,3 +626,38 @@ def test_ztable_3d_layout_prunes_z_axis(spark, sf_dir, tmp_path):
         (r["x"], r["y"], r["w"]) for r in res3.collect()
     ) == want2
     assert 0 < n_read3 < n_total3
+
+
+def test_ztable_columns_meta_survives_all_commit_paths(
+    spark, sf_dir, tmp_path
+):
+    """The recorded table schema ('columns') must survive compact,
+    delete and merge commits — otherwise a later strict-mode append
+    falls back to the batch's own columns and the strict schema check
+    silently disarms (r4 advisor finding). Merge may GROW the schema
+    with batch-only columns (the unionByName evolution semantics)."""
+    import pytest
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    want = t.snapshot()["columns"]
+    assert want  # create records it
+
+    t.compact(spark, n_files=4)
+    assert t.snapshot()["columns"] == want
+
+    L.ztable_delete_where(t, spark, (4000.0, 4100.0), (0.0, 5000.0))
+    assert t.snapshot()["columns"] == want
+
+    L.ztable_upsert(t, spark, extra.limit(50), n_files=1)
+    assert t.snapshot()["columns"] == want
+
+    # upsert with an evolved batch grows the recorded schema
+    L.ztable_upsert(
+        t, spark, extra.limit(5).withColumn("tag", F.lit("m")), n_files=1
+    )
+    assert t.snapshot()["columns"] == want + ["tag"]
+
+    # and the strict gate still works after all of the above: a batch
+    # missing the evolved column is rejected in strict mode
+    with pytest.raises(ValueError, match="schema_mode='merge'"):
+        t.append(extra.limit(3), n_files=1)
