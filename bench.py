@@ -82,7 +82,12 @@ BENCH_QUERIES = [
     "t11_histogram_quantiles",
     # round-4 continuation: edge-level truss peel (iterative triangle
     # join), bounded exact-substring dup-span signal, 3-D Morton
-    # layout keys, windowFunnel conversion, cohort retention
+    # layout keys, windowFunnel conversion, cohort retention.
+    # Methodology note (x_ktruss_edges): timed END-TO-END including
+    # simhash pair generation (~3 s of the wall) — what a user runs.
+    # r5 removed the 3x triangle re-enumeration (the support stream is
+    # now one explode over the wedge join, not a union of three selects
+    # that each replant the join subtree), which halved the operator.
     "x_ktruss_edges",
     "x_dup_spans",
     "o4_zorder3_cells",

@@ -965,10 +965,10 @@ def triangle_counts(
     tri = _oriented_triangles(
         _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
     )
-    nodes = (
-        tri.select(F.col("a").alias("doc_id"))
-        .union(tri.select(F.col("b").alias("doc_id")))
-        .union(tri.select(F.col("c").alias("doc_id")))
+    # one explode, not a 3-way union: a union re-enumerates the full
+    # triangle set once per branch (see ktruss_edges)
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
     )
     return nodes.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_triangles")
@@ -1319,24 +1319,29 @@ def ktruss_edges(
     e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
     tri = _oriented_triangles(e)
     # the wedge join emits triangles in DEGREE order, not id order,
-    # so canonicalize each of the 3 member edges back to u < v
-    tri_edges = (
-        tri.select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .union(
-            tri.select(
-                F.least("a", "c").alias("u"),
-                F.greatest("a", "c").alias("v"),
+    # so canonicalize each of the 3 member edges back to u < v. One
+    # explode, NOT a 3-way union of selects: a union would plant three
+    # copies of the wedge-join subtree in the plan and re-enumerate the
+    # full triangle set three times (measured 3x the enumeration wall
+    # at sf0.1's 30M triangles).
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"),
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"),
+                    F.greatest("a", "c").alias("v"),
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"),
+                    F.greatest("b", "c").alias("v"),
+                ),
             )
-        )
-        .union(
-            tri.select(
-                F.least("b", "c").alias("u"),
-                F.greatest("b", "c").alias("v"),
-            )
-        )
-    )
+        ).alias("e")
+    ).select("e.u", "e.v")
     support = tri_edges.groupBy("u", "v").agg(
         F.count("*").cast("long").alias("support")
     )
@@ -1380,23 +1385,28 @@ def ktruss_edges(
         triple = tri_hit.select(
             F.array_sort(F.array("u", "v", "w")).alias("t")
         ).distinct()
+        # one explode, not a 3-way union of selects, so the candidate
+        # join + distinct above runs once per round, not three times
         dec_edges = (
             triple.select(
-                F.element_at("t", 1).alias("u"),
-                F.element_at("t", 2).alias("v"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.element_at("t", 1).alias("u"),
+                            F.element_at("t", 2).alias("v"),
+                        ),
+                        F.struct(
+                            F.element_at("t", 1).alias("u"),
+                            F.element_at("t", 3).alias("v"),
+                        ),
+                        F.struct(
+                            F.element_at("t", 2).alias("u"),
+                            F.element_at("t", 3).alias("v"),
+                        ),
+                    )
+                ).alias("e")
             )
-            .union(
-                triple.select(
-                    F.element_at("t", 1).alias("u"),
-                    F.element_at("t", 3).alias("v"),
-                )
-            )
-            .union(
-                triple.select(
-                    F.element_at("t", 2).alias("u"),
-                    F.element_at("t", 3).alias("v"),
-                )
-            )
+            .select("e.u", "e.v")
             .groupBy("u", "v")
             .agg(F.count("*").cast("long").alias("dec"))
         )
