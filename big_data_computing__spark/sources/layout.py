@@ -863,7 +863,20 @@ class ZTable:
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete every
         data file no retained snapshot references (including orphans from
-        lost commit races). Returns the deleted file paths."""
+        lost commit races). Returns the deleted file paths.
+
+        Reader-isolation contract (the Delta VACUUM trade): versioned
+        reads only promise RETAINED versions. After vacuum, resolving a
+        dropped version raises FileNotFoundError ("vacuumed away") at
+        plan time; a DataFrame planned BEFORE the vacuum against a
+        dropped version keeps working only while every file it
+        references is still shared with a retained snapshot (pure
+        appends carry parent files forward; compact/delete/merge
+        supersede them), and otherwise fails LOUDLY at execution with a
+        missing-file error — ``ignoreMissingFiles`` is deliberately not
+        set, so a torn read can never return silently partial results.
+        Pick ``keep_last`` >= the longest reader you expect in flight,
+        exactly like Delta's retention window."""
         import shutil
 
         vs = self.versions()

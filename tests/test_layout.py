@@ -661,3 +661,41 @@ def test_ztable_columns_meta_survives_all_commit_paths(
     # missing the evolved column is rejected in strict mode
     with pytest.raises(ValueError, match="schema_mode='merge'"):
         t.append(extra.limit(3), n_files=1)
+
+
+def test_ztable_vacuum_reader_isolation_contract(
+    spark, sf_dir, tmp_path
+):
+    """Pins the documented vacuum contract: versioned reads only
+    promise retained versions. After compact + vacuum(keep_last=1),
+    (a) resolving the dropped version raises FileNotFoundError at plan
+    time with the 'vacuumed away' message, (b) a DataFrame planned
+    against the dropped version BEFORE the vacuum fails loudly at
+    execution (its files were superseded by the compact — never a
+    silent partial result), and (c) a pre-vacuum reader of a dropped
+    version whose files are all CARRIED into the retained snapshot
+    (pure append lineage) still succeeds."""
+    import pytest
+
+    # (a)+(b): compact supersedes v0's files
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    pinned_v0 = t.read(spark, version=0)  # planned pre-vacuum
+    t.compact(spark, n_files=4)
+    removed = t.vacuum(keep_last=1)
+    assert removed  # v0's files are gone
+    with pytest.raises(FileNotFoundError, match="vacuumed away"):
+        t.read(spark, version=0)
+    with pytest.raises(Exception):
+        pinned_v0.collect()  # loud failure, not partial rows
+    # the retained version is intact
+    assert t.read(spark).count() == base.count()
+
+    # (c): append-only lineage carries v0's files into v1, so a
+    # pre-vacuum v0 reader survives vacuum (files still referenced)
+    t2 = L.ZTable.create(
+        base, str(tmp_path / "ztable_append"), n_files=4, cell=200.0
+    )
+    pinned = t2.read(spark, version=0)
+    t2.append(extra, n_files=2)
+    t2.vacuum(keep_last=1)
+    assert pinned.count() == base.count()
