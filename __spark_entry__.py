@@ -822,6 +822,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from the two-pass rank, reproducible on any engine
         return _cu.interleave_order(_docs(spark, sf_dir))
 
+    def x_pack_sequences(spark, sf_dir):
+        # concat-and-chunk sequence packing (the LLM-pretraining
+        # packing map): global token offset via the two-pass prefix
+        # sum, then pure arithmetic to the chunk span per document
+        return _cu.pack_sequences(_docs(spark, sf_dir))
+
+    def x_pack_chunk_stats(spark, sf_dir):
+        # per-training-example audit of the same packing: docs/tokens/
+        # padding per fixed-length chunk via a bounded explode of each
+        # document's chunk span
+        return _cu.pack_chunk_stats(_docs(spark, sf_dir))
+
     def x_dedup_snm(spark, sf_dir):
         # sorted-neighborhood blocking (third family: order-based,
         # O(n·window) candidates regardless of shingle skew) + exact
@@ -1142,7 +1154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w10_event_transitions,
         w11_rfm_scores,
         w12_session_paths,
-        # -- re-verification spill (33 slots): the r3-green dedup / ANN
+        # -- NEW this round (r5): sequence packing (two-pass prefix
+        # sum + chunk arithmetic) --
+        x_pack_sequences,
+        x_pack_chunk_stats,
+        # -- re-verification spill (31 slots): the r3-green dedup / ANN
         # / clustering / curation block — oldest driver evidence first --
         c7_approx_outliers_summary,
         c6_exact_outliers,
@@ -1175,11 +1191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_repetition,
         x_contamination,
         x_tfidf_top_terms,
-        x_pagerank_dupgraph,
-        x_bloom_contamination,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r05.json) covers everything
         # below. All of it holds an r3 or r4 driver-green row. ----
+        x_pagerank_dupgraph,
+        x_bloom_contamination,
         a17_pivot_events,
         o3_zorder_cells,
         x_weighted_reservoir,
@@ -1665,6 +1681,8 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         ),
         "x_train_shards": _cu.shard_stats_sql(),
         "x_train_order": _cu.interleave_order_sql(),
+        "x_pack_sequences": _cu.pack_sequences_sql(),
+        "x_pack_chunk_stats": _cu.pack_chunk_stats_sql(),
         "x_kcore_nodes": _dd.kcore_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
             k=2,

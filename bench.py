@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "w10_event_transitions",
     "w11_rfm_scores",
     "w12_session_paths",
+    # round-5 addition: concat-and-chunk sequence packing (training-
+    # output family; two-pass distributed prefix sum + chunk arithmetic)
+    "x_pack_sequences",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -946,3 +946,150 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY _key, doc_id) AS BIGINT) AS seq,
        doc_id, source
 FROM keyed
 """
+
+
+PACK_CONTEXT = 1024
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = PACK_CONTEXT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    packing (documents concatenated in a deterministic order, the token
+    stream split at fixed ``context_len`` boundaries): DataFrame
+    [doc_id, n_tokens, tok_start, first_chunk, last_chunk,
+    spans_boundary].
+
+    ``tok_start`` is the document's global token offset (exclusive
+    prefix sum of token counts in doc_id order), so
+    ``first_chunk = tok_start // C`` and ``last_chunk = (tok_start +
+    n_tokens - 1) // C`` identify exactly which training examples the
+    document lands in; ``spans_boundary`` flags documents split across
+    a chunk boundary (the attention-masking / doc-boundary-loss cases a
+    training job must count). An empty document occupies no tokens and
+    reports ``last_chunk = first_chunk``.
+
+    100 TB shape: the only global step is the prefix sum, computed with
+    :func:`~.relational.global_prefix_sum` (range partition +
+    per-partition sums + driver cumsum over ≤ n_partitions longs) —
+    never a single-partition window. Everything after it is per-row
+    arithmetic. The reference has no training-output stage; this
+    extends the shard/interleave family above.
+    """
+    from ..functions.text import token_count
+    from .relational import global_prefix_sum
+
+    sized = docs.select(
+        "doc_id", token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    pre = global_prefix_sum(
+        sized, "n_tokens", "doc_id", out_col="tok_start"
+    )
+    c = F.lit(context_len).cast("long")
+    first = (F.col("tok_start") / c).cast("long")
+    last_pos = F.col("tok_start") + F.greatest(
+        F.col("n_tokens") - 1, F.lit(0).cast("long")
+    )
+    last = (last_pos / c).cast("long")
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last > first).alias("spans_boundary"),
+    )
+
+
+def pack_sequences_sql(context_len: int = PACK_CONTEXT) -> str:
+    """DuckDB twin of :func:`pack_sequences` (the window form the
+    two-pass prefix sum replaces)."""
+    toks = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+    return f"""
+WITH sized AS (
+  SELECT doc_id, CAST({toks} AS BIGINT) AS n_tokens FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM sized
+)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(tok_start // {context_len} AS BIGINT) AS first_chunk,
+       CAST((tok_start + GREATEST(n_tokens - 1, 0)) // {context_len}
+            AS BIGINT) AS last_chunk,
+       (tok_start + GREATEST(n_tokens - 1, 0)) // {context_len}
+         > tok_start // {context_len} AS spans_boundary
+FROM pre
+"""
+
+
+def pack_chunk_stats(
+    docs: DataFrame,
+    context_len: int = PACK_CONTEXT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-example view of the packing: DataFrame[chunk_id,
+    n_docs, n_tokens, n_pad] — how many documents contribute to each
+    fixed-length example, how many real tokens it holds, and the
+    padding in the (only) partial final chunk.
+
+    Plan: :func:`pack_sequences` gives each document its chunk span;
+    exploding ``sequence(first_chunk, last_chunk)`` fans each document
+    out to the chunks it overlaps (total fan-out = total_tokens /
+    context_len + n_docs — bounded, never quadratic), and the overlap
+    length is pure arithmetic. One groupBy(chunk_id) aggregation.
+    """
+    packed = pack_sequences(docs, context_len, text_col).where(
+        F.col("n_tokens") > 0
+    )
+    c = F.lit(context_len).cast("long")
+    doc_end = F.col("tok_start") + F.col("n_tokens")  # exclusive
+    per_chunk = packed.select(
+        "tok_start",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.col("first_chunk"), F.col("last_chunk"))
+        ).alias("chunk_id"),
+    ).select(
+        "chunk_id",
+        (
+            F.least(doc_end, (F.col("chunk_id") + 1) * c)
+            - F.greatest(F.col("tok_start"), F.col("chunk_id") * c)
+        ).alias("overlap"),
+    )
+    return per_chunk.groupBy("chunk_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("overlap").cast("long").alias("n_tokens"),
+        (F.lit(context_len).cast("long") - F.sum("overlap").cast("long")).alias(
+            "n_pad"
+        ),
+    )
+
+
+def pack_chunk_stats_sql(context_len: int = PACK_CONTEXT) -> str:
+    """DuckDB twin of :func:`pack_chunk_stats`."""
+    return f"""
+WITH packed AS (
+  SELECT * FROM ({pack_sequences_sql(context_len)}) WHERE n_tokens > 0
+),
+per_chunk AS (
+  SELECT unnest(range(first_chunk, last_chunk + 1)) AS chunk_id,
+         tok_start, n_tokens
+  FROM packed
+)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(tok_start + n_tokens, (chunk_id + 1) * {context_len})
+              - GREATEST(tok_start, chunk_id * {context_len}))
+            AS BIGINT) AS n_tokens,
+       CAST({context_len} - SUM(
+              LEAST(tok_start + n_tokens, (chunk_id + 1) * {context_len})
+              - GREATEST(tok_start, chunk_id * {context_len}))
+            AS BIGINT) AS n_pad
+FROM per_chunk GROUP BY chunk_id
+"""

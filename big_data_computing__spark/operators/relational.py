@@ -355,3 +355,52 @@ def global_rank(
         .cast("long")
         .alias(rank_col),
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: str,
+    out_col: str = "prefix_sum",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` under a TOTAL order:
+    each row gets the sum of all strictly-preceding rows' values
+    (``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` without the single-partition window that SQL form
+    degenerates to in Spark).
+
+    Same two-pass idiom as :func:`global_rank`: range-repartition on
+    the order columns, per-partition sums (≤ ``n_partitions`` longs to
+    the driver), driver-side cumulative offsets, then a within-
+    partition running sum plus the partition offset. ``order_cols``
+    must be a total order (include a unique tie-break column).
+    """
+    part = df.repartitionByRange(n_partitions, *order_cols)
+    withpid = part.withColumn("_pid", F.spark_partition_id())
+    withpid = withpid.localCheckpoint()  # pin the split both passes see
+    sums = {
+        r["_pid"]: r["s"]
+        for r in withpid.groupBy("_pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    off = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.coalesce(
+        F.sum(value_col).over(w).cast("long"), F.lit(0).cast("long")
+    )
+    return withpid.select(
+        *df.columns,
+        (running + off[F.col("_pid")]).cast("long").alias(out_col),
+    )

@@ -398,3 +398,75 @@ def test_interleave_order_spreads_small_domains(spark, sf_dir):
     }
     first = {r["doc_id"]: r["seq"] for r in out.collect()}
     assert again == first
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Concat-and-chunk packing: offsets tile the token stream exactly
+    (each doc starts where the previous ended), chunk spans follow from
+    arithmetic, and the chunk view conserves tokens with zero padding
+    anywhere but the final chunk."""
+    from big_data_computing__spark.operators.curation import (
+        pack_chunk_stats,
+        pack_sequences,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    C = 256
+    packed = pack_sequences(docs, context_len=C).collect()
+    packed.sort(key=lambda r: r["doc_id"])
+    acc = 0
+    for r in packed:
+        assert r["tok_start"] == acc  # exclusive prefix sum, exact
+        acc += r["n_tokens"]
+        assert r["first_chunk"] == r["tok_start"] // C
+        last_pos = r["tok_start"] + max(r["n_tokens"] - 1, 0)
+        assert r["last_chunk"] == last_pos // C
+        assert r["spans_boundary"] == (r["last_chunk"] > r["first_chunk"])
+    total_tokens = acc
+
+    chunks = pack_chunk_stats(docs, context_len=C).collect()
+    chunks.sort(key=lambda r: r["chunk_id"])
+    # contiguous chunk ids from 0
+    assert [r["chunk_id"] for r in chunks] == list(range(len(chunks)))
+    # token conservation
+    assert sum(r["n_tokens"] for r in chunks) == total_tokens
+    # concat-and-chunk never pads except the final partial chunk
+    for r in chunks[:-1]:
+        assert r["n_pad"] == 0 and r["n_tokens"] == C
+    assert 0 <= chunks[-1]["n_pad"] < C
+    assert sum(r["n_docs"] for r in chunks) >= len(
+        [r for r in packed if r["n_tokens"] > 0]
+    )
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """The two-pass distributed prefix sum equals the single-partition
+    window form on a fixture small enough to compare, including ties
+    broken by the order columns and zero/empty values."""
+    from pyspark.sql import Window
+
+    from big_data_computing__spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    rows = [(i, (i * 37) % 11) for i in range(500)] + [(1000, 0), (1001, 0)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["ps"]
+        for r in global_prefix_sum(
+            df, "v", "k", out_col="ps", n_partitions=8
+        ).collect()
+    }
+    w = (
+        Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["k"]: r["ps"]
+        for r in df.select(
+            "k",
+            F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long").alias("ps"),
+        ).collect()
+    }
+    assert got == want
