@@ -1317,13 +1317,24 @@ def ktruss_edges(
             "use the edge list itself)"
         )
     e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    support = triangle_supports(e)
+    kept = _truss_peel(e, support, k, max_iterations)
+    return kept.select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b"), "support"
+    )
+
+
+def triangle_supports(e: DataFrame) -> DataFrame:
+    """Full-graph per-edge triangle supports: DataFrame[u, v, support]
+    for every canonical edge in >= 1 triangle (zero-triangle edges are
+    absent — callers treat missing as 0). One O(m^1.5) degree-oriented
+    enumeration; the support stream is a single explode per triangle,
+    NOT a 3-way union of selects — a union would plant three copies of
+    the wedge-join subtree in the plan and re-enumerate the full
+    triangle set three times (measured 3x the enumeration wall at
+    sf0.1's 30M triangles). The wedge join emits triangles in DEGREE
+    order, so each member edge is canonicalized back to u < v."""
     tri = _oriented_triangles(e)
-    # the wedge join emits triangles in DEGREE order, not id order,
-    # so canonicalize each of the 3 member edges back to u < v. One
-    # explode, NOT a 3-way union of selects: a union would plant three
-    # copies of the wedge-join subtree in the plan and re-enumerate the
-    # full triangle set three times (measured 3x the enumeration wall
-    # at sf0.1's 30M triangles).
     tri_edges = tri.select(
         F.explode(
             F.array(
@@ -1342,9 +1353,25 @@ def ktruss_edges(
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    support = tri_edges.groupBy("u", "v").agg(
+    return tri_edges.groupBy("u", "v").agg(
         F.count("*").cast("long").alias("support")
     )
+
+
+def _truss_peel(
+    e: DataFrame,
+    support: DataFrame,
+    k: int,
+    max_iterations: int = KTRUSS_MAX_ROUNDS,
+) -> DataFrame:
+    """The parallel delete-all-weak-edges peel, starting from already-
+    computed full-graph supports: returns DataFrame[u, v, support]
+    (supports INSIDE the truss). Shared by :func:`ktruss_edges` (which
+    computes supports with one full enumeration) and the streaming
+    maintenance path (streaming/graph_stream.py, which maintains
+    supports incrementally across micro-batches) — the peel never
+    re-enumerates; every round touches only triangles through
+    just-removed edges."""
     # inner join: an edge in NO triangle has support 0 < k-2 for
     # every legal k, so dropping it via the join is the filter
     kept = (
@@ -1360,11 +1387,7 @@ def ktruss_edges(
     n_removed = removed.count()
     for _ in range(max_iterations - 1):
         if n_removed == 0:
-            return kept.select(
-                F.col("u").alias("doc_a"),
-                F.col("v").alias("doc_b"),
-                "support",
-            )
+            return kept
         # G_prev = kept ∪ removed; triangles of G_prev through a
         # removed edge (u, v) = common neighbors w of u and v
         gprev = kept.select("u", "v").union(removed.select("u", "v"))
@@ -1428,11 +1451,7 @@ def ktruss_edges(
         )
         n_removed = rescored.count() - kept.count()
     if n_removed == 0:
-        return kept.select(
-            F.col("u").alias("doc_a"),
-            F.col("v").alias("doc_b"),
-            "support",
-        )
+        return kept
     raise RuntimeError(
         f"ktruss_edges: no fixed point after {max_iterations} rounds "
         "(raise max_iterations; the oracle unrolls the same bound)"
