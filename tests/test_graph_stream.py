@@ -96,3 +96,48 @@ def test_truss_maintenance_stream_wiring(spark, tmp_path):
     assert state.n_edges == len(edges)
     want = _rows(ktruss_edges(_edge_df(spark, edges), k=4))
     assert _rows(state.truss()) == want
+
+
+def test_truss_maintenance_over_ztable_ingested_edges(spark, tmp_path):
+    """The composed pipeline: an edge stream lands in a ZTable (Z-order
+    snapshot log, exactly-once batch-id guard), and the truss state is
+    maintained from the table's own append deltas — each snapshot's
+    new files are exactly one incremental update. End truss equals the
+    batch operator over the table's live rows."""
+    from big_data_computing__spark.sources import layout as L
+    from big_data_computing__spark.streaming.table_stream import (
+        table_append_stream,
+    )
+
+    edges = _graph()
+    df = _edge_df(spark, edges)
+    first, rest = df.where("doc_a < 3"), df.where("doc_a >= 3")
+    table = L.ZTable.create(
+        first, str(tmp_path / "edge_table"), x="doc_a", y="doc_b",
+        n_files=2, cell=16.0,
+    )
+    src_dir = str(tmp_path / "incoming")
+    rest.repartition(2).write.parquet(src_dir)
+    src = spark.readStream.schema(df.schema).parquet(src_dir)
+    q = (
+        table_append_stream(src, table, str(tmp_path / "ckpt"), n_files=1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).count() == len(edges)
+
+    # replay the snapshot log as truss updates: version v's delta =
+    # files in v but not v-1 (appends only ever add files)
+    state = TrussState(k=4)
+    versions = table.versions()
+    prev_files: set[str] = set()
+    for v in versions:
+        files = {e["file"] for e in table.snapshot(v)["files"]}
+        delta = sorted(files - prev_files)
+        prev_files = files
+        if delta:
+            state.update(spark.read.parquet(*delta))
+    want = _rows(ktruss_edges(table.read(spark), k=4))
+    assert _rows(state.truss()) == want
+    assert len(want) == 20  # the two 5-cliques
