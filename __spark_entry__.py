@@ -971,6 +971,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         return _dd.dedup_survivors(docs, _dd.minhash_lsh_pairs(docs))
 
+    def x_semdedup_survivors(spark, sf_dir):
+        # SemDeDup (Abbas et al. 2023): near-duplicates in EMBEDDING
+        # space — cosine near-pairs (IVF-cell-pruned exact path) →
+        # connected components → one representative per semantic
+        # cluster. The embedding-space twin of x_dedup_survivors; the
+        # composition a curation pipeline runs after lexical dedup to
+        # drop paraphrase-level repeats lexical families can't see.
+        emb = _emb(spark, sf_dir)
+        pairs = _sim.cosine_near_pairs_blocked(
+            emb,
+            COSINE_NEARDUP_THRESHOLD,
+            n_cells=8,
+            l=FFT_L,
+            seed=SEED,
+        ).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        return _dd.dedup_survivors(
+            emb, pairs, doc_id="vec_id"
+        ).select(F.col("doc_id").alias("vec_id"))
+
     def x_clean_corpus(spark, sf_dir):
         # the composed curation pipeline: quality filter → language
         # filter → exact dedup → near-dup CC survivors, one oracle for
@@ -1155,10 +1176,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w11_rfm_scores,
         w12_session_paths,
         # -- NEW this round (r5): sequence packing (two-pass prefix
-        # sum + chunk arithmetic) --
+        # sum + chunk arithmetic); SemDeDup embedding-space survivors --
         x_pack_sequences,
         x_pack_chunk_stats,
-        # -- re-verification spill (31 slots): the r3-green dedup / ANN
+        x_semdedup_survivors,
+        # -- re-verification spill (30 slots): the r3-green dedup / ANN
         # / clustering / curation block — oldest driver evidence first --
         c7_approx_outliers_summary,
         c6_exact_outliers,
@@ -1190,10 +1212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_frame_sample,
         x_repetition,
         x_contamination,
-        x_tfidf_top_terms,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r05.json) covers everything
         # below. All of it holds an r3 or r4 driver-green row. ----
+        x_tfidf_top_terms,
         x_pagerank_dupgraph,
         x_bloom_contamination,
         a17_pivot_events,
@@ -1724,6 +1746,15 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (
   SELECT doc_id FROM ({_dd.duplicate_components_sql(
       f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})")})
+  WHERE doc_id <> component_id
+)""",
+        "x_semdedup_survivors": f"""
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT doc_id FROM ({_dd.duplicate_components_sql(
+      "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+      + _sim.cosine_near_pairs_sql(COSINE_NEARDUP_THRESHOLD)
+      + ")")})
   WHERE doc_id <> component_id
 )""",
         "x_ann_cosine_topk": _sim.cosine_topk_sql(
