@@ -1458,39 +1458,49 @@ def _truss_peel(
     )
 
 
-def ktruss_edges_sql(
-    pairs_sql: str, k: int = 3, rounds: int = KTRUSS_MAX_ROUNDS
-) -> str:
-    """DuckDB twin of :func:`ktruss_edges`: the peel unrolled into
-    ``rounds`` (triangles, support, filtered edges) CTE triples. The
-    oracle enumerates each triangle once by sorted node ids (a < b < c
-    via e1=(a,b), e2=(b,c), e3=(a,c)) — a different traversal of the
-    same triangle set as the engine's degree orientation, so member
-    edges and supports are identical. Every round MATERIALIZED for the
-    same reason as :func:`kcore_nodes_sql` (3 references per round)."""
+def _truss_peel_ctes(
+    start: str, k: int, rounds: int, tag: str = ""
+) -> tuple[list[str], str]:
+    """Unrolled peel CTEs for one truss level: from edge CTE ``start``,
+    ``rounds`` (triangles, support, filtered edges) triples named with
+    ``tag``. Returns (ctes, final_edge_cte_name). The oracle enumerates
+    each triangle once by sorted node ids (a < b < c via e1=(a,b),
+    e2=(b,c), e3=(a,c)) — a different traversal of the same triangle
+    set as the engine's degree orientation, so member edges and
+    supports are identical. Every round MATERIALIZED for the same
+    reason as :func:`kcore_nodes_sql` (3 references per round)."""
     ctes = []
-    prev = "e0"
+    prev = start
     for i in range(1, rounds + 1):
         ctes.append(f"""
-t{i} AS MATERIALIZED (
+t{tag}{i} AS MATERIALIZED (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM {prev} e1
   JOIN {prev} e2 ON e2.u = e1.v
   JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
 ),
-s{i} AS MATERIALIZED (
+s{tag}{i} AS MATERIALIZED (
   SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
-    SELECT a AS u, b AS v FROM t{i}
-    UNION ALL SELECT b, c FROM t{i}
-    UNION ALL SELECT a, c FROM t{i}
+    SELECT a AS u, b AS v FROM t{tag}{i}
+    UNION ALL SELECT b, c FROM t{tag}{i}
+    UNION ALL SELECT a, c FROM t{tag}{i}
   ) GROUP BY u, v
 ),
-e{i} AS MATERIALIZED (
+e{tag}{i} AS MATERIALIZED (
   SELECT s.u, s.v, s.support
-  FROM s{i} s JOIN {prev} e ON e.u = s.u AND e.v = s.v
+  FROM s{tag}{i} s JOIN {prev} e ON e.u = s.u AND e.v = s.v
   WHERE s.support >= {k - 2}
 )""")
-        prev = f"e{i}"
+        prev = f"e{tag}{i}"
+    return ctes, prev
+
+
+def ktruss_edges_sql(
+    pairs_sql: str, k: int = 3, rounds: int = KTRUSS_MAX_ROUNDS
+) -> str:
+    """DuckDB twin of :func:`ktruss_edges`: the peel unrolled into
+    ``rounds`` CTE triples (see :func:`_truss_peel_ctes`)."""
+    ctes, prev = _truss_peel_ctes("e0", k, rounds)
     return f"""
 WITH p AS MATERIALIZED ({pairs_sql}),
 e0 AS MATERIALIZED (
@@ -1499,6 +1509,102 @@ e0 AS MATERIALIZED (
 ),
 {','.join(ctes)}
 SELECT u AS doc_a, v AS doc_b, support FROM {prev}
+"""
+
+
+def truss_decomposition(
+    pairs: DataFrame,
+    kmax: int = 6,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = KTRUSS_MAX_ROUNDS,
+) -> DataFrame:
+    """Per-edge TRUSSNESS, capped at ``kmax``: DataFrame[doc_a, doc_b,
+    trussness] where trussness = max k with the edge in the k-truss
+    (2 for edges in no triangle; ``kmax`` means "kmax or higher" — the
+    documented cap, since near-clique duplicate graphs have trussness
+    up to clique size).
+
+    The full cohesion spectrum in one output — a curation pipeline
+    thresholds it per decision (collapse at >= 5, review at 3) instead
+    of re-running the peel per k. Cost: ONE full triangle enumeration,
+    then a CHAIN of peels — the (k+1)-truss of G equals the (k+1)-truss
+    of truss_k(G), and :func:`_truss_peel` returns each level's
+    *inside-the-truss* supports, which are exactly the starting
+    supports the next level needs, so no level ever re-enumerates.
+    Level diffs label edges; rounds per level bounded by
+    ``max_iterations`` with the same raise-on-exhaustion contract as
+    :func:`ktruss_edges` (the oracle unrolls the same bounds).
+    """
+    if kmax < 3:
+        raise ValueError("truss_decomposition: kmax must be >= 3")
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    support = triangle_supports(e)
+    kept = _truss_peel(e, support, 3, max_iterations)
+    frames = [
+        e.join(kept.select("u", "v"), ["u", "v"], "left_anti").select(
+            "u", "v", F.lit(2).cast("long").alias("trussness")
+        )
+    ]
+    for k in range(3, kmax):
+        nxt = _truss_peel(
+            kept.select("u", "v"), kept, k + 1, max_iterations
+        )
+        frames.append(
+            kept.select("u", "v")
+            .join(nxt.select("u", "v"), ["u", "v"], "left_anti")
+            .select("u", "v", F.lit(k).cast("long").alias("trussness"))
+        )
+        kept = nxt
+    frames.append(
+        kept.select("u", "v", F.lit(kmax).cast("long").alias("trussness"))
+    )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out.select(
+        F.col("u").alias("doc_a"), F.col("v").alias("doc_b"), "trussness"
+    )
+
+
+def truss_decomposition_sql(
+    pairs_sql: str, kmax: int = 6, rounds: int = KTRUSS_MAX_ROUNDS
+) -> str:
+    """DuckDB twin of :func:`truss_decomposition`: one unrolled peel
+    chain per level k=3..kmax, each starting from the previous level's
+    final edge CTE, with level diffs labelled by anti-joins."""
+    all_ctes: list[str] = []
+    prev = "e0"
+    finals = {}
+    for k in range(3, kmax + 1):
+        ctes, prev = _truss_peel_ctes(prev, k, rounds, tag=f"k{k}_")
+        all_ctes += ctes
+        finals[k] = prev
+    diffs = [
+        f"""
+SELECT e0.u, e0.v, CAST(2 AS BIGINT) AS trussness
+FROM e0 LEFT JOIN {finals[3]} t ON t.u = e0.u AND t.v = e0.v
+WHERE t.u IS NULL"""
+    ]
+    for k in range(3, kmax):
+        diffs.append(f"""
+SELECT a.u, a.v, CAST({k} AS BIGINT) AS trussness
+FROM {finals[k]} a LEFT JOIN {finals[k + 1]} b
+  ON b.u = a.u AND b.v = a.v
+WHERE b.u IS NULL""")
+    diffs.append(
+        f"\nSELECT u, v, CAST({kmax} AS BIGINT) AS trussness "
+        f"FROM {finals[kmax]}"
+    )
+    union = "\nUNION ALL".join(diffs)
+    return f"""
+WITH p AS MATERIALIZED ({pairs_sql}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM p WHERE doc_a <> doc_b
+),
+{','.join(all_ctes)}
+SELECT u AS doc_a, v AS doc_b, trussness FROM ({union})
 """
 
 

@@ -833,3 +833,45 @@ def test_snm_multipass_closes_reversed_blind_spot(spark):
     assert (3, 4) not in single
     assert (3, 4) in multi
     assert single <= multi
+
+
+def test_truss_decomposition_hand_graph(spark):
+    """Two 5-cliques + a chain + a lone triangle: clique edges have
+    trussness 5, the triangle 3, chain edges 2; levels are consistent
+    with running ktruss_edges per k."""
+    from big_data_computing__spark.operators.dedup import (
+        ktruss_edges,
+        truss_decomposition,
+    )
+
+    edges = []
+    for base in (0, 100):
+        nodes = [base + i for i in range(5)]
+        edges += [
+            (a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]
+        ]
+    edges += [(4, 50), (50, 51), (51, 100)]
+    edges += [(200, 201), (201, 202), (200, 202)]
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["trussness"]
+        for r in truss_decomposition(df, kmax=6).collect()
+    }
+    assert len(got) == len(edges)
+    for a, b in edges:
+        want = 2
+        if a >= 200:
+            want = 3
+        elif (a < 5 and b < 5) or (100 <= a and b < 200):
+            want = 5
+        assert got[(a, b)] == want, (a, b)
+    # cross-check every level against the one-k operator
+    for k in (3, 4, 5, 6):
+        want_k = {
+            (r["doc_a"], r["doc_b"])
+            for r in ktruss_edges(df, k=k).collect()
+        }
+        got_k = {e for e, t in got.items() if t >= k}
+        assert got_k == want_k, k
