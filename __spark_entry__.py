@@ -796,6 +796,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # indices, and the duplicated minority of tokens shuffle.
         return _dd.despanned_corpus(_docs(spark, sf_dir))
 
+    def x_truss_decomposition(spark, sf_dir):
+        # per-edge trussness (capped at 6) over the simhash duplicate
+        # graph: the full cohesion spectrum from ONE enumeration and a
+        # chain of peels (level k+1 starts from level k's inside-truss
+        # supports) — a pipeline thresholds this per decision instead
+        # of re-running the peel per k
+        return _dd.truss_decomposition(
+            _dd.simhash_near_pairs(_docs(spark, sf_dir)), kmax=6
+        )
+
     def x_dup_cluster_truss(spark, sf_dir):
         # per-cluster truss kernel: CC membership x 4-truss edges over
         # the same checkpointed simhash edge list — truss_frac ~ 1 is a
@@ -1180,7 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_pack_sequences,
         x_pack_chunk_stats,
         x_semdedup_survivors,
-        # -- re-verification spill (30 slots): the r3-green dedup / ANN
+        x_truss_decomposition,
+        # -- re-verification spill (29 slots): the r3-green dedup / ANN
         # / clustering / curation block — oldest driver evidence first --
         c7_approx_outliers_summary,
         c6_exact_outliers,
@@ -1211,10 +1222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_pii_report,
         x_frame_sample,
         x_repetition,
-        x_contamination,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r05.json) covers everything
         # below. All of it holds an r3 or r4 driver-green row. ----
+        x_contamination,
         x_tfidf_top_terms,
         x_pagerank_dupgraph,
         x_bloom_contamination,
@@ -1700,6 +1711,11 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
             f"SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
             k=4,
+        ),
+        "x_truss_decomposition": _dd.truss_decomposition_sql(
+            f"SELECT doc_a, doc_b FROM "
+            f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
+            kmax=6,
         ),
         "x_train_shards": _cu.shard_stats_sql(),
         "x_train_order": _cu.interleave_order_sql(),
