@@ -85,9 +85,12 @@ BENCH_QUERIES = [
     # layout keys, windowFunnel conversion, cohort retention.
     # Methodology note (x_ktruss_edges): timed END-TO-END including
     # simhash pair generation (~3 s of the wall) — what a user runs.
-    # r5 removed the 3x triangle re-enumeration (the support stream is
-    # now one explode over the wedge join, not a union of three selects
-    # that each replant the join subtree), which halved the operator.
+    # r5 made the single triangle enumeration structural (one explode
+    # over the wedge join instead of a 3-way union whose identical
+    # subtrees only AQE stage-reuse deduplicated at runtime); clean A/B
+    # in STRESS.md: ~15-20% on the support step, 24.2 -> 23.0 s
+    # end-to-end. The residual wall is the irreducible first full
+    # enumeration + 90M-row support agg over a 30M-triangle graph.
     "x_ktruss_edges",
     "x_dup_spans",
     "o4_zorder3_cells",

@@ -1329,10 +1329,12 @@ def triangle_supports(e: DataFrame) -> DataFrame:
     for every canonical edge in >= 1 triangle (zero-triangle edges are
     absent — callers treat missing as 0). One O(m^1.5) degree-oriented
     enumeration; the support stream is a single explode per triangle,
-    NOT a 3-way union of selects — a union would plant three copies of
-    the wedge-join subtree in the plan and re-enumerate the full
-    triangle set three times (measured 3x the enumeration wall at
-    sf0.1's 30M triangles). The wedge join emits triangles in DEGREE
+    NOT a 3-way union of selects — the union form plants three copies
+    of the wedge-join subtree in the plan, and only AQE's runtime
+    stage reuse saves it from enumerating three times (clean A/B in
+    STRESS.md: explode is ~15-20% faster on sf0.1's 30M triangles and
+    makes the single enumeration structural rather than
+    planner-dependent). The wedge join emits triangles in DEGREE
     order, so each member edge is canonicalized back to u < v."""
     tri = _oriented_triangles(e)
     tri_edges = tri.select(
@@ -1468,7 +1470,8 @@ def _truss_peel_ctes(
     e2=(b,c), e3=(a,c)) — a different traversal of the same triangle
     set as the engine's degree orientation, so member edges and
     supports are identical. Every round MATERIALIZED for the same
-    reason as :func:`kcore_nodes_sql` (3 references per round)."""
+    reason as :func:`kcore_nodes_sql` (3 references per round).
+    """
     ctes = []
     prev = start
     for i in range(1, rounds + 1):

@@ -119,3 +119,83 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_us: int = 7 * 86_400_000_000,
+):
+    """Streaming twin of ``windows.funnel_report``: per-user state holds
+    the greedy-minimal completion time of each funnel step (k longs, 0 =
+    not yet completed); each micro-batch advances the user's progress
+    and emits (user_id, completed) in update mode. Counting users with
+    ``completed >= i`` over the final per-user states equals the batch
+    funnel's per-step user counts exactly (asserted in tests).
+
+    Equivalence argument: the batch semantics are greedy-minimal
+    (step 1 anchors at the EARLIEST step-1 event; each later step takes
+    the earliest qualifying occurrence). Under the in-order arrival
+    contract every replay twin in streaming/ documents (per-user event
+    order across micro-batches follows event time; within a batch rows
+    are sorted by (micros, event_id) before processing), the earliest
+    qualifying occurrence is exactly the FIRST qualifying occurrence the
+    greedy scan meets, and a completion time once set can never be
+    improved by later (hence later-in-time) events — so the incremental
+    state equals the batch computation after any prefix of the stream.
+
+    State is O(k) per user — the minimal footprint for a k-step funnel.
+    ``events`` must carry user_id, event_id, event_type, and ``u``
+    (event-time micros, e.g. ``windows.event_time_us``).
+    """
+    if len(steps) < 2:
+        raise ValueError("streaming_funnel: need at least 2 steps")
+    k = len(steps)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("completed", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"t{i}", T.LongType()) for i in range(1, k + 1)]
+    )
+    step_index = {s: i for i, s in enumerate(steps)}
+
+    def update(
+        key: Any,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values(["u", "event_id"])
+        ts = list(state.get) if state.exists else [0] * k
+        for r in rows.itertuples():
+            i = step_index.get(r.event_type)
+            if i is None or ts[i] != 0:
+                continue
+            u = int(r.u)
+            if i == 0:
+                ts[0] = u
+            elif (
+                ts[i - 1] != 0
+                and u > ts[i - 1]
+                and u <= ts[0] + horizon_us
+            ):
+                ts[i] = u
+        state.update(tuple(ts))
+        completed = 0
+        for t in ts:
+            if t == 0:
+                break
+            completed += 1
+        yield pd.DataFrame({"user_id": [user], "completed": [completed]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
