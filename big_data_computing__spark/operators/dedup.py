@@ -962,9 +962,8 @@ def triangle_counts(
     # (degrees, two join sides, closure) — without this the upstream
     # pair generator (e.g. the whole MinHash pipeline) replays per
     # reference. Bounded: two longs per edge.
-    tri = _oriented_triangles(
-        _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
-    )
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    tri = _oriented_triangles(e, n_edges=e.count())
     # one explode, not a 3-way union: a union re-enumerates the full
     # triangle set once per branch (see ktruss_edges)
     nodes = tri.select(
@@ -989,17 +988,39 @@ def _canonical_edges(
     )
 
 
-def _oriented_triangles(e: DataFrame) -> DataFrame:
+_TRIANGLE_BROADCAST_EDGE_LIMIT = 5_000_000
+
+
+def _oriented_triangles(
+    e: DataFrame, n_edges: int | None = None
+) -> DataFrame:
     """Each triangle exactly once as (a, b, c), via the degree-oriented
-    wedge join described in :func:`triangle_counts`."""
+    wedge join described in :func:`triangle_counts`.
+
+    ``n_edges``: pass the (checkpointed) edge count when known. When
+    the edge list is small enough to replicate
+    (<= ``_TRIANGLE_BROADCAST_EDGE_LIMIT``), the degree table, the
+    wedge build side, and — critically — the CLOSURE side are
+    broadcast: the wedge stream (the O(m^1.5) term, far bigger than
+    the edge list) then pipelines straight into a broadcast-probe +
+    partial aggregation instead of being exchanged AND sorted on
+    (y, z) for a sort-merge join. The edge inputs are localCheckpoints
+    with no table statistics, so Spark's auto-broadcast never fires on
+    its own here. Above the limit (billions of edges at 100 TB) the
+    plan falls back to the shuffled joins, which is the only correct
+    choice when the edge list itself cannot be replicated."""
+    small = (
+        n_edges is not None and n_edges <= _TRIANGLE_BROADCAST_EDGE_LIMIT
+    )
+    bc = F.broadcast if small else (lambda df: df)
     deg = (
         e.select(F.col("u").alias("n"))
         .union(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").cast("long").alias("deg"))
     )
-    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    du = bc(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")))
+    dv = bc(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")))
     lower_is_u = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -1015,17 +1036,23 @@ def _oriented_triangles(e: DataFrame) -> DataFrame:
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("y"), F.col("dd").alias("dy")
     )
+    if small:
+        # the whole wedge stream pipelines through broadcast probes in
+        # ONE stage, so its balance is fixed by e1's partitioning —
+        # round-robin the (tiny) edge list first, or hub-heavy input
+        # partitions serialize the O(m^1.5) fan-out on a few cores
+        e1 = e1.repartition(e1.sparkSession.sparkContext.defaultParallelism * 2)
     e2 = oriented.select(
         F.col("src"), F.col("dst").alias("z"), F.col("dd").alias("dz")
     )
-    wedges = e1.join(e2, "src").where(
+    wedges = e1.join(bc(e2), "src").where(
         (F.col("dy") < F.col("dz"))
         | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
     )
     closure = oriented.select(
         F.col("src").alias("y"), F.col("dst").alias("z")
     )
-    return wedges.join(closure, ["y", "z"]).select(
+    return wedges.join(bc(closure), ["y", "z"]).select(
         F.col("src").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
     )
 
@@ -1084,7 +1111,7 @@ def dup_cluster_report(
     comp = duplicate_components(
         e.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
     )
-    tri = _oriented_triangles(e)
+    tri = _oriented_triangles(e, n_edges=e.count())
     sizes = comp.groupBy("component_id").agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -1317,14 +1344,16 @@ def ktruss_edges(
             "use the edge list itself)"
         )
     e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
-    support = triangle_supports(e)
+    support = triangle_supports(e, n_edges=e.count())
     kept = _truss_peel(e, support, k, max_iterations)
     return kept.select(
         F.col("u").alias("doc_a"), F.col("v").alias("doc_b"), "support"
     )
 
 
-def triangle_supports(e: DataFrame) -> DataFrame:
+def triangle_supports(
+    e: DataFrame, n_edges: int | None = None
+) -> DataFrame:
     """Full-graph per-edge triangle supports: DataFrame[u, v, support]
     for every canonical edge in >= 1 triangle (zero-triangle edges are
     absent — callers treat missing as 0). One O(m^1.5) degree-oriented
@@ -1335,8 +1364,10 @@ def triangle_supports(e: DataFrame) -> DataFrame:
     STRESS.md: explode is ~15-20% faster on sf0.1's 30M triangles and
     makes the single enumeration structural rather than
     planner-dependent). The wedge join emits triangles in DEGREE
-    order, so each member edge is canonicalized back to u < v."""
-    tri = _oriented_triangles(e)
+    order, so each member edge is canonicalized back to u < v.
+    ``n_edges`` forwards to :func:`_oriented_triangles`'s broadcast
+    gate."""
+    tri = _oriented_triangles(e, n_edges=n_edges)
     tri_edges = tri.select(
         F.explode(
             F.array(
@@ -1391,7 +1422,11 @@ def _truss_peel(
         if n_removed == 0:
             return kept
         # G_prev = kept ∪ removed; triangles of G_prev through a
-        # removed edge (u, v) = common neighbors w of u and v
+        # removed edge (u, v) = common neighbors w of u and v.
+        # (Broadcasting the small `removed` side here was measured and
+        # does NOT pay: the per-round adjacency shuffles are already
+        # small, and the peel wall is identical either way — see
+        # STRESS.md r5. The support SEEDING is where broadcast wins.)
         gprev = kept.select("u", "v").union(removed.select("u", "v"))
         adj = gprev.union(
             gprev.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1542,7 +1577,7 @@ def truss_decomposition(
     if kmax < 3:
         raise ValueError("truss_decomposition: kmax must be >= 3")
     e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
-    support = triangle_supports(e)
+    support = triangle_supports(e, n_edges=e.count())
     kept = _truss_peel(e, support, 3, max_iterations)
     frames = [
         e.join(kept.select("u", "v"), ["u", "v"], "left_anti").select(

@@ -85,7 +85,9 @@ class TrussState:
         if self.edges is None:
             # first batch: the batch operator's path verbatim
             self.edges = delta
-            self.support = triangle_supports(delta).localCheckpoint()
+            self.support = triangle_supports(
+                delta, n_edges=n_new
+            ).localCheckpoint()
             self.n_edges = n_new
             return n_new
         g_new = self.edges.union(delta).localCheckpoint()
