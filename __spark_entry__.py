@@ -691,6 +691,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (exact-rounded ops only; ln is not bit-portable cross-engine)
         return _ts.tfidf_top_terms(_docs(spark, sf_dir))
 
+    def x_unigram_rarity(spark, sf_dir):
+        # the portable stand-in for a unigram perplexity filter: mean
+        # inverse add-1/2-smoothed unigram probability per doc — exact
+        # integer ratios, position-ordered summation, no libm log
+        return _ts.unigram_rarity(_docs(spark, sf_dir))
+
     def x_top_ngrams(spark, sf_dir):
         # corpus-wide top-k bigrams (word-count shape, TakeOrdered)
         return _cu.top_ngrams(_docs(spark, sf_dir))
@@ -1191,7 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_pack_chunk_stats,
         x_semdedup_survivors,
         x_truss_decomposition,
-        # -- re-verification spill (29 slots): the r3-green dedup / ANN
+        x_unigram_rarity,
+        # -- re-verification spill (28 slots): the r3-green dedup / ANN
         # / clustering / curation block — oldest driver evidence first --
         c7_approx_outliers_summary,
         c6_exact_outliers,
@@ -1221,10 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_token_budget_sample,
         x_pii_report,
         x_frame_sample,
-        x_repetition,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r05.json) covers everything
         # below. All of it holds an r3 or r4 driver-green row. ----
+        x_repetition,
         x_contamination,
         x_tfidf_top_terms,
         x_pagerank_dupgraph,
@@ -1677,6 +1684,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_balanced_sample": _cu.balanced_sample_sql(cap=BALANCED_CAP),
         "x_top_ngrams": _cu.top_ngrams_sql(),
         "x_tfidf_top_terms": _ts.tfidf_top_terms_sql(),
+        "x_unigram_rarity": _ts.unigram_rarity_sql(),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "x_bloom_contamination": _cu.bloom_contamination_sql(),

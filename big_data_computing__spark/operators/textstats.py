@@ -525,3 +525,98 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE GREATEST(CAST(inter AS DOUBLE) / sa.nfp,
                CAST(inter AS DOUBLE) / sb.nfp) >= {threshold!r}
 """
+
+
+def unigram_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document rarity score under the corpus unigram model:
+    DataFrame[doc_id, n_tokens, rarity] with
+    ``rarity = avg over the doc's tokens of (2N + V) / (2·c(t) + 1)``
+    — the mean INVERSE add-½-smoothed unigram probability (N = corpus
+    token count, V = vocabulary size, c(t) = corpus count of token t).
+
+    This is the engine's portable stand-in for the unigram
+    perplexity filter of CCNet/Gopher-style curation: documents heavy
+    in rare tokens (gibberish, boilerplate IDs, non-language noise)
+    score high and get cut by a threshold, exactly the decision shape a
+    log-perplexity filter draws. The score deliberately avoids ``ln``:
+    like :func:`tfidf_top_terms`'s linear idf, every term is a ratio of
+    exact integers (IEEE-exact in doubles) and the per-document sum
+    runs in token-position order on BOTH engines (sorted struct
+    rebuild here, ``list(... ORDER BY idx)`` in the twin), so the
+    result is bit-reproducible cross-engine — a property no libm log
+    can give (last-ulp divergence, measured; see tfidf's docstring).
+
+    Plan: one (token) count aggregation (word-count shape), a 2-scalar
+    total (broadcast), a token-keyed join of the exploded corpus, and
+    one per-doc aggregation — every stage keyed on high-cardinality
+    columns. At 100 TB the vocabulary table is the only mid-size
+    intermediate, and it shuffles once.
+    """
+    pairs = docs.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("idx", "term")
+    )
+    counts = pairs.groupBy("term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    weighted = (
+        pairs.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "idx",
+            (
+                (2 * F.col("n_total") + F.col("vocab")).cast("double")
+                / (2 * F.col("c") + 1).cast("double")
+            ).alias("w"),
+        )
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "w"))),
+                    lambda s: s["w"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count("*"),
+            6,
+        ).alias("rarity"),
+    )
+
+
+def unigram_rarity_sql() -> str:
+    """DuckDB twin of :func:`unigram_rarity` (identical integer
+    ratios, identical position-ordered summation)."""
+    return f"""
+WITH pairs AS (
+  -- two same-length unnests in one SELECT expand in lockstep
+  SELECT doc_id,
+         unnest(range(len(toks))) AS idx,
+         unnest(toks) AS term
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+),
+counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY term
+),
+totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM counts
+),
+weighted AS (
+  SELECT p.doc_id, p.idx,
+         CAST(2 * t.n_total + t.vocab AS DOUBLE)
+         / CAST(2 * c.c + 1 AS DOUBLE) AS w
+  FROM pairs p JOIN counts c USING (term) CROSS JOIN totals t
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       ROUND(list_sum(list(w ORDER BY idx)) / COUNT(*), 6) AS rarity
+FROM weighted GROUP BY doc_id
+"""

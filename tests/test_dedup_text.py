@@ -875,3 +875,35 @@ def test_truss_decomposition_hand_graph(spark):
         }
         got_k = {e for e, t in got.items() if t >= k}
         assert got_k == want_k, k
+
+
+def test_unigram_rarity_hand_computed(spark):
+    """Three tiny docs: rarity is the mean inverse smoothed unigram
+    probability — rare-token docs score strictly higher; values match
+    a by-hand computation."""
+    from big_data_computing__spark.operators.textstats import (
+        unigram_rarity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a b c"),
+            (3, "zzz qqq a"),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus: N=9 tokens; counts a=4 b=2 c=1 zzz=1 qqq=1; V=5
+    # weight(t) = (2N+V)/(2c+1) = 23/(2c+1)
+    w = {"a": 23 / 9, "b": 23 / 5, "c": 23 / 3, "zzz": 23 / 3, "qqq": 23 / 3}
+    want = {
+        1: round((w["a"] + w["a"] + w["b"]) / 3, 6),
+        2: round((w["a"] + w["b"] + w["c"]) / 3, 6),
+        3: round((w["zzz"] + w["qqq"] + w["a"]) / 3, 6),
+    }
+    got = {
+        r["doc_id"]: r["rarity"]
+        for r in unigram_rarity(docs).collect()
+    }
+    assert got == want
+    assert got[3] > got[2] > got[1]  # rare-token docs score higher
