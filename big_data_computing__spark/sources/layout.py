@@ -49,6 +49,15 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "_file_manifest.json"
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """A read-modify-write commit (compact / delete / merge) lost the
+    version race and could not be safely rebased within its retry
+    budget. The op's data files are on disk but uncommitted
+    (vacuum-able); re-run the operation against the new table state —
+    the Delta ``ConcurrentAppendException`` / ``ConcurrentDelete…``
+    family collapsed into one type."""
+
+
 def _file_stats(
     spark: SparkSession,
     path: str,
@@ -404,9 +413,14 @@ class ZTable:
     a blind append conflicts with nothing, so the retry just re-reads
     the new latest snapshot and re-commits metadata — no data rewrite,
     exactly Delta's blind-append conflict rule. Read-modify-write
-    commits (compact / delete / merge) never auto-retry: their output
-    was derived from the parent snapshot, so a lost race invalidates
-    the data itself and the caller must re-run against the new state.
+    commits (compact / delete / merge) resolve a lost race by
+    conflict-range checks (``max_retries`` > 0): interleaved blind
+    appends whose file stats boxes are disjoint from the op's
+    predicate/match region commute, so the op rebases metadata-only;
+    an overlapping append or a non-append commit re-runs the op (or,
+    for compact, raises) against the new state, keeping the serial
+    order modify-AFTER-append. An exhausted budget raises
+    :class:`ConcurrentWriteConflict`.
     Single-filesystem only — the 100 TB deployment would swap the
     ``os.link`` publish for an object-store conditional PUT, exactly as
     Delta's LogStore does; everything else (manifest shape, planning,
@@ -506,6 +520,33 @@ class ZTable:
                 }
             )
         return out
+
+    def _appends_since(self, parent: dict) -> tuple[list[dict], bool]:
+        """Conflict detection for read-modify-write rebases: walk every
+        commit after ``parent`` up to the current latest and return
+        ``(added_entries, pure)``. ``pure`` is True iff each one was a
+        blind append — operation ``"append"`` AND every prior manifest
+        entry carried forward — in which case ``added_entries`` lists
+        exactly the file entries (with their stats boxes) those commits
+        introduced. ``pure=False`` means some interleaved commit
+        rewrote or dropped files this writer's plan may have read, so
+        no metadata-only rebase is ever safe and the caller must re-run
+        against the new state."""
+        added: list[dict] = []
+        prev = parent
+        for v in self.versions():
+            if v <= parent["version"]:
+                continue
+            snap = self.snapshot(v)
+            prev_files = {e["file"] for e in prev["files"]}
+            cur_files = {e["file"] for e in snap["files"]}
+            if snap["operation"] != "append" or not prev_files <= cur_files:
+                return [], False
+            added.extend(
+                e for e in snap["files"] if e["file"] not in prev_files
+            )
+            prev = snap
+        return added, True
 
     def _commit(
         self, version: int, operation: str, files: list[dict], meta: dict
@@ -728,27 +769,60 @@ class ZTable:
                     c for c in df.columns if c not in set(pcols)
                 ]
 
-    def compact(self, spark: SparkSession, n_files: int = 16) -> int:
+    def compact(
+        self, spark: SparkSession, n_files: int = 16,
+        max_retries: int = 0,
+    ) -> int:
         """OPTIMIZE: rewrite the live rows into ``n_files`` fresh
         Z-ordered files (restoring global clustering lost to appends)
-        and commit a snapshot that lists only those. Never auto-retries
-        a lost commit race: the rewrite was derived from the parent
-        snapshot, so the caller must re-run against the new state."""
+        and commit a snapshot that lists only those.
+
+        ``max_retries`` > 0 turns on the OPTIMIZE conflict rule: a
+        compact commutes with blind appends (it rewrote exactly the
+        parent's rows; appended rows live in files it never touched),
+        so a lost race against pure appends rebases metadata-only —
+        the new snapshot = the compacted files + every file appended
+        since the parent. Any interleaved delete/merge/compact
+        invalidates the rewrite itself and raises
+        :class:`ConcurrentWriteConflict`; re-run against the new
+        state."""
         parent = self.snapshot()
+        cols = self.stats_cols(parent)
         live = self.read(spark)
-        return self._write_commit(
-            live,
-            parent["version"] + 1,
-            "compact",
-            n_files,
-            parent["cell"],
-            parent["bits"],
-            [],
+        new = self._write_data(
+            live, parent["version"] + 1, n_files,
+            parent["cell"], parent["bits"], cols,
+        )
+        meta = {
+            "cell": parent["cell"], "bits": parent["bits"],
+            "stats_cols": cols, "zcol": self.zcol(parent),
             # carry the recorded table schema so a later strict-mode
             # append still enforces it (compact never changes columns)
-            {"columns": parent.get("columns", list(live.columns))},
-            self.stats_cols(parent),
-        )
+            "columns": parent.get("columns", list(live.columns)),
+        }
+        version = parent["version"] + 1
+        manifest: list[dict] = list(new)
+        for attempt in range(max_retries + 1):
+            try:
+                return self._commit(version, "compact", manifest, meta)
+            except FileExistsError as exc:
+                added, pure = self._appends_since(parent)
+                if not pure:
+                    raise ConcurrentWriteConflict(
+                        f"compact of {self.path} raced a non-append "
+                        "commit; the rewrite no longer covers the "
+                        "live rows — re-run compact"
+                    ) from exc
+                if attempt == max_retries:
+                    raise ConcurrentWriteConflict(
+                        f"compact of {self.path} lost the commit race "
+                        f"{max_retries + 1} time(s); raise max_retries"
+                    ) from exc
+                latest = self.snapshot()
+                version = latest["version"] + 1
+                manifest = list(new) + added
+                if "columns" in latest:  # appends may evolve schema
+                    meta["columns"] = latest["columns"]
 
     # -- reads ------------------------------------------------------------
 
@@ -843,20 +917,24 @@ class ZTable:
         )
 
     def upsert(
-        self, spark: SparkSession, df: DataFrame, n_files: int = 4
+        self, spark: SparkSession, df: DataFrame, n_files: int = 4,
+        max_retries: int = 0,
     ) -> tuple[int, int, int]:
         """Coordinate-keyed MERGE — see :func:`ztable_upsert`."""
-        return ztable_upsert(self, spark, df, n_files)
+        return ztable_upsert(self, spark, df, n_files, max_retries)
 
     def delete_where(
         self,
         spark: SparkSession,
         x_range: tuple[float, float],
         y_range: tuple[float, float],
+        max_retries: int = 0,
     ) -> tuple[int, int, int]:
         """Copy-on-write DELETE of the box — see
         :func:`ztable_delete_where`."""
-        return ztable_delete_where(self, spark, x_range, y_range)
+        return ztable_delete_where(
+            self, spark, x_range, y_range, max_retries
+        )
 
     # -- maintenance ------------------------------------------------------
 
@@ -915,11 +993,22 @@ def _box_pred(x: str, y: str, x_range, y_range):
     )
 
 
+def _entry_hits_box(e: dict, x_range, y_range) -> bool:
+    """Can the file's stats box intersect the (x, y) query box?"""
+    return (
+        e["max_x"] >= x_range[0]
+        and e["min_x"] <= x_range[1]
+        and e["max_y"] >= y_range[0]
+        and e["min_y"] <= y_range[1]
+    )
+
+
 def ztable_delete_where(
     table: ZTable,
     spark: SparkSession,
     x_range: tuple[float, float],
     y_range: tuple[float, float],
+    max_retries: int = 0,
 ) -> tuple[int, int, int]:
     """Copy-on-write DELETE of the rows inside the (x, y) box:
     returns (new_version, n_files_rewritten, n_files_total).
@@ -931,47 +1020,82 @@ def ztable_delete_where(
     O(table) — on a 100 TB table a small-box delete rewrites a handful
     of files. Old versions still see the deleted rows (time travel);
     vacuum reclaims the superseded files.
-    """
-    snap = table.snapshot()
-    xs, xe = x_range
-    ys, ye = y_range
-    hit, kept = [], []
-    for e in snap["files"]:
-        if (
-            e["max_x"] >= xs
-            and e["min_x"] <= xe
-            and e["max_y"] >= ys
-            and e["min_y"] <= ye
-        ):
-            hit.append(e)
+
+    ``max_retries`` > 0 turns on the Delta conflict protocol for a
+    lost commit race. Each lost race consumes one retry and resolves
+    by the conflict-range check: if every interleaved commit was a
+    blind append whose files' stats boxes are DISJOINT from the delete
+    box, the delete commutes with them and rebases metadata-only (new
+    snapshot = latest's files minus the rewritten ones, plus the
+    survivors — no Spark re-write). If an appended file's box
+    intersects the box (it may hold rows this delete should have
+    removed) or a non-append commit interleaved, the whole delete
+    re-runs against the new state, so the serial order is always
+    delete-AFTER-append. Exhausted budget raises
+    :class:`ConcurrentWriteConflict`; orphaned data dirs from failed
+    attempts are vacuum-able."""
+    budget = max_retries
+    while True:
+        snap = table.snapshot()
+        hit = [
+            e for e in snap["files"]
+            if _entry_hits_box(e, x_range, y_range)
+        ]
+        hitset = {e["file"] for e in hit}
+        kept = [e for e in snap["files"] if e["file"] not in hitset]
+        version = snap["version"] + 1
+        total = len(snap["files"])
+        cols = table.stats_cols(snap)
+        meta = {
+            "cell": snap["cell"], "bits": snap["bits"],
+            "stats_cols": cols, "zcol": table.zcol(snap),
+        }
+        if "columns" in snap:  # delete never changes the table schema
+            meta["columns"] = snap["columns"]
+        if hit:
+            survivors = spark.read.option("mergeSchema", "true").parquet(
+                *[e["file"] for e in hit]
+            ).where(
+                ~_box_pred(table.x, table.y, x_range, y_range)
+            )
+            data_dir = table._new_data_dir(version)
+            _table_data_write(
+                survivors, data_dir, table.x, table.y,
+                table.zcol(snap), max(1, len(hit)),
+                snap["cell"], snap["bits"],
+            )
+            new = _file_stats(spark, data_dir, table.x, table.y, cols)
         else:
-            kept.append(e)
-    version = snap["version"] + 1
-    total = len(snap["files"])
-    cols = table.stats_cols(snap)
-    meta = {
-        "cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols,
-        "zcol": table.zcol(snap),
-    }
-    if "columns" in snap:  # delete never changes the table schema
-        meta["columns"] = snap["columns"]
-    if not hit:
-        table._commit(version, "delete", list(snap["files"]), meta)
-        return version, 0, total
-    survivors = spark.read.option("mergeSchema", "true").parquet(
-        *[e["file"] for e in hit]
-    ).where(
-        ~_box_pred(table.x, table.y, x_range, y_range)
-    )
-    data_dir = table._new_data_dir(version)
-    n_files = max(1, len(hit))
-    _table_data_write(
-        survivors, data_dir, table.x, table.y, table.zcol(snap),
-        n_files, snap["cell"], snap["bits"],
-    )
-    new = _file_stats(spark, data_dir, table.x, table.y, cols)
-    table._commit(version, "delete", kept + new, meta)
-    return version, len(hit), total
+            new = []
+        manifest = kept + new
+        rerun = False
+        while not rerun:
+            try:
+                table._commit(version, "delete", manifest, meta)
+                return version, len(hit), total
+            except FileExistsError as exc:
+                if budget == 0:
+                    raise ConcurrentWriteConflict(
+                        f"delete on {table.path} lost the commit race "
+                        "and the retry budget is exhausted; re-run or "
+                        "raise max_retries"
+                    ) from exc
+                budget -= 1
+                added, pure = table._appends_since(snap)
+                if pure and not any(
+                    _entry_hits_box(e, x_range, y_range) for e in added
+                ):
+                    # disjoint blind appends: metadata-only rebase
+                    latest = table.snapshot()
+                    version = latest["version"] + 1
+                    manifest = [
+                        e for e in latest["files"]
+                        if e["file"] not in hitset
+                    ] + new
+                    if "columns" in latest:
+                        meta["columns"] = latest["columns"]
+                else:
+                    rerun = True  # conflicting rows may exist: re-plan
 
 
 def ztable_upsert(
@@ -979,6 +1103,7 @@ def ztable_upsert(
     spark: SparkSession,
     df: DataFrame,
     n_files: int = 4,
+    max_retries: int = 0,
 ) -> tuple[int, int, int]:
     """Coordinate-keyed MERGE: rows of ``df`` REPLACE any existing row
     at the same (x, y) and are inserted otherwise. Returns
@@ -998,67 +1123,118 @@ def ztable_upsert(
     whose box excludes the incoming row's coordinates, and would have
     to scan the full table. That trade is the same one Delta users hit
     when the MERGE condition isn't aligned with partitioning/Z-order.
-    """
-    snap = table.snapshot()
-    version = snap["version"] + 1
-    total = len(snap["files"])
+
+    ``max_retries`` > 0 turns on the Delta MERGE conflict protocol for
+    a lost commit race (same shape as :func:`ztable_delete_where`): a
+    race against blind appends whose files' stats boxes contain NO
+    batch key rebases metadata-only; an appended file that could hold
+    a matched coordinate (its rows would escape replacement), or any
+    non-append commit, re-runs the whole MERGE against the new state —
+    serial order merge-AFTER-append. Exhausted budget raises
+    :class:`ConcurrentWriteConflict`."""
     x, y = table.x, table.y
-    boxes = spark.createDataFrame(
-        [
-            (e["file"], e["min_x"], e["max_x"], e["min_y"], e["max_y"])
-            for e in snap["files"]
-        ],
-        ["file", "min_x", "max_x", "min_y", "max_y"],
-    )
     keys = (
         df.select(F.col(x).alias("_kx"), F.col(y).alias("_ky"))
         .distinct()
         .localCheckpoint()
     )
-    hit_rows = (
-        keys.join(
-            F.broadcast(boxes),
-            (F.col("_kx") >= F.col("min_x"))
-            & (F.col("_kx") <= F.col("max_x"))
-            & (F.col("_ky") >= F.col("min_y"))
-            & (F.col("_ky") <= F.col("max_y")),
+
+    def files_hit(entries: list[dict]) -> set[str]:
+        """Which of these files' stats boxes contain a batch key?
+        One broadcast theta-join per call; the box side is tiny (one
+        row per file), the key side stays distributed."""
+        if not entries:
+            return set()
+        boxes = spark.createDataFrame(
+            [
+                (e["file"], e["min_x"], e["max_x"],
+                 e["min_y"], e["max_y"])
+                for e in entries
+            ],
+            ["file", "min_x", "max_x", "min_y", "max_y"],
         )
-        .select("file")
-        .distinct()
-        .collect()
-    )
-    hit = {r["file"] for r in hit_rows}
-    kept = [e for e in snap["files"] if e["file"] not in hit]
-    if hit:
-        old = spark.read.option("mergeSchema", "true").parquet(
-            *sorted(hit)
-        ).join(
-            keys,
-            (F.col(x) == F.col("_kx")) & (F.col(y) == F.col("_ky")),
-            "left_anti",
+        rows = (
+            keys.join(
+                F.broadcast(boxes),
+                (F.col("_kx") >= F.col("min_x"))
+                & (F.col("_kx") <= F.col("max_x"))
+                & (F.col("_ky") >= F.col("min_y"))
+                & (F.col("_ky") <= F.col("max_y")),
+            )
+            .select("file")
+            .distinct()
+            .collect()
         )
-        # allowMissingColumns: the batch or the hit files may carry
-        # schema-evolved columns the other side lacks (null-filled,
-        # the mergeSchema read semantics)
-        merged = old.unionByName(df, allowMissingColumns=True)
-    else:
-        merged = df
-    cols = table.stats_cols(snap)
-    data_dir = table._new_data_dir(version)
-    _table_data_write(
-        merged, data_dir, x, y, table.zcol(snap),
-        max(n_files, len(hit)), snap["cell"], snap["bits"],
-    )
-    new = _file_stats(spark, data_dir, x, y, cols)
-    # Schema carries through (and may grow: unionByName above accepts
-    # batch-only columns, the mergeSchema evolution semantics)
-    table_cols = snap.get("columns", list(df.columns))
-    merged_cols = list(table_cols) + [
-        c for c in df.columns if c not in set(table_cols)
-    ]
-    table._commit(
-        version, "merge", kept + new,
-        {"cell": snap["cell"], "bits": snap["bits"], "stats_cols": cols,
-         "zcol": table.zcol(snap), "columns": merged_cols},
-    )
-    return version, len(hit), total
+        return {r["file"] for r in rows}
+
+    budget = max_retries
+    while True:
+        snap = table.snapshot()
+        version = snap["version"] + 1
+        total = len(snap["files"])
+        hit = files_hit(snap["files"])
+        kept = [e for e in snap["files"] if e["file"] not in hit]
+        if hit:
+            old = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(hit)
+            ).join(
+                keys,
+                (F.col(x) == F.col("_kx")) & (F.col(y) == F.col("_ky")),
+                "left_anti",
+            )
+            # allowMissingColumns: the batch or the hit files may carry
+            # schema-evolved columns the other side lacks (null-filled,
+            # the mergeSchema read semantics)
+            merged = old.unionByName(df, allowMissingColumns=True)
+        else:
+            merged = df
+        cols = table.stats_cols(snap)
+        data_dir = table._new_data_dir(version)
+        _table_data_write(
+            merged, data_dir, x, y, table.zcol(snap),
+            max(n_files, len(hit)), snap["cell"], snap["bits"],
+        )
+        new = _file_stats(spark, data_dir, x, y, cols)
+        # Schema carries through (and may grow: unionByName above
+        # accepts batch-only columns, the mergeSchema evolution
+        # semantics)
+        table_cols = snap.get("columns", list(df.columns))
+        merged_cols = list(table_cols) + [
+            c for c in df.columns if c not in set(table_cols)
+        ]
+        meta = {
+            "cell": snap["cell"], "bits": snap["bits"],
+            "stats_cols": cols, "zcol": table.zcol(snap),
+            "columns": merged_cols,
+        }
+        manifest = kept + new
+        rerun = False
+        while not rerun:
+            try:
+                table._commit(version, "merge", manifest, meta)
+                return version, len(hit), total
+            except FileExistsError as exc:
+                if budget == 0:
+                    raise ConcurrentWriteConflict(
+                        f"merge on {table.path} lost the commit race "
+                        "and the retry budget is exhausted; re-run or "
+                        "raise max_retries"
+                    ) from exc
+                budget -= 1
+                added, pure = table._appends_since(snap)
+                if pure and not files_hit(added):
+                    # no appended file can hold a matched key:
+                    # metadata-only rebase onto the latest snapshot
+                    latest = table.snapshot()
+                    version = latest["version"] + 1
+                    manifest = [
+                        e for e in latest["files"]
+                        if e["file"] not in hit
+                    ] + new
+                    latest_cols = latest.get("columns", merged_cols)
+                    meta["columns"] = list(latest_cols) + [
+                        c for c in df.columns
+                        if c not in set(latest_cols)
+                    ]
+                else:
+                    rerun = True  # a matched row may hide: re-plan

@@ -699,3 +699,263 @@ def test_ztable_vacuum_reader_isolation_contract(
     t2.append(extra, n_files=2)
     t2.vacuum(keep_last=1)
     assert pinned.count() == base.count()
+
+
+# -- ZTable: read-modify-write conflict protocol -------------------------
+
+
+def _arm_commit_race(victim: L.ZTable, interleave):
+    """Make ``victim`` lose exactly one commit race, deterministically:
+    its first ``_commit`` runs ``interleave()`` (which commits through
+    a DIFFERENT handle) just before publishing, so the victim's
+    ``os.link`` hits FileExistsError in precisely the window a thread
+    race would, and its conflict protocol takes over. Subsequent
+    commits pass straight through."""
+    orig = victim._commit
+    state = {"fired": 0}
+
+    def patched(version, operation, files, meta):
+        if not state["fired"]:
+            state["fired"] = 1
+            interleave()
+        return orig(version, operation, files, meta)
+
+    victim._commit = patched
+    return state
+
+
+# delete box whose y-range stays >= 100 below the appended batch's
+# y >= 5000, so the appended files' stats boxes are provably disjoint
+DBOX_Y = (4000.0, 4900.0)
+
+
+def test_ztable_delete_rebases_onto_disjoint_append(
+    spark, sf_dir, tmp_path
+):
+    """Delete racing a blind append OUTSIDE the delete box: the
+    conflict-range check proves commutativity and the delete rebases
+    metadata-only — both commits land, appended files carried
+    forward, no appended row lost."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    n_extra = extra.count()
+    n_box = base.where(
+        F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    ).count()
+    assert n_box > 0
+    other = L.ZTable(t.path)
+    state = _arm_commit_race(
+        t, lambda: other.append(extra, n_files=2)
+    )
+    v, n_hit, total = t.delete_where(
+        spark, BOX_X, DBOX_Y, max_retries=2
+    )
+    assert state["fired"] == 1
+    assert (v, t.latest_version()) == (2, 2)
+    assert [h["operation"] for h in t.history()] == [
+        "create", "append", "delete",
+    ]
+    # metadata-only rebase: every file the append introduced is in the
+    # delete's published manifest verbatim
+    appended = {e["file"] for e in t.snapshot(1)["files"]} - {
+        e["file"] for e in t.snapshot(0)["files"]
+    }
+    assert appended
+    assert appended <= {e["file"] for e in t.snapshot(2)["files"]}
+    final = t.read(spark)
+    assert final.count() == base.count() - n_box + n_extra
+    assert final.where(
+        F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    ).count() == 0
+
+
+def test_ztable_delete_reruns_when_append_overlaps_box(
+    spark, sf_dir, tmp_path
+):
+    """Delete racing an append INSIDE the delete box: rebase would
+    leak the appended rows past the delete, so the protocol re-runs
+    the whole delete against the new state — serial order is
+    delete-AFTER-append and the appended in-box rows die too."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    box_pred = F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    n_box = base.where(box_pred).count()
+    inside = base.where(box_pred).limit(25).localCheckpoint()
+    n_inside = inside.count()
+    assert n_inside > 0
+    other = L.ZTable(t.path)
+    state = _arm_commit_race(
+        t, lambda: other.append(inside, n_files=1)
+    )
+    v, n_hit, total = t.delete_where(
+        spark, BOX_X, DBOX_Y, max_retries=3
+    )
+    assert state["fired"] == 1
+    assert [h["operation"] for h in t.history()] == [
+        "create", "append", "delete",
+    ]
+    final = t.read(spark)
+    assert final.where(box_pred).count() == 0
+    assert final.count() == base.count() - n_box
+
+
+def test_ztable_rmw_race_without_retries_raises(
+    spark, sf_dir, tmp_path
+):
+    """max_retries=0 keeps the old contract: any lost race raises
+    (now as ConcurrentWriteConflict), and the loser's commit never
+    lands."""
+    import pytest
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    other = L.ZTable(t.path)
+    _arm_commit_race(t, lambda: other.append(extra.limit(10), n_files=1))
+    with pytest.raises(L.ConcurrentWriteConflict, match="retry budget"):
+        t.delete_where(spark, BOX_X, DBOX_Y)
+    assert [h["operation"] for h in t.history()] == ["create", "append"]
+
+
+def test_ztable_compact_rebases_onto_concurrent_append(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE commutes with blind appends: a compact that loses the
+    race to an append republishes as (compacted files + appended
+    files) without rewriting anything."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    other = L.ZTable(t.path)
+    state = _arm_commit_race(t, lambda: other.append(extra, n_files=2))
+    v = t.compact(spark, n_files=4, max_retries=2)
+    assert state["fired"] == 1
+    assert v == 2
+    assert [h["operation"] for h in t.history()] == [
+        "create", "append", "compact",
+    ]
+    appended = {e["file"] for e in t.snapshot(1)["files"]} - {
+        e["file"] for e in t.snapshot(0)["files"]
+    }
+    assert appended <= {e["file"] for e in t.snapshot(2)["files"]}
+    assert t.read(spark).count() == base.count() + extra.count()
+
+
+def test_ztable_compact_raises_on_non_append_race(
+    spark, sf_dir, tmp_path
+):
+    """A compact racing a DELETE can't rebase (its rewrite still holds
+    the deleted rows) — it must fail loudly however many retries are
+    left, never resurrect deleted data."""
+    import pytest
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    other = L.ZTable(t.path)
+    _arm_commit_race(
+        t, lambda: other.delete_where(spark, BOX_X, DBOX_Y)
+    )
+    with pytest.raises(L.ConcurrentWriteConflict, match="re-run compact"):
+        t.compact(spark, n_files=4, max_retries=5)
+    # the delete won; its result is intact and the box stays empty
+    assert t.snapshot()["operation"] == "delete"
+    assert t.read(spark).where(
+        F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    ).count() == 0
+
+
+def test_ztable_upsert_rebases_onto_disjoint_append(
+    spark, sf_dir, tmp_path
+):
+    """MERGE racing an append none of whose files can hold a batch
+    key: rebases metadata-only; replacements and appended rows both
+    land."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    batch = (
+        base.orderBy("id").limit(30)
+        .withColumn("id", F.col("id") + 1000000)
+        .localCheckpoint()
+    )
+    n_batch = batch.count()
+    other = L.ZTable(t.path)
+    state = _arm_commit_race(t, lambda: other.append(extra, n_files=2))
+    v, n_hit, total = t.upsert(spark, batch, max_retries=2)
+    assert state["fired"] == 1
+    assert n_hit > 0
+    assert [h["operation"] for h in t.history()] == [
+        "create", "append", "merge",
+    ]
+    final = t.read(spark)
+    # pure replacement at the batch keys + every appended row present
+    assert final.where(F.col("id") >= 1000000).count() == n_batch
+    assert final.count() == base.count() + extra.count()
+
+
+def test_ztable_upsert_reruns_when_append_matches_key(
+    spark, sf_dir, tmp_path
+):
+    """MERGE racing an append AT one of its keys: rebase would leave
+    the appended row unreplaced (two rows at one coordinate), so the
+    protocol re-runs — serial order merge-AFTER-append leaves exactly
+    the batch's row at every key."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    seed_rows = base.orderBy("id").limit(5).localCheckpoint()
+    batch = seed_rows.withColumn(
+        "id", F.col("id") + 1000000
+    ).localCheckpoint()
+    dup = seed_rows.withColumn(
+        "id", F.col("id") + 2000000
+    ).limit(1).localCheckpoint()
+    other = L.ZTable(t.path)
+    state = _arm_commit_race(t, lambda: other.append(dup, n_files=1))
+    v, n_hit, total = t.upsert(spark, batch, max_retries=3)
+    assert state["fired"] == 1
+    assert [h["operation"] for h in t.history()] == [
+        "create", "append", "merge",
+    ]
+    final = t.read(spark)
+    assert final.where(F.col("id") >= 2000000).count() == 0
+    assert final.where(F.col("id") >= 1000000).count() == 5
+    # exactly one row survives at each contested coordinate
+    keys = seed_rows.select("x", "y")
+    assert (
+        final.join(keys, ["x", "y"], "left_semi").count() == 5
+    )
+
+
+def test_ztable_mixed_concurrent_writers_all_land(
+    spark, sf_dir, tmp_path
+):
+    """The full concurrency story under a REAL thread race: two
+    appenders (disjoint y-slabs) and one deleter (box disjoint from
+    both slabs) run concurrently with retry budgets. All three commits
+    land exactly once in some serial order; blind appends rebase over
+    anything, the delete rebases over the disjoint appends."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    slabs = [
+        extra.where(
+            F.col("y").between(5100.0 + 2000.0 * i,
+                               5100.0 + 2000.0 * i + 1900.0)
+        ).localCheckpoint()
+        for i in range(2)
+    ]
+    sizes = [s.count() for s in slabs]
+    assert all(sizes)
+    box_pred = F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    n_box = base.where(box_pred).count()
+    assert n_box > 0
+
+    def do_append(s):
+        return L.ZTable(t.path).append(s, n_files=1, max_retries=8)
+
+    def do_delete():
+        return L.ZTable(t.path).delete_where(
+            spark, BOX_X, DBOX_Y, max_retries=8
+        )[0]
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(do_append, s) for s in slabs]
+        futs.append(ex.submit(do_delete))
+        versions = [f.result() for f in futs]
+
+    assert sorted(versions) == [1, 2, 3]
+    ops = [h["operation"] for h in t.history()]
+    assert sorted(ops[1:]) == ["append", "append", "delete"]
+    final = t.read(spark)
+    assert final.where(box_pred).count() == 0
+    assert final.count() == base.count() - n_box + sum(sizes)
