@@ -49,6 +49,85 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "_file_manifest.json"
 
 
+# Lossless type-widening lattice (the Delta "type widening" feature
+# set): a value of the left type is exactly representable in the right
+# type — integer upcasts, float -> double, and small-int -> float/
+# double (int -> double is exact: 53-bit mantissa holds every int32).
+# long -> double is NOT here (lossy above 2^53).
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "float"), ("smallint", "float"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+}
+
+
+def _can_widen(src: str, dst: str) -> bool:
+    return src == dst or (src, dst) in _WIDENINGS
+
+
+def _wider(a: str, b: str) -> str | None:
+    """The wider of two primitive type names if one losslessly
+    contains the other, else None (incompatible)."""
+    if _can_widen(a, b):
+        return b
+    if _can_widen(b, a):
+        return a
+    return None
+
+
+def _reconcile_types(
+    table_types: dict[str, str] | None,
+    batch_types: dict[str, str],
+    schema_mode: str,
+    ctx: str = "append",
+) -> tuple[dict[str, str] | None, dict[str, str]]:
+    """Merge a batch's column types into the table's recorded types.
+    Returns ``(merged_types, casts)``: ``casts`` maps batch columns
+    that must be upcast to the (wider) recorded type before writing,
+    so data files never carry a type narrower than an EARLIER
+    snapshot recorded; a batch column WIDER than the recorded type
+    widens the recorded type instead (``schema_mode='merge'`` only) —
+    older, narrower files are then read through the widened schema via
+    the parquet readers' read-time widening, no rewrite. Incompatible
+    types raise. ``table_types=None`` (legacy snapshot) disables type
+    tracking entirely."""
+    if table_types is None:
+        return None, {}
+    merged = dict(table_types)
+    casts: dict[str, str] = {}
+    for c, bt in batch_types.items():
+        tt = table_types.get(c)
+        if tt is None:
+            merged[c] = bt  # newly added column
+            continue
+        if bt == tt:
+            continue
+        w = _wider(bt, tt)
+        if w is None:
+            raise ValueError(
+                f"{ctx}: column {c!r} batch type {bt} is incompatible "
+                f"with table type {tt}"
+            )
+        if w == tt:
+            casts[c] = tt
+        else:
+            if schema_mode != "merge":
+                raise ValueError(
+                    f"{ctx}: column {c!r} batch type {bt} widens "
+                    f"table type {tt}; pass schema_mode='merge' to "
+                    "evolve the schema"
+                )
+            merged[c] = bt
+    return merged, casts
+
+
+def _df_types(df: DataFrame) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
 class ConcurrentWriteConflict(RuntimeError):
     """A read-modify-write commit (compact / delete / merge) lost the
     version race and could not be safely rebased within its retry
@@ -431,6 +510,16 @@ class ZTable:
     through append/compact/delete/merge); ``read_pruned_where`` then
     plans file skipping from ANY recorded column's range predicate —
     the Delta ``dataSkippingNumIndexedCols`` story.
+
+    Schema evolution (``schema_mode='merge'``) covers column ADDS
+    (older files null-fill on read) and TYPE WIDENING (int chain,
+    float -> double, small-int -> float/double): a wider batch widens
+    the recorded ``column_types`` and older narrow files are read
+    through the widened schema via the parquet readers' read-time
+    widening — never a rewrite; a narrower batch upcasts at write
+    time; incompatible changes raise. Reads use the snapshot's
+    recorded schema explicitly, so each version time-travels with its
+    own schema.
     """
 
     def __init__(
@@ -493,6 +582,32 @@ class ZTable:
         if not vs:
             raise FileNotFoundError(f"no snapshots under {self.path}")
         return vs[-1]
+
+    def _read_schema_ddl(self, snap: dict) -> str | None:
+        """Explicit read schema (DDL string) from the snapshot's
+        recorded columns + types, or None for legacy snapshots without
+        type tracking (those fall back to parquet mergeSchema). The
+        explicit schema gives the two evolution semantics in one shot:
+        files missing an added column null-fill it, and files written
+        before a type widening are read through the wider type by the
+        parquet readers' read-time widening."""
+        cols = snap.get("columns")
+        types = snap.get("column_types")
+        if not cols or not types or set(cols) - set(types):
+            return None
+        return ", ".join(f"`{c}` {types[c]}" for c in cols)
+
+    def _read_files(self, spark: SparkSession, paths, snap: dict):
+        """Scan exactly ``paths`` under the snapshot's schema
+        contract."""
+        ddl = self._read_schema_ddl(snap)
+        reader = spark.read
+        reader = (
+            reader.option("mergeSchema", "true")
+            if ddl is None
+            else reader.schema(ddl)
+        )
+        return reader.parquet(*paths)
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
@@ -622,6 +737,7 @@ class ZTable:
             {
                 "stats_cols": stats_cols,
                 "columns": list(df.columns),
+                "column_types": _df_types(df),
                 "zcol": z,
             },
             stats_cols,
@@ -732,6 +848,28 @@ class ZTable:
             raise ValueError(
                 f"append: unknown schema_mode {schema_mode!r}"
             )
+        batch_types = _df_types(df)
+        merged_types, casts = _reconcile_types(
+            parent.get("column_types"), batch_types, schema_mode
+        )
+        if casts:
+            # upcast narrower batch columns to the recorded type so
+            # data files never carry a type an earlier snapshot's
+            # schema would have to narrow
+            df = df.select(
+                *[
+                    (
+                        F.col(c).cast(casts[c])
+                        if c in casts
+                        else F.col(c)
+                    ).alias(c)
+                    for c in df.columns
+                ]
+            )
+        # the types physically on disk for this batch (post-cast)
+        written_types = {
+            c: casts.get(c, batch_types[c]) for c in batch_types
+        }
         new = self._write_data(
             df,
             parent["version"] + 1,
@@ -741,19 +879,22 @@ class ZTable:
             cols,
         )
         for attempt in range(max_retries + 1):
+            meta = {
+                "cell": parent["cell"],
+                "bits": parent["bits"],
+                "stats_cols": cols,
+                "columns": merged_cols,
+                "zcol": parent.get("zcol"),
+                **(extra_meta or {}),
+            }
+            if merged_types is not None:
+                meta["column_types"] = merged_types
             try:
                 return self._commit(
                     parent["version"] + 1,
                     "append",
                     parent["files"] + new,
-                    {
-                        "cell": parent["cell"],
-                        "bits": parent["bits"],
-                        "stats_cols": cols,
-                        "columns": merged_cols,
-                        "zcol": parent.get("zcol"),
-                        **(extra_meta or {}),
-                    },
+                    meta,
                 )
             except FileExistsError:
                 if attempt == max_retries:
@@ -768,6 +909,14 @@ class ZTable:
                 merged_cols = list(pcols) + [
                     c for c in df.columns if c not in set(pcols)
                 ]
+                # the winner may itself have widened types; our files
+                # are on disk with written_types, which is always <=
+                # the merged record, so rebase stays metadata-only
+                merged_types, _ = _reconcile_types(
+                    parent.get("column_types"),
+                    written_types,
+                    "merge",
+                )
 
     def compact(
         self, spark: SparkSession, n_files: int = 16,
@@ -800,6 +949,8 @@ class ZTable:
             # append still enforces it (compact never changes columns)
             "columns": parent.get("columns", list(live.columns)),
         }
+        if "column_types" in parent:
+            meta["column_types"] = parent["column_types"]
         version = parent["version"] + 1
         manifest: list[dict] = list(new)
         for attempt in range(max_retries + 1):
@@ -823,6 +974,8 @@ class ZTable:
                 manifest = list(new) + added
                 if "columns" in latest:  # appends may evolve schema
                     meta["columns"] = latest["columns"]
+                if "column_types" in latest:
+                    meta["column_types"] = latest["column_types"]
 
     # -- reads ------------------------------------------------------------
 
@@ -832,8 +985,9 @@ class ZTable:
         """Scan exactly the files of ``version`` (default: latest).
         mergeSchema unifies files written before a schema-evolving
         append (missing columns read as null, the Delta semantics)."""
-        files = [e["file"] for e in self.snapshot(version)["files"]]
-        return spark.read.option("mergeSchema", "true").parquet(*files)
+        snap = self.snapshot(version)
+        files = [e["file"] for e in snap["files"]]
+        return self._read_files(spark, files, snap)
 
     def read_pruned(
         self,
@@ -859,7 +1013,7 @@ class ZTable:
         if not keep:
             df = self.read(spark, version).where(F.lit(False))
             return df, 0, total
-        df = spark.read.option("mergeSchema", "true").parquet(*keep)
+        df = self._read_files(spark, keep, snap)
         res = df.where(
             (F.col(self.x) >= xs)
             & (F.col(self.x) <= xe)
@@ -909,9 +1063,7 @@ class ZTable:
             df = self.read(spark, version).where(F.lit(False))
             return df, 0, total
         return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*keep)
-            .where(pred),
+            self._read_files(spark, keep, snap).where(pred),
             len(keep),
             total,
         )
@@ -1052,9 +1204,11 @@ def ztable_delete_where(
         }
         if "columns" in snap:  # delete never changes the table schema
             meta["columns"] = snap["columns"]
+        if "column_types" in snap:
+            meta["column_types"] = snap["column_types"]
         if hit:
-            survivors = spark.read.option("mergeSchema", "true").parquet(
-                *[e["file"] for e in hit]
+            survivors = table._read_files(
+                spark, [e["file"] for e in hit], snap
             ).where(
                 ~_box_pred(table.x, table.y, x_range, y_range)
             )
@@ -1094,6 +1248,8 @@ def ztable_delete_where(
                     ] + new
                     if "columns" in latest:
                         meta["columns"] = latest["columns"]
+                    if "column_types" in latest:
+                        meta["column_types"] = latest["column_types"]
                 else:
                     rerun = True  # conflicting rows may exist: re-plan
 
@@ -1175,9 +1331,7 @@ def ztable_upsert(
         hit = files_hit(snap["files"])
         kept = [e for e in snap["files"] if e["file"] not in hit]
         if hit:
-            old = spark.read.option("mergeSchema", "true").parquet(
-                *sorted(hit)
-            ).join(
+            old = table._read_files(spark, sorted(hit), snap).join(
                 keys,
                 (F.col(x) == F.col("_kx")) & (F.col(y) == F.col("_ky")),
                 "left_anti",
@@ -1202,11 +1356,18 @@ def ztable_upsert(
         merged_cols = list(table_cols) + [
             c for c in df.columns if c not in set(table_cols)
         ]
+        # MERGE always evolves: unionByName above already coerced both
+        # sides to the per-column wider type, so record exactly that
+        merged_types, _ = _reconcile_types(
+            snap.get("column_types"), _df_types(df), "merge", "merge"
+        )
         meta = {
             "cell": snap["cell"], "bits": snap["bits"],
             "stats_cols": cols, "zcol": table.zcol(snap),
             "columns": merged_cols,
         }
+        if merged_types is not None:
+            meta["column_types"] = merged_types
         manifest = kept + new
         rerun = False
         while not rerun:
@@ -1236,5 +1397,13 @@ def ztable_upsert(
                         c for c in df.columns
                         if c not in set(latest_cols)
                     ]
+                    if (
+                        merged_types is not None
+                        and "column_types" in latest
+                    ):
+                        meta["column_types"] = _reconcile_types(
+                            latest["column_types"], merged_types,
+                            "merge", "merge",
+                        )[0]
                 else:
                     rerun = True  # a matched row may hide: re-plan

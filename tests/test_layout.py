@@ -959,3 +959,98 @@ def test_ztable_mixed_concurrent_writers_all_land(
     final = t.read(spark)
     assert final.where(box_pred).count() == 0
     assert final.count() == base.count() - n_box + sum(sizes)
+
+
+# -- ZTable: type-widening schema evolution ------------------------------
+
+
+def test_ztable_type_widening_on_append(spark, sf_dir, tmp_path):
+    """Delta-style type widening: a batch carrying a WIDER type for an
+    existing column evolves the recorded type (merge mode only); older
+    narrow files are read through the widened schema with exact
+    values; a later narrow batch upcasts at write time; incompatible
+    changes refuse loudly; time travel keeps the narrow schema."""
+    import pytest
+
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0).select(
+        "id", "x", "y",
+        F.col("id").cast("int").alias("score"),
+        (F.col("x") / 100.0).cast("float").alias("ratio"),
+    )
+    extra = pts.where(F.col("y") >= 5000.0).select(
+        "id", "x", "y",
+        F.col("id").cast("long").alias("score"),
+        (F.col("x") / 100.0).cast("double").alias("ratio"),
+    )
+    t = L.ZTable.create(
+        base, str(tmp_path / "ztw"), n_files=4, cell=200.0
+    )
+    ct = t.snapshot()["column_types"]
+    assert (ct["score"], ct["ratio"]) == ("int", "float")
+    with pytest.raises(ValueError, match="widens"):
+        t.append(extra, n_files=2)  # strict: widening must be explicit
+    v = t.append(extra, n_files=2, schema_mode="merge")
+    ct = t.snapshot(v)["column_types"]
+    assert (ct["score"], ct["ratio"]) == ("bigint", "double")
+    full = t.read(spark)
+    types = {
+        f.name: f.dataType.simpleString() for f in full.schema.fields
+    }
+    assert (types["score"], types["ratio"]) == ("bigint", "double")
+    want = (
+        base.agg(F.sum(F.col("score").cast("bigint"))).collect()[0][0]
+        + extra.agg(F.sum("score")).collect()[0][0]
+    )
+    assert full.agg(F.sum("score")).collect()[0][0] == want
+    # a later NARROW batch upcasts at write time (strict mode: the
+    # column names are unchanged); the recorded type stays wide
+    v2 = t.append(base.limit(7), n_files=1)
+    assert t.snapshot(v2)["column_types"]["score"] == "bigint"
+    assert t.read(spark).count() == base.count() + extra.count() + 7
+    # incompatible change refuses in any mode
+    bad = base.limit(3).withColumn("score", F.lit("oops"))
+    with pytest.raises(ValueError, match="incompatible"):
+        t.append(bad, n_files=1, schema_mode="merge")
+    # time travel: v0 still reads the original narrow schema
+    t0 = {
+        f.name: f.dataType.simpleString()
+        for f in t.read(spark, version=0).schema.fields
+    }
+    assert (t0["score"], t0["ratio"]) == ("int", "float")
+
+
+def test_ztable_type_widening_carries_through_rmw(
+    spark, sf_dir, tmp_path
+):
+    """A widened type survives every read-modify-write commit: MERGE
+    with a wider batch widens the record; compact and delete carry it;
+    values stay exact throughout."""
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0).select(
+        "id", "x", "y", F.col("id").cast("int").alias("score")
+    )
+    t = L.ZTable.create(
+        base, str(tmp_path / "ztw2"), n_files=4, cell=200.0
+    )
+    batch = (
+        base.orderBy("id").limit(10)
+        .withColumn("score", (F.col("id") + 5000000000).cast("bigint"))
+        .localCheckpoint()
+    )
+    v, n_hit, _ = t.upsert(spark, batch)
+    assert t.snapshot(v)["column_types"]["score"] == "bigint"
+    # the replaced rows carry values only the wide type can hold
+    assert t.read(spark).where(
+        F.col("score") >= 5000000000
+    ).count() == 10
+    t.compact(spark, n_files=4)
+    assert t.snapshot()["column_types"]["score"] == "bigint"
+    t.delete_where(spark, BOX_X, DBOX_Y)
+    assert t.snapshot()["column_types"]["score"] == "bigint"
+    n_box = base.where(
+        F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+        # the 10 upserted rows keep their original coordinates, so the
+        # count is unchanged by the merge
+    ).count()
+    assert t.read(spark).count() == base.count() - n_box
