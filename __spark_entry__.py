@@ -697,6 +697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer ratios, position-ordered summation, no libm log
         return _ts.unigram_rarity(_docs(spark, sf_dir))
 
+    def x_embed_scatter(spark, sf_dir):
+        # integer-exact scatter/covariance matrix over the first 8
+        # embedding dims (the PCA input of embedding curation);
+        # quantize-first makes the sums order-independent bigints
+        return _sim.embedding_scatter(_emb(spark, sf_dir), k=8)
+
     def x_top_ngrams(spark, sf_dir):
         # corpus-wide top-k bigrams (word-count shape, TakeOrdered)
         return _cu.top_ngrams(_docs(spark, sf_dir))
@@ -1198,7 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_semdedup_survivors,
         x_truss_decomposition,
         x_unigram_rarity,
-        # -- re-verification spill (28 slots): the r3-green dedup / ANN
+        x_embed_scatter,
+        # -- re-verification spill (27 slots): the r3-green dedup / ANN
         # / clustering / curation block — oldest driver evidence first --
         c7_approx_outliers_summary,
         c6_exact_outliers,
@@ -1226,11 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_opq_topk,
         x_ann_opq_ivf_rpq_topk,
         x_token_budget_sample,
-        x_pii_report,
         x_frame_sample,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r05.json) covers everything
         # below. All of it holds an r3 or r4 driver-green row. ----
+        x_pii_report,
         x_repetition,
         x_contamination,
         x_tfidf_top_terms,
@@ -1685,6 +1692,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_top_ngrams": _cu.top_ngrams_sql(),
         "x_tfidf_top_terms": _ts.tfidf_top_terms_sql(),
         "x_unigram_rarity": _ts.unigram_rarity_sql(),
+        "x_embed_scatter": _sim.embedding_scatter_sql(k=8),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "x_bloom_contamination": _cu.bloom_contamination_sql(),

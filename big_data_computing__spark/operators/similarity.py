@@ -1962,3 +1962,92 @@ def opq_ivf_rpq_topk_sql(
         k, centers, codebooks, nprobe=nprobe,
         shortlist=shortlist, v_cte=v_cte,
     )
+
+
+def embedding_scatter(
+    emb: DataFrame, k: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """Integer-exact scatter matrix over the first ``k`` embedding
+    dimensions — the covariance/PCA input of embedding-space curation
+    (whitening before SemDeDup/IVF, dominant-direction removal):
+    DataFrame[i, j, n_vecs, s_i, s_j, s_ij, cov] for 1 <= i <= j <= k,
+    where ``q_d = round(e_d * scale)`` as BIGINT and the s columns are
+    exact integer sums (s_ij = Σ q_i·q_j). Quantizing FIRST makes
+    every aggregate order-independent and bit-reproducible on any
+    engine — the float-accumulation-order trap that keeps
+    ``x_ann_ivf_rpq_prod`` off a value oracle doesn't exist here.
+    ``cov`` is the sample covariance in original units, derived from
+    the exact sums by a fixed expression (identical in the twin).
+
+    Plan: one narrow projection (k quantized dims), one explode to the
+    k·(k+1)/2 upper-triangle pair structs per row, one hash
+    aggregation over k² tiny groups — map-side partial combine does
+    virtually all the work, the shuffle is k² rows per partition. At
+    100 TB this is the textbook distributed scatter accumulation; the
+    d² blowup rides the explode, never a join."""
+    qv = F.transform(
+        F.slice(F.col("embedding"), 1, k),
+        lambda e: F.round(e.cast("double") * F.lit(float(scale)))
+        .cast("bigint"),
+    )
+    pairs = emb.select(qv.alias("qv")).select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {k}), i -> "
+                f"transform(sequence(i, {k}), j -> "
+                "struct(i AS i, j AS j, "
+                "qv[i-1] AS qi, qv[j-1] AS qj))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    n = F.count("*").cast("bigint")
+    s_i = F.sum("qi").cast("bigint")
+    s_j = F.sum("qj").cast("bigint")
+    s_ij = F.sum(F.col("qi") * F.col("qj")).cast("bigint")
+    return pairs.groupBy("i", "j").agg(
+        n.alias("n_vecs"),
+        s_i.alias("s_i"),
+        s_j.alias("s_j"),
+        s_ij.alias("s_ij"),
+        F.round(
+            (
+                s_ij.cast("double") / n
+                - (s_i.cast("double") / n) * (s_j.cast("double") / n)
+            )
+            / F.lit(float(scale) * float(scale)),
+            9,
+        ).alias("cov"),
+    )
+
+
+def embedding_scatter_sql(k: int = 8, scale: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`embedding_scatter` (identical
+    quantization, identical integer sums, identical cov expression)."""
+    return f"""
+WITH q AS (
+  SELECT list_transform(
+           embedding[1:{k}],
+           e -> CAST(round(CAST(e AS DOUBLE) * {scale}) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+pairs AS (
+  SELECT CAST(t1.range AS INT) AS i, CAST(t2.range AS INT) AS j,
+         qv[CAST(t1.range AS INT)] AS qi,
+         qv[CAST(t2.range AS INT)] AS qj
+  FROM q
+  CROSS JOIN range(1, {k + 1}) t1
+  CROSS JOIN range(1, {k + 1}) t2
+  WHERE t2.range >= t1.range
+)
+SELECT i, j,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(qi) AS BIGINT) AS s_i,
+       CAST(SUM(qj) AS BIGINT) AS s_j,
+       CAST(SUM(qi * qj) AS BIGINT) AS s_ij,
+       ROUND((CAST(SUM(qi * qj) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(qi) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(qj) AS DOUBLE) / COUNT(*)))
+             / {float(scale) * float(scale)!r}, 9) AS cov
+FROM pairs GROUP BY i, j
+"""

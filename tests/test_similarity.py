@@ -547,3 +547,30 @@ def test_ivf_rpq_prod_matches_parity(spark):
     parows = sorted(tuple(r) for r in par.select(sorted(par.columns)).collect())
     assert len(prows) > 0
     assert prows == parows
+
+
+def test_embedding_scatter_hand_computed(spark):
+    """Two 2-dim vectors: every integer sum and the covariance match a
+    by-hand computation; the output has one row per upper-triangle
+    pair."""
+    from big_data_computing__spark.operators.similarity import (
+        embedding_scatter,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0]), (2, [1.5, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r["i"], r["j"]): r
+        for r in embedding_scatter(emb, k=2, scale=10).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 2)}
+    # q1 = (5, 15), q2 = (-10, 20)
+    r = out[(1, 2)]
+    assert (r["n_vecs"], r["s_i"], r["s_j"]) == (2, 20, 10)
+    assert r["s_ij"] == 5 * -10 + 15 * 20  # 250
+    # cov = (250/2 - 10*5)/100 = 0.75
+    assert r["cov"] == 0.75
+    assert out[(1, 1)]["s_ij"] == 25 + 225
+    assert out[(2, 2)]["s_ij"] == 100 + 400
