@@ -703,6 +703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantize-first makes the sums order-independent bigints
         return _sim.embedding_scatter(_emb(spark, sf_dir), k=8)
 
+    def x_bpe_top_pairs(spark, sf_dir):
+        # the BPE trainer's inner step: adjacent char-pair counts
+        # weighted by word frequency, expanded over the DISTINCT
+        # vocabulary (O(vocab), not O(corpus)); argmax = first merge
+        return _ts.bpe_top_pairs(_docs(spark, sf_dir), k=30)
+
     def x_top_ngrams(spark, sf_dir):
         # corpus-wide top-k bigrams (word-count shape, TakeOrdered)
         return _cu.top_ngrams(_docs(spark, sf_dir))
@@ -1205,7 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_truss_decomposition,
         x_unigram_rarity,
         x_embed_scatter,
-        # -- re-verification spill (27 slots): the r3-green dedup / ANN
+        x_bpe_top_pairs,
+        # -- re-verification spill (26 slots): the r3-green dedup / ANN
         # / clustering / curation block — oldest driver evidence first --
         c7_approx_outliers_summary,
         c6_exact_outliers,
@@ -1232,11 +1239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_ivf_rpq_topk,
         x_ann_opq_topk,
         x_ann_opq_ivf_rpq_topk,
-        x_token_budget_sample,
         x_frame_sample,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r05.json) covers everything
         # below. All of it holds an r3 or r4 driver-green row. ----
+        x_token_budget_sample,
         x_pii_report,
         x_repetition,
         x_contamination,
@@ -1693,6 +1700,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_tfidf_top_terms": _ts.tfidf_top_terms_sql(),
         "x_unigram_rarity": _ts.unigram_rarity_sql(),
         "x_embed_scatter": _sim.embedding_scatter_sql(k=8),
+        "x_bpe_top_pairs": _ts.bpe_top_pairs_sql(k=30),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "x_bloom_contamination": _cu.bloom_contamination_sql(),

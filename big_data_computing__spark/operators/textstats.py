@@ -620,3 +620,64 @@ SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
        ROUND(list_sum(list(w ORDER BY idx)) / COUNT(*), 6) AS rarity
 FROM weighted GROUP BY doc_id
 """
+
+
+def bpe_top_pairs(
+    docs: DataFrame, k: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """The inner step of BPE tokenizer training, distributed:
+    DataFrame[pair, n_pairs] — the ``k`` most frequent ADJACENT
+    character pairs across the corpus's whitespace words, each word's
+    bigrams weighted by the word's corpus frequency (exactly the count
+    a sequential BPE trainer computes before choosing its next merge;
+    the argmax row here IS the first merge).
+
+    Plan shape is the scale-critical part: the corpus collapses to the
+    DISTINCT word vocabulary first (one word-count aggregation — at
+    100 TB the vocabulary is millions of rows, the corpus trillions),
+    and character-pair expansion runs over the vocabulary only, so the
+    expensive explode is O(vocab · word_len), not O(corpus). Top-k is
+    count-desc with the pair string as the deterministic tiebreak
+    (TakeOrderedAndProject — never a full sort).
+    """
+    words = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    pairs = words.where(F.length("term") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(term) - 1), "
+                "i -> substring(term, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def bpe_top_pairs_sql(k: int = 30) -> str:
+    """DuckDB twin of :func:`bpe_top_pairs` (same vocabulary
+    collapse, same bigram expansion, same deterministic tiebreak)."""
+    return f"""
+WITH words AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+pairs AS (
+  SELECT substr(term, CAST(i AS INT), 2) AS pair, cnt
+  FROM (
+    SELECT term, cnt, unnest(range(1, length(term))) AS i
+    FROM words WHERE length(term) >= 2
+  )
+)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY pair
+ORDER BY n_pairs DESC, pair
+LIMIT {k}
+"""

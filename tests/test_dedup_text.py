@@ -907,3 +907,24 @@ def test_unigram_rarity_hand_computed(spark):
     }
     assert got == want
     assert got[3] > got[2] > got[1]  # rare-token docs score higher
+
+
+def test_bpe_top_pairs_hand_computed(spark):
+    """Word-frequency-weighted bigram counts match a by-hand BPE
+    first-merge computation; ties break on the pair string."""
+    from big_data_computing__spark.operators.textstats import (
+        bpe_top_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low newest")],
+        "doc_id long, text string",
+    )
+    # vocab: low x3, lower x1, newest x1
+    # "lo" 3+1=4, "ow" 3+1=4, "we" 1+1=2, "er" 1, "ne" 1, "ew" 1,
+    # "es" 1, "st" 1
+    got = [
+        (r["pair"], r["n_pairs"])
+        for r in bpe_top_pairs(docs, k=4).collect()
+    ]
+    assert got == [("lo", 4), ("ow", 4), ("we", 2), ("er", 1)]
