@@ -681,3 +681,87 @@ FROM pairs GROUP BY pair
 ORDER BY n_pairs DESC, pair
 LIMIT {k}
 """
+
+
+_BPE_SEP = "\x1f"  # unit separator: frames symbols so merges can't
+# match across symbol boundaries ("␟a␟␟t␟" never matches inside
+# "␟ca␟␟t␟")
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE tokenizer training: returns the first
+    ``n_merges`` merges as ``(left, right, pair_count)`` in merge
+    order — the exact greedy sequence a sequential trainer (Sennrich
+    et al.'s learn_bpe) produces, with count-desc then (left, right)
+    lexicographic tiebreak.
+
+    Scale shape: the corpus collapses ONCE to the distinct-word
+    vocabulary with counts; every merge round then runs over
+    vocabulary-sized data only (pair count aggregation + a
+    non-overlapping leftmost merge applied via one string replace per
+    word). The driver holds one (pair, count) row per round — the
+    argmax — never the vocabulary. ``localCheckpoint`` per round keeps
+    the lineage flat (iterative-loop rule, PLANS.md).
+    """
+    sep = _BPE_SEP
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(~F.col("term").contains(sep))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # encode each word as ␟c₁␟␟c₂␟…: one framed cell per symbol
+    enc = F.concat(
+        F.lit(sep),
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, length(term)), "
+                "i -> substring(term, i, 1))"
+            ),
+            sep + sep,
+        ),
+        F.lit(sep),
+    )
+    vocab = words.select(enc.alias("enc"), "cnt").localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(
+            F.expr(f"substring(enc, 2, length(enc) - 2)"), sep + sep
+        )
+        pair_rows = (
+            vocab.where(F.size(syms) >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, "
+                        f"size(split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')) - 1), "
+                        f"i -> struct(split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')[i-1] AS a, "
+                        f"split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')[i] AS b))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").cast("long").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            break
+        a, b, n = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["n_pairs"]
+        merges.append((a, b, n))
+        # leftmost non-overlapping merge = one framed string replace
+        vocab = vocab.select(
+            F.replace(
+                F.col("enc"),
+                F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
+                F.lit(f"{sep}{a}{b}{sep}"),
+            ).alias("enc"),
+            "cnt",
+        ).localCheckpoint()
+    return merges

@@ -928,3 +928,56 @@ def test_bpe_top_pairs_hand_computed(spark):
         for r in bpe_top_pairs(docs, k=4).collect()
     ]
     assert got == [("lo", 4), ("ow", 4), ("we", 2), ("er", 1)]
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """The distributed trainer reproduces the exact greedy merge
+    sequence of a sequential BPE learner (Sennrich-style) on the
+    classic low/lower/newest/widest corpus — counts, order, and
+    leftmost non-overlapping application all agree."""
+    from big_data_computing__spark.operators.textstats import bpe_train
+
+    def ref_bpe(word_counts, n):
+        vocab = {tuple(w): c for w, c in word_counts.items()}
+        out = []
+        for _ in range(n):
+            pairs = {}
+            for syms, c in vocab.items():
+                for x, y in zip(syms, syms[1:]):
+                    pairs[(x, y)] = pairs.get((x, y), 0) + c
+            if not pairs:
+                break
+            (a, b), n_p = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((a, b, n_p))
+            new = {}
+            for syms, c in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                key = tuple(merged)
+                new[key] = new.get(key, 0) + c
+            vocab = new
+        return out
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, c in wc.items() for _ in range(c))
+    docs = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=8)
+    want = ref_bpe(wc, 8)
+    assert got == want
+    # sanity: the famous first merges on this corpus
+    assert got[0][:2] == ("e", "s") and got[0][2] == 9
+    assert got[1][:2] == ("es", "t") and got[1][2] == 9
