@@ -2051,3 +2051,52 @@ SELECT i, j,
              / {float(scale) * float(scale)!r}, 9) AS cov
 FROM pairs GROUP BY i, j
 """
+
+
+def embedding_pca(
+    emb: DataFrame, k: int = 8, m: int = 2, scale: int = 1_000_000
+) -> tuple[DataFrame, list[float]]:
+    """PCA over the first ``k`` embedding dims, built on the
+    integer-exact scatter matrix: returns
+    ``(DataFrame[vec_id, pc1..pcm], explained_variances)``.
+
+    The distribution of work is the point: :func:`embedding_scatter`
+    aggregates the k×k second-moment matrix across the cluster (the
+    only pass over the data), the driver eigendecomposes the k×k
+    covariance (bounded — k² scalars, never rows), and the projection
+    is a literal-coefficient linear map Catalyst evaluates in one
+    narrow whole-stage-codegen pass, no shuffle. Eigh's sign ambiguity
+    is pinned (each component's largest-|coordinate| positive) so
+    results are reproducible across BLAS builds up to that convention.
+    This is the whitening/dominant-direction step embedding curation
+    pipelines (SemDeDup-style) run before clustering.
+    """
+    rows = embedding_scatter(emb, k=k, scale=scale).collect()
+    n = rows[0]["n_vecs"]
+    cov = np.zeros((k, k))
+    mean = np.zeros(k)
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        cov[i, j] = cov[j, i] = r["cov"]
+        if i == j:
+            mean[i] = r["s_i"] / n / scale
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:m]
+    comps = evecs[:, order]
+    for c in range(comps.shape[1]):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    proj_cols = []
+    for c in range(comps.shape[1]):
+        col = None
+        for d in range(k):
+            term = (
+                F.col("embedding")[d].cast("double")
+                - F.lit(float(mean[d]))
+            ) * F.lit(float(comps[d, c]))
+            col = term if col is None else col + term
+        proj_cols.append(col.alias(f"pc{c + 1}"))
+    out = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), *proj_cols
+    )
+    return out, [float(evals[o]) for o in order]

@@ -574,3 +574,31 @@ def test_embedding_scatter_hand_computed(spark):
     assert r["cov"] == 0.75
     assert out[(1, 1)]["s_ij"] == 25 + 225
     assert out[(2, 2)]["s_ij"] == 100 + 400
+
+
+def test_embedding_pca_variances_and_orthogonality(spark, sf_dir):
+    """PC projections reproduce the eigen-structure: per-component
+    sample variance matches the eigenvalue, components come in
+    descending-variance order, and the projections are uncorrelated
+    (all up to the 1e-6 quantization of the scatter input)."""
+    from big_data_computing__spark.operators.similarity import (
+        embedding_pca,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj, ev = embedding_pca(emb, k=8, m=3)
+    assert ev[0] >= ev[1] >= ev[2] > 0
+    import numpy as np
+
+    P = np.array(
+        [[r["pc1"], r["pc2"], r["pc3"]] for r in proj.collect()]
+    )
+    n = len(P)
+    var = P.var(axis=0)  # population variance, ddof=0 like the scatter
+    assert np.allclose(var, ev, rtol=1e-3)
+    # centered (mean came from the same exact sums) and uncorrelated
+    assert np.allclose(P.mean(axis=0), 0.0, atol=1e-4)
+    cc = np.corrcoef(P.T)
+    off = cc[~np.eye(3, dtype=bool)]
+    assert np.all(np.abs(off) < 1e-3)
