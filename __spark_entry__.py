@@ -709,6 +709,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocabulary (O(vocab), not O(corpus)); argmax = first merge
         return _ts.bpe_top_pairs(_docs(spark, sf_dir), k=30)
 
+    def x_leakage_splits(spark, sf_dir):
+        # leakage-aware train/val/test: split assigned per near-dup
+        # CLUSTER (closure over the MinHash pair graph), so no
+        # near-duplicate ever straddles train and eval
+        docs = _docs(spark, sf_dir)
+        return _cu.leakage_safe_splits(
+            docs, _dd.minhash_lsh_pairs(docs)
+        )
+
     def x_top_ngrams(spark, sf_dir):
         # corpus-wide top-k bigrams (word-count shape, TakeOrdered)
         return _cu.top_ngrams(_docs(spark, sf_dir))
@@ -1212,7 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_unigram_rarity,
         x_embed_scatter,
         x_bpe_top_pairs,
-        # -- re-verification spill (26 slots): the r3-green dedup / ANN
+        x_leakage_splits,
+        # -- re-verification spill (25 slots): the r3-green dedup / ANN
         # / clustering / curation block — oldest driver evidence first --
         c7_approx_outliers_summary,
         c6_exact_outliers,
@@ -1230,7 +1240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_components,
         x_dedup_components_star,
         x_dedup_survivors,
-        x_clean_corpus,
         x_ann_cosine_topk,
         x_ann_lsh_topk,
         x_ann_ivf_topk,
@@ -1243,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r05.json) covers everything
         # below. All of it holds an r3 or r4 driver-green row. ----
+        x_clean_corpus,
         x_token_budget_sample,
         x_pii_report,
         x_repetition,
@@ -1701,6 +1711,9 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_unigram_rarity": _ts.unigram_rarity_sql(),
         "x_embed_scatter": _sim.embedding_scatter_sql(k=8),
         "x_bpe_top_pairs": _ts.bpe_top_pairs_sql(k=30),
+        "x_leakage_splits": _cu.leakage_safe_splits_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "x_bloom_contamination": _cu.bloom_contamination_sql(),

@@ -1093,3 +1093,80 @@ SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
             AS BIGINT) AS n_pad
 FROM per_chunk GROUP BY chunk_id
 """
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train: int = 80,
+    val: int = 10,
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Leakage-aware train/val/test assignment:
+    DataFrame[doc_id, cluster_rep, split] where every document in the
+    same near-duplicate component (transitive closure over ``pairs``)
+    shares ``cluster_rep`` and therefore lands in the SAME split — the
+    guard against eval contamination that doc-level random splitting
+    cannot give (a near-dup of a training doc in the test set). The
+    split is a counter-based hash of the cluster representative
+    (train/val/test = ``train``/``val``/rest percent buckets), so the
+    assignment is reproducible on any engine and stable under corpus
+    growth for unchanged clusters.
+
+    Plan: the component labeling is the existing bounded-round
+    min-label propagation; the assignment itself is one left join plus
+    a hash expression — no extra shuffle beyond the closure."""
+    from .dedup import duplicate_components
+
+    comp = duplicate_components(pairs)
+    base = docs.select(F.col(doc_id).cast("long").alias("doc_id"))
+    assigned = base.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id"))
+        .cast("long")
+        .alias("cluster_rep"),
+    )
+    bucket = (
+        hash60(
+            F.concat(
+                F.lit("split:"), F.col("cluster_rep").cast("string")
+            )
+        )
+        % 100
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_rep",
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def leakage_safe_splits_sql(
+    pairs_sql: str, train: int = 80, val: int = 10
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_splits` (same closure, same
+    counter-based bucket)."""
+    from .dedup import duplicate_components_sql
+    from ..functions.hashing import hash60_sql
+
+    comp = duplicate_components_sql(pairs_sql)
+    bucket = hash60_sql(
+        "concat('split:', CAST(cluster_rep AS VARCHAR))"
+    )
+    return f"""
+WITH comp AS ({comp}),
+assigned AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT)
+           AS cluster_rep
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN {bucket} % 100 < {train} THEN 'train'
+            WHEN {bucket} % 100 < {train + val} THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+"""

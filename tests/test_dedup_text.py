@@ -981,3 +981,34 @@ def test_bpe_train_matches_sequential_reference(spark):
     # sanity: the famous first merges on this corpus
     assert got[0][:2] == ("e", "s") and got[0][2] == 9
     assert got[1][:2] == ("es", "t") and got[1][2] == 9
+
+
+def test_leakage_safe_splits_respect_clusters(spark):
+    """Every pair endpoint lands in the same split; singleton docs get
+    their own hash bucket; all three splits exist on enough ids."""
+    from big_data_computing__spark.operators.curation import (
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    # three clusters: {0,1,2}, {5,6}, {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    out = leakage_safe_splits(docs, pairs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    for a, b in [(0, 1), (1, 2), (0, 2), (5, 6), (10, 11)]:
+        assert rows[a]["split"] == rows[b]["split"], (a, b)
+        assert rows[a]["cluster_rep"] == rows[b]["cluster_rep"]
+    assert rows[0]["cluster_rep"] == 0 and rows[5]["cluster_rep"] == 5
+    assert {r["split"] for r in rows.values()} == {
+        "train", "val", "test",
+    }
+    # the hash is over the cluster rep, so roughly train-heavy
+    n_train = sum(1 for r in rows.values() if r["split"] == "train")
+    assert n_train > 120
