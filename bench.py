@@ -101,9 +101,16 @@ BENCH_QUERIES = [
     "w10_event_transitions",
     "w11_rfm_scores",
     "w12_session_paths",
-    # round-5 addition: concat-and-chunk sequence packing (training-
-    # output family; two-pass distributed prefix sum + chunk arithmetic)
+    # round-5 additions: concat-and-chunk sequence packing (training-
+    # output family; two-pass distributed prefix sum + chunk
+    # arithmetic); unigram perplexity-filter stand-in; integer-exact
+    # embedding scatter matrix; BPE pair counting (tokenizer
+    # training); leakage-safe splits (CC closure + hash bucket)
     "x_pack_sequences",
+    "x_unigram_rarity",
+    "x_embed_scatter",
+    "x_bpe_top_pairs",
+    "x_leakage_splits",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a
