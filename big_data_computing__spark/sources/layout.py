@@ -597,17 +597,79 @@ class ZTable:
             return None
         return ", ".join(f"`{c}` {types[c]}" for c in cols)
 
-    def _read_files(self, spark: SparkSession, paths, snap: dict):
-        """Scan exactly ``paths`` under the snapshot's schema
-        contract."""
+    def _read_files(self, spark: SparkSession, files, snap: dict):
+        """Scan exactly these manifest entries (or raw paths) under
+        the snapshot's schema contract: the recorded explicit schema
+        when types are tracked (null-fill for added columns, read-time
+        widening for widened ones), parquet mergeSchema for legacy
+        snapshots. When the snapshot records column renames, files are
+        grouped by the schema EPOCH they were written under, each
+        group is read with its epoch's on-disk names, aliased to the
+        current names, and the groups union — a rename never touches
+        data files."""
+        entries = [
+            e if isinstance(e, dict) else {"file": e} for e in files
+        ]
         ddl = self._read_schema_ddl(snap)
-        reader = spark.read
-        reader = (
-            reader.option("mergeSchema", "true")
-            if ddl is None
-            else reader.schema(ddl)
-        )
-        return reader.parquet(*paths)
+        renames = snap.get("epoch_renames") or {}
+        if ddl is None or not renames:
+            reader = spark.read
+            reader = (
+                reader.option("mergeSchema", "true")
+                if ddl is None
+                else reader.schema(ddl)
+            )
+            return reader.parquet(*[e["file"] for e in entries])
+        cols = snap["columns"]
+        types = snap["column_types"]
+        by_epoch: dict[int, list[str]] = {}
+        for e in entries:
+            by_epoch.setdefault(int(e.get("epoch", 0)), []).append(
+                e["file"]
+            )
+        parts = []
+        for ep, paths in sorted(by_epoch.items()):
+            # current name -> the name epoch-ep files used on disk
+            disk_of = {
+                cur: disk
+                for disk, cur in renames.get(str(ep), {}).items()
+            }
+            ep_ddl = ", ".join(
+                f"`{disk_of.get(c, c)}` {types[c]}" for c in cols
+            )
+            parts.append(
+                spark.read.schema(ep_ddl)
+                .parquet(*paths)
+                .select(
+                    *[
+                        F.col(disk_of.get(c, c)).alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _schema_meta(snap: dict) -> dict:
+        """The rename-tracking keys every commit must carry forward."""
+        return {
+            k: snap[k]
+            for k in ("schema_epoch", "epoch_renames", "retired_names")
+            if k in snap
+        }
+
+    @staticmethod
+    def _stamp_epoch(entries: list[dict], snap: dict) -> list[dict]:
+        """Mark new manifest entries with the schema epoch their files
+        were written under (omitted at epoch 0 for compatibility)."""
+        ep = snap.get("schema_epoch", 0)
+        if ep:
+            for e in entries:
+                e["epoch"] = ep
+        return entries
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
@@ -841,9 +903,17 @@ class ZTable:
                 )
             merged_cols = table_cols
         elif schema_mode == "merge":
-            merged_cols = list(table_cols) + [
+            added_cols = [
                 c for c in df.columns if c not in set(table_cols)
             ]
+            retired = set(parent.get("retired_names", []))
+            bad = [c for c in added_cols if c in retired]
+            if bad:
+                raise ValueError(
+                    f"append: column name(s) {bad} were renamed away "
+                    "earlier; reusing them would alias old data"
+                )
+            merged_cols = list(table_cols) + added_cols
         else:
             raise ValueError(
                 f"append: unknown schema_mode {schema_mode!r}"
@@ -870,13 +940,17 @@ class ZTable:
         written_types = {
             c: casts.get(c, batch_types[c]) for c in batch_types
         }
-        new = self._write_data(
-            df,
-            parent["version"] + 1,
-            n_files,
-            parent["cell"],
-            parent["bits"],
-            cols,
+        planned_epoch = parent.get("schema_epoch", 0)
+        new = self._stamp_epoch(
+            self._write_data(
+                df,
+                parent["version"] + 1,
+                n_files,
+                parent["cell"],
+                parent["bits"],
+                cols,
+            ),
+            parent,
         )
         for attempt in range(max_retries + 1):
             meta = {
@@ -885,6 +959,7 @@ class ZTable:
                 "stats_cols": cols,
                 "columns": merged_cols,
                 "zcol": parent.get("zcol"),
+                **self._schema_meta(parent),
                 **(extra_meta or {}),
             }
             if merged_types is not None:
@@ -905,6 +980,14 @@ class ZTable:
                         "re-call append or raise max_retries"
                     )
                 parent = self.snapshot()  # rebase onto the new latest
+                if parent.get("schema_epoch", 0) != planned_epoch:
+                    # a rename won the race: our files are stamped
+                    # with the old epoch but the batch's column set
+                    # was validated against pre-rename names — re-run
+                    raise ConcurrentWriteConflict(
+                        f"append to {self.path} raced a column "
+                        "rename; re-run append against the new schema"
+                    )
                 pcols = parent.get("columns", merged_cols)
                 merged_cols = list(pcols) + [
                     c for c in df.columns if c not in set(pcols)
@@ -917,6 +1000,84 @@ class ZTable:
                     written_types,
                     "merge",
                 )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Iceberg-style metadata-only column rename: no data file is
+        touched. The commit bumps the table's schema EPOCH and records
+        how each past epoch's on-disk column names map to the current
+        names; reads group files by the epoch they were written under
+        and alias per group (``_read_files``). Constraints that keep
+        the name->data binding sound without Iceberg's column IDs:
+        layout/stats columns can't be renamed (stats keys and the
+        handle's predicate API are name-bound), and a renamed-away
+        name is RETIRED — reusing it for a new column would silently
+        alias the old files' data. A lost commit race raises
+        :class:`ConcurrentWriteConflict` (the rename is cheap —
+        re-run); racing appends likewise re-run (their batch was
+        validated against pre-rename names)."""
+        parent = self.snapshot()
+        cols = parent.get("columns")
+        types = parent.get("column_types")
+        if cols is None or types is None:
+            raise ValueError(
+                "rename_column requires a type-tracked table "
+                "(snapshot lacks columns/column_types)"
+            )
+        if old not in cols:
+            raise ValueError(f"rename_column: no column {old!r}")
+        if new in cols:
+            raise ValueError(
+                f"rename_column: {new!r} already exists"
+            )
+        protected = {self.x, self.y, *parent.get("stats_cols", [])}
+        if self.zcol(parent):
+            protected.add(self.zcol(parent))
+        if old in protected:
+            raise ValueError(
+                f"rename_column: {old!r} is a layout/stats column — "
+                "its name binds the manifest stats keys and the "
+                "predicate API"
+            )
+        retired = set(parent.get("retired_names", []))
+        if new in retired:
+            raise ValueError(
+                f"rename_column: {new!r} was renamed away earlier; "
+                "reusing it would alias old files' data"
+            )
+        epoch = parent.get("schema_epoch", 0)
+        renames = {
+            k: dict(v)
+            for k, v in (parent.get("epoch_renames") or {}).items()
+        }
+        # earlier epochs whose disk names currently resolve to `old`
+        # now resolve to `new`
+        for m in renames.values():
+            for dk, cur in m.items():
+                if cur == old:
+                    m[dk] = new
+        # files of the CURRENT epoch store `old` on disk
+        renames.setdefault(str(epoch), {})[old] = new
+        meta = {
+            "cell": parent["cell"], "bits": parent["bits"],
+            "stats_cols": parent.get("stats_cols", []),
+            "zcol": parent.get("zcol"),
+            "columns": [new if c == old else c for c in cols],
+            "column_types": {
+                (new if k == old else k): v for k, v in types.items()
+            },
+            "schema_epoch": epoch + 1,
+            "epoch_renames": renames,
+            "retired_names": sorted(retired | {old}),
+        }
+        try:
+            return self._commit(
+                parent["version"] + 1, "rename",
+                list(parent["files"]), meta,
+            )
+        except FileExistsError as exc:
+            raise ConcurrentWriteConflict(
+                f"rename on {self.path} lost the commit race; re-run"
+            ) from exc
 
     def compact(
         self, spark: SparkSession, n_files: int = 16,
@@ -938,9 +1099,12 @@ class ZTable:
         parent = self.snapshot()
         cols = self.stats_cols(parent)
         live = self.read(spark)
-        new = self._write_data(
-            live, parent["version"] + 1, n_files,
-            parent["cell"], parent["bits"], cols,
+        new = self._stamp_epoch(
+            self._write_data(
+                live, parent["version"] + 1, n_files,
+                parent["cell"], parent["bits"], cols,
+            ),
+            parent,
         )
         meta = {
             "cell": parent["cell"], "bits": parent["bits"],
@@ -948,6 +1112,7 @@ class ZTable:
             # carry the recorded table schema so a later strict-mode
             # append still enforces it (compact never changes columns)
             "columns": parent.get("columns", list(live.columns)),
+            **self._schema_meta(parent),
         }
         if "column_types" in parent:
             meta["column_types"] = parent["column_types"]
@@ -986,8 +1151,7 @@ class ZTable:
         mergeSchema unifies files written before a schema-evolving
         append (missing columns read as null, the Delta semantics)."""
         snap = self.snapshot(version)
-        files = [e["file"] for e in snap["files"]]
-        return self._read_files(spark, files, snap)
+        return self._read_files(spark, snap["files"], snap)
 
     def read_pruned(
         self,
@@ -1002,7 +1166,7 @@ class ZTable:
         xs, xe = x_range
         ys, ye = y_range
         keep = [
-            e["file"]
+            e
             for e in snap["files"]
             if e["max_x"] >= xs
             and e["min_x"] <= xe
@@ -1046,7 +1210,7 @@ class ZTable:
         # min_y/max_y whatever their real names; extras under min_<col>
         key = {self.x: "x", self.y: "y"}
         keep = [
-            e["file"]
+            e
             for e in snap["files"]
             if all(
                 e[f"max_{key.get(c, c)}"] >= lo
@@ -1201,15 +1365,14 @@ def ztable_delete_where(
         meta = {
             "cell": snap["cell"], "bits": snap["bits"],
             "stats_cols": cols, "zcol": table.zcol(snap),
+            **table._schema_meta(snap),
         }
         if "columns" in snap:  # delete never changes the table schema
             meta["columns"] = snap["columns"]
         if "column_types" in snap:
             meta["column_types"] = snap["column_types"]
         if hit:
-            survivors = table._read_files(
-                spark, [e["file"] for e in hit], snap
-            ).where(
+            survivors = table._read_files(spark, hit, snap).where(
                 ~_box_pred(table.x, table.y, x_range, y_range)
             )
             data_dir = table._new_data_dir(version)
@@ -1218,7 +1381,10 @@ def ztable_delete_where(
                 table.zcol(snap), max(1, len(hit)),
                 snap["cell"], snap["bits"],
             )
-            new = _file_stats(spark, data_dir, table.x, table.y, cols)
+            new = table._stamp_epoch(
+                _file_stats(spark, data_dir, table.x, table.y, cols),
+                snap,
+            )
         else:
             new = []
         manifest = kept + new
@@ -1330,8 +1496,9 @@ def ztable_upsert(
         total = len(snap["files"])
         hit = files_hit(snap["files"])
         kept = [e for e in snap["files"] if e["file"] not in hit]
+        hit_entries = [e for e in snap["files"] if e["file"] in hit]
         if hit:
-            old = table._read_files(spark, sorted(hit), snap).join(
+            old = table._read_files(spark, hit_entries, snap).join(
                 keys,
                 (F.col(x) == F.col("_kx")) & (F.col(y) == F.col("_ky")),
                 "left_anti",
@@ -1348,14 +1515,26 @@ def ztable_upsert(
             merged, data_dir, x, y, table.zcol(snap),
             max(n_files, len(hit)), snap["cell"], snap["bits"],
         )
-        new = _file_stats(spark, data_dir, x, y, cols)
+        new = table._stamp_epoch(
+            _file_stats(spark, data_dir, x, y, cols), snap
+        )
         # Schema carries through (and may grow: unionByName above
         # accepts batch-only columns, the mergeSchema evolution
         # semantics)
         table_cols = snap.get("columns", list(df.columns))
-        merged_cols = list(table_cols) + [
+        added_cols = [
             c for c in df.columns if c not in set(table_cols)
         ]
+        bad = [
+            c for c in added_cols
+            if c in set(snap.get("retired_names", []))
+        ]
+        if bad:
+            raise ValueError(
+                f"merge: column name(s) {bad} were renamed away "
+                "earlier; reusing them would alias old data"
+            )
+        merged_cols = list(table_cols) + added_cols
         # MERGE always evolves: unionByName above already coerced both
         # sides to the per-column wider type, so record exactly that
         merged_types, _ = _reconcile_types(
@@ -1365,6 +1544,7 @@ def ztable_upsert(
             "cell": snap["cell"], "bits": snap["bits"],
             "stats_cols": cols, "zcol": table.zcol(snap),
             "columns": merged_cols,
+            **table._schema_meta(snap),
         }
         if merged_types is not None:
             meta["column_types"] = merged_types

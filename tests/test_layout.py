@@ -1054,3 +1054,112 @@ def test_ztable_type_widening_carries_through_rmw(
         # count is unchanged by the merge
     ).count()
     assert t.read(spark).count() == base.count() - n_box
+
+
+# -- ZTable: column renames (metadata-only, epoch-mapped) ----------------
+
+
+def test_ztable_rename_column_metadata_only(spark, sf_dir, tmp_path):
+    """Rename never touches data files; pre-rename files are read
+    through the epoch mapping with exact values; the old name is
+    rejected by strict appends and permanently retired; chained
+    renames compose; time travel keeps each version's names."""
+    import pytest
+
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0).select(
+        "id", "x", "y", (F.col("id") * 2).cast("long").alias("score")
+    )
+    extra = pts.where(F.col("y") >= 5000.0).select(
+        "id", "x", "y", (F.col("id") * 2).cast("long").alias("points")
+    )
+    t = L.ZTable.create(
+        base, str(tmp_path / "ztr"), n_files=4, cell=200.0
+    )
+    files_v0 = {e["file"] for e in t.snapshot(0)["files"]}
+    want_sum = base.agg(F.sum("score")).collect()[0][0]
+
+    v = t.rename_column("score", "points")
+    assert {e["file"] for e in t.snapshot(v)["files"]} == files_v0
+    assert t.snapshot(v)["operation"] == "rename"
+    cur = t.read(spark)
+    assert "points" in cur.columns and "score" not in cur.columns
+    assert cur.agg(F.sum("points")).collect()[0][0] == want_sum
+
+    # post-rename append uses the new name; both epochs union exactly
+    t.append(extra, n_files=2)
+    full = t.read(spark)
+    assert full.count() == base.count() + extra.count()
+    assert (
+        full.agg(F.sum("points")).collect()[0][0]
+        == want_sum + extra.agg(F.sum("points")).collect()[0][0]
+    )
+    # a batch still shaped like the OLD schema is rejected
+    with pytest.raises(ValueError, match="batch columns"):
+        t.append(base.limit(3), n_files=1)
+    # the old name is retired forever
+    with pytest.raises(ValueError, match="renamed away"):
+        t.append(
+            extra.limit(3).withColumn("score", F.lit(1)),
+            n_files=1, schema_mode="merge",
+        )
+    with pytest.raises(ValueError, match="renamed away"):
+        t.rename_column("points", "score")
+
+    # chained rename composes the epoch mappings
+    v2 = t.rename_column("points", "pts")
+    assert t.read(spark).agg(F.sum("pts")).collect()[0][0] == (
+        want_sum + extra.agg(F.sum("points")).collect()[0][0]
+    )
+    # time travel: each version reads its own names
+    assert "score" in t.read(spark, version=0).columns
+    assert "points" in t.read(spark, version=v).columns
+    assert "pts" in t.read(spark, version=v2).columns
+
+    # layout columns can't be renamed
+    with pytest.raises(ValueError, match="layout/stats"):
+        t.rename_column("x", "xx")
+
+
+def test_ztable_rename_survives_rmw_and_pruning(
+    spark, sf_dir, tmp_path
+):
+    """After a rename, delete/compact keep the mapping sound (mixed
+    epochs in one table) and pruned reads still return exact rows."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t2 = L.ZTable(t.path)
+    # give the table a payload column to rename: evolve via merge
+    t.append(
+        extra.withColumn("w", (F.col("id") % 7).cast("long")),
+        n_files=2, schema_mode="merge",
+    )
+    v = t.rename_column("w", "weight")
+    n_all = base.count() + extra.count()
+    assert t.read(spark).count() == n_all
+    # delete a box: survivors rewritten under the CURRENT epoch,
+    # pre-rename files carried — both resolve to 'weight'
+    box_pred = F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    n_box = t.read(spark).where(box_pred).count()
+    t.delete_where(spark, BOX_X, DBOX_Y)
+    after = t.read(spark)
+    assert after.count() == n_all - n_box
+    assert "weight" in after.columns
+    # null-fill: pre-evolution rows have NULL weight, evolved rows keep it
+    assert after.where(F.col("weight").isNotNull()).count() > 0
+    # compact rewrites everything into the current epoch
+    t.compact(spark, n_files=4)
+    snap = t.snapshot()
+    assert all(
+        e.get("epoch", 0) == snap["schema_epoch"]
+        for e in snap["files"]
+    )
+    assert t.read(spark).count() == n_all - n_box
+    # pruned read across the rename still exact
+    res, n_read, n_total = t.read_pruned(
+        spark, (6000.0, 7000.0), (6000.0, 7000.0)
+    )
+    want = t.read(spark).where(
+        F.col("x").between(6000.0, 7000.0)
+        & F.col("y").between(6000.0, 7000.0)
+    ).count()
+    assert res.count() == want
