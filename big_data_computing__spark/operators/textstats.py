@@ -765,3 +765,46 @@ def bpe_train(
             "cnt",
         ).localCheckpoint()
     return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned BPE: DataFrame[doc_id, bpe_tokens]
+    applying the merges of :func:`bpe_train` IN TRAINING ORDER to
+    every whitespace word — the same framed-string leftmost
+    non-overlapping replace the trainer used, so
+    ``bpe_apply(corpus, bpe_train(corpus, n))`` reproduces exactly the
+    trainer's final symbol sequences (the round-trip property pinned
+    in tests). A pure per-row Catalyst map (one chained replace per
+    merge inside a ``transform``) — no shuffle, no Python, scales as a
+    narrow stage at any corpus size."""
+    sep = _BPE_SEP
+    enc_word = (
+        "concat('{s}', array_join(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), '{s}{s}'), '{s}')"
+    ).format(s=sep)
+    enc = F.expr(
+        f"transform(filter(split({text_col}, ' '), w -> w != '' AND "
+        f"NOT contains(w, '{sep}')), w -> {enc_word})"
+    )
+    def _merge_step(col, a: str, b: str):
+        pat, rep = f"{sep}{a}{sep}{sep}{b}{sep}", f"{sep}{a}{b}{sep}"
+        return F.transform(
+            col, lambda e: F.replace(e, F.lit(pat), F.lit(rep))
+        )
+
+    col = enc
+    for mrg in merges:
+        col = _merge_step(col, mrg[0], mrg[1])
+    decoded = F.flatten(
+        F.transform(
+            col,
+            lambda e: F.split(
+                F.substring(e, F.lit(2), F.length(e) - 2), sep + sep
+            ),
+        )
+    )
+    return docs.select("doc_id", decoded.alias("bpe_tokens"))

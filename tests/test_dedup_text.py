@@ -1012,3 +1012,51 @@ def test_leakage_safe_splits_respect_clusters(spark):
     # the hash is over the cluster rep, so roughly train-heavy
     n_train = sum(1 for r in rows.values() if r["split"] == "train")
     assert n_train > 120
+
+
+def test_bpe_apply_roundtrip_with_trainer(spark):
+    """Applying the learned merges reproduces the reference
+    tokenization (merges in training order, leftmost non-overlapping
+    per word) — the train/apply round trip is closed."""
+    from big_data_computing__spark.operators.textstats import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, c in wc.items() for _ in range(c))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "lowest newcomer")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6)
+
+    def ref_apply(word):
+        syms = list(word)
+        for a, b, _n in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply(docs, merges).collect()
+    }
+    for doc_id, t in [(1, text), (2, "lowest newcomer")]:
+        want = [
+            s for w in t.split(" ") if w for s in ref_apply(w)
+        ]
+        assert got[doc_id] == want, doc_id
+    # the learned merges actually compress: fewer symbols than chars
+    assert len(got[1]) < sum(len(w) for w in text.split(" "))
