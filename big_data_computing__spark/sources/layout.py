@@ -619,7 +619,11 @@ class ZTable:
                 if ddl is None
                 else reader.schema(ddl)
             )
-            return reader.parquet(*[e["file"] for e in entries])
+            return self._apply_dvs(
+                spark,
+                reader.parquet(*[e["file"] for e in entries]),
+                snap,
+            )
         cols = snap["columns"]
         types = snap["column_types"]
         by_epoch: dict[int, list[str]] = {}
@@ -638,9 +642,10 @@ class ZTable:
                 f"`{disk_of.get(c, c)}` {types[c]}" for c in cols
             )
             parts.append(
-                spark.read.schema(ep_ddl)
-                .parquet(*paths)
-                .select(
+                self._apply_dvs(
+                    spark, spark.read.schema(ep_ddl).parquet(*paths),
+                    snap,
+                ).select(
                     *[
                         F.col(disk_of.get(c, c)).alias(c)
                         for c in cols
@@ -652,12 +657,44 @@ class ZTable:
             out = out.unionByName(p)
         return out
 
+    def _apply_dvs(
+        self, spark: SparkSession, df: DataFrame, snap: dict
+    ) -> DataFrame:
+        """Merge-on-read: subtract the snapshot's deletion vectors —
+        (file_path, row_index) tombstones written by
+        :meth:`delete_where_dv` — from a freshly-scanned DataFrame via
+        one anti-join on the parquet ``_metadata`` position columns.
+        No-op when the snapshot carries no DVs."""
+        dvs = snap.get("dvs") or []
+        if not dvs:
+            return df
+        dv = spark.read.parquet(*dvs).select(
+            F.col("file_path").alias("_dv_fp"),
+            F.col("row_index").alias("_dv_ri"),
+        )
+        tagged = df.withColumns(
+            {
+                "_fp": F.col("_metadata.file_path"),
+                "_ri": F.col("_metadata.row_index"),
+            }
+        )
+        return tagged.join(
+            dv,
+            (tagged["_fp"] == dv["_dv_fp"])
+            & (tagged["_ri"] == dv["_dv_ri"]),
+            "left_anti",
+        ).drop("_fp", "_ri")
+
     @staticmethod
     def _schema_meta(snap: dict) -> dict:
-        """The rename-tracking keys every commit must carry forward."""
+        """The rename-tracking and deletion-vector keys every commit
+        carries forward (compact pops ``dvs`` — it materializes
+        them)."""
         return {
             k: snap[k]
-            for k in ("schema_epoch", "epoch_renames", "retired_names")
+            for k in (
+                "schema_epoch", "epoch_renames", "retired_names", "dvs",
+            )
             if k in snap
         }
 
@@ -1061,6 +1098,7 @@ class ZTable:
             "cell": parent["cell"], "bits": parent["bits"],
             "stats_cols": parent.get("stats_cols", []),
             "zcol": parent.get("zcol"),
+            **self._schema_meta(parent),  # carries dvs
             "columns": [new if c == old else c for c in cols],
             "column_types": {
                 (new if k == old else k): v for k, v in types.items()
@@ -1114,6 +1152,9 @@ class ZTable:
             "columns": parent.get("columns", list(live.columns)),
             **self._schema_meta(parent),
         }
+        # the rewrite read `live` THROUGH the deletion vectors, so the
+        # compacted files materialize them — drop the tombstones
+        meta.pop("dvs", None)
         if "column_types" in parent:
             meta["column_types"] = parent["column_types"]
         version = parent["version"] + 1
@@ -1252,6 +1293,97 @@ class ZTable:
             self, spark, x_range, y_range, max_retries
         )
 
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        x_range: tuple[float, float],
+        y_range: tuple[float, float],
+    ) -> tuple[int, int, int]:
+        """Merge-on-read DELETE of the (x, y) box via deletion
+        vectors: instead of rewriting the affected files (the
+        copy-on-write :meth:`delete_where`), the commit writes one
+        small parquet of (file_path, row_index) tombstones — the
+        positions come from the parquet ``_metadata.row_index``
+        column, exactly Delta's DV design — and every read subtracts
+        them with one anti-join (``_apply_dvs``). Returns
+        (new_version, n_rows_deleted, n_files_hit).
+
+        The trade vs copy-on-write: a delete costs O(matching rows)
+        writes instead of O(affected files) rewrites — the right
+        choice for small/frequent deletes on huge files — while reads
+        pay the anti-join until :meth:`compact` materializes the DVs
+        away (it reads through them and clears ``dvs``). Appends,
+        renames and COW delete/merge carry unapplied DVs forward;
+        time travel still sees pre-delete versions (their snapshots
+        don't list the tombstones). Lost commit race: raises
+        :class:`ConcurrentWriteConflict` (no auto-rebase — a racing
+        commit may have rewritten the very files the positions index
+        into, and position-based tombstones never survive a
+        rewrite)."""
+        snap = self.snapshot()
+        hit = [
+            e for e in snap["files"]
+            if _entry_hits_box(e, x_range, y_range)
+        ]
+        version = snap["version"] + 1
+        meta = {
+            "cell": snap["cell"], "bits": snap["bits"],
+            "stats_cols": self.stats_cols(snap),
+            "zcol": self.zcol(snap),
+            **self._schema_meta(snap),
+        }
+        for k in ("columns", "column_types"):
+            if k in snap:
+                meta[k] = snap[k]
+        n_del = 0
+        if hit:
+            # scan ONLY the layout pair (+ the hidden position cols):
+            # layout columns can never be renamed, so one narrow
+            # schema is valid across every epoch's files
+            types = snap.get("column_types") or {}
+            if types.get(self.x) and types.get(self.y):
+                reader = spark.read.schema(
+                    f"`{self.x}` {types[self.x]}, "
+                    f"`{self.y}` {types[self.y]}"
+                )
+            else:
+                reader = spark.read.option("mergeSchema", "true")
+            scan = reader.parquet(*[e["file"] for e in hit])
+            matches = scan.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+                self.x, self.y,
+            ).where(
+                _box_pred(self.x, self.y, x_range, y_range)
+            ).select("file_path", "row_index")
+            if snap.get("dvs"):
+                # rows already tombstoned must not be re-deleted
+                # (keeps n_rows_deleted honest and DVs duplicate-free)
+                old = spark.read.parquet(*snap["dvs"])
+                matches = matches.join(
+                    old, ["file_path", "row_index"], "left_anti"
+                )
+            dv_dir = self._new_data_dir(version)
+            matches.coalesce(1).write.parquet(dv_dir)
+            n_del = spark.read.parquet(dv_dir).count()
+            dv_files = [
+                os.path.join(dv_dir, f)
+                for f in sorted(os.listdir(dv_dir))
+                if f.endswith(".parquet")
+            ]
+            meta["dvs"] = list(snap.get("dvs") or []) + dv_files
+        try:
+            self._commit(
+                version, "delete_dv", list(snap["files"]), meta
+            )
+        except FileExistsError as exc:
+            raise ConcurrentWriteConflict(
+                f"delete_dv on {self.path} lost the commit race; "
+                "re-run against the new state (position tombstones "
+                "cannot be rebased across a rewrite)"
+            ) from exc
+        return version, n_del, len(hit)
+
     # -- maintenance ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -1279,7 +1411,9 @@ class ZTable:
         kept, dropped = vs[-keep_last:], vs[:-keep_last]
         live: set[str] = set()
         for v in kept:
-            live.update(e["file"] for e in self.snapshot(v)["files"])
+            s = self.snapshot(v)
+            live.update(e["file"] for e in s["files"])
+            live.update(s.get("dvs") or [])  # deletion vectors
         removed: list[str] = []
         for v in dropped:
             os.unlink(self._snap_path(v))

@@ -1163,3 +1163,62 @@ def test_ztable_rename_survives_rmw_and_pruning(
         & F.col("y").between(6000.0, 7000.0)
     ).count()
     assert res.count() == want
+
+
+# -- ZTable: deletion vectors (merge-on-read delete) ---------------------
+
+
+def test_ztable_deletion_vectors_merge_on_read(
+    spark, sf_dir, tmp_path
+):
+    """DV delete rewrites NO data file; reads subtract the tombstones
+    exactly; a second DV delete accumulates without double-counting;
+    time travel sees pre-delete rows; compact materializes the DVs
+    away and vacuum then reclaims the tombstone files."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    box_pred = F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    n_all = base.count()
+    n_box = base.where(box_pred).count()
+    assert n_box > 0
+    files_v0 = {e["file"] for e in t.snapshot(0)["files"]}
+
+    v, n_del, n_hit = t.delete_where_dv(spark, BOX_X, DBOX_Y)
+    assert (n_del, t.snapshot(v)["operation"]) == (n_box, "delete_dv")
+    # merge-on-read: the data file list is IDENTICAL
+    assert {e["file"] for e in t.snapshot(v)["files"]} == files_v0
+    assert t.snapshot(v)["dvs"]
+    after = t.read(spark)
+    assert after.count() == n_all - n_box
+    assert after.where(box_pred).count() == 0
+    # time travel: v0 still sees the deleted rows
+    assert t.read(spark, version=0).count() == n_all
+
+    # overlapping second DV delete: already-tombstoned rows are not
+    # re-deleted; the union of both boxes is gone
+    box2_x = (BOX_X[0] - 500.0, BOX_X[1])
+    n_box2_new = base.where(
+        F.col("x").between(*box2_x)
+        & F.col("y").between(*DBOX_Y)
+        & ~box_pred
+    ).count()
+    v2, n_del2, _ = t.delete_where_dv(spark, box2_x, DBOX_Y)
+    assert n_del2 == n_box2_new
+    assert t.read(spark).count() == n_all - n_box - n_box2_new
+
+    # pruned reads subtract DVs too
+    res, _, _ = t.read_pruned(spark, BOX_X, DBOX_Y)
+    assert res.count() == 0
+
+    # appends carry DVs; compact materializes and clears them
+    t.append(extra, n_files=2)
+    assert t.snapshot()["dvs"]
+    want = n_all - n_box - n_box2_new + extra.count()
+    assert t.read(spark).count() == want
+    t.compact(spark, n_files=4)
+    assert "dvs" not in t.snapshot()
+    assert t.read(spark).count() == want
+    removed = t.vacuum(keep_last=1)
+    assert any("data-v00001" in p for p in removed), (
+        "the DV tombstone files must be reclaimed once dereferenced"
+    )
+    assert t.read(spark).count() == want
