@@ -1120,10 +1120,17 @@ class ZTable:
     def compact(
         self, spark: SparkSession, n_files: int = 16,
         max_retries: int = 0,
+        cell: float | None = None, bits: int | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the live rows into ``n_files`` fresh
         Z-ordered files (restoring global clustering lost to appends)
         and commit a snapshot that lists only those.
+
+        ``cell`` / ``bits`` re-cluster under NEW layout parameters
+        (finer or coarser Morton grid — Delta's ``OPTIMIZE ZORDER``
+        after changing the clustering spec); the new values are
+        recorded in the snapshot, so every later append/delete/merge
+        lays out its files with them. Omitted = keep the parent's.
 
         ``max_retries`` > 0 turns on the OPTIMIZE conflict rule: a
         compact commutes with blind appends (it rewrote exactly the
@@ -1133,19 +1140,24 @@ class ZTable:
         since the parent. Any interleaved delete/merge/compact
         invalidates the rewrite itself and raises
         :class:`ConcurrentWriteConflict`; re-run against the new
-        state."""
+        state. (A raced rebase keeps the appended files' OLD layout —
+        sound, because cell/bits only parameterize clustering quality,
+        never read correctness: pruning uses per-file min/max stats,
+        not the grid.)"""
         parent = self.snapshot()
+        cell = parent["cell"] if cell is None else cell
+        bits = parent["bits"] if bits is None else bits
         cols = self.stats_cols(parent)
         live = self.read(spark)
         new = self._stamp_epoch(
             self._write_data(
                 live, parent["version"] + 1, n_files,
-                parent["cell"], parent["bits"], cols,
+                cell, bits, cols,
             ),
             parent,
         )
         meta = {
-            "cell": parent["cell"], "bits": parent["bits"],
+            "cell": cell, "bits": bits,
             "stats_cols": cols, "zcol": self.zcol(parent),
             # carry the recorded table schema so a later strict-mode
             # append still enforces it (compact never changes columns)

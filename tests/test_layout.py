@@ -1222,3 +1222,29 @@ def test_ztable_deletion_vectors_merge_on_read(
         "the DV tombstone files must be reclaimed once dereferenced"
     )
     assert t.read(spark).count() == want
+
+
+def test_ztable_compact_recluster_changes_layout_params(
+    spark, sf_dir, tmp_path
+):
+    """compact(cell=, bits=) re-clusters under new Morton parameters,
+    records them for every later write, and changes nothing about
+    row-level results (pruning uses per-file stats, not the grid)."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    assert t.snapshot()["cell"] == 200.0
+    v = t.compact(spark, n_files=8, cell=50.0, bits=22)
+    snap = t.snapshot(v)
+    assert (snap["cell"], snap["bits"]) == (50.0, 22)
+    assert t.read(spark).count() == base.count()
+    # later appends inherit the new parameters
+    t.append(extra.limit(20), n_files=1)
+    s2 = t.snapshot()
+    assert (s2["cell"], s2["bits"]) == (50.0, 22)
+    # pruned reads stay exact across the re-cluster
+    res, n_read, n_total = t.read_pruned(spark, BOX_X, BOX_Y)
+    want = base.where(
+        F.col("x").between(*BOX_X) & F.col("y").between(*BOX_Y)
+    ).count() + extra.limit(20).where(
+        F.col("x").between(*BOX_X) & F.col("y").between(*BOX_Y)
+    ).count()
+    assert res.count() == want
