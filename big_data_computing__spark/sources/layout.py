@@ -1287,10 +1287,12 @@ class ZTable:
 
     def upsert(
         self, spark: SparkSession, df: DataFrame, n_files: int = 4,
-        max_retries: int = 0,
+        max_retries: int = 0, extra_meta: dict | None = None,
     ) -> tuple[int, int, int]:
         """Coordinate-keyed MERGE — see :func:`ztable_upsert`."""
-        return ztable_upsert(self, spark, df, n_files, max_retries)
+        return ztable_upsert(
+            self, spark, df, n_files, max_retries, extra_meta
+        )
 
     def delete_where(
         self,
@@ -1572,6 +1574,7 @@ def ztable_upsert(
     df: DataFrame,
     n_files: int = 4,
     max_retries: int = 0,
+    extra_meta: dict | None = None,
 ) -> tuple[int, int, int]:
     """Coordinate-keyed MERGE: rows of ``df`` REPLACE any existing row
     at the same (x, y) and are inserted otherwise. Returns
@@ -1691,6 +1694,7 @@ def ztable_upsert(
             "stats_cols": cols, "zcol": table.zcol(snap),
             "columns": merged_cols,
             **table._schema_meta(snap),
+            **(extra_meta or {}),
         }
         if merged_types is not None:
             meta["column_types"] = merged_types

@@ -63,3 +63,44 @@ def table_append_stream(
             lambda df, bid: append_batch(table, df, bid, n_files)
         ).option("checkpointLocation", checkpoint_dir)
     )
+
+
+def upsert_batch(
+    table: ZTable, batch_df: DataFrame, batch_id: int, n_files: int = 2
+) -> bool:
+    """Idempotently MERGE one micro-batch (coordinate-keyed upsert —
+    a streaming CDC apply): returns True if committed, False if
+    ``batch_id`` was already in the log. Two idempotence layers: the
+    batch-id guard (same as :func:`append_batch`) makes a replay a
+    strict no-op, and even without it a replayed coordinate-keyed
+    MERGE of the same batch is semantically idempotent (same keys →
+    same replacement rows); the guard keeps the version history clean
+    and the cost zero."""
+    last = last_committed_batch_id(table)
+    if last is not None and batch_id <= last:
+        return False
+    table.upsert(
+        batch_df.sparkSession, batch_df, n_files=n_files,
+        extra_meta={"batch_id": batch_id},
+    )
+    return True
+
+
+def table_upsert_stream(
+    src: DataFrame,
+    table: ZTable,
+    checkpoint_dir: str,
+    n_files: int = 2,
+):
+    """Wire a streaming changefeed into ``table`` as MERGEs: each
+    micro-batch's rows REPLACE existing rows at the same (x, y) and
+    insert otherwise — the streaming upsert/CDC-apply pattern (Delta's
+    foreachBatch-MERGE idiom). Returns the DataStreamWriter; caller
+    picks the trigger and calls .start()."""
+    return (
+        src.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: upsert_batch(table, df, bid, n_files)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )

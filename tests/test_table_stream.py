@@ -67,3 +67,47 @@ def test_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
     # the next batch id proceeds normally
     assert append_batch(t, incoming.limit(10), batch_id=1) is True
     assert t.read(spark).count() == n_after_first + 10
+
+
+def test_stream_upserts_replace_and_are_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Streaming CDC apply: arriving rows REPLACE same-coordinate rows
+    (no duplicates), inserts land, and a replayed batch id is a strict
+    no-op — the table is the changefeed's latest state."""
+    from big_data_computing__spark.streaming.table_stream import (
+        table_upsert_stream,
+        upsert_batch,
+    )
+
+    t, base, incoming = _make_table(spark, sf_dir, tmp_path)
+    n_base = base.count()
+    # the changefeed: updated copies of existing rows (same x,y, new
+    # id marker) + genuinely new rows
+    updates = base.orderBy("id").limit(40).withColumn(
+        "id", F.col("id") + 1000000
+    )
+    inserts = incoming.orderBy("id").limit(60)
+    feed = updates.unionByName(inserts).localCheckpoint()
+    src_dir = str(tmp_path / "changes")
+    feed.repartition(2).write.parquet(src_dir)
+
+    src = spark.readStream.schema(feed.schema).parquet(src_dir)
+    q = (
+        table_upsert_stream(src, t, str(tmp_path / "ckpt_up"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = t.read(spark)
+    # replacements did not grow the table; inserts did
+    assert out.count() == n_base + inserts.count()
+    assert out.where(F.col("id") >= 1000000).count() == 40
+    ops = {h["operation"] for h in t.history()} - {"create"}
+    assert ops == {"merge"}
+
+    # replaying an already-recorded batch id is refused
+    last_v = t.latest_version()
+    assert upsert_batch(t, feed, batch_id=0) is False
+    assert t.latest_version() == last_v
