@@ -718,6 +718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, _dd.minhash_lsh_pairs(docs)
         )
 
+    def x_vocab_coverage(spark, sf_dir):
+        # head-coverage curve for vocab sizing: fraction of corpus
+        # token occurrences the top-k terms absorb (two-pass
+        # distributed rank over the vocabulary, never a global sort)
+        return _ts.vocab_coverage(_docs(spark, sf_dir))
+
     def x_top_ngrams(spark, sf_dir):
         # corpus-wide top-k bigrams (word-count shape, TakeOrdered)
         return _cu.top_ngrams(_docs(spark, sf_dir))
@@ -1222,7 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_embed_scatter,
         x_bpe_top_pairs,
         x_leakage_splits,
-        # -- re-verification spill (25 slots): the r3-green dedup / ANN
+        x_vocab_coverage,
+        # -- re-verification spill (24 slots): the r3-green dedup / ANN
         # / clustering / curation block — oldest driver evidence first --
         c7_approx_outliers_summary,
         c6_exact_outliers,
@@ -1247,11 +1254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_ivf_pq_topk,
         x_ann_ivf_rpq_topk,
         x_ann_opq_topk,
-        x_ann_opq_ivf_rpq_topk,
         x_frame_sample,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r05.json) covers everything
         # below. All of it holds an r3 or r4 driver-green row. ----
+        x_ann_opq_ivf_rpq_topk,
         x_clean_corpus,
         x_token_budget_sample,
         x_pii_report,
@@ -1714,6 +1721,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_leakage_splits": _cu.leakage_safe_splits_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
+        "x_vocab_coverage": _ts.vocab_coverage_sql(),
         "x_domain_mixture": _cu.domain_mixture_sql(),
         "x_mixture_resample": _cu.mixture_resample_report_sql(),
         "x_bloom_contamination": _cu.bloom_contamination_sql(),

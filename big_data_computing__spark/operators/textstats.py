@@ -808,3 +808,81 @@ def bpe_apply(
         )
     )
     return docs.select("doc_id", decoded.alias("bpe_tokens"))
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-sizing report: DataFrame[k, covered_tokens,
+    total_tokens, vocab_size, coverage] — the fraction of all corpus
+    token OCCURRENCES covered by the ``k`` most frequent terms (count
+    desc, term asc tiebreak). This is the head-coverage curve a
+    tokenizer/vocab-size decision reads off (how much of the stream
+    the top-k vocabulary absorbs before falling back to subword/UNK).
+
+    Scale shape: one word-count aggregation, the engine's two-pass
+    distributed rank over the VOCABULARY (relational.global_rank —
+    never a single-partition window), then one k×vocab conditional
+    aggregation via a broadcast cross join with the tiny k list."""
+    from .relational import global_rank
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ranked = global_rank(
+        counts.withColumn("neg", -F.col("cnt")), "neg", "term"
+    )
+    ks_df = docs.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks_df))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("rank") <= F.col("k"), F.col("cnt"))
+                .otherwise(0)
+            ).cast("long").alias("covered_tokens"),
+            F.sum("cnt").cast("long").alias("total_tokens"),
+            F.count("*").cast("long").alias("vocab_size"),
+        )
+        .select(
+            "k", "covered_tokens", "total_tokens", "vocab_size",
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+def vocab_coverage_sql(ks: tuple[int, ...] = (100, 1000, 10000)) -> str:
+    """DuckDB twin of :func:`vocab_coverage` (same rank total order,
+    same conditional sums)."""
+    values = ", ".join(f"({int(k)})" for k in ks)
+    return f"""
+WITH counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM counts
+)
+SELECT kt.k,
+       CAST(SUM(CASE WHEN r.rank <= kt.k THEN r.cnt ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       CAST(SUM(r.cnt) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       ROUND(CAST(SUM(CASE WHEN r.rank <= kt.k THEN r.cnt ELSE 0 END)
+                  AS DOUBLE) / SUM(r.cnt), 6) AS coverage
+FROM ranked r CROSS JOIN (VALUES {values}) kt(k)
+GROUP BY kt.k
+"""

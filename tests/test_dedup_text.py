@@ -1060,3 +1060,27 @@ def test_bpe_apply_roundtrip_with_trainer(spark):
         assert got[doc_id] == want, doc_id
     # the learned merges actually compress: fewer symbols than chars
     assert len(got[1]) < sum(len(w) for w in text.split(" "))
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """Head coverage matches a by-hand computation, including the
+    count-desc/term-asc rank tiebreak at the k boundary."""
+    from big_data_computing__spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")],
+        "doc_id long, text string",
+    )
+    # counts: a=4 b=3 c=1 d=1; total=9; rank: a,b,c,d (ties on cnt=1
+    # break c before d)
+    out = {
+        r["k"]: r for r in vocab_coverage(docs, ks=(1, 3)).collect()
+    }
+    assert out[1]["covered_tokens"] == 4
+    assert out[3]["covered_tokens"] == 4 + 3 + 1  # a, b, then c (not d)
+    assert out[1]["total_tokens"] == 9
+    assert out[1]["vocab_size"] == 4
+    assert out[1]["coverage"] == round(4 / 9, 6)
+    assert out[3]["coverage"] == round(8 / 9, 6)
