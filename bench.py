@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "x_embed_scatter",
     "x_bpe_top_pairs",
     "x_leakage_splits",
+    "x_vocab_coverage",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a
