@@ -1248,3 +1248,78 @@ def test_ztable_compact_recluster_changes_layout_params(
         F.col("x").between(*BOX_X) & F.col("y").between(*BOX_Y)
     ).count()
     assert res.count() == want
+
+
+def test_ztable_full_lifecycle_kitchen_sink(spark, sf_dir, tmp_path):
+    """Every evolution feature composing on ONE table: type widening,
+    column rename, deletion-vector delete, post-rename append, MERGE,
+    re-clustering compact (materializes DVs), vacuum. Counts and
+    values stay exact at every step."""
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0).select(
+        "id", "x", "y", F.col("id").cast("int").alias("score")
+    )
+    extra = pts.where(F.col("y") >= 5100.0).select(
+        "id", "x", "y",
+        (F.col("id") + 5000000000).cast("bigint").alias("points"),
+    )
+    t = L.ZTable.create(
+        base, str(tmp_path / "sink"), n_files=8, cell=200.0
+    )
+    n_base = base.count()
+
+    # widen int -> bigint via a merge append, then rename
+    t.append(
+        base.limit(10).withColumn(
+            "score", (F.col("id") + 6000000000).cast("bigint")
+        ),
+        n_files=1, schema_mode="merge",
+    )
+    t.rename_column("score", "points")
+    assert t.snapshot()["column_types"]["points"] == "bigint"
+
+    # DV delete of a box (merge-on-read, files untouched)
+    box_pred = F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    n_box = t.read(spark).where(box_pred).count()
+    v, n_del, _ = t.delete_where_dv(spark, BOX_X, DBOX_Y)
+    assert n_del == n_box
+    live = n_base + 10 - n_box
+    assert t.read(spark).count() == live
+
+    # post-rename append (new name, wide type) + coordinate MERGE
+    t.append(extra, n_files=2, schema_mode="merge")
+    live += extra.count()
+    assert t.read(spark).count() == live
+    upd = (
+        t.read(spark).where(~box_pred).orderBy("id").limit(5)
+        .withColumn("id", F.col("id") + 7000000)
+        .localCheckpoint()
+    )
+    t.upsert(spark, upd)
+    assert t.read(spark).count() == live  # pure replacement
+    assert t.read(spark).where(
+        F.col("id") >= 7000000
+    ).count() == 5
+
+    # re-clustering compact materializes DVs and unifies epochs
+    t.compact(spark, n_files=4, cell=100.0)
+    snap = t.snapshot()
+    assert "dvs" not in snap and snap["cell"] == 100.0
+    assert t.read(spark).count() == live
+    assert t.read(spark).where(box_pred).count() == 0
+    # wide values survived every step
+    assert t.read(spark).where(
+        F.col("points") >= 5000000000
+    ).count() == extra.count() + 10
+
+    # vacuum drops all superseded files; the table still reads exact
+    removed = t.vacuum(keep_last=1)
+    assert removed
+    assert t.read(spark).count() == live
+    res, n_read, n_total = t.read_pruned(
+        spark, (6000.0, 7000.0), (6000.0, 7000.0)
+    )
+    assert res.count() == t.read(spark).where(
+        F.col("x").between(6000.0, 7000.0)
+        & F.col("y").between(6000.0, 7000.0)
+    ).count()
