@@ -2263,3 +2263,79 @@ SELECT DISTINCT * FROM (
   ({snm_pairs_sql(window, threshold, ngram, key_len, key_sql=rev_key)})
 )
 """
+
+
+def duplicate_components_htm(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Connected components via Hash-to-Min (Rastogi et al. 2013):
+    same contract as :func:`duplicate_components` —
+    DataFrame[doc_id, component_id], component_id = min doc id — but
+    converging in O(log n) rounds on ANY graph shape, including the
+    long chains where min-label propagation needs diameter rounds and
+    without the per-round double-join of the star-contraction variant.
+
+    State is the cluster relation (v, member): each node starts with
+    itself + its neighbors. Per round every node v with m = min(C_v)
+    (1) broadcasts m to every member of C_v and (2) ships its whole
+    C_v to m — so minima race down chains at doubling speed while
+    non-minimum nodes' sets collapse toward {m}. Fixpoint when no
+    node's min changes for a round. Per-round cost: one min
+    aggregation + one explode-shaped join on node ids; only the
+    minimum node of a cluster ever holds the full member set (cluster-
+    sized, the algorithm's known hot spot — for near-dup graphs
+    clusters are small). Lineage is reset per round with
+    ``localCheckpoint`` (iterative-loop rule, see
+    duplicate_components). Raises rather than returning silently-wrong
+    components if the bound is exhausted (log₂ n rounds suffice, so 40
+    covers any practical n)."""
+    edges = (
+        pairs.select(F.col(doc_a).alias("v"), F.col(doc_b).alias("m"))
+        .union(
+            pairs.select(F.col(doc_b).alias("v"), F.col(doc_a).alias("m"))
+        )
+        .distinct()
+    )
+    state = (
+        edges.union(
+            edges.select("v", F.col("v").alias("m")).distinct()
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    mins = None
+    for _ in range(max_iterations):
+        cur_min = state.groupBy("v").agg(F.min("m").alias("mn"))
+        with_min = state.join(cur_min, "v")
+        # (1) min broadcast: every member u of C_v learns mn(v)
+        bcast = with_min.select(
+            F.col("m").alias("v"), F.col("mn").alias("m")
+        )
+        # (2) aggregate to min: mn(v) receives all of C_v
+        tomin = with_min.select(
+            F.col("mn").alias("v"), F.col("m")
+        )
+        state = bcast.union(tomin).distinct().localCheckpoint()
+        new_min = state.groupBy("v").agg(F.min("m").alias("mn"))
+        if mins is not None:
+            changed = (
+                new_min.alias("n")
+                .join(mins.alias("o"), "v")
+                .where(F.col("n.mn") != F.col("o.mn"))
+                .count()
+            )
+            if changed == 0:
+                mins = new_min
+                break
+        mins = new_min.localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"duplicate_components_htm did not converge in "
+            f"{max_iterations} rounds"
+        )
+    return mins.select(
+        F.col("v").alias("doc_id"), F.col("mn").alias("component_id")
+    )

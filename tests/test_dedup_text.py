@@ -1084,3 +1084,35 @@ def test_vocab_coverage_hand_computed(spark):
     assert out[1]["vocab_size"] == 4
     assert out[1]["coverage"] == round(4 / 9, 6)
     assert out[3]["coverage"] == round(8 / 9, 6)
+
+
+def test_components_htm_agrees_with_other_two_impls(spark):
+    """Three independent CC implementations (min-label propagation,
+    star contraction, hash-to-min) must produce identical labelings on
+    an adversarial mix: a 30-node chain (diameter stress), two dense
+    clusters, and isolated pairs."""
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components,
+        duplicate_components_htm,
+        duplicate_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 130)]
+    dense = [(200, x) for x in range(201, 206)] + [(202, 204)]
+    dense2 = [(300, 301), (301, 302), (300, 302)]
+    lone = [(400, 401), (500, 501)]
+    pairs = spark.createDataFrame(
+        chain + dense + dense2 + lone, "doc_a long, doc_b long"
+    )
+
+    def lab(df):
+        return {
+            (r["doc_id"], r["component_id"]) for r in df.collect()
+        }
+
+    a = lab(duplicate_components(pairs))
+    b = lab(duplicate_components_star(pairs))
+    c = lab(duplicate_components_htm(pairs))
+    assert a == b == c
+    # spot-check the chain collapsed to one component rooted at 100
+    assert (129, 100) in c and (115, 100) in c
