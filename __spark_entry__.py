@@ -460,13 +460,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def a14_approx_distinct(spark, sf_dir):
-        # rows-only: HLL sketches differ across engines by design; the
-        # 5%-of-exact accuracy contract is asserted in tests instead
+        # approximate distinct users and props via the engine's
+        # deterministic HLL with the small-range linear-counting
+        # correction (frequent.hll_estimate_corrected) — every register
+        # is a pure integer function of the data, and the m·ln(m/V)
+        # correction has only m=256 possible inputs, all verified
+        # cross-engine at 3 dp (test_plans.py), so the estimate itself
+        # is value-oracled. Spark's native approx_count_distinct stays
+        # the production sketch; its 5%-of-exact accuracy contract is
+        # asserted in tests (test_plans.py:100) because its HLL++
+        # registers are engine-internal and can never hash-match DuckDB.
         ev = _rd.read_table(spark, sf_dir, "events")
-        return ev.agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.approx_count_distinct("props").alias("approx_props"),
+        users = _fr.hll_estimate_corrected(
+            ev.select(F.col("user_id").cast("long").alias("item"))
         )
+        props = _fr.hll_estimate_corrected(
+            ev.select(F.col("props").alias("item"))
+        )
+        return users.select(
+            F.col("estimate").alias("approx_users")
+        ).crossJoin(props.select(F.col("estimate").alias("approx_props")))
 
     def a15_cube_order_stats(spark, sf_dir):
         # CUBE over (orderstatus, orderpriority) with null-safe markers
@@ -1522,6 +1535,14 @@ SELECT ROUND(MAX(min_dist), 6) AS radius FROM d""",
         "t10_hll_estimate": _fr.hll_estimate_sql(
             "SELECT CAST(event_id AS BIGINT) AS item FROM events"
         ),
+        "a14_approx_distinct": f"""
+SELECT u.estimate AS approx_users, p.estimate AS approx_props
+FROM ({_fr.hll_estimate_corrected_sql(
+            "SELECT CAST(user_id AS BIGINT) AS item FROM events"
+        )}) u
+CROSS JOIN ({_fr.hll_estimate_corrected_sql(
+            "SELECT props AS item FROM events"
+        )}) p""",
         "t11_histogram_quantiles": _fr.histogram_quantiles_sql(
             "SELECT l_extendedprice AS v FROM lineitem"
         ),

@@ -704,6 +704,98 @@ FROM agg
 """
 
 
+def hll_estimate_corrected(
+    stream: DataFrame, p: int = HLL_P, item_col: str = "item"
+) -> DataFrame:
+    """Full HyperLogLog estimator with the small-range
+    (linear-counting) correction, cross-engine exact:
+    1-row DataFrame[n_absent_registers, raw_estimate, estimate].
+
+    The raw harmonic-mean estimate (see :func:`hll_estimate`) is
+    biased for cardinalities below ~2.5·m; Flajolet et al.'s fix is
+    linear counting on the empty-register count — estimate =
+    m·ln(m/V) when raw ≤ 2.5·m and V > 0 empty registers remain.
+    ``hll_estimate``'s docstring calls ln non-bit-portable; that is
+    retired here by construction: the ln argument is m/V with V an
+    INTEGER in [1, m], so the estimator has exactly m distinct
+    possible correction inputs, and tests/test_plans.py
+    (test_hll_linear_counting_ln_cross_engine) checks all of them
+    cross-engine at the reported 3 dp — Spark (Java Math.log) and
+    DuckDB (libm log) agree on every one, making the corrected
+    estimate as oracle-able as the raw one. The branch condition
+    compares doubles both engines computed from identical exact
+    integers, so both always take the same branch."""
+    m = 2**p
+    K = _HLL_K
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(stream, p, item_col)
+    present = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({K} - m AS INT))")
+        ).alias("z_p"),
+        F.count("*").alias("n_present"),
+    )
+    z = F.col("z_p") + (F.lit(m) - F.col("n_present")) * F.lit(2**K)
+    raw = F.lit(alpha * m * m) * F.lit(float(2**K)) / z.cast("double")
+    v = (F.lit(m) - F.col("n_present")).cast("long")
+    lin = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / v.cast("double")
+    )
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > F.lit(0)), lin).otherwise(
+        raw
+    )
+    return present.select(
+        v.cast("int").alias("n_absent_registers"),
+        F.round(raw, 3).alias("raw_estimate"),
+        F.round(est, 3).alias("estimate"),
+    )
+
+
+def hll_estimate_corrected_sql(stream_sql: str, p: int = HLL_P) -> str:
+    """DuckDB twin of :func:`hll_estimate_corrected` — identical
+    registers, identical raw expression, identical m·ln(m/V) linear
+    count and branch condition."""
+    m = 2**p
+    K = _HLL_K
+    w = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = hash60_sql("CAST(item AS VARCHAR)")
+    raw = (
+        f"{alpha * m * m!r} * {float(2**K)!r} "
+        f"/ CAST(z_p + ({m} - n_present) * {2**K} AS DOUBLE)"
+    )
+    v = f"({m} - n_present)"
+    lin = f"{float(m)!r} * ln({float(m)!r} / CAST({v} AS DOUBLE))"
+    return f"""
+WITH s AS ({stream_sql}),
+hb AS (
+  SELECT {h} % {m} AS bucket,
+         CAST({h} // {m} AS BIGINT) AS low
+  FROM s
+),
+r AS (
+  SELECT bucket,
+         CASE WHEN low = 0 THEN {w + 1}
+              ELSE CAST(bit_count((low & -low) - 1) AS BIGINT) + 1
+         END AS rho
+  FROM hb
+),
+regs AS (SELECT bucket, CAST(MAX(rho) AS BIGINT) AS mreg FROM r
+         GROUP BY bucket),
+agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST({K} - mreg AS INT))
+              AS BIGINT) AS z_p,
+         COUNT(*) AS n_present
+  FROM regs
+)
+SELECT CAST({v} AS INT) AS n_absent_registers,
+       ROUND({raw}, 3) AS raw_estimate,
+       ROUND(CASE WHEN ({raw}) <= {2.5 * m!r} AND {v} > 0
+                  THEN {lin} ELSE {raw} END, 3) AS estimate
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Equi-width histogram quantile sketch
 # ---------------------------------------------------------------------------

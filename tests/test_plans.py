@@ -106,6 +106,61 @@ def test_approx_count_distinct_accuracy(spark):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_hll_linear_counting_ln_cross_engine(spark):
+    """The m·ln(m/V) linear-counting correction has exactly m=256
+    possible inputs (V is an integer register deficit in [1, m]).
+    Check every one: Spark's Java Math.log and DuckDB's libm log must
+    agree at the reported 3 dp — this is what licenses
+    hll_estimate_corrected's value oracle (a14)."""
+    import duckdb
+
+    m = 256
+    got = {
+        r["v"]: r["e"]
+        for r in spark.range(1, m + 1)
+        .select(
+            F.col("id").alias("v"),
+            F.round(
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / F.col("id").cast("double")),
+                3,
+            ).alias("e"),
+        )
+        .collect()
+    }
+    want = {
+        v: e
+        for v, e in duckdb.sql(
+            f"SELECT CAST(range AS BIGINT) AS v, "
+            f"ROUND({float(m)!r} * ln({float(m)!r} "
+            f"/ CAST(range AS DOUBLE)), 3) AS e "
+            f"FROM range(1, {m + 1})"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_hll_corrected_small_range_accuracy(spark):
+    """In the small-range regime the corrected estimate must be close
+    to exact (the raw estimate is badly biased there — that is the
+    point of the correction): sf0.01 events has 150 users / 100 props,
+    both far below 2.5·m = 640."""
+    from big_data_computing__spark.operators.frequent import (
+        hll_estimate,
+        hll_estimate_corrected,
+    )
+
+    events = read_table(spark, "/root/testdata/sf0.01", "events")
+    items = events.select(F.col("user_id").cast("long").alias("item"))
+    exact = items.distinct().count()
+    row = hll_estimate_corrected(items).collect()[0]
+    assert abs(row["estimate"] - exact) / exact < 0.10
+    # and the raw estimate really is worse here — the correction is
+    # doing work, not decorating
+    raw = hll_estimate(items).collect()[0]["estimate"]
+    assert abs(row["estimate"] - exact) < abs(raw - exact)
+
+
 def test_as_of_join_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10, 100), (1, 20, 101), (2, 5, 102)],
