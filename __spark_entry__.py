@@ -1022,6 +1022,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_dedup_components_htm(spark, sf_dir):
+        # same contract via Hash-to-Min (Rastogi et al. 2013): O(log n)
+        # rounds on ANY graph shape — chains included, where min-label
+        # needs diameter rounds (A/B on a 5,000-hop chain in STRESS.md);
+        # shares the siblings' recursive-CTE oracle verbatim
+        return _dd.duplicate_components_htm(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_dedup_survivors(spark, sf_dir):
         # end-to-end dedup output: one survivor per duplicate component
         docs = _docs(spark, sf_dir)
@@ -1259,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_embedding,
         x_dedup_components,
         x_dedup_components_star,
+        x_dedup_components_htm,
         x_dedup_survivors,
         x_ann_cosine_topk,
         x_ann_lsh_topk,
@@ -1820,6 +1830,9 @@ GROUP BY l_returnflag, l_linestatus""",
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "x_dedup_components_star": _dd.duplicate_components_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        "x_dedup_components_htm": _dd.duplicate_components_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "x_clean_corpus": _pl.clean_corpus_sql(),

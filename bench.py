@@ -112,6 +112,15 @@ BENCH_QUERIES = [
     "x_bpe_top_pairs",
     "x_leakage_splits",
     "x_vocab_coverage",
+    # round-6 additions: every oracled family now has a tracked sf0.1
+    # number (VERDICT r5 "What's missing" #5) — truss decomposition
+    # (chained peel), SemDeDup survivors (blocked cosine pairs + CC),
+    # packed-chunk stats, and Hash-to-Min CC on its sweet-spot graph
+    # (near-dup components; see STRESS.md for the chain-graph A/B)
+    "x_truss_decomposition",
+    "x_semdedup_survivors",
+    "x_pack_chunk_stats",
+    "x_dedup_components_htm",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

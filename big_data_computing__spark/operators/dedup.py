@@ -2284,14 +2284,26 @@ def duplicate_components_htm(
     C_v to m — so minima race down chains at doubling speed while
     non-minimum nodes' sets collapse toward {m}. Fixpoint when no
     node's min changes for a round. Per-round cost: one min
-    aggregation + one explode-shaped join on node ids; only the
-    minimum node of a cluster ever holds the full member set (cluster-
-    sized, the algorithm's known hot spot — for near-dup graphs
-    clusters are small). Lineage is reset per round with
-    ``localCheckpoint`` (iterative-loop rule, see
+    aggregation + one explode-shaped join on node ids. Lineage is
+    reset per round with ``localCheckpoint`` (iterative-loop rule, see
     duplicate_components). Raises rather than returning silently-wrong
     components if the bound is exhausted (log₂ n rounds suffice, so 40
-    covers any practical n)."""
+    covers any practical n).
+
+    MEASURED scale contract (STRESS.md r6, tools/stress_test.py
+    --cc-only): the O(log d) ROUND bound holds — 14 rounds on a
+    5,000-hop chain forest — but on long-path graphs the STATE does
+    not stay linear: every node's member set doubles per round until
+    it collapses (~min(2^r, d) members), so total state peaks at
+    ~n·d/2 rows mid-convergence (63.2M rows from a 20k-node input;
+    Java-heap OOM at 100k nodes), and wall-clock loses to star
+    contraction 210 s vs 17 s there. Use HTM where its state premise
+    holds — bounded-diameter cluster graphs like near-dup components,
+    its registered workload (`x_dedup_components_htm`) — and
+    :func:`duplicate_components_star` (O(log² n) rounds, linear
+    per-round state) for unknown or adversarial diameters. Closing
+    the gap for paths is exactly what Rastogi et al.'s
+    Hash-Greater-to-Min space bound is for; not implemented here."""
     edges = (
         pairs.select(F.col(doc_a).alias("v"), F.col(doc_b).alias("m"))
         .union(

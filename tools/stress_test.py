@@ -25,7 +25,51 @@ from big_data_computing__spark.session import get_session
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def cc_chain_ab(n_nodes: int = 20_000, hop: int = 5_000) -> None:
+    """A/B the two poly-log CC implementations on the adversarial
+    chain forest (diameter ``hop`` — the shape where min-label
+    propagation refuses): star contraction vs Hash-to-Min.
+
+    Default is 20k nodes, NOT the 100k the star-only stress runs:
+    Hash-to-Min's per-node member sets double each round on a path
+    (round r holds ~min(2^r, d) members per node) so total state peaks
+    at ~n·d/2 rows mid-convergence — measured 63.2M rows at round 11
+    of 14 on 20k×5,000-hop (3,150× the input), and a Java-heap OOM at
+    100k nodes. The round count matches the paper's O(log d) claim;
+    the communication does not stay linear on paths (that is exactly
+    the gap Rastogi et al.'s Hash-Greater-to-Min space bound targets).
+    See STRESS.md for the full round-by-round table."""
+    spark = get_session(app_name="bdc_stress_cc")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+    chains = (
+        spark.range(n_nodes)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        .where((F.col("doc_a") + 1) % hop != 0)
+        .repartition(64)
+        .localCheckpoint()
+    )
+    for name, fn in (
+        ("htm_cc_chain", dd.duplicate_components_htm),
+        ("star_cc_chain", dd.duplicate_components_star),
+    ):
+        t0 = time.time()
+        out = fn(chains)
+        cnt = out.count()
+        n_comp = out.select("component_id").distinct().count()
+        results[name] = {
+            "nodes": cnt,
+            "components": n_comp,
+            "sec": round(time.time() - t0, 1),
+        }
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 def main() -> None:
+    if "--cc-only" in sys.argv:
+        cc_chain_ab()
+        return
     spark = get_session(app_name="bdc_stress")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
