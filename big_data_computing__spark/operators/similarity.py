@@ -2100,3 +2100,89 @@ def embedding_pca(
         F.col("vec_id").cast("long").alias("vec_id"), *proj_cols
     )
     return out, [float(evals[o]) for o in order]
+
+
+def pca_whiten(
+    emb: DataFrame, k: int = 8, m: int = 4, scale: int = 1_000_000
+) -> DataFrame:
+    """PCA-whitened embeddings: DataFrame[vec_id, embedding] with
+    ``embedding`` the m-dim array<double> of principal-component
+    scores each divided by √eigenvalue — unit variance per retained
+    direction, the standard preconditioning embedding-curation
+    pipelines apply before semantic dedup / clustering so no single
+    dominant direction swamps the distance metric (SemDeDup,
+    Abbas et al. 2023 §3; this is the composition registered as
+    ``x_pca_semdedup``).
+
+    Execution shape is :func:`embedding_pca`'s: one distributed pass
+    builds the integer-exact scatter, the driver eigendecomposes k²
+    scalars, and the whitened projection is a literal-coefficient
+    Catalyst expression — narrow, whole-stage-codegen, no shuffle, no
+    Python on the data path. Because the scatter sums are exact
+    integers and eigh/sign-pinning is deterministic, the whitened
+    coordinates are bit-reproducible, and a DuckDB twin evaluating the
+    SAME literal map (tools/gen_pca_golden.py pins the sf0.01
+    coefficients independently from the SQL scatter twin) reproduces
+    them bit-for-bit — which is what puts the downstream semantic
+    dedup on a value oracle."""
+    import math
+
+    proj, evals = embedding_pca(emb, k=k, m=m, scale=scale)
+    return proj.select(
+        "vec_id",
+        F.array(
+            *[
+                (
+                    F.col(f"pc{c + 1}")
+                    / F.lit(math.sqrt(evals[c]))
+                ).alias(f"w{c + 1}")
+                for c in range(m)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def pca_whiten_vec_sql(
+    mean: list[float],
+    comps: list[list[float]],
+    evals: list[float],
+) -> str:
+    """DuckDB twin of :func:`pca_whiten`'s projection as a
+    (vid, vec DOUBLE[]) subquery over ``embeddings`` — the identical
+    left-associated literal linear map, with the pinned coefficients
+    passed in (``plans/pca_golden_sf001.py``, generated independently
+    of the engine by tools/gen_pca_golden.py)."""
+    import math
+
+    k = len(mean)
+    m = len(comps[0])
+    cols = []
+    for c in range(m):
+        terms = " + ".join(
+            f"(CAST(embedding[{d + 1}] AS DOUBLE) - {mean[d]!r})"
+            f" * {comps[d][c]!r}"
+            for d in range(k)
+        )
+        cols.append(f"({terms}) / {math.sqrt(evals[c])!r}")
+    vec = ", ".join(cols)
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vid, "
+        f"[{vec}]::DOUBLE[] AS vec FROM embeddings"
+    )
+
+
+def cosine_near_pairs_over_sql(vec_sql: str, threshold: float) -> str:
+    """:func:`cosine_near_pairs_sql` generalized to an arbitrary
+    (vid, vec DOUBLE[]) subquery — the oracle for near-pair search in
+    a derived space (e.g. the PCA-whitened one)."""
+    score = (
+        "ROUND(list_dot_product(a.vec, b.vec) "
+        "/ (sqrt(list_dot_product(a.vec, a.vec)) "
+        "* sqrt(list_dot_product(b.vec, b.vec))), 6)"
+    )
+    return f"""
+WITH v AS ({vec_sql})
+SELECT a.vid AS vec_a, b.vid AS vec_b, {score} AS score
+FROM v a JOIN v b ON a.vid < b.vid
+WHERE {score} >= {threshold!r}
+"""

@@ -688,10 +688,40 @@ _BPE_SEP = "\x1f"  # unit separator: frames symbols so merges can't
 # "␟ca␟␟t␟")
 
 
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts of a framed-encoding vocabulary:
+    DataFrame[a, b, n_pairs] over vocab[enc, cnt] — each word's
+    adjacent (symbolᵢ, symbolᵢ₊₁) pairs weighted by the word's corpus
+    count. Shared by the full-recount and incremental trainers (the
+    incremental deltas are this exact expression over the affected
+    subset, which is what makes the two paths provably identical)."""
+    sep = _BPE_SEP
+    syms = F.split(
+        F.expr("substring(enc, 2, length(enc) - 2)"), sep + sep
+    )
+    return (
+        vocab.where(F.size(syms) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, "
+                    f"size(split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')) - 1), "
+                    f"i -> struct(split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')[i-1] AS a, "
+                    f"split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')[i] AS b))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").cast("long").alias("n_pairs"))
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    incremental: bool = True,
 ) -> list[tuple[str, str, int]]:
     """Distributed BPE tokenizer training: returns the first
     ``n_merges`` merges as ``(left, right, pair_count)`` in merge
@@ -701,12 +731,31 @@ def bpe_train(
 
     Scale shape: the corpus collapses ONCE to the distinct-word
     vocabulary with counts; every merge round then runs over
-    vocabulary-sized data only (pair count aggregation + a
-    non-overlapping leftmost merge applied via one string replace per
-    word). The driver holds one (pair, count) row per round — the
-    argmax — never the vocabulary. ``localCheckpoint`` per round keeps
-    the lineage flat (iterative-loop rule, PLANS.md).
-    """
+    vocabulary-sized data only. The driver holds one (pair, count)
+    row per round — the argmax — never the vocabulary.
+    ``localCheckpoint`` per round keeps the lineage flat
+    (iterative-loop rule, PLANS.md); each round unpersists its
+    predecessor's checkpoint once the successor is materialized, so a
+    30k-merge training run holds O(1) checkpoints, not O(rounds).
+
+    ``incremental=True`` (default) is the classic delta maintenance
+    that makes real tokenizer training feasible: the (pair → count)
+    relation is kept as state, and each merge recounts ONLY the words
+    containing the just-merged pair — delta = pairs(affected after) −
+    pairs(affected before), everything else untouched — instead of
+    re-aggregating every pair of every vocabulary word per round.
+    Per-round cost drops from O(vocab·word_len) exploded+shuffled to
+    one narrow contains() scan over the vocabulary plus
+    O(affected·len + |distinct pairs|) shuffled; on a 200k-word
+    vocabulary at 64 merges that is a measured 3.1× end-to-end win —
+    111.0 s full vs 35.7 s incremental, identical sequences, and 256
+    incremental merges run in 121.6 s where extrapolated full recount
+    is ~7.5 min (STRESS.md r6, tools/stress_test.py --bpe-only) — and
+    the gap widens with corpus scale since |affected| per round
+    shrinks relative to the vocabulary. ``incremental=False`` keeps the
+    full-recount path (the A/B baseline; byte-identical merge
+    sequences, pinned by test_bpe_incremental_equals_full_recount and
+    the sequential-learner equivalence test)."""
     sep = _BPE_SEP
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
@@ -728,26 +777,13 @@ def bpe_train(
     )
     vocab = words.select(enc.alias("enc"), "cnt").localCheckpoint()
     merges: list[tuple[str, str, int]] = []
+    counts = (
+        _bpe_pair_counts(vocab).localCheckpoint() if incremental else None
+    )
     for _ in range(n_merges):
-        syms = F.split(
-            F.expr(f"substring(enc, 2, length(enc) - 2)"), sep + sep
-        )
+        src = counts if incremental else _bpe_pair_counts(vocab)
         pair_rows = (
-            vocab.where(F.size(syms) >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, "
-                        f"size(split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')) - 1), "
-                        f"i -> struct(split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')[i-1] AS a, "
-                        f"split(substring(enc, 2, length(enc) - 2), '{sep}{sep}')[i] AS b))"
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").cast("long").alias("n_pairs"))
-            .orderBy(F.col("n_pairs").desc(), F.col("a"), F.col("b"))
+            src.orderBy(F.col("n_pairs").desc(), F.col("a"), F.col("b"))
             .limit(1)
             .collect()
         )
@@ -756,14 +792,36 @@ def bpe_train(
         a, b, n = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["n_pairs"]
         merges.append((a, b, n))
         # leftmost non-overlapping merge = one framed string replace
-        vocab = vocab.select(
-            F.replace(
-                F.col("enc"),
-                F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
-                F.lit(f"{sep}{a}{b}{sep}"),
-            ).alias("enc"),
+        pat = f"{sep}{a}{sep}{sep}{b}{sep}"
+        rep = f"{sep}{a}{b}{sep}"
+        if incremental:
+            affected = vocab.where(F.col("enc").contains(pat))
+            replaced = affected.select(
+                F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias(
+                    "enc"
+                ),
+                "cnt",
+            )
+            deltas = _bpe_pair_counts(replaced).unionByName(
+                _bpe_pair_counts(affected).select(
+                    "a", "b", (-F.col("n_pairs")).alias("n_pairs")
+                )
+            )
+            new_counts = (
+                counts.unionByName(deltas)
+                .groupBy("a", "b")
+                .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+                .where(F.col("n_pairs") > 0)
+                .localCheckpoint()
+            )
+            counts.unpersist()
+            counts = new_counts
+        new_vocab = vocab.select(
+            F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc"),
             "cnt",
         ).localCheckpoint()
+        vocab.unpersist()
+        vocab = new_vocab
     return merges
 
 

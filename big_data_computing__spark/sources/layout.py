@@ -1333,7 +1333,30 @@ class ZTable:
         :class:`ConcurrentWriteConflict` (no auto-rebase — a racing
         commit may have rewritten the very files the positions index
         into, and position-based tombstones never survive a
-        rewrite)."""
+        rewrite).
+
+        Stacked-DV contract (pinned end-to-end by
+        tests/test_layout.py::test_ztable_dv_contract_family):
+
+        - **Stacking**: successive DV commits APPEND tombstone files
+          (``dvs`` is cumulative); rows already tombstoned are
+          excluded from later deletes (the left-anti above), so
+          ``n_rows_deleted`` stays honest and no position is listed
+          twice even when deletes hit the same data files.
+        - **Time travel**: each version reads with exactly the DVs
+          its own snapshot lists — intermediate DV states reproduce
+          exactly.
+        - **Vacuum**: tombstone parquets are live-set members like
+          data files; they are reclaimed only when NO retained
+          snapshot references them (a later snapshot carries earlier
+          DVs forward, so dropping the version that created a DV
+          does not free it).
+        - **MERGE/COW over tombstoned ground**: every rewrite path
+          reads THROUGH the DVs (``_read_files`` → ``_apply_dvs``),
+          so deleted rows can never resurrect; tombstones pointing
+          into rewritten (now-dereferenced) files become dangling and
+          inert — the anti-join key is the file path, which is never
+          reused (versioned data dirs)."""
         snap = self.snapshot()
         hit = [
             e for e in snap["files"]

@@ -41,11 +41,21 @@ class ScatterState:
         self.scale = scale
         self.sums: dict[tuple[int, int], list[int]] = {}
         self._seen: set[int] = set()
+        #: per-batch covariance-drift report, appended by every applied
+        #: (non-replay) update: [{batch_id, n_vecs, max_abs, l2}].
+        #: Drift compares the post-batch covariance surface against the
+        #: pre-batch one via :func:`covariance_drift`, so the series is
+        #: a monitorable "how much is this stream still moving my
+        #: second-moment estimate" signal (embedding-distribution
+        #: drift); the first applied batch reports None (no baseline).
+        self.drift_history: list[dict] = []
+        self._prev_cov: dict[tuple[int, int], float] | None = None
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         """Fold one micro-batch's pair sums into the running state.
         Replays of an already-applied batch id are ignored
-        (exactly-once under restart)."""
+        (exactly-once under restart — they also leave
+        ``drift_history`` untouched)."""
         if batch_id in self._seen:
             return
         for r in embedding_scatter(
@@ -59,6 +69,23 @@ class ScatterState:
             cell[2] += r["s_j"]
             cell[3] += r["s_ij"]
         self._seen.add(batch_id)
+        cur = {key: v[4] for key, v in self.result().items()}
+        drift = (
+            covariance_drift(self._prev_cov, cur)
+            if self._prev_cov is not None
+            else None
+        )
+        self.drift_history.append(
+            {
+                "batch_id": batch_id,
+                "n_vecs": next(iter(self.sums.values()))[0]
+                if self.sums
+                else 0,
+                "max_abs": drift["max_abs"] if drift else None,
+                "l2": drift["l2"] if drift else None,
+            }
+        )
+        self._prev_cov = cur
 
     def result(self) -> dict[tuple[int, int], tuple]:
         """(i, j) -> (n_vecs, s_i, s_j, s_ij, cov) from the running
@@ -75,6 +102,25 @@ class ScatterState:
             )
             out[(i, j)] = (n, s_i, s_j, s_ij, cov)
         return out
+
+
+def covariance_drift(
+    prev: dict[tuple[int, int], float],
+    cur: dict[tuple[int, int], float],
+) -> dict[str, float]:
+    """Drift between two covariance surfaces (upper-triangle dicts of
+    (i, j) -> cov): max-abs and Frobenius-style l2 over the entrywise
+    deltas, missing cells treated as 0.0. Pure arithmetic on the
+    9-dp covariances :meth:`ScatterState.result` reports — the same
+    inputs the batch operator emits — so a drift series recomputed
+    from per-prefix batch scatters equals the streaming series
+    bit-for-bit (tests/test_embed_stream.py pins it)."""
+    keys = set(prev) | set(cur)
+    deltas = [cur.get(k2, 0.0) - prev.get(k2, 0.0) for k2 in keys]
+    return {
+        "max_abs": max((abs(d) for d in deltas), default=0.0),
+        "l2": sum(d * d for d in deltas) ** 0.5,
+    }
 
 
 def scatter_stream(

@@ -1323,3 +1323,91 @@ def test_ztable_full_lifecycle_kitchen_sink(spark, sf_dir, tmp_path):
         F.col("x").between(6000.0, 7000.0)
         & F.col("y").between(6000.0, 7000.0)
     ).count()
+
+
+def test_ztable_dv_contract_family(spark, sf_dir, tmp_path):
+    """The stacked-DV contract in one family (delete_where_dv
+    docstring): (a) two DV commits tombstoning the SAME files stack
+    without double-deleting; (b) time travel reads each intermediate
+    DV state exactly; (c) vacuum never reclaims tombstone files while
+    any retained version references them — including a dropped
+    version's DVs carried forward by a later snapshot; (d) a MERGE
+    whose match region overlaps tombstoned rows reads THROUGH the DVs
+    (deleted rows never resurrect) and leaves dangling tombstones
+    harmless."""
+    import os
+
+    # sf0.01 regardless of the session fixture: the family needs
+    # several rows per y-band (sf0.001 has ~1 per band)
+    t, base, _ = _seed_table(spark, "/root/testdata/sf0.01", tmp_path)
+    n_all = base.count()
+    box1 = F.col("x").between(*BOX_X) & F.col("y").between(*DBOX_Y)
+    n1 = base.where(box1).count()
+    assert n1 > 0
+
+    # (a) stacked DVs over the same files: the second delete's box is
+    # inside the first (nothing new to tombstone), the third shares
+    # box1's x-range on the adjacent y band (same z-order files)
+    v1, d1, _ = t.delete_where_dv(spark, BOX_X, DBOX_Y)
+    inner_x = (BOX_X[0] + 200.0, BOX_X[1] - 200.0)
+    v2, d2, _ = t.delete_where_dv(spark, inner_x, DBOX_Y)
+    assert d1 == n1 and d2 == 0  # inner box fully tombstoned already
+    y2 = (3000.0, 4000.0)
+    wider = F.col("x").between(*BOX_X) & F.col("y").between(
+        DBOX_Y[0] - 1000.0, DBOX_Y[1]
+    )
+    n3 = base.where(
+        F.col("x").between(*BOX_X) & F.col("y").between(*y2)
+    ).count()
+    assert n3 > 0
+    v3, d3, _ = t.delete_where_dv(spark, BOX_X, y2)
+    assert d3 == n3
+    dv_sets = [set(t.snapshot(v).get("dvs") or []) for v in (v1, v2, v3)]
+    assert dv_sets[0] and dv_sets[0] <= dv_sets[2]  # stacking, not replace
+    files1 = {
+        r["file_path"]
+        for r in spark.read.parquet(*t.snapshot(v1)["dvs"])
+        .select("file_path").distinct().collect()
+    }
+    files3 = {
+        r["file_path"]
+        for r in spark.read.parquet(
+            *(dv_sets[2] - dv_sets[0])
+        ).select("file_path").distinct().collect()
+    }
+    assert files1 & files3, "the stacked deletes must hit shared files"
+
+    # (b) time travel: every intermediate DV state reads exactly
+    assert t.read(spark, version=0).count() == n_all
+    assert t.read(spark, version=v1).count() == n_all - n1
+    assert t.read(spark, version=v2).count() == n_all - n1
+    assert t.read(spark, version=v3).count() == n_all - n1 - n3
+    assert t.read(spark).where(wider).count() == 0
+
+    # (c) vacuum with live DVs: keep v2+v3 — every tombstone file is
+    # still referenced (v3 carries v1's DVs forward), nothing may go
+    before = {f for s in dv_sets for f in s}
+    removed = t.vacuum(keep_last=2)
+    assert not (set(removed) & before)
+    for f in before:
+        assert os.path.exists(f.replace("file://", ""))
+    assert t.read(spark, version=v3).count() == n_all - n1 - n3
+    assert t.read(spark, version=v2).count() == n_all - n1
+
+    # (d) MERGE over tombstoned ground: replace some live rows inside
+    # the wider box's y-shadow; none of the DV-deleted rows resurrect
+    live = t.read(spark)
+    batch = (
+        live.where(~wider).orderBy("id").limit(8)
+        .withColumn("id", F.col("id") + 9000000)
+        .localCheckpoint()
+    )
+    n_live = live.count()
+    t.upsert(spark, batch)
+    after = t.read(spark)
+    assert after.count() == n_live  # pure replacement, no resurrection
+    assert after.where(wider).count() == 0
+    assert after.where(F.col("id") >= 9000000).count() == 8
+    # the post-merge snapshot may carry dangling tombstones (rewritten
+    # files) — they must be inert for reads at any retained version
+    assert t.read(spark, version=v3).count() == n_all - n1 - n3

@@ -66,9 +66,84 @@ def cc_chain_ab(n_nodes: int = 20_000, hop: int = 5_000) -> None:
     spark.stop()
 
 
+def bpe_ab(n_words: int = 200_000) -> None:
+    """A/B the BPE trainer's two paths (full per-round recount vs
+    incremental delta maintenance) at tokenizer-training scale.
+
+    The parquet fixtures only carry 31 distinct words (BPE saturates
+    at 89 merges and the vocabulary pass is trivial), so this builds
+    the shape that actually stresses a trainer: ``n_words`` distinct
+    words — a bijective base-26 encoding of the id, so generation is
+    deterministic and collision-free — with pseudo-zipf counts
+    materialized by repetition into ~1.1k-doc texts. Runs both paths
+    at 64 merges (sequences asserted identical), then the incremental
+    path alone at 256 (the full path's cost at 256 is the point of
+    the exercise; measured once, see STRESS.md r6)."""
+    from big_data_computing__spark.operators.textstats import bpe_train
+
+    spark = get_session(app_name="bdc_stress_bpe")
+    spark.sparkContext.setLogLevel("ERROR")
+    az = "abcdefghijklmnopqrstuvwxyz"
+    # word = exact 4-char base-26 of id (distinct for id < 456,976)
+    # + 0-5 filler chars so lengths vary like real words
+    word = F.concat(
+        *[
+            F.substring(
+                F.lit(az),
+                ((F.col("id") / (26**k)).cast("long") % 26 + 1).cast(
+                    "int"
+                ),
+                1,
+            )
+            for k in (3, 2, 1, 0)
+        ],
+        F.expr(
+            f"repeat(substring('{az}', CAST(id % 26 + 1 AS INT), 1), "
+            "CAST(id % 6 AS INT))"
+        ),
+    )
+    cnt = F.greatest(
+        F.lit(1), (F.lit(200) / (F.col("id") % 503 + 1)).cast("int")
+    )
+    docs = (
+        spark.range(n_words)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.array_repeat(word, cnt), " "
+            ).alias("text"),
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    results: dict[str, dict] = {}
+    t0 = time.time()
+    full = bpe_train(docs, n_merges=64, incremental=False)
+    results["bpe_full_recount_64"] = {
+        "merges": len(full), "sec": round(time.time() - t0, 1)
+    }
+    t0 = time.time()
+    inc = bpe_train(docs, n_merges=64, incremental=True)
+    results["bpe_incremental_64"] = {
+        "merges": len(inc), "sec": round(time.time() - t0, 1)
+    }
+    assert inc == full, "incremental trainer diverged from full recount"
+    t0 = time.time()
+    inc256 = bpe_train(docs, n_merges=256, incremental=True)
+    results["bpe_incremental_256"] = {
+        "merges": len(inc256), "sec": round(time.time() - t0, 1)
+    }
+    assert inc256[:64] == full, "greedy prefix property violated"
+    print(json.dumps(results, indent=2))
+    spark.stop()
+
+
 def main() -> None:
     if "--cc-only" in sys.argv:
         cc_chain_ab()
+        return
+    if "--bpe-only" in sys.argv:
+        bpe_ab()
         return
     spark = get_session(app_name="bdc_stress")
     spark.sparkContext.setLogLevel("ERROR")
