@@ -31,6 +31,7 @@ from big_data_computing__spark.operators import similarity as _sim
 from big_data_computing__spark.operators import textstats as _ts
 from big_data_computing__spark.operators import windows as _wd
 from big_data_computing__spark.plans import fft_golden_sf001 as _gold
+from big_data_computing__spark.plans import pca_golden_sf001 as _pcag
 from big_data_computing__spark.sources import readers as _rd
 
 # ---------------------------------------------------------------------------
@@ -51,6 +52,10 @@ FFT_K = 8
 FFT_L = 4
 CENTER_IDS = (0, 50, 100, 150)
 COSINE_NEARDUP_THRESHOLD = 0.3
+# whitened 4-dim space spreads cosines much wider than raw 64-dim
+# (near-isotropic fixture: eigenvalues within 15% of each other), so
+# the near-dup bar sits high — 0.99 keeps ~85 pairs at sf0.01
+PCA_SEMDEDUP_THRESHOLD = 0.99
 JACCARD_THRESHOLD = 0.2
 # 3 = the pigeonhole-complete threshold for the 4-band blocking (every
 # pair within Hamming 3 is guaranteed to collide on >= 1 band)
@@ -1057,6 +1062,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, pairs, doc_id="vec_id"
         ).select(F.col("doc_id").alias("vec_id"))
 
+    def x_pca_semdedup(spark, sf_dir):
+        # the end-to-end embedding-curation composition the PCA step
+        # exists for: integer-exact scatter → driver eigh → whitening
+        # (unit variance per retained direction) → SemDeDup in the
+        # WHITENED space (cosine near-pairs, IVF-cell-pruned exact
+        # path → CC → one representative per cluster). The whitening
+        # map is a literal linear expression, so the DuckDB twin
+        # replays it with engine-independently pinned sf0.01
+        # coefficients (tools/gen_pca_golden.py) and the whole
+        # pipeline stays on a value oracle.
+        wh = _sim.pca_whiten(
+            _emb(spark, sf_dir), k=_pcag.PCA_K, m=_pcag.PCA_M
+        )
+        pairs = _sim.cosine_near_pairs_blocked(
+            wh,
+            PCA_SEMDEDUP_THRESHOLD,
+            n_cells=8,
+            l=FFT_L,
+            seed=SEED,
+        ).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        return _dd.dedup_survivors(
+            wh, pairs, doc_id="vec_id"
+        ).select(F.col("doc_id").alias("vec_id"))
+
     def x_clean_corpus(spark, sf_dir):
         # the composed curation pipeline: quality filter → language
         # filter → exact dedup → near-dup CC survivors, one oracle for
@@ -1269,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_components,
         x_dedup_components_star,
         x_dedup_components_htm,
+        x_pca_semdedup,
         x_dedup_survivors,
         x_ann_cosine_topk,
         x_ann_lsh_topk,
@@ -1849,6 +1881,20 @@ WHERE vec_id NOT IN (
   SELECT doc_id FROM ({_dd.duplicate_components_sql(
       "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
       + _sim.cosine_near_pairs_sql(COSINE_NEARDUP_THRESHOLD)
+      + ")")})
+  WHERE doc_id <> component_id
+)""",
+        "x_pca_semdedup": f"""
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT doc_id FROM ({_dd.duplicate_components_sql(
+      "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+      + _sim.cosine_near_pairs_over_sql(
+          _sim.pca_whiten_vec_sql(
+              _pcag.PCA_MEAN, _pcag.PCA_COMPS, _pcag.PCA_EVALS
+          ),
+          PCA_SEMDEDUP_THRESHOLD,
+      )
       + ")")})
   WHERE doc_id <> component_id
 )""",

@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "x_semdedup_survivors",
     "x_pack_chunk_stats",
     "x_dedup_components_htm",
+    # the composed embedding-curation pipeline (scatter → eigh →
+    # whiten → SemDeDup in the whitened space)
+    "x_pca_semdedup",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -602,3 +602,42 @@ def test_embedding_pca_variances_and_orthogonality(spark, sf_dir):
     cc = np.corrcoef(P.T)
     off = cc[~np.eye(3, dtype=bool)]
     assert np.all(np.abs(off) < 1e-3)
+
+
+def test_pca_whiten_unit_variance_and_blocked_pairs_exact(spark):
+    """Whitened coordinates must have ~unit sample variance per
+    retained direction (that is what the √λ division is for), and the
+    IVF-cell-pruned near-pair search in the whitened space must equal
+    the brute-force all-pairs set — the exactness contract
+    x_pca_semdedup's scale path rides on."""
+    from big_data_computing__spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_blocked,
+        pca_whiten,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    wh = pca_whiten(emb, k=8, m=4).localCheckpoint()
+    for c in range(4):
+        col = F.col("embedding")[c]
+        row = wh.agg(
+            F.avg(col).alias("mu"),
+            F.avg(col * col).alias("m2"),
+        ).collect()[0]
+        # population variance: the scatter covariance divides by n;
+        # tolerance covers the 1e-6 quantization + 9dp cov rounding
+        var = row["m2"] - row["mu"] ** 2
+        assert abs(var - 1.0) < 1e-4, (c, var)
+
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_pairs(wh, 0.99).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_pairs_blocked(
+            wh, 0.99, n_cells=8, l=4, seed=42
+        ).collect()
+    }
+    assert brute and blocked == brute
