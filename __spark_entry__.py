@@ -1235,84 +1235,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registry ORDER is the driver's verification order, and the driver
     # records exactly 50 CORRECTNESS rows per round (a row cap, not a
-    # time budget — r1-r4 each recorded precisely the first 50). The
-    # window rotates each round so the cumulative driver-green set stays
-    # complete even if the driver regenerates testdata: positions 1-50
-    # hold (a) a cheap smoke prefix, (b) every query whose CODE or
-    # ORACLE changed this round, (c) the 15 round-4 queries that have
-    # never sat inside a 50-row window (VERDICT r4 "What's missing" #1),
-    # then (d) re-verification spill from the oldest driver-green block
-    # (the r3-verified dedup/ANN/clustering family). The freshly
-    # r4-green cheap-relational block is demoted past 50 and stays
-    # covered by the committed full local run (tools/verify_oracle.py →
-    # ORACLE_FULL_r05.json).
+    # time budget). The window rotates each round so the cumulative
+    # driver-green set stays complete: positions 1-50 hold (a) a cheap
+    # smoke prefix, (b) every query whose CODE or ORACLE changed this
+    # round plus the round's new queries, then (c) re-verification
+    # spill ordered by staleness of driver evidence (the r3-green
+    # block first, then the oldest r4-greens). Everything below 51 is
+    # r4/r5-green and covered by the committed full local run
+    # (tools/verify_oracle.py -> ORACLE_FULL_r06.json).
     for fn in (
         # -- smoke prefix --
         p2_cell_counts,
-        # -- ORACLE added this round (r5) — the two no_oracle retirees:
-        # the fake decoder got a computed DuckDB twin and the production
-        # ANN kernel shares the parity twin's oracle after the
-        # prod ≡ parity row-set pin --
-        x_decode_features,
-        x_ann_ivf_rpq_prod,
-        # -- the 14 remaining never-windowed r4 queries (all hash-green
-        # in ORACLE_FULL_r04.json; this gives each its first driver row)
-        x_train_shards,
-        x_train_order,
-        x_dedup_snm2,
-        x_ktruss_edges,
-        x_dup_spans,
-        x_despanned,
-        x_dup_cluster_truss,
-        o4_zorder3_cells,
-        w7_funnel,
-        w8_cohort_retention,
-        w9_funnel_times,
-        w10_event_transitions,
-        w11_rfm_scores,
-        w12_session_paths,
-        # -- NEW this round (r5): sequence packing (two-pass prefix
-        # sum + chunk arithmetic); SemDeDup embedding-space survivors --
-        x_pack_sequences,
-        x_pack_chunk_stats,
-        x_semdedup_survivors,
-        x_truss_decomposition,
-        x_unigram_rarity,
-        x_embed_scatter,
-        x_bpe_top_pairs,
-        x_leakage_splits,
-        x_vocab_coverage,
-        # -- re-verification spill (24 slots): the r3-green dedup / ANN
-        # / clustering / curation block — oldest driver evidence first --
-        c7_approx_outliers_summary,
-        c6_exact_outliers,
-        a4_cell_neighborhood,
-        c2_fft_coreset,
-        c3_mrfft_radius,
-        c8_fft_radius_outliers,
-        c9_outliers_nd,
-        c10_outliers_grid3,
-        x_dedup_exact,
-        x_dedup_minhash_lsh,
-        x_dedup_simhash,
-        x_dedup_ngram_jaccard,
-        x_dedup_embedding,
-        x_dedup_components,
-        x_dedup_components_star,
+        # -- CODE/ORACLE changed this round (r6): a14 re-registered
+        # over the corrected deterministic HLL (the last no_oracle row
+        # retired); the two NEW queries — Hash-to-Min CC and the
+        # PCA-whitened SemDeDup composition --
+        a14_approx_distinct,
         x_dedup_components_htm,
         x_pca_semdedup,
-        x_dedup_survivors,
-        x_ann_cosine_topk,
-        x_ann_lsh_topk,
-        x_ann_ivf_topk,
-        x_ann_pq_topk,
-        x_ann_ivf_pq_topk,
-        x_ann_ivf_rpq_topk,
-        x_ann_opq_topk,
-        x_frame_sample,
-        # ---- position 51+: the driver truncates here; the committed
-        # full local artifact (ORACLE_FULL_r05.json) covers everything
-        # below. All of it holds an r3 or r4 driver-green row. ----
+        # -- re-verification spill, stalest driver evidence first:
+        # the r3-green block (22), then the head of the r4-green
+        # block (24). Everything bumped below 51 is r4/r5-green and
+        # covered by the committed ORACLE_FULL_r06.json. --
         x_ann_opq_ivf_rpq_topk,
         x_clean_corpus,
         x_token_budget_sample,
@@ -1322,6 +1266,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_tfidf_top_terms,
         x_pagerank_dupgraph,
         x_bloom_contamination,
+        x_domain_mixture,
+        x_domain_quality,
+        x_mixture_resample,
+        j8_band_join,
+        t9_cms_frequent,
+        t10_hll_estimate,
+        w4_session_window,
+        w5_moving_avg,
+        w6_ntile_quartiles,
+        j7_full_outer,
+        j5_asof_join,
+        w3_sessionize,
+        w2_tumbling_window_counts,
         a17_pivot_events,
         o3_zorder_cells,
         x_weighted_reservoir,
@@ -1346,6 +1303,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t6_sticky_report,
         a13_quantile_stats,
         o2_smallest_cells_topk,
+        # ---- position 51+: the driver truncates here; the committed
+        # full local artifact (ORACLE_FULL_r06.json) covers everything
+        # below. All of it holds an r4 or r5 driver-green row. ----
+        x_decode_features,
+        x_ann_ivf_rpq_prod,
+        x_train_shards,
+        x_train_order,
+        x_dedup_snm2,
+        x_ktruss_edges,
+        x_dup_spans,
+        x_despanned,
+        x_dup_cluster_truss,
+        o4_zorder3_cells,
+        w7_funnel,
+        w8_cohort_retention,
+        w9_funnel_times,
+        w10_event_transitions,
+        w11_rfm_scores,
+        w12_session_paths,
+        x_pack_sequences,
+        x_pack_chunk_stats,
+        x_semdedup_survivors,
+        x_truss_decomposition,
+        x_unigram_rarity,
+        x_embed_scatter,
+        x_bpe_top_pairs,
+        x_leakage_splits,
+        x_vocab_coverage,
+        c7_approx_outliers_summary,
+        c6_exact_outliers,
+        a4_cell_neighborhood,
+        c2_fft_coreset,
+        c3_mrfft_radius,
+        c8_fft_radius_outliers,
+        c9_outliers_nd,
+        c10_outliers_grid3,
+        x_dedup_exact,
+        x_dedup_minhash_lsh,
+        x_dedup_simhash,
+        x_dedup_ngram_jaccard,
+        x_dedup_embedding,
+        x_dedup_components,
+        x_dedup_components_star,
+        x_dedup_survivors,
+        x_ann_cosine_topk,
+        x_ann_lsh_topk,
+        x_ann_ivf_topk,
+        x_ann_pq_topk,
+        x_ann_ivf_pq_topk,
+        x_ann_ivf_rpq_topk,
+        x_ann_opq_topk,
+        x_frame_sample,
         a16_argmax_customer,
         x_media_metadata,
         o1_exact_outliers_topk,
@@ -1353,7 +1362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w1_top_order_per_segment,
         a2_pricing_summary,
         a12_rollup_pricing,
-        a14_approx_distinct,
         a15_cube_order_stats,
         j6_above_avg_orders,
         f3_date_functions,
@@ -1369,19 +1377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_bpe_token_counts,
         x_rolling_fingerprints,
         x_winnow_fingerprints,
-        x_domain_mixture,
-        x_domain_quality,
-        x_mixture_resample,
-        j8_band_join,
-        t9_cms_frequent,
-        t10_hll_estimate,
-        w4_session_window,
-        w5_moving_avg,
-        w6_ntile_quartiles,
-        j7_full_outer,
-        j5_asof_join,
-        w3_sessionize,
-        w2_tumbling_window_counts,
     ):
         q[fn.__name__] = _with_prepare(fn)
     return q

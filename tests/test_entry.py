@@ -20,16 +20,11 @@ def test_queries_oracle_keys_align(spark):
     assert len(qs) >= 30
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
-    # the documented non-SQL-expressible set is the only unoracled part
-    # (r5 retired x_decode_features — computed byte-mean DuckDB twin —
-    # and x_ann_ivf_rpq_prod — shares the parity twin's oracle after
-    # the prod ≡ parity row-set pin)
+    # r6 retired the LAST unoracled row: a14 is re-registered over the
+    # corrected deterministic HLL (linear-counting small range), so
+    # every registered query now carries a DuckDB value oracle
     unoracled = set(qs) - set(oracles)
-    assert unoracled == {
-        # native HLL sketch registers are engine-internal by design;
-        # the oracled t10/t12 twins cover the deterministic variant
-        "a14_approx_distinct",
-    }
+    assert unoracled == set()
 
 
 def test_all_queries_run_sf0001(spark, sf_dir):

@@ -323,6 +323,9 @@ def main() -> None:
     res_books = sim.train_pq_codebooks_residual(
         emb, centers=centers, seed=SEED
     )
+    crot, ccenters, cbooks = sim.train_opq_ivf_rpq(
+        emb, n_cells=N_CELLS, l=L, seed=SEED
+    )
 
     variants = {
         "ivf": lambda np_: sim.ivf_topk(
@@ -343,6 +346,15 @@ def main() -> None:
             nprobe=np_,
             centers=centers,
             codebooks=res_books,
+        ),
+        "opq_ivf_rpq": lambda np_: sim.opq_ivf_rpq_topk(
+            emb,
+            k=k,
+            n_cells=N_CELLS,
+            nprobe=np_,
+            rotation=crot,
+            centers=ccenters,
+            codebooks=cbooks,
         ),
     }
 
