@@ -1062,6 +1062,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, pairs, doc_id="vec_id"
         ).select(F.col("doc_id").alias("vec_id"))
 
+    def x_dedup_components_sc(spark, sf_dir):
+        # fourth CC implementation: hook + pointer-doubling shortcut
+        # (Shiloach-Vishkin / Kiveris et al. two-phase) — O(log n)
+        # rounds like Hash-to-Min but with LINEAR per-round state (one
+        # parent row per vertex), closing the measured path-graph
+        # blowup (STRESS.md r6); shares the CC oracle verbatim
+        return _dd.duplicate_components_shortcut(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_pca_semdedup(spark, sf_dir):
         # the end-to-end embedding-curation composition the PCA step
         # exists for: integer-exact scatter → driver eigh → whitening
@@ -1253,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a14_approx_distinct,
         x_dedup_components_htm,
         x_pca_semdedup,
+        x_dedup_components_sc,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -1302,10 +1313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t5_reservoir_report,
         t6_sticky_report,
         a13_quantile_stats,
-        o2_smallest_cells_topk,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r06.json) covers everything
         # below. All of it holds an r4 or r5 driver-green row. ----
+        o2_smallest_cells_topk,
         x_decode_features,
         x_ann_ivf_rpq_prod,
         x_train_shards,
@@ -1860,6 +1871,9 @@ GROUP BY l_returnflag, l_linestatus""",
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "x_dedup_components_htm": _dd.duplicate_components_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        "x_dedup_components_sc": _dd.duplicate_components_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),
         "x_clean_corpus": _pl.clean_corpus_sql(),

@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     # the composed embedding-curation pipeline (scatter → eigh →
     # whiten → SemDeDup in the whitened space)
     "x_pca_semdedup",
+    # fourth CC implementation: hook+shortcut pointer doubling —
+    # O(log n) rounds AND linear state (the recommended scale path
+    # after the r6 chain-graph measurements)
+    "x_dedup_components_sc",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

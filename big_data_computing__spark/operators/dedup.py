@@ -2265,6 +2265,104 @@ SELECT DISTINCT * FROM (
 """
 
 
+def duplicate_components_shortcut(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = 60,
+) -> DataFrame:
+    """Connected components via hook + pointer-doubling shortcut
+    (Shiloach & Vishkin 1982; the "two-phase" MapReduce form of
+    Kiveris et al. 2014): same contract as
+    :func:`duplicate_components` — DataFrame[doc_id, component_id],
+    component_id = min doc id — in O(log n) rounds with LINEAR
+    per-round state.
+
+    This is the fourth CC implementation, and it exists because the
+    other poly-log ones each concede something measured: min-label
+    propagation needs diameter rounds (refuses long chains), star
+    contraction is O(log² n) rounds, and Hash-to-Min's member sets
+    blow up to ~n·d/2 rows mid-convergence on paths (STRESS.md r6 —
+    OOM at 100k chain nodes). Here the state is exactly ONE (v,
+    parent) row per vertex plus the static edge list: each round (1)
+    HOOKS every vertex to the minimum parent in its closed
+    neighborhood (one edges⋈parents join + min agg) and (2)
+    SHORTCUTS parent ← parent(parent) (one parents self-join), so
+    labels travel ~2^r hops after r rounds — O(log d) rounds like
+    Hash-to-Min, linear state like star contraction. Chain A/B in
+    STRESS.md r6. Every parent value is itself a vertex id, so the
+    shortcut self-join is total; fixpoint (no parent changed) implies
+    parents are constant per component and equal to the component
+    min (hook would fire across any unequal edge, shortcut across any
+    unequal chain). ``localCheckpoint`` per round resets lineage
+    (iterative-loop rule); raises if the bound is exhausted rather
+    than returning partial labels."""
+    edges = (
+        pairs.select(F.col(doc_a).alias("v"), F.col(doc_b).alias("u"))
+        .union(
+            pairs.select(F.col(doc_b).alias("v"), F.col(doc_a).alias("u"))
+        )
+        .where(F.col("v") != F.col("u"))
+        .distinct()
+        .localCheckpoint()
+    )
+    parents = (
+        edges.select("v")
+        .distinct()
+        .select("v", F.col("v").alias("p"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                parents.select(
+                    F.col("v").alias("u"), F.col("p").alias("pu")
+                ),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.min("pu").alias("nm"))
+        )
+        hooked = (
+            parents.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("p"), F.coalesce("nm", F.col("p"))
+                ).alias("p"),
+            )
+        )
+        shortcut = (
+            hooked.alias("a")
+            .join(
+                hooked.select(
+                    F.col("v").alias("p"), F.col("p").alias("pp")
+                ).alias("b"),
+                "p",
+            )
+            .select(F.col("a.v").alias("v"), F.col("pp").alias("p"))
+            .localCheckpoint()
+        )
+        changed = (
+            shortcut.alias("n")
+            .join(parents.alias("o"), "v")
+            .where(F.col("n.p") != F.col("o.p"))
+            .count()
+        )
+        parents.unpersist()
+        parents = shortcut
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_components_shortcut did not converge in "
+            f"{max_iterations} rounds"
+        )
+    return parents.select(
+        F.col("v").alias("doc_id"), F.col("p").alias("component_id")
+    )
+
+
 def duplicate_components_htm(
     pairs: DataFrame,
     doc_a: str = "doc_a",
@@ -2300,10 +2398,10 @@ def duplicate_components_htm(
     contraction 210 s vs 17 s there. Use HTM where its state premise
     holds — bounded-diameter cluster graphs like near-dup components,
     its registered workload (`x_dedup_components_htm`) — and
-    :func:`duplicate_components_star` (O(log² n) rounds, linear
-    per-round state) for unknown or adversarial diameters. Closing
-    the gap for paths is exactly what Rastogi et al.'s
-    Hash-Greater-to-Min space bound is for; not implemented here."""
+    :func:`duplicate_components_shortcut` (O(log n) rounds AND linear
+    state — 8.4 s / 18.2 s on the same 20k / 100k chains) or
+    :func:`duplicate_components_star` for unknown or adversarial
+    diameters."""
     edges = (
         pairs.select(F.col(doc_a).alias("v"), F.col(doc_b).alias("m"))
         .union(

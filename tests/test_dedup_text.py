@@ -1193,13 +1193,15 @@ def test_vocab_coverage_hand_computed(spark):
 
 
 def test_components_htm_agrees_with_other_two_impls(spark):
-    """Three independent CC implementations (min-label propagation,
-    star contraction, hash-to-min) must produce identical labelings on
-    an adversarial mix: a 30-node chain (diameter stress), two dense
-    clusters, and isolated pairs."""
+    """Four independent CC implementations (min-label propagation,
+    star contraction, hash-to-min, hook+shortcut pointer doubling)
+    must produce identical labelings on an adversarial mix: a 30-node
+    chain (diameter stress), two dense clusters, and isolated
+    pairs."""
     from big_data_computing__spark.operators.dedup import (
         duplicate_components,
         duplicate_components_htm,
+        duplicate_components_shortcut,
         duplicate_components_star,
     )
 
@@ -1219,6 +1221,7 @@ def test_components_htm_agrees_with_other_two_impls(spark):
     a = lab(duplicate_components(pairs))
     b = lab(duplicate_components_star(pairs))
     c = lab(duplicate_components_htm(pairs))
-    assert a == b == c
+    d = lab(duplicate_components_shortcut(pairs))
+    assert a == b == c == d
     # spot-check the chain collapsed to one component rooted at 100
     assert (129, 100) in c and (115, 100) in c

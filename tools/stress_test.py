@@ -52,6 +52,7 @@ def cc_chain_ab(n_nodes: int = 20_000, hop: int = 5_000) -> None:
     for name, fn in (
         ("htm_cc_chain", dd.duplicate_components_htm),
         ("star_cc_chain", dd.duplicate_components_star),
+        ("shortcut_cc_chain", dd.duplicate_components_shortcut),
     ):
         t0 = time.time()
         out = fn(chains)
