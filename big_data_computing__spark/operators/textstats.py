@@ -944,3 +944,241 @@ SELECT kt.k,
 FROM ranked r CROSS JOIN (VALUES {values}) kt(k)
 GROUP BY kt.k
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model tokenizer (SentencePiece-style, Kudo 2018)
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_segment(
+    word: str, logp: dict[str, float], max_len: int
+) -> list[str] | None:
+    """Best unigram segmentation of ``word``: maximize the sum of piece
+    log-probs; ties prefer FEWER pieces, then the lexicographically
+    smaller piece sequence — a total order, so the segmentation is a
+    pure deterministic function of (word, logp). Returns None when the
+    word cannot be covered (a character outside the vocabulary)."""
+    n = len(word)
+    # best[i] = (score, -n_pieces, rev_lex_key, start) for word[:i]
+    best: list[tuple | None] = [None] * (n + 1)
+    best[0] = (0.0, 0, (), -1)
+    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    for i in range(1, n + 1):
+        cand = None
+        cand_back = None
+        for j in range(max(0, i - max_len), i):
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            sc = best[j][0] + lp
+            np_ = best[j][1] - 1
+            key = (sc, np_)
+            if cand is None or key > cand[:2] or (
+                key == cand[:2]
+                and _seg_of(back, j, word) + [piece]
+                < _seg_of(back, cand_back[0], word) + [cand_back[1]]
+            ):
+                cand = (sc, np_, (), j)
+                cand_back = (j, piece)
+        best[i] = cand
+        back[i] = cand_back
+    if best[n] is None:
+        return None
+    return _seg_of(back, n, word)
+
+
+def _seg_of(back, i: int, word: str) -> list[str]:
+    out: list[str] = []
+    while i > 0:
+        j, piece = back[i]
+        out.append(piece)
+        i = j
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 512,
+    seed_size: int = 2048,
+    max_piece_len: int = 6,
+    em_rounds: int = 2,
+    shrink_factor: float = 0.75,
+    text_col: str = "text",
+) -> list[tuple[str, float]]:
+    """Distributed unigram-LM tokenizer training (the SentencePiece
+    counterpart to :func:`bpe_train`): returns the final vocabulary as
+    ``(piece, logprob)`` sorted by (-logprob, piece).
+
+    Algorithm (Kudo 2018, with the standard hard-EM simplification —
+    Viterbi counts instead of lattice forward-backward, documented so
+    the contract is honest): seed the vocabulary with the
+    ``seed_size`` most frequent substrings (length ≤ ``max_piece_len``)
+    plus ALL single characters (coverage guarantee); iterate {em_rounds
+    × [Viterbi-segment every distinct word under current log-probs →
+    piece counts → renormalize]}, then prune to ``shrink_factor`` of
+    the current size by expected count (single characters are never
+    pruned), until ``vocab_size`` remains.
+
+    Scale shape mirrors the trainer family's contract: the corpus
+    collapses ONCE to the distinct-word vocabulary with counts; every
+    EM/prune round is one Arrow-batched ``mapInPandas`` pass over the
+    VOCABULARY (the per-word Viterbi DP is O(len·max_piece_len) Python
+    — the FFT-kernel precedent: a seeded deterministic kernel where
+    Catalyst has no equivalent), one explode + groupBy-sum for the
+    M-step (piece-vocabulary-sized shuffle), and the driver holds only
+    the piece table (≤ seed_size floats, broadcast each round). The
+    segmentation tie-break (fewer pieces, then lexicographic) makes
+    training a pure function of (data, parameters) — pinned by the
+    sequential-reference equivalence test (test_dedup_text.py)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    # seed: frequent substrings (count weighted) + all single chars
+    subs = words.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(term)), i -> "
+                f"transform(sequence(i, least(i + {max_piece_len - 1}, "
+                "length(term))), j -> substring(term, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+        "cnt",
+    ).groupBy("piece").agg(F.sum("cnt").cast("long").alias("n"))
+    chars = {
+        r["piece"]: r["n"]
+        for r in subs.where(F.length("piece") == 1).collect()
+    }
+    multi = (
+        subs.where(F.length("piece") > 1)
+        .orderBy(F.col("n").desc(), F.col("piece"))
+        .limit(max(seed_size - len(chars), 0))
+        .collect()
+    )
+    counts = dict(chars)
+    counts.update({r["piece"]: r["n"] for r in multi})
+
+    def to_logp(cnts: dict[str, int | float]) -> dict[str, float]:
+        # fsum: exactly-rounded total regardless of accumulation order,
+        # so log-probs are bit-identical however the counts arrived
+        # (distributed batches vs a sequential reference)
+        total = math.fsum(cnts.values())
+        return {p: math.log(c / total) for p, c in cnts.items()}
+
+    logp = to_logp(counts)
+    out_schema = T.StructType(
+        [
+            T.StructField("piece", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+
+    def em_counts(logp_now: dict[str, float]) -> dict[str, float]:
+        """One hard-EM E-step over the distributed word vocabulary."""
+        bc = spark.sparkContext.broadcast(logp_now)
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                acc: dict[str, float] = {}
+                lp = bc.value
+                for term, cnt in zip(pdf["term"], pdf["cnt"]):
+                    seg = _viterbi_segment(term, lp, max_piece_len)
+                    if seg is None:
+                        continue
+                    for p in seg:
+                        acc[p] = acc.get(p, 0.0) + float(cnt)
+                yield pd.DataFrame(
+                    {"piece": list(acc), "c": list(acc.values())}
+                )
+
+        rows = (
+            words.mapInPandas(run, out_schema)
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        return {r["piece"]: r["c"] for r in rows}
+
+    while True:
+        for _ in range(em_rounds):
+            ec = em_counts(logp)
+            # unused pieces keep an epsilon count so log stays finite;
+            # they are the first pruned
+            merged = {
+                p: ec.get(p, 1e-9) for p in logp
+            }
+            logp = to_logp(merged)
+        if len(logp) <= vocab_size:
+            break
+        keep = max(
+            vocab_size, int(len(logp) * shrink_factor)
+        )
+        multi_sorted = sorted(
+            ((p, c) for p, c in merged.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        kept = {p: merged[p] for p in chars if p in merged}
+        for p, c in multi_sorted[: max(keep - len(kept), 0)]:
+            kept[p] = c
+        if len(kept) == len(logp):
+            break  # nothing prunable (all single chars)
+        logp = to_logp(kept)
+    return sorted(logp.items(), key=lambda pl: (-pl[1], pl[0]))
+
+
+def unigram_apply(
+    docs: DataFrame,
+    vocab: list[tuple[str, float]],
+    max_piece_len: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a trained unigram LM: DataFrame[doc_id, pieces]
+    — per-word Viterbi segmentation under the learned log-probs (the
+    exact kernel the trainer used, so train→apply round-trips), words
+    with out-of-vocabulary characters passed through whole. One
+    Arrow-batched narrow pass, no shuffle."""
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(dict(vocab))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pieces", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lp = bc.value
+            ids, outs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pieces: list[str] = []
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    seg = _viterbi_segment(w, lp, max_piece_len)
+                    pieces.extend(seg if seg is not None else [w])
+                ids.append(doc_id)
+                outs.append(pieces)
+            yield pd.DataFrame({"doc_id": ids, "pieces": outs})
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(run, schema)

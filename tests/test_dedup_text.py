@@ -1225,3 +1225,164 @@ def test_components_htm_agrees_with_other_two_impls(spark):
     assert a == b == c == d
     # spot-check the chain collapsed to one component rooted at 100
     assert (129, 100) in c and (115, 100) in c
+
+
+def test_unigram_viterbi_matches_exhaustive_reference():
+    """The trainer's Viterbi DP must pick exactly the segmentation an
+    EXHAUSTIVE enumeration picks under the documented total order
+    (max score, then fewest pieces, then lexicographically smallest)
+    — including None for uncoverable words. Pure-Python property, no
+    Spark."""
+    import itertools
+    import math
+
+    from big_data_computing__spark.operators.textstats import (
+        _viterbi_segment,
+    )
+
+    logp = {
+        p: math.log(w)
+        for p, w in {
+            "a": 0.08, "b": 0.05, "c": 0.05, "ab": 0.1, "bc": 0.1,
+            "abc": 0.2, "aa": 0.04, "ba": 0.06, "cab": 0.12,
+        }.items()
+    }
+
+    def exhaustive(word, max_len):
+        n = len(word)
+        best = None
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            seg, start = [], 0
+            for i, cut in enumerate(list(cuts) + [1], 1):
+                if cut:
+                    seg.append(word[start:i])
+                    start = i
+            if any(len(p) > max_len or p not in logp for p in seg):
+                continue
+            score = 0.0
+            for p in seg:
+                score = score + logp[p]
+            key = (score, -len(seg))
+            if best is None or key > best[0] or (
+                key == best[0] and seg < best[1]
+            ):
+                best = (key, seg)
+        return None if best is None else best[1]
+
+    words = [
+        "abc", "abcabc", "aabbcc", "cabab", "bca", "aaa", "abba",
+        "cabcab", "bcbcbc", "aabcab", "x", "axb", "abcx",
+    ]
+    for w in words:
+        assert _viterbi_segment(w, logp, 3) == exhaustive(w, 3), w
+
+
+def test_unigram_train_matches_sequential_reference(spark):
+    """The distributed unigram-LM trainer (hard-EM + prune) must equal
+    a sequential reference running the same algorithm with the
+    EXHAUSTIVE segmenter — seed vocabulary, every EM round's counts,
+    the prune order, and the final (piece, logprob) table."""
+    import itertools
+    import math
+
+    from big_data_computing__spark.operators.textstats import (
+        unigram_apply,
+        unigram_train,
+    )
+
+    wc = {
+        "low": 5, "lower": 2, "lowest": 4, "newest": 6, "widest": 3,
+        "newer": 4, "wider": 2, "news": 5, "lows": 2, "widen": 1,
+    }
+    text = " ".join(w for w, c in wc.items() for _ in range(c))
+    docs = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    K, SEED, EM, VS = 4, 64, 2, 24
+
+    def exhaustive(word, logp, max_len):
+        n = len(word)
+        best = None
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            seg, start = [], 0
+            for i, cut in enumerate(list(cuts) + [1], 1):
+                if cut:
+                    seg.append(word[start:i])
+                    start = i
+            if any(len(p) > max_len or p not in logp for p in seg):
+                continue
+            score = 0.0
+            for p in seg:
+                score = score + logp[p]
+            key = (score, -len(seg))
+            if best is None or key > best[0] or (
+                key == best[0] and seg < best[1]
+            ):
+                best = (key, seg)
+        return None if best is None else best[1]
+
+    def ref_train():
+        subs: dict[str, int] = {}
+        for w, c in wc.items():
+            for i in range(len(w)):
+                for j in range(i + 1, min(i + K, len(w)) + 1):
+                    subs[w[i:j]] = subs.get(w[i:j], 0) + c
+        chars = {p: n for p, n in subs.items() if len(p) == 1}
+        multi = sorted(
+            ((p, n) for p, n in subs.items() if len(p) > 1),
+            key=lambda pn: (-pn[1], pn[0]),
+        )[: max(SEED - len(chars), 0)]
+        counts = dict(chars)
+        counts.update(dict(multi))
+
+        def to_logp(cnts):
+            total = math.fsum(cnts.values())
+            return {p: math.log(c / total) for p, c in cnts.items()}
+
+        logp = to_logp(counts)
+        while True:
+            for _ in range(EM):
+                ec: dict[str, float] = {}
+                for w, c in wc.items():
+                    seg = exhaustive(w, logp, K)
+                    if seg is None:
+                        continue
+                    for p in seg:
+                        ec[p] = ec.get(p, 0.0) + float(c)
+                merged = {p: ec.get(p, 1e-9) for p in logp}
+                logp = to_logp(merged)
+            if len(logp) <= VS:
+                break
+            keep = max(VS, int(len(logp) * 0.75))
+            multi_sorted = sorted(
+                ((p, c) for p, c in merged.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )
+            kept = {p: merged[p] for p in chars if p in merged}
+            for p, c in multi_sorted[: max(keep - len(kept), 0)]:
+                kept[p] = c
+            if len(kept) == len(logp):
+                break
+            logp = to_logp(kept)
+        return sorted(logp.items(), key=lambda pl: (-pl[1], pl[0]))
+
+    got = unigram_train(
+        docs, vocab_size=VS, seed_size=SEED, max_piece_len=K,
+        em_rounds=EM,
+    )
+    want = ref_train()
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (gp, gl), (wp, wl) in zip(got, want):
+        assert gl == wl, (gp, gl, wl)
+
+    # apply round-trips through the same kernel: every training word
+    # re-segments into in-vocabulary pieces that concatenate back
+    seg = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_apply(
+            docs, got, max_piece_len=K
+        ).collect()
+    }[1]
+    vocab_set = {p for p, _ in got}
+    assert all(p in vocab_set for p in seg)
+    assert "".join(seg) == text.replace(" ", "")

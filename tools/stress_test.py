@@ -67,26 +67,12 @@ def cc_chain_ab(n_nodes: int = 20_000, hop: int = 5_000) -> None:
     spark.stop()
 
 
-def bpe_ab(n_words: int = 200_000) -> None:
-    """A/B the BPE trainer's two paths (full per-round recount vs
-    incremental delta maintenance) at tokenizer-training scale.
-
-    The parquet fixtures only carry 31 distinct words (BPE saturates
-    at 89 merges and the vocabulary pass is trivial), so this builds
-    the shape that actually stresses a trainer: ``n_words`` distinct
-    words — a bijective base-26 encoding of the id, so generation is
-    deterministic and collision-free — with pseudo-zipf counts
-    materialized by repetition into ~1.1k-doc texts. Runs both paths
-    at 64 merges (sequences asserted identical), then the incremental
-    path alone at 256 (the full path's cost at 256 is the point of
-    the exercise; measured once, see STRESS.md r6)."""
-    from big_data_computing__spark.operators.textstats import bpe_train
-
-    spark = get_session(app_name="bdc_stress_bpe")
-    spark.sparkContext.setLogLevel("ERROR")
+def _synth_vocab_docs(spark, n_words: int):
+    """Deterministic large-vocabulary corpus (shared by the BPE and
+    unigram trainer stress modes): ``n_words`` distinct words — a
+    bijective base-26 encoding of the id, collision-free — with
+    pseudo-zipf counts materialized by repetition."""
     az = "abcdefghijklmnopqrstuvwxyz"
-    # word = exact 4-char base-26 of id (distinct for id < 456,976)
-    # + 0-5 filler chars so lengths vary like real words
     word = F.concat(
         *[
             F.substring(
@@ -106,17 +92,60 @@ def bpe_ab(n_words: int = 200_000) -> None:
     cnt = F.greatest(
         F.lit(1), (F.lit(200) / (F.col("id") % 503 + 1)).cast("int")
     )
-    docs = (
+    return (
         spark.range(n_words)
         .select(
             F.col("id").alias("doc_id"),
-            F.array_join(
-                F.array_repeat(word, cnt), " "
-            ).alias("text"),
+            F.array_join(F.array_repeat(word, cnt), " ").alias("text"),
         )
         .repartition(64)
         .localCheckpoint()
     )
+
+
+def unigram_stress(n_words: int = 200_000) -> None:
+    """Scale check for the unigram-LM trainer: seed + 2 EM rounds +
+    prune-to-2048 over the synthetic 200k-word vocabulary — the
+    vocab-collapsed mapInPandas shape at real vocabulary size."""
+    from big_data_computing__spark.operators.textstats import (
+        unigram_train,
+    )
+
+    spark = get_session(app_name="bdc_stress_unigram")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _synth_vocab_docs(spark, n_words)
+    t0 = time.time()
+    vocab = unigram_train(
+        docs, vocab_size=2048, seed_size=8192, max_piece_len=6,
+        em_rounds=2,
+    )
+    print(json.dumps({
+        "unigram_train_200k": {
+            "vocab": len(vocab), "sec": round(time.time() - t0, 1),
+            "head": vocab[:5],
+        }
+    }, indent=2))
+    spark.stop()
+
+
+def bpe_ab(n_words: int = 200_000) -> None:
+    """A/B the BPE trainer's two paths (full per-round recount vs
+    incremental delta maintenance) at tokenizer-training scale.
+
+    The parquet fixtures only carry 31 distinct words (BPE saturates
+    at 89 merges and the vocabulary pass is trivial), so this builds
+    the shape that actually stresses a trainer: ``n_words`` distinct
+    words — a bijective base-26 encoding of the id, so generation is
+    deterministic and collision-free — with pseudo-zipf counts
+    materialized by repetition into ~1.1k-doc texts. Runs both paths
+    at 64 merges (sequences asserted identical), then the incremental
+    path alone at 256 (the full path's cost at 256 is the point of
+    the exercise; measured once, see STRESS.md r6)."""
+    from big_data_computing__spark.operators.textstats import bpe_train
+
+    spark = get_session(app_name="bdc_stress_bpe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _synth_vocab_docs(spark, n_words)
     results: dict[str, dict] = {}
     t0 = time.time()
     full = bpe_train(docs, n_merges=64, incremental=False)
@@ -145,6 +174,9 @@ def main() -> None:
         return
     if "--bpe-only" in sys.argv:
         bpe_ab()
+        return
+    if "--unigram-only" in sys.argv:
+        unigram_stress()
         return
     spark = get_session(app_name="bdc_stress")
     spark.sparkContext.setLogLevel("ERROR")
