@@ -1072,6 +1072,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_substring_seed_vocab(spark, sf_dir):
+        # the unigram-LM trainer's seed ranking as a driver-checked
+        # query: top-100 substrings (len ≤ 6) of the whitespace words,
+        # weighted by word count — the distributed-heavy half of
+        # unigram training (textstats.unigram_train seeds with all
+        # chars + the head of exactly this ranking)
+        return _ts.substring_seed_vocab(_docs(spark, sf_dir))
+
     def x_pca_semdedup(spark, sf_dir):
         # the end-to-end embedding-curation composition the PCA step
         # exists for: integer-exact scatter → driver eigh → whitening
@@ -1264,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_components_htm,
         x_pca_semdedup,
         x_dedup_components_sc,
+        x_substring_seed_vocab,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -1312,10 +1321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t4_true_frequent_items,
         t5_reservoir_report,
         t6_sticky_report,
-        a13_quantile_stats,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r06.json) covers everything
         # below. All of it holds an r4 or r5 driver-green row. ----
+        a13_quantile_stats,
         o2_smallest_cells_topk,
         x_decode_features,
         x_ann_ivf_rpq_prod,
@@ -1893,6 +1902,7 @@ WHERE vec_id NOT IN (
       + ")")})
   WHERE doc_id <> component_id
 )""",
+        "x_substring_seed_vocab": _ts.substring_seed_vocab_sql(),
         "x_pca_semdedup": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

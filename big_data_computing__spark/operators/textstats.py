@@ -1182,3 +1182,77 @@ def unigram_apply(
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(run, schema)
+
+
+def substring_seed_vocab(
+    docs: DataFrame,
+    k: int = 100,
+    max_piece_len: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """The unigram trainer's seed-vocabulary ranking as a first-class
+    query: DataFrame[piece, n] — the ``k`` most frequent substrings
+    (length ≤ ``max_piece_len``) of the corpus's whitespace words,
+    weighted by word count, ordered (n desc, piece asc).
+    :func:`unigram_train` seeds with all single characters plus the
+    head of exactly this ranking, so the distributed-heavy half of
+    unigram training is driver-oracle-checked here.
+
+    Plan: one word-count aggregation collapses the corpus to the
+    vocabulary, the substring explode runs over DISTINCT words only
+    (O(vocab · len · max_piece_len), never O(corpus)), and top-k is a
+    TakeOrderedAndProject."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    subs = words.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(term)), i -> "
+                f"transform(sequence(i, least(i + {max_piece_len - 1}, "
+                "length(term))), j -> substring(term, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+        "cnt",
+    )
+    return (
+        subs.groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("piece"))
+        .limit(k)
+    )
+
+
+def substring_seed_vocab_sql(k: int = 100, max_piece_len: int = 6) -> str:
+    """DuckDB twin of :func:`substring_seed_vocab` (same vocabulary
+    collapse, same bounded substring expansion, same total order)."""
+    return f"""
+WITH words AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+starts AS (
+  -- lateral expansion via unnest-in-select (DuckDB's range() table
+  -- function rejects column parameters)
+  SELECT term, cnt,
+         CAST(unnest(range(1, length(term) + 1)) AS INT) AS i
+  FROM words
+),
+lens AS (
+  SELECT term, cnt, i,
+         CAST(unnest(range(1, least({max_piece_len},
+                                    length(term) - i + 1) + 1)) AS INT)
+           AS l
+  FROM starts
+),
+subs AS (
+  SELECT substr(term, i, l) AS piece, cnt FROM lens
+)
+SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+FROM subs GROUP BY piece
+ORDER BY n DESC, piece
+LIMIT {k}
+"""

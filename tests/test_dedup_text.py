@@ -1386,3 +1386,21 @@ def test_unigram_train_matches_sequential_reference(spark):
     vocab_set = {p for p, _ in got}
     assert all(p in vocab_set for p in seg)
     assert "".join(seg) == text.replace(" ", "")
+
+
+def test_substring_seed_vocab_hand_computed(spark):
+    """Weighted substring ranking on a hand corpus: 'aba' ×2 and
+    'ab' ×1 → 'a' = 2·2+1 = 5, 'b' = 2+1 = 3, 'ab' = 2+1 = 3 (count
+    desc, piece asc puts 'ab' before 'b'), 'ba' = 2, 'aba' = 2."""
+    from big_data_computing__spark.operators.textstats import (
+        substring_seed_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aba ab"), (2, "aba")], "doc_id long, text string"
+    )
+    rows = [
+        (r["piece"], r["n"])
+        for r in substring_seed_vocab(docs, k=5, max_piece_len=3).collect()
+    ]
+    assert rows == [("a", 5), ("ab", 3), ("b", 3), ("aba", 2), ("ba", 2)]
