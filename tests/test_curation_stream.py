@@ -252,3 +252,54 @@ def test_mixture_gate_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in mixture_resample(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_tokenize_matches_batch(spark, sf_dir, tmp_path):
+    """Both learned tokenizers apply unchanged on a stream (bpe_apply
+    is a pure Catalyst map, unigram_apply an Arrow mapInPandas — no
+    state, no shuffle) and must equal the batch application
+    bit-for-bit on a file-source replay."""
+    from big_data_computing__spark.operators.textstats import (
+        bpe_apply,
+        bpe_train,
+        unigram_apply,
+        unigram_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    merges = bpe_train(docs, n_merges=6)
+    vocab = unigram_train(
+        docs, vocab_size=40, seed_size=200, max_piece_len=4, em_rounds=1
+    )
+    data = str(tmp_path / "docs")
+    docs.write.parquet(data)
+    stream = spark.readStream.schema(docs.schema).parquet(data)
+
+    for name, apply_fn in (
+        ("bpe", lambda df: bpe_apply(df, merges)),
+        ("uni", lambda df: unigram_apply(df, vocab, max_piece_len=4)),
+    ):
+        q = (
+            apply_fn(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"tok_{name}")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out_col = "bpe_tokens" if name == "bpe" else "pieces"
+        got = {
+            r["doc_id"]: list(r[out_col])
+            for r in spark.sql(f"SELECT * FROM tok_{name}").collect()
+        }
+        want = {
+            r["doc_id"]: list(r[out_col])
+            for r in apply_fn(docs).collect()
+        }
+        assert got == want and len(got) > 0, name

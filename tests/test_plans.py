@@ -238,3 +238,31 @@ def test_salted_join_matches_plain(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         salted_join(orders, dims, "o_custkey", how="full")
+
+
+def test_round6_operator_plan_shapes(spark):
+    """Plan-shape contracts for the round-6 operators: the whitening
+    projection is one narrow codegen stage (no shuffle, no Python on
+    the data path); the substring seed ranking ends in
+    TakeOrderedAndProject (never a full sort); the incremental BPE
+    vocabulary scan is a narrow contains() filter (no join) up to the
+    pair aggregation."""
+    from big_data_computing__spark.operators.similarity import pca_whiten
+    from big_data_computing__spark.operators.textstats import (
+        substring_seed_vocab,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    plan = executed_plan(pca_whiten(emb, k=8, m=4))
+    # the projection itself: scan -> project, nothing else
+    assert "Exchange" not in plan.split("== Physical Plan ==")[-1] or (
+        "Exchange" not in plan
+    ), plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+        assert bad not in plan, bad
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    plan2 = executed_plan(substring_seed_vocab(docs))
+    assert "TakeOrderedAndProject" in plan2
+    assert "CartesianProduct" not in plan2
