@@ -1106,6 +1106,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             wh, pairs, doc_id="vec_id"
         ).select(F.col("doc_id").alias("vec_id"))
 
+    def x_semdedup_within_cell(spark, sf_dir):
+        # SemDeDup as the paper runs it at scale (Abbas et al. 2023
+        # §3): cluster first, compare ONLY within clusters — the
+        # approximate low-threshold scale path next to the exact
+        # x_semdedup_survivors (whose triangle-inequality pruning
+        # degrades to all-pairs at threshold 0.3). Same quantizer as
+        # the IVF ANN tier (pinned-center oracle); recall vs the
+        # exact twin is measured in tests.
+        emb = _emb(spark, sf_dir)
+        pairs = _sim.cell_cosine_pairs(
+            emb,
+            COSINE_NEARDUP_THRESHOLD,
+            n_cells=FFT_K,
+            l=FFT_L,
+            seed=SEED,
+            parity=True,
+        ).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        return _dd.dedup_survivors(
+            emb, pairs, doc_id="vec_id"
+        ).select(F.col("doc_id").alias("vec_id"))
+
+    def x_gopher_quality(spark, sf_dir):
+        # Gopher-style hard quality gate (Rae et al. 2021 App. A):
+        # word-count bounds, mean-word-length bounds, alphabetic
+        # fraction, stopword presence — the rule-based REJECT filter
+        # pipelines run before the continuous quality ranking
+        return _cu.gopher_quality_report(_docs(spark, sf_dir))
+
     def x_clean_corpus(spark, sf_dir):
         # the composed curation pipeline: quality filter → language
         # filter → exact dedup → near-dup CC survivors, one oracle for
@@ -1273,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_pca_semdedup,
         x_dedup_components_sc,
         x_substring_seed_vocab,
+        x_gopher_quality,
+        x_semdedup_within_cell,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -1319,11 +1351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_balanced_sample,
         x_top_ngrams,
         t4_true_frequent_items,
-        t5_reservoir_report,
-        t6_sticky_report,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r06.json) covers everything
         # below. All of it holds an r4 or r5 driver-green row. ----
+        t5_reservoir_report,
+        t6_sticky_report,
         a13_quantile_stats,
         o2_smallest_cells_topk,
         x_decode_features,
@@ -1903,6 +1935,18 @@ WHERE vec_id NOT IN (
   WHERE doc_id <> component_id
 )""",
         "x_substring_seed_vocab": _ts.substring_seed_vocab_sql(),
+        "x_gopher_quality": _cu.gopher_quality_report_sql(),
+        "x_semdedup_within_cell": f"""
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT doc_id FROM ({_dd.duplicate_components_sql(
+      "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+      + _sim.cell_cosine_pairs_sql(
+          COSINE_NEARDUP_THRESHOLD, _gold.C3_CENTERS
+      )
+      + ")")})
+  WHERE doc_id <> component_id
+)""",
         "x_pca_semdedup": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

@@ -128,6 +128,12 @@ BENCH_QUERIES = [
     # O(log n) rounds AND linear state (the recommended scale path
     # after the r6 chain-graph measurements)
     "x_dedup_components_sc",
+    # SemDeDup's paper-faithful within-cluster path (the approximate
+    # low-threshold scale shape, next to the exact x_semdedup_survivors
+    # whose pruning degrades to all-pairs at threshold 0.3) and the
+    # Gopher rule-based quality gate
+    "x_semdedup_within_cell",
+    "x_gopher_quality",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

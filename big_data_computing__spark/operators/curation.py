@@ -1170,3 +1170,101 @@ SELECT doc_id, cluster_rep,
             ELSE 'test' END AS split
 FROM assigned
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter (Rae et al. 2021, Appendix A)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 2_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 8.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 1
+
+
+def gopher_quality_report(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style rule-based quality filter: DataFrame[doc_id,
+    n_words, mean_word_len, frac_alpha_words, stop_hits, passes] —
+    the classic pre-LLM-training document gate (word-count bounds,
+    mean-word-length bounds, alphabetic-word fraction, stopword
+    presence; Rae et al. 2021 Appendix A, thresholds adapted to the
+    fixture's register). Complements the continuous
+    ``quality_scores``: this is the hard REJECT gate pipelines run
+    first, that one the soft ranking they sample by.
+
+    Pure per-row Catalyst expressions (one narrow pass, filters push
+    down); floats rounded 6 dp for the exact DuckDB twin."""
+    from .textstats import STOPWORDS
+
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("double")
+        / n_words,
+        6,
+    )
+    stopset = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), stopset)
+    )
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("frac_alpha_words"),
+        stop_hits.cast("int").alias("stop_hits"),
+        passes.alias("passes"),
+    )
+
+
+def gopher_quality_report_sql() -> str:
+    """DuckDB twin of :func:`gopher_quality_report` (same expressions,
+    same rounding, same thresholds)."""
+    from .textstats import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         ROUND(CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(toks), 6) AS frac_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks), [{stops}]))
+              AS INT) AS stop_hits
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+       frac_alpha_words, stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN!r}
+        AND frac_alpha_words >= {GOPHER_MIN_ALPHA_FRAC!r}
+        AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS passes
+FROM m
+"""

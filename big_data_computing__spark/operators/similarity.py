@@ -2186,3 +2186,117 @@ SELECT a.vid AS vec_a, b.vid AS vec_b, {score} AS score
 FROM v a JOIN v b ON a.vid < b.vid
 WHERE {score} >= {threshold!r}
 """
+
+
+def cell_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_cells: int = 8,
+    l: int = 4,
+    seed: int = 42,
+    centers: list[list[float]] | None = None,
+    parity: bool = False,
+) -> DataFrame:
+    """WITHIN-CELL cosine near-pairs: DataFrame[vec_a, vec_b, score]
+    with both endpoints assigned to the same IVF cell (argmin-L2 to
+    the MRFFT quantizer, lower-cell tie-break — the exact assignment
+    :func:`ivf_topk` uses) and cosine ≥ threshold.
+
+    This is SemDeDup as the paper actually runs it at scale (Abbas et
+    al. 2023 §3: cluster first, compare ONLY within clusters): an
+    APPROXIMATE near-pair set — cross-cell near-dups are missed by
+    design — in exchange for a candidate space of Σ|cell|² instead of
+    n². The engine keeps both: :func:`cosine_near_pairs_blocked` is
+    the EXACT path (triangle-inequality cell-pair pruning), which at
+    low thresholds (radius √(2−2t) comparable to the space's
+    diameter) degrades toward all-pairs — at threshold 0.3 on the
+    near-uniform fixture every cell pair survives pruning, so the
+    exact path IS all-pairs there. Within-cell is what a 100 TB
+    deployment runs at such thresholds, and the recall trade is
+    measurable against the exact twin (x_semdedup_survivors).
+
+    ``centers``/``parity`` as in :func:`ivf_topk` (pretrained/pinned
+    quantizer; oracle float-order)."""
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        as_double_vec(F.col("embedding")).alias("features"),
+    )
+    if centers is None:
+        from .clustering import mr_fft
+
+        centers = mr_fft(pts, k=n_cells, l=l, seed=seed).centers
+    c = np.asarray(centers, dtype=np.float64)
+    _, assign_udf = _cell_probe_udfs(c, 1, parity)
+    base = pts.select(
+        F.col("id").alias("vid"),
+        F.col("features").alias("v"),
+        norm(F.col("features")).alias("nrm"),
+        assign_udf("features").alias("cell"),
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= F.lit(threshold))
+    )
+
+
+def cell_cosine_pairs_sql(
+    threshold: float, centers: list[list[float]]
+) -> str:
+    """DuckDB twin of :func:`cell_cosine_pairs` with the quantizer
+    centers pinned as literals (same assignment CTEs as
+    :func:`ivf_topk_sql`, same pair scoring as
+    :func:`cosine_near_pairs_sql`)."""
+    cvals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(v)) for v in cv) + "])"
+        for i, cv in enumerate(centers)
+    )
+    score = (
+        "ROUND(list_dot_product(av.vec, bv.vec) "
+        "/ (sqrt(list_dot_product(av.vec, av.vec)) "
+        "* sqrt(list_dot_product(bv.vec, bv.vec))), 6)"
+    )
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+c AS (SELECT * FROM (VALUES {cvals}) t(cell, cvec)),
+d AS (
+  SELECT v.vid, c.cell,
+         list_dot_product(v.vec, v.vec)
+           - 2 * list_dot_product(v.vec, c.cvec)
+           + list_dot_product(c.cvec, c.cvec) AS d2
+  FROM v CROSS JOIN c
+),
+rc AS (
+  SELECT vid, cell,
+         row_number() OVER (PARTITION BY vid ORDER BY d2, cell) AS rk
+  FROM d
+),
+corpus AS (SELECT vid, cell FROM rc WHERE rk = 1)
+SELECT a.vid AS vec_a, b.vid AS vec_b, {score} AS score
+FROM corpus a
+JOIN corpus b ON a.cell = b.cell AND a.vid < b.vid
+JOIN v av ON av.vid = a.vid
+JOIN v bv ON bv.vid = b.vid
+WHERE {score} >= {threshold!r}
+"""

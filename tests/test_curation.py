@@ -470,3 +470,31 @@ def test_global_prefix_sum_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_gopher_quality_rules_each_fire(spark):
+    """Each Gopher rule rejects its designed violator and the clean
+    doc passes: too short, too-long mean word, no alpha, no
+    stopwords."""
+    from big_data_computing__spark.operators.curation import (
+        gopher_quality_report,
+    )
+
+    ok = "the " + " ".join(f"word{i:02d}" for i in range(50))
+    rows = [
+        (1, ok),
+        (2, "the short doc"),                              # < 40 words
+        (3, "the " + " ".join(["supercalifragilistic"] * 60)),  # mean len
+        (4, " ".join(["1234"] * 60)),                      # no alpha
+        (5, " ".join(f"word{i:02d}" for i in range(60))),  # no stopword
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in gopher_quality_report(docs).collect()
+    }
+    assert out[1]["passes"] is True
+    for bad in (2, 3, 4, 5):
+        assert out[bad]["passes"] is False, bad
+    assert out[2]["n_words"] == 3
+    assert out[4]["frac_alpha_words"] == 0.0
+    assert out[5]["stop_hits"] == 0

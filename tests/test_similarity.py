@@ -641,3 +641,35 @@ def test_pca_whiten_unit_variance_and_blocked_pairs_exact(spark):
         ).collect()
     }
     assert brute and blocked == brute
+
+
+def test_within_cell_pairs_are_a_subset_of_exact(spark):
+    """The paper-faithful within-cell SemDeDup path: its pair set must
+    be a SUBSET of the exact near-pair set (same threshold, same
+    scoring — cell blocking only removes candidates), so its survivor
+    set is a SUPERSET of the exact path's; the measured recall
+    documents the approximation's cost on the near-uniform fixture."""
+    from big_data_computing__spark.operators.similarity import (
+        cell_cosine_pairs,
+        cosine_near_pairs,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    t = 0.3
+    exact = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in cosine_near_pairs(emb, t).collect()
+    }
+    within = {
+        (r["vec_a"], r["vec_b"], r["score"])
+        for r in cell_cosine_pairs(
+            emb, t, n_cells=8, l=4, seed=42, parity=True
+        ).collect()
+    }
+    assert within <= exact
+    assert within, "cell blocking must keep some pairs"
+    recall = len(within) / len(exact)
+    # 8 cells over a near-uniform corpus: roughly 1/n_cells of random
+    # pairs share a cell — the documented trade of the approximate path
+    assert 0.02 < recall < 0.7, recall
