@@ -2368,6 +2368,7 @@ def duplicate_components_htm(
     doc_a: str = "doc_a",
     doc_b: str = "doc_b",
     max_iterations: int = 40,
+    max_state_factor: int = 64,
 ) -> DataFrame:
     """Connected components via Hash-to-Min (Rastogi et al. 2013):
     same contract as :func:`duplicate_components` —
@@ -2416,6 +2417,7 @@ def duplicate_components_htm(
         .distinct()
         .localCheckpoint()
     )
+    state_bound = max(state.count(), 1) * max_state_factor
     mins = None
     for _ in range(max_iterations):
         cur_min = state.groupBy("v").agg(F.min("m").alias("mn"))
@@ -2429,6 +2431,21 @@ def duplicate_components_htm(
             F.col("mn").alias("v"), F.col("m")
         )
         state = bcast.union(tomin).distinct().localCheckpoint()
+        # loud state gate instead of a mid-round executor OOM: on long
+        # paths the member sets double per round (~n·d/2 peak — the
+        # measured blowup, STRESS.md r6), which no memory setting
+        # survives at scale. Raising names the safe alternatives.
+        n_state = state.count()
+        if n_state > state_bound:
+            raise RuntimeError(
+                "duplicate_components_htm state blow-up: "
+                f"{n_state} rows > {max_state_factor}x the initial "
+                "relation — the long-path regime where Hash-to-Min's "
+                "communication is super-linear. Use "
+                "duplicate_components_shortcut (O(log n) rounds, "
+                "linear state) or duplicate_components_star instead, "
+                "or raise max_state_factor if memory allows."
+            )
         new_min = state.groupBy("v").agg(F.min("m").alias("mn"))
         if mins is not None:
             changed = (

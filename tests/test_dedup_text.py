@@ -1404,3 +1404,97 @@ def test_substring_seed_vocab_hand_computed(spark):
         for r in substring_seed_vocab(docs, k=5, max_piece_len=3).collect()
     ]
     assert rows == [("a", 5), ("ab", 3), ("b", 3), ("aba", 2), ("ba", 2)]
+
+
+def test_components_shortcut_random_graphs_vs_union_find(spark):
+    """Seeded random graphs (sparse G(n,p), a long chain, a star
+    forest) against a Python union-find ground truth — the shortcut
+    CC's hook/compress interleaving has no partial-labeling escape
+    hatch."""
+    import random
+
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components_shortcut,
+    )
+
+    def union_find_labels(n_ids, edge_list):
+        parent = {i: i for i in n_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-label per component
+        out = {}
+        for i in n_ids:
+            r = find(i)
+            out.setdefault(r, []).append(i)
+        return {
+            i: min(members)
+            for r, members in out.items()
+            for i in members
+        }
+
+    cases = []
+    rng = random.Random(7)
+    for n, p in ((60, 0.03), (120, 0.015)):
+        cases.append(
+            [
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < p
+            ]
+        )
+    cases.append([(i, i + 1) for i in range(300, 380)])  # long chain
+    cases.append(
+        [(h, h + j) for h in (500, 600, 700) for j in (1, 2, 3)]
+    )  # star forest
+    for edge_list in cases:
+        if not edge_list:
+            continue
+        ids = sorted({x for e in edge_list for x in e})
+        want = union_find_labels(ids, edge_list)
+        pairs = spark.createDataFrame(
+            edge_list, "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in duplicate_components_shortcut(pairs).collect()
+        }
+        assert got == want
+
+
+def test_components_htm_state_gate_raises_loudly(spark):
+    """On a long chain with a tight state budget the HTM guard must
+    raise the documented error (naming the safe alternatives) instead
+    of inflating toward an executor OOM."""
+    import pytest
+
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components_htm,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="state blow-up.*shortcut"):
+        duplicate_components_htm(chain, max_state_factor=2)
+    # the default budget also trips on this 400-hop chain (peak state
+    # ~n·d/2 = 80k vs the 64x bound) — that IS the regime the gate is
+    # for. A bounded-diameter graph (HTM's sweet spot) completes fine:
+    short_chains = spark.createDataFrame(
+        [(i, i + 1) for i in range(400) if (i + 1) % 10 != 0],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components_htm(short_chains).collect()
+    }
+    assert all(v == (k // 10) * 10 for k, v in out.items())

@@ -50,7 +50,15 @@ def cc_chain_ab(n_nodes: int = 20_000, hop: int = 5_000) -> None:
         .localCheckpoint()
     )
     for name, fn in (
-        ("htm_cc_chain", dd.duplicate_components_htm),
+        # max_state_factor lifted: this tool MEASURES the blowup the
+        # production gate (r6) exists to refuse — with the default
+        # budget HTM raises on this forest instead of inflating
+        (
+            "htm_cc_chain",
+            lambda p: dd.duplicate_components_htm(
+                p, max_state_factor=100_000
+            ),
+        ),
         ("star_cc_chain", dd.duplicate_components_star),
         ("shortcut_cc_chain", dd.duplicate_components_shortcut),
     ):
