@@ -28,6 +28,7 @@ from big_data_computing__spark.operators import outliers as _ol
 from big_data_computing__spark.operators import pipelines as _pl
 from big_data_computing__spark.operators import relational as _rel
 from big_data_computing__spark.operators import similarity as _sim
+from big_data_computing__spark.operators import suffix as _sx
 from big_data_computing__spark.operators import textstats as _ts
 from big_data_computing__spark.operators import windows as _wd
 from big_data_computing__spark.plans import fft_golden_sf001 as _gold
@@ -1129,6 +1130,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, pairs, doc_id="vec_id"
         ).select(F.col("doc_id").alias("vec_id"))
 
+    def x_suffix_array_sample(spark, sf_dir):
+        # distributed suffix array by prefix doubling (Manber-Myers;
+        # the index behind Lee et al.-style exact-substring dedup) over
+        # a fifth of the corpus as ONE virtual string — O(log n) rounds
+        # of shifted joins + the two-pass global rank, no driver-side
+        # text. Sampled every 97th rank; the twin sorts the suffixes
+        # directly (algorithm-independent oracle)
+        docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+        return _sx.suffix_array(docs).where(F.col("rank") % 97 == 1)
+
     def x_gopher_quality(spark, sf_dir):
         # Gopher-style hard quality gate (Rae et al. 2021 App. A):
         # word-count bounds, mean-word-length bounds, alphabetic
@@ -1305,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_substring_seed_vocab,
         x_gopher_quality,
         x_semdedup_within_cell,
+        x_suffix_array_sample,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -1350,10 +1362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_stratified_sample,
         x_balanced_sample,
         x_top_ngrams,
-        t4_true_frequent_items,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r06.json) covers everything
         # below. All of it holds an r4 or r5 driver-green row. ----
+        t4_true_frequent_items,
         t5_reservoir_report,
         t6_sticky_report,
         a13_quantile_stats,
@@ -1936,6 +1948,9 @@ WHERE vec_id NOT IN (
 )""",
         "x_substring_seed_vocab": _ts.substring_seed_vocab_sql(),
         "x_gopher_quality": _cu.gopher_quality_report_sql(),
+        "x_suffix_array_sample": _sx.suffix_array_sample_sql(
+            "doc_id % 5 = 0"
+        ),
         "x_semdedup_within_cell": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

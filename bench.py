@@ -134,6 +134,10 @@ BENCH_QUERIES = [
     # Gopher rule-based quality gate
     "x_semdedup_within_cell",
     "x_gopher_quality",
+    # distributed suffix array (prefix doubling over the corpus-as-one-
+    # string; Lee et al. exact-substring index) — the most join-
+    # intensive iterative operator in the bench, tracked end-to-end
+    "x_suffix_array_sample",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -357,6 +357,46 @@ def global_rank(
     )
 
 
+def global_dense_rank(
+    df: DataFrame,
+    *order_cols: str,
+    rank_col: str = "rank",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """DENSE global rank (equal keys share a rank, ranks contiguous
+    from 1) without the distinct + row_number + join-back detour: the
+    same two-pass idiom as :func:`global_rank`, but the driver offsets
+    are cumulative per-partition DISTINCT-key counts and the within-
+    partition rank is dense_rank. Sound because repartitionByRange
+    puts equal keys in one partition, so no key straddles an offset
+    boundary. One pass over the data — suffix_array's doubling rounds
+    use this to re-rank (rank, rank2) pairs with two fewer shuffles
+    per round than distinct→rank→join."""
+    part = df.repartitionByRange(n_partitions, *order_cols)
+    withpid = part.withColumn("_pid", F.spark_partition_id())
+    withpid = withpid.localCheckpoint()  # pin the split both passes see
+    counts = {
+        r["_pid"]: r["d"]
+        for r in withpid.groupBy("_pid")
+        .agg(F.countDistinct(*order_cols).alias("d"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return withpid.select(
+        *df.columns,
+        (F.dense_rank().over(w) + off[F.col("_pid")])
+        .cast("long")
+        .alias(rank_col),
+    )
+
+
 def global_prefix_sum(
     df: DataFrame,
     value_col: str,

@@ -95,3 +95,30 @@ def test_global_rank_matches_sorted_position(spark, sf_dir):
         }
         assert len(got) == len(want)
         assert [got[i + 1] for i in range(len(want))] == want, nparts
+
+
+def test_global_dense_rank_matches_distinct_rank_join(spark):
+    """global_dense_rank ≡ the distinct → global_rank → join-back
+    composition it replaces, on data with heavy duplicate keys across
+    range-partition boundaries."""
+    from big_data_computing__spark.operators.relational import (
+        global_dense_rank,
+        global_rank,
+    )
+
+    rows = [(i % 7, (i * 3) % 5, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "a long, b long, id long")
+    via_join = {
+        (r["a"], r["b"]): r["r"]
+        for r in df.select("a", "b")
+        .distinct()
+        .transform(lambda d: global_rank(d, "a", "b", rank_col="r"))
+        .collect()
+    }
+    got = {
+        (r["id"]): (r["a"], r["b"], r["rank"])
+        for r in global_dense_rank(df, "a", "b").collect()
+    }
+    assert len(got) == 500
+    for _id, (a, b, rk) in got.items():
+        assert rk == via_join[(a, b)], (_id, a, b)
