@@ -1140,6 +1140,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
         return _sx.suffix_array(docs).where(F.col("rank") % 97 == 1)
 
+    def x_adjacent_lcp_top(spark, sf_dir):
+        # longest duplicated substrings of the corpus: top-20 adjacent-
+        # suffix LCPs from the suffix array's rank-table ladder (the
+        # LCP array's maxima ARE the longest verbatim repeats — the
+        # signal Lee et al.'s exact-substring dedup thresholds). No
+        # per-pair character scan in the engine (O(n log n) table
+        # joins); the twin scans characters per adjacent pair
+        return (
+            _sx.adjacent_lcp(
+                _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+            )
+            .select("lcp", "pos_a", "pos_b")
+            .orderBy(F.col("lcp").desc(), F.col("pos_a"))
+            .limit(20)
+        )
+
     def x_gopher_quality(spark, sf_dir):
         # Gopher-style hard quality gate (Rae et al. 2021 App. A):
         # word-count bounds, mean-word-length bounds, alphabetic
@@ -1317,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_gopher_quality,
         x_semdedup_within_cell,
         x_suffix_array_sample,
+        x_adjacent_lcp_top,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -1361,10 +1378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c9b_outliers_nd_brute,
         x_stratified_sample,
         x_balanced_sample,
-        x_top_ngrams,
         # ---- position 51+: the driver truncates here; the committed
         # full local artifact (ORACLE_FULL_r06.json) covers everything
         # below. All of it holds an r4 or r5 driver-green row. ----
+        x_top_ngrams,
         t4_true_frequent_items,
         t5_reservoir_report,
         t6_sticky_report,
@@ -1951,6 +1968,7 @@ WHERE vec_id NOT IN (
         "x_suffix_array_sample": _sx.suffix_array_sample_sql(
             "doc_id % 5 = 0"
         ),
+        "x_adjacent_lcp_top": _sx.adjacent_lcp_top_sql("doc_id % 5 = 0"),
         "x_semdedup_within_cell": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

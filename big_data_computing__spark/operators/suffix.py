@@ -152,3 +152,193 @@ SELECT CAST(rank AS BIGINT) AS rank,
        CAST(pos1 - 1 AS BIGINT) AS pos
 FROM r WHERE rank % {sample_mod} = 1
 """
+
+
+def _suffix_tables(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = CORPUS_SEP,
+    max_rounds: int = 48,
+):
+    """Prefix-doubling construction keeping every level's rank table:
+    returns (final_state[pos, rank], n, [(L, table[pos, rank]), ...])
+    where table L ranks positions by their length-L prefix — the
+    sparse-table ladder :func:`adjacent_lcp` walks. Same recurrence as
+    :func:`suffix_array` (which remains the lean single-output
+    path)."""
+    chars = corpus_chars(docs, text_col, sep)
+    ch_rank = global_rank(
+        chars.select("ch").distinct(), "ch", rank_col="r"
+    )
+    state = (
+        chars.join(ch_rank, "ch")
+        .select("pos", F.col("r").cast("long").alias("rank"))
+        .localCheckpoint()
+    )
+    n = state.count()
+    tables = [(1, state)]
+    k = 1
+    for _ in range(max_rounds):
+        n_ranks = state.agg(
+            F.countDistinct("rank").alias("d")
+        ).collect()[0]["d"]
+        if n_ranks == n:
+            return state, n, tables
+        shifted = state.select(
+            (F.col("pos") - F.lit(k)).alias("pos"),
+            F.col("rank").alias("rank2"),
+        )
+        pairs = state.join(shifted, "pos", "left").select(
+            "pos",
+            "rank",
+            F.coalesce("rank2", F.lit(0)).cast("long").alias("rank2"),
+        )
+        state = (
+            global_dense_rank(pairs, "rank", "rank2", rank_col="nr")
+            .select("pos", F.col("nr").cast("long").alias("rank"))
+            .localCheckpoint()
+        )
+        k *= 2
+        tables.append((k, state))
+    raise RuntimeError(
+        f"_suffix_tables did not converge in {max_rounds} rounds"
+    )
+
+
+def adjacent_lcp(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = CORPUS_SEP,
+) -> DataFrame:
+    """Longest-common-prefix of every ADJACENT suffix pair in the
+    suffix array: DataFrame[rank, pos_a, pos_b, lcp] — rank r pairs
+    the r-th and (r+1)-th suffixes. Adjacent LCPs are the whole LCP
+    array (any two suffixes' LCP is the min over the ranks between
+    them), and the array's maxima ARE the longest duplicated
+    substrings of the corpus — the signal Lee et al.'s exact-substring
+    dedup thresholds at 50 tokens.
+
+    Distribution shape: no per-pair character scanning anywhere —
+    the construction's rank-table ladder (prefix lengths 2^j) is
+    walked top-down: at level L a pair advances (lcp += L, both
+    positions += L) iff its positions' length-L ranks agree; ⌈log n⌉
+    levels, each ONE broadcast-sized state join per side against the
+    level's n-row table. Total work O(n log n) rows joined — the
+    sparse-table LCP bound — with per-pair work independent of how
+    long the actual match is (the per-character oracle twin is
+    O(Σ lcp) and only viable at validation scale)."""
+    state, n, tables = _suffix_tables(docs, text_col, sep)
+    sa = state.select("rank", "pos")
+    adj = (
+        sa.alias("x")
+        .join(
+            sa.select(
+                (F.col("rank") - 1).alias("rank"),
+                F.col("pos").alias("pos_b"),
+            ).alias("y"),
+            "rank",
+        )
+        .select(
+            "rank",
+            F.col("pos").alias("pos_a"),
+            "pos_b",
+            F.lit(0).cast("long").alias("lcp"),
+            F.col("pos").alias("a"),
+            F.col("pos_b").alias("b"),
+        )
+        .localCheckpoint()
+    )
+    # the ladder walk has NO data-dependent control flow (the level
+    # list is fixed once construction ends), so the whole descent is
+    # declared as ONE Catalyst plan — 2·levels joins against the
+    # already-checkpointed tables, no per-level materialization or
+    # driver round-trip (the checkpointed variant measured 3× slower:
+    # per-level job overhead dominated the 29k-row state)
+    for L, tab in sorted(tables, key=lambda t: -t[0]):
+        ta = tab.select(
+            F.col("pos").alias("a"), F.col("rank").alias("ra")
+        )
+        tb = tab.select(
+            F.col("pos").alias("b"), F.col("rank").alias("rb")
+        )
+        stepped = (
+            adj.join(ta, "a", "left")
+            .join(tb, "b", "left")
+        )
+        advance = (
+            F.col("ra").isNotNull()
+            & F.col("rb").isNotNull()
+            & (F.col("ra") == F.col("rb"))
+        )
+        adj = stepped.select(
+            "rank",
+            "pos_a",
+            "pos_b",
+            F.when(advance, F.col("lcp") + L)
+            .otherwise(F.col("lcp"))
+            .alias("lcp"),
+            F.when(advance, F.col("a") + L).otherwise(F.col("a")).alias("a"),
+            F.when(advance, F.col("b") + L).otherwise(F.col("b")).alias("b"),
+        )
+    return adj.select("rank", "pos_a", "pos_b", "lcp")
+
+
+def adjacent_lcp_top_sql(
+    doc_filter: str, k: int = 20, key_len: int = 4096
+) -> str:
+    """DuckDB twin of the top-k adjacent-LCP query: direct suffix
+    sort, each pair's LCP computed by BINARY DESCENT over its two
+    ``key_len``-char windows — log₂(key_len) substring equality tests
+    per pair (if the segment [acc+1, acc+step] matches, the common
+    prefix extends by step), so the oracle is O(pairs · log key_len)
+    comparisons on small strings. Naive forms that scanned characters
+    or cross-joined the corpus string measured 40-90 s at sf0.01;
+    this runs in ~3 s. Sound for LCPs below ``key_len`` — the same
+    bound, margin, and loud-failure property as the suffix-sort key
+    (suffix_array_sample_sql)."""
+    steps = []
+    st = key_len // 2
+    while st >= 1:
+        steps.append(st)
+        st //= 2
+    inner = (
+        "SELECT rank, a, b, wa, wb, CAST(0 AS BIGINT) AS acc "
+        "FROM adj WHERE b IS NOT NULL"
+    )
+    for step in steps:
+        inner = f"""SELECT rank, a, b, wa, wb,
+       acc + CASE WHEN substr(wa, CAST(acc + 1 AS INT), {step})
+                     = substr(wb, CAST(acc + 1 AS INT), {step})
+                  THEN {step} ELSE 0 END AS acc
+FROM ({inner})"""
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT string_agg(text || '{CORPUS_SEP}', '' ORDER BY doc_id) AS doc
+  FROM documents WHERE {doc_filter}
+),
+p AS (
+  SELECT doc,
+         CAST(unnest(range(1, length(doc) + 1)) AS BIGINT) AS pos1
+  FROM s
+),
+r AS (
+  SELECT pos1, substr(doc, CAST(pos1 AS INT), {key_len}) AS w,
+         row_number() OVER (
+           ORDER BY substr(doc, CAST(pos1 AS INT), {key_len})
+         ) AS rank
+  FROM p
+),
+adj AS (
+  SELECT rank, pos1 AS a, w AS wa,
+         lead(pos1) OVER (ORDER BY rank) AS b,
+         lead(w) OVER (ORDER BY rank) AS wb
+  FROM r
+),
+lcps AS ({inner})
+SELECT CAST(acc AS BIGINT) AS lcp,
+       CAST(a - 1 AS BIGINT) AS pos_a,
+       CAST(b - 1 AS BIGINT) AS pos_b
+FROM lcps
+ORDER BY lcp DESC, pos_a
+LIMIT {k}
+"""

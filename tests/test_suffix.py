@@ -63,3 +63,40 @@ def test_suffix_array_exact_duplicate_docs(spark):
              "same words again and again"]
     want, _ = _expected(texts)
     assert _got(spark, texts) == want
+
+
+def test_adjacent_lcp_matches_sequential(spark):
+    """The rank-table LCP walk equals per-pair character comparison of
+    the sequentially sorted suffixes — on the repetitive corpus where
+    LCPs are long and multi-level advances must compose."""
+    from big_data_computing__spark.operators.suffix import adjacent_lcp
+
+    rng = random.Random(13)
+    texts = [
+        "ab" * 30 + "aab" * 15,
+        "".join(rng.choice("ab ") for _ in range(120)),
+        "repeat me repeat me repeat me",
+        "repeat me repeat me repeat me",   # exact dup doc
+    ]
+    s = "".join(t + CORPUS_SEP for t in texts)
+    order = sorted(range(len(s)), key=lambda i: s[i:])
+
+    def ref_lcp(a, b):
+        i = 0
+        while a + i < len(s) and b + i < len(s) and s[a + i] == s[b + i]:
+            i += 1
+        return i
+
+    want = {
+        r + 1: (order[r], order[r + 1], ref_lcp(order[r], order[r + 1]))
+        for r in range(len(order) - 1)
+    }
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["rank"]: (r["pos_a"], r["pos_b"], r["lcp"])
+        for r in adjacent_lcp(docs).collect()
+    }
+    assert got == want
+    assert max(v[2] for v in want.values()) >= len(texts[2])  # dup doc
