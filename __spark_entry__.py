@@ -27,6 +27,7 @@ from big_data_computing__spark.operators import multimodal as _mm
 from big_data_computing__spark.operators import outliers as _ol
 from big_data_computing__spark.operators import pipelines as _pl
 from big_data_computing__spark.operators import relational as _rel
+from big_data_computing__spark.operators import retrieval as _rt
 from big_data_computing__spark.operators import similarity as _sim
 from big_data_computing__spark.operators import suffix as _sx
 from big_data_computing__spark.operators import textstats as _ts
@@ -43,6 +44,11 @@ from big_data_computing__spark.sources import readers as _rd
 OUTLIER_D = 500.0
 OUTLIER_M = 10
 TOPK = 10
+# retrieval family: query terms present at every SF of the synthetic
+# corpus (near-uniform vocabulary — BM25's df/length terms still
+# discriminate); the phrase is a 2-gram that occurs but is not universal
+BM25_QUERY = ["spark", "join", "window"]
+PHRASE_QUERY = ["fast", "join"]
 PHI = 0.008
 EPSILON = 0.003
 DELTA = 0.1
@@ -1156,6 +1162,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
 
+    def x_bm25_topk(spark, sf_dir):
+        # BM25 retrieval (integer-exact rational scoring — linear
+        # Robertson idf + milli-quantized length norm, the tfidf/
+        # unigram_rarity no-libm-log convention) for a 3-term query;
+        # postings-pruned explode, TakeOrderedAndProject top-k
+        return _rt.bm25_topk(
+            _docs(spark, sf_dir), BM25_QUERY, k=20
+        )
+
+    def x_search_conjunctive(spark, sf_dir):
+        # boolean AND over the inverted-postings shape: work scales
+        # with the query terms' postings lengths, not corpus size
+        return _rt.conjunctive_search(_docs(spark, sf_dir), BM25_QUERY)
+
+    def x_search_phrase(spark, sf_dir):
+        # positional phrase match as a SHUFFLE-FREE per-row array scan
+        # (whole-stage codegen; the plan a positional index emulates)
+        return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
+
     def x_gopher_quality(spark, sf_dir):
         # Gopher-style hard quality gate (Rae et al. 2021 App. A):
         # word-count bounds, mean-word-length bounds, alphabetic
@@ -1334,6 +1359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_semdedup_within_cell,
         x_suffix_array_sample,
         x_adjacent_lcp_top,
+        x_bm25_topk,
+        x_search_conjunctive,
+        x_search_phrase,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -1969,6 +1997,9 @@ WHERE vec_id NOT IN (
             "doc_id % 5 = 0"
         ),
         "x_adjacent_lcp_top": _sx.adjacent_lcp_top_sql("doc_id % 5 = 0"),
+        "x_bm25_topk": _rt.bm25_topk_sql(BM25_QUERY, 20),
+        "x_search_conjunctive": _rt.conjunctive_search_sql(BM25_QUERY),
+        "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
         "x_semdedup_within_cell": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

@@ -138,6 +138,13 @@ BENCH_QUERIES = [
     # string; Lee et al. exact-substring index) — the most join-
     # intensive iterative operator in the bench, tracked end-to-end
     "x_suffix_array_sample",
+    # longest-duplicated-substring report off the suffix array's rank
+    # ladder (LCP maxima), and the retrieval family: BM25 top-k
+    # (integer-exact scoring over the postings-pruned explode) — the
+    # conjunctive/phrase variants share its scan shape and stay
+    # correctness-gated only
+    "x_adjacent_lcp_top",
+    "x_bm25_topk",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -1,0 +1,268 @@
+"""Text retrieval over the documents table: BM25 ranking, conjunctive
+(AND) search over an inverted-postings shape, and shuffle-free phrase
+search.
+
+Extension family beyond the reference's operator set (the reference's
+text processing is word-count shaped — big_data_computing_1.py's
+grouped counts); retrieval is the natural query-side complement of the
+engine's curation/dedup stack: the same (doc_id, term) explode feeds
+tf/df/BM25 here and tf-idf/rarity in textstats.py.
+
+Portability contract (the tfidf/unigram_rarity convention): no libm
+``ln`` anywhere — Spark's and DuckDB's log results differ in the last
+ulp (measured; see tfidf_top_terms's docstring). Every score here is a
+ratio of exact integers materialized with one floor division, so both
+engines produce bit-identical BIGINT scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import _TOKS_SQL, tokens
+
+# BM25 shape parameters as exact rationals: k1 = 6/5 (1.2), b = 3/4
+# (0.75) — the textbook defaults, chosen representable so the
+# saturation denominator clears to integers (see bm25_topk).
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25 with
+    integer-exact scoring: DataFrame[doc_id, n_hit_terms, score_milli],
+    ordered (score_milli DESC, doc_id) — a total order, so the top-k
+    row set is unique.
+
+    Scoring variant (documented, like tfidf's linear idf): the idf
+    factor is the LINEAR Robertson form
+    ``max(2N - 2df + 1, 1) / (2df + 1)`` — the argument of the classic
+    ``ln((N - df + ½)/(df + ½))`` without the log (the max(…,1) floor
+    is the Lucene convention for df > N/2), because no libm log is
+    bit-portable across engines. The tf saturation is the textbook
+    ``tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))`` with k1=6/5, b=3/4;
+    ``dl/avgdl`` is quantized once per document to integer milli
+    ``r_dl = (1000·dl·N) div L`` (N docs, L total tokens), which clears
+    the whole per-term score to one integer floor division:
+
+        score_milli(t, d) = (44_000_000·tf·idf_num)
+                            div (idf_den·(20_000·tf + 6_000 + 18·r_dl))
+
+    (44000 = 1000·k1+1 scaled by the 20000 denominator clearing;
+    derivation in-line below). The document score is the BIGINT sum
+    over query terms — bit-identical in Spark and DuckDB.
+
+    Plan: one (doc_id, term) count over the query-filtered explode
+    (map-side combined, the word-count shape), per-doc lengths over the
+    full explode, a 2-scalar global (broadcast), a term-keyed df
+    aggregation over ≤|query| rows (broadcast), and a TakeOrderedAnd-
+    Project top-k — no shuffle wider than the tf aggregation. At 100 TB
+    the only large intermediate is (doc_id, term) for query terms only:
+    the `isin` filter prunes before the shuffle, so cost scales with
+    postings length, not corpus size — the inverted-index access path
+    expressed declaratively.
+
+    Overflow headroom: the numerator is ≤ 44e6·tf·2N; with tf ≤ 1e4
+    and N ≤ 1e9 documents it stays under 2^63 for tf·N ≤ ~1e13, i.e.
+    exact through ~10-billion-document corpora at realistic tf; beyond
+    that, drop the 1000× milli factor to centi (4.4e6) for another
+    order of magnitude.
+    """
+    pairs = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    # per-doc length over ALL terms (BM25 normalizes by full doc length)
+    dl = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dl")
+    )
+    totals = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("l_total"),
+    )
+    qpairs = pairs.where(F.col("term").isin(list(query_terms)))
+    tf = qpairs.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "term",
+            # r_dl = milli-quantized dl/avgdl = (1000·dl·N) div L
+            F.expr(
+                "(44000000 * tf * greatest(2*n_docs - 2*df + 1, 1)) div "
+                "((2*df + 1) * (20000*tf + 6000 "
+                " + 18*((1000 * dl * n_docs) div l_total)))"
+            ).alias("s_milli"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_hit_terms"),
+            F.sum("s_milli").cast("long").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(query_terms: list[str], k: int = 20) -> str:
+    """DuckDB twin of :func:`bm25_topk` (identical integer floor
+    divisions; ``//`` on positive BIGINTs ≡ Spark's ``div``)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM pairs GROUP BY doc_id
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS l_total FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM pairs WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         (44000000 * tf * GREATEST(2*n_docs - 2*df + 1, 1)) //
+         ((2*df + 1) * (20000*tf + 6000
+          + 18*((1000 * dl.dl * n_docs) // l_total))) AS s_milli
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN totals
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_hit_terms,
+       CAST(SUM(s_milli) AS BIGINT) AS score_milli
+FROM scored
+GROUP BY doc_id
+ORDER BY score_milli DESC, doc_id
+LIMIT {k}
+"""
+
+
+def conjunctive_search(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Documents containing ALL the given terms (boolean AND over the
+    inverted index): DataFrame[doc_id, n_chars].
+
+    Plan: the postings-intersection shape expressed declaratively —
+    explode → filter to the query terms (prunes before any shuffle) →
+    distinct (doc_id, term) → per-doc matched-term count → keep docs
+    matching all |terms|. One aggregation keyed on doc_id; the
+    metadata join back to `docs` stays doc_id-keyed. At scale this
+    reads like an index AND-merge: work ∝ total postings of the query
+    terms, never corpus size.
+    """
+    n = len(terms)
+    hits = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .where(F.col("term").isin(list(terms)))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+        .where(F.col("n_matched") == n)
+        .select("doc_id")
+    )
+    return hits.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def conjunctive_search_sql(terms: list[str]) -> str:
+    """DuckDB twin of :func:`conjunctive_search`."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH hits AS (
+  SELECT doc_id
+  FROM (
+    SELECT DISTINCT doc_id, term
+    FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+    WHERE term IN ({tlist})
+  )
+  GROUP BY doc_id
+  HAVING COUNT(*) = {len(terms)}
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM hits JOIN documents USING (doc_id)
+"""
+
+
+def phrase_search(
+    docs: DataFrame, phrase: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Documents containing the exact token phrase, with occurrence
+    counts: DataFrame[doc_id, n_occurrences] (docs with ≥1 match).
+
+    Plan: SHUFFLE-FREE — the positional-postings adjacency check is a
+    per-row array scan (`filter` over the token positions testing each
+    following phrase token), entirely inside whole-stage codegen; no
+    explode, no join, no aggregation beyond the row itself. This is
+    the plan a positional inverted index emulates; at 100 TB it is a
+    single map over the corpus with full predicate pushdown.
+    """
+    m = len(phrase)
+    # 1-based positions in BOTH engines: Spark's try_element_at (NULL
+    # out of range — bracket indexing would be 0-based and ANSI-throwy)
+    # mirrors DuckDB's 1-based bracket (NULL out of range). The upper
+    # bound clamps to 1 (Spark's sequence(1, 0) would DESCEND) and the
+    # clamped probe at a too-short doc fails through the NULL compare.
+    cond = " AND ".join(
+        f"try_element_at(toks, i + {j}) = '{w}'"
+        for j, w in enumerate(phrase)
+    )
+    return (
+        docs.select(
+            "doc_id", tokens(F.col(text_col)).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"size(filter(sequence(1, greatest(size(toks) - {m - 1},"
+                f" 1)), i -> {cond}))"
+            )
+            .cast("int")
+            .alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
+def phrase_search_sql(phrase: list[str]) -> str:
+    """DuckDB twin of :func:`phrase_search` (same positional scan as a
+    list comprehension over 1-based positions)."""
+    m = len(phrase)
+    cond = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(phrase)
+    )
+    return f"""
+WITH scans AS (
+  SELECT doc_id,
+         CAST(len([i FOR i IN range(1, greatest(len(toks) - {m - 1}, 1)
+                                        + 1) IF {cond}]) AS INT)
+           AS n_occurrences
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+)
+SELECT doc_id, n_occurrences FROM scans WHERE n_occurrences > 0
+"""
