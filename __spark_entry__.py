@@ -1181,6 +1181,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_dsir_importance(spark, sf_dir):
+        # DSIR-style importance scoring (Xie et al. 2023): hashed
+        # unigram+bigram buckets, add-1-smoothed target/raw ratio in
+        # the linear domain (no-libm-log convention) — the continuous
+        # data-selection signal next to the Gopher hard gate
+        return _cu.dsir_importance(_docs(spark, sf_dir))
+
+    def x_dsir_topk(spark, sf_dir):
+        # the selection step: deterministic top-rate mode of DSIR's
+        # sample-proportional-to-weight draw (TakeOrderedAndProject)
+        return _cu.dsir_select_topk(_docs(spark, sf_dir), k=100)
+
     def x_gopher_quality(spark, sf_dir):
         # Gopher-style hard quality gate (Rae et al. 2021 App. A):
         # word-count bounds, mean-word-length bounds, alphabetic
@@ -1362,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_bm25_topk,
         x_search_conjunctive,
         x_search_phrase,
+        x_dsir_importance,
+        x_dsir_topk,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -2000,6 +2014,8 @@ WHERE vec_id NOT IN (
         "x_bm25_topk": _rt.bm25_topk_sql(BM25_QUERY, 20),
         "x_search_conjunctive": _rt.conjunctive_search_sql(BM25_QUERY),
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
+        "x_dsir_importance": _cu.dsir_importance_sql(),
+        "x_dsir_topk": _cu.dsir_select_topk_sql(100),
         "x_semdedup_within_cell": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     # correctness-gated only
     "x_adjacent_lcp_top",
     "x_bm25_topk",
+    # DSIR importance scoring: the heaviest curation explode (unigrams
+    # + bigrams per doc) — the continuous selection signal's tracked cost
+    "x_dsir_importance",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

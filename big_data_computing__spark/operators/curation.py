@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, uniform01, uniform01_sql
+from ..functions.hashing import hash60, hash60_sql, uniform01, uniform01_sql
 from ..functions.text import token_count, tokens, word_ngrams
 
 _TOKS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -1268,3 +1268,164 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
         AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS passes
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Per-document importance score of the raw corpus against a target
+    distribution, DSIR-style: DataFrame[doc_id, n_feats, imp_milli].
+
+    DSIR estimates importance weights w(x) = p_target(x)/p_raw(x) under
+    bag-of-hashed-n-grams unigram models: documents whose hashed
+    (unigram + bigram) feature profile looks like the target subset
+    (here ``target_pred``, e.g. high-quality English) score high and are
+    kept; off-target documents score low. This implementation keeps the
+    paper's estimator shape — hashed n-gram buckets, add-1-smoothed
+    bucket probabilities from target vs raw counts — but scores in the
+    LINEAR domain (the engine's tfidf/unigram_rarity convention):
+
+        q_b      = (1_000_000 * (t_b + 1)) div (r_b + 1)
+        imp(x)   = (Σ_{f∈x} q_{bucket(f)}) div n_feats(x)
+
+    i.e. the per-feature arithmetic mean of the target/raw count ratio
+    (milli-scaled) instead of the geometric mean the paper's log-sum
+    computes — the first-order equivalent around ratio 1, and exactly
+    reproducible cross-engine because no libm log is bit-portable
+    (measured; see tfidf_top_terms). The global normalizer
+    (R + B)/(T + B) is a rank-neutral constant and is dropped.
+
+    Plan: one explode to (doc_id, bucket) — bucket = hash60(feature)
+    mod n_buckets — then a bucket-keyed count (n_buckets rows, add-1
+    smoothed), a conditional count for the target side IN THE SAME
+    aggregation (no second pass over the corpus), a broadcast join of
+    the tiny bucket table back onto the exploded stream, and a per-doc
+    sum. At 100 TB: the bucket table is n_buckets rows regardless of
+    corpus size; the only big shuffle is the (doc_id)-keyed final sum,
+    and map-side combine collapses it to one row per doc per mapper.
+
+    ``hash_mode="xxhash64"`` swaps the feature hash to the JVM-intrinsic
+    fast path for production (no DuckDB twin; see hashing.hash60).
+    """
+    feats = docs.select(
+        "*",
+        F.explode(
+            F.concat(
+                tokens(F.col(text_col)),
+                word_ngrams(F.col(text_col), 2),
+            )
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        F.expr(target_pred).alias("is_target"),
+        F.pmod(hash60(F.col("feat"), mode=hash_mode), n_buckets).alias(
+            "bucket"
+        ),
+    )
+    buckets = feats.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("r"),
+        F.sum(F.col("is_target").cast("long")).cast("long").alias("t"),
+    )
+    q = buckets.select(
+        "bucket",
+        F.expr("(1000000 * (t + 1)) div (r + 1)").alias("q"),
+    )
+    return (
+        feats.join(F.broadcast(q), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_feats"),
+            F.expr("sum(q) div count(*)").cast("long").alias("imp_milli"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` (identical md5 buckets,
+    identical integer floor divisions)."""
+    return f"""
+WITH feats AS (
+  SELECT doc_id, ({target_pred}) AS is_target,
+         {hash60_sql('feat')} % {n_buckets} AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(toks || bigrams) AS feat
+    FROM (
+      SELECT doc_id, lang, toks,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i + 1])
+               AS bigrams
+      FROM (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    )
+  )
+),
+buckets AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS r,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t
+  FROM feats GROUP BY bucket
+),
+q AS (
+  SELECT bucket, (1000000 * (t + 1)) // (r + 1) AS q FROM buckets
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_feats,
+       CAST(SUM(q) // COUNT(*) AS BIGINT) AS imp_milli
+FROM feats JOIN q USING (bucket)
+GROUP BY doc_id
+"""
+
+
+def dsir_select_topk(
+    docs: DataFrame,
+    k: int = 100,
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """The selection step: top-``k`` documents by importance,
+    DataFrame[doc_id, n_feats, imp_milli] under the total order
+    (imp_milli DESC, doc_id). DSIR samples ∝ w with Gumbel noise; this
+    is the deterministic top-rate mode of the same decision (the noisy
+    draw needs a log, which the cross-engine contract excludes — a
+    production pipeline can swap in gumbel sampling on the same
+    imp_milli column). TakeOrderedAndProject: no global sort at scale.
+    """
+    return (
+        dsir_importance(
+            docs,
+            target_pred=target_pred,
+            n_buckets=n_buckets,
+            text_col=text_col,
+            hash_mode=hash_mode,
+        )
+        .orderBy(F.col("imp_milli").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def dsir_select_topk_sql(
+    k: int = 100,
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`dsir_select_topk`."""
+    return (
+        f"SELECT * FROM ({dsir_importance_sql(target_pred, n_buckets)})"
+        f" ORDER BY imp_milli DESC, doc_id LIMIT {k}"
+    )
