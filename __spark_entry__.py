@@ -1181,6 +1181,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_bigram_rarity(spark, sf_dir):
+        # CCNet/KenLM perplexity-filter stand-in at bigram order:
+        # improbable token TRANSITIONS (shuffled text, template
+        # stitching) score high even when every token is common —
+        # exact integer ratios, position-ordered sum (the
+        # unigram_rarity contract, one LM order up)
+        return _ts.bigram_lm_rarity(_docs(spark, sf_dir))
+
     def x_dsir_importance(spark, sf_dir):
         # DSIR-style importance scoring (Xie et al. 2023): hashed
         # unigram+bigram buckets, add-1-smoothed target/raw ratio in
@@ -1376,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_search_phrase,
         x_dsir_importance,
         x_dsir_topk,
+        x_bigram_rarity,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -2016,6 +2025,7 @@ WHERE vec_id NOT IN (
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
         "x_dsir_importance": _cu.dsir_importance_sql(),
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),
+        "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),
         "x_semdedup_within_cell": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

@@ -1256,3 +1256,124 @@ FROM subs GROUP BY piece
 ORDER BY n DESC, piece
 LIMIT {k}
 """
+
+
+def bigram_lm_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document rarity under the corpus BIGRAM language model:
+    DataFrame[doc_id, n_bigrams, bigram_rarity] with
+
+        bigram_rarity = avg over the doc's adjacent token pairs (u, v)
+                        of (2·c(u) + V) / (2·c(u, v) + 1)
+
+    — the mean INVERSE add-½-smoothed conditional probability
+    p(v | u) = (c(u,v) + ½) / (c(u) + V/2), with c(u) the corpus
+    unigram count, c(u,v) the corpus bigram count, V the unigram
+    vocabulary size. Documents whose token TRANSITIONS are improbable
+    under the corpus (shuffled text, template keys, boilerplate
+    stitching) score high even when every individual token is common —
+    the signal a CCNet/KenLM perplexity filter adds over a unigram
+    filter, at the first LM order where context exists.
+
+    Portability: the :func:`unigram_rarity` contract — every term is a
+    ratio of exact integers (IEEE-exact in doubles), the per-document
+    sum runs in position order on BOTH engines, no libm log anywhere.
+    Smoothing detail (documented): the context count is the plain
+    unigram count c(u) — which counts document-final tokens too — not
+    the followed-by-anything count; both are standard, this one needs
+    no second aggregation.
+
+    Plan: one bigram count over the corpus (word-count shape, map-side
+    combined), one unigram count, a broadcast 1-row vocab scalar, one
+    bigram-keyed join + one context-keyed join of the exploded stream,
+    and a per-doc ordered-sum aggregation. The bigram table is the only
+    intermediate that grows super-linearly in vocabulary (it is bounded
+    by corpus positions); both joins key on high-cardinality strings.
+    """
+    pairs = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col(text_col), 2)).alias(
+            "idx", "bigram"
+        ),
+    ).select(
+        "doc_id",
+        "idx",
+        "bigram",
+        F.split(F.col("bigram"), " ")[0].alias("u"),
+    )
+    bi_counts = pairs.groupBy("bigram").agg(
+        F.count("*").cast("long").alias("c_uv")
+    )
+    uni = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).groupBy("term").agg(F.count("*").cast("long").alias("c_u"))
+    vocab = uni.agg(F.count("*").cast("long").alias("vocab"))
+    weighted = (
+        pairs.join(bi_counts, "bigram")
+        .join(uni.withColumnRenamed("term", "u"), "u")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "idx",
+            (
+                (2 * F.col("c_u") + F.col("vocab")).cast("double")
+                / (2 * F.col("c_uv") + 1).cast("double")
+            ).alias("w"),
+        )
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "w"))),
+                    lambda s: s["w"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count("*"),
+            6,
+        ).alias("bigram_rarity"),
+    )
+
+
+def bigram_lm_rarity_sql() -> str:
+    """DuckDB twin of :func:`bigram_lm_rarity` (identical integer
+    ratios, identical position-ordered summation)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(range(len(toks) - 1)) AS idx,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i] || ' ' || toks[i + 1]))
+           AS bigram,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i])) AS u
+  FROM base
+),
+bi_counts AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_uv
+  FROM pairs GROUP BY bigram
+),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c_u
+  FROM (SELECT unnest(toks) AS term FROM base) GROUP BY term
+),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+weighted AS (
+  SELECT p.doc_id, p.idx,
+         CAST(2 * uni.c_u + vocab.vocab AS DOUBLE)
+         / CAST(2 * b.c_uv + 1 AS DOUBLE) AS w
+  FROM pairs p
+  JOIN bi_counts b USING (bigram)
+  JOIN uni ON uni.term = p.u
+  CROSS JOIN vocab
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       ROUND(list_sum(list(w ORDER BY idx)) / COUNT(*), 6)
+         AS bigram_rarity
+FROM weighted GROUP BY doc_id
+"""

@@ -498,3 +498,47 @@ def test_gopher_quality_rules_each_fire(spark):
     assert out[2]["n_words"] == 3
     assert out[4]["frac_alpha_words"] == 0.0
     assert out[5]["stop_hits"] == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM rarity (textstats — grouped here with the quality filters)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_rarity_reference(spark):
+    from big_data_computing__spark.operators.textstats import (
+        bigram_lm_rarity,
+    )
+
+    rows = [
+        (0, "a b a b a b"),     # only common transitions
+        (1, "a b b a a b"),     # mixes in rare transitions b->b, a->a
+        (2, "a b"),
+        (3, "x"),               # no bigrams: absent from output
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_rarity"])
+        for r in bigram_lm_rarity(docs).collect()
+    }
+    # sequential reference of the same integer ratios
+    toks = {i: t.split() for i, t in rows if t}
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for v in toks.values():
+        for t in v:
+            uni[t] = uni.get(t, 0) + 1
+        for p in zip(v, v[1:]):
+            bi[p] = bi.get(p, 0) + 1
+    vocab = len(uni)
+    want = {}
+    for i, v in toks.items():
+        ps = list(zip(v, v[1:]))
+        if not ps:
+            continue
+        s = sum((2 * uni[u] + vocab) / (2 * bi[(u, w)] + 1) for u, w in ps)
+        want[i] = (len(ps), round(s / len(ps), 6))
+    assert got == want
+    # the transition-scrambled doc scores strictly higher
+    assert got[1][1] > got[0][1]
