@@ -1181,6 +1181,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_bpe_byte_pairs(spark, sf_dir):
+        # byte-level BPE's inner step (GPT-2 family): adjacent BYTE
+        # pair counts over the space-prefixed UTF-8 hex spelling of
+        # the distinct vocabulary — the argmax row is the byte-level
+        # trainer's first merge (bpe_train(level='byte'))
+        return _ts.bpe_top_pairs_bytes(_docs(spark, sf_dir), k=30)
+
     def x_bigram_rarity(spark, sf_dir):
         # CCNet/KenLM perplexity-filter stand-in at bigram order:
         # improbable token TRANSITIONS (shuffled text, template
@@ -1385,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dsir_importance,
         x_dsir_topk,
         x_bigram_rarity,
+        x_bpe_byte_pairs,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -2026,6 +2034,7 @@ WHERE vec_id NOT IN (
         "x_dsir_importance": _cu.dsir_importance_sql(),
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),
         "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),
+        "x_bpe_byte_pairs": _ts.bpe_top_pairs_bytes_sql(k=30),
         "x_semdedup_within_cell": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

@@ -722,6 +722,7 @@ def bpe_train(
     n_merges: int = 10,
     text_col: str = "text",
     incremental: bool = True,
+    level: str = "char",
 ) -> list[tuple[str, str, int]]:
     """Distributed BPE tokenizer training: returns the first
     ``n_merges`` merges as ``(left, right, pair_count)`` in merge
@@ -755,7 +756,18 @@ def bpe_train(
     shrinks relative to the vocabulary. ``incremental=False`` keeps the
     full-recount path (the A/B baseline; byte-identical merge
     sequences, pinned by test_bpe_incremental_equals_full_recount and
-    the sequential-learner equivalence test)."""
+    the sequential-learner equivalence test).
+
+    ``level="byte"`` trains BYTE-level BPE (the GPT-2 family): each
+    word is prefixed with the space byte (0x20 — the add_prefix_space
+    word-boundary marker, GPT-2's Ġ) and encoded as its UTF-8 bytes,
+    one framed two-hex-digit cell per byte, so the initial alphabet is
+    the 256 byte values, any Unicode input is representable with no
+    UNK, and merged symbols are even-length hex strings. Everything
+    downstream — pair counting, argmax, framed replace, the
+    incremental deltas — is encoding-agnostic and identical."""
+    if level not in ("char", "byte"):
+        raise ValueError(f"unknown BPE level: {level!r}")
     sep = _BPE_SEP
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
@@ -763,18 +775,38 @@ def bpe_train(
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    # encode each word as ␟c₁␟␟c₂␟…: one framed cell per symbol
-    enc = F.concat(
-        F.lit(sep),
-        F.array_join(
-            F.expr(
-                "transform(sequence(1, length(term)), "
-                "i -> substring(term, i, 1))"
+    if level == "byte":
+        # precompute the hex string ONCE per word: a lambda that
+        # re-evaluated hex(encode(...)) per byte position would be
+        # quadratic (the word_ngrams lesson)
+        words = words.withColumn(
+            "h",
+            F.hex(F.encode(F.concat(F.lit(" "), F.col("term")), "UTF-8")),
+        )
+        enc = F.concat(
+            F.lit(sep),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(h) div 2), "
+                    "i -> substring(h, 2*i - 1, 2))"
+                ),
+                sep + sep,
             ),
-            sep + sep,
-        ),
-        F.lit(sep),
-    )
+            F.lit(sep),
+        )
+    else:
+        # encode each word as ␟c₁␟␟c₂␟…: one framed cell per symbol
+        enc = F.concat(
+            F.lit(sep),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(term)), "
+                    "i -> substring(term, i, 1))"
+                ),
+                sep + sep,
+            ),
+            F.lit(sep),
+        )
     vocab = words.select(enc.alias("enc"), "cnt").localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     counts = (
@@ -829,6 +861,7 @@ def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
+    level: str = "char",
 ) -> DataFrame:
     """Tokenize with a learned BPE: DataFrame[doc_id, bpe_tokens]
     applying the merges of :func:`bpe_train` IN TRAINING ORDER to
@@ -838,16 +871,37 @@ def bpe_apply(
     trainer's final symbol sequences (the round-trip property pinned
     in tests). A pure per-row Catalyst map (one chained replace per
     merge inside a ``transform``) — no shuffle, no Python, scales as a
-    narrow stage at any corpus size."""
+    narrow stage at any corpus size.
+
+    ``level="byte"`` applies byte-level merges (see :func:`bpe_train`):
+    tokens come back as even-length hex strings over the space-prefixed
+    UTF-8 bytes of each word; concatenating a word's tokens always
+    re-spells ``hex(' ' + word)`` exactly (lossless round trip, no
+    UNK)."""
+    if level not in ("char", "byte"):
+        raise ValueError(f"unknown BPE level: {level!r}")
     sep = _BPE_SEP
-    enc_word = (
-        "concat('{s}', array_join(transform(sequence(1, length(w)), "
-        "i -> substring(w, i, 1)), '{s}{s}'), '{s}')"
-    ).format(s=sep)
-    enc = F.expr(
-        f"transform(filter(split({text_col}, ' '), w -> w != '' AND "
-        f"NOT contains(w, '{sep}')), w -> {enc_word})"
-    )
+    if level == "byte":
+        # two-step: words -> hex strings (computed once each), then
+        # hex -> framed byte cells over the BOUND lambda value (no
+        # per-position re-evaluation of the encode)
+        enc = F.expr(
+            f"transform(transform(filter(split({text_col}, ' '), "
+            f"w -> w != '' AND NOT contains(w, '{sep}')), "
+            "w -> hex(encode(concat(' ', w), 'UTF-8'))), "
+            f"h -> concat('{sep}', array_join(transform("
+            "sequence(1, length(h) div 2), "
+            f"i -> substring(h, 2*i - 1, 2)), '{sep}{sep}'), '{sep}'))"
+        )
+    else:
+        enc_word = (
+            "concat('{s}', array_join(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), '{s}{s}'), '{s}')"
+        ).format(s=sep)
+        enc = F.expr(
+            f"transform(filter(split({text_col}, ' '), w -> w != '' AND "
+            f"NOT contains(w, '{sep}')), w -> {enc_word})"
+        )
     def _merge_step(col, a: str, b: str):
         pat, rep = f"{sep}{a}{sep}{sep}{b}{sep}", f"{sep}{a}{b}{sep}"
         return F.transform(
@@ -1376,4 +1430,68 @@ SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
        ROUND(list_sum(list(w ORDER BY idx)) / COUNT(*), 6)
          AS bigram_rarity
 FROM weighted GROUP BY doc_id
+"""
+
+
+def bpe_top_pairs_bytes(
+    docs: DataFrame, k: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Byte-level twin of :func:`bpe_top_pairs`:
+    DataFrame[pair, n_pairs] — the ``k`` most frequent adjacent BYTE
+    pairs (as 4 hex digits) over the space-prefixed UTF-8 encoding of
+    the word vocabulary, each weighted by word frequency. The argmax
+    row is byte-level :func:`bpe_train`'s first merge; the hot pairs
+    here are dominated by the 0x20-boundary pairs a GPT-2-style
+    tokenizer merges first. Same scale shape as the char variant: the
+    explode runs over the DISTINCT vocabulary, never the corpus."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "h",
+            F.hex(F.encode(F.concat(F.lit(" "), F.col("term")), "UTF-8")),
+        )
+    )
+    return (
+        words.where(F.length("h") >= 4)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(h) div 2 - 1), "
+                    "i -> substring(h, 2*i - 1, 4))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "pair")
+        .limit(k)
+    )
+
+
+def bpe_top_pairs_bytes_sql(k: int = 30) -> str:
+    """DuckDB twin of :func:`bpe_top_pairs_bytes` (same space-prefixed
+    UTF-8 hex spelling, same vocabulary collapse)."""
+    return f"""
+WITH words AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+hexed AS (
+  SELECT hex(encode(' ' || term)) AS h, cnt FROM words
+),
+pairs AS (
+  SELECT substr(h, CAST(2*i - 1 AS INT), 4) AS pair, cnt
+  FROM (
+    SELECT h, cnt, unnest(range(1, length(h) // 2)) AS i
+    FROM hexed WHERE length(h) >= 4
+  )
+)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY pair
+ORDER BY n_pairs DESC, pair
+LIMIT {k}
 """

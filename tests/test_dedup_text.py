@@ -1498,3 +1498,89 @@ def test_components_htm_state_gate_raises_loudly(spark):
         for r in duplicate_components_htm(short_chains).collect()
     }
     assert all(v == (k // 10) * 10 for k, v in out.items())
+
+
+def test_bpe_train_bytes_matches_sequential_reference(spark):
+    """Byte-level trainer: greedy merges over space-prefixed UTF-8
+    hex byte cells match the sequential learner run on the same
+    encoding — including a non-ASCII word (multi-byte UTF-8), which
+    byte-level BPE must represent with no UNK."""
+    from big_data_computing__spark.operators.textstats import bpe_train
+
+    def ref_bpe_bytes(word_counts, n):
+        vocab = {}
+        for w, c in word_counts.items():
+            bs = (" " + w).encode("utf-8")
+            syms = tuple(f"{b:02X}" for b in bs)
+            vocab[syms] = vocab.get(syms, 0) + c
+        out = []
+        for _ in range(n):
+            pairs = {}
+            for syms, c in vocab.items():
+                for x, y in zip(syms, syms[1:]):
+                    pairs[(x, y)] = pairs.get((x, y), 0) + c
+            if not pairs:
+                break
+            (a, b), n_p = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((a, b, n_p))
+            new = {}
+            for syms, c in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                key = tuple(merged)
+                new[key] = new.get(key, 0) + c
+            vocab = new
+        return out
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "naïve": 3}
+    text = " ".join(w for w, c in wc.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe_train(docs, n_merges=10, level="byte")
+    assert got == ref_bpe_bytes(wc, 10)
+    # incremental ≡ full recount holds at byte level too
+    assert got == bpe_train(
+        docs, n_merges=10, level="byte", incremental=False
+    )
+
+
+def test_bpe_apply_bytes_round_trip(spark):
+    """Concatenating a word's byte-level tokens re-spells the hex of
+    its space-prefixed UTF-8 bytes exactly — lossless, no UNK, even
+    for words (and codepoints) never seen in training."""
+    from big_data_computing__spark.operators.textstats import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower newest newest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(train, n_merges=6, level="byte")
+    assert len(merges) == 6
+    test_words = ["low", "lowest", "naïve", "Ω", "zzz"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(test_words))], "doc_id long, text string"
+    )
+    toks = bpe_apply(docs, merges, level="byte").collect()[0][
+        "bpe_tokens"
+    ]
+    spelled = "".join(toks)
+    want = "".join(
+        (" " + w).encode("utf-8").hex().upper() for w in test_words
+    )
+    assert spelled == want
+    # at least one multi-byte merged symbol actually applied
+    assert any(len(t) > 2 for t in toks)
