@@ -1181,6 +1181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_kmeans_clusters(spark, sf_dir):
+        # integer-exact distributed Lloyd's k-means (the inertia
+        # companion to MRFFT's k-center): floor-quantized coordinates,
+        # truncating-div centroids, argmin with id tiebreak — the whole
+        # ITERATION is bit-reproducible, so the oracle is the same
+        # rounds unrolled as CTEs (no goldens). Assignment is a
+        # shuffle-free codegen map; one skinny shuffle per round
+        return _cl.kmeans_lloyd(_emb(spark, sf_dir), k=8, rounds=3)
+
     def x_bpe_byte_pairs(spark, sf_dir):
         # byte-level BPE's inner step (GPT-2 family): adjacent BYTE
         # pair counts over the space-prefixed UTF-8 hex spelling of
@@ -1393,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dsir_topk,
         x_bigram_rarity,
         x_bpe_byte_pairs,
+        x_kmeans_clusters,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -2035,6 +2045,7 @@ WHERE vec_id NOT IN (
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),
         "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),
         "x_bpe_byte_pairs": _ts.bpe_top_pairs_bytes_sql(k=30),
+        "x_kmeans_clusters": _cl.kmeans_lloyd_sql(k=8, rounds=3),
         "x_semdedup_within_cell": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

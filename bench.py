@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     # DSIR importance scoring: the heaviest curation explode (unigrams
     # + bigrams per doc) — the continuous selection signal's tracked cost
     "x_dsir_importance",
+    # integer-exact Lloyd's k-means: 3 shuffle rounds over the
+    # embeddings — the iterative-clustering cost next to MRFFT's
+    "x_kmeans_clusters",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

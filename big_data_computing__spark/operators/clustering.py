@@ -233,3 +233,193 @@ def assign_clusters(
 
     udf = F.pandas_udf(compute, T.IntegerType())
     return points.withColumn(out_col, udf(F.col(features_col)))
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact distributed Lloyd's k-means (companion to MRFFT's
+# k-center: FFT minimizes the max radius, Lloyd minimizes inertia)
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1_000_000
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncating integer division (toward zero) — the semantics BOTH
+    Spark's ``div`` and DuckDB's ``//`` use on BIGINTs (Python's ``//``
+    floors, which differs on negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _kmeans_pts(emb: DataFrame, scale: int) -> DataFrame:
+    """(vec_id, e) with e = floor(scale·x) per coordinate as BIGINT —
+    floor (not round/cast) because it is the one float→int map with
+    identical semantics in Spark, DuckDB, and numpy."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor({scale} * "
+            "CAST(x AS DOUBLE)) AS BIGINT))"
+        ).alias("e"),
+    )
+
+
+def _argmin_center_expr(centers: list[list[int]]) -> F.Column:
+    """Nearest-center id as a pure Catalyst expression over literal
+    integer centroids: d²(e, q_c) = Σ (eᵢ - qᵢ)² in exact BIGINTs,
+    argmin via array_sort on (d², c) structs (deterministic tiebreak:
+    lowest center id). Stays inside whole-stage codegen — the
+    assignment step never shuffles."""
+    entries = []
+    for c, q in enumerate(centers):
+        lit = "array(" + ",".join(f"{v}L" for v in q) + ")"
+        entries.append(
+            "struct(aggregate(zip_with(e, "
+            f"{lit}, (a, b) -> (a - b) * (a - b)), 0L, "
+            f"(acc, x) -> acc + x) AS d2, {c} AS c)"
+        )
+    return F.expr(
+        "array_sort(array(" + ",".join(entries) + "))[0]"
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table,
+    INTEGER-EXACT: DataFrame[cluster, n_members, inertia] after
+    ``rounds`` synchronous iterations.
+
+    Every quantity is an exact BIGINT, so the whole iteration — not
+    just the final report — is bit-reproducible cross-engine and
+    independent of row order:
+    - coordinates quantize once to e = floor(scale·x) (the only
+      float op, identical everywhere);
+    - centroids are the truncating integer division Σe div n (what a
+      float mean would round; the quantization error is < 1/scale per
+      round and identical in both engines);
+    - assignment is argmin of the exact integer d² with lowest-id
+      tiebreak; empty clusters keep their previous centroid.
+
+    Init: the k vectors with the smallest vec_id (deterministic; the
+    seeded-sample + FFT init of the PQ trainers is the smarter
+    production choice, but a data-independent init keeps the oracle
+    mechanical). Inertia = Σ d² to the FINAL centroids.
+
+    Plan per round: the assignment is a SHUFFLE-FREE codegen map
+    (centroids inlined as literals — k·d integers, the bounded
+    driver-state idiom of the BPE argmax); the centroid update is one
+    (cluster, dim)-keyed aggregation over the posexploded coordinates
+    (map-side combined, k·d output rows collected to the driver —
+    bounded). So a round costs exactly one shuffle of n·d skinny rows,
+    and 100 TB of vectors stream through without any per-partition
+    state. Overflow headroom: |e| ≤ scale·|x|; d² ≤ d·(2·scale)²
+    ≈ 2.6e14 at d=64 — Σe and Σd² stay under 2^63 through ~10¹²
+    vectors per cluster.
+    """
+    pts = _kmeans_pts(emb, scale).localCheckpoint()
+    init = pts.orderBy("vec_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"kmeans_lloyd: fewer than k={k} vectors")
+    centers = [list(r["e"]) for r in init]
+    for _ in range(rounds):
+        assigned = pts.select(
+            "vec_id", "e", _argmin_center_expr(centers)["c"].alias("c")
+        )
+        agg = (
+            assigned.select("c", F.posexplode("e").alias("dim", "v"))
+            .groupBy("c", "dim")
+            .agg(
+                F.sum("v").cast("long").alias("s"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .collect()
+        )
+        new = [q[:] for q in centers]  # empty clusters keep centroids
+        for r in agg:
+            new[r["c"]][r["dim"]] = _tdiv(r["s"], r["n"])
+        centers = new
+    final = pts.select(
+        "vec_id", _argmin_center_expr(centers).alias("a")
+    )
+    return (
+        final.groupBy(F.col("a.c").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("a.d2").cast("long").alias("inertia"),
+        )
+    )
+
+
+def kmeans_lloyd_sql(
+    k: int = 8, rounds: int = 3, scale: int = KMEANS_SCALE
+) -> str:
+    """DuckDB twin of :func:`kmeans_lloyd`: the same rounds unrolled
+    as CTEs (the k-core/k-truss materialized-round contract) —
+    identical floor quantization, identical truncating centroid
+    division, identical (d², c) argmin."""
+    d2 = (
+        "list_sum(list_transform(range(1, len(e) + 1), "
+        "i -> (e[i] - q[i]) * (e[i] - q[i])))"
+    )
+    ctes = [
+        f"""
+pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor({scale} * CAST(x AS DOUBLE))
+                                  AS BIGINT)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+         e AS q
+  FROM pts ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+a{r} AS (
+  SELECT vec_id, e, c, d2 FROM (
+    SELECT p.vec_id, p.e, c{r}.c, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {d2}, c{r}.c) AS rn
+    FROM pts p CROSS JOIN c{r}
+  ) WHERE rn = 1
+),
+upd{r} AS (
+  SELECT c, dim, SUM(ev) // COUNT(*) AS qv
+  FROM (
+    SELECT c, unnest(range(1, len(e) + 1)) AS dim, unnest(e) AS ev
+    FROM a{r}
+  ) GROUP BY c, dim
+),
+c{r + 1} AS (
+  SELECT prev.c,
+         COALESCE(nq.q, prev.q) AS q
+  FROM c{r} prev
+  LEFT JOIN (
+    SELECT c, list(qv ORDER BY dim) AS q FROM upd{r} GROUP BY c
+  ) nq USING (c)
+)""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+fin AS (
+  SELECT vec_id, c, d2 FROM (
+    SELECT p.vec_id, cr.c, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {d2}, cr.c) AS rn
+    FROM pts p CROSS JOIN c{rounds} cr
+  ) WHERE rn = 1
+)
+SELECT CAST(c AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d2) AS BIGINT) AS inertia
+FROM fin GROUP BY c
+"""
+    )

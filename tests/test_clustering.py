@@ -92,3 +92,112 @@ def test_assign_clusters_partitions_all_points(spark, sf_dir):
     assert assigned.count() == pts.count()
     n_clusters = assigned.select("cluster").distinct().count()
     assert 1 <= n_clusters <= 4
+
+
+# ---------------------------------------------------------------------------
+# integer-exact Lloyd's k-means
+# ---------------------------------------------------------------------------
+
+
+def _ref_kmeans(vecs, k, rounds, scale=1_000_000):
+    """Sequential reference of the same integer-exact iteration."""
+    import math
+
+    def tdiv(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    pts = [
+        (i, [math.floor(scale * float(x)) for x in v])
+        for i, v in sorted(vecs.items())
+    ]
+    centers = [list(e) for _, e in pts[:k]]
+
+    def assign(e):
+        best = None
+        for c, q in enumerate(centers):
+            d2 = sum((a - b) * (a - b) for a, b in zip(e, q))
+            if best is None or (d2, c) < best:
+                best = (d2, c)
+        return best
+
+    for _ in range(rounds):
+        groups = {}
+        for _i, e in pts:
+            _d2, c = assign(e)
+            groups.setdefault(c, []).append(e)
+        for c, members in groups.items():
+            n = len(members)
+            centers[c] = [
+                tdiv(sum(col), n) for col in zip(*members)
+            ]
+    out = {}
+    for _i, e in pts:
+        d2, c = assign(e)
+        n, s = out.get(c, (0, 0))
+        out[c] = (n + 1, s + d2)
+    return out
+
+
+def test_kmeans_matches_sequential_reference(spark):
+    from big_data_computing__spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vecs = {
+        i: [rng.uniform(-0.5, 0.5) for _ in range(6)] for i in range(60)
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # NB: the reference floors the PYTHON float; Spark floors the
+    # float->double cast of the stored FLOAT. Build the fixture from
+    # the float32-rounded values so both quantize identical doubles.
+    import numpy as np
+
+    vecs32 = {
+        i: [float(np.float32(x)) for x in v] for i, v in vecs.items()
+    }
+    got = {
+        r["cluster"]: (r["n_members"], r["inertia"])
+        for r in kmeans_lloyd(emb, k=4, rounds=3).collect()
+    }
+    assert got == _ref_kmeans(vecs32, 4, 3)
+
+
+def test_kmeans_inertia_decreases_with_rounds(spark, sf_dir):
+    from big_data_computing__spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    inertias = []
+    for rounds in (0, 2, 4):
+        rows = kmeans_lloyd(emb, k=8, rounds=rounds).collect()
+        inertias.append(sum(r["inertia"] for r in rows))
+        assert sum(r["n_members"] for r in rows) == emb.count()
+    assert inertias[0] > inertias[1] >= inertias[2]
+
+
+def test_kmeans_duplicate_points_and_small_k(spark):
+    from big_data_computing__spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    # 2 distinct locations, k=2: converges to exact split; inertia
+    # reflects only quantization (identical members -> d2 = 0)
+    rows = [(i, [0.1, 0.1]) for i in range(5)] + [
+        (i, [-0.4, -0.4]) for i in range(5, 9)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = sorted(
+        (r["n_members"], r["inertia"])
+        for r in kmeans_lloyd(emb, k=2, rounds=2).collect()
+    )
+    assert got == [(4, 0), (5, 0)]
