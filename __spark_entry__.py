@@ -1181,6 +1181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_label_propagation(spark, sf_dir):
+        # synchronous LPA communities over the MinHash candidate graph
+        # (deterministic min tiebreak, inclusive-neighborhood vote,
+        # fixed 4 rounds) — density-sensitive groups next to the three
+        # CC closures; unrolled-round oracle
+        return _dd.label_propagation(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir)), rounds=4
+        )
+
     def x_kmeans_clusters(spark, sf_dir):
         # integer-exact distributed Lloyd's k-means (the inertia
         # companion to MRFFT's k-center): floor-quantized coordinates,
@@ -1403,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_bigram_rarity,
         x_bpe_byte_pairs,
         x_kmeans_clusters,
+        x_label_propagation,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -2046,6 +2056,10 @@ WHERE vec_id NOT IN (
         "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),
         "x_bpe_byte_pairs": _ts.bpe_top_pairs_bytes_sql(k=30),
         "x_kmeans_clusters": _cl.kmeans_lloyd_sql(k=8, rounds=3),
+        "x_label_propagation": _dd.label_propagation_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
+            rounds=4,
+        ),
         "x_semdedup_within_cell": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

@@ -2466,3 +2466,126 @@ def duplicate_components_htm(
     return mins.select(
         F.col("v").alias("doc_id"), F.col("mn").alias("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous LPA)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection over the near-dup pair graph by synchronous
+    label propagation (Raghavan et al. 2007): DataFrame[doc_id,
+    community] for every node of the graph after ``rounds`` rounds.
+
+    Each round every node adopts the most frequent label in its
+    INCLUSIVE neighborhood (its neighbors plus itself — the self-vote
+    damps the 2-cycle oscillation plain synchronous LPA exhibits on
+    bipartite shapes), tie-broken toward the SMALLEST label, so the
+    whole iteration is deterministic and row-order independent. Run to
+    a fixed round count (a report, like the k-core/k-truss unrolled
+    contracts — not a convergence loop).
+
+    Deterministic-tiebreak caveat (honest semantics): in round 1 every
+    label is still distinct, so every vote is a tie and the min
+    tiebreak acts like one step of min-label propagation — density
+    starts to matter from round 2, once groups have coalesced enough
+    to outvote bridges (a ≥4-clique reclaims a member that round 1
+    pulled across a bridge; a 3-clique can stay tied). Tie-heavy
+    sparse shapes (long chains) drift toward the min label with more
+    rounds. This is the price of replacing the paper's RANDOM
+    tiebreak with a reproducible one; dense near-dup groups — the
+    shape this operator targets — are exactly where the vote is
+    unambiguous, and where LPA differs from the engine's three CC
+    operators (closure vs density-sensitive groups).
+
+    Plan per round: one (neighbor)-keyed join of the label table onto
+    the symmetrized edge list and one (node, label) count + per-node
+    argmin — both keyed on node ids, no hot keys beyond graph skew,
+    state is one label per node. localCheckpoint per round keeps
+    lineage flat (iterative-loop rule, PLANS.md).
+    """
+    e = pairs.select(
+        F.col(doc_a).cast("long").alias("u"),
+        F.col(doc_b).cast("long").alias("v"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = sym.select("u").distinct()
+    # inclusive neighborhood: self-loop vote
+    adj = sym.unionByName(
+        nodes.select("u", F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint()
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("lbl")
+                ),
+                "v",
+            )
+            .groupBy("u", "lbl")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        new_labels = (
+            votes.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("neg"),
+                        F.col("lbl").alias("lbl"),
+                    )
+                ).alias("m")
+            )
+            .select("u", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        labels.unpersist()
+        labels = new_labels
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("lbl").alias("community")
+    )
+
+
+def label_propagation_sql(pairs_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`label_propagation` — the same rounds
+    unrolled as CTEs (identical inclusive-neighborhood vote, identical
+    (count DESC, label ASC) argmax)."""
+    ctes = [
+        f"""
+e AS (SELECT doc_a AS u, doc_b AS v FROM ({pairs_sql})),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+adj AS (
+  SELECT u, v FROM sym
+  UNION ALL
+  SELECT DISTINCT u, u AS v FROM sym
+),
+l0 AS (SELECT DISTINCT u, u AS lbl FROM sym)"""
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+v{r} AS (
+  SELECT a.u, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM adj a JOIN l{r} l ON l.u = a.v
+  GROUP BY a.u, l.lbl
+),
+l{r + 1} AS (
+  SELECT u, lbl FROM (
+    SELECT u, lbl,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT u AS doc_id, lbl AS community FROM l{rounds}"
+    )

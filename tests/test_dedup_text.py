@@ -1584,3 +1584,45 @@ def test_bpe_apply_bytes_round_trip(spark):
     assert spelled == want
     # at least one multi-byte merged symbol actually applied
     assert any(len(t) > 2 for t in toks)
+
+
+def test_label_propagation_density_beats_bridge(spark):
+    """Two 4-cliques joined by a bridge stay DISTINCT communities:
+    round 1's all-ties min step pulls the bridge endpoint across, but
+    from round 2 the clique outvotes the bridge and reclaims it — the
+    density-sensitivity that separates LPA from connected components
+    (which would merge everything into one closure)."""
+    from big_data_computing__spark.operators.dedup import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        ]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(0, 10)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(pairs, rounds=4).collect()
+    }
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[10] == got[11] == got[12] == got[13] == 10
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    """An isolated edge: both endpoints see labels {u, v} once each in
+    the inclusive neighborhood — tie -> both adopt min(u, v), and the
+    result is stable across rounds (no synchronous oscillation)."""
+    from big_data_computing__spark.operators.dedup import (
+        label_propagation,
+    )
+
+    pairs = spark.createDataFrame([(7, 3)], "doc_a long, doc_b long")
+    for rounds in (1, 2, 3):
+        got = {
+            r["doc_id"]: r["community"]
+            for r in label_propagation(pairs, rounds=rounds).collect()
+        }
+        assert got == {3: 3, 7: 3}
