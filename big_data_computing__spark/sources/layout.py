@@ -454,6 +454,121 @@ def read_pruned(
 SNAPSHOT_DIR = "_snapshots"
 
 
+class LogStore:
+    """Abstract commit-log storage for :class:`ZTable` — the Delta
+    LogStore contract, reduced to what optimistic concurrency needs:
+
+    - ``put_if_absent(version, text)``: ATOMIC publish; raises
+      ``FileExistsError`` iff the version is already committed. This is
+      the ONLY primitive the whole conflict protocol (append rebase,
+      RMW conflict-range checks) keys on.
+    - ``read(version) -> str`` (``FileNotFoundError`` if absent),
+      ``list_versions() -> list[int]`` (ascending), ``delete(version)``
+      (vacuum).
+
+    Snapshot JSON goes through the store; DATA files are parquet
+    written by Spark executors and addressed by URI in the snapshots,
+    so they need no coordination — exactly Delta's split. Swapping the
+    filesystem store for an object-store conditional PUT
+    (S3 If-None-Match / GCS if-generation-match) is a subclass, not a
+    table change; :class:`InMemoryLogStore` plays that role in tests,
+    proving the protocol never leans on filesystem semantics beyond
+    this interface.
+    """
+
+    def put_if_absent(self, version: int, text: str) -> None:
+        raise NotImplementedError
+
+    def read(self, version: int) -> str:
+        raise NotImplementedError
+
+    def list_versions(self) -> list[int]:
+        raise NotImplementedError
+
+    def delete(self, version: int) -> None:
+        raise NotImplementedError
+
+
+class FileSystemLogStore(LogStore):
+    """Single-filesystem LogStore: ``os.link`` from a per-writer
+    unique temp name is the atomic claim (two writers racing for the
+    same version never share a staging inode — a shared name would let
+    one writer's truncate/rewrite publish under the other's link, and
+    the winner's cleanup unlink would turn the loser's signal into
+    FileNotFoundError; see the r5 race fix, STRESS.md). POSIX ``link``
+    fails with ``FileExistsError`` iff the target exists — the exact
+    conditional-PUT semantics the protocol needs."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def _key(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version:05d}.json")
+
+    def put_if_absent(self, version: int, text: str) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        final = self._key(version)
+        tmp = (
+            f"{final}.{os.getpid()}.{threading.get_ident()}."
+            f"{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        try:
+            os.link(tmp, final)  # atomic publish; loses race -> raises
+        finally:
+            os.unlink(tmp)
+
+    def read(self, version: int) -> str:
+        with open(self._key(version)) as fh:
+            return fh.read()
+
+    def list_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def delete(self, version: int) -> None:
+        os.unlink(self._key(version))
+
+
+class InMemoryLogStore(LogStore):
+    """Dict-backed LogStore with compare-and-swap publish — the test
+    stand-in for an object store's conditional PUT. The optional
+    ``on_put`` hook fires INSIDE the lock-free window (after the
+    conflict check would pass, before the claim), for deterministic
+    race injection."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._snaps: dict[int, str] = {}
+        self.on_put = None  # optional callable(version) for race tests
+
+    def put_if_absent(self, version: int, text: str) -> None:
+        if self.on_put is not None:
+            self.on_put(version)
+        with self._lock:
+            if version in self._snaps:
+                raise FileExistsError(f"version {version} exists")
+            self._snaps[version] = text
+
+    def read(self, version: int) -> str:
+        try:
+            return self._snaps[version]
+        except KeyError:
+            raise FileNotFoundError(f"version {version}") from None
+
+    def list_versions(self) -> list[int]:
+        return sorted(self._snaps)
+
+    def delete(self, version: int) -> None:
+        del self._snaps[version]
+
+
 class ZTable:
     """An evolving Z-ordered table: plain parquet data files plus an
     Iceberg/Delta-shaped snapshot log.
@@ -500,10 +615,14 @@ class ZTable:
     for compact, raises) against the new state, keeping the serial
     order modify-AFTER-append. An exhausted budget raises
     :class:`ConcurrentWriteConflict`.
-    Single-filesystem only — the 100 TB deployment would swap the
-    ``os.link`` publish for an object-store conditional PUT, exactly as
-    Delta's LogStore does; everything else (manifest shape, planning,
-    isolation) is storage-agnostic.
+    Log storage is pluggable (:class:`LogStore`): the default
+    :class:`FileSystemLogStore` publishes with ``os.link``; the 100 TB
+    deployment swaps in an object-store conditional PUT (S3
+    If-None-Match) by subclassing the four-method store, exactly as
+    Delta's LogStore does — everything else (manifest shape, planning,
+    isolation, the rebase/conflict protocol) is storage-agnostic,
+    proven by running the full lifecycle + races over
+    :class:`InMemoryLogStore` in tests.
 
     Beyond the layout pair (x, y), ``create(stats_cols=[...])`` records
     min/max for any additional columns in every manifest entry (carried
@@ -528,6 +647,7 @@ class ZTable:
         x: str = "x",
         y: str = "y",
         z: str | None = None,
+        log_store: LogStore | None = None,
     ):
         self.path = path
         self.x = x
@@ -535,6 +655,12 @@ class ZTable:
         # the optional THIRD layout column; persisted in every snapshot
         # as "zcol", so handles opened without it recover it lazily
         self._z = z
+        # commit log storage; default = the os.link filesystem store.
+        # Every snapshot read/list/publish/delete routes through this,
+        # so an object-store port swaps ONLY the store.
+        self.log = log_store or FileSystemLogStore(
+            os.path.join(path, SNAPSHOT_DIR)
+        )
 
     def zcol(self, snap: dict | None = None) -> str | None:
         """The table's third layout column (None for 2-D tables)."""
@@ -547,11 +673,6 @@ class ZTable:
         return self._z
 
     # -- snapshot log -----------------------------------------------------
-
-    def _snap_path(self, version: int) -> str:
-        return os.path.join(
-            self.path, SNAPSHOT_DIR, f"v{version:05d}.json"
-        )
 
     def _new_data_dir(self, version: int) -> str:
         """Fresh, collision-free data directory for one write attempt.
@@ -568,14 +689,7 @@ class ZTable:
 
     def versions(self) -> list[int]:
         """Committed versions still present in the log, ascending."""
-        d = os.path.join(self.path, SNAPSHOT_DIR)
-        if not os.path.isdir(d):
-            return []
-        out = []
-        for name in os.listdir(d):
-            if name.startswith("v") and name.endswith(".json"):
-                out.append(int(name[1:-5]))
-        return sorted(out)
+        return self.log.list_versions()
 
     def latest_version(self) -> int:
         vs = self.versions()
@@ -710,14 +824,13 @@ class ZTable:
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
-        p = self._snap_path(v)
-        if not os.path.exists(p):
+        try:
+            return json.loads(self.log.read(v))
+        except FileNotFoundError:
             raise FileNotFoundError(
                 f"version {v} of {self.path} does not exist "
                 "(never committed, or vacuumed away)"
-            )
-        with open(p) as fh:
-            return json.load(fh)
+            ) from None
 
     def history(self) -> list[dict]:
         """One summary row per retained snapshot (the DESCRIBE HISTORY
@@ -773,23 +886,10 @@ class ZTable:
             **meta,
             "files": sorted(files, key=lambda e: e["file"]),
         }
-        final = self._snap_path(version)
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        # Per-writer unique tmp name: two writers racing for the same
-        # version must never share a staging inode, or one writer's
-        # truncate/rewrite can be published under the other's os.link
-        # (silent snapshot swap) and the winner's cleanup unlink makes
-        # the loser fail with FileNotFoundError instead of the
-        # FileExistsError the rebase loop keys on. os.link(tmp, final)
-        # stays the single atomic claim; FileExistsError is the only
-        # lost-race signal.
-        tmp = f"{final}.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump(snap, fh, indent=1)
-        try:
-            os.link(tmp, final)  # atomic publish; loses race -> raises
-        finally:
-            os.unlink(tmp)
+        # the LogStore's put_if_absent is the single atomic claim;
+        # FileExistsError is the only lost-race signal the rebase
+        # loops key on (per-writer staging details live in the store)
+        self.log.put_if_absent(version, json.dumps(snap, indent=1))
         return version
 
     # -- writes -----------------------------------------------------------
@@ -806,6 +906,7 @@ class ZTable:
         bits: int = 20,
         stats_cols: tuple[str, ...] | list[str] = (),
         z: str | None = None,
+        log_store: LogStore | None = None,
     ) -> "ZTable":
         """Commit version 0 with ``df`` as the initial Z-ordered data.
         ``stats_cols`` names extra (non-layout) columns whose per-file
@@ -828,7 +929,7 @@ class ZTable:
                     f"stats_cols: {c!r} would collide with the layout "
                     "stat keys min_x/max_x/min_y/max_y in the manifest"
                 )
-        t = cls(path, x, y, z)
+        t = cls(path, x, y, z, log_store=log_store)
         if t.versions():
             raise FileExistsError(f"{path} already has a snapshot log")
         t._write_commit(
@@ -1453,7 +1554,7 @@ class ZTable:
             live.update(s.get("dvs") or [])  # deletion vectors
         removed: list[str] = []
         for v in dropped:
-            os.unlink(self._snap_path(v))
+            self.log.delete(v)
         for name in sorted(os.listdir(self.path)):
             if not name.startswith("data-v"):
                 continue

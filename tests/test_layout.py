@@ -1411,3 +1411,117 @@ def test_ztable_dv_contract_family(spark, sf_dir, tmp_path):
     # the post-merge snapshot may carry dangling tombstones (rewritten
     # files) — they must be inert for reads at any retained version
     assert t.read(spark, version=v3).count() == n_all - n1 - n3
+
+
+# ---------------------------------------------------------------------------
+# LogStore abstraction: the commit protocol never leans on filesystem
+# semantics beyond put-if-absent / read / list / delete
+# ---------------------------------------------------------------------------
+
+
+def test_ztable_full_lifecycle_over_in_memory_log_store(
+    spark, sf_dir, tmp_path
+):
+    """Create → append → COW delete → compact → time travel → vacuum,
+    with every snapshot living ONLY in an InMemoryLogStore (the
+    object-store conditional-PUT stand-in): nothing under _snapshots/
+    on disk, identical results."""
+    store = L.InMemoryLogStore()
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0)
+    t = L.ZTable.create(
+        base, str(tmp_path / "mem"), n_files=4, cell=200.0,
+        log_store=store,
+    )
+    t.append(extra, n_files=2)
+    assert not os.path.isdir(str(tmp_path / "mem" / "_snapshots"))
+    assert t.versions() == [0, 1]
+    assert t.read(spark).count() == pts.count()
+    # time travel across the in-memory log
+    assert t.read(spark, version=0).count() == base.count()
+    n_box = pts.where(
+        (F.col("x") >= 2000.0) & (F.col("x") <= 4000.0)
+        & (F.col("y") >= 1000.0) & (F.col("y") <= 9000.0)
+    ).count()
+    assert n_box > 0
+    v, n_rw, _ = L.ztable_delete_where(
+        t, spark, (2000.0, 4000.0), (1000.0, 9000.0)
+    )
+    assert v == 2 and n_rw > 0
+    assert t.read(spark).count() == pts.count() - n_box
+    t.compact(spark, n_files=2)
+    assert t.read(spark).count() == pts.count() - n_box
+    removed = t.vacuum(keep_last=1)
+    assert t.versions() == [3]
+    assert removed  # rewritten/orphaned data files reclaimed
+    assert t.read(spark).count() == pts.count() - n_box
+
+
+def test_ztable_rebase_on_injected_log_store_race(
+    spark, sf_dir, tmp_path
+):
+    """Deterministic lost race THROUGH the store interface: the on_put
+    hook commits a competing version just before the writer's claim,
+    so the first put_if_absent raises and append must rebase
+    metadata-only onto the interloper's commit."""
+    store = L.InMemoryLogStore()
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0).localCheckpoint()
+    t = L.ZTable.create(
+        base, str(tmp_path / "race"), n_files=2, cell=200.0,
+        log_store=store,
+    )
+    fired = {"n": 0}
+
+    def interlope(version):
+        if fired["n"] == 0 and version == 1:
+            fired["n"] += 1
+            store.on_put = None  # the interloper itself must not loop
+            other = L.ZTable(t.path, log_store=store)
+            other.append(extra.limit(50), n_files=1)
+            store.on_put = interlope
+
+    store.on_put = interlope
+    v = t.append(extra, n_files=1, max_retries=4)
+    assert fired["n"] == 1
+    assert v == 2  # rebased past the interloper's version 1
+    assert t.read(spark).count() == base.count() + 50 + extra.count()
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["create", "append", "append"]
+
+
+def test_ztable_threaded_races_on_in_memory_store(
+    spark, sf_dir, tmp_path
+):
+    """Real thread races on the dict CAS: all writers land via rebase,
+    exactly as on the filesystem store."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = L.InMemoryLogStore()
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0)
+    t = L.ZTable.create(
+        base, str(tmp_path / "thr"), n_files=2, cell=200.0,
+        log_store=store,
+    )
+    batches = [
+        extra.where(F.col("y") >= 5000.0 + 1250.0 * i).where(
+            F.col("y") < 5000.0 + 1250.0 * (i + 1)
+        ).localCheckpoint()
+        for i in range(4)
+    ]
+    sizes = [b.count() for b in batches]
+    assert all(sizes)
+
+    def do_append(b):
+        return L.ZTable(t.path, log_store=store).append(
+            b, n_files=1, max_retries=8
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(do_append, batches))
+    assert sorted(versions) == [1, 2, 3, 4]
+    assert t.read(spark).count() == base.count() + sum(sizes)
