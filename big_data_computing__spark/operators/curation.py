@@ -1278,6 +1278,34 @@ FROM m
 DSIR_BUCKETS = 1024
 
 
+def dsir_feature_buckets(
+    docs: DataFrame,
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(doc_id, is_target, bucket) — one row per hashed unigram/bigram
+    occurrence. The shared feature front-end of :func:`dsir_importance`
+    and the streaming twin (streaming/curation_stream.DsirBucketState),
+    which is what makes their parity structural."""
+    return docs.select(
+        "*",
+        F.explode(
+            F.concat(
+                tokens(F.col(text_col)),
+                word_ngrams(F.col(text_col), 2),
+            )
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        F.expr(target_pred).alias("is_target"),
+        F.pmod(hash60(F.col("feat"), mode=hash_mode), n_buckets).alias(
+            "bucket"
+        ),
+    )
+
+
 def dsir_importance(
     docs: DataFrame,
     target_pred: str = "lang = 'en'",
@@ -1319,20 +1347,8 @@ def dsir_importance(
     ``hash_mode="xxhash64"`` swaps the feature hash to the JVM-intrinsic
     fast path for production (no DuckDB twin; see hashing.hash60).
     """
-    feats = docs.select(
-        "*",
-        F.explode(
-            F.concat(
-                tokens(F.col(text_col)),
-                word_ngrams(F.col(text_col), 2),
-            )
-        ).alias("feat"),
-    ).select(
-        "doc_id",
-        F.expr(target_pred).alias("is_target"),
-        F.pmod(hash60(F.col("feat"), mode=hash_mode), n_buckets).alias(
-            "bucket"
-        ),
+    feats = dsir_feature_buckets(
+        docs, target_pred, n_buckets, text_col, hash_mode
     )
     buckets = feats.groupBy("bucket").agg(
         F.count("*").cast("long").alias("r"),

@@ -212,3 +212,123 @@ def mixture_gate_stream(
     return docs.join(F.broadcast(rates), "source").where(
         u < F.col("rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR: exact incremental bucket maintenance + online scoring
+# ---------------------------------------------------------------------------
+
+
+class DsirBucketState:
+    """Driver-side running DSIR bucket counters: bucket -> [t, r] as
+    exact Python ints — the ScatterState pattern (embed_stream.py):
+    integer counts are ADDITIVE, so each micro-batch contributes its
+    own (bucket, target?, count) aggregate (≤ n_buckets rows to the
+    driver) and the folded state equals the batch bucket table over
+    the union of arrived rows BIT-FOR-BIT after any prefix.
+
+    Scoring splits into the online and the replay form:
+    - :meth:`score` scores a DataFrame against the CURRENT state (the
+      prequential/online importance estimate a live selection gate
+      uses — early documents are scored under early bucket tables);
+    - scoring the accumulated corpus against the FINAL state
+      reproduces batch ``dsir_importance`` exactly (asserted in
+      tests), because :meth:`score` uses the same q_b = (1e6·(t+1))
+      div (r+1) integer math over the same
+      ``dsir_feature_buckets`` front-end.
+
+    Exactly-once: ``update`` is keyed by micro-batch id and ignores
+    replays (the foreachBatch idempotence rule of table_stream.py).
+    State is O(n_buckets) driver ints — 1024 buckets is ~2k integers.
+    """
+
+    def __init__(
+        self,
+        n_buckets: int = 1024,
+        target_pred: str = "lang = 'en'",
+        text_col: str = "text",
+        hash_mode: str = "md5",
+    ):
+        self.n_buckets = n_buckets
+        self.target_pred = target_pred
+        self.text_col = text_col
+        self.hash_mode = hash_mode
+        self.buckets: dict[int, list[int]] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.curation import dsir_feature_buckets
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        agg = (
+            dsir_feature_buckets(
+                batch_df,
+                self.target_pred,
+                self.n_buckets,
+                self.text_col,
+                self.hash_mode,
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias("r"),
+                F.sum(F.col("is_target").cast("long"))
+                .cast("long")
+                .alias("t"),
+            )
+            .collect()
+        )
+        for row in agg:
+            cur = self.buckets.setdefault(int(row["bucket"]), [0, 0])
+            cur[0] += int(row["t"])
+            cur[1] += int(row["r"])
+
+    def score(self, docs: DataFrame) -> DataFrame:
+        """DataFrame[doc_id, n_feats, imp_milli] of ``docs`` under the
+        current bucket table — identical integer math to the batch
+        operator (features absent from every arrived bucket score
+        q = (1e6·1) div 1: the add-1 smoothing's unseen-bucket value,
+        exactly what the batch computes for an empty bucket)."""
+        from ..operators.curation import dsir_feature_buckets
+
+        spark = docs.sparkSession
+        rows = [
+            (b, (1_000_000 * (t + 1)) // (r + 1))
+            for b, (t, r) in sorted(self.buckets.items())
+        ]
+        q = spark.createDataFrame(
+            rows or [(-1, 0)], "bucket int, q long"
+        )
+        feats = dsir_feature_buckets(
+            docs,
+            self.target_pred,
+            self.n_buckets,
+            self.text_col,
+            self.hash_mode,
+        )
+        unseen = 1_000_000  # (1e6·(0+1)) div (0+1)
+        return (
+            feats.join(F.broadcast(q), "bucket", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("q"), F.lit(unseen)).alias("qv"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("int").alias("n_feats"),
+                F.expr("sum(qv) div count(*)")
+                .cast("long")
+                .alias("imp_milli"),
+            )
+        )
+
+
+def dsir_stream(docs_stream: DataFrame, state: DsirBucketState):
+    """Attach exact DSIR bucket maintenance to an unbounded document
+    stream: foreachBatch folds each micro-batch's bucket aggregate
+    into ``state`` (idempotent under replays). Score live batches or
+    the accumulated corpus with ``state.score`` at any point."""
+    return docs_stream.writeStream.foreachBatch(
+        lambda df, bid: state.update(df, bid)
+    )

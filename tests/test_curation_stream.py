@@ -303,3 +303,93 @@ def test_streaming_tokenize_matches_batch(spark, sf_dir, tmp_path):
             for r in apply_fn(docs).collect()
         }
         assert got == want and len(got) > 0, name
+
+
+def test_dsir_stream_state_and_replay_parity(spark, sf_dir, tmp_path):
+    """Streaming DSIR: (1) after every prefix of the stream the bucket
+    state equals the batch bucket table over the arrived rows; (2)
+    scoring the accumulated corpus against the final state reproduces
+    batch dsir_importance bit-for-bit; (3) update is idempotent under
+    batch-id replays."""
+    from big_data_computing__spark.operators.curation import (
+        dsir_feature_buckets,
+        dsir_importance,
+    )
+    from big_data_computing__spark.streaming.curation_stream import (
+        DsirBucketState,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    splits = [
+        docs.where(F.col("doc_id") % 3 == i).localCheckpoint()
+        for i in range(3)
+    ]
+    state = DsirBucketState()
+    seen = None
+    for i, part in enumerate(splits):
+        state.update(part, batch_id=i)
+        state.update(part, batch_id=i)  # replay: must be a no-op
+        seen = part if seen is None else seen.unionByName(part)
+        want = {
+            int(r["bucket"]): [int(r["t"]), int(r["r"])]
+            for r in dsir_feature_buckets(seen)
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("is_target").cast("long")).alias("t"),
+                F.count("*").alias("r"),
+            )
+            .collect()
+        }
+        assert state.buckets == want, f"prefix {i}"
+
+    got = {
+        tuple(r)
+        for r in state.score(seen)
+        .select("doc_id", "n_feats", "imp_milli")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in dsir_importance(seen)
+        .select("doc_id", "n_feats", "imp_milli")
+        .collect()
+    }
+    assert got == want
+
+
+def test_dsir_stream_foreachbatch_end_to_end(spark, sf_dir, tmp_path):
+    """The real Structured Streaming path: a file stream folds into
+    DsirBucketState via foreachBatch; the final state matches the
+    batch bucket table."""
+    from big_data_computing__spark.operators.curation import (
+        dsir_feature_buckets,
+    )
+    from big_data_computing__spark.streaming.curation_stream import (
+        DsirBucketState,
+        dsir_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    data = str(tmp_path / "dsir_docs")
+    docs.repartition(4).write.parquet(data)
+
+    state = DsirBucketState()
+    stream = spark.readStream.schema(docs.schema).parquet(data)
+    q = (
+        dsir_stream(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dsir"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        int(r["bucket"]): [int(r["t"]), int(r["r"])]
+        for r in dsir_feature_buckets(docs)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_target").cast("long")).alias("t"),
+            F.count("*").alias("r"),
+        )
+        .collect()
+    }
+    assert state.buckets == want

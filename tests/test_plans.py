@@ -266,3 +266,52 @@ def test_round6_operator_plan_shapes(spark):
     plan2 = executed_plan(substring_seed_vocab(docs))
     assert "TakeOrderedAndProject" in plan2
     assert "CartesianProduct" not in plan2
+
+
+def test_retrieval_and_selection_plan_shapes(spark):
+    """Plan contracts for the session's additions: phrase search is a
+    SHUFFLE-FREE codegen map; BM25's df/totals sides broadcast (never
+    SortMergeJoin) and the top-k is a TakeOrderedAndProject; k-means
+    assignment is shuffle-free (centroid literals inlined); DSIR's
+    bucket table broadcasts onto the feature stream."""
+    from big_data_computing__spark.operators.clustering import (
+        _argmin_center_expr,
+        _kmeans_pts,
+    )
+    from big_data_computing__spark.operators.curation import (
+        dsir_importance,
+    )
+    from big_data_computing__spark.operators.retrieval import (
+        bm25_topk,
+        phrase_search,
+    )
+
+    docs = read_table(spark, SF, "documents")
+
+    plan = executed_plan(phrase_search(docs, ["fast", "join"]))
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+        assert bad not in plan, bad
+
+    plan = executed_plan(bm25_topk(docs, ["spark", "join"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    emb = read_table(spark, SF, "embeddings")
+    centers = [
+        list(r["e"])
+        for r in _kmeans_pts(emb, 10**6).orderBy("vec_id").limit(4).collect()
+    ]
+    assign = _kmeans_pts(emb, 10**6).select(
+        _argmin_center_expr(centers)["c"].alias("c")
+    )
+    plan = executed_plan(assign)
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+    plan = executed_plan(dsir_importance(docs))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
