@@ -1181,6 +1181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_personalized_pagerank(spark, sf_dir):
+        # seed-teleport PageRank diffusion ("more like these"): rank
+        # mass radiates from the seed fifth of the graph through
+        # near-dup edges — same exact-BIGINT recurrence as
+        # x_pagerank_dupgraph, unrolled-round oracle
+        return _dd.personalized_pagerank(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_label_propagation(spark, sf_dir):
         # synchronous LPA communities over the MinHash candidate graph
         # (deterministic min tiebreak, inclusive-neighborhood vote,
@@ -1413,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_bpe_byte_pairs,
         x_kmeans_clusters,
         x_label_propagation,
+        x_personalized_pagerank,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -2056,6 +2066,9 @@ WHERE vec_id NOT IN (
         "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),
         "x_bpe_byte_pairs": _ts.bpe_top_pairs_bytes_sql(k=30),
         "x_kmeans_clusters": _cl.kmeans_lloyd_sql(k=8, rounds=3),
+        "x_personalized_pagerank": _dd.personalized_pagerank_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
         "x_label_propagation": _dd.label_propagation_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
             rounds=4,

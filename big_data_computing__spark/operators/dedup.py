@@ -2589,3 +2589,137 @@ l{r + 1} AS (
         + ",".join(ctes)
         + f"\nSELECT u AS doc_id, lbl AS community FROM l{rounds}"
     )
+
+
+def personalized_pagerank(
+    pairs: DataFrame,
+    seed_pred: str = "s % 20 = 0",
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> DataFrame:
+    """PERSONALIZED PageRank over the duplicate-pair graph in the same
+    exact integer arithmetic as :func:`pagerank_integer`:
+    DataFrame[doc_id, rank_scaled], where teleport mass returns only
+    to the SEED set (graph nodes satisfying ``seed_pred`` over the
+    node id column ``s``) instead of spreading uniformly.
+
+    This is the graph-diffusion "more like these" primitive: rank mass
+    radiates from the seeds through near-dup edges, so high-ranked
+    non-seeds are documents structurally entangled with the seed set
+    (the retrieval/contamination-expansion companion to the global
+    centrality of pagerank_integer). Same recurrence, two changes:
+    r0 = scale div |S| on seeds (0 elsewhere) and the (1-d) base term
+    lands on seeds only — still all BIGINT floor arithmetic, so the
+    DuckDB twin unrolls to the same bits. Raises if no node satisfies
+    the predicate.
+
+    Shape per round: identical to pagerank_integer (one edge join +
+    one target-keyed BIGINT sum, localCheckpoint per round).
+    """
+    edges = (
+        pairs.select(F.col(doc_a).alias("s"), F.col(doc_b).alias("t"))
+        .union(
+            pairs.select(F.col(doc_b).alias("s"), F.col(doc_a).alias("t"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("s").agg(F.count("*").cast("long").alias("deg"))
+    seeds = deg.select("s", F.expr(seed_pred).alias("is_seed"))
+    n_seeds = seeds.where("is_seed").count()  # one driver long
+    if n_seeds == 0:
+        raise ValueError(
+            f"personalized_pagerank: no nodes satisfy {seed_pred!r}"
+        )
+    base = ((100 - damping_pct) * scale) // (100 * n_seeds)
+    r0 = scale // n_seeds
+    rank = seeds.select(
+        F.col("s").alias("id"),
+        F.when(F.col("is_seed"), F.lit(r0))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank, edges.s == rank.id)
+            .join(deg, "s")
+            .select("t", F.expr("rank div deg").alias("c"))
+            .groupBy("t")
+            .agg(F.sum("c").alias("total"))
+        )
+        rank = (
+            seeds.join(contrib, seeds.s == contrib.t, "left")
+            .select(
+                F.col("s").alias("id"),
+                (
+                    F.when(F.col("is_seed"), F.lit(base))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr(
+                        f"(CAST({damping_pct} AS BIGINT)"
+                        " * coalesce(total, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select(
+        F.col("id").alias("doc_id"), F.col("rank").alias("rank_scaled")
+    )
+
+
+def personalized_pagerank_sql(
+    pairs_sql: str,
+    seed_pred: str = "s % 20 = 0",
+    iterations: int = PR_ITERATIONS,
+    scale: int = PR_SCALE,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` (unrolled rounds,
+    seed-conditional base/init)."""
+    rounds = []
+    prev = "pr0"
+    for k in range(1, iterations + 1):
+        rounds.append(f"""
+pr{k} AS (
+  SELECT sd.s AS id,
+         (CASE WHEN sd.is_seed THEN (SELECT base FROM params)
+               ELSE 0 END)
+         + ({damping_pct}::BIGINT * COALESCE(SUM(p.rank // dd.deg), 0))
+           // 100 AS rank
+  FROM seeds sd
+  LEFT JOIN edges e ON e.t = sd.s
+  LEFT JOIN {prev} p ON p.id = e.s
+  LEFT JOIN deg dd ON dd.s = e.s
+  GROUP BY sd.s, sd.is_seed
+)""")
+        prev = f"pr{k}"
+    return f"""
+WITH
+p AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY s),
+seeds AS (SELECT s, ({seed_pred}) AS is_seed FROM deg),
+params AS (
+  SELECT CAST(({100 - damping_pct} * {scale}::BIGINT)
+              // (100 * COUNT(*)) AS BIGINT) AS base,
+         CAST({scale}::BIGINT // COUNT(*) AS BIGINT) AS r0
+  FROM seeds WHERE is_seed
+),
+pr0 AS (
+  SELECT s AS id,
+         CASE WHEN is_seed THEN (SELECT r0 FROM params)
+              ELSE 0 END AS rank
+  FROM seeds
+),
+{','.join(rounds)}
+SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_scaled FROM {prev}
+"""

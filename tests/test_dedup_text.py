@@ -1626,3 +1626,54 @@ def test_label_propagation_deterministic_tiebreak(spark):
             for r in label_propagation(pairs, rounds=rounds).collect()
         }
         assert got == {3: 3, 7: 3}
+
+
+def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
+    """PPR vs global PageRank on a barbell: teleport mass returns only
+    to the seed clique, so its members and near neighbors outrank the
+    structurally-identical far clique (which global PR ranks equally);
+    a node with no path contribution still gets its seed base."""
+    from big_data_computing__spark.operators.dedup import (
+        pagerank_integer,
+        personalized_pagerank,
+    )
+
+    def clique(ids):
+        return [
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        ]
+
+    # two identical triangles joined by a 2-hop bridge 2-100-13
+    edges = (
+        clique([0, 1, 2]) + clique([13, 14, 15])
+        + [(2, 100), (100, 13)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ppr = {
+        r["doc_id"]: r["rank_scaled"]
+        for r in personalized_pagerank(
+            pairs, seed_pred="s <= 2"
+        ).collect()
+    }
+    gpr = {
+        r["doc_id"]: r["rank_scaled"]
+        for r in pagerank_integer(pairs).collect()
+    }
+    # global PR: the two cliques are symmetric
+    assert gpr[0] == gpr[15]
+    # personalized: the seed clique dominates its mirror image
+    assert ppr[0] > ppr[15] and ppr[1] > ppr[14] and ppr[2] > ppr[13]
+    # diffusion still reaches the far side (connected graph)
+    assert ppr[15] > 0
+
+
+def test_personalized_pagerank_raises_on_empty_seed_set(spark):
+    import pytest
+
+    from big_data_computing__spark.operators.dedup import (
+        personalized_pagerank,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="no nodes satisfy"):
+        personalized_pagerank(pairs, seed_pred="s > 99")
