@@ -1215,6 +1215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trainer's first merge (bpe_train(level='byte'))
         return _ts.bpe_top_pairs_bytes(_docs(spark, sf_dir), k=30)
 
+    def x_wordpiece_pairs(spark, sf_dir):
+        # the WordPiece (BERT-family) likelihood ranking next to
+        # x_bpe_top_pairs' raw counts: (1e6*c(ab)) div (c(a)*c(b)) —
+        # the argmax row is bpe_train(objective='likelihood')'s first
+        # merge; rare-symbol pairs outrank raw-frequency winners
+        return _ts.wordpiece_top_pairs(_docs(spark, sf_dir), k=30)
+
     def x_bigram_rarity(spark, sf_dir):
         # CCNet/KenLM perplexity-filter stand-in at bigram order:
         # improbable token TRANSITIONS (shuffled text, template
@@ -1420,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dsir_topk,
         x_bigram_rarity,
         x_bpe_byte_pairs,
+        x_wordpiece_pairs,
         x_kmeans_clusters,
         x_label_propagation,
         x_personalized_pagerank,
@@ -2065,6 +2073,7 @@ WHERE vec_id NOT IN (
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),
         "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),
         "x_bpe_byte_pairs": _ts.bpe_top_pairs_bytes_sql(k=30),
+        "x_wordpiece_pairs": _ts.wordpiece_top_pairs_sql(k=30),
         "x_kmeans_clusters": _cl.kmeans_lloyd_sql(k=8, rounds=3),
         "x_personalized_pagerank": _dd.personalized_pagerank_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"

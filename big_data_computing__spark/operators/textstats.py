@@ -717,12 +717,34 @@ def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_symbol_counts(vocab: DataFrame) -> DataFrame:
+    """Per-symbol occurrence counts of a framed-encoding vocabulary:
+    DataFrame[sym, n_sym] — each word's symbols weighted by the word's
+    corpus count (the denominator statistics of the WordPiece
+    likelihood objective)."""
+    sep = _BPE_SEP
+    return (
+        vocab.select(
+            F.explode(
+                F.split(
+                    F.expr("substring(enc, 2, length(enc) - 2)"),
+                    sep + sep,
+                )
+            ).alias("sym"),
+            "cnt",
+        )
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("long").alias("n_sym"))
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
     incremental: bool = True,
     level: str = "char",
+    objective: str = "count",
 ) -> list[tuple[str, str, int]]:
     """Distributed BPE tokenizer training: returns the first
     ``n_merges`` merges as ``(left, right, pair_count)`` in merge
@@ -758,6 +780,23 @@ def bpe_train(
     sequences, pinned by test_bpe_incremental_equals_full_recount and
     the sequential-learner equivalence test).
 
+    ``objective="likelihood"`` switches the merge choice to the
+    WORDPIECE criterion (Schuster & Nakajima / BERT family): instead
+    of the raw pair count, each round merges the pair maximizing
+    c(a,b)/(c(a)·c(b)) — the training-corpus likelihood gain of
+    fusing the symbols — quantized to the portable integer ranking
+    ``score = (1_000_000·c(a,b)) div (c(a)·c(b))`` with
+    (score DESC, a, b) tiebreak (no libm log; same floor-div idiom as
+    BM25). Merged tuples carry the score in place of the count. The
+    symbol-count denominators are recomputed per round from the
+    vocabulary (a vocabulary-sized scan; the pair-count numerators
+    still use the incremental delta maintenance). Overflow bound:
+    c(a)·c(b) < 2^63 needs total corpus positions < ~3e9 per symbol
+    pair — beyond that, drop the milli factor or rank in doubles.
+    No ## continuation marker — boundary handling follows the same
+    word framing as the count objective, so the two trainers differ
+    ONLY in the argmax (documented simplification).
+
     ``level="byte"`` trains BYTE-level BPE (the GPT-2 family): each
     word is prefixed with the space byte (0x20 — the add_prefix_space
     word-boundary marker, GPT-2's Ġ) and encoded as its UTF-8 bytes,
@@ -768,6 +807,8 @@ def bpe_train(
     incremental deltas — is encoding-agnostic and identical."""
     if level not in ("char", "byte"):
         raise ValueError(f"unknown BPE level: {level!r}")
+    if objective not in ("count", "likelihood"):
+        raise ValueError(f"unknown BPE objective: {objective!r}")
     sep = _BPE_SEP
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
@@ -814,6 +855,31 @@ def bpe_train(
     )
     for _ in range(n_merges):
         src = counts if incremental else _bpe_pair_counts(vocab)
+        if objective == "likelihood":
+            syms = _bpe_symbol_counts(vocab)
+            src = (
+                src.join(
+                    syms.select(
+                        F.col("sym").alias("a"),
+                        F.col("n_sym").alias("na"),
+                    ),
+                    "a",
+                )
+                .join(
+                    syms.select(
+                        F.col("sym").alias("b"),
+                        F.col("n_sym").alias("nb"),
+                    ),
+                    "b",
+                )
+                .select(
+                    "a",
+                    "b",
+                    F.expr("(1000000 * n_pairs) div (na * nb)").alias(
+                        "n_pairs"
+                    ),
+                )
+            )
         pair_rows = (
             src.orderBy(F.col("n_pairs").desc(), F.col("a"), F.col("b"))
             .limit(1)
@@ -1493,5 +1559,106 @@ pairs AS (
 SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY pair
 ORDER BY n_pairs DESC, pair
+LIMIT {k}
+"""
+
+
+def wordpiece_top_pairs(
+    docs: DataFrame, k: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """The WordPiece objective's first-round ranking:
+    DataFrame[pair, n_pairs, score] — adjacent character pairs scored
+    by the portable likelihood gain ``(1_000_000·c(ab)) div
+    (c(a)·c(b))`` (see bpe_train(objective='likelihood')), top-``k``
+    by (score DESC, pair). The argmax row is the likelihood trainer's
+    first merge; rare-symbol pairs outrank raw-frequency winners —
+    the ranking difference between the BERT and GPT trainer families,
+    as a query. Same vocabulary-collapse scale shape as bpe_top_pairs.
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    syms = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(term)), "
+                    "i -> substring(term, i, 1))"
+                )
+            ).alias("sym"),
+            "cnt",
+        )
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("long").alias("n_sym"))
+    )
+    pairs = (
+        words.where(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(term) - 1), "
+                    "i -> substring(term, i, 2))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n_pairs"))
+    )
+    return (
+        pairs.join(
+            syms.select(
+                F.expr("sym").alias("a_sym"), F.col("n_sym").alias("na")
+            ),
+            F.expr("substring(pair, 1, 1)") == F.col("a_sym"),
+        )
+        .join(
+            syms.select(
+                F.expr("sym").alias("b_sym"), F.col("n_sym").alias("nb")
+            ),
+            F.expr("substring(pair, 2, 1)") == F.col("b_sym"),
+        )
+        .select(
+            "pair",
+            "n_pairs",
+            F.expr("(1000000 * n_pairs) div (na * nb)").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "pair")
+        .limit(k)
+    )
+
+
+def wordpiece_top_pairs_sql(k: int = 30) -> str:
+    """DuckDB twin of :func:`wordpiece_top_pairs`."""
+    return f"""
+WITH words AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+syms AS (
+  SELECT substr(term, CAST(i AS INT), 1) AS sym,
+         CAST(SUM(cnt) AS BIGINT) AS n_sym
+  FROM (
+    SELECT term, cnt, unnest(range(1, length(term) + 1)) AS i
+    FROM words
+  ) GROUP BY sym
+),
+pairs AS (
+  SELECT substr(term, CAST(i AS INT), 2) AS pair,
+         CAST(SUM(cnt) AS BIGINT) AS n_pairs
+  FROM (
+    SELECT term, cnt, unnest(range(1, length(term))) AS i
+    FROM words WHERE length(term) >= 2
+  ) GROUP BY pair
+)
+SELECT pair, n_pairs,
+       (1000000 * n_pairs) // (sa.n_sym * sb.n_sym) AS score
+FROM pairs
+JOIN syms sa ON sa.sym = substr(pair, 1, 1)
+JOIN syms sb ON sb.sym = substr(pair, 2, 1)
+ORDER BY score DESC, pair
 LIMIT {k}
 """

@@ -1677,3 +1677,64 @@ def test_personalized_pagerank_raises_on_empty_seed_set(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="no nodes satisfy"):
         personalized_pagerank(pairs, seed_pred="s > 99")
+
+
+def test_wordpiece_objective_matches_sequential_reference(spark):
+    """objective='likelihood' reproduces a sequential WordPiece-style
+    learner: merge argmax by (1e6*c(ab)) div (c(a)*c(b)), same framing
+    and leftmost non-overlapping application — and diverges from the
+    count objective on a corpus built to split them (a frequent pair
+    of very frequent symbols vs a rarer pair of rare symbols)."""
+    from big_data_computing__spark.operators.textstats import bpe_train
+
+    def ref_wordpiece(word_counts, n):
+        vocab = {}
+        for w, c in word_counts.items():
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + c
+        out = []
+        for _ in range(n):
+            pairs, syms = {}, {}
+            for s, c in vocab.items():
+                for x in s:
+                    syms[x] = syms.get(x, 0) + c
+                for x, y in zip(s, s[1:]):
+                    pairs[(x, y)] = pairs.get((x, y), 0) + c
+            if not pairs:
+                break
+            scored = {
+                p: (1_000_000 * c) // (syms[p[0]] * syms[p[1]])
+                for p, c in pairs.items()
+            }
+            (a, b), sc = min(
+                scored.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((a, b, sc))
+            new = {}
+            for s, c in vocab.items():
+                merged, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(s[i])
+                        i += 1
+                new[tuple(merged)] = new.get(tuple(merged), 0) + c
+            vocab = new
+        return out
+
+    # 'th' is the most frequent pair but t,h are everywhere; 'qz' is
+    # rarer but its symbols are rare -> likelihood picks qz first,
+    # count picks th first
+    wc = {"the": 30, "that": 20, "tho": 10, "qz": 8, "hqz": 4}
+    text = " ".join(w for w, c in wc.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe_train(docs, n_merges=6, objective="likelihood")
+    assert got == ref_wordpiece(wc, 6)
+    count_first = bpe_train(docs, n_merges=1)[0][:2]
+    assert got[0][:2] == ("q", "z")
+    assert count_first == ("t", "h")
+    # full recount path agrees with the incremental one
+    assert got == bpe_train(
+        docs, n_merges=6, objective="likelihood", incremental=False
+    )
