@@ -1230,6 +1230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigram_rarity contract, one LM order up)
         return _ts.bigram_lm_rarity(_docs(spark, sf_dir))
 
+    def x_chunk_documents(spark, sf_dir):
+        # RAG-side chunking (overlapping token windows with offsets)
+        # — the split-for-indexing counterpart of x_pack_sequences'
+        # concat-for-training; pure per-row explode, no shuffle
+        return _cu.chunk_documents(_docs(spark, sf_dir))
+
     def x_dsir_importance(spark, sf_dir):
         # DSIR-style importance scoring (Xie et al. 2023): hashed
         # unigram+bigram buckets, add-1-smoothed target/raw ratio in
@@ -1431,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_kmeans_clusters,
         x_label_propagation,
         x_personalized_pagerank,
+        x_chunk_documents,
         # -- re-verification spill, stalest driver evidence first:
         # the r3-green block (22), then the head of the r4-green
         # block (24). Everything bumped below 51 is r4/r5-green and
@@ -2069,6 +2076,7 @@ WHERE vec_id NOT IN (
         "x_bm25_topk": _rt.bm25_topk_sql(BM25_QUERY, 20),
         "x_search_conjunctive": _rt.conjunctive_search_sql(BM25_QUERY),
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
+        "x_chunk_documents": _cu.chunk_documents_sql(),
         "x_dsir_importance": _cu.dsir_importance_sql(),
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),
         "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),

@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     # integer-exact Lloyd's k-means: 3 shuffle rounds over the
     # embeddings — the iterative-clustering cost next to MRFFT's
     "x_kmeans_clusters",
+    # synchronous LPA: 4 join+vote rounds over the candidate graph —
+    # the community-detection cost next to the CC family's
+    "x_label_propagation",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

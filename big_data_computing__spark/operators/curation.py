@@ -1445,3 +1445,90 @@ def dsir_select_topk_sql(
         f"SELECT * FROM ({dsir_importance_sql(target_pred, n_buckets)})"
         f" ORDER BY imp_milli DESC, doc_id LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window document chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows:
+    DataFrame[doc_id, chunk_id, start_tok, n_tokens, chunk_text] — the
+    retrieval/RAG-side counterpart of :func:`pack_sequences` (which
+    concatenates for training; this splits for indexing). Chunk i
+    covers tokens [i·stride, i·stride + window); the last chunk is the
+    final partial window (every token belongs to ≥ 1 chunk; with
+    stride < window consecutive chunks overlap by window − stride
+    tokens, the standard RAG-context construction). Empty documents
+    produce no chunks.
+
+    Plan: a pure per-row explode of slice() windows over the token
+    array — no shuffle, no Python; the chunk count per doc is
+    ceil(max(n_tokens - window, 0) / stride) + 1, so output size is
+    corpus-linear with the overlap factor window/stride. At 100 TB
+    this is a narrow map stage feeding the index/embed step.
+    """
+    if not (0 < stride <= window):
+        raise ValueError("chunk_documents: need 0 < stride <= window")
+    toks = tokens(F.col(text_col))
+    # last chunk index = ceil(max(n - window, 0) / stride)
+    last_chunk = (
+        f"CAST(ceil(greatest(size(toks) - {window}, 0) / {stride}) AS INT)"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {last_chunk})")).alias(
+                "chunk_id"
+            ),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.expr(
+                f"slice(toks, chunk_id * {stride} + 1, {window})"
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.size("chunk").cast("int").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(window: int = 32, stride: int = 24) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same ceil arithmetic,
+    same 1-based slice semantics)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(greatest(len(toks) - {window}, 0)
+                                   / {stride}) AS INT) + 1)) AS chunk_id
+  FROM base WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {stride} AS INT) AS start_tok,
+       CAST(len(toks[chunk_id * {stride} + 1 :
+                     chunk_id * {stride} + {window}]) AS INT) AS n_tokens,
+       array_to_string(toks[chunk_id * {stride} + 1 :
+                            chunk_id * {stride} + {window}], ' ')
+         AS chunk_text
+FROM chunks
+"""

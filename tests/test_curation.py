@@ -542,3 +542,55 @@ def test_bigram_lm_rarity_reference(spark):
     assert got == want
     # the transition-scrambled doc scores strictly higher
     assert got[1][1] > got[0][1]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from big_data_computing__spark.operators.curation import (
+        chunk_documents,
+    )
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(11))),  # 11 toks: tail chunk
+        (1, "a b c"),                               # shorter than window
+        (2, "x" + " y" * 3),                        # exactly one window
+        (3, ""),                                    # no chunks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["start_tok"], r["n_tokens"], r["chunk_text"]
+        )
+        for r in chunk_documents(docs, window=4, stride=3).collect()
+    }
+    # doc 0: full chunks at 0,3,6 + the partial tail at 9
+    assert got[(0, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(0, 1)] == (3, 4, "t3 t4 t5 t6")  # 1-token overlap
+    assert got[(0, 2)] == (6, 4, "t6 t7 t8 t9")
+    assert got[(0, 3)] == (9, 2, "t9 t10")
+    assert (0, 4) not in got
+    assert got[(1, 0)] == (0, 3, "a b c")
+    assert (1, 1) not in got
+    # exactly one window: NO redundant tail chunk
+    assert got[(2, 0)] == (0, 4, "x y y y")
+    assert (2, 1) not in got
+    assert not any(d == 3 for d, _c in got)
+    # every token of doc 0 is covered
+    covered = set()
+    for (d, _c), (s, n, _t) in got.items():
+        if d == 0:
+            covered.update(range(s, s + n))
+    assert covered == set(range(11))
+
+
+def test_chunk_documents_validates_stride(spark):
+    import pytest
+
+    from big_data_computing__spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=4, stride=0)
