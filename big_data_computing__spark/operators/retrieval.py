@@ -26,6 +26,16 @@ from .textstats import _TOKS_SQL, tokens
 # (0.75) — the textbook defaults, chosen representable so the
 # saturation denominator clears to integers (see bm25_topk).
 
+# The per-term integer score, shared verbatim by the batch operator and
+# the streaming corpus-stats twin (retrieval_stream.Bm25State) — one
+# expression string is what makes their parity structural. Expects
+# columns tf, df, dl (BIGINT) and n_docs, l_total (BIGINT scalars).
+BM25_SCORE_EXPR = (
+    "(44000000 * tf * greatest(2*n_docs - 2*df + 1, 1)) div "
+    "((2*df + 1) * (20000*tf + 6000 "
+    " + 18*((1000 * dl * n_docs) div l_total)))"
+)
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -98,11 +108,7 @@ def bm25_topk(
             "doc_id",
             "term",
             # r_dl = milli-quantized dl/avgdl = (1000·dl·N) div L
-            F.expr(
-                "(44000000 * tf * greatest(2*n_docs - 2*df + 1, 1)) div "
-                "((2*df + 1) * (20000*tf + 6000 "
-                " + 18*((1000 * dl * n_docs) div l_total)))"
-            ).alias("s_milli"),
+            F.expr(BM25_SCORE_EXPR).alias("s_milli"),
         )
     )
     return (
