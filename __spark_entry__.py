@@ -26,6 +26,7 @@ from big_data_computing__spark.operators import frequent as _fr
 from big_data_computing__spark.operators import multimodal as _mm
 from big_data_computing__spark.operators import outliers as _ol
 from big_data_computing__spark.operators import pipelines as _pl
+from big_data_computing__spark.operators import regression as _rg
 from big_data_computing__spark.operators import relational as _rel
 from big_data_computing__spark.operators import retrieval as _rt
 from big_data_computing__spark.operators import similarity as _sim
@@ -1255,6 +1256,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipelines run before the continuous quality ranking
         return _cu.gopher_quality_report(_docs(spark, sf_dir))
 
+    def x_ridge_betas(spark, sf_dir):
+        # closed-form ridge fit of the learned quality scorer (CCNet
+        # teacher→student shape): ONE map-side-combined Gram
+        # aggregation + an in-plan Cramer solve over DECIMAL(38,0) —
+        # exact integers until the final division, so the fitted
+        # coefficients themselves are value-oracled against HUGEINT
+        return _rg.ridge_betas(_docs(spark, sf_dir))
+
+    def x_ridge_scores(spark, sf_dir):
+        # scan-speed inference: the 1-row coefficient table broadcast
+        # onto a per-row Catalyst projection over the same features
+        return _rg.ridge_quality_scores(_docs(spark, sf_dir))
+
     def x_clean_corpus(spark, sf_dir):
         # the composed curation pipeline: quality filter → language
         # filter → exact dedup → near-dup CC survivors, one oracle for
@@ -1420,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a14_approx_distinct,
         x_dedup_components_htm,
         x_pca_semdedup,
+        x_ridge_betas,
+        x_ridge_scores,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2069,6 +2085,8 @@ WHERE vec_id NOT IN (
 )""",
         "x_substring_seed_vocab": _ts.substring_seed_vocab_sql(),
         "x_gopher_quality": _cu.gopher_quality_report_sql(),
+        "x_ridge_betas": _rg.ridge_betas_sql(),
+        "x_ridge_scores": _rg.ridge_quality_scores_sql(),
         "x_suffix_array_sample": _sx.suffix_array_sample_sql(
             "doc_id % 5 = 0"
         ),

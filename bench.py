@@ -154,6 +154,11 @@ BENCH_QUERIES = [
     # synchronous LPA: 4 join+vote rounds over the candidate graph —
     # the community-detection cost next to the CC family's
     "x_label_propagation",
+    # learned quality scorer: the Gram fit is ONE map-side-combined
+    # aggregation + an in-plan Cramer solve, scoring a broadcast
+    # projection — the fit+inference cost should track the plain
+    # Gopher gate's scan cost
+    "x_ridge_scores",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

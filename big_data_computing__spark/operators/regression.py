@@ -1,0 +1,336 @@
+"""Distributed closed-form ridge regression — the learned-linear
+quality scorer next to the rule gates.
+
+The pattern (CCNet / LLaMA pipelines): an EXPENSIVE gate labels a
+corpus once, then a CHEAP linear model trained on those labels scores
+everything at scan speed. Here the Gopher rule gate
+(curation.gopher_quality_report) is the teacher and the student is a
+ridge regression over three integer document features — fit in closed
+form by the normal equations, so "training" is ONE distributed
+aggregation (the 4x4 Gram matrix + moment vector, all BIGINT-exact
+map-side-combinable sums) and the solve is Cramer's rule expressed
+INSIDE the plan over exact wide-integer arithmetic (DECIMAL(38,0) on
+Spark, HUGEINT on DuckDB — the twin evaluates the structurally
+identical expression, so the solve itself is value-oracled, no
+driver-side numpy and no pinned coefficients anywhere).
+
+100 TB shape: the Gram aggregation is a full-scan map-side combine to
+ONE 14-column row (no groupBy key at all — partial aggregation does
+all the work); the solve is O(1) on that row; scoring re-joins the
+1-row coefficient table back by broadcast and is a pure per-row
+Catalyst projection. Nothing shuffles but the 14 partial sums.
+
+Not in the reference (no learned operators there; cf. the engine's
+other teacher→student pair, dsir_importance). Determinism: every
+intermediate until the final betas is an exact integer in both
+engines; the betas and scores are IEEE doubles produced by the same
+operations in the same order, rounded to 6 dp like every float the
+oracle hashes (textstats.quality_scores convention).
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .curation import (
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+)
+from .textstats import _TOKS_SQL, STOPWORDS
+
+# ridge strength on the feature diagonal (never the intercept) — in
+# squared-feature units; also what keeps the system nonsingular when a
+# feature is constant (e.g. x3 = 100 on an all-alphabetic fixture)
+RIDGE_LAMBDA = 100
+
+# feature caps keep every Gram entry inside the exactness budget:
+# x <= 200, so sum(x_i * x_j) <= 4e4 * n and the 4x4 Cramer terms
+# (products of four Gram entries) stay < 1e35 << the DECIMAL(38,0) /
+# HUGEINT ceiling at any realistic row count
+X1_CAP = 200  # words
+X2_CAP = 100  # distinct stopword hits
+Y_PASS = 100  # centi label: 100 = passes the Gopher gate
+
+
+def _sign(perm: tuple[int, ...]) -> int:
+    s = 1
+    p = list(perm)
+    for i in range(len(p)):
+        while p[i] != i:
+            j = p[i]
+            p[i], p[j] = p[j], p[i]
+            s = -s
+    return s
+
+
+def _det4(m: list[list[str]], cast: str) -> str:
+    """Leibniz determinant of a 4x4 symbolic matrix as ONE expression
+    string, every factor wrapped in ``CAST(x AS {cast})`` so the 24
+    four-entry products are exact wide integers in either engine
+    (DECIMAL(38,0) keeps scale 0 through staged multiplication on
+    Spark; HUGEINT is 128-bit on DuckDB). The string is engine-neutral
+    apart from the cast target, so both sides evaluate the same
+    operation tree."""
+    terms = []
+    for perm in permutations(range(4)):
+        prod = " * ".join(
+            f"CAST({m[i][perm[i]]} AS {cast})" for i in range(4)
+        )
+        terms.append(("+ " if _sign(perm) > 0 else "- ") + f"({prod})")
+    return "(0 " + " ".join(terms) + ")"
+
+
+def _gram_matrix(lam: int) -> list[list[str]]:
+    """The ridge-shifted Gram matrix [[n, Sx1, ...], ...] as column
+    names of the aggregated 1-row table, lambda added on the feature
+    diagonal only."""
+    g = [
+        ["g00", "g01", "g02", "g03"],
+        ["g01", f"(g11 + {lam})", "g12", "g13"],
+        ["g02", "g12", f"(g22 + {lam})", "g23"],
+        ["g03", "g13", "g23", f"(g33 + {lam})"],
+    ]
+    return g
+
+
+def _beta_exprs(cast: str, lam: int = RIDGE_LAMBDA) -> dict[str, str]:
+    """det + per-coefficient Cramer numerators as expression strings
+    over the gram columns g00..g33 / r0..r3."""
+    m = _gram_matrix(lam)
+    rhs = ["r0", "r1", "r2", "r3"]
+    out = {"det": _det4(m, cast)}
+    for j in range(4):
+        mj = [row[:] for row in m]
+        for i in range(4):
+            mj[i][j] = rhs[i]
+        out[f"det{j}"] = _det4(mj, cast)
+    return out
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, x1, x2, x3, y): the integer feature row the regression
+    trains and scores on. x1 = capped word count, x2 = capped distinct
+    stopword hits, x3 = centi alphabetic-word fraction (floor-div of
+    integer counts — exact); y = 100 iff the document passes the
+    Gopher gate (same expressions, rounding, and thresholds as
+    curation.gopher_quality_report)."""
+    toks = tokens(F.col(text_col))
+    stopset = F.array(*[F.lit(w) for w in STOPWORDS])
+    raw = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias(
+            "n_alpha"
+        ),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        .alias("sum_len"),
+        F.size(F.array_intersect(F.array_distinct(toks), stopset))
+        .alias("stop_hits"),
+    )
+    mean_len = F.round(
+        F.col("sum_len").cast("double") / F.col("n_words"), 6
+    )
+    alpha_frac = F.round(
+        F.col("n_alpha").cast("double") / F.col("n_words"), 6
+    )
+    passes = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return raw.select(
+        "doc_id",
+        F.least(F.col("n_words"), F.lit(X1_CAP)).cast("int").alias("x1"),
+        F.least(F.col("stop_hits"), F.lit(X2_CAP))
+        .cast("int")
+        .alias("x2"),
+        # floor division of two positive integers — exact in both
+        # engines (Spark DIV, DuckDB //), no float in the feature path
+        F.expr("(100 * n_alpha) DIV n_words").cast("int").alias("x3"),
+        F.when(passes, F.lit(Y_PASS)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("y"),
+    )
+
+
+def _ridge_betas_df(feats: DataFrame, lam: int = RIDGE_LAMBDA) -> DataFrame:
+    """1-row DataFrame[det, b0..b3]: the Gram aggregation (14 exact
+    BIGINT sums, pure map-side combine) followed by the in-plan Cramer
+    solve. det is the exact ridge-Gram determinant cast to double;
+    b_j = det_j / det."""
+    gram = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("g00"),
+        F.sum("x1").cast("long").alias("g01"),
+        F.sum("x2").cast("long").alias("g02"),
+        F.sum("x3").cast("long").alias("g03"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("g11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("g12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("long").alias("g13"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("g22"),
+        F.sum(F.col("x2") * F.col("x3")).cast("long").alias("g23"),
+        F.sum(F.col("x3") * F.col("x3")).cast("long").alias("g33"),
+        F.sum("y").cast("long").alias("r0"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("r1"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("r2"),
+        F.sum(F.col("x3") * F.col("y")).cast("long").alias("r3"),
+    )
+    ex = _beta_exprs("DECIMAL(38,0)", lam)
+    dets = gram.select(
+        *[
+            F.expr(f"CAST({ex[k]} AS DOUBLE)").alias(k)
+            for k in ("det", "det0", "det1", "det2", "det3")
+        ]
+    )
+    return dets.select(
+        "det",
+        *[
+            (F.col(f"det{j}") / F.col("det")).alias(f"b{j}")
+            for j in range(4)
+        ],
+    )
+
+
+def ridge_betas(
+    docs: DataFrame, text_col: str = "text", lam: int = RIDGE_LAMBDA
+) -> DataFrame:
+    """The fitted model itself: DataFrame[det, b0, b1, b2, b3] (one
+    row; det rounded to survive the double cast identically, betas
+    rounded 6 dp). Oracled end-to-end — the twin re-derives the same
+    Cramer expression over HUGEINT, so a single wrong Gram sum or a
+    flipped cofactor sign fails the hash."""
+    b = _ridge_betas_df(quality_features(docs, text_col), lam)
+    return b.select(
+        F.col("det"),
+        *[F.round(F.col(f"b{j}"), 6).alias(f"b{j}") for j in range(4)],
+    )
+
+
+def ridge_quality_scores(
+    docs: DataFrame, text_col: str = "text", lam: int = RIDGE_LAMBDA
+) -> DataFrame:
+    """Every document scored by the closed-form ridge fit:
+    DataFrame[doc_id, x1, x2, x3, y, score] — score = b0 + b1 x1 +
+    b2 x2 + b3 x3 rounded 6 dp, the broadcast of a 1-row coefficient
+    table onto a per-row projection (scan-speed inference)."""
+    feats = quality_features(docs, text_col)
+    betas = _ridge_betas_df(feats, lam).select("b0", "b1", "b2", "b3")
+    return feats.crossJoin(F.broadcast(betas)).select(
+        "doc_id",
+        "x1",
+        "x2",
+        "x3",
+        "y",
+        F.round(
+            F.col("b0")
+            + F.col("b1") * F.col("x1")
+            + F.col("b2") * F.col("x2")
+            + F.col("b3") * F.col("x3"),
+            6,
+        ).alias("score"),
+    )
+
+
+def _features_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           AS n_alpha,
+         ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         CAST(len(list_intersect(list_distinct(toks), [{stops}]))
+              AS INT) AS stop_hits
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+         CAST(LEAST(n_words, {X1_CAP}) AS INT) AS x1,
+         CAST(LEAST(stop_hits, {X2_CAP}) AS INT) AS x2,
+         CAST((100 * n_alpha) // n_words AS INT) AS x3,
+         CAST(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                    AND n_words <= {GOPHER_MAX_WORDS}
+                    AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+                    AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN!r}
+                    AND ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6)
+                        >= {GOPHER_MIN_ALPHA_FRAC!r}
+                    AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+               THEN {Y_PASS} ELSE 0 END AS INT) AS y
+  FROM m
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g00,
+         CAST(SUM(x1) AS BIGINT) AS g01,
+         CAST(SUM(x2) AS BIGINT) AS g02,
+         CAST(SUM(x3) AS BIGINT) AS g03,
+         CAST(SUM(x1 * x1) AS BIGINT) AS g11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS g12,
+         CAST(SUM(x1 * x3) AS BIGINT) AS g13,
+         CAST(SUM(x2 * x2) AS BIGINT) AS g22,
+         CAST(SUM(x2 * x3) AS BIGINT) AS g23,
+         CAST(SUM(x3 * x3) AS BIGINT) AS g33,
+         CAST(SUM(y) AS BIGINT) AS r0,
+         CAST(SUM(x1 * y) AS BIGINT) AS r1,
+         CAST(SUM(x2 * y) AS BIGINT) AS r2,
+         CAST(SUM(x3 * y) AS BIGINT) AS r3
+  FROM f
+)"""
+
+
+def _betas_sql(lam: int = RIDGE_LAMBDA) -> str:
+    ex = _beta_exprs("HUGEINT", lam)
+    det_cols = ",\n         ".join(
+        f"CAST({ex[k]} AS DOUBLE) AS {k}"
+        for k in ("det", "det0", "det1", "det2", "det3")
+    )
+    return f"""
+d AS (
+  SELECT {det_cols} FROM g
+),
+b AS (
+  SELECT det,
+         det0 / det AS b0, det1 / det AS b1,
+         det2 / det AS b2, det3 / det AS b3
+  FROM d
+)"""
+
+
+def ridge_betas_sql(lam: int = RIDGE_LAMBDA) -> str:
+    """DuckDB twin of :func:`ridge_betas` — HUGEINT Cramer over the
+    identical Gram sums."""
+    return f"""
+WITH {_features_sql()},
+{_betas_sql(lam)}
+SELECT det, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+       ROUND(b2, 6) AS b2, ROUND(b3, 6) AS b3
+FROM b
+"""
+
+
+def ridge_quality_scores_sql(lam: int = RIDGE_LAMBDA) -> str:
+    """DuckDB twin of :func:`ridge_quality_scores`."""
+    return f"""
+WITH {_features_sql()},
+{_betas_sql(lam)}
+SELECT f.doc_id, f.x1, f.x2, f.x3, f.y,
+       ROUND(b.b0 + b.b1 * f.x1 + b.b2 * f.x2 + b.b3 * f.x3, 6)
+         AS score
+FROM f, b
+"""
