@@ -166,12 +166,20 @@ def quality_features(
     )
 
 
-def _ridge_betas_df(feats: DataFrame, lam: int = RIDGE_LAMBDA) -> DataFrame:
-    """1-row DataFrame[det, b0..b3]: the Gram aggregation (14 exact
-    BIGINT sums, pure map-side combine) followed by the in-plan Cramer
-    solve. det is the exact ridge-Gram determinant cast to double;
-    b_j = det_j / det."""
-    gram = feats.agg(
+# the 14 Gram/moment column names, in the order gram_sums emits them —
+# also the streaming state vector (streaming/regression_stream.py folds
+# these as exact Python ints; BIGINT sums are additive)
+GRAM_COLS = (
+    "g00", "g01", "g02", "g03", "g11", "g12", "g13",
+    "g22", "g23", "g33", "r0", "r1", "r2", "r3",
+)
+
+
+def gram_sums(feats: DataFrame) -> DataFrame:
+    """1-row DataFrame[g00..g33, r0..r3]: the normal-equation
+    sufficient statistics — 14 exact BIGINT sums, pure map-side
+    combine (no groupBy key; the only shuffle is the partial rows)."""
+    return feats.agg(
         F.count(F.lit(1)).cast("long").alias("g00"),
         F.sum("x1").cast("long").alias("g01"),
         F.sum("x2").cast("long").alias("g02"),
@@ -187,6 +195,14 @@ def _ridge_betas_df(feats: DataFrame, lam: int = RIDGE_LAMBDA) -> DataFrame:
         F.sum(F.col("x2") * F.col("y")).cast("long").alias("r2"),
         F.sum(F.col("x3") * F.col("y")).cast("long").alias("r3"),
     )
+
+
+def betas_from_gram(gram: DataFrame, lam: int = RIDGE_LAMBDA) -> DataFrame:
+    """The in-plan Cramer solve over a 1-row Gram table (from
+    :func:`gram_sums` OR from streaming running totals — the shared
+    solve is what makes the streaming twin bit-exact by construction):
+    DataFrame[det, b0..b3], det the exact ridge-Gram determinant cast
+    to double, b_j = det_j / det."""
     ex = _beta_exprs("DECIMAL(38,0)", lam)
     dets = gram.select(
         *[
@@ -201,6 +217,11 @@ def _ridge_betas_df(feats: DataFrame, lam: int = RIDGE_LAMBDA) -> DataFrame:
             for j in range(4)
         ],
     )
+
+
+def _ridge_betas_df(feats: DataFrame, lam: int = RIDGE_LAMBDA) -> DataFrame:
+    """Gram aggregation + Cramer solve, unrounded."""
+    return betas_from_gram(gram_sums(feats), lam)
 
 
 def ridge_betas(
