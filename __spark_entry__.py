@@ -1269,6 +1269,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # onto a per-row Catalyst projection over the same features
         return _rg.ridge_quality_scores(_docs(spark, sf_dir))
 
+    def x_embed_quantize_codes(spark, sf_dir):
+        # int8 absmax codec over a deterministic vector sample — the
+        # absmax scales come from the FULL corpus (pass 1), the filter
+        # applies after coding, so the oracle checks corpus-scale
+        # quantization on the sampled rows
+        return _sim.embedding_quantize_int8(_emb(spark, sf_dir)).where(
+            F.col("vec_id") % 25 == 0
+        )
+
+    def x_embed_quantize_report(spark, sf_dir):
+        # per-dimension go/no-go report for int8 serving: absmax,
+        # saturation count, worst/total reconstruction error — all
+        # exact integers in scale*127 units
+        return _sim.embedding_quantize_report(_emb(spark, sf_dir))
+
     def x_clean_corpus(spark, sf_dir):
         # the composed curation pipeline: quality filter → language
         # filter → exact dedup → near-dup CC survivors, one oracle for
@@ -1436,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_pca_semdedup,
         x_ridge_betas,
         x_ridge_scores,
+        x_embed_quantize_codes,
+        x_embed_quantize_report,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2087,6 +2104,10 @@ WHERE vec_id NOT IN (
         "x_gopher_quality": _cu.gopher_quality_report_sql(),
         "x_ridge_betas": _rg.ridge_betas_sql(),
         "x_ridge_scores": _rg.ridge_quality_scores_sql(),
+        "x_embed_quantize_codes": _sim.embedding_quantize_int8_sql(
+            vec_filter="vec_id % 25 = 0"
+        ),
+        "x_embed_quantize_report": _sim.embedding_quantize_report_sql(),
         "x_suffix_array_sample": _sx.suffix_array_sample_sql(
             "doc_id % 5 = 0"
         ),

@@ -2053,6 +2053,155 @@ FROM pairs GROUP BY i, j
 """
 
 
+def _quantized_dims(
+    emb: DataFrame, k: int, scale: int
+) -> DataFrame:
+    """(vec_id, dim, qv): the first ``k`` embedding dims through the
+    engine's exact quantize bridge (``round(e·scale)`` as BIGINT —
+    embedding_scatter's convention), one row per (vector, dim). Pure
+    narrow explode, no shuffle."""
+    qv = F.transform(
+        F.slice(F.col("embedding"), 1, k),
+        lambda e: F.round(e.cast("double") * F.lit(float(scale)))
+        .cast("bigint"),
+    )
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode(qv).alias("dim0", "qv"),
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "qv")
+
+
+def embedding_quantize_int8(
+    emb: DataFrame, k: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """Symmetric per-dimension absmax int8 quantization — the
+    embedding STORAGE/SERVING compression next to the PQ family's
+    search compression (4 bytes/dim float32 → 1 byte/dim + one scale
+    per dimension, the faiss ScalarQuantizer / vector-DB int8 shape):
+    DataFrame[vec_id, dim, qv, qmax, code, err] where
+
+    - ``qv = round(e·scale)`` BIGINT (the shared exact bridge),
+    - ``qmax = max(abs(qv))`` over the corpus per dim (the absmax
+      scale, itself an exact integer),
+    - ``code = sign(qv) · ((|qv|·127) DIV qmax)`` ∈ [-127, 127] —
+      integer floor-div on NONNEGATIVE operands only, so Spark ``DIV``
+      and DuckDB ``//`` agree by construction (regression.py's
+      convention),
+    - ``err = |qv·127 − code·qmax|`` — the reconstruction error in
+      scale·127 units, exact; err < qmax always (floor remainder), so
+      real-unit error < absmax/127, the textbook int8 bound.
+
+    Every column after the bridge is integer arithmetic — the whole
+    codec is value-oracled, no float rounding anywhere.
+
+    Plan: pass 1 reduces the corpus to k absmax rows (map-side
+    combine); pass 2 broadcasts those k rows back onto the dim explode
+    and codes every value in one codegen projection. At 100 TB: one
+    full scan per pass, a k-row broadcast, zero data-sized shuffles.
+    An all-zero dimension (qmax = 0) codes to 0 with err 0."""
+    d = _quantized_dims(emb, k, scale)
+    qmax = d.groupBy("dim").agg(
+        F.max(F.abs(F.col("qv"))).alias("qmax")
+    )
+    code = F.when(F.col("qmax") == 0, F.lit(0)).otherwise(
+        F.when(F.col("qv") < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.expr("(abs(qv) * 127) DIV qmax")
+    )
+    return (
+        d.join(F.broadcast(qmax), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            "qv",
+            "qmax",
+            code.cast("int").alias("code"),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("qv") * F.lit(127)
+                - F.col("code").cast("bigint") * F.col("qmax")
+            ),
+        )
+    )
+
+
+def embedding_quantize_report(
+    emb: DataFrame, k: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-dimension codec quality report over the int8 quantization:
+    DataFrame[dim, qmax, n_vecs, n_saturated, max_err, sum_err] — the
+    go/no-go numbers before switching a serving index to int8 (worst
+    and total reconstruction error in exact scale·127 units, and how
+    many values hit the ±127 rail). k rows out; the heavy lifting is
+    the same two scan passes as the codec itself."""
+    q = embedding_quantize_int8(emb, k, scale)
+    return q.groupBy("dim").agg(
+        F.max("qmax").alias("qmax"),
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(
+            F.when(F.abs(F.col("code")) == 127, 1).otherwise(0)
+        ).cast("bigint").alias("n_saturated"),
+        F.max("err").alias("max_err"),
+        F.sum("err").cast("bigint").alias("sum_err"),
+    )
+
+
+def _quantize_cte(k: int, scale: int) -> str:
+    return f"""
+qd AS (
+  SELECT vec_id, CAST(t.range AS INT) AS dim,
+         CAST(round(CAST(embedding[CAST(t.range AS INT)] AS DOUBLE)
+                    * {scale}) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(1, {k + 1}) t
+),
+qm AS (
+  SELECT dim, MAX(abs(qv)) AS qmax FROM qd GROUP BY dim
+),
+coded AS (
+  SELECT qd.vec_id, qd.dim, qd.qv, qm.qmax,
+         CAST(CASE WHEN qm.qmax = 0 THEN 0
+                   ELSE (CASE WHEN qd.qv < 0 THEN -1 ELSE 1 END)
+                        * ((abs(qd.qv) * 127) // qm.qmax)
+              END AS INT) AS code
+  FROM qd JOIN qm USING (dim)
+)"""
+
+
+def embedding_quantize_int8_sql(
+    k: int = 8, scale: int = 1_000_000, vec_filter: str = "TRUE"
+) -> str:
+    """DuckDB twin of :func:`embedding_quantize_int8` (identical
+    bridge, identical integer codec)."""
+    return f"""
+WITH {_quantize_cte(k, scale)}
+SELECT vec_id, dim, qv, qmax, code,
+       abs(qv * 127 - CAST(code AS BIGINT) * qmax) AS err
+FROM coded WHERE {vec_filter}
+"""
+
+
+def embedding_quantize_report_sql(
+    k: int = 8, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`embedding_quantize_report`."""
+    return f"""
+WITH {_quantize_cte(k, scale)},
+e AS (
+  SELECT dim, qmax, code,
+         abs(qv * 127 - CAST(code AS BIGINT) * qmax) AS err
+  FROM coded
+)
+SELECT dim, MAX(qmax) AS qmax,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_saturated,
+       MAX(err) AS max_err,
+       CAST(SUM(err) AS BIGINT) AS sum_err
+FROM e GROUP BY dim
+"""
+
+
 def embedding_pca(
     emb: DataFrame, k: int = 8, m: int = 2, scale: int = 1_000_000
 ) -> tuple[DataFrame, list[float]]:

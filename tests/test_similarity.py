@@ -673,3 +673,96 @@ def test_within_cell_pairs_are_a_subset_of_exact(spark):
     # 8 cells over a near-uniform corpus: roughly 1/n_cells of random
     # pairs share a cell — the documented trade of the approximate path
     assert 0.02 < recall < 0.7, recall
+
+
+def test_int8_quantize_hand_computed(spark):
+    """Three 2-dim vectors through the codec at scale 10: absmax,
+    codes, and errors match by-hand integer arithmetic — including a
+    negative value (sign handling keeps DIV on nonnegative operands)
+    and an all-zero dimension (codes to 0, err 0)."""
+    from big_data_computing__spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, 0.0]), (2, [-1.0, 0.0]), (3, [2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        (r["vec_id"], r["dim"]): r
+        for r in embedding_quantize_int8(emb, k=2, scale=10).collect()
+    }
+    # dim 1: qv = 5, -10, 20 -> qmax 20
+    assert rows[(1, 1)]["qmax"] == 20
+    #  code(5)  = (5*127) DIV 20 = 635 DIV 20 = 31;  err = |635-620| = 15
+    assert (rows[(1, 1)]["code"], rows[(1, 1)]["err"]) == (31, 15)
+    #  code(-10) = -((10*127) DIV 20) = -63; err = |-1270 + 1260| = 10
+    assert (rows[(2, 1)]["code"], rows[(2, 1)]["err"]) == (-63, 10)
+    #  code(20) = 127 exactly, err 0 (the absmax value is lossless)
+    assert (rows[(3, 1)]["code"], rows[(3, 1)]["err"]) == (127, 0)
+    # dim 2 all-zero: qmax 0, every code 0, err 0
+    for v in (1, 2, 3):
+        r = rows[(v, 2)]
+        assert (r["qmax"], r["code"], r["err"]) == (0, 0, 0)
+
+
+def test_int8_quantize_bounds_on_fixture(spark, emb):
+    """Corpus-wide invariants: |code| <= 127, err < qmax (floor
+    remainder), the absmax value of every dim saturates losslessly,
+    and the report aggregates the codec exactly."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing__spark.operators.similarity import (
+        embedding_quantize_int8,
+        embedding_quantize_report,
+    )
+
+    q = embedding_quantize_int8(emb, k=8).cache()
+    assert q.where(F.abs(F.col("code")) > 127).count() == 0
+    assert q.where(F.col("err") >= F.col("qmax")).count() == 0
+    # every dim's extreme value codes to exactly +/-127 with err 0
+    extremes = q.where(F.abs(F.col("qv")) == F.col("qmax"))
+    assert extremes.count() >= 8
+    assert (
+        extremes.where(
+            (F.abs(F.col("code")) != 127) | (F.col("err") != 0)
+        ).count()
+        == 0
+    )
+    rep = {
+        r["dim"]: r
+        for r in embedding_quantize_report(emb, k=8).collect()
+    }
+    agg = {
+        r["dim"]: r
+        for r in q.groupBy("dim")
+        .agg(
+            F.max("err").alias("mx"),
+            F.sum("err").alias("sm"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for d in rep:
+        assert rep[d]["max_err"] == agg[d]["mx"]
+        assert rep[d]["sum_err"] == agg[d]["sm"]
+        assert rep[d]["n_vecs"] == agg[d]["n"]
+    q.unpersist()
+
+
+def test_int8_quantize_plan_broadcasts_scales(spark, emb):
+    """The k absmax rows must come back as a broadcast, never a
+    shuffled join on the (vector, dim) explode — the plan that
+    survives a 100 TB corpus."""
+    from big_data_computing__spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    plan = (
+        embedding_quantize_int8(emb, k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
