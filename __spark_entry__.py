@@ -1284,6 +1284,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integers in scale*127 units
         return _sim.embedding_quantize_report(_emb(spark, sf_dir))
 
+    def x_fuzzy_name_pairs(spark, sf_dir):
+        # record-linkage front end: blocked (head-noun) levenshtein
+        # compare over DISTINCT part names — the quadratic work runs
+        # on the vocabulary, never the record table
+        return _dd.fuzzy_name_pairs(
+            _rd.read_table(spark, sf_dir, "part")
+        )
+
+    def x_fuzzy_entities(spark, sf_dir):
+        # entity resolution: CC closure over the fuzzy-match graph,
+        # every part mapped to its canonical entity by one broadcast
+        # join of the vocabulary-sized name->entity map
+        return _dd.fuzzy_entities(_rd.read_table(spark, sf_dir, "part"))
+
     def x_clean_corpus(spark, sf_dir):
         # the composed curation pipeline: quality filter → language
         # filter → exact dedup → near-dup CC survivors, one oracle for
@@ -1453,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ridge_scores,
         x_embed_quantize_codes,
         x_embed_quantize_report,
+        x_fuzzy_name_pairs,
+        x_fuzzy_entities,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2108,6 +2124,8 @@ WHERE vec_id NOT IN (
             vec_filter="vec_id % 25 = 0"
         ),
         "x_embed_quantize_report": _sim.embedding_quantize_report_sql(),
+        "x_fuzzy_name_pairs": _dd.fuzzy_name_pairs_sql(),
+        "x_fuzzy_entities": _dd.fuzzy_entities_sql(),
         "x_suffix_array_sample": _sx.suffix_array_sample_sql(
             "doc_id % 5 = 0"
         ),

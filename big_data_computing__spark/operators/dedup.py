@@ -2723,3 +2723,164 @@ pr0 AS (
 {','.join(rounds)}
 SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_scaled FROM {prev}
 """
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / entity resolution: blocked fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Blocked fuzzy-match candidate pairs over a name column — the
+    record-linkage front end (Fellegi-Sunter blocking + edit-distance
+    compare): DataFrame[block, name_a, name_b, node_a, node_b, dist]
+    with dist = levenshtein(name_a, name_b) <= max_dist, matched ONLY
+    within a blocking key (here the name's last token — the
+    head-noun block classic for product/entity names).
+
+    Two scale levers, in order of importance:
+
+    1. **Distinct-name reduction**: names repeat massively in real
+       catalogs, so matching runs over DISTINCT names (each carrying
+       ``node_id = min(id)`` as its canonical representative), never
+       over records. A 100 TB record set with a vocabulary-sized name
+       set does the quadratic part on the vocabulary.
+    2. **Blocking**: the self-join is an equi-join on the block key,
+       so candidates are per-block quadratic instead of global — the
+       same pigeonhole contract as the SimHash bands. A pathological
+       mega-block is the skew risk; at catalog scale, block = head
+       noun keeps blocks vocabulary-bounded.
+
+    levenshtein is unit-cost insert/delete/substitute in both engines
+    (Spark `levenshtein`, DuckDB `levenshtein`), so the pair set is
+    value-oracled. node_a < node_b dedupes the symmetric pair."""
+    names = (
+        df.groupBy(F.col(name_col).alias("name"))
+        .agg(F.min(F.col(id_col)).cast("long").alias("node_id"))
+        .withColumn(
+            "block", F.element_at(F.split(F.col("name"), " "), -1)
+        )
+    )
+    a = names.select(
+        F.col("block"),
+        F.col("name").alias("name_a"),
+        F.col("node_id").alias("node_a"),
+    )
+    b = names.select(
+        F.col("block"),
+        F.col("name").alias("name_b"),
+        F.col("node_id").alias("node_b"),
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("node_a") < F.col("node_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def fuzzy_entities(
+    df: DataFrame,
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity resolution over the fuzzy-match graph: every record
+    assigned a canonical entity — DataFrame[rec_id, entity_id] where
+    entity_id = min node_id over the record's name's connected
+    component (fuzzy matches are transitive through the CC closure:
+    'red plate' ~ 'old plate' ~ 'old rod' collapse to one entity even
+    when the ends don't match directly), and a name with no fuzzy
+    neighbor keeps its own canonical node_id (exact-duplicate names
+    still collapse — the node id is min(record id) per distinct name).
+
+    Composition: :func:`fuzzy_name_pairs` (blocked compare over
+    distinct names) -> :func:`duplicate_components` (the shared CC,
+    label shuffle on vocabulary-sized nodes) -> one broadcast join of
+    the name->entity map back onto the records. The record table is
+    touched exactly twice (distinct + final map-back), never joined
+    against itself."""
+    names = (
+        df.groupBy(F.col(name_col).alias("name"))
+        .agg(F.min(F.col(id_col)).cast("long").alias("node_id"))
+    )
+    pairs = fuzzy_name_pairs(df, id_col, name_col, max_dist)
+    cc = duplicate_components(
+        pairs.select(
+            F.col("node_a").alias("doc_a"),
+            F.col("node_b").alias("doc_b"),
+        )
+    )
+    name_map = names.join(
+        cc, names.node_id == cc.doc_id, "left"
+    ).select(
+        "name",
+        F.coalesce(F.col("component_id"), F.col("node_id")).alias(
+            "entity_id"
+        ),
+    )
+    return df.join(
+        F.broadcast(name_map),
+        df[name_col] == name_map.name,
+    ).select(
+        F.col(id_col).cast("long").alias("rec_id"), "entity_id"
+    )
+
+
+def _fuzzy_names_cte(
+    table: str, id_col: str, name_col: str
+) -> str:
+    return f"""
+names AS (
+  SELECT {name_col} AS name,
+         CAST(MIN({id_col}) AS BIGINT) AS node_id,
+         (string_split({name_col}, ' '))[-1] AS block
+  FROM {table} GROUP BY {name_col}
+)"""
+
+
+def fuzzy_name_pairs_sql(
+    table: str = "part",
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    max_dist: int = 3,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_name_pairs`."""
+    return f"""
+WITH {_fuzzy_names_cte(table, id_col, name_col)}
+SELECT a.block, a.name AS name_a, b.name AS name_b,
+       a.node_id AS node_a, b.node_id AS node_b,
+       levenshtein(a.name, b.name) AS dist
+FROM names a JOIN names b
+  ON a.block = b.block AND a.node_id < b.node_id
+WHERE levenshtein(a.name, b.name) <= {max_dist}
+"""
+
+
+def fuzzy_entities_sql(
+    table: str = "part",
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    max_dist: int = 3,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_entities` — the shared recursive-CTE
+    CC over the node-level pair set, COALESCE'd onto the name map."""
+    pairs = f"""
+SELECT node_a AS doc_a, node_b AS doc_b
+FROM ({fuzzy_name_pairs_sql(table, id_col, name_col, max_dist)})"""
+    return f"""
+WITH {_fuzzy_names_cte(table, id_col, name_col)},
+cc AS ({duplicate_components_sql(pairs)})
+SELECT CAST(t.{id_col} AS BIGINT) AS rec_id,
+       COALESCE(cc.component_id, n.node_id) AS entity_id
+FROM {table} t
+JOIN names n ON t.{name_col} = n.name
+LEFT JOIN cc ON n.node_id = cc.doc_id
+"""
