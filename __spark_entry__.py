@@ -1284,6 +1284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integers in scale*127 units
         return _sim.embedding_quantize_report(_emb(spark, sf_dir))
 
+    def x_ann_int8_topk(spark, sf_dir):
+        # serving half of the int8 codec: symmetric integer-dot top-k
+        # (faiss SQ8 shape) — exact BIGINT scores, the labeled brute
+        # baseline the celled int8 variants would re-rank against
+        return _sim.int8_topk(_emb(spark, sf_dir))
+
     def x_fuzzy_name_pairs(spark, sf_dir):
         # record-linkage front end: blocked (head-noun) levenshtein
         # compare over DISTINCT part names — the quadratic work runs
@@ -1467,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ridge_scores,
         x_embed_quantize_codes,
         x_embed_quantize_report,
+        x_ann_int8_topk,
         x_fuzzy_name_pairs,
         x_fuzzy_entities,
         x_dedup_components_sc,
@@ -2124,6 +2131,7 @@ WHERE vec_id NOT IN (
             vec_filter="vec_id % 25 = 0"
         ),
         "x_embed_quantize_report": _sim.embedding_quantize_report_sql(),
+        "x_ann_int8_topk": _sim.int8_topk_sql(),
         "x_fuzzy_name_pairs": _dd.fuzzy_name_pairs_sql(),
         "x_fuzzy_entities": _dd.fuzzy_entities_sql(),
         "x_suffix_array_sample": _sx.suffix_array_sample_sql(

@@ -2202,6 +2202,140 @@ FROM e GROUP BY dim
 """
 
 
+def _int8_code_vectors(
+    emb: DataFrame, k: int, scale: int
+) -> DataFrame:
+    """(vid, codes array<bigint>): every vector through the int8 codec
+    as a code array, FULLY IN-PLAN — the k absmax scales are reduced to
+    a 1-row array column and broadcast back, so a model refresh is a
+    plan re-run, nothing collects to the driver.
+
+    The floor division |qv|·127 DIV qmax is expressed as
+    ``(n − n mod qmax) / qmax``: the numerator is an exact multiple of
+    qmax and both fit in 2^53, so the double division is exact — the
+    same integer DuckDB's ``//`` produces, without leaving codegen."""
+    qmax1 = (
+        _quantized_dims(emb, k, scale)
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("qv"))).alias("qmax"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "qmax"))
+            ).alias("s")
+        )
+        .select(F.transform("s", lambda x: x["qmax"]).alias("qm"))
+    )
+
+    def code(e, i):
+        qv = F.round(e.cast("double") * F.lit(float(scale))).cast(
+            "bigint"
+        )
+        qmax = F.element_at(F.col("qm"), i + 1)
+        n = F.abs(qv) * F.lit(127)
+        mag = ((n - F.pmod(n, qmax)) / qmax).cast("bigint")
+        signed = (
+            F.when(qv < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+            * mag
+        )
+        return F.when(qmax == 0, F.lit(0).cast("bigint")).otherwise(
+            signed
+        )
+
+    return emb.crossJoin(F.broadcast(qmax1)).select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.transform(
+            F.slice(F.col("embedding"), 1, k), code
+        ).alias("codes"),
+    )
+
+
+def int8_topk(
+    emb: DataFrame,
+    k: int = 3,
+    dims: int = 8,
+    scale: int = 1_000_000,
+    query_mod: int = 10,
+) -> DataFrame:
+    """Top-k search in int8 code space — the SERVING half of the
+    absmax codec (`embedding_quantize_int8` is the storage half):
+    DataFrame[query_id, vec_id, score] with score = Σ code_q·code_d,
+    an exact BIGINT for any corpus, so the whole search path is
+    value-oracled with no float accumulation anywhere (the property
+    the float ANN tiers can only approximate with 6-dp rounding).
+
+    Queries = vec_id % query_mod == 0 self-search excluding the
+    identical id, ties broken by vec_id — the engine's ANN-baseline
+    conventions (cosine_topk). Symmetric integer dot product: both
+    sides quantized, the faiss SQ8 shape.
+
+    Scale: this is the LABELED BRUTE BASELINE of the int8 tier, the
+    exact-scoring contract the celled variants re-rank against — at
+    100 TB you run the same scoring inside IVF cells (ivf_topk's probe
+    join) with codes as the payload; the scoring expression is what
+    this operator pins. Code arrays are built fully in-plan (one
+    absmax pass + broadcast), 8× narrower shuffle payload than the
+    float vectors they replace."""
+    coded = _int8_code_vectors(emb, dims, scale)
+    q = coded.where(F.col("vid") % query_mod == 0).select(
+        F.col("vid").alias("qid"), F.col("codes").alias("qc")
+    )
+    scored = (
+        q.crossJoin(coded)
+        .where(F.col("qid") != F.col("vid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("vec_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("qc"), F.col("codes"), lambda a, b: a * b
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def int8_topk_sql(
+    k: int = 3,
+    dims: int = 8,
+    scale: int = 1_000_000,
+    query_mod: int = 10,
+) -> str:
+    """DuckDB twin of :func:`int8_topk` — identical codec (shared
+    coded CTE), identical integer dot product."""
+    return f"""
+WITH {_quantize_cte(dims, scale)},
+c AS (
+  SELECT vec_id AS vid, list(code ORDER BY dim) AS codes
+  FROM coded GROUP BY vec_id
+),
+scored AS (
+  SELECT q.vid AS query_id, c.vid AS vec_id,
+         CAST(list_dot_product(
+             list_transform(q.codes, x -> CAST(x AS BIGINT)),
+             list_transform(c.codes, x -> CAST(x AS BIGINT))
+         ) AS BIGINT) AS score
+  FROM c q CROSS JOIN c WHERE q.vid % {query_mod} = 0
+    AND q.vid <> c.vid
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
+"""
+
+
 def embedding_pca(
     emb: DataFrame, k: int = 8, m: int = 2, scale: int = 1_000_000
 ) -> tuple[DataFrame, list[float]]:
