@@ -50,6 +50,10 @@ TOPK = 10
 # discriminate); the phrase is a 2-gram that occurs but is not universal
 BM25_QUERY = ["spark", "join", "window"]
 PHRASE_QUERY = ["fast", "join"]
+# MaxSim late interaction: OOV surface forms whose best trigram match
+# is a real vocabulary token — 'dupes'→'dup' is rare (df 25/500 at
+# sf0.01), so the per-doc max varies and the ranking is non-trivial
+MAXSIM_QUERY = ["dupes", "keyed", "sparky"]
 PHI = 0.008
 EPSILON = 0.003
 DELTA = 0.1
@@ -1182,6 +1186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_maxsim_topk(spark, sf_dir):
+        # ColBERT-style MaxSim late interaction with the integer-exact
+        # hashed-trigram kernel: per-query-token best-match maxima,
+        # summed — vocabulary-sized similarity job, one corpus shuffle
+        return _rt.maxsim_topk(_docs(spark, sf_dir), MAXSIM_QUERY, k=20)
+
     def x_personalized_pagerank(spark, sf_dir):
         # seed-teleport PageRank diffusion ("more like these"): rank
         # mass radiates from the seed fifth of the graph through
@@ -1476,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_int8_topk,
         x_fuzzy_name_pairs,
         x_fuzzy_entities,
+        x_maxsim_topk,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2141,6 +2152,7 @@ WHERE vec_id NOT IN (
         "x_bm25_topk": _rt.bm25_topk_sql(BM25_QUERY, 20),
         "x_search_conjunctive": _rt.conjunctive_search_sql(BM25_QUERY),
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
+        "x_maxsim_topk": _rt.maxsim_topk_sql(MAXSIM_QUERY, 20),
         "x_chunk_documents": _cu.chunk_documents_sql(),
         "x_dsir_importance": _cu.dsir_importance_sql(),
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),

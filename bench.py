@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     # projection — the fit+inference cost should track the plain
     # Gopher gate's scan cost
     "x_ridge_scores",
+    # MaxSim late interaction: vocabulary-sized trigram-vector
+    # similarity + one corpus-sized (doc_id, token) shuffle — the
+    # multi-vector retrieval cost next to BM25's single-vector scan
+    "x_maxsim_topk",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -272,3 +272,212 @@ WITH scans AS (
 )
 SELECT doc_id, n_occurrences FROM scans WHERE n_occurrences > 0
 """
+
+
+# ---------------------------------------------------------------------
+# MaxSim late-interaction retrieval (ColBERT-style, integer-exact)
+# ---------------------------------------------------------------------
+
+#: hashed character-trigram space for token vectors — 2^20 buckets
+#: keeps real trigram collisions negligible (≈50k distinct trigrams in
+#: a natural-language vocabulary) while the bucket id stays a cheap
+#: BIGINT modulus of the engine's canonical hash60.
+MAXSIM_BUCKETS = 1 << 20
+
+
+def token_trigram_vectors(
+    toks: DataFrame,
+    tok_col: str = "token",
+    n_buckets: int = MAXSIM_BUCKETS,
+) -> DataFrame:
+    """Hashed character-trigram count vector per DISTINCT token:
+    DataFrame[token, bucket, c] with c = multiplicity of the trigram
+    bucket inside '^' + token + '$'.
+
+    This is the engine's stand-in for a learned per-token embedding:
+    a deterministic sparse vector in a 2^20-dim hashed space, exactly
+    reproducible in DuckDB (hash60 is the md5-based canonical hash).
+    The VECTOR is computed on the vocabulary (distinct tokens), never
+    per occurrence — at 100 TB the vocabulary is orders of magnitude
+    smaller than the corpus, so the trigram explode + (token, bucket)
+    count is a vocabulary-sized job.
+    """
+    from ..functions.hashing import hash60
+
+    padded = F.concat(F.lit("^"), F.col(tok_col), F.lit("$"))
+    return (
+        toks.select(F.col(tok_col).alias("token"))
+        .distinct()
+        .select(
+            "token",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(concat('^', token,"
+                    " '$')) - 2),"
+                    " i -> substring(concat('^', token, '$'), i, 3))"
+                )
+            ).alias("gram"),
+        )
+        .select(
+            "token",
+            (hash60(F.col("gram")) % F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy("token", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    n_buckets: int = MAXSIM_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents under ColBERT-style MaxSim late interaction
+    with an integer-exact similarity kernel:
+    DataFrame[doc_id, n_hit_terms, score_micro], ordered
+    (score_micro DESC, doc_id) — a total order, so the top-k row set
+    is unique.
+
+    MaxSim (Khattab & Zaharia, SIGIR 2020): score(q, d) =
+    Σ_{t∈q} max_{u∈d} sim(t, u) — each query token matches its best
+    document token and the per-token maxima are summed. Here the
+    token "embedding" is the deterministic hashed character-trigram
+    count vector (:func:`token_trigram_vectors`) and sim is the
+    SQUARED cosine in integer micro units,
+
+        sim_micro(t, u) = (1_000_000 · dot(t,u)²) div (‖t‖²·‖u‖²)
+
+    — squared because ‖·‖ needs no libm sqrt that way (the engine's
+    bit-portability convention: tfidf_top_terms docstring), and
+    squaring is monotone for the non-negative count-vector dots, so
+    per-query-token argmax is the cosine argmax. Distinct query /
+    document tokens (set semantics, like conjunctive_search): a
+    repeated token cannot out-vote a better match.
+
+    Plan (the late-interaction index shape, declaratively):
+      1. vocabulary trigram vectors — vocabulary-sized, not corpus;
+      2. query vectors: a |Q|-token tiny DataFrame through the SAME
+         expression, broadcast;
+      3. candidate token pairs by bucket equi-join (only vocabulary
+         tokens SHARING a real trigram with a query token survive —
+         the prefix-filter effect; at 2^20 buckets chance collisions
+         are negligible) → (q_tok, d_tok, dot);
+      4. per-pair sim via the token-norm join (token-keyed, vocabulary
+         sized);
+      5. distinct (doc_id, token) occurrence pairs join sim on token —
+         the ONLY corpus-sized shuffle — then max per (doc_id, q_tok),
+         sum per doc_id, TakeOrderedAndProject top-k.
+    At 100 TB steps 1-4 cost vocabulary, step 5 costs one
+    doc_id-keyed aggregation over the matched minority of tokens.
+
+    Overflow headroom: dot ≤ Σc_q·max(c_d) ≲ 10³ for natural tokens,
+    so 10⁶·dot² ≲ 10¹² ≪ 2^63; norms² ≲ 10³ each.
+    """
+    qterms = sorted(set(query_terms))
+    spark = docs.sparkSession
+    q_toks = spark.createDataFrame(
+        [(t,) for t in qterms], ["token"]
+    )
+    qv = token_trigram_vectors(q_toks, n_buckets=n_buckets).select(
+        F.col("token").alias("q_tok"),
+        "bucket",
+        F.col("c").alias("cq"),
+    )
+    qn = qv.groupBy("q_tok").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("nq2")
+    )
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    ).distinct()
+    dv = token_trigram_vectors(occ, n_buckets=n_buckets)
+    dn = dv.groupBy("token").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nd2")
+    )
+    pair_dot = (
+        dv.join(F.broadcast(qv), "bucket")
+        .groupBy("q_tok", "token")
+        .agg(F.sum(F.col("c") * F.col("cq")).alias("dot"))
+    )
+    sim = (
+        pair_dot.join(dn, "token")
+        .join(F.broadcast(qn), "q_tok")
+        .select(
+            "q_tok",
+            "token",
+            F.expr("(1000000 * dot * dot) div (nq2 * nd2)").alias(
+                "sim_micro"
+            ),
+        )
+    )
+    return (
+        occ.join(sim, "token")
+        .groupBy("doc_id", "q_tok")
+        .agg(F.max("sim_micro").alias("best"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_hit_terms"),
+            F.sum("best").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(k)
+    )
+
+
+def maxsim_topk_sql(
+    query_terms: list[str],
+    k: int = 20,
+    n_buckets: int = MAXSIM_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`maxsim_topk` (identical md5 trigram
+    buckets, identical integer floor divisions)."""
+    from ..functions.hashing import hash60_sql
+
+    qterms = sorted(set(query_terms))
+    tlist = ", ".join(f"'{t}'" for t in qterms)
+    grams = (
+        "SELECT token, unnest(list_transform("
+        "range(1, length('^' || token || '$') - 2 + 1),"
+        " i -> substr('^' || token || '$', i, 3))) AS gram FROM {src}"
+    )
+    return f"""
+WITH q_toks AS (SELECT unnest([{tlist}]) AS token),
+occ AS (
+  SELECT DISTINCT doc_id, term AS token
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+),
+d_vocab AS (SELECT DISTINCT token FROM occ),
+qg AS ({grams.format(src='q_toks')}),
+dg AS ({grams.format(src='d_vocab')}),
+qv AS (
+  SELECT token AS q_tok, {hash60_sql('gram')} % {n_buckets} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cq
+  FROM qg GROUP BY 1, 2
+),
+dv AS (
+  SELECT token, {hash60_sql('gram')} % {n_buckets} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM dg GROUP BY 1, 2
+),
+qn AS (SELECT q_tok, SUM(cq * cq) AS nq2 FROM qv GROUP BY q_tok),
+dn AS (SELECT token, SUM(c * c) AS nd2 FROM dv GROUP BY token),
+pair_dot AS (
+  SELECT q_tok, token, SUM(c * cq) AS dot
+  FROM dv JOIN qv USING (bucket) GROUP BY q_tok, token
+),
+sim AS (
+  SELECT q_tok, token,
+         (1000000 * dot * dot) // (nq2 * nd2) AS sim_micro
+  FROM pair_dot JOIN dn USING (token) JOIN qn USING (q_tok)
+),
+best AS (
+  SELECT doc_id, q_tok, MAX(sim_micro) AS best
+  FROM occ JOIN sim USING (token) GROUP BY doc_id, q_tok
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit_terms,
+       CAST(SUM(best) AS BIGINT) AS score_micro
+FROM best GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}
+"""

@@ -105,3 +105,89 @@ def test_phrase_three_token(spark):
         for r in phrase_search(_df(spark, rows), ["x", "y", "z"]).collect()
     }
     assert got == {0: 2, 1: 1}
+
+
+# ---------------------------------------------------------------------
+# MaxSim late interaction
+# ---------------------------------------------------------------------
+
+def _hash60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _tri_vec(tok: str, n_buckets: int) -> dict[int, int]:
+    p = "^" + tok + "$"
+    v: dict[int, int] = {}
+    for i in range(len(p) - 2):
+        b = _hash60_py(p[i : i + 3]) % n_buckets
+        v[b] = v.get(b, 0) + 1
+    return v
+
+
+def _sim_micro(q: str, d: str, n_buckets: int) -> int:
+    vq, vd = _tri_vec(q, n_buckets), _tri_vec(d, n_buckets)
+    dot = sum(c * vd.get(b, 0) for b, c in vq.items())
+    nq2 = sum(c * c for c in vq.values())
+    nd2 = sum(c * c for c in vd.values())
+    return (1_000_000 * dot * dot) // (nq2 * nd2)
+
+
+def _ref_maxsim(rows, query, n_buckets):
+    out = {}
+    for i, t in rows:
+        doc_toks = sorted(set(t.split()))
+        if not doc_toks:
+            continue
+        hits = 0
+        total = 0
+        for q in sorted(set(query)):
+            best = max(
+                (_sim_micro(q, d, n_buckets) for d in doc_toks),
+                default=0,
+            )
+            sims = [
+                _sim_micro(q, d, n_buckets)
+                for d in doc_toks
+                if _sim_micro(q, d, n_buckets) > 0
+            ]
+            if sims:  # inner-join semantics: only bucket-sharing pairs
+                hits += 1
+                total += best
+        if hits:
+            out[i] = (hits, total)
+    return out
+
+
+def test_maxsim_matches_sequential_reference(spark):
+    from big_data_computing__spark.operators.retrieval import (
+        MAXSIM_BUCKETS,
+        maxsim_topk,
+    )
+
+    query = ["sparky", "joins", "scanner"]
+    got = {
+        r["doc_id"]: (r["n_hit_terms"], r["score_micro"])
+        for r in maxsim_topk(_df(spark), query, k=10).collect()
+    }
+    assert got == _ref_maxsim(CORPUS, query, MAXSIM_BUCKETS)
+
+
+def test_maxsim_exact_token_scores_million(spark):
+    # an exact surface match is cosine 1 → 1_000_000 micro, and it
+    # dominates every fuzzy alternative for that query token
+    from big_data_computing__spark.operators.retrieval import maxsim_topk
+
+    [top] = maxsim_topk(_df(spark), ["spark"], k=1).collect()
+    assert top["score_micro"] == 1_000_000
+    assert top["doc_id"] in (0, 1)  # docs containing the exact token
+
+
+def test_maxsim_repeated_query_tokens_collapse(spark):
+    # set semantics: a duplicated query token must not double-count
+    from big_data_computing__spark.operators.retrieval import maxsim_topk
+
+    once = maxsim_topk(_df(spark), ["spark"], k=3).collect()
+    twice = maxsim_topk(_df(spark), ["spark", "spark"], k=3).collect()
+    assert [r.asDict() for r in once] == [r.asDict() for r in twice]
