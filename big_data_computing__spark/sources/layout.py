@@ -453,6 +453,13 @@ def read_pruned(
 
 SNAPSHOT_DIR = "_snapshots"
 
+#: every Nth commit is a full file-list checkpoint; the commits in
+#: between store only their (adds, removes) delta against the previous
+#: version — the Delta Lake log design, which makes blind-append commit
+#: metadata O(batch) instead of O(live files). Reconstruction cost is
+#: bounded by this interval.
+CHECKPOINT_INTERVAL = 10
+
 
 class LogStore:
     """Abstract commit-log storage for :class:`ZTable` — the Delta
@@ -579,9 +586,22 @@ class ZTable:
         <path>/data-v00000/part-*.parquet
         <path>/data-v00001/part-*.parquet
 
-    Each snapshot is the COMPLETE live-file list (with per-file min/max
-    stats) at that version — readers never list directories, they read
-    exactly the files a snapshot names. That gives:
+    Each LOGICAL snapshot is the COMPLETE live-file list (with per-file
+    min/max stats) at that version — readers never list directories,
+    they read exactly the files a snapshot names. PHYSICALLY the log is
+    incremental (the Delta Lake transaction-log design): version 0 and
+    every ``checkpoint_interval``-th commit store the full list (a
+    checkpoint); commits in between store only (adds, removes) deltas
+    against their parent, so blind-append commit METADATA is O(batch)
+    instead of O(live files) — at 100 TB a table holds millions of
+    files and rewriting the full manifest per append would dwarf the
+    data write. ``snapshot()`` resolves deltas by folding forward from
+    the nearest checkpoint (chain ≤ the interval; memoized per handle),
+    and an op whose delta would not be smaller than the full list (a
+    compact rewrites everything) stores a checkpoint regardless of
+    cadence. ``vacuum`` keeps the tiny log records a retained delta
+    chains through, while still reclaiming dropped versions' data
+    files. The logical contract is unchanged: that gives:
 
     * **incremental append** — a commit writes one new data dir, scans
       only those files for stats, and writes snapshot ``v+1`` = parent's
@@ -661,6 +681,15 @@ class ZTable:
         self.log = log_store or FileSystemLogStore(
             os.path.join(path, SNAPSHOT_DIR)
         )
+        #: full-checkpoint cadence for the incremental commit log (see
+        #: CHECKPOINT_INTERVAL); per-handle tunable, not persisted —
+        #: any cadence reads any log, the interval only shapes writes
+        self.checkpoint_interval = CHECKPOINT_INTERVAL
+        # logical-snapshot cache: log records are immutable per version
+        # (put_if_absent is the only publish), so entries never go
+        # stale; _resolve returns deep copies so callers can't corrupt
+        # the cache through the returned dicts
+        self._snap_cache: dict[int, dict] = {}
 
     def zcol(self, snap: dict | None = None) -> str | None:
         """The table's third layout column (None for 2-D tables)."""
@@ -823,14 +852,50 @@ class ZTable:
         return entries
 
     def snapshot(self, version: int | None = None) -> dict:
+        """The LOGICAL snapshot at ``version`` — always with the
+        complete ``files`` list, whether the log stored that version as
+        a full checkpoint or as a delta record (see :meth:`_commit`).
+        Delta records are resolved by folding (adds, removes) forward
+        from the nearest checkpoint; the chain is bounded by the
+        writing handle's ``checkpoint_interval``."""
         v = self.latest_version() if version is None else version
+        return self._resolve(v)
+
+    def _resolve(self, v: int) -> dict:
+        import copy
+
+        if v in self._snap_cache:
+            return copy.deepcopy(self._snap_cache[v])
         try:
-            return json.loads(self.log.read(v))
+            rec = json.loads(self.log.read(v))
         except FileNotFoundError:
             raise FileNotFoundError(
                 f"version {v} of {self.path} does not exist "
                 "(never committed, or vacuumed away)"
             ) from None
+        if "files" in rec:
+            snap = rec
+        else:
+            # delta record: upsert adds over the parent's file map
+            # (an add REPLACES a same-path entry — that is how carried
+            # entries whose content changed, e.g. epoch stamps, are
+            # encoded), then drop removes
+            parent = self._resolve(rec["delta_of"])
+            fmap = {e["file"]: e for e in parent["files"]}
+            for f in rec["removes"]:
+                fmap.pop(f, None)
+            for e in rec["adds"]:
+                fmap[e["file"]] = e
+            snap = {
+                k: val
+                for k, val in rec.items()
+                if k not in ("delta_of", "adds", "removes")
+            }
+            snap["files"] = sorted(
+                fmap.values(), key=lambda e: e["file"]
+            )
+        self._snap_cache[v] = snap
+        return copy.deepcopy(snap)
 
     def history(self) -> list[dict]:
         """One summary row per retained snapshot (the DESCRIBE HISTORY
@@ -886,11 +951,52 @@ class ZTable:
             **meta,
             "files": sorted(files, key=lambda e: e["file"]),
         }
+        rec = self._encode_commit(snap)
         # the LogStore's put_if_absent is the single atomic claim;
         # FileExistsError is the only lost-race signal the rebase
         # loops key on (per-writer staging details live in the store)
-        self.log.put_if_absent(version, json.dumps(snap, indent=1))
+        self.log.put_if_absent(version, json.dumps(rec, indent=1))
+        # cache only AFTER the claim succeeded — a lost race must not
+        # poison the logical-snapshot cache with the loser's state
+        import copy
+
+        self._snap_cache[version] = copy.deepcopy(snap)
         return version
+
+    def _encode_commit(self, snap: dict) -> dict:
+        """Physical log record for ``snap``: the full file list at the
+        checkpoint cadence (version 0 and every ``checkpoint_interval``
+        commits), else an (adds, removes) DELTA against version-1 —
+        adds are new-or-changed entries (content compare, so carried
+        entries mutated by an op are re-shipped), removes are parent
+        paths absent from the new list. A delta is only written when
+        it is strictly smaller than the full list (a compact that
+        rewrites everything stores a checkpoint no matter the cadence),
+        so reads never pay a chain longer than the interval and commit
+        metadata for a blind append is O(batch), not O(live files) —
+        the Delta Lake transaction-log design. All non-file metadata
+        (schema, types, dvs, renames) stays complete in EVERY record,
+        like Delta's metaData action."""
+        version = snap["version"]
+        if version == 0 or version % self.checkpoint_interval == 0:
+            return snap
+        try:
+            parent = self._resolve(version - 1)
+        except FileNotFoundError:
+            return snap
+        pmap = {e["file"]: e for e in parent["files"]}
+        adds = [
+            e for e in snap["files"] if pmap.get(e["file"]) != e
+        ]
+        nset = {e["file"] for e in snap["files"]}
+        removes = sorted(f for f in pmap if f not in nset)
+        if len(adds) + len(removes) >= len(snap["files"]):
+            return snap
+        rec = {k: v for k, v in snap.items() if k != "files"}
+        rec["delta_of"] = version - 1
+        rec["adds"] = adds
+        rec["removes"] = removes
+        return rec
 
     # -- writes -----------------------------------------------------------
 
@@ -1552,9 +1658,28 @@ class ZTable:
             s = self.snapshot(v)
             live.update(e["file"] for e in s["files"])
             live.update(s.get("dvs") or [])  # deletion vectors
+        # reconstruction closure: a kept version stored as a DELTA
+        # record chains back to its nearest checkpoint — those log
+        # records must survive the vacuum or the kept version becomes
+        # unresolvable. Only the tiny JSON records are retained; the
+        # DATA files of dropped versions are still reclaimed below by
+        # the kept-snapshots live-set rule.
+        needed: set[int] = set()
+        for v in kept:
+            w = v
+            while True:
+                rec = json.loads(self.log.read(w))
+                if "files" in rec:
+                    break
+                w = rec["delta_of"]
+                needed.add(w)
         removed: list[str] = []
         for v in dropped:
-            self.log.delete(v)
+            if v not in needed:
+                self.log.delete(v)
+                # a deleted version must resolve like one — evict it,
+                # or this handle's cache would keep serving it
+                self._snap_cache.pop(v, None)
         for name in sorted(os.listdir(self.path)):
             if not name.startswith("data-v"):
                 continue

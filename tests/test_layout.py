@@ -1525,3 +1525,110 @@ def test_ztable_threaded_races_on_in_memory_store(
         versions = list(ex.map(do_append, batches))
     assert sorted(versions) == [1, 2, 3, 4]
     assert t.read(spark).count() == base.count() + sum(sizes)
+
+
+# ---------------------------------------------------------------------
+# Incremental commit log: delta records + checkpoints
+# ---------------------------------------------------------------------
+
+def _raw_record(t, v):
+    import json
+
+    return json.loads(t.log.read(v))
+
+
+def _five_batches(extra):
+    # five tiny disjoint append batches out of the seed table's spare half
+    tagged = extra.withColumn("x_int", F.col("x").cast("long"))
+    return [
+        tagged.where(F.col("x_int") % 5 == i).drop("x_int")
+        for i in range(5)
+    ]
+
+
+def test_log_deltas_and_checkpoint_cadence(spark, sf_dir, tmp_path):
+    """v0 and every checkpoint_interval-th commit store the full file
+    list; appends in between store only their adds — and EVERY version
+    resolves to the same logical state an all-checkpoint log would."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.checkpoint_interval = 4
+    expected = [base.count()]
+    batches = _five_batches(extra)
+    for b in batches:
+        t.append(b, n_files=2)
+        expected.append(expected[-1] + b.count())
+    # physical shapes: full at 0 and 4, deltas at 1-3 and 5
+    for v in (0, 4):
+        rec = _raw_record(t, v)
+        assert "files" in rec and "delta_of" not in rec, v
+    for v in (1, 2, 3, 5):
+        rec = _raw_record(t, v)
+        assert "delta_of" in rec and rec["delta_of"] == v - 1, v
+        assert rec["removes"] == [], "an append never removes"
+        assert rec["adds"], "an append's delta lists its new files"
+    # a delta append's metadata is O(batch): fewer entries shipped
+    # than the logical file list it implies
+    assert len(_raw_record(t, 5)["adds"]) < len(t.snapshot(5)["files"])
+    # logical reads: every version, from the WRITING handle (warm
+    # cache) and from a FRESH handle (cold resolve through the chain)
+    fresh = L.ZTable(t.path)
+    for v, n in enumerate(expected):
+        assert t.read(spark, version=v).count() == n, v
+        assert fresh.snapshot(v)["version"] == v
+        assert sum(e["n_rows"] for e in fresh.snapshot(v)["files"]) == n
+
+
+def test_log_compact_forces_checkpoint_off_cadence(
+    spark, sf_dir, tmp_path
+):
+    """An op whose delta would not beat the full list (compact rewrites
+    every file) stores a checkpoint even between cadence points."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra, n_files=4)
+    assert "delta_of" in _raw_record(t, 1)
+    t.compact(spark, n_files=8)  # v2: rewrites everything
+    rec = _raw_record(t, 2)
+    assert "files" in rec and "delta_of" not in rec
+    assert t.read(spark).count() == base.count() + extra.count()
+
+
+def test_log_metadata_only_commit_is_a_tiny_delta(
+    spark, sf_dir, tmp_path
+):
+    """A rename touches no data files: its delta carries empty adds and
+    removes, and resolution carries the parent's files under the NEW
+    metadata."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra, n_files=4)
+    v = t.rename_column("id", "row_id")
+    rec = _raw_record(t, v)
+    assert rec["adds"] == [] and rec["removes"] == []
+    snap = L.ZTable(t.path).snapshot(v)  # cold resolve
+    assert len(snap["files"]) == len(t.snapshot(v - 1)["files"])
+    assert "row_id" in snap["columns"]
+
+
+def test_vacuum_keeps_delta_reconstruction_closure(
+    spark, sf_dir, tmp_path
+):
+    """vacuum must not delete the checkpoint a RETAINED delta chains
+    through — the kept version stays resolvable from a cold handle —
+    while other dropped log records and dead data files still go."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.checkpoint_interval = 4
+    for b in _five_batches(extra):
+        t.append(b, n_files=2)
+    n = t.read(spark).count()
+    assert "delta_of" in _raw_record(t, 5)  # latest is a delta of v4
+    t.vacuum(keep_last=1)
+    # closure: v4 (checkpoint base) retained; v0-v3 logs gone
+    import pytest as _pt
+
+    kept_logs = t.log.list_versions()
+    assert 5 in kept_logs and 4 in kept_logs
+    for v in (0, 1, 2, 3):
+        assert v not in kept_logs
+        with _pt.raises(FileNotFoundError):
+            t.snapshot(v)
+    # cold handle resolves the retained delta through its closure
+    assert L.ZTable(t.path).read(spark).count() == n
