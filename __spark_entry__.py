@@ -72,6 +72,11 @@ JACCARD_THRESHOLD = 0.2
 # 3 = the pigeonhole-complete threshold for the 4-band blocking (every
 # pair within Hamming 3 is guaranteed to collide on >= 1 band)
 SIMHASH_MAX_HAMMING = 3
+# weighted truss over the simhash graph (edge weight 4 - hamming ∈
+# 1..4): 20 demands the triangle-price sum of ~2 strong triangles —
+# 2318 edges survive t=10 but 2227 at t=20 at sf0.01, so the weighted
+# cascade is exercised for real
+WTRUSS_MIN_WSUPPORT = 20
 ANN_K = 3
 BALANCED_CAP = 50
 
@@ -787,6 +792,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_weighted_truss(spark, sf_dir):
+        # WEIGHTED truss of the simhash graph: each triangle priced at
+        # its weakest link's similarity (4 - hamming), edges kept while
+        # the triangle-price sum stays >= the threshold — similarity
+        # strength joins the cohesion decision, one strong triangle
+        # can outvote two borderline ones
+        pairs = _dd.simhash_near_pairs(_docs(spark, sf_dir)).withColumn(
+            "wgt", F.lit(4) - F.col("hamming")
+        )
+        return _dd.weighted_truss_edges(
+            pairs, min_wsupport=WTRUSS_MIN_WSUPPORT, weight_col="wgt"
+        )
+
     def x_ktruss_edges(spark, sf_dir):
         # 4-truss of the simhash duplicate graph (every surviving edge
         # supported by >= 2 triangles INSIDE the truss): the edge-level
@@ -1487,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_fuzzy_name_pairs,
         x_fuzzy_entities,
         x_maxsim_topk,
+        x_weighted_truss,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2066,6 +2085,12 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
             f"SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
             k=4,
+        ),
+        "x_weighted_truss": _dd.weighted_truss_edges_sql(
+            f"SELECT doc_a, doc_b, 4 - hamming AS wgt FROM "
+            f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
+            min_wsupport=WTRUSS_MIN_WSUPPORT,
+            weight_col="wgt",
         ),
         "x_truss_decomposition": _dd.truss_decomposition_sql(
             f"SELECT doc_a, doc_b FROM "

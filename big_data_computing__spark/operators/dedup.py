@@ -1744,6 +1744,241 @@ LEFT JOIN tcnt USING (component_id)
 """
 
 
+def weighted_truss_edges(
+    pairs: DataFrame,
+    min_wsupport: int,
+    weight_col: str = "n_bands",
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = KTRUSS_MAX_ROUNDS,
+) -> DataFrame:
+    """Edges of the WEIGHTED truss: the maximal subgraph where every
+    edge's weighted support — the sum over its triangles of each
+    triangle's MIN edge weight (a triangle is only as strong as its
+    weakest link) — is >= ``min_wsupport``. Returns
+    DataFrame[doc_a, doc_b, wsupport] with doc_a < doc_b, wsupport
+    measured INSIDE the truss.
+
+    The weighted generalization of :func:`ktruss_edges` (which is the
+    special case weight ≡ 1, min_wsupport = k-2): similarity strength
+    (band collisions, inverse Hamming) participates in the cohesion
+    decision, so one strong triangle can outvote two barely-matching
+    ones — the graph-cohesion analog of score-thresholded dedup.
+    Uniqueness: removal only ever DECREASES other edges' weighted
+    support (weights are static and positive), so the delete-all-
+    weak-edges-at-once rounds reach the same fixed point as sequential
+    peeling, exactly the unweighted argument.
+
+    Plan: one full O(m^1.5) degree-oriented enumeration seeds supports
+    — member edges explode with a sorted node-triple key, ONE join
+    against the static weight map prices all three member edges, a
+    triple-keyed min prices each triangle, and collect_list + explode
+    fans the triangle price back to its member edges without a second
+    weight join. Later rounds are INCREMENTAL like the unweighted
+    peel: only triangles through just-removed edges are enumerated
+    (common-neighbor join, cost ∝ removed·avg-deg), deduped by
+    triple, re-priced off the weight map, and their surviving edges
+    decremented by the triangle price. Same raise-on-exhaustion
+    contract; a converged edge set is a fixed point, so the unrolled
+    oracle can never silently diverge.
+    """
+    if min_wsupport < 1:
+        raise ValueError("weighted_truss_edges: min_wsupport must be >= 1")
+    # canonical weighted edges; MAX collapses duplicate pair rows so
+    # the weight of an unordered pair is well-defined
+    wmap = (
+        pairs.select(
+            F.least(doc_a, doc_b).alias("u"),
+            F.greatest(doc_a, doc_b).alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint()
+    )
+    e = wmap.select("u", "v")
+    tri = _oriented_triangles(e, n_edges=e.count())
+    mem = tri.select(
+        F.array_sort(F.array("a", "b", "c")).alias("t")
+    ).select(
+        "t",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.element_at("t", 1).alias("u"),
+                    F.element_at("t", 2).alias("v"),
+                ),
+                F.struct(
+                    F.element_at("t", 1).alias("u"),
+                    F.element_at("t", 3).alias("v"),
+                ),
+                F.struct(
+                    F.element_at("t", 2).alias("u"),
+                    F.element_at("t", 3).alias("v"),
+                ),
+            )
+        ).alias("e"),
+    ).select("t", "e.u", "e.v")
+    priced = (
+        mem.join(wmap, ["u", "v"])
+        .groupBy("t")
+        .agg(
+            F.min("w").alias("tw"),
+            F.collect_list(F.struct("u", "v")).alias("edges"),
+        )
+        .select("tw", F.explode("edges").alias("e"))
+        .select("e.u", "e.v", "tw")
+    )
+    support = priced.groupBy("u", "v").agg(
+        F.sum("tw").cast("long").alias("wsupport")
+    )
+    kept = (
+        wmap.join(support, ["u", "v"])
+        .where(F.col("wsupport") >= min_wsupport)
+        .localCheckpoint()
+    )
+    removed = wmap.join(
+        kept.select("u", "v"), ["u", "v"], "left_anti"
+    ).localCheckpoint()
+    n_removed = removed.count()
+    for _ in range(max_iterations - 1):
+        if n_removed == 0:
+            return kept.select(
+                F.col("u").alias("doc_a"),
+                F.col("v").alias("doc_b"),
+                "wsupport",
+            )
+        gprev = kept.select("u", "v").union(removed.select("u", "v"))
+        adj = gprev.union(
+            gprev.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).select(F.col("u").alias("n"), F.col("v").alias("w2"))
+        cand = removed.join(adj, removed["u"] == adj["n"]).select(
+            removed["u"], removed["v"], adj["w2"]
+        )
+        tri_hit = cand.join(
+            adj.select(F.col("n").alias("v"), F.col("w2")),
+            ["v", "w2"],
+            "left_semi",
+        )
+        triple = tri_hit.select(
+            F.array_sort(F.array("u", "v", "w2")).alias("t")
+        ).distinct()
+        memr = triple.select(
+            "t",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.element_at("t", 1).alias("u"),
+                        F.element_at("t", 2).alias("v"),
+                    ),
+                    F.struct(
+                        F.element_at("t", 1).alias("u"),
+                        F.element_at("t", 3).alias("v"),
+                    ),
+                    F.struct(
+                        F.element_at("t", 2).alias("u"),
+                        F.element_at("t", 3).alias("v"),
+                    ),
+                )
+            ).alias("e"),
+        ).select("t", "e.u", "e.v")
+        dec_edges = (
+            memr.join(wmap, ["u", "v"])
+            .groupBy("t")
+            .agg(
+                F.min("w").alias("tw"),
+                F.collect_list(F.struct("u", "v")).alias("edges"),
+            )
+            .select("tw", F.explode("edges").alias("e"))
+            .select("e.u", "e.v", "tw")
+            .groupBy("u", "v")
+            .agg(F.sum("tw").cast("long").alias("dec"))
+        )
+        rescored = (
+            kept.join(dec_edges, ["u", "v"], "left")
+            .select(
+                "u",
+                "v",
+                "w",
+                (
+                    F.col("wsupport")
+                    - F.coalesce("dec", F.lit(0).cast("long"))
+                ).alias("wsupport"),
+            )
+            .localCheckpoint()
+        )
+        kept = rescored.where(
+            F.col("wsupport") >= min_wsupport
+        ).localCheckpoint()
+        removed = rescored.where(
+            F.col("wsupport") < min_wsupport
+        ).select("u", "v", "w")
+        n_removed = rescored.count() - kept.count()
+    if n_removed == 0:
+        return kept.select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            "wsupport",
+        )
+    raise RuntimeError(
+        f"weighted_truss_edges: no fixed point after {max_iterations} "
+        "rounds (raise max_iterations; the oracle unrolls the same "
+        "bound)"
+    )
+
+
+def weighted_truss_edges_sql(
+    pairs_sql: str,
+    min_wsupport: int,
+    weight_col: str = "n_bands",
+    rounds: int = KTRUSS_MAX_ROUNDS,
+) -> str:
+    """DuckDB twin of :func:`weighted_truss_edges`: the weighted peel
+    unrolled into ``rounds`` (triangles+prices, supports, filter) CTE
+    triples. Triangles enumerate by sorted node ids (a < b < c); the
+    price LEAST(w1, w2, w3) reads the three member edges' STATIC
+    weights directly off the join."""
+    ctes = []
+    prev = "we0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+wt{i} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c,
+         LEAST(w1.w, w2.w, w3.w) AS tw
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.u = e1.v
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+  JOIN wmap w1 ON w1.u = e1.u AND w1.v = e1.v
+  JOIN wmap w2 ON w2.u = e2.u AND w2.v = e2.v
+  JOIN wmap w3 ON w3.u = e3.u AND w3.v = e3.v
+),
+ws{i} AS MATERIALIZED (
+  SELECT u, v, CAST(SUM(tw) AS BIGINT) AS wsupport FROM (
+    SELECT a AS u, b AS v, tw FROM wt{i}
+    UNION ALL SELECT b, c, tw FROM wt{i}
+    UNION ALL SELECT a, c, tw FROM wt{i}
+  ) GROUP BY u, v
+),
+we{i} AS MATERIALIZED (
+  SELECT s.u, s.v, s.wsupport
+  FROM ws{i} s JOIN {prev} e ON e.u = s.u AND e.v = s.v
+  WHERE s.wsupport >= {min_wsupport}
+)""")
+        prev = f"we{i}"
+    return f"""
+WITH p AS MATERIALIZED ({pairs_sql}),
+wmap AS MATERIALIZED (
+  SELECT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v,
+         CAST(MAX({weight_col}) AS BIGINT) AS w
+  FROM p WHERE doc_a <> doc_b GROUP BY 1, 2
+),
+we0 AS MATERIALIZED (SELECT u, v FROM wmap),
+{','.join(ctes)}
+SELECT u AS doc_a, v AS doc_b, wsupport FROM {prev}
+"""
+
+
 DUP_SPAN_WINDOW = 10
 
 

@@ -1738,3 +1738,108 @@ def test_wordpiece_objective_matches_sequential_reference(spark):
     assert got == bpe_train(
         docs, n_merges=6, objective="likelihood", incremental=False
     )
+
+
+# ---------------------------------------------------------------------
+# weighted truss
+# ---------------------------------------------------------------------
+
+def _ref_weighted_truss(edges_w, min_ws):
+    """Sequential full-recompute weighted peel: edges_w = {(u,v): w}."""
+    kept = dict(edges_w)
+    while True:
+        ws = {e: 0 for e in kept}
+        nodes = sorted({n for e in kept for n in e})
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if (a, b) not in kept:
+                    continue
+                for c in nodes:
+                    if c <= b:
+                        continue
+                    if (a, c) in kept and (b, c) in kept:
+                        tw = min(
+                            kept[(a, b)], kept[(a, c)], kept[(b, c)]
+                        )
+                        for e in ((a, b), (a, c), (b, c)):
+                            ws[e] += tw
+        drop = [e for e, s in ws.items() if s < min_ws]
+        if not drop:
+            return {e: ws[e] for e in kept}
+        for e in drop:
+            del kept[e]
+
+
+def test_weighted_truss_matches_sequential_reference(spark):
+    """4-clique with one weak edge + pendant triangle: the weighted
+    peel must price each triangle at its weakest link and cascade
+    exactly like the sequential full-recompute reference."""
+    from big_data_computing__spark.operators.dedup import (
+        weighted_truss_edges,
+    )
+
+    edges_w = {
+        (10, 11): 5, (10, 12): 5, (10, 13): 1, (11, 12): 5,
+        (11, 13): 4, (12, 13): 4,
+        (13, 14): 3, (13, 15): 3, (14, 15): 3,
+        (1, 2): 9, (2, 3): 9,  # heavy chain: no triangle, must drop
+    }
+    pairs = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in edges_w.items()],
+        ["doc_a", "doc_b", "n_bands"],
+    )
+    for t in (3, 5, 8):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["wsupport"]
+            for r in weighted_truss_edges(pairs, min_wsupport=t).collect()
+        }
+        assert got == _ref_weighted_truss(edges_w, t), t
+
+
+def test_weighted_truss_weight_one_is_unweighted(spark):
+    """weight ≡ 1 degenerates to the plain k-truss with
+    min_wsupport = k-2 — supports and edge sets identical."""
+    from big_data_computing__spark.operators.dedup import (
+        ktruss_edges,
+        weighted_truss_edges,
+    )
+
+    clique = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    wing = [(13, 14), (13, 15), (14, 15)]
+    pairs = spark.createDataFrame(
+        [(a, b, 1) for a, b in clique + wing],
+        ["doc_a", "doc_b", "n_bands"],
+    )
+    for k in (3, 4):
+        unw = {
+            (r["doc_a"], r["doc_b"]): r["support"]
+            for r in ktruss_edges(pairs, k=k).collect()
+        }
+        wtd = {
+            (r["doc_a"], r["doc_b"]): r["wsupport"]
+            for r in weighted_truss_edges(
+                pairs, min_wsupport=k - 2
+            ).collect()
+        }
+        assert wtd == unw, k
+
+
+def test_weighted_truss_duplicate_pair_rows_collapse(spark):
+    """A pair reported twice (both orientations, different weights)
+    counts once at the MAX weight — the canonicalization contract."""
+    from big_data_computing__spark.operators.dedup import (
+        weighted_truss_edges,
+    )
+
+    rows = [
+        (1, 2, 2), (2, 1, 5),  # same edge, two orientations
+        (1, 3, 5), (2, 3, 5),
+    ]
+    pairs = spark.createDataFrame(rows, ["doc_a", "doc_b", "n_bands"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["wsupport"]
+        for r in weighted_truss_edges(pairs, min_wsupport=5).collect()
+    }
+    # triangle price = min(5, 5, 5) = 5 — the weak duplicate row of
+    # (1,2) must not drag the price to 2
+    assert got == {(1, 2): 5, (1, 3): 5, (2, 3): 5}
