@@ -1259,6 +1259,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigram_rarity contract, one LM order up)
         return _ts.bigram_lm_rarity(_docs(spark, sf_dir))
 
+    def x_kneser_ney_score(spark, sf_dir):
+        # the PROPER interpolated Kneser-Ney bigram estimator (absolute
+        # discount 3/4, continuation-count backoff) in integer micro
+        # units — the KenLM-style perplexity signal done right, next to
+        # bigram_rarity's add-1/2 first cut
+        return _ts.kneser_ney_score(_docs(spark, sf_dir))
+
     def x_chunk_documents(spark, sf_dir):
         # RAG-side chunking (overlapping token windows with offsets)
         # — the split-for-indexing counterpart of x_pack_sequences'
@@ -1506,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_fuzzy_entities,
         x_maxsim_topk,
         x_weighted_truss,
+        x_kneser_ney_score,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2182,6 +2190,7 @@ WHERE vec_id NOT IN (
         "x_dsir_importance": _cu.dsir_importance_sql(),
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),
         "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),
+        "x_kneser_ney_score": _ts.kneser_ney_score_sql(),
         "x_bpe_byte_pairs": _ts.bpe_top_pairs_bytes_sql(k=30),
         "x_wordpiece_pairs": _ts.wordpiece_top_pairs_sql(k=30),
         "x_kmeans_clusters": _cl.kmeans_lloyd_sql(k=8, rounds=3),

@@ -1499,6 +1499,149 @@ FROM weighted GROUP BY doc_id
 """
 
 
+def kneser_ney_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean Kneser-Ney bigram probability, integer-exact:
+    DataFrame[doc_id, n_bigrams, kn_score_micro] with
+
+        p_KN(v | u) = max(c(u,v) - D, 0) / c(u·)
+                      + (D · N1+(u,·) / c(u·)) · N1+(·,v) / N1+(··)
+
+    at the textbook absolute discount D = 3/4, materialized in integer
+    MICRO units as two floor divisions (4·c clears the discount):
+
+        p_micro = (1_000_000 · greatest(4·c_uv - 3, 0)) div (4·c_ctx)
+                + (1_000_000 · 3 · n1u · n1v) div (4 · c_ctx · nbb)
+
+    and the document score = (Σ p_micro) div n_bigrams — all BIGINT,
+    bit-identical across engines (the no-libm-log convention). Where
+    :func:`bigram_lm_rarity` is the add-½ first cut, this is the
+    proper interpolated KN estimator the KenLM/CCNet perplexity
+    filters actually use: mass freed by discounting observed bigrams
+    is redistributed by CONTINUATION counts (how many distinct
+    contexts a word follows), so "Francisco" — frequent but glued to
+    one context — stops inflating unseen-bigram probability.
+
+    Definitions: c_ctx(u) = Σ_v c(u,v) (the followed-by-anything
+    count — the true KN denominator, one extra groupBy over the
+    bigram table; bigram_lm_rarity documents using plain c(u)
+    instead), N1+(u,·) = distinct successors of u, N1+(·,v) =
+    distinct predecessors of v, N1+(··) = total distinct bigrams. The
+    greatest(…, 0) clamp only binds when scoring held-out text whose
+    bigrams are absent from the training corpus (self-scoring always
+    has c_uv >= 1).
+
+    Plan: the bigram word-count aggregation feeds THREE
+    vocabulary-sized derived tables (c_ctx, n1u by context; n1v by
+    successor) and one scalar; the corpus-sized stream then takes one
+    bigram-keyed join + two token-keyed joins and a per-doc sum —
+    order-independent integer addition, so no position-ordered
+    collect is needed. Overflow headroom: the continuation numerator
+    1e6·3·n1u·n1v stays under 2**63 for n1u·n1v <= 3·10**12 — fine
+    through multi-million-token vocabularies; beyond that, split the
+    floor division (documented variant, different rounding).
+    """
+    pairs = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bigram"),
+    ).select(
+        "doc_id",
+        "bigram",
+        F.split(F.col("bigram"), " ")[0].alias("u"),
+        F.split(F.col("bigram"), " ")[1].alias("v"),
+    )
+    bi = pairs.groupBy("bigram").agg(
+        F.count("*").cast("long").alias("c_uv")
+    )
+    bi_uv = bi.select(
+        "bigram",
+        "c_uv",
+        F.split(F.col("bigram"), " ")[0].alias("u"),
+        F.split(F.col("bigram"), " ")[1].alias("v"),
+    )
+    ctx = bi_uv.groupBy("u").agg(
+        F.sum("c_uv").alias("c_ctx"),
+        F.count("*").cast("long").alias("n1u"),
+    )
+    succ = bi_uv.groupBy("v").agg(
+        F.count("*").cast("long").alias("n1v")
+    )
+    nbb = bi.agg(F.count("*").cast("long").alias("nbb"))
+    scored = (
+        pairs.join(bi.select("bigram", "c_uv"), "bigram")
+        .join(ctx, "u")
+        .join(succ, "v")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * greatest(4 * c_uv - 3, 0)) div (4 * c_ctx)"
+                " + (1000000 * 3 * n1u * n1v) div (4 * c_ctx * nbb)"
+            ).alias("p_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.expr("sum(p_micro) div count(*)")
+        .cast("long")
+        .alias("kn_score_micro"),
+    )
+
+
+def kneser_ney_score_sql() -> str:
+    """DuckDB twin of :func:`kneser_ney_score` (identical integer
+    floor divisions; order-independent integer sums)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i] || ' ' || toks[i + 1]))
+           AS bigram,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i])) AS u,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i + 1])) AS v
+  FROM base
+),
+bi AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_uv
+  FROM pairs GROUP BY bigram
+),
+bi_uv AS (
+  SELECT bigram, c_uv,
+         string_split(bigram, ' ')[1] AS u,
+         string_split(bigram, ' ')[2] AS v
+  FROM bi
+),
+ctx AS (
+  SELECT u, CAST(SUM(c_uv) AS BIGINT) AS c_ctx,
+         CAST(COUNT(*) AS BIGINT) AS n1u
+  FROM bi_uv GROUP BY u
+),
+succ AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n1v
+  FROM bi_uv GROUP BY v
+),
+nbb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bi),
+scored AS (
+  SELECT p.doc_id,
+         (1000000 * GREATEST(4 * b.c_uv - 3, 0)) // (4 * ctx.c_ctx)
+         + (1000000 * 3 * ctx.n1u * succ.n1v)
+           // (4 * ctx.c_ctx * nbb.nbb) AS p_micro
+  FROM pairs p
+  JOIN bi b USING (bigram)
+  JOIN ctx ON ctx.u = p.u
+  JOIN succ ON succ.v = p.v
+  CROSS JOIN nbb
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS kn_score_micro
+FROM scored GROUP BY doc_id
+"""
+
+
 def bpe_top_pairs_bytes(
     docs: DataFrame, k: int = 30, text_col: str = "text"
 ) -> DataFrame:

@@ -594,3 +594,51 @@ def test_chunk_documents_validates_stride(spark):
         chunk_documents(docs, window=4, stride=5)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, window=4, stride=0)
+
+
+def test_kneser_ney_score_reference(spark):
+    from big_data_computing__spark.operators.textstats import (
+        kneser_ney_score,
+    )
+
+    rows = [
+        (0, "a b a b a b"),     # predictable transitions
+        (1, "a b b a a b"),     # rare transitions b->b, a->a
+        (2, "c a b c"),         # c glued to few contexts
+        (3, "x"),               # no bigrams: absent from output
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_score_micro"])
+        for r in kneser_ney_score(docs).collect()
+    }
+    # sequential reference of the same integer floor divisions
+    toks = {i: t.split() for i, t in rows if t}
+    bi: dict[tuple, int] = {}
+    for v in toks.values():
+        for p in zip(v, v[1:]):
+            bi[p] = bi.get(p, 0) + 1
+    c_ctx: dict[str, int] = {}
+    n1u: dict[str, int] = {}
+    n1v: dict[str, int] = {}
+    for (u, w), c in bi.items():
+        c_ctx[u] = c_ctx.get(u, 0) + c
+        n1u[u] = n1u.get(u, 0) + 1
+        n1v[w] = n1v.get(w, 0) + 1
+    nbb = len(bi)
+    want = {}
+    for i, v in toks.items():
+        ps = list(zip(v, v[1:]))
+        if not ps:
+            continue
+        s = sum(
+            (1_000_000 * max(4 * bi[(u, w)] - 3, 0)) // (4 * c_ctx[u])
+            + (1_000_000 * 3 * n1u[u] * n1v[w])
+            // (4 * c_ctx[u] * nbb)
+            for u, w in ps
+        )
+        want[i] = (len(ps), s // len(ps))
+    assert got == want
+    # predictable text scores higher mean probability than scrambled
+    assert got[0][1] > got[1][1]
