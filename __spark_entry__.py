@@ -1237,6 +1237,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle-free codegen map; one skinny shuffle per round
         return _cl.kmeans_lloyd(_emb(spark, sf_dir), k=8, rounds=3)
 
+    def x_kmeans_balanced_sample(spark, sf_dir):
+        # cluster-then-sample (the D4-style diversity quota): the same
+        # integer-exact Lloyd model, then the 10 closest-to-centroid
+        # vectors per cluster — shuffle-free assignment, one skinny
+        # WindowGroupLimit quota; unique under the (d2, vec_id) order
+        return _cl.kmeans_balanced_sample(
+            _emb(spark, sf_dir), k=8, rounds=3, m=10
+        )
+
     def x_bpe_byte_pairs(spark, sf_dir):
         # byte-level BPE's inner step (GPT-2 family): adjacent BYTE
         # pair counts over the space-prefixed UTF-8 hex spelling of
@@ -1514,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_maxsim_topk,
         x_weighted_truss,
         x_kneser_ney_score,
+        x_kmeans_balanced_sample,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2194,6 +2204,9 @@ WHERE vec_id NOT IN (
         "x_bpe_byte_pairs": _ts.bpe_top_pairs_bytes_sql(k=30),
         "x_wordpiece_pairs": _ts.wordpiece_top_pairs_sql(k=30),
         "x_kmeans_clusters": _cl.kmeans_lloyd_sql(k=8, rounds=3),
+        "x_kmeans_balanced_sample": _cl.kmeans_balanced_sample_sql(
+            k=8, rounds=3, m=10
+        ),
         "x_personalized_pagerank": _dd.personalized_pagerank_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),

@@ -321,6 +321,27 @@ def kmeans_lloyd(
     vectors per cluster.
     """
     pts = _kmeans_pts(emb, scale).localCheckpoint()
+    centers = _kmeans_centers(pts, k, rounds)
+    final = pts.select(
+        "vec_id", _argmin_center_expr(centers).alias("a")
+    )
+    return (
+        final.groupBy(F.col("a.c").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("a.d2").cast("long").alias("inertia"),
+        )
+    )
+
+
+def _kmeans_centers(
+    pts: DataFrame, k: int, rounds: int
+) -> list[list[int]]:
+    """The Lloyd training loop of :func:`kmeans_lloyd` (same init,
+    same rounds, same truncating centroid division); returns the
+    final k integer centroids. Shared with
+    :func:`kmeans_balanced_sample` so both surface the IDENTICAL
+    model for the oracle's unrolled CTEs."""
     init = pts.orderBy("vec_id").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"kmeans_lloyd: fewer than k={k} vectors")
@@ -342,14 +363,54 @@ def kmeans_lloyd(
         for r in agg:
             new[r["c"]][r["dim"]] = _tdiv(r["s"], r["n"])
         centers = new
-    final = pts.select(
+    return centers
+
+
+def kmeans_balanced_sample(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    m: int = 16,
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Cluster-balanced prototype sample: train the same integer-exact
+    Lloyd model as :func:`kmeans_lloyd`, then keep the ``m`` vectors
+    CLOSEST to their centroid per cluster —
+    DataFrame[cluster, vec_id, d2], unique under the (d2, vec_id)
+    total order.
+
+    The cluster-then-sample move of diversity-aware data curation
+    (the shape of D4 / cluster-balanced subset selection): a uniform
+    sample over-represents the dominant mode; sampling a fixed quota
+    per k-means cluster keeps every mode represented, and taking the
+    closest-to-centroid members yields the most prototypical
+    exemplars of each (swap the rank direction for outlier-hunting).
+
+    Plan: the trained centroids are k·d integer literals, so
+    assignment + d² is a SHUFFLE-FREE codegen map; the per-cluster
+    quota is one window rank partitioned by cluster — Spark plans
+    WindowGroupLimit, so each partition holds only its running top-m
+    and the single shuffle moves skinny (cluster, vec_id, d2) rows.
+    At 100 TB: train cost = kmeans_lloyd; selection cost = one skinny
+    k-partition shuffle, never the vectors themselves.
+    """
+    pts = _kmeans_pts(emb, scale).localCheckpoint()
+    centers = _kmeans_centers(pts, k, rounds)
+    assigned = pts.select(
         "vec_id", _argmin_center_expr(centers).alias("a")
+    ).select(
+        F.col("a.c").alias("cluster"),
+        "vec_id",
+        F.col("a.d2").alias("d2"),
     )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy("d2", "vec_id")
     return (
-        final.groupBy(F.col("a.c").alias("cluster"))
-        .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.sum("a.d2").cast("long").alias("inertia"),
+        assigned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= m)
+        .select(
+            "cluster", "vec_id", F.col("d2").cast("long").alias("d2")
         )
     )
 
@@ -361,6 +422,32 @@ def kmeans_lloyd_sql(
     as CTEs (the k-core/k-truss materialized-round contract) —
     identical floor quantization, identical truncating centroid
     division, identical (d², c) argmin."""
+    return f"""{_kmeans_fin_with(k, rounds, scale)}
+SELECT CAST(c AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d2) AS BIGINT) AS inertia
+FROM fin GROUP BY c
+"""
+
+
+def kmeans_balanced_sample_sql(
+    k: int = 8, rounds: int = 3, m: int = 16, scale: int = KMEANS_SCALE
+) -> str:
+    """DuckDB twin of :func:`kmeans_balanced_sample` (same unrolled
+    training CTEs, per-cluster (d2, vec_id) row_number quota)."""
+    return f"""{_kmeans_fin_with(k, rounds, scale)}
+SELECT CAST(c AS INT) AS cluster, vec_id, CAST(d2 AS BIGINT) AS d2
+FROM (
+  SELECT c, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY d2, vec_id) AS rk
+  FROM fin
+) WHERE rk <= {m}
+"""
+
+
+def _kmeans_fin_with(k: int, rounds: int, scale: int) -> str:
+    """The shared WITH-chain of the unrolled Lloyd oracle, ending in
+    CTE ``fin`` = (vec_id, c, d2) final assignments."""
     d2 = (
         "list_sum(list_transform(range(1, len(e) + 1), "
         "i -> (e[i] - q[i]) * (e[i] - q[i])))"
@@ -416,10 +503,5 @@ fin AS (
                               ORDER BY {d2}, cr.c) AS rn
     FROM pts p CROSS JOIN c{rounds} cr
   ) WHERE rn = 1
-)
-SELECT CAST(c AS INT) AS cluster,
-       CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(SUM(d2) AS BIGINT) AS inertia
-FROM fin GROUP BY c
-"""
+)"""
     )

@@ -201,3 +201,55 @@ def test_kmeans_duplicate_points_and_small_k(spark):
         for r in kmeans_lloyd(emb, k=2, rounds=2).collect()
     )
     assert got == [(4, 0), (5, 0)]
+
+
+def test_kmeans_balanced_sample_quota_and_order(spark):
+    """Per-cluster quota: with m=1 each non-empty cluster contributes
+    exactly its (d2, vec_id)-minimal member; with m large the sample
+    is the full assignment."""
+    from big_data_computing__spark.operators.clustering import (
+        kmeans_balanced_sample,
+    )
+
+    rows = [
+        (i, [float(i % 4), float((i * 7) % 5), float(i) / 10.0], 0)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    full = kmeans_balanced_sample(emb, k=4, rounds=2, m=1000).collect()
+    assert len(full) == 40  # quota never drops rows when m >= cluster
+    by_cluster: dict[int, list] = {}
+    for r in full:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["d2"], r["vec_id"])
+        )
+    one = kmeans_balanced_sample(emb, k=4, rounds=2, m=1).collect()
+    assert len(one) == len(by_cluster)
+    for r in one:
+        assert (r["d2"], r["vec_id"]) == min(by_cluster[r["cluster"]])
+
+
+def test_kmeans_balanced_sample_same_model_as_lloyd(spark):
+    """The sample's cluster populations must tally with kmeans_lloyd's
+    n_members — both surface the SAME trained model."""
+    from big_data_computing__spark.operators.clustering import (
+        kmeans_balanced_sample,
+        kmeans_lloyd,
+    )
+
+    rows = [
+        (i, [float((i * 3) % 7), float(i % 5)], 0) for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sizes = {
+        r["cluster"]: r["n_members"]
+        for r in kmeans_lloyd(emb, k=3, rounds=2).collect()
+    }
+    got: dict[int, int] = {}
+    for r in kmeans_balanced_sample(emb, k=3, rounds=2, m=1000).collect():
+        got[r["cluster"]] = got.get(r["cluster"], 0) + 1
+    assert got == sizes
