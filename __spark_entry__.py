@@ -792,6 +792,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
         )
 
+    def x_incremental_dedup(spark, sf_dir):
+        # daily-ingest dedup: the increment (every 7th doc) probes the
+        # STANDING corpus signature index by band-key equi-join — no
+        # corpus-vs-corpus pair ever enumerates, per-batch cost is
+        # O(batch + collisions) regardless of corpus size
+        docs = _docs(spark, sf_dir)
+        return _dd.incremental_lsh_duplicates(
+            docs.where("doc_id % 7 = 0"),
+            _dd.minhash_signatures(docs.where("doc_id % 7 <> 0")),
+        )
+
     def x_weighted_truss(spark, sf_dir):
         # WEIGHTED truss of the simhash graph: each triangle priced at
         # its weakest link's similarity (4 - hamming), edges kept while
@@ -1524,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_weighted_truss,
         x_kneser_ney_score,
         x_kmeans_balanced_sample,
+        x_incremental_dedup,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2103,6 +2115,10 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
             f"SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
             k=4,
+        ),
+        "x_incremental_dedup": _dd.incremental_lsh_duplicates_sql(
+            new_pred="doc_id % 7 = 0",
+            corpus_pred="doc_id % 7 <> 0",
         ),
         "x_weighted_truss": _dd.weighted_truss_edges_sql(
             f"SELECT doc_a, doc_b, 4 - hamming AS wgt FROM "

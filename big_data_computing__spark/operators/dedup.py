@@ -124,6 +124,34 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(sigs: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band, bkey) LSH bucket rows from a signature table —
+    bkey = sig[2b]·p + sig[2b+1], the injective integer combine of the
+    band's two minhash rows. Shared by the self-join pair generator
+    and the incremental new-vs-corpus probe."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col("sig")[2 * b] * F.lit(MINHASH_PRIME)
+                            + F.col("sig")[2 * b + 1]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -143,23 +171,7 @@ def minhash_lsh_pairs(
     bands = num_hashes // 2
     if sigs is None:
         sigs = minhash_signatures(docs, num_hashes, ngram, text_col)
-    buckets = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.col("sig")[2 * b] * F.lit(MINHASH_PRIME)
-                            + F.col("sig")[2 * b + 1]
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    buckets = _band_buckets(sigs, bands)
     # Both sides of the self-join read `buckets`; without persistence the
     # whole upstream (shingle explode → md5 → 16-way min aggregation) runs
     # twice — measured ~2× the operator's wall at sf0.1. The persisted
@@ -233,6 +245,91 @@ buckets AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def incremental_lsh_duplicates(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 16,
+    ngram: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate matches of an INCREMENT against an existing
+    corpus signature index: DataFrame[new_doc_id, corpus_doc_id,
+    n_bands] — every LSH band collision between a new document and a
+    previously-indexed one.
+
+    The daily-ingest shape of dedup at 100 TB: the corpus is indexed
+    ONCE (``corpus_sigs`` = :func:`minhash_signatures` output, a few
+    fixed-width integers per document — the persisted artifact a
+    ZTable holds), and each increment signs only its own documents and
+    probes the index by band-key equi-join. No corpus-vs-corpus pair
+    is ever enumerated, so per-batch cost is
+    O(batch · bands + collisions), independent of corpus size — vs
+    re-running :func:`minhash_lsh_pairs` over corpus+batch, which
+    re-pays the full self-join every day. Within-increment duplicates
+    are deliberately OUT of scope here (run the self-join pair
+    generator on the small increment for those; union the two pair
+    sets for the full picture).
+
+    Plan: the increment's signature aggregation (its only heavy step),
+    two band explodes, one (band, bkey)-keyed join — the probe side is
+    batch-sized, so at scale Spark broadcast-joins it against the
+    bucketed index scan — and one (new, corpus)-keyed count.
+    """
+    bands = num_hashes // 2
+    new_sigs = minhash_signatures(new_docs, num_hashes, ngram, text_col)
+    nb = _band_buckets(new_sigs, bands).withColumnRenamed(
+        "doc_id", "new_doc_id"
+    )
+    cb = _band_buckets(corpus_sigs, bands).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    )
+    return (
+        nb.join(cb, ["band", "bkey"])
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def incremental_lsh_duplicates_sql(
+    new_pred: str,
+    corpus_pred: str,
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> str:
+    """DuckDB twin of :func:`incremental_lsh_duplicates` with the
+    corpus/increment split expressed as predicates over ``documents``
+    (the oracle's stand-in for "yesterday's index + today's batch")."""
+    sig_new = minhash_signatures_sql(
+        num_hashes, ngram,
+        f"(SELECT * FROM documents WHERE {new_pred})",
+    )
+    sig_corpus = minhash_signatures_sql(
+        num_hashes, ngram,
+        f"(SELECT * FROM documents WHERE {corpus_pred})",
+    )
+    bands = num_hashes // 2
+    structs = ", ".join(
+        f"{{'band': {b}, 'bkey': sig[{2 * b + 1}] * {MINHASH_PRIME} "
+        f"+ sig[{2 * b + 2}]}}"
+        for b in range(bands)
+    )
+    return f"""
+WITH new_sigs AS ({sig_new}),
+corpus_sigs AS ({sig_corpus}),
+nb AS (
+  SELECT doc_id AS new_doc_id, unnest([{structs}], recursive := true)
+  FROM new_sigs
+),
+cb AS (
+  SELECT doc_id AS corpus_doc_id, unnest([{structs}], recursive := true)
+  FROM corpus_sigs
+)
+SELECT new_doc_id, corpus_doc_id, COUNT(*) AS n_bands
+FROM nb JOIN cb USING (band, bkey)
 GROUP BY 1, 2
 """
 

@@ -1843,3 +1843,44 @@ def test_weighted_truss_duplicate_pair_rows_collapse(spark):
     # triangle price = min(5, 5, 5) = 5 — the weak duplicate row of
     # (1,2) must not drag the price to 2
     assert got == {(1, 2): 5, (1, 3): 5, (2, 3): 5}
+
+
+def test_incremental_dedup_equals_split_of_full_pairs(spark):
+    """The incremental probe must produce EXACTLY the cross-split
+    subset of the full self-join pair set — same collisions, same
+    n_bands — never more (no corpus-vs-corpus) and never fewer."""
+    from big_data_computing__spark.operators.dedup import (
+        incremental_lsh_duplicates,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again"),
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "a completely different document about spark shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog once"),
+        (4, "a completely different document about spark shuffles"),
+        (5, "unrelated third topic entirely separate text body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.where("doc_id >= 4")
+    corpus = docs.where("doc_id < 4")
+    got = {
+        (r["new_doc_id"], r["corpus_doc_id"]): r["n_bands"]
+        for r in incremental_lsh_duplicates(
+            new, minhash_signatures(corpus)
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    want = {
+        (max(a, b), min(a, b)): n
+        for (a, b), n in full.items()
+        if (a >= 4) != (b >= 4)
+    }
+    # canonicalize: new ids here are all > corpus ids
+    assert got == want
+    assert got, "fixture must produce at least one cross-split match"
