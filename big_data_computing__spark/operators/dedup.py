@@ -255,6 +255,7 @@ def incremental_lsh_duplicates(
     num_hashes: int = 16,
     ngram: int = 3,
     text_col: str = "text",
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate matches of an INCREMENT against an existing
     corpus signature index: DataFrame[new_doc_id, corpus_doc_id,
@@ -280,7 +281,10 @@ def incremental_lsh_duplicates(
     bucketed index scan — and one (new, corpus)-keyed count.
     """
     bands = num_hashes // 2
-    new_sigs = minhash_signatures(new_docs, num_hashes, ngram, text_col)
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
+            new_docs, num_hashes, ngram, text_col
+        )
     nb = _band_buckets(new_sigs, bands).withColumnRenamed(
         "doc_id", "new_doc_id"
     )

@@ -42,3 +42,82 @@ def test_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert set(fps) == {
         r["fingerprint"] for r in batch_groups.collect()
     }
+
+
+def test_lsh_index_state_prefix_parity_and_replay(spark, sf_dir, tmp_path):
+    """Direct-update run of the streaming LSH index: after EVERY batch
+    prefix the accumulated pair set must equal batch minhash_lsh_pairs
+    over the arrived documents bit-for-bit; a replayed batch id is a
+    strict no-op."""
+    from big_data_computing__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from big_data_computing__spark.streaming.dedup_stream import (
+        LshIndexState,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    state = LshIndexState(
+        str(tmp_path / "sig_index"), str(tmp_path / "pairs")
+    )
+    batches = [
+        docs.where("doc_id % 3 = 0"),
+        docs.where("doc_id % 3 = 1"),
+        docs.where("doc_id % 3 = 2"),
+    ]
+    arrived = None
+    for bid, b in enumerate(batches):
+        state.update(b, bid)
+        arrived = b if arrived is None else arrived.unionByName(b)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["n_bands"]
+            for r in state.pairs(spark).collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"]): r["n_bands"]
+            for r in minhash_lsh_pairs(arrived).collect()
+        }
+        assert got == want, f"prefix parity broke at batch {bid}"
+    assert want, "fixture must yield at least one candidate pair"
+    # replay: same batch id again must change nothing on disk
+    state.update(batches[1], 1)
+    again = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in state.pairs(spark).collect()
+    }
+    assert again == want
+
+
+def test_lsh_index_state_real_foreachbatch(spark, sf_dir, tmp_path):
+    """The same state driven by a REAL availableNow foreachBatch query
+    over a parquet stream reaches batch parity."""
+    from big_data_computing__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from big_data_computing__spark.streaming.dedup_stream import (
+        LshIndexState,
+        lsh_dedup_stream_query,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    data = str(tmp_path / "docs")
+    docs.write.parquet(data)
+    state = LshIndexState(
+        str(tmp_path / "sig_index"), str(tmp_path / "pairs")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    q = lsh_dedup_stream_query(stream, state)
+    q.awaitTermination(180)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in state.pairs(spark).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want and want
