@@ -604,6 +604,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.asc("o_orderkey"),
         )
 
+    # -- TPC-H classic shapes (Q3 / Q5 / Q10 adapted to the fixture's
+    # columns): the multi-join date-windowed aggregates every
+    # warehouse benchmark is built from. Timestamp predicates compare
+    # native TIMESTAMP_NTZ (pushdown-able); revenue follows j2's
+    # round-to-cents BIGINT convention. --
+
+    def q3_shipping_priority(spark, sf_dir):
+        # TPC-H Q3: top-10 not-yet-shipped orders of one segment by
+        # pending revenue. Dims broadcast; the lineitem date filter
+        # pushes to the scan.
+        cust = _rd.read_table(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = _rd.read_table(spark, sf_dir, "orders").where(
+            F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-06-01'")
+        )
+        li = _rd.read_table(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-06-01'")
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy(
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                    "order_date"
+                ),
+            )
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    )
+                )
+                .cast("long")
+                .alias("revenue_cents")
+            )
+            .orderBy(F.desc("revenue_cents"), "o_orderkey")
+            .limit(10)
+        )
+
+    def q5_local_supplier_volume(spark, sf_dir):
+        # TPC-H Q5: per-nation revenue where supplier and customer
+        # share the nation, one region, one order-date year — the
+        # 6-way snowflake join; all dims broadcast, lineitem shuffles
+        # once on the join key.
+        cust = _rd.read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        orders = _rd.read_table(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+        ).select("o_orderkey", "o_custkey")
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        supp = _rd.read_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+        nation = _rd.read_table(spark, sf_dir, "nation")
+        region = _rd.read_table(spark, sf_dir, "region")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(supp),
+                (li.l_suppkey == supp.s_suppkey)
+                & (cust.c_nationkey == supp.s_nationkey),
+            )
+            .join(
+                F.broadcast(nation),
+                supp.s_nationkey == nation.n_nationkey,
+            )
+            .join(
+                F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            )
+            .where(F.col("r_name") == "ASIA")
+        )
+        return joined.groupBy("n_name").agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+
+    def q10_returned_customers(spark, sf_dir):
+        # TPC-H Q10: top-20 customers by revenue lost to returns in
+        # one quarter-of-orders window
+        cust = _rd.read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
+        orders = _rd.read_table(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-07-01'"))
+        ).select("o_orderkey", "o_custkey")
+        li = _rd.read_table(spark, sf_dir, "lineitem").where(
+            F.col("l_returnflag") == "R"
+        )
+        nation = _rd.read_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey,
+            )
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    )
+                )
+                .cast("long")
+                .alias("revenue_cents")
+            )
+            .orderBy(F.desc("revenue_cents"), "c_custkey")
+            .limit(20)
+        )
+
     def j4_anti_join_customers(spark, sf_dir):
         # customers with no high-value (> 400k) order: anti join
         cust = _rd.read_table(spark, sf_dir, "customer")
@@ -1536,6 +1666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_kneser_ney_score,
         x_kmeans_balanced_sample,
         x_incremental_dedup,
+        q3_shipping_priority,
+        q5_local_supplier_volume,
+        q10_returned_customers,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2014,6 +2147,47 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
         "o1_topk_orders": f"SELECT o_orderkey, o_totalprice FROM orders "
         f"ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {TOPK}",
+        "q3_shipping_priority": """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, order_date
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10""",
+        "q5_local_supplier_volume": """
+SELECT n_name,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name""",
+        "q10_returned_customers": """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20""",
         "j4_anti_join_customers": "SELECT c_custkey FROM customer "
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "AND o_totalprice > 400000)",
