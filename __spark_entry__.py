@@ -1616,6 +1616,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_frame_sample(spark, sf_dir):
         return _mm.frame_sample(_mm.documents_as_media(_docs(spark, sf_dir)))
 
+    def x_media_chunks(spark, sf_dir):
+        # overlapped byte-window chunking (the audio/video shard step):
+        # one narrow projection — payload bytes never shuffle, only
+        # md5-over-hex fingerprints leave the row
+        return _mm.chunk_media(
+            _mm.documents_as_media(_docs(spark, sf_dir))
+        )
+
     def x_decode_features(spark, sf_dir):
         # deterministic fake decoder (no codecs in this env), oracled
         # since r5 by a computed DuckDB twin (decode_features_sql).
@@ -1669,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q3_shipping_priority,
         q5_local_supplier_volume,
         q10_returned_customers,
+        x_media_chunks,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2455,6 +2464,7 @@ WHERE vec_id NOT IN (
         ),
         "x_media_metadata": _mm.media_metadata_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),
+        "x_media_chunks": _mm.chunk_media_sql(),
         # the fake decoder is deterministic and byte-arithmetic only, so
         # it gets a REAL computed oracle (hex-sliced byte means), not a
         # pinned golden — retires the longest-standing no_oracle row

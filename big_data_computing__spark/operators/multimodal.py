@@ -208,3 +208,90 @@ SELECT media_id,
        CAST(unnest(range(0, frames)) * {every_n_bytes} AS BIGINT) AS offset
 FROM f WHERE frames >= 1
 """
+
+
+def chunk_media(
+    media: DataFrame, window: int = 96, hop: int = 64
+) -> DataFrame:
+    """Overlapped byte-window chunking of media payloads — the
+    audio/video shard step (Whisper-style fixed windows with hop):
+    DataFrame[media_id, chunk_idx, start, chunk_len, fp] with one row
+    per window of ``window`` bytes every ``hop`` bytes (the final
+    window may be shorter; empty payloads emit nothing).
+
+    ``fp`` is the md5 of the chunk's hex encoding — a cross-engine
+    fingerprint (Spark's and DuckDB's ``hex`` agree byte-for-byte,
+    both UPPERCASE, and md5-over-VARCHAR exists in both; DuckDB has
+    no BLOB substring/md5, so slicing happens in hex space at doubled
+    offsets — the decode_features oracle's technique). The payload
+    itself NEVER leaves the row: chunk enumeration, slicing, and
+    fingerprinting are one narrow projection — zero shuffle, the
+    multimodal module's payload-locality contract — and downstream
+    dedup/indexing consumes the fingerprints, not the bytes.
+    """
+    if window < 1 or hop < 1:
+        raise ValueError("chunk_media: window and hop must be >= 1")
+    n = F.col("meta.n_bytes")
+    return (
+        media.where(n > 0)
+        .select(
+            "media_id",
+            F.hex(F.col("payload")).alias("hx"),
+            n.alias("n_bytes"),
+        )
+        .select(
+            "media_id",
+            "n_bytes",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n_bytes") - 1) / hop).cast("long"),
+                )
+            ).alias("chunk_idx"),
+            F.col("hx"),
+        )
+        .select(
+            "media_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * hop).cast("long").alias("start"),
+            F.least(
+                F.lit(window).cast("long"),
+                F.col("n_bytes") - F.col("chunk_idx") * hop,
+            ).alias("chunk_len"),
+            F.md5(
+                F.expr(
+                    f"substring(hx, CAST(chunk_idx * {hop} * 2 + 1 AS INT),"
+                    f" CAST(least({window}, n_bytes - chunk_idx * {hop})"
+                    " * 2 AS INT))"
+                )
+            ).alias("fp"),
+        )
+    )
+
+
+def chunk_media_sql(window: int = 96, hop: int = 64) -> str:
+    """DuckDB twin of :func:`chunk_media` over documents_as_media
+    (identical hex-space slicing, identical md5 fingerprints)."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+c AS (
+  SELECT media_id, hx, n_bytes,
+         unnest(range(0, (n_bytes - 1) // {hop} + 1)) AS chunk_idx
+  FROM m
+)
+SELECT media_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {hop} AS BIGINT) AS start,
+       CAST(least({window}, n_bytes - chunk_idx * {hop}) AS BIGINT)
+         AS chunk_len,
+       md5(substr(hx, CAST(chunk_idx * {hop} * 2 + 1 AS BIGINT),
+                  CAST(least({window}, n_bytes - chunk_idx * {hop}) * 2
+                       AS BIGINT))) AS fp
+FROM c
+"""

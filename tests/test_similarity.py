@@ -831,3 +831,51 @@ def test_int8_topk_scores_and_recall(spark, emb):
         hits += int(best in cands)
         total += 1
     assert hits / total >= 0.9, (hits, total)
+
+
+def test_chunk_media_windows_and_fingerprints(spark):
+    """Window enumeration and fingerprints against a hand computation:
+    10-byte payload, window 4, hop 3 → starts 0,3,6,9 with the tail
+    chunk short; fp = md5 of the chunk's hex (the cross-engine slice
+    convention)."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "xy")],
+        "doc_id long, text string",
+    )
+    media = MM.documents_as_media(docs)
+    rows = {
+        (r["media_id"], r["chunk_idx"]): (
+            r["start"], r["chunk_len"], r["fp"]
+        )
+        for r in MM.chunk_media(media, window=4, hop=3).collect()
+    }
+    payload = b"abcdefghij"
+    want = {}
+    for i, start in enumerate(range(0, 10, 3)):
+        chunk = payload[start : start + 4]
+        want[(1, i)] = (
+            start,
+            len(chunk),
+            hashlib.md5(chunk.hex().upper().encode()).hexdigest(),
+        )
+    want[(3, 0)] = (
+        0, 2, hashlib.md5(b"xy".hex().upper().encode()).hexdigest()
+    )
+    assert rows == want  # doc 2 (empty) emits nothing
+
+
+def test_chunk_media_plan_is_narrow(spark, sf_dir):
+    """The payload-locality contract: chunking is one narrow
+    projection — no shuffle anywhere in the plan."""
+    from big_data_computing__spark.sources.readers import read_table
+
+    media = MM.documents_as_media(read_table(spark, sf_dir, "documents"))
+    plan = (
+        MM.chunk_media(media)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
