@@ -1475,6 +1475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # baseline the celled int8 variants would re-rank against
         return _sim.int8_topk(_emb(spark, sf_dir))
 
+    def x_ann_ivf_int8_topk(spark, sf_dir):
+        # the int8 tier's scale path: integer-exact Lloyd centroids as
+        # the coarse quantizer (same subspace as the codec), nprobe
+        # cell pruning, int8 integer-dot scoring — the first celled
+        # ANN tier whose oracle is fully COMPUTED (no goldens)
+        return _sim.ivf_int8_topk(_emb(spark, sf_dir))
+
     def x_fuzzy_name_pairs(spark, sf_dir):
         # record-linkage front end: blocked (head-noun) levenshtein
         # compare over DISTINCT part names — the quadratic work runs
@@ -1678,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q5_local_supplier_volume,
         q10_returned_customers,
         x_media_chunks,
+        x_ann_ivf_int8_topk,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2385,6 +2393,7 @@ WHERE vec_id NOT IN (
         ),
         "x_embed_quantize_report": _sim.embedding_quantize_report_sql(),
         "x_ann_int8_topk": _sim.int8_topk_sql(),
+        "x_ann_ivf_int8_topk": _sim.ivf_int8_topk_sql(),
         "x_fuzzy_name_pairs": _dd.fuzzy_name_pairs_sql(),
         "x_fuzzy_entities": _dd.fuzzy_entities_sql(),
         "x_suffix_array_sample": _sx.suffix_array_sample_sql(

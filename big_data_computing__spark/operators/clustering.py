@@ -445,18 +445,23 @@ FROM (
 """
 
 
-def _kmeans_fin_with(k: int, rounds: int, scale: int) -> str:
+def _kmeans_fin_with(
+    k: int, rounds: int, scale: int, dims: int | None = None
+) -> str:
     """The shared WITH-chain of the unrolled Lloyd oracle, ending in
-    CTE ``fin`` = (vec_id, c, d2) final assignments."""
+    CTE ``fin`` = (vec_id, c, d2) final assignments. ``dims`` trains
+    on the first ``dims`` coordinates only (the int8 tier's subspace
+    convention); None = the full embedding."""
     d2 = (
         "list_sum(list_transform(range(1, len(e) + 1), "
         "i -> (e[i] - q[i]) * (e[i] - q[i])))"
     )
+    emb_slice = "" if dims is None else f"[1:{dims}]"
     ctes = [
         f"""
 pts AS (
   SELECT vec_id,
-         list_transform(embedding,
+         list_transform(embedding{emb_slice},
                         x -> CAST(floor({scale} * CAST(x AS DOUBLE))
                                   AS BIGINT)) AS e
   FROM embeddings

@@ -2336,6 +2336,157 @@ SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
 """
 
 
+def ivf_int8_topk(
+    emb: DataFrame,
+    k: int = 3,
+    dims: int = 8,
+    n_cells: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    scale: int = 1_000_000,
+    query_mod: int = 10,
+) -> DataFrame:
+    """IVF-celled int8 search — the int8 tier's SCALE PATH next to
+    :func:`int8_topk`'s labeled brute baseline, and the first celled
+    ANN tier with a fully COMPUTED oracle (no goldens): the coarse
+    quantizer is the integer-exact Lloyd k-means
+    (clustering._kmeans_centers — bit-reproducible, unrolled-CTE
+    oracle-able) trained on the same first-``dims`` subspace the
+    codec works in, so cell assignment, probe ranking, and int8 dot
+    scoring are ALL exact integer arithmetic end to end.
+    DataFrame[query_id, vec_id, score], top-``k`` per query by
+    (score DESC, vec_id), self-search over vec_id % query_mod == 0
+    excluding the identical id — the ANN family's conventions.
+
+    Plan: centroids are n_cells·dims integer literals, so BOTH the
+    corpus assignment and each query's nprobe-cell ranking are
+    shuffle-free codegen maps; candidates come from one broadcast
+    join of the (queries × nprobe) probe list against the
+    cell-assigned corpus — work ∝ the probed cells' population,
+    1/(n_cells/nprobe) of the corpus, with 1-byte-scale code arrays
+    as the only payload. The float IVF tier (ivf_topk) keeps the
+    recall story; this tier is the integer serving index a vector
+    store ships: storage-quantized, cell-pruned, value-verifiable.
+    """
+    from .clustering import (
+        _argmin_center_expr,
+        _kmeans_centers,
+        _kmeans_pts,
+    )
+
+    sub = emb.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {dims})").alias("embedding")
+    )
+    pts = _kmeans_pts(sub, scale).localCheckpoint()
+    centers = _kmeans_centers(pts, n_cells, rounds)
+    coded = _int8_code_vectors(emb, dims, scale)
+    assigned = pts.select(
+        "vec_id", _argmin_center_expr(centers)["c"].alias("cell")
+    )
+    # per-query nprobe-cell shortlist: full (d2, c) array sorted in
+    # codegen, sliced — n_cells structs per row, no shuffle
+    entries = []
+    for c, q in enumerate(centers):
+        lit = "array(" + ",".join(f"{v}L" for v in q) + ")"
+        entries.append(
+            "struct(aggregate(zip_with(e, "
+            f"{lit}, (a, b) -> (a - b) * (a - b)), 0L, "
+            f"(acc, x) -> acc + x) AS d2, {c} AS c)"
+        )
+    probe = (
+        pts.where(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(
+                    "slice(array_sort(array("
+                    + ",".join(entries)
+                    + f")), 1, {nprobe})"
+                )["c"]
+            ).alias("cell"),
+        )
+    )
+    qc = coded.select(
+        F.col("vid").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qc), "query_id")
+        .join(coded, F.col("vec_id") == F.col("vid"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qcodes"), F.col("codes"), lambda a, b: a * b
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def ivf_int8_topk_sql(
+    k: int = 3,
+    dims: int = 8,
+    n_cells: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    scale: int = 1_000_000,
+    query_mod: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ivf_int8_topk` — the unrolled integer
+    k-means chain (clustering._kmeans_fin_with on the same subspace)
+    composed with the shared int8 codec CTE; every stage exact."""
+    from .clustering import _kmeans_fin_with
+
+    d2 = (
+        "list_sum(list_transform(range(1, len(e) + 1), "
+        "i -> (e[i] - q[i]) * (e[i] - q[i])))"
+    )
+    return f"""{_kmeans_fin_with(n_cells, rounds, scale, dims=dims)},
+{_quantize_cte(dims, scale)},
+cv AS (
+  SELECT vec_id AS vid, list(CAST(code AS BIGINT) ORDER BY dim) AS codes
+  FROM coded GROUP BY vec_id
+),
+probe AS (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT p.vec_id, cr.c,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {d2}, cr.c) AS rn
+    FROM pts p CROSS JOIN c{rounds} cr
+    WHERE p.vec_id % {query_mod} = 0
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT probe.query_id, fin.vec_id,
+         CAST(list_dot_product(q.codes, d.codes) AS BIGINT) AS score
+  FROM probe
+  JOIN fin ON fin.c = probe.cell AND fin.vec_id <> probe.query_id
+  JOIN cv q ON q.vid = probe.query_id
+  JOIN cv d ON d.vid = fin.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
+"""
+
+
 def embedding_pca(
     emb: DataFrame, k: int = 8, m: int = 2, scale: int = 1_000_000
 ) -> tuple[DataFrame, list[float]]:

@@ -879,3 +879,50 @@ def test_chunk_media_plan_is_narrow(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_int8_full_probe_equals_brute(spark, sf_dir):
+    """With nprobe = n_cells the celled int8 search degenerates to the
+    brute int8 baseline exactly — same pairs, same BIGINT scores."""
+    from big_data_computing__spark.operators.similarity import (
+        int8_topk,
+        ivf_int8_topk,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in int8_topk(emb, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in ivf_int8_topk(
+            emb, k=3, n_cells=4, rounds=2, nprobe=4
+        ).collect()
+    }
+    assert full == brute and brute
+
+
+def test_ivf_int8_probe_scores_are_exact(spark, sf_dir):
+    """Cell pruning may MISS candidates (the recall trade) but every
+    returned pair's score must equal the brute pair score — ADC-free
+    exactness is the tier's contract."""
+    from big_data_computing__spark.operators.similarity import (
+        _int8_code_vectors,
+        ivf_int8_topk,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = ivf_int8_topk(emb, k=3, nprobe=1).collect()
+    codes = {
+        r["vid"]: list(r["codes"])
+        for r in _int8_code_vectors(emb, 8, 1_000_000).collect()
+    }
+    for r in got:
+        want = sum(
+            a * b
+            for a, b in zip(codes[r["query_id"]], codes[r["vec_id"]])
+        )
+        assert r["score"] == want
