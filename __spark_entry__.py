@@ -988,6 +988,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-20 — per-session state only, no corpus-grain window
         return _wd.session_paths(_rd.read_table(spark, sf_dir, "events"))
 
+    def w13_event_spikes(spark, sf_dir):
+        # per-type daily volume anomalies vs the trailing 7-day mean
+        # (RANGE frame on the integer day, so calendar gaps don't
+        # stretch the horizon). Fixture volumes are near-uniform, so
+        # the registered threshold is +10% (1100 milli) — production
+        # monitoring uses the 2x default.
+        return _wd.event_spikes(
+            _rd.read_table(spark, sf_dir, "events"),
+            threshold_milli=1100,
+        )
+
     def w8_cohort_retention(spark, sf_dir):
         # weekly signup-cohort retention triangle; (user, week) grain
         # bounds the join by active-user-weeks, not raw events
@@ -1664,8 +1675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p2_cell_counts,
         # -- CODE/ORACLE changed this round (r6): a14 re-registered
         # over the corrected deterministic HLL (the last no_oracle row
-        # retired); the two NEW queries — Hash-to-Min CC and the
-        # PCA-whitened SemDeDup composition --
+        # retired); then every r6 NEW query in arrival order — the
+        # Hash-to-Min CC / PCA-SemDeDup / ridge / int8-codec / fuzzy
+        # waves, and the r6c wave (MaxSim, weighted truss, Kneser-Ney,
+        # balanced sample, incremental dedup, TPC-H Q3/Q5/Q10, media
+        # chunks, IVF x int8) --
         a14_approx_distinct,
         x_dedup_components_htm,
         x_pca_semdedup,
@@ -1686,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q10_returned_customers,
         x_media_chunks,
         x_ann_ivf_int8_topk,
+        w13_event_spikes,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2297,6 +2312,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "w11_rfm_scores": _wd.rfm_scores_sql(),
         "w12_session_paths": _wd.session_paths_sql(),
         "w8_cohort_retention": _wd.cohort_retention_sql(),
+        "w13_event_spikes": _wd.event_spikes_sql(threshold_milli=1100),
         "x_dup_cluster_truss": _dd.dup_cluster_truss_report_sql(
             f"SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",

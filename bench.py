@@ -163,6 +163,16 @@ BENCH_QUERIES = [
     # similarity + one corpus-sized (doc_id, token) shuffle — the
     # multi-vector retrieval cost next to BM25's single-vector scan
     "x_maxsim_topk",
+    # incremental new-vs-corpus dedup probe: the daily-ingest cost —
+    # should track the increment's signing cost, never the corpus
+    "x_incremental_dedup",
+    # IVF x int8 serving path: integer coarse quantizer + celled
+    # integer-dot scoring — the quantized index's tracked cost next
+    # to the float IVF tier's
+    "x_ann_ivf_int8_topk",
+    # TPC-H Q5 snowflake: the 6-way broadcast join + date-pruned scan
+    # — the classic-warehouse cost anchor next to j2's star join
+    "q5_local_supplier_volume",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -791,3 +791,89 @@ SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
 FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path ASC LIMIT {top}
 """
+
+
+def event_spikes(
+    events: DataFrame,
+    horizon_days: int = 7,
+    threshold_milli: int = 2000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily volume anomalies per event type — the monitoring query a
+    pipeline runs over its own ingest: DataFrame[event_type, day,
+    n_events, ratio_milli] for days whose count is >=
+    ``threshold_milli``/1000 × the trailing ``horizon_days``-day mean.
+
+    Integer-exact (the engine's cross-engine convention): day =
+    epoch_us div 86_400_000_000 (integer day number), and
+
+        ratio_milli = (1000 · n_events · days_observed)
+                      div trailing_sum
+
+    over a RANGE frame [-horizon_days, -1] on the integer day — RANGE,
+    not ROWS, so calendar gaps don't stretch the horizon; days with an
+    empty trailing window (the series' first day) never alert.
+
+    Plan: one (event_type, day) count (map-side combined — the only
+    corpus-sized aggregation), then a per-type window over the tiny
+    daily series. At 100 TB the window input is n_types × n_days rows,
+    thousands not billions.
+    """
+    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    daily = (
+        events.select(F.col("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-horizon_days, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("trail_sum"),
+        F.count("n_events").over(w).alias("trail_days"),
+    ).where(F.col("trail_sum").isNotNull() & (F.col("trail_sum") > 0))
+    return scored.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.expr("(1000 * n_events * trail_days) div trail_sum").alias(
+            "ratio_milli"
+        ),
+    ).where(F.col("ratio_milli") >= threshold_milli)
+
+
+def event_spikes_sql(
+    horizon_days: int = 7, threshold_milli: int = 2000
+) -> str:
+    """DuckDB twin of :func:`event_spikes` (identical integer day
+    bucketing, identical RANGE frame, identical floor division)."""
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, n_events,
+         SUM(n_events) OVER w AS trail_sum,
+         COUNT(n_events) OVER w AS trail_days
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN {horizon_days} PRECEDING
+                         AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       (1000 * n_events * trail_days) // trail_sum AS ratio_milli
+FROM scored
+WHERE trail_sum IS NOT NULL AND trail_sum > 0
+  AND (1000 * n_events * trail_days) // trail_sum >= {threshold_milli}
+"""

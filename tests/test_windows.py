@@ -393,3 +393,38 @@ def test_session_paths_islands_and_order(spark):
         for r in W.session_paths(df, top=10).collect()
     }
     assert got == {"view>click": 3}
+
+
+def test_event_spikes_hand_series(spark):
+    """Hand-built daily series: a clear spike day alerts, the warmup
+    day (empty trailing window) never does, and the RANGE frame skips
+    calendar gaps instead of stretching the horizon."""
+    import datetime as dt
+
+    from big_data_computing__spark.operators.windows import event_spikes
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # type 'a': 2 events/day for days 0-6, then 10 events on day 7
+    for d in range(7):
+        for _ in range(2):
+            rows.append((eid, base + dt.timedelta(days=d), 1, "a")); eid += 1
+    for _ in range(10):
+        rows.append((eid, base + dt.timedelta(days=7), 1, "a")); eid += 1
+    # type 'b': day 0 then a gap to day 9 — day 9's trailing RANGE
+    # window [-7,-1] sees nothing, so it must not alert
+    rows.append((eid, base, 1, "b")); eid += 1
+    for _ in range(50):
+        rows.append((eid, base + dt.timedelta(days=9), 1, "b")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["ratio_milli"])
+        for r in event_spikes(ev, threshold_milli=2000).collect()
+    }
+    day0 = int(base.timestamp() * 1_000_000) // 86_400_000_000
+    # a's spike day: 10 events vs trailing mean 2 over 7 observed days
+    # -> (1000*10*7) div 14 = 5000 milli
+    assert got == {("a", day0 + 7): (10, 5000)}
