@@ -155,3 +155,86 @@ def streaming_band_join(
         "b_id",
         gap.alias("gap_us"),
     )
+
+
+class SpikeState:
+    """Driver-side running (event_type, day) counters for streaming
+    volume-spike monitoring — the ScatterState/DsirBucketState
+    additive-integer pattern: each micro-batch contributes its own
+    (type, day, count) aggregate (types × days rows to the driver —
+    thousands, not corpus-sized), and the folded state equals the
+    batch daily table over the union of arrived rows bit-for-bit
+    after any prefix.
+
+    Two read forms:
+    - :meth:`spikes` — the CURRENT alert set under the same integer
+      ratio as batch ``windows.event_spikes`` (trailing RANGE mean on
+      the integer day); scoring the final state reproduces the batch
+      operator exactly (asserted in tests), because both fold the
+      identical daily table through the identical floor divisions;
+    - the online monitoring loop calls :meth:`spikes` per batch — a
+      day's alert status may flip while its data is still arriving
+      (the documented prequential trade; day-watermarked pipelines
+      call it only on closed days).
+
+    Exactly-once: ``update`` is keyed by micro-batch id and ignores
+    replays (the foreachBatch idempotence rule).
+    """
+
+    def __init__(self, ts_col: str = "ts"):
+        self.ts_col = ts_col
+        self.counts: dict[tuple[str, int], int] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.windows import event_time_us
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        day = (
+            event_time_us(batch_df, self.ts_col)
+            / F.lit(86_400_000_000)
+        ).cast("long")
+        rows = (
+            batch_df.select(F.col("event_type"), day.alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        )
+        for r in rows:
+            key = (r["event_type"], r["day"])
+            self.counts[key] = self.counts.get(key, 0) + r["n"]
+
+    def spikes(
+        self, horizon_days: int = 7, threshold_milli: int = 2000
+    ) -> list[dict]:
+        """Alert rows [{event_type, day, n_events, ratio_milli}] under
+        the batch operator's exact integer math, sorted by
+        (event_type, day)."""
+        out = []
+        by_type: dict[str, dict[int, int]] = {}
+        for (et, d), n in self.counts.items():
+            by_type.setdefault(et, {})[d] = n
+        for et in sorted(by_type):
+            days = by_type[et]
+            for d in sorted(days):
+                trail = [
+                    days[x]
+                    for x in range(d - horizon_days, d)
+                    if x in days
+                ]
+                s = sum(trail)
+                if s <= 0:
+                    continue
+                ratio = (1000 * days[d] * len(trail)) // s
+                if ratio >= threshold_milli:
+                    out.append(
+                        {
+                            "event_type": et,
+                            "day": d,
+                            "n_events": days[d],
+                            "ratio_milli": ratio,
+                        }
+                    )
+        return out

@@ -428,3 +428,38 @@ def test_event_spikes_hand_series(spark):
     # a's spike day: 10 events vs trailing mean 2 over 7 observed days
     # -> (1000*10*7) div 14 = 5000 milli
     assert got == {("a", day0 + 7): (10, 5000)}
+
+
+def test_spike_state_prefix_parity_and_replay(spark, sf_dir):
+    """Streaming spike twin: after every batch prefix the final-state
+    alert set equals batch event_spikes over the arrived rows
+    bit-for-bit; a replayed batch id is a no-op."""
+    from big_data_computing__spark.operators.windows import event_spikes
+    from big_data_computing__spark.sources.readers import read_table
+    from big_data_computing__spark.streaming.windows_stream import (
+        SpikeState,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    batches = [ev.where(f"event_id % 3 = {i}") for i in range(3)]
+    state = SpikeState()
+    arrived = None
+    for bid, b in enumerate(batches):
+        state.update(b, bid)
+        arrived = b if arrived is None else arrived.unionByName(b)
+        got = {
+            (r["event_type"], r["day"]): (r["n_events"], r["ratio_milli"])
+            for r in state.spikes(threshold_milli=1100)
+        }
+        want = {
+            (r["event_type"], r["day"]): (r["n_events"], r["ratio_milli"])
+            for r in event_spikes(arrived, threshold_milli=1100).collect()
+        }
+        assert got == want, f"prefix parity broke at batch {bid}"
+    assert want, "fixture must alert at the registered threshold"
+    state.update(batches[0], 0)  # replay: must not double-count
+    replayed = {
+        (r["event_type"], r["day"]): (r["n_events"], r["ratio_milli"])
+        for r in state.spikes(threshold_milli=1100)
+    }
+    assert replayed == want
