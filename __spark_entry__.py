@@ -1465,6 +1465,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # onto a per-row Catalyst projection over the same features
         return _rg.ridge_quality_scores(_docs(spark, sf_dir))
 
+    def x_quality_calibration(spark, sf_dir):
+        # does the LEARNED scorer rank quality? decile-bucket the
+        # ridge scores (two-pass distributed rank, total order) and
+        # report each bucket's Gopher-gate pass rate in milli — the
+        # trust-but-verify table before swapping rules for a model
+        return _rg.quality_calibration_report(_docs(spark, sf_dir))
+
     def x_embed_quantize_codes(spark, sf_dir):
         # int8 absmax codec over a deterministic vector sample — the
         # absmax scales come from the FULL corpus (pass 1), the filter
@@ -1701,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_media_chunks,
         x_ann_ivf_int8_topk,
         w13_event_spikes,
+        x_quality_calibration,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -2409,6 +2417,7 @@ WHERE vec_id NOT IN (
         ),
         "x_embed_quantize_report": _sim.embedding_quantize_report_sql(),
         "x_ann_int8_topk": _sim.int8_topk_sql(),
+        "x_quality_calibration": _rg.quality_calibration_report_sql(),
         "x_ann_ivf_int8_topk": _sim.ivf_int8_topk_sql(),
         "x_fuzzy_name_pairs": _dd.fuzzy_name_pairs_sql(),
         "x_fuzzy_entities": _dd.fuzzy_entities_sql(),

@@ -355,3 +355,94 @@ SELECT f.doc_id, f.x1, f.x2, f.x3, f.y,
          AS score
 FROM f, b
 """
+
+
+def quality_calibration_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lam: int = RIDGE_LAMBDA,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Calibration of the LEARNED quality scorer against the
+    rule-based Gopher gate: DataFrame[bucket, n_docs, n_pass,
+    pass_milli, min_score, max_score] — documents decile-bucketed by
+    learned score (bucket 0 = lowest), with each bucket's rule-gate
+    pass rate in integer milli.
+
+    The ML-ops check a pipeline runs before trusting a learned
+    filter: if the top deciles don't pass the hard gate more often
+    than the bottom ones, the scorer isn't ranking quality. Buckets
+    come from the deterministic (score, doc_id) total order through
+    the engine's two-pass distributed rank (relational.global_rank —
+    never a single-partition window), bucket = ((rank-1)·B) div N, so
+    the report is exactly reproducible cross-engine: DuckDB ranks the
+    same total order and floors the same division.
+
+    Plan: two narrow feature passes (the scorer's fit + projection,
+    the gate's row predicate), one doc_id join, the two-pass rank's
+    skinny shuffle, one B-row aggregation.
+    """
+    from .curation import gopher_quality_report
+    from .relational import global_rank
+
+    scores = ridge_quality_scores(docs, text_col, lam).select(
+        "doc_id", "score"
+    )
+    gate = gopher_quality_report(docs, text_col).select(
+        "doc_id", "passes"
+    )
+    ranked = global_rank(scores, "score", "doc_id", rank_col="rk")
+    total = ranked.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        ranked.join(gate, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.expr(f"((rk - 1) * {n_buckets}) div n_total")
+            .cast("int")
+            .alias("bucket"),
+            "passes",
+            "score",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+            F.expr(
+                "(1000 * sum(cast(passes as long))) div count(*)"
+            ).alias("pass_milli"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+def quality_calibration_report_sql(
+    lam: int = RIDGE_LAMBDA, n_buckets: int = 10
+) -> str:
+    """DuckDB twin of :func:`quality_calibration_report` (identical
+    total order, identical floor divisions)."""
+    from .curation import gopher_quality_report_sql
+
+    return f"""
+WITH scores AS ({ridge_quality_scores_sql(lam)}),
+gate AS ({gopher_quality_report_sql()}),
+ranked AS (
+  SELECT s.doc_id, s.score,
+         ROW_NUMBER() OVER (ORDER BY s.score, s.doc_id) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+  FROM scores s
+),
+b AS (
+  SELECT CAST(((rk - 1) * {n_buckets}) // n_total AS INT) AS bucket,
+         g.passes, r.score
+  FROM ranked r JOIN gate g USING (doc_id)
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       (1000 * SUM(CASE WHEN passes THEN 1 ELSE 0 END)) // COUNT(*)
+         AS pass_milli,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score
+FROM b GROUP BY bucket
+"""

@@ -114,3 +114,23 @@ def test_scoring_broadcasts_coefficients(spark, docs):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quality_calibration_buckets_partition_corpus(spark, sf_dir):
+    """Decile buckets must partition the corpus (sizes sum to N, every
+    bucket within ±1 of N/10) and pass_milli must be consistent with
+    its bucket's own counts."""
+    from big_data_computing__spark.operators.regression import (
+        quality_calibration_report,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = quality_calibration_report(docs).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(10))
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert abs(r["n_docs"] - n / 10) <= 1
+        assert r["pass_milli"] == (1000 * r["n_pass"]) // r["n_docs"]
+        assert r["min_score"] <= r["max_score"]
