@@ -1500,6 +1500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN tier whose oracle is fully COMPUTED (no goldens)
         return _sim.ivf_int8_topk(_emb(spark, sf_dir))
 
+    def x_ann_hamming_topk(spark, sf_dir):
+        # 1-bit/dim binary-quantization tier (faiss IndexBinaryFlat
+        # shape): sign-vs-corpus-mean bits packed 60/word, distance =
+        # sum(bit_count(xor(words))) in pure codegen — integer-exact,
+        # so the codec AND the search oracle with no goldens
+        emb = _emb(spark, sf_dir)
+        return _sim.hamming_topk(
+            emb, queries=emb.where(F.col("vec_id") % 10 == 0), k=ANN_K
+        )
+
     def x_fuzzy_name_pairs(spark, sf_dir):
         # record-linkage front end: blocked (head-noun) levenshtein
         # compare over DISTINCT part names — the quadratic work runs
@@ -1707,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q10_returned_customers,
         x_media_chunks,
         x_ann_ivf_int8_topk,
+        x_ann_hamming_topk,
         w13_event_spikes,
         x_quality_calibration,
         x_dedup_components_sc,
@@ -2419,6 +2430,9 @@ WHERE vec_id NOT IN (
         "x_ann_int8_topk": _sim.int8_topk_sql(),
         "x_quality_calibration": _rg.quality_calibration_report_sql(),
         "x_ann_ivf_int8_topk": _sim.ivf_int8_topk_sql(),
+        "x_ann_hamming_topk": _sim.hamming_topk_sql(
+            64, ANN_K, query_filter="qid % 10 = 0"
+        ),
         "x_fuzzy_name_pairs": _dd.fuzzy_name_pairs_sql(),
         "x_fuzzy_entities": _dd.fuzzy_entities_sql(),
         "x_suffix_array_sample": _sx.suffix_array_sample_sql(

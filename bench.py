@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     # integer-dot scoring — the quantized index's tracked cost next
     # to the float IVF tier's
     "x_ann_ivf_int8_topk",
+    # 1-bit binary-quantization tier: packed-word XOR+POPCNT scan —
+    # the cheapest serving tier, tracked against the int8/PQ tiers
+    "x_ann_hamming_topk",
     # TPC-H Q5 snowflake: the 6-way broadcast join + date-pruned scan
     # — the classic-warehouse cost anchor next to j2's star join
     "q5_local_supplier_volume",

@@ -2734,3 +2734,188 @@ JOIN v av ON av.vid = a.vid
 JOIN v bv ON bv.vid = b.vid
 WHERE {score} >= {threshold!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) embedding codec + packed-word Hamming search — the
+# 1-bit/dim serving tier below int8 (32x compression vs float32).
+# Reference analogue: the reference's distance pipeline is float euclidean
+# (big_data_computing_2.py); this is the modern retrieval-stack counterpart
+# (binary quantization as shipped by faiss IndexBinaryFlat / every vector
+# DB's BQ tier), done integer-exact so the whole codec + search oracles.
+# ---------------------------------------------------------------------------
+
+_BQ_WORD_BITS = 60  # bits packed per BIGINT word; 60 < 63 so no sign issues
+
+
+def embedding_binary_codec(
+    emb: DataFrame, dims: int = 64, scale: int = 1_000_000
+) -> DataFrame:
+    """Sign-bit binary codec: DataFrame[vec_id, word, wv].
+
+    Per dimension the corpus mean (in the exact ``round(e·scale)``
+    BIGINT bridge) is the threshold: bit = 1 iff ``qv·n > Σqv`` —
+    the strictly-above-mean test kept multiplicative so no division
+    ever rounds. Bits pack little-endian into 60-bit BIGINT words
+    (``word = (dim-1) DIV 60``), so a d-dim vector becomes
+    ``ceil(d/60)`` integers: 1 bit/dim storage, and Hamming distance
+    becomes ``bit_count(xor(words))`` — pure JVM codegen.
+
+    Plan: pass 1 reduces the corpus to ``dims`` (n, Σqv) rows
+    (map-side combine); pass 2 broadcasts them onto the dim explode
+    and packs in one aggregation keyed by (vec_id, word). At 100 TB:
+    two scans, a dims-row broadcast, and the only shuffle carries
+    ceil(d/60) BIGINTs per vector — the codec output itself."""
+    d = _quantized_dims(emb, dims, scale)
+    stats = d.groupBy("dim").agg(
+        F.count("*").alias("n"), F.sum("qv").alias("s")
+    )
+    bit = (
+        F.col("qv") * F.col("n") > F.col("s")
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.expr(f"(dim - 1) DIV {_BQ_WORD_BITS}").alias("word"),
+            (
+                bit
+                * F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST((dim - 1) % {_BQ_WORD_BITS} AS INT))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("vec_id", "word")
+        .agg(F.sum("b").alias("wv"))
+    )
+
+
+def hamming_topk(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    dims: int = 64,
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k by Hamming distance over the binary codec:
+    DataFrame[query_id, vec_id, hamming].
+
+    ``queries`` (same schema as ``emb``) selects which corpus vectors
+    act as probes; thresholds always come from the FULL corpus so a
+    query's code is identical to its corpus code. Distance is
+    ``Σ_words bit_count(xor(qw, cw))`` — exact integer, so ties are
+    real; they break by vec_id ascending for a total order.
+
+    Scale: the corpus side is ceil(d/60) BIGINTs per vector; the probe
+    side broadcasts when small. Per (query, candidate) the kernel is
+    ~d/60 XOR+POPCNT ops inside whole-stage codegen — this is the
+    LABELED BRUTE tier of binary search (the celled variants compose
+    it with IVF exactly like int8_topk does)."""
+    codes = embedding_binary_codec(emb, dims, scale)
+    if queries is None:
+        qids = emb.select(F.col("vec_id").cast("long").alias("qid"))
+    else:
+        qids = queries.select(
+            F.col("vec_id").cast("long").alias("qid")
+        )
+    qcodes = codes.join(
+        F.broadcast(qids),
+        codes["vec_id"] == F.col("qid"),
+    ).select("qid", "word", F.col("wv").alias("qwv"))
+    scored = (
+        qcodes.join(codes, "word")
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.expr("qwv ^ wv")
+                ).cast("bigint")
+            ).alias("hamming")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("qid").alias("query_id"), "vec_id", "hamming"
+        )
+    )
+
+
+def _binary_code_cte(dims: int, scale: int) -> str:
+    """Shared DuckDB CTE chain producing codes(vec_id, word, wv)."""
+    return f"""q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[])[1:{dims}],
+           e -> CAST(round(e * {scale}) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, CAST(t.range AS BIGINT) AS dim,
+         qv[CAST(t.range AS INT)] AS qv
+  FROM q CROSS JOIN range(1, {dims + 1}) t
+),
+st AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS BIGINT) AS s
+  FROM d GROUP BY dim
+),
+codes AS (
+  SELECT d.vec_id,
+         (d.dim - 1) // {_BQ_WORD_BITS} AS word,
+         CAST(SUM(
+           CASE WHEN d.qv * st.n > st.s
+                THEN (CAST(1 AS BIGINT) << CAST((d.dim - 1) % {_BQ_WORD_BITS} AS INT))
+                ELSE 0 END
+         ) AS BIGINT) AS wv
+  FROM d JOIN st USING (dim)
+  GROUP BY d.vec_id, (d.dim - 1) // {_BQ_WORD_BITS}
+)"""
+
+
+def embedding_binary_codec_sql(
+    dims: int = 64, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`embedding_binary_codec`."""
+    return f"""
+WITH {_binary_code_cte(dims, scale)}
+SELECT vec_id, word, wv FROM codes
+"""
+
+
+def hamming_topk_sql(
+    dims: int = 64,
+    k: int = 5,
+    scale: int = 1_000_000,
+    query_filter: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`hamming_topk`."""
+    return f"""
+WITH {_binary_code_cte(dims, scale)},
+qc AS (
+  SELECT vec_id AS qid, word, wv AS qwv FROM codes
+  WHERE {query_filter}
+),
+scored AS (
+  SELECT qc.qid, codes.vec_id,
+         CAST(SUM(bit_count(xor(qc.qwv, codes.wv))) AS BIGINT)
+           AS hamming
+  FROM qc JOIN codes USING (word)
+  WHERE qc.qid <> codes.vec_id
+  GROUP BY qc.qid, codes.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT qid AS query_id, vec_id, hamming
+FROM ranked WHERE rk <= {k}
+"""

@@ -926,3 +926,51 @@ def test_ivf_int8_probe_scores_are_exact(spark, sf_dir):
             for a, b in zip(codes[r["query_id"]], codes[r["vec_id"]])
         )
         assert r["score"] == want
+
+
+# -- binary (sign-bit) codec + Hamming tier --
+
+
+def test_binary_codec_bits_match_numpy(spark, emb):
+    # reference semantics: bit = 1 iff round(e*1e6) strictly above the
+    # per-dim mean of the rounded corpus; bits packed 60/word LE
+    rows = emb.collect()
+    q = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1e6).astype(np.int64) for r in rows}
+    ids = sorted(q)
+    mat = np.stack([q[i] for i in ids])
+    n = len(ids)
+    s = mat.sum(axis=0)
+    bits = (mat * n > s).astype(np.int64)  # qv*n > sum  <=>  qv > mean
+    expected = {}
+    for row_i, vid in enumerate(ids):
+        words = {}
+        for d in range(mat.shape[1]):
+            w, p = divmod(d, 60)
+            words[w] = words.get(w, 0) | (int(bits[row_i, d]) << p)
+        for w, wv in words.items():
+            expected[(vid, w)] = wv
+    got = {
+        (r["vec_id"], r["word"]): r["wv"]
+        for r in S.embedding_binary_codec(emb).collect()
+    }
+    assert got == expected
+
+
+def test_hamming_topk_matches_numpy(spark, emb):
+    small = emb.where(F.col("vec_id") < 80).cache()
+    rows = small.collect()
+    q = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1e6).astype(np.int64) for r in rows}
+    ids = sorted(q)
+    mat = np.stack([q[i] for i in ids])
+    bits = (mat * len(ids) > mat.sum(axis=0)).astype(np.int8)
+    truth = {}
+    for i, qid in enumerate(ids):
+        ham = [(int(np.sum(bits[i] != bits[j])), ids[j]) for j in range(len(ids)) if ids[j] != qid]
+        ham.sort()
+        truth[qid] = ham[:3]
+    got = {}
+    for r in S.hamming_topk(small, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["hamming"], r["vec_id"]))
+    for qid in got:
+        got[qid].sort()
+    assert got == truth
