@@ -1356,6 +1356,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_hybrid_rrf_topk(spark, sf_dir):
+        # hybrid serving fusion: reciprocal-rank fusion (Cormack et
+        # al. 2009) of the BM25 lexical list and the MaxSim late-
+        # interaction list for the SAME query — integer floor-div RRF
+        # convention, full-outer over two driver-size candidate lists
+        return _rt.rrf_fuse_topk(_docs(spark, sf_dir), BM25_QUERY, k=20)
+
     def x_maxsim_topk(spark, sf_dir):
         # ColBERT-style MaxSim late interaction with the integer-exact
         # hashed-trigram kernel: per-query-token best-match maxima,
@@ -1708,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_fuzzy_name_pairs,
         x_fuzzy_entities,
         x_maxsim_topk,
+        x_hybrid_rrf_topk,
         x_weighted_truss,
         x_kneser_ney_score,
         x_kmeans_balanced_sample,
@@ -2443,6 +2451,7 @@ WHERE vec_id NOT IN (
         "x_search_conjunctive": _rt.conjunctive_search_sql(BM25_QUERY),
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
         "x_maxsim_topk": _rt.maxsim_topk_sql(MAXSIM_QUERY, 20),
+        "x_hybrid_rrf_topk": _rt.rrf_fuse_topk_sql(BM25_QUERY, 20),
         "x_chunk_documents": _cu.chunk_documents_sql(),
         "x_dsir_importance": _cu.dsir_importance_sql(),
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),

@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     # similarity + one corpus-sized (doc_id, token) shuffle — the
     # multi-vector retrieval cost next to BM25's single-vector scan
     "x_maxsim_topk",
+    # hybrid RRF fusion: both rankers + driver-size fuse — the
+    # serving-stack end-to-end cost (lexical + late-interaction)
+    "x_hybrid_rrf_topk",
     # incremental new-vs-corpus dedup probe: the daily-ingest cost —
     # should track the increment's signing cost, never the corpus
     "x_incremental_dedup",

@@ -17,7 +17,7 @@ engines produce bit-identical BIGINT scores.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import _TOKS_SQL, tokens
@@ -479,5 +479,109 @@ SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit_terms,
        CAST(SUM(best) AS BIGINT) AS score_micro
 FROM best GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# late-interaction (MaxSim) rankers — the standard two-tower serving
+# fusion (Cormack, Clarke & Büttcher, SIGIR 2009), integer-exact.
+# ---------------------------------------------------------------------------
+
+RRF_SCALE = 1_000_000  # contribution = RRF_SCALE div (k_const + rank)
+
+
+def rrf_fuse_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k_const: int = 60,
+    n_candidates: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 and MaxSim candidate lists:
+    DataFrame[doc_id, bm25_rank, maxsim_rank, rrf_score], top-``k`` by
+    (rrf_score DESC, doc_id) — a total order.
+
+    Convention (documented like BM25's linear idf): the classic RRF
+    score Σ 1/(k_const + rank) is kept integer as
+    ``Σ (RRF_SCALE div (k_const + rank))`` — floor division on
+    positive operands, bit-identical across engines. With
+    RRF_SCALE = 10⁶ and k_const = 60 the floor changes no ordering a
+    double kernel would give until candidate lists exceed ~10⁴ ranks.
+    A doc absent from one list contributes 0 from it (rank reported as
+    0 = "unranked"); ranks come from each ranker's own total order
+    (score DESC, doc_id), so fusion is deterministic end to end.
+
+    Plan: both candidate lists are already top-``n_candidates`` —
+    driver-size relations; the fusion is a full-outer join + one
+    projection over ≤ 2·n_candidates rows. All corpus-scale work
+    happens inside the two rankers (postings-pruned / vocabulary-
+    sized, see their docstrings); fusion adds nothing data-sized.
+    """
+    bm = bm25_topk(docs, query_terms, k=n_candidates, text_col=text_col)
+    ms = maxsim_topk(docs, query_terms, k=n_candidates, text_col=text_col)
+    wb = Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    wm = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    br = bm.select(
+        "doc_id", F.row_number().over(wb).alias("bm25_rank")
+    )
+    mr = ms.select(
+        "doc_id", F.row_number().over(wm).alias("maxsim_rank")
+    )
+    contrib = lambda rank_col: F.when(
+        F.col(rank_col).isNull(), F.lit(0).cast("long")
+    ).otherwise(
+        F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({k_const} + {rank_col})")
+    )
+    return (
+        br.join(mr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+            F.coalesce("maxsim_rank", F.lit(0)).cast("int").alias("maxsim_rank"),
+            (contrib("bm25_rank") + contrib("maxsim_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(k)
+    )
+
+
+def rrf_fuse_topk_sql(
+    query_terms: list[str],
+    k: int = 20,
+    k_const: int = 60,
+    n_candidates: int = 50,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse_topk` (wraps the two rankers'
+    own twins as derived tables; identical floor-div convention)."""
+    bm = bm25_topk_sql(query_terms, n_candidates)
+    ms = maxsim_topk_sql(query_terms, n_candidates)
+    return f"""
+WITH br AS (
+  SELECT doc_id, CAST(row_number() OVER
+    (ORDER BY score_milli DESC, doc_id ASC) AS INT) AS bm25_rank
+  FROM ({bm}) bm
+),
+mr AS (
+  SELECT doc_id, CAST(row_number() OVER
+    (ORDER BY score_micro DESC, doc_id ASC) AS INT) AS maxsim_rank
+  FROM ({ms}) ms
+),
+fused AS (
+  SELECT COALESCE(br.doc_id, mr.doc_id) AS doc_id,
+         COALESCE(br.bm25_rank, 0) AS bm25_rank,
+         COALESCE(mr.maxsim_rank, 0) AS maxsim_rank,
+         (CASE WHEN br.bm25_rank IS NULL THEN 0
+               ELSE {RRF_SCALE} // ({k_const} + br.bm25_rank) END
+          + CASE WHEN mr.maxsim_rank IS NULL THEN 0
+                 ELSE {RRF_SCALE} // ({k_const} + mr.maxsim_rank) END
+         ) AS rrf_score
+  FROM br FULL OUTER JOIN mr ON br.doc_id = mr.doc_id
+)
+SELECT doc_id, bm25_rank, maxsim_rank, CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
 LIMIT {k}
 """

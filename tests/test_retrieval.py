@@ -191,3 +191,66 @@ def test_maxsim_repeated_query_tokens_collapse(spark):
     once = maxsim_topk(_df(spark), ["spark"], k=3).collect()
     twice = maxsim_topk(_df(spark), ["spark", "spark"], k=3).collect()
     assert [r.asDict() for r in once] == [r.asDict() for r in twice]
+
+
+# -- hybrid RRF fusion --
+
+
+def test_rrf_fusion_matches_python(spark):
+    # recompute fusion from the two rankers' own (already-tested)
+    # outputs with plain python integer arithmetic
+    from big_data_computing__spark.operators.retrieval import (
+        RRF_SCALE,
+        bm25_topk,
+        maxsim_topk,
+        rrf_fuse_topk,
+    )
+
+    docs = _df(spark)
+    Q = ["spark", "join", "window"]
+    bm = bm25_topk(docs, Q, k=50).collect()
+    ms = maxsim_topk(docs, Q, k=50).collect()
+    bm_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r["score_milli"], r["doc_id"]))
+        )
+    }
+    ms_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(ms, key=lambda r: (-r["score_micro"], r["doc_id"]))
+        )
+    }
+    fused = {}
+    for d in set(bm_rank) | set(ms_rank):
+        s = 0
+        if d in bm_rank:
+            s += RRF_SCALE // (60 + bm_rank[d])
+        if d in ms_rank:
+            s += RRF_SCALE // (60 + ms_rank[d])
+        fused[d] = (bm_rank.get(d, 0), ms_rank.get(d, 0), s)
+    expect = sorted(
+        ((d,) + v for d, v in fused.items()),
+        key=lambda t: (-t[3], t[0]),
+    )[:20]
+    got = [tuple(r) for r in rrf_fuse_topk(docs, Q, k=20).collect()]
+    assert got == expect
+
+
+def test_rrf_unranked_doc_contributes_zero(spark):
+    from big_data_computing__spark.operators.retrieval import (
+        RRF_SCALE,
+        rrf_fuse_topk,
+    )
+
+    docs = _df(spark)
+    rows = rrf_fuse_topk(docs, ["spark", "join", "window"], k=50).collect()
+    for r in rows:
+        expect = 0
+        if r["bm25_rank"] > 0:
+            expect += RRF_SCALE // (60 + r["bm25_rank"])
+        if r["maxsim_rank"] > 0:
+            expect += RRF_SCALE // (60 + r["maxsim_rank"])
+        assert r["rrf_score"] == expect
+        assert r["bm25_rank"] > 0 or r["maxsim_rank"] > 0
