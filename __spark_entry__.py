@@ -262,6 +262,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _fr.hll_estimate_by(li, "l_returnflag")
 
+    def t13_kmv_distinct(spark, sf_dir):
+        # KMV bottom-k distinct sketch per returnflag — the mergeable
+        # theta-sketch base case next to t12's HLL over the SAME
+        # (group, item) stream, so the two estimators are directly
+        # comparable; estimate is one integer floor division
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", F.col("l_orderkey").cast("long").alias("item")
+        )
+        return _fr.kmv_estimate(li, group_cols=["l_returnflag"])
+
+    def t14_kmv_jaccard(spark, sf_dir):
+        # KMV set-resemblance: vocabulary Jaccard between the 'en' and
+        # 'de' document groups from their bottom-k sketches — sketch-
+        # space set algebra (Beyer et al. 2007), never the full vocab
+        d = _docs(spark, sf_dir).select(
+            F.col("lang").alias("label"),
+            F.explode(_ts.tokens(F.col("text"))).alias("item"),
+        )
+        return _fr.kmv_jaccard(d, "label", "en", "de")
+
     def t11_histogram_quantiles(spark, sf_dir):
         # the MERGEABLE quantile summary (O(bins) integer counters,
         # unions by adding) next to a13's exact interpolated
@@ -1785,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_snm,
         t11_histogram_quantiles,
         t12_hll_by_type,
+        t13_kmv_distinct,
+        t14_kmv_jaccard,
         s6_sql_interface,
         c5_radius_fixed_centers,
         c9b_outliers_nd_brute,
@@ -2080,6 +2102,17 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"
             " FROM lineitem",
             "l_returnflag",
+        ),
+        "t13_kmv_distinct": _fr.kmv_estimate_sql(
+            "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"
+            " FROM lineitem",
+            group_cols=["l_returnflag"],
+        ),
+        "t14_kmv_jaccard": _fr.kmv_jaccard_sql(
+            "SELECT lang AS label, unnest(" + _ts._TOKS_SQL + ") AS item"
+            " FROM documents",
+            "en",
+            "de",
         ),
         "t5_reservoir_report": _fr.reservoir_report_sql(
             _rd.EVENT_STREAM_SQL, PHI, SEED

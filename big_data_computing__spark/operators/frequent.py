@@ -1037,3 +1037,214 @@ SELECT g AS {group_col},
          AS estimate
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the bottom-k counterpart of the
+# deterministic-HLL family above (Bar-Yossef et al. 2002; the DataSketches
+# "theta sketch" base case). Same counter-based hash, so every register is
+# a pure function of the data and both engines reproduce the sketch
+# bit-for-bit — unlike native approx_count_distinct, the whole estimator
+# chain is value-oracled.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SHIFT = 20  # hash60 >> 20 → sketch space M = 2^40
+KMV_M = 2**40
+
+
+def _kmv_hv(item_col: str) -> Column:
+    return F.shiftright(
+        hash60(F.col(item_col).cast("string")), _KMV_SHIFT
+    ).alias("hv")
+
+
+def kmv_sketch(
+    stream: DataFrame,
+    k: int = KMV_K,
+    item_col: str = "item",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group bottom-``k`` distinct hash sketch:
+    DataFrame[*group_cols, pos, hv] with pos = 1..min(k, ndv).
+
+    hv = hash60(item) >> 20 — a 40-bit space so every estimator below
+    stays in exact BIGINT arithmetic ((k−1)·2^40 ≪ 2^63; the 20
+    dropped bits cost nothing at sketch precision, which is already
+    ~1/√k). Sketches MERGE by union + re-bottom-k (tested), the
+    property that makes KMV shardable like the HLL registers.
+
+    Plan: distinct (group, hv) with map-side combine, then the rank
+    filter — Spark executes it as WindowGroupLimit, i.e. per-partition
+    partial bottom-k BEFORE the shuffle, so each partition contributes
+    at most k rows per group no matter how many distincts it holds."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    d = stream.select(
+        *gcols, _kmv_hv(item_col)
+    ).distinct()
+    w = Window.partitionBy(*gcols).orderBy(F.asc("hv"))
+    return (
+        d.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*gcols, "pos", "hv")
+    )
+
+
+def kmv_estimate(
+    stream: DataFrame,
+    k: int = KMV_K,
+    item_col: str = "item",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate:
+    DataFrame[*group_cols, n_sketch, kth_hv, estimate].
+
+    The classic unbiased estimator, kept integer: when the sketch is
+    not full (ndv < k) the count is EXACT (estimate = n_sketch);
+    when full, estimate = (k−1)·M div kth_hv with M = 2^40 — one
+    floor division on positive BIGINTs, bit-identical across engines.
+    """
+    gcols = list(group_cols or [])
+    sk = kmv_sketch(stream, k, item_col, group_cols)
+    agg = sk.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("hv").alias("kth_hv"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch")
+    ).otherwise(
+        F.expr(f"CAST({(k - 1) * KMV_M} AS BIGINT) div kth_hv")
+    )
+    return agg.select(
+        *gcols, "n_sketch", "kth_hv", est.cast("long").alias("estimate")
+    )
+
+
+def kmv_jaccard(
+    docs: DataFrame,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = KMV_K,
+    item_col: str = "item",
+) -> DataFrame:
+    """Set-resemblance between the item sets labeled ``label_a`` and
+    ``label_b`` from their KMV sketches (Beyer et al., SIGMOD 2007):
+    1-row DataFrame[n_union_sketch, n_overlap, jaccard_milli].
+
+    The union's bottom-k is a uniform sample of A ∪ B, so the fraction
+    of it present in BOTH per-set sketches estimates |A∩B|/|A∪B|.
+    jaccard_milli = 1000·n_overlap div n_union_sketch — floor division
+    on positives, the engine's milli convention. Exact (not an
+    estimate) whenever |A ∪ B| ≤ k.
+
+    Plan: two grouped sketches off one scan (the label is just a group
+    key), a ≤2k-row union re-sketch, and two ≤k-row semi joins —
+    nothing beyond the sketch build touches data scale."""
+    from pyspark.sql import Window
+
+    both = kmv_sketch(
+        docs.where(F.col(label_col).isin([label_a, label_b])),
+        k,
+        item_col,
+        group_cols=[label_col],
+    )
+    a = both.where(F.col(label_col) == label_a).select("hv")
+    b = both.where(F.col(label_col) == label_b).select("hv")
+    w = Window.orderBy(F.asc("hv"))
+    union_sk = (
+        a.union(b)
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select("hv")
+    )
+    overlap = union_sk.join(a, "hv", "left_semi").join(
+        b, "hv", "left_semi"
+    )
+    return (
+        union_sk.agg(F.count("*").cast("long").alias("n_union_sketch"))
+        .crossJoin(
+            overlap.agg(F.count("*").cast("long").alias("n_overlap"))
+        )
+        .select(
+            "n_union_sketch",
+            "n_overlap",
+            F.expr("(1000 * n_overlap) div n_union_sketch").alias(
+                "jaccard_milli"
+            ),
+        )
+    )
+
+
+def _kmv_hv_sql(item_expr: str) -> str:
+    return f"({hash60_sql(f'CAST({item_expr} AS VARCHAR)')} // {2**_KMV_SHIFT})"
+
+
+def kmv_estimate_sql(
+    stream_sql: str,
+    k: int = KMV_K,
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`kmv_estimate` over ``stream_sql``
+    producing (item [, *group_cols])."""
+    gcols = list(group_cols or [])
+    gsel = ", ".join(gcols) + ", " if gcols else ""
+    part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
+    return f"""
+WITH s AS ({stream_sql}),
+d AS (
+  SELECT DISTINCT {gsel}{_kmv_hv_sql('item')} AS hv FROM s
+),
+r AS (
+  SELECT {gsel}hv, row_number() OVER ({part}ORDER BY hv ASC) AS pos
+  FROM d
+),
+sk AS (SELECT * FROM r WHERE pos <= {k}),
+agg AS (
+  SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_sketch,
+         CAST(MAX(hv) AS BIGINT) AS kth_hv
+  FROM sk {('GROUP BY ' + ', '.join(gcols)) if gcols else ''}
+)
+SELECT {gsel}n_sketch, kth_hv,
+       CAST(CASE WHEN n_sketch < {k} THEN n_sketch
+                 ELSE {(k - 1) * KMV_M} // kth_hv END AS BIGINT)
+         AS estimate
+FROM agg
+"""
+
+
+def kmv_jaccard_sql(
+    stream_sql: str, label_a: str, label_b: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of :func:`kmv_jaccard` over ``stream_sql``
+    producing (label, item)."""
+    return f"""
+WITH s AS ({stream_sql}),
+d AS (
+  SELECT DISTINCT label, {_kmv_hv_sql('item')} AS hv FROM s
+  WHERE label IN ('{label_a}', '{label_b}')
+),
+r AS (
+  SELECT label, hv,
+         row_number() OVER (PARTITION BY label ORDER BY hv ASC) AS pos
+  FROM d
+),
+sk AS (SELECT * FROM r WHERE pos <= {k}),
+u AS (
+  SELECT hv, row_number() OVER (ORDER BY hv ASC) AS pos
+  FROM (SELECT DISTINCT hv FROM sk) t
+),
+us AS (SELECT hv FROM u WHERE pos <= {k}),
+ov AS (
+  SELECT us.hv FROM us
+  WHERE us.hv IN (SELECT hv FROM sk WHERE label = '{label_a}')
+    AND us.hv IN (SELECT hv FROM sk WHERE label = '{label_b}')
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM us) AS n_union_sketch,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ov) AS n_overlap,
+       ((SELECT 1000 * COUNT(*) FROM ov)
+        // (SELECT COUNT(*) FROM us)) AS jaccard_milli
+"""

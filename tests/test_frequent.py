@@ -458,3 +458,65 @@ def test_hll_by_group_matches_per_group_global(spark, sf_dir):
         )
         if truth > 2.5 * 256:  # raw-estimator validity regime
             assert abs(est - truth) / truth < 0.2, (flag, est, truth)
+
+
+# -- KMV bottom-k distinct sketch --
+
+
+def test_kmv_exact_regime_and_merge(spark):
+    from big_data_computing__spark.operators.frequent import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    # 40 distinct items < k=64: sketch not full, estimate is EXACT
+    df = spark.createDataFrame(
+        [(i % 40,) for i in range(400)], ["item"]
+    )
+    row = kmv_estimate(df).collect()[0]
+    assert row["n_sketch"] == 40
+    assert row["estimate"] == 40
+
+    # merge property: bottom-k of the union of two shard sketches ==
+    # sketch of the union
+    big = spark.createDataFrame([(i,) for i in range(5000)], ["item"])
+    s_all = {
+        (r["pos"], r["hv"]) for r in kmv_sketch(big).collect()
+    }
+    sh1 = kmv_sketch(big.where("item % 2 = 0")).select("hv")
+    sh2 = kmv_sketch(big.where("item % 2 = 1")).select("hv")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.asc("hv"))
+    merged = {
+        (r["pos"], r["hv"])
+        for r in sh1.union(sh2)
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= KMV_K)
+        .collect()
+    }
+    assert merged == s_all
+
+
+def test_kmv_estimate_accuracy(spark):
+    from big_data_computing__spark.operators.frequent import kmv_estimate
+
+    # 5000 distinct under k=64 → stderr ~ 1/sqrt(62) ≈ 13%; assert 3σ
+    big = spark.createDataFrame([(i,) for i in range(5000)], ["item"])
+    est = kmv_estimate(big).collect()[0]["estimate"]
+    assert abs(est - 5000) < 5000 * 0.40
+
+
+def test_kmv_jaccard_exact_when_union_fits(spark):
+    from big_data_computing__spark.operators.frequent import kmv_jaccard
+
+    # |A ∪ B| = 30 ≤ k → the sketch IS the union; jaccard exact
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 30)]
+    df = spark.createDataFrame(rows, ["label", "item"])
+    r = kmv_jaccard(df, "label", "a", "b").collect()[0]
+    assert r["n_union_sketch"] == 30
+    assert r["n_overlap"] == 10
+    assert r["jaccard_milli"] == 1000 * 10 // 30
