@@ -754,6 +754,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
 
+    def q6_forecast_revenue(spark, sf_dir):
+        # TPC-H Q6: the pure filter-scan aggregate — one year of
+        # shipments, a discount band, small quantities. Kept integer-
+        # exact (unlike the spec's float sum): per-row cents and
+        # discount-percent are exact BIGINTs, revenue is their product
+        # summed — no float accumulation order anywhere. All three
+        # predicates push to the parquet scan.
+        li = _rd.read_table(spark, sf_dir, "lineitem")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1994-01-01'"))
+                & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1995-01-01'"))
+                & (F.col("l_quantity") < 24)
+            )
+            .select(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("cents"),
+                F.round(F.col("l_discount") * 100)
+                .cast("long")
+                .alias("disc_pct"),
+            )
+            .where(F.col("disc_pct").between(5, 7))
+            .agg(
+                F.sum(F.col("cents") * F.col("disc_pct"))
+                .cast("long")
+                .alias("revenue_cent_pct"),
+                F.count("*").cast("long").alias("n_lines"),
+            )
+        )
+
+    def q18_large_volume_customers(spark, sf_dir):
+        # TPC-H Q18: customers whose single orders exceed a quantity
+        # threshold — the HAVING-semi-join shape. The big lineitem
+        # aggregation happens ONCE; the survivors (a few hundred keys)
+        # broadcast back as a semi join, dims broadcast.
+        li = _rd.read_table(spark, sf_dir, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sq"))
+            .where(F.col("sq") > 250)
+            .select("l_orderkey")
+        )
+        orders = _rd.read_table(spark, sf_dir, "orders")
+        cust = _rd.read_table(spark, sf_dir, "customer")
+        return (
+            li.join(F.broadcast(big), "l_orderkey", "left_semi")
+            .join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .join(
+                F.broadcast(cust),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy(
+                "c_name",
+                "c_custkey",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                    "order_date"
+                ),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("totalprice_cents"),
+            )
+            .agg(
+                F.round(F.sum("l_quantity")).cast("long").alias("sum_qty")
+            )
+            .orderBy(
+                F.desc("totalprice_cents"), "order_date", "o_orderkey"
+            )
+            .limit(100)
+        )
+
     def j4_anti_join_customers(spark, sf_dir):
         # customers with no high-value (> 400k) order: anti join
         cust = _rd.read_table(spark, sf_dir, "customer")
@@ -1743,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q3_shipping_priority,
         q5_local_supplier_volume,
         q10_returned_customers,
+        q6_forecast_revenue,
+        q18_large_volume_customers,
         x_media_chunks,
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
@@ -2239,6 +2315,36 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name""",
         "o1_topk_orders": f"SELECT o_orderkey, o_totalprice FROM orders "
         f"ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {TOPK}",
+        "q6_forecast_revenue": """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+    AND l_shipdate < TIMESTAMP '1995-01-01'
+    AND l_quantity < 24
+)
+SELECT CAST(SUM(cents * disc_pct) AS BIGINT) AS revenue_cent_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM f WHERE disc_pct BETWEEN 5 AND 7
+""",
+        "q18_large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, order_date, totalprice_cents
+ORDER BY totalprice_cents DESC, order_date, o_orderkey
+LIMIT 100
+""",
         "q3_shipping_priority": """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)

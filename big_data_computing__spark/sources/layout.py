@@ -1413,6 +1413,198 @@ class ZTable:
         snap = self.snapshot(version)
         return self._read_files(spark, snap["files"], snap)
 
+    def _scan_with_pos(
+        self, spark: SparkSession, entries: list[dict], snap: dict
+    ) -> DataFrame:
+        """Raw rows of these manifest entries plus (``_fp``, ``_ri``)
+        parquet-position columns, read under the snapshot's schema
+        contract but with NO deletion-vector subtraction — the scan
+        :meth:`changes` needs to classify tombstoned positions."""
+        meta = [
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_ri"),
+        ]
+        ddl = self._read_schema_ddl(snap)
+        renames = snap.get("epoch_renames") or {}
+        if ddl is None or not renames:
+            reader = (
+                spark.read.option("mergeSchema", "true")
+                if ddl is None
+                else spark.read.schema(ddl)
+            )
+            return reader.parquet(
+                *[e["file"] for e in entries]
+            ).select("*", *meta)
+        cols = snap["columns"]
+        types = snap["column_types"]
+        by_epoch: dict[int, list[str]] = {}
+        for e in entries:
+            by_epoch.setdefault(int(e.get("epoch", 0)), []).append(
+                e["file"]
+            )
+        parts = []
+        for ep, paths in sorted(by_epoch.items()):
+            disk_of = {
+                cur: disk
+                for disk, cur in renames.get(str(ep), {}).items()
+            }
+            ep_ddl = ", ".join(
+                f"`{disk_of.get(c, c)}` {types[c]}" for c in cols
+            )
+            parts.append(
+                spark.read.schema(ep_ddl)
+                .parquet(*paths)
+                .select(
+                    *[F.col(disk_of.get(c, c)).alias(c) for c in cols],
+                    *meta,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed (Delta's ``table_changes``, compute-on-read
+        form): every row logically inserted or deleted by each commit
+        in ``(from_version, to_version]``, as the table's columns plus
+        ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+        An update surfaces as delete(old) + insert(new) at the same
+        version — the CDC pair downstream MERGE consumers apply.
+
+        Derivation is per-commit from the snapshot log, exact by
+        construction (no change files are ever written):
+
+        - file-level diff: inserts = rows of added files EXCEPT ALL
+          rows of removed files; deletes = the reverse. Both sides are
+          read under the RANGE-END schema contract of that commit (so
+          a rewrite's carried-through rows cancel in the multiset
+          difference — an upsert reports only genuinely changed rows),
+          and removed files are read through the PARENT's deletion
+          vectors (a row already dead cannot die again).
+        - a ``delete_dv`` commit adds no files; its deletes are the
+          positions its new tombstones address, classified by one
+          semi-join on the parquet position columns (minus positions
+          already dead under the parent's DVs — stacked DVs never
+          double-report).
+        - ``compact`` and ``rename`` commits are logical no-ops and
+          contribute nothing (compact's file churn would cancel in the
+          multiset difference anyway; skipping it skips the scan).
+
+        A ``rename`` INSIDE the range raises: the feed's column names
+        would be ambiguous across the boundary — read the two
+        sub-ranges separately. Commits that widen the schema union by
+        name with null-fill (the Delta CDF convention).
+
+        Scale: each commit costs a scan of just its added+removed
+        files — change volume, not table size; the multiset difference
+        shuffles only rewritten files' rows."""
+        hi = self.latest_version() if to_version is None else to_version
+        if from_version > hi:
+            raise ValueError(
+                f"changes({from_version}, {hi}): empty/inverted range"
+            )
+        versions = [
+            v for v in self.versions() if from_version < v <= hi
+        ]
+        tag = lambda df, ct, v: df.select(
+            "*",
+            F.lit(ct).alias("_change_type"),
+            F.lit(v).cast("int").alias("_commit_version"),
+        )
+        parts: list[DataFrame] = []
+        for v in versions:
+            cur = self.snapshot(v)
+            op = cur["operation"]
+            if op in ("compact", "vacuum"):
+                continue
+            if op == "rename":
+                raise ValueError(
+                    f"changes(): version {v} renames columns; a CDF "
+                    "range cannot span a rename — split the range at "
+                    f"version {v}"
+                )
+            prev = self.snapshot(v - 1)
+            prev_paths = {e["file"] for e in prev["files"]}
+            cur_paths = {e["file"] for e in cur["files"]}
+            removed = [
+                e for e in prev["files"] if e["file"] not in cur_paths
+            ]
+            added = [
+                e for e in cur["files"] if e["file"] not in prev_paths
+            ]
+            prev_dvs = prev.get("dvs") or []
+            new_dvs = [
+                p for p in (cur.get("dvs") or []) if p not in prev_dvs
+            ]
+            if added or removed:
+                old_rows = (
+                    self._read_files(
+                        spark, removed, {**cur, "dvs": prev_dvs}
+                    )
+                    if removed
+                    else None
+                )
+                new_rows = (
+                    self._read_files(spark, added, cur)
+                    if added
+                    else None
+                )
+                if old_rows is not None and new_rows is not None:
+                    parts.append(
+                        tag(new_rows.exceptAll(old_rows), "insert", v)
+                    )
+                    parts.append(
+                        tag(old_rows.exceptAll(new_rows), "delete", v)
+                    )
+                elif new_rows is not None:
+                    parts.append(tag(new_rows, "insert", v))
+                else:
+                    parts.append(tag(old_rows, "delete", v))
+            if new_dvs:
+                dv = spark.read.parquet(*new_dvs).select(
+                    F.col("file_path").alias("_dv_fp"),
+                    F.col("row_index").alias("_dv_ri"),
+                )
+                scan = self._scan_with_pos(spark, cur["files"], cur)
+                if prev_dvs:
+                    old = spark.read.parquet(*prev_dvs).select(
+                        F.col("file_path").alias("_dv_fp"),
+                        F.col("row_index").alias("_dv_ri"),
+                    )
+                    scan = scan.join(
+                        old,
+                        (scan["_fp"] == old["_dv_fp"])
+                        & (scan["_ri"] == old["_dv_ri"]),
+                        "left_anti",
+                    )
+                dead = scan.join(
+                    dv,
+                    (scan["_fp"] == dv["_dv_fp"])
+                    & (scan["_ri"] == dv["_dv_ri"]),
+                    "left_semi",
+                ).drop("_fp", "_ri")
+                parts.append(tag(dead, "delete", v))
+        if not parts:
+            base = self.snapshot(hi)
+            if not base["files"]:
+                raise ValueError(
+                    "changes(): no commits in range and the range-end "
+                    "snapshot is empty — nothing to derive a schema from"
+                )
+            return tag(
+                self._read_files(spark, base["files"], base), "insert", 0
+            ).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def read_pruned(
         self,
         spark: SparkSession,

@@ -1632,3 +1632,123 @@ def test_vacuum_keeps_delta_reconstruction_closure(
             t.snapshot(v)
     # cold handle resolves the retained delta through its closure
     assert L.ZTable(t.path).read(spark).count() == n
+
+
+# -- change data feed (compute-on-read CDF from the snapshot log) --
+
+
+def _multiset(df, cols=("id", "x", "y")):
+    from collections import Counter
+
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_cdf_append_reports_exactly_the_appended_rows(
+    spark, sf_dir, tmp_path
+):
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra, n_files=4)
+    ch = t.changes(spark, 0)
+    assert set(
+        r["_change_type"] for r in ch.select("_change_type").distinct().collect()
+    ) == {"insert"}
+    assert _multiset(ch) == _multiset(extra)
+    assert ch.select("_commit_version").distinct().collect()[0][0] == 1
+
+
+def test_cdf_cow_delete_reports_only_dead_rows(spark, sf_dir, tmp_path):
+    t, base, _ = _seed_table(spark, sf_dir, tmp_path)
+    before = t.read(spark)
+    box_x, box_y = BOX_X, DBOX_Y
+    dead = before.where(
+        (F.col("x") >= box_x[0]) & (F.col("x") <= box_x[1])
+        & (F.col("y") >= box_y[0]) & (F.col("y") <= box_y[1])
+    )
+    dead_ms = _multiset(dead)
+    assert dead_ms  # fixture must actually hit the box
+    t.delete_where(spark, box_x, box_y)
+    ch = t.changes(spark, 0)
+    ins = ch.where(F.col("_change_type") == "insert")
+    dels = ch.where(F.col("_change_type") == "delete")
+    # surviving rows of the rewritten files must NOT surface
+    assert ins.count() == 0
+    assert _multiset(dels) == dead_ms
+
+
+def test_cdf_dv_deletes_report_only_newly_dead(spark, sf_dir, tmp_path):
+    t, base, _ = _seed_table(spark, sf_dir, tmp_path)
+    box1_x, box2_x, box_y = (3000.0, 5000.0), (4000.0, 6000.0), (
+        1000.0,
+        4000.0,
+    )
+    v1, d1, _ = t.delete_where_dv(spark, box1_x, box_y)
+    v2, d2, _ = t.delete_where_dv(spark, box2_x, box_y)
+    assert d1 > 0 and d2 > 0
+    c1 = t.changes(spark, 0, v1)
+    c2 = t.changes(spark, v1, v2)
+    assert c1.count() == d1 and c2.count() == d2
+    assert set(
+        r[0] for r in c1.select("_change_type").distinct().collect()
+    ) == {"delete"}
+    # stacked DVs: the two feeds are disjoint and together equal the
+    # multiset difference v0 minus v2
+    from collections import Counter
+
+    all_dead = _multiset(c1) + _multiset(c2)
+    assert _multiset(t.read(spark, 0)) - _multiset(t.read(spark, v2)) == all_dead
+    assert not set(_multiset(c1)) & set(_multiset(c2))
+
+
+def test_cdf_upsert_emits_cdc_pairs_only_for_changed_rows(
+    spark, sf_dir, tmp_path
+):
+    from big_data_computing__spark.sources.readers import customer_points
+
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts, str(tmp_path / "zt_cdf_ups"), n_files=16, cell=200.0
+    )
+    replaced = pts.limit(40).localCheckpoint()
+    batch = replaced.select(
+        (F.col("id") + 1_000_000).alias("id"), "x", "y"
+    ).localCheckpoint()
+    v, rewritten, _ = t.upsert(spark, batch)
+    assert rewritten > 0
+    ch = t.changes(spark, 0)
+    ins = ch.where(F.col("_change_type") == "insert")
+    dels = ch.where(F.col("_change_type") == "delete")
+    # exactly the 40 replaced payloads die and the 40 new ones appear;
+    # carried-through rows of the rewritten files cancel
+    assert _multiset(ins) == _multiset(batch)
+    assert _multiset(dels) == _multiset(replaced)
+
+
+def test_cdf_compact_is_silent_and_replay_reconstructs(
+    spark, sf_dir, tmp_path
+):
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra, n_files=4)
+    t.compact(spark, n_files=2)
+    v_del, _, _ = t.delete_where(spark, BOX_X, DBOX_Y)
+    ch = t.changes(spark, 0)
+    # compact contributed nothing
+    assert set(
+        r[0] for r in ch.select("_commit_version").distinct().collect()
+    ) <= {1, v_del}
+    # replay: v0 + inserts − deletes == latest, as multisets
+    ms = _multiset(t.read(spark, 0))
+    ms += _multiset(ch.where(F.col("_change_type") == "insert"))
+    ms -= _multiset(ch.where(F.col("_change_type") == "delete"))
+    assert ms == _multiset(t.read(spark))
+
+
+def test_cdf_range_spanning_rename_raises(spark, sf_dir, tmp_path):
+    import pytest
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra, n_files=4)
+    t.rename_column("id", "row_id")
+    with pytest.raises(ValueError, match="rename"):
+        t.changes(spark, 0)
+    # sub-ranges on either side of the rename work
+    assert t.changes(spark, 0, 1).count() > 0
