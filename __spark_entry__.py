@@ -333,6 +333,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, m=WRES_STRAT_M, seed=SEED
         )
 
+    def a15_key_skew(spark, sf_dir):
+        # shuffle-key skew diagnostic over events.user_id: top heads
+        # with integer-exact share / x-mean / cumulative-share metrics
+        # — the pre-shuffle go/no-go report for salting decisions
+        ev = _rd.read_table(spark, sf_dir, "events")
+        return _rel.key_skew_report(ev, "user_id", n=10)
+
     def a11_distinct_items(spark, sf_dir):
         return _rel.distinct_count(
             _rd.event_stream_table(spark, sf_dir), "item"
@@ -1799,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # balanced sample, incremental dedup, TPC-H Q3/Q5/Q10, media
         # chunks, IVF x int8) --
         a14_approx_distinct,
+        a15_key_skew,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -2178,6 +2186,11 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"
             " FROM lineitem",
             "l_returnflag",
+        ),
+        "a15_key_skew": _rel.key_skew_report_sql(
+            "SELECT user_id FROM events",
+            "CAST(user_id AS BIGINT)",
+            10,
         ),
         "t13_kmv_distinct": _fr.kmv_estimate_sql(
             "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"

@@ -444,3 +444,88 @@ def global_prefix_sum(
         *df.columns,
         (running + off[F.col("_pid")]).cast("long").alias(out_col),
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, n: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: the top-``n`` heaviest keys with
+    integer-exact skew metrics — DataFrame[rk, key, cnt, share_milli,
+    x_mean_milli, cum_share_milli].
+
+    The numbers an engineer reads before shuffling 100 TB on
+    ``key_col``: share_milli = 1000·cnt div total (this key's fraction
+    of all rows), x_mean_milli = 1000·cnt·n_keys div total (how many
+    times the mean key weight — >>1000 means salting/AQE-skew-join
+    territory), cum_share_milli the running total over the ranked
+    heads. All floor divisions on positive BIGINTs — value-oracled.
+
+    Plan: one map-side-combined count per key, a 2-scalar global
+    broadcast, TakeOrderedAndProject for the top-``n`` — the rank
+    window runs over n rows, never the key space."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(
+            "rk",
+            F.col("key").cast("string").alias("key"),
+            "cnt",
+            F.expr("(1000 * cnt) div total").alias("share_milli"),
+            F.expr("(1000 * cnt * n_keys) div total").alias(
+                "x_mean_milli"
+            ),
+            F.expr("(1000 * cum_cnt) div total").alias(
+                "cum_share_milli"
+            ),
+        )
+    )
+
+
+def key_skew_report_sql(
+    source_sql: str, key_expr: str, n: int = 10
+) -> str:
+    """DuckDB twin of :func:`key_skew_report`."""
+    return f"""
+WITH s AS ({source_sql}),
+counts AS (
+  SELECT {key_expr} AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s GROUP BY {key_expr}
+),
+totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+top AS (
+  SELECT key, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT)
+           AS rk,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+  FROM counts
+)
+SELECT rk, CAST(key AS VARCHAR) AS key, cnt,
+       (1000 * cnt) // total AS share_milli,
+       (1000 * cnt * n_keys) // total AS x_mean_milli,
+       (1000 * cum_cnt) // total AS cum_share_milli
+FROM top CROSS JOIN totals
+WHERE rk <= {n}
+ORDER BY rk
+"""

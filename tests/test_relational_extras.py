@@ -122,3 +122,27 @@ def test_global_dense_rank_matches_distinct_rank_join(spark):
     assert len(got) == 500
     for _id, (a, b, rk) in got.items():
         assert rk == via_join[(a, b)], (_id, a, b)
+
+
+def test_key_skew_report_hand_fixture(spark):
+    from big_data_computing__spark.operators.relational import (
+        key_skew_report,
+    )
+
+    # 100 rows: key 'a' 60, 'b' 30, eight singletons — total=98? no:
+    # 60+30+8 = 98 rows, 10 keys
+    rows = (
+        [("a",)] * 60 + [("b",)] * 30 + [(c,) for c in "cdefghij"]
+    )
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r["key"]: r for r in key_skew_report(df, "k", n=3).collect()}
+    assert set(got) == {"a", "b", "c"}
+    a = got["a"]
+    assert (a["rk"], a["cnt"]) == (1, 60)
+    assert a["share_milli"] == 1000 * 60 // 98
+    assert a["x_mean_milli"] == 1000 * 60 * 10 // 98  # ~6.1x the mean
+    assert a["cum_share_milli"] == 1000 * 60 // 98
+    b = got["b"]
+    assert b["cum_share_milli"] == 1000 * 90 // 98
+    c = got["c"]
+    assert (c["rk"], c["cnt"]) == (3, 1)
