@@ -215,3 +215,66 @@ def run_sampler_stream(
     query.stop()
     query.awaitTermination(30)
     return state
+
+
+class KmvState:
+    """Driver-side streaming KMV distinct sketch (the bottom-k twin of
+    the CMS/HLL streaming aggregations, which Spark runs natively; a
+    bottom-k-of-distinct is not a streaming aggregation, so the state
+    lives here): per group, the k smallest distinct 40-bit item hashes.
+
+    Merge law: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+    — each micro-batch contributes its OWN ≤ k·n_groups-row sketch
+    (all heavy work stays in the cluster; only sketch rows reach the
+    driver), and the folded state equals the batch
+    :func:`~..operators.frequent.kmv_sketch` over the union of arrived
+    rows BIT-FOR-BIT after any prefix (asserted in tests).
+
+    Exactly-once: ``update`` is keyed by micro-batch id and ignores
+    replays (the foreachBatch idempotence rule, table_stream.py).
+    State is O(k · n_groups) driver ints."""
+
+    def __init__(
+        self,
+        k: int | None = None,
+        item_col: str = "item",
+        group_cols: list[str] | None = None,
+    ):
+        from ..operators.frequent import KMV_K
+
+        self.k = KMV_K if k is None else k
+        self.item_col = item_col
+        self.group_cols = list(group_cols or [])
+        self.sketches: dict[tuple, list[int]] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.frequent import kmv_sketch
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        rows = kmv_sketch(
+            batch_df, self.k, self.item_col, self.group_cols
+        ).collect()
+        for r in rows:
+            key = tuple(r[c] for c in self.group_cols)
+            cur = self.sketches.setdefault(key, [])
+            hv = r["hv"]
+            if hv not in cur:
+                cur.append(hv)
+        for key, vals in self.sketches.items():
+            vals.sort()
+            del vals[self.k :]
+
+    def estimate(self) -> dict[tuple, tuple[int, int, int]]:
+        """group key -> (n_sketch, kth_hv, estimate) under the exact
+        integer convention of the batch ``kmv_estimate``."""
+        from ..operators.frequent import KMV_M
+
+        out = {}
+        for key, vals in self.sketches.items():
+            n, kth = len(vals), max(vals)
+            est = n if n < self.k else (self.k - 1) * KMV_M // kth
+            out[key] = (n, kth, est)
+        return out

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_computing__spark.operators import frequent as FR
+from big_data_computing__spark.sources.readers import read_table
 from big_data_computing__spark.sources.readers import event_stream_table
 from big_data_computing__spark.streaming.frequent_stream import (
     SamplerState,
@@ -92,3 +93,53 @@ def test_stop_at_n_batch_granular(spark):
     assert state.processed == 6 and state.stopped
     state.update([(7, 70)])  # skipped
     assert state.processed == 6
+
+
+def test_kmv_state_stream_parity_and_replay(spark, sf_dir, tmp_path):
+    """KmvState folded over a real availableNow foreachBatch run
+    equals the batch kmv_sketch/kmv_estimate over the same rows
+    bit-for-bit, and a replayed batch id is a strict no-op."""
+    from big_data_computing__spark.operators.frequent import (
+        kmv_estimate,
+    )
+    from big_data_computing__spark.streaming.frequent_stream import (
+        KmvState,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_orderkey").cast("long").alias("item")
+    )
+    data = str(tmp_path / "kmv_rows")
+    li.repartition(4).write.parquet(data)
+    src = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    st = KmvState(group_cols=["l_returnflag"])
+    q = (
+        src.writeStream.foreachBatch(st.update)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(st._seen) > 1  # genuinely incremental
+
+    want = {
+        (r["l_returnflag"],): (
+            r["n_sketch"],
+            r["kth_hv"],
+            r["estimate"],
+        )
+        for r in kmv_estimate(
+            li, group_cols=["l_returnflag"]
+        ).collect()
+    }
+    assert st.estimate() == want
+
+    # replay idempotence: re-running an already-seen batch id changes
+    # nothing
+    before = {k: list(v) for k, v in st.sketches.items()}
+    st.update(li, batch_id=next(iter(st._seen)))
+    assert {k: list(v) for k, v in st.sketches.items()} == before
