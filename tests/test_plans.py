@@ -315,3 +315,53 @@ def test_retrieval_and_selection_plan_shapes(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_r6d_operator_plan_shapes(spark):
+    """Plan contracts for this session's additions: the binary codec
+    packs via codegen (stats broadcast, no SortMergeJoin) and Hamming
+    top-k never goes cartesian; KMV's bottom-k runs as
+    WindowGroupLimit (per-partition partial bottom-k before the
+    shuffle); the key-skew report's totals broadcast and its top-n is
+    a TakeOrderedAndProject; Q6's predicates push to the parquet
+    scan."""
+    import __spark_entry__ as entrymod
+    from big_data_computing__spark.operators.frequent import kmv_sketch
+    from big_data_computing__spark.operators.relational import (
+        key_skew_report,
+    )
+    from big_data_computing__spark.operators.similarity import (
+        embedding_binary_codec,
+        hamming_topk,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+
+    plan = executed_plan(embedding_binary_codec(emb))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+    plan = executed_plan(
+        hamming_topk(emb, queries=emb.where("vec_id % 10 = 0"), k=3)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    li = read_table(spark, SF, "lineitem").select(
+        "l_returnflag", F.col("l_orderkey").cast("long").alias("item")
+    )
+    plan = executed_plan(
+        kmv_sketch(li, group_cols=["l_returnflag"])
+    )
+    assert "WindowGroupLimit" in plan
+
+    ev = read_table(spark, SF, "events")
+    plan = executed_plan(key_skew_report(ev, "user_id", n=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals side
+
+    q6 = entrymod.queries()["q6_forecast_revenue"](spark, SF)
+    plan = executed_plan(q6)
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
