@@ -1618,6 +1618,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, queries=emb.where(F.col("vec_id") % 10 == 0), k=ANN_K
         )
 
+    def x_ann_hamming_rerank(spark, sf_dir):
+        # the binary tier's production path: 1-bit Hamming shortlist →
+        # exact cosine re-rank (the BQ+rescore serving shape) — the
+        # shortlist is exact integers, the re-rank the oracled rounded
+        # cosine, so the composition value-oracles end to end
+        emb = _emb(spark, sf_dir)
+        return _sim.hamming_rerank_topk(
+            emb,
+            queries=emb.where(F.col("vec_id") % 10 == 0),
+            k=ANN_K,
+            shortlist=32,
+        )
+
     def x_fuzzy_name_pairs(spark, sf_dir):
         # record-linkage front end: blocked (head-noun) levenshtein
         # compare over DISTINCT part names — the quadratic work runs
@@ -1830,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_media_chunks,
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
+        x_ann_hamming_rerank,
         w13_event_spikes,
         x_quality_calibration,
         x_dedup_components_sc,
@@ -2592,6 +2606,9 @@ WHERE vec_id NOT IN (
         "x_ann_ivf_int8_topk": _sim.ivf_int8_topk_sql(),
         "x_ann_hamming_topk": _sim.hamming_topk_sql(
             64, ANN_K, query_filter="qid % 10 = 0"
+        ),
+        "x_ann_hamming_rerank": _sim.hamming_rerank_topk_sql(
+            64, ANN_K, 32, query_filter="qid % 10 = 0"
         ),
         "x_fuzzy_name_pairs": _dd.fuzzy_name_pairs_sql(),
         "x_fuzzy_entities": _dd.fuzzy_entities_sql(),

@@ -2919,3 +2919,108 @@ ranked AS (
 SELECT qid AS query_id, vec_id, hamming
 FROM ranked WHERE rk <= {k}
 """
+
+
+def hamming_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    dims: int = 64,
+    k: int = 5,
+    shortlist: int = 32,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The binary tier's PRODUCTION serving path: Hamming shortlist →
+    exact cosine re-rank — DataFrame[query_id, vec_id, score].
+
+    Step 1 scans packed words (1 bit/dim, XOR+POPCNT codegen) for the
+    top-``shortlist`` candidates per query; step 2 re-ranks just those
+    with the exact float cosine (rounded 6 dp, ties by vec_id — the
+    cosine_topk conventions). This is how every binary-quantization
+    deployment runs (the faiss/vector-DB BQ + rescore shape): the
+    32×-compressed scan does the corpus-sized work, the float kernel
+    touches shortlist·n_queries rows only.
+
+    The re-rank makes the result oracle-able END TO END: the shortlist
+    is exact integer arithmetic, the re-rank is the already-oracled
+    rounded-cosine expression."""
+    cand = hamming_topk(emb, queries, dims, shortlist, scale)
+    base = _vec_df(emb)
+    qside = base.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        cand.join(base, cand["vec_id"] == base["vid"])
+        .join(qside, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def hamming_rerank_topk_sql(
+    dims: int = 64,
+    k: int = 5,
+    shortlist: int = 32,
+    scale: int = 1_000_000,
+    query_filter: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`hamming_rerank_topk`."""
+    return f"""
+WITH {_binary_code_cte(dims, scale)},
+qc AS (
+  SELECT vec_id AS qid, word, wv AS qwv FROM codes
+  WHERE {query_filter}
+),
+hscored AS (
+  SELECT qc.qid, codes.vec_id,
+         CAST(SUM(bit_count(xor(qc.qwv, codes.wv))) AS BIGINT)
+           AS hamming
+  FROM qc JOIN codes USING (word)
+  WHERE qc.qid <> codes.vec_id
+  GROUP BY qc.qid, codes.vec_id
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS rk
+    FROM hscored
+  ) WHERE rk <= {shortlist}
+),
+v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings
+),
+rescored AS (
+  SELECT cand.qid AS query_id, cand.vec_id,
+         ROUND(list_dot_product(qv.vec, cv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec))
+                  * sqrt(list_dot_product(cv.vec, cv.vec))), 6)
+           AS score
+  FROM cand
+  JOIN v qv ON qv.vid = cand.qid
+  JOIN v cv ON cv.vid = cand.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+  FROM rescored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
+"""

@@ -12,6 +12,7 @@ Usage:
     python tools/ann_sweep.py --clustered [sf_dir] [k]
     python tools/ann_sweep.py --shortlist [sf_dir] [k]
     python tools/ann_sweep.py --bands [sf_dir] [k]
+    python tools/ann_sweep.py --binary [sf_dir] [k]
 
 Defaults: /root/testdata/sf0.01, k=3, nprobe sweep 1,2,4,8. Prints one
 markdown table and one machine-readable JSON line.
@@ -282,7 +283,57 @@ def run_bands(sf_dir: str, k: int) -> None:
     spark.stop()
 
 
+def run_binary(sf_dir: str, k: int) -> None:
+    """Recall ladder of the compression tiers: 1-bit Hamming (pure and
+    with exact re-rank at growing shortlists) vs the 8-bit int8 dot vs
+    exact — how much recall each byte of code budget buys, and how far
+    the rescore pass recovers what the 1-bit scan loses."""
+    spark = get_session(app_name="ann_sweep_binary")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    queries = emb.where("vec_id % 10 = 0")
+    truth = _topk_sets(sim.cosine_topk(emb, queries=queries, k=k))
+
+    variants = [
+        ("hamming_pure", lambda: sim.hamming_topk(
+            emb, queries=queries, k=k)),
+        ("hamming_rerank_s8", lambda: sim.hamming_rerank_topk(
+            emb, queries=queries, k=k, shortlist=8)),
+        ("hamming_rerank_s32", lambda: sim.hamming_rerank_topk(
+            emb, queries=queries, k=k, shortlist=32)),
+        ("hamming_rerank_s128", lambda: sim.hamming_rerank_topk(
+            emb, queries=queries, k=k, shortlist=128)),
+        ("int8_brute_d64", lambda: sim.int8_topk(
+            emb, k=k, dims=64, query_mod=10)),
+    ]
+    rows = []
+    for name, build in variants:
+        t0 = time.time()
+        pred = _topk_sets(build())
+        rows.append({
+            "variant": name,
+            "recall": round(recall_at_k(pred, truth), 3),
+            "wall_sec": round(time.time() - t0, 2),
+        })
+    print(f"\n| variant | recall@{k} | wall (s) |")
+    print("|---------|-----------|----------|")
+    for r in rows:
+        print(f"| {r['variant']} | {r['recall']} | {r['wall_sec']} |")
+    print(json.dumps({
+        "metric": "ann_binary_tier_sweep",
+        "sf_dir": sf_dir, "k": k, "rows": rows,
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--binary":
+        run_binary(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--bands":
         run_bands(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
