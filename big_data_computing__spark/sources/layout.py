@@ -137,19 +137,95 @@ class ConcurrentWriteConflict(RuntimeError):
     family collapsed into one type."""
 
 
+BLOOM_PROBES = 3
+_BLOOM_WORD = 60  # bits per manifest bloom word (fits signed BIGINT)
+
+
+def _bloom_probe_positions(col: str, bits: int):
+    """Array column of the ``BLOOM_PROBES`` probe positions for a
+    value: hash60(str(v) || '#i') % bits — the same cross-engine hash
+    primitive the sampling oracles use, so a probe is a pure function
+    of the value."""
+    from ..functions.hashing import hash60
+
+    return F.array(
+        *[
+            hash60(
+                F.concat(F.col(col).cast("string"), F.lit(f"#{i}"))
+            )
+            % F.lit(bits)
+            for i in range(BLOOM_PROBES)
+        ]
+    )
+
+
+def _file_blooms(
+    spark: SparkSession, path: str, col: str, bits: int
+) -> dict[str, list[int]]:
+    """Per-file Bloom filter over ``col`` for every parquet file under
+    ``path``: file -> dense list of ceil(bits/60) 60-bit words. One
+    narrow aggregate (only ``col``'s pages are read); words OR-combine
+    map-side, so each partition ships at most n_words rows per file."""
+    n_words = (bits + _BLOOM_WORD - 1) // _BLOOM_WORD
+    probes = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            F.explode(_bloom_probe_positions(col, bits)).alias("pos"),
+        )
+        .select(
+            "file",
+            F.expr(f"pos DIV {_BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("b").alias("wv"))
+        .collect()
+    )
+    out: dict[str, list[int]] = {}
+    for r in probes:
+        out.setdefault(r["file"], [0] * n_words)[r["word"]] = r["wv"]
+    return out
+
+
+def _bloom_value_probes(value, bits: int) -> list[tuple[int, int]]:
+    """(word, mask) pairs a file's bloom must ALL contain for the file
+    to possibly hold ``value`` — the driver-side probe. Uses the same
+    md5-derived hash as the write side (pure python re-implementation,
+    pinned equal by test)."""
+    import hashlib
+
+    out = []
+    for i in range(BLOOM_PROBES):
+        h = int(
+            hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:15], 16
+        )
+        pos = h % bits
+        out.append((pos // _BLOOM_WORD, 1 << (pos % _BLOOM_WORD)))
+    return out
+
+
 def _file_stats(
     spark: SparkSession,
     path: str,
     x: str,
     y: str,
     extra_cols: tuple[str, ...] | list[str] = (),
+    bloom_cols: tuple[str, ...] | list[str] = (),
+    bloom_bits: int = 1024,
 ) -> list[dict]:
     """Per-file min/max of the layout columns (plus any ``extra_cols``)
     for every parquet file under ``path``, via the hidden
     ``_metadata.file_path`` column — the stats a Delta transaction log /
     Iceberg manifest records. One tiny aggregate; the non-projected
     columns' data pages are never read. Extra columns land in the
-    entries as ``min_<col>`` / ``max_<col>`` keys."""
+    entries as ``min_<col>`` / ``max_<col>`` keys. ``bloom_cols`` adds
+    a per-file Bloom filter (``bloom_<col>`` = dense 60-bit word list)
+    for point-lookup skipping on high-cardinality columns whose
+    min/max boxes span everything — the Parquet/Iceberg bloom idea
+    lifted to the manifest so planning stays driver-side."""
     aggs = [
         F.min(x).alias("min_x"),
         F.max(x).alias("max_x"),
@@ -172,6 +248,10 @@ def _file_stats(
         .agg(*aggs)
     )
     entries = [r.asDict() for r in stats.collect()]
+    for c in bloom_cols:
+        blooms = _file_blooms(spark, path, c, bloom_bits)
+        for e in entries:
+            e[f"bloom_{c}"] = blooms.get(e["file"], [])
     entries.sort(key=lambda e: e["file"])
     return entries
 
@@ -716,6 +796,21 @@ class ZTable:
         """Extra stats columns recorded by this table's snapshots."""
         return list((snap or self.snapshot()).get("stats_cols", []))
 
+    def bloom_cols(self, snap: dict | None = None) -> list[str]:
+        """Columns with per-file manifest Bloom filters."""
+        if snap is None:
+            if not self.versions():
+                return []
+            snap = self.snapshot()
+        return list(snap.get("bloom_cols", []))
+
+    def bloom_bits(self, snap: dict | None = None) -> int:
+        if snap is None:
+            if not self.versions():
+                return 1024
+            snap = self.snapshot()
+        return int(snap.get("bloom_bits", 1024))
+
     def versions(self) -> list[int]:
         """Committed versions still present in the log, ascending."""
         return self.log.list_versions()
@@ -837,6 +932,7 @@ class ZTable:
             k: snap[k]
             for k in (
                 "schema_epoch", "epoch_renames", "retired_names", "dvs",
+                "bloom_cols", "bloom_bits",
             )
             if k in snap
         }
@@ -1013,6 +1109,8 @@ class ZTable:
         stats_cols: tuple[str, ...] | list[str] = (),
         z: str | None = None,
         log_store: LogStore | None = None,
+        bloom_cols: tuple[str, ...] | list[str] = (),
+        bloom_bits: int = 1024,
     ) -> "ZTable":
         """Commit version 0 with ``df`` as the initial Z-ordered data.
         ``stats_cols`` names extra (non-layout) columns whose per-file
@@ -1035,6 +1133,12 @@ class ZTable:
                     f"stats_cols: {c!r} would collide with the layout "
                     "stat keys min_x/max_x/min_y/max_y in the manifest"
                 )
+        bloom_cols = list(bloom_cols)
+        for c in bloom_cols:
+            if c not in df.columns:
+                raise ValueError(
+                    f"bloom_cols: {c!r} is not a column of the table"
+                )
         t = cls(path, x, y, z, log_store=log_store)
         if t.versions():
             raise FileExistsError(f"{path} already has a snapshot log")
@@ -1042,6 +1146,8 @@ class ZTable:
             df, 0, "create", n_files, cell, bits, [],
             {
                 "stats_cols": stats_cols,
+                "bloom_cols": bloom_cols,
+                "bloom_bits": bloom_bits,
                 "columns": list(df.columns),
                 "column_types": _df_types(df),
                 "zcol": z,
@@ -1058,6 +1164,8 @@ class ZTable:
         cell: float,
         bits: int,
         stats_cols: list[str],
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int | None = None,
     ) -> list[dict]:
         """Write one attempt's data files and return their stats
         entries (no commit). Dispatches to the 2-D or 3-D Morton
@@ -1068,7 +1176,9 @@ class ZTable:
             n_files, cell, bits,
         )
         return _file_stats(
-            df.sparkSession, data_dir, self.x, self.y, stats_cols
+            df.sparkSession, data_dir, self.x, self.y, stats_cols,
+            self.bloom_cols() if bloom_cols is None else bloom_cols,
+            self.bloom_bits() if bloom_bits is None else bloom_bits,
         )
 
     def _write_commit(
@@ -1086,7 +1196,12 @@ class ZTable:
         cols = (
             self.stats_cols() if stats_cols is None else stats_cols
         )
-        new = self._write_data(df, version, n_files, cell, bits, cols)
+        em = extra_meta or {}
+        bcols = em.get("bloom_cols", self.bloom_cols() if self.versions() else [])
+        bbits = em.get("bloom_bits", self.bloom_bits() if self.versions() else 1024)
+        new = self._write_data(
+            df, version, n_files, cell, bits, cols, bcols, bbits
+        )
         return self._commit(
             version,
             operation,
@@ -1095,6 +1210,8 @@ class ZTable:
                 "cell": cell,
                 "bits": bits,
                 "stats_cols": cols,
+                "bloom_cols": bcols,
+                "bloom_bits": bbits,
                 "zcol": self.zcol(),
                 **(extra_meta or {}),
             },
@@ -1193,6 +1310,8 @@ class ZTable:
                 parent["cell"],
                 parent["bits"],
                 cols,
+                self.bloom_cols(parent),
+                self.bloom_bits(parent),
             ),
             parent,
         )
@@ -1273,7 +1392,11 @@ class ZTable:
             raise ValueError(
                 f"rename_column: {new!r} already exists"
             )
-        protected = {self.x, self.y, *parent.get("stats_cols", [])}
+        protected = {
+            self.x, self.y,
+            *parent.get("stats_cols", []),
+            *parent.get("bloom_cols", []),
+        }
         if self.zcol(parent):
             protected.add(self.zcol(parent))
         if old in protected:
@@ -1360,6 +1483,7 @@ class ZTable:
             self._write_data(
                 live, parent["version"] + 1, n_files,
                 cell, bits, cols,
+                self.bloom_cols(parent), self.bloom_bits(parent),
             ),
             parent,
         )
@@ -1604,6 +1728,58 @@ class ZTable:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def bloom_prune(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[dict], int]:
+        """Driver-side point-lookup planning: the manifest entries of
+        ``version`` whose per-file Bloom filter MAY contain
+        ``col = value`` (plus any entry without a recorded bloom —
+        never a false negative), and the total file count. The probe
+        re-derives the write side's md5 positions in pure python, so
+        planning reads zero data files — the Iceberg/Parquet bloom
+        idea lifted to the manifest."""
+        snap = self.snapshot(version)
+        if col not in snap.get("bloom_cols", []):
+            raise ValueError(
+                f"bloom_prune: no bloom recorded for {col!r} "
+                f"(bloom_cols={snap.get('bloom_cols', [])})"
+            )
+        probes = _bloom_value_probes(value, self.bloom_bits(snap))
+        kept = []
+        for e in snap["files"]:
+            words = e.get(f"bloom_{col}")
+            if not words:
+                kept.append(e)
+                continue
+            if all(
+                w < len(words) and (words[w] & m) for w, m in probes
+            ):
+                kept.append(e)
+        return kept, len(snap["files"])
+
+    def read_bloom_eq(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookup through the manifest blooms: scan only the
+        may-contain files, then apply the exact residual predicate
+        (a bloom is one-sided — hits must still be verified). Intended
+        for integer/string keys whose min/max boxes span every file
+        (the case range stats cannot skip). Returns the snapshot's
+        matching rows exactly (no false positives survive)."""
+        snap = self.snapshot(version)
+        kept, _ = self.bloom_prune(col, value, version)
+        if not kept:
+            return self._read_files(
+                spark, snap["files"], snap
+            ).where(F.lit(False))
+        return self._read_files(spark, kept, snap).where(
+            F.col(col) == F.lit(value)
+        )
 
     def read_pruned(
         self,
@@ -1971,7 +2147,10 @@ def ztable_delete_where(
                 snap["cell"], snap["bits"],
             )
             new = table._stamp_epoch(
-                _file_stats(spark, data_dir, table.x, table.y, cols),
+                _file_stats(
+                    spark, data_dir, table.x, table.y, cols,
+                    table.bloom_cols(snap), table.bloom_bits(snap),
+                ),
                 snap,
             )
         else:
@@ -2106,7 +2285,11 @@ def ztable_upsert(
             max(n_files, len(hit)), snap["cell"], snap["bits"],
         )
         new = table._stamp_epoch(
-            _file_stats(spark, data_dir, x, y, cols), snap
+            _file_stats(
+                spark, data_dir, x, y, cols,
+                table.bloom_cols(snap), table.bloom_bits(snap),
+            ),
+            snap,
         )
         # Schema carries through (and may grow: unionByName above
         # accepts batch-only columns, the mergeSchema evolution

@@ -1752,3 +1752,86 @@ def test_cdf_range_spanning_rename_raises(spark, sf_dir, tmp_path):
         t.changes(spark, 0)
     # sub-ranges on either side of the rename work
     assert t.changes(spark, 0, 1).count() > 0
+
+
+# -- manifest Bloom filters (point-lookup file skipping) --
+
+
+def test_bloom_no_false_negatives_and_exact_lookup(
+    spark, sf_dir, tmp_path
+):
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts,
+        str(tmp_path / "zt_bloom"),
+        n_files=16,
+        cell=200.0,
+        bloom_cols=["id"],
+    )
+    # which file actually holds each id (ground truth via _metadata)
+    rows = (
+        t.read(spark)
+        .select("id", F.col("_metadata.file_path").alias("fp"))
+        .collect()
+    )
+    holder = {r["id"]: r["fp"] for r in rows}
+    ids = sorted(holder)[:20]
+    for i in ids:
+        kept, total = t.bloom_prune("id", i)
+        assert total == 16
+        # no false negative: the file holding i survives pruning
+        assert holder[i] in {e["file"] for e in kept}
+        # effectiveness: 3 probes over 1024 bits with ~10 rows/file
+        # → expected false-positive files ≈ 0; allow a little slack
+        assert len(kept) <= 3, (i, len(kept))
+        got = t.read_bloom_eq(spark, "id", i).collect()
+        assert len(got) == 1 and got[0]["id"] == i
+    # a value not in the table reads empty
+    assert t.read_bloom_eq(spark, "id", -987654).count() == 0
+
+
+def test_bloom_carried_through_append_and_compact(
+    spark, sf_dir, tmp_path
+):
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0)
+    t = L.ZTable.create(
+        base,
+        str(tmp_path / "zt_bloom_evo"),
+        n_files=8,
+        cell=200.0,
+        bloom_cols=["id"],
+    )
+    t.append(extra, n_files=4)
+    some_extra = extra.select("id").limit(3).collect()
+    for r in some_extra:
+        got = t.read_bloom_eq(spark, "id", r["id"]).collect()
+        assert len(got) == 1
+    t.compact(spark, n_files=2)
+    assert t.bloom_cols() == ["id"]
+    for r in some_extra:
+        kept, total = t.bloom_prune("id", r["id"])
+        assert total == 2 and len(kept) >= 1
+        got = t.read_bloom_eq(spark, "id", r["id"]).collect()
+        assert len(got) == 1
+    # un-bloomed column raises
+    import pytest
+
+    with pytest.raises(ValueError, match="bloom"):
+        t.bloom_prune("x", 1.0)
+
+
+def test_bloom_col_rename_refused(spark, sf_dir, tmp_path):
+    import pytest
+
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts,
+        str(tmp_path / "zt_bloom_ren"),
+        n_files=4,
+        cell=200.0,
+        bloom_cols=["id"],
+    )
+    with pytest.raises(ValueError):
+        t.rename_column("id", "row_id")
