@@ -111,3 +111,56 @@ def test_stream_upserts_replace_and_are_idempotent(
     last_v = t.latest_version()
     assert upsert_batch(t, feed, batch_id=0) is False
     assert t.latest_version() == last_v
+
+
+def test_cdf_agg_state_tracks_full_lifecycle(spark, sf_dir, tmp_path):
+    """CdfAggState folded over create → append → DV delete → upsert →
+    compact equals the full GROUP BY recompute after EVERY advance —
+    incremental view maintenance off the change feed, never a table
+    re-aggregation."""
+    from big_data_computing__spark.sources.layout import ZTable
+    from big_data_computing__spark.sources.readers import (
+        customer_points,
+    )
+    from big_data_computing__spark.streaming.table_stream import (
+        CdfAggState,
+    )
+
+    pts = customer_points(spark, sf_dir).withColumn(
+        "bucket", F.pmod(F.col("id"), F.lit(7))
+    )
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0)
+    t = ZTable.create(
+        base, str(tmp_path / "zt_cdf_agg"), n_files=8, cell=200.0
+    )
+    st = CdfAggState(t, "bucket", sum_col="id")
+    assert st.advance(spark) == 1  # bootstrap
+    assert st.snapshot_equals_recompute(spark)
+
+    t.append(extra, n_files=4)
+    assert st.advance(spark) == 1
+    assert st.snapshot_equals_recompute(spark)
+
+    t.delete_where_dv(spark, (3000.0, 6000.0), (1000.0, 4000.0))
+    batch = (
+        pts.limit(20)
+        .select(
+            (F.col("id") + 500_000).alias("id"),
+            "x",
+            "y",
+            F.pmod(F.col("id") + 500_000, F.lit(7)).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    t.upsert(spark, batch)
+    assert st.advance(spark) == 2  # both commits folded in one call
+    assert st.snapshot_equals_recompute(spark)
+
+    t.compact(spark, n_files=2)
+    st.advance(spark)
+    assert st.snapshot_equals_recompute(spark)
+    # replay safety: advancing again changes nothing
+    before = dict(st.state)
+    assert st.advance(spark) == 0
+    assert st.state == before
