@@ -190,6 +190,42 @@ def _file_blooms(
     return out
 
 
+def _file_ndv_sketches(
+    spark: SparkSession, path: str, col: str, k: int
+) -> dict[str, list[int]]:
+    """Per-file KMV bottom-k distinct sketch over ``col`` for every
+    parquet file under ``path``: file -> sorted list of ≤ k 40-bit
+    hashes (the same hv space as operators.frequent.kmv_sketch, so
+    file sketches MERGE into table-level estimates by union +
+    re-bottom-k). The rank filter runs as WindowGroupLimit — partial
+    per-partition bottom-k before any shuffle."""
+    from pyspark.sql import Window
+
+    from ..operators.frequent import _kmv_hv
+
+    d = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(col).alias("item"),
+        )
+        .select("file", _kmv_hv("item"))
+        .distinct()
+    )
+    w = Window.partitionBy("file").orderBy(F.asc("hv"))
+    rows = (
+        d.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .collect()
+    )
+    out: dict[str, list[int]] = {}
+    for r in rows:
+        out.setdefault(r["file"], []).append(r["hv"])
+    for v in out.values():
+        v.sort()
+    return out
+
+
 def _bloom_value_probes(value, bits: int) -> list[tuple[int, int]]:
     """(word, mask) pairs a file's bloom must ALL contain for the file
     to possibly hold ``value`` — the driver-side probe. Uses the same
@@ -215,6 +251,8 @@ def _file_stats(
     extra_cols: tuple[str, ...] | list[str] = (),
     bloom_cols: tuple[str, ...] | list[str] = (),
     bloom_bits: int = 1024,
+    ndv_cols: tuple[str, ...] | list[str] = (),
+    ndv_k: int = 64,
 ) -> list[dict]:
     """Per-file min/max of the layout columns (plus any ``extra_cols``)
     for every parquet file under ``path``, via the hidden
@@ -252,6 +290,10 @@ def _file_stats(
         blooms = _file_blooms(spark, path, c, bloom_bits)
         for e in entries:
             e[f"bloom_{c}"] = blooms.get(e["file"], [])
+    for c in ndv_cols:
+        sketches = _file_ndv_sketches(spark, path, c, ndv_k)
+        for e in entries:
+            e[f"ndv_{c}"] = sketches.get(e["file"], [])
     entries.sort(key=lambda e: e["file"])
     return entries
 
@@ -811,6 +853,21 @@ class ZTable:
             snap = self.snapshot()
         return int(snap.get("bloom_bits", 1024))
 
+    def ndv_cols(self, snap: dict | None = None) -> list[str]:
+        """Columns with per-file KMV NDV sketches in the manifest."""
+        if snap is None:
+            if not self.versions():
+                return []
+            snap = self.snapshot()
+        return list(snap.get("ndv_cols", []))
+
+    def ndv_k(self, snap: dict | None = None) -> int:
+        if snap is None:
+            if not self.versions():
+                return 64
+            snap = self.snapshot()
+        return int(snap.get("ndv_k", 64))
+
     def versions(self) -> list[int]:
         """Committed versions still present in the log, ascending."""
         return self.log.list_versions()
@@ -932,7 +989,7 @@ class ZTable:
             k: snap[k]
             for k in (
                 "schema_epoch", "epoch_renames", "retired_names", "dvs",
-                "bloom_cols", "bloom_bits",
+                "bloom_cols", "bloom_bits", "ndv_cols", "ndv_k",
             )
             if k in snap
         }
@@ -1111,6 +1168,8 @@ class ZTable:
         log_store: LogStore | None = None,
         bloom_cols: tuple[str, ...] | list[str] = (),
         bloom_bits: int = 1024,
+        ndv_cols: tuple[str, ...] | list[str] = (),
+        ndv_k: int = 64,
     ) -> "ZTable":
         """Commit version 0 with ``df`` as the initial Z-ordered data.
         ``stats_cols`` names extra (non-layout) columns whose per-file
@@ -1134,10 +1193,11 @@ class ZTable:
                     "stat keys min_x/max_x/min_y/max_y in the manifest"
                 )
         bloom_cols = list(bloom_cols)
-        for c in bloom_cols:
+        ndv_cols = list(ndv_cols)
+        for c in bloom_cols + ndv_cols:
             if c not in df.columns:
                 raise ValueError(
-                    f"bloom_cols: {c!r} is not a column of the table"
+                    f"bloom/ndv cols: {c!r} is not a column of the table"
                 )
         t = cls(path, x, y, z, log_store=log_store)
         if t.versions():
@@ -1148,6 +1208,8 @@ class ZTable:
                 "stats_cols": stats_cols,
                 "bloom_cols": bloom_cols,
                 "bloom_bits": bloom_bits,
+                "ndv_cols": ndv_cols,
+                "ndv_k": ndv_k,
                 "columns": list(df.columns),
                 "column_types": _df_types(df),
                 "zcol": z,
@@ -1166,6 +1228,8 @@ class ZTable:
         stats_cols: list[str],
         bloom_cols: list[str] | None = None,
         bloom_bits: int | None = None,
+        ndv_cols: list[str] | None = None,
+        ndv_k: int | None = None,
     ) -> list[dict]:
         """Write one attempt's data files and return their stats
         entries (no commit). Dispatches to the 2-D or 3-D Morton
@@ -1179,6 +1243,8 @@ class ZTable:
             df.sparkSession, data_dir, self.x, self.y, stats_cols,
             self.bloom_cols() if bloom_cols is None else bloom_cols,
             self.bloom_bits() if bloom_bits is None else bloom_bits,
+            self.ndv_cols() if ndv_cols is None else ndv_cols,
+            self.ndv_k() if ndv_k is None else ndv_k,
         )
 
     def _write_commit(
@@ -1199,8 +1265,11 @@ class ZTable:
         em = extra_meta or {}
         bcols = em.get("bloom_cols", self.bloom_cols() if self.versions() else [])
         bbits = em.get("bloom_bits", self.bloom_bits() if self.versions() else 1024)
+        ncols = em.get("ndv_cols", self.ndv_cols() if self.versions() else [])
+        nk = em.get("ndv_k", self.ndv_k() if self.versions() else 64)
         new = self._write_data(
-            df, version, n_files, cell, bits, cols, bcols, bbits
+            df, version, n_files, cell, bits, cols, bcols, bbits,
+            ncols, nk,
         )
         return self._commit(
             version,
@@ -1212,6 +1281,8 @@ class ZTable:
                 "stats_cols": cols,
                 "bloom_cols": bcols,
                 "bloom_bits": bbits,
+                "ndv_cols": ncols,
+                "ndv_k": nk,
                 "zcol": self.zcol(),
                 **(extra_meta or {}),
             },
@@ -1312,6 +1383,8 @@ class ZTable:
                 cols,
                 self.bloom_cols(parent),
                 self.bloom_bits(parent),
+                self.ndv_cols(parent),
+                self.ndv_k(parent),
             ),
             parent,
         )
@@ -1396,6 +1469,7 @@ class ZTable:
             self.x, self.y,
             *parent.get("stats_cols", []),
             *parent.get("bloom_cols", []),
+            *parent.get("ndv_cols", []),
         }
         if self.zcol(parent):
             protected.add(self.zcol(parent))
@@ -1484,6 +1558,7 @@ class ZTable:
                 live, parent["version"] + 1, n_files,
                 cell, bits, cols,
                 self.bloom_cols(parent), self.bloom_bits(parent),
+                self.ndv_cols(parent), self.ndv_k(parent),
             ),
             parent,
         )
@@ -1780,6 +1855,39 @@ class ZTable:
         return self._read_files(spark, kept, snap).where(
             F.col(col) == F.lit(value)
         )
+
+    def estimate_ndv(
+        self, col: str, version: int | None = None
+    ) -> tuple[int, int]:
+        """Table-level distinct-count estimate for ``col`` from the
+        manifest's per-file KMV sketches — ZERO data reads (the
+        Iceberg puffin-file NDV idea): file sketches union and
+        re-bottom-k on the driver (the KMV merge law), then the
+        operators.frequent estimator — exact when the union holds
+        fewer than k hashes, (k−1)·2^40 div kth otherwise. Returns
+        (estimate, n_sketch).
+
+        Planning numbers only: sketches are file-level, so rows
+        tombstoned by deletion vectors still count until a compact
+        materializes them (same caveat as every manifest stat)."""
+        from ..operators.frequent import KMV_M
+
+        snap = self.snapshot(version)
+        if col not in snap.get("ndv_cols", []):
+            raise ValueError(
+                f"estimate_ndv: no NDV sketch for {col!r} "
+                f"(ndv_cols={snap.get('ndv_cols', [])})"
+            )
+        k = self.ndv_k(snap)
+        merged: set[int] = set()
+        for e in snap["files"]:
+            merged.update(e.get(f"ndv_{col}") or [])
+        sk = sorted(merged)[:k]
+        if not sk:
+            return 0, 0
+        n = len(sk)
+        est = n if n < k else (k - 1) * KMV_M // sk[-1]
+        return est, n
 
     def read_pruned(
         self,
@@ -2150,6 +2258,7 @@ def ztable_delete_where(
                 _file_stats(
                     spark, data_dir, table.x, table.y, cols,
                     table.bloom_cols(snap), table.bloom_bits(snap),
+                    table.ndv_cols(snap), table.ndv_k(snap),
                 ),
                 snap,
             )
@@ -2288,6 +2397,7 @@ def ztable_upsert(
             _file_stats(
                 spark, data_dir, x, y, cols,
                 table.bloom_cols(snap), table.bloom_bits(snap),
+                table.ndv_cols(snap), table.ndv_k(snap),
             ),
             snap,
         )

@@ -1835,3 +1835,72 @@ def test_bloom_col_rename_refused(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError):
         t.rename_column("id", "row_id")
+
+
+# -- manifest NDV sketches (per-file KMV, driver-side estimates) --
+
+
+def test_ndv_sketch_merge_matches_batch_kmv(spark, sf_dir, tmp_path):
+    """The manifest estimate must equal the batch kmv_estimate over
+    the same rows EXACTLY — file sketches merged on the driver are the
+    same bottom-k the operator computes in-cluster (the KMV merge
+    law), so this is bit-parity, not tolerance."""
+    from big_data_computing__spark.operators.frequent import (
+        kmv_estimate,
+    )
+
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts,
+        str(tmp_path / "zt_ndv"),
+        n_files=8,
+        cell=200.0,
+        ndv_cols=["id"],
+    )
+    est, n_sk = t.estimate_ndv("id")
+    want = kmv_estimate(
+        pts.select(F.col("id").alias("item"))
+    ).collect()[0]
+    assert (est, n_sk) == (want["estimate"], want["n_sketch"])
+    # exact regime sanity: fixture has > k distinct ids, so the
+    # estimate is the floor-div form and within KMV error of truth
+    truth = pts.select("id").distinct().count()
+    assert abs(est - truth) < truth * 0.5
+
+
+def test_ndv_sketch_carried_and_updated_through_lifecycle(
+    spark, sf_dir, tmp_path
+):
+    from big_data_computing__spark.operators.frequent import (
+        kmv_estimate,
+    )
+
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0)
+    t = L.ZTable.create(
+        base,
+        str(tmp_path / "zt_ndv_evo"),
+        n_files=8,
+        cell=200.0,
+        ndv_cols=["id"],
+    )
+    t.append(extra, n_files=4)
+    t.compact(spark, n_files=2)
+    est, n_sk = t.estimate_ndv("id")
+    want = kmv_estimate(
+        pts.select(F.col("id").alias("item"))
+    ).collect()[0]
+    assert (est, n_sk) == (want["estimate"], want["n_sketch"])
+    # time travel: version 0's estimate covers only the base rows
+    est0, _ = t.estimate_ndv("id", version=0)
+    want0 = kmv_estimate(
+        base.select(F.col("id").alias("item"))
+    ).collect()[0]
+    assert est0 == want0["estimate"]
+    import pytest
+
+    with pytest.raises(ValueError, match="ndv"):
+        t.estimate_ndv("x")
+    with pytest.raises(ValueError):
+        t.rename_column("id", "row_id")
