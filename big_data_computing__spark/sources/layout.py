@@ -2106,6 +2106,41 @@ class ZTable:
 
     # -- maintenance ------------------------------------------------------
 
+    def describe_detail(self) -> dict:
+        """One maintenance summary for the live table (Delta's
+        DESCRIBE DETAIL): version/file/row counts, per-file row
+        distribution (the small-file compaction signal), deletion-
+        vector debt, schema surface, and which metadata features are
+        on. Driver-only — reads the snapshot log, never data."""
+        snap = self.snapshot()
+        rows = [e["n_rows"] for e in snap["files"]]
+        dvs = snap.get("dvs") or []
+        return {
+            "path": self.path,
+            "version": snap["version"],
+            "n_versions_retained": len(self.versions()),
+            "operation": snap["operation"],
+            "n_files": len(snap["files"]),
+            "n_rows": sum(rows),
+            "min_file_rows": min(rows) if rows else 0,
+            "max_file_rows": max(rows) if rows else 0,
+            "n_dv_files": len(dvs),
+            "layout": {
+                "x": self.x,
+                "y": self.y,
+                "z": snap.get("zcol"),
+                "cell": snap.get("cell"),
+                "bits": snap.get("bits"),
+            },
+            "columns": snap.get("columns"),
+            "column_types": snap.get("column_types"),
+            "schema_epoch": snap.get("schema_epoch", 0),
+            "stats_cols": snap.get("stats_cols", []),
+            "bloom_cols": snap.get("bloom_cols", []),
+            "ndv_cols": snap.get("ndv_cols", []),
+            "checkpoint_interval": self.checkpoint_interval,
+        }
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete every
         data file no retained snapshot references (including orphans from

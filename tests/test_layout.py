@@ -1904,3 +1904,26 @@ def test_ndv_sketch_carried_and_updated_through_lifecycle(
         t.estimate_ndv("x")
     with pytest.raises(ValueError):
         t.rename_column("id", "row_id")
+
+
+def test_describe_detail_reports_maintenance_surface(
+    spark, sf_dir, tmp_path
+):
+    pts = customer_points(spark, sf_dir)
+    t = L.ZTable.create(
+        pts,
+        str(tmp_path / "zt_detail"),
+        n_files=8,
+        cell=200.0,
+        bloom_cols=["id"],
+        ndv_cols=["id"],
+    )
+    t.delete_where_dv(spark, BOX_X, DBOX_Y)
+    d = t.describe_detail()
+    assert d["version"] == 1 and d["n_versions_retained"] == 2
+    assert d["n_files"] == 8
+    assert d["n_rows"] == pts.count()  # file-level rows (pre-DV)
+    assert d["n_dv_files"] == 1
+    assert d["bloom_cols"] == ["id"] and d["ndv_cols"] == ["id"]
+    assert d["layout"]["x"] == "x" and d["layout"]["z"] is None
+    assert 0 < d["min_file_rows"] <= d["max_file_rows"]
