@@ -282,6 +282,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _fr.kmv_jaccard(d, "label", "en", "de")
 
+    def t15_kmv_source_matrix(spark, sf_dir):
+        # all-pairs vocabulary-resemblance matrix over the document
+        # sources from one grouped sketch build — pure sketch algebra
+        # after the single corpus pass; pair cost independent of
+        # corpus size (the cross-source contamination triage view)
+        d = _docs(spark, sf_dir).select(
+            F.col("source").alias("label"),
+            F.explode(_ts.tokens(F.col("text"))).alias("item"),
+        )
+        return _fr.kmv_pairwise_jaccard(d, "label")
+
     def t11_histogram_quantiles(spark, sf_dir):
         # the MERGEABLE quantile summary (O(bins) integer counters,
         # unions by adding) next to a13's exact interpolated
@@ -1905,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t12_hll_by_type,
         t13_kmv_distinct,
         t14_kmv_jaccard,
+        t15_kmv_source_matrix,
         s6_sql_interface,
         c5_radius_fixed_centers,
         c9b_outliers_nd_brute,
@@ -2210,6 +2222,10 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"
             " FROM lineitem",
             group_cols=["l_returnflag"],
+        ),
+        "t15_kmv_source_matrix": _fr.kmv_pairwise_jaccard_sql(
+            "SELECT source AS label, unnest(" + _ts._TOKS_SQL + ") AS item"
+            " FROM documents"
         ),
         "t14_kmv_jaccard": _fr.kmv_jaccard_sql(
             "SELECT lang AS label, unnest(" + _ts._TOKS_SQL + ") AS item"

@@ -1248,3 +1248,116 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM us) AS n_union_sketch,
        ((SELECT 1000 * COUNT(*) FROM ov)
         // (SELECT COUNT(*) FROM us)) AS jaccard_milli
 """
+
+
+def kmv_pairwise_jaccard(
+    docs: DataFrame,
+    label_col: str,
+    k: int = KMV_K,
+    item_col: str = "item",
+) -> DataFrame:
+    """All-pairs set-resemblance matrix over the groups of
+    ``label_col`` from their KMV sketches:
+    DataFrame[label_a, label_b, n_union_sketch, n_overlap,
+    jaccard_milli] for every unordered pair (label_a < label_b).
+
+    The pairwise form of :func:`kmv_jaccard`: one grouped sketch build
+    (the only data-scale pass), then pure SKETCH ALGEBRA — for each
+    pair, the union's bottom-k is a uniform sample of A ∪ B and the
+    overlap fraction estimates Jaccard (Beyer et al. 2007). With G
+    groups the pair stage handles G·(G−1)/2 · ≤2k rows — at G=1000
+    sources that is ~32M tiny rows, independent of corpus size; the
+    corpus-sized work never grows with G².
+
+    Convention: jaccard_milli = 1000·n_overlap div n_union_sketch
+    (positive floor division); exact whenever |A ∪ B| ≤ k."""
+    from pyspark.sql import Window
+
+    sk = kmv_sketch(docs, k, item_col, group_cols=[label_col]).select(
+        F.col(label_col).alias("lab"), "hv"
+    )
+    labels = sk.select("lab").distinct()
+    pairs = (
+        labels.select(F.col("lab").alias("label_a"))
+        .crossJoin(labels.select(F.col("lab").alias("label_b")))
+        .where(F.col("label_a") < F.col("label_b"))
+    )
+    # pair-membership explode: each pair sees both sides' sketch rows
+    side_a = pairs.join(
+        sk, F.col("label_a") == F.col("lab")
+    ).select("label_a", "label_b", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pairs.join(
+        sk, F.col("label_b") == F.col("lab")
+    ).select("label_a", "label_b", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    m = (
+        side_a.unionByName(side_b)
+        .groupBy("label_a", "label_b", "hv")
+        .agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+    )
+    w = Window.partitionBy("label_a", "label_b").orderBy(F.asc("hv"))
+    usk = m.withColumn("pos", F.row_number().over(w)).where(
+        F.col("pos") <= k
+    )
+    return usk.groupBy("label_a", "label_b").agg(
+        F.count("*").cast("long").alias("n_union_sketch"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_overlap"),
+    ).select(
+        "label_a",
+        "label_b",
+        "n_union_sketch",
+        "n_overlap",
+        F.expr("(1000 * n_overlap) div n_union_sketch").alias(
+            "jaccard_milli"
+        ),
+    )
+
+
+def kmv_pairwise_jaccard_sql(
+    stream_sql: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of :func:`kmv_pairwise_jaccard` over ``stream_sql``
+    producing (label, item)."""
+    return f"""
+WITH s AS ({stream_sql}),
+d AS (
+  SELECT DISTINCT label AS lab, {_kmv_hv_sql('item')} AS hv FROM s
+),
+r AS (
+  SELECT lab, hv,
+         row_number() OVER (PARTITION BY lab ORDER BY hv ASC) AS pos
+  FROM d
+),
+sk AS (SELECT lab, hv FROM r WHERE pos <= {k}),
+labs AS (SELECT DISTINCT lab FROM sk),
+pairs AS (
+  SELECT a.lab AS label_a, b.lab AS label_b
+  FROM labs a CROSS JOIN labs b WHERE a.lab < b.lab
+),
+m AS (
+  SELECT label_a, label_b, hv,
+         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.label_a, p.label_b, sk.hv, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk ON sk.lab = p.label_a
+    UNION ALL
+    SELECT p.label_a, p.label_b, sk.hv, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk ON sk.lab = p.label_b
+  ) GROUP BY label_a, label_b, hv
+),
+usk AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY label_a, label_b ORDER BY hv ASC) AS pos
+  FROM m
+)
+SELECT label_a, label_b,
+       CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS n_overlap,
+       (1000 * CAST(SUM(in_a * in_b) AS BIGINT))
+         // COUNT(*) AS jaccard_milli
+FROM usk WHERE pos <= {k}
+GROUP BY label_a, label_b
+"""

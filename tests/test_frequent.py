@@ -520,3 +520,36 @@ def test_kmv_jaccard_exact_when_union_fits(spark):
     assert r["n_union_sketch"] == 30
     assert r["n_overlap"] == 10
     assert r["jaccard_milli"] == 1000 * 10 // 30
+
+
+def test_kmv_pairwise_matches_single_pair_operator(spark):
+    from big_data_computing__spark.operators.frequent import (
+        kmv_jaccard,
+        kmv_pairwise_jaccard,
+    )
+
+    rows = (
+        [("a", i) for i in range(30)]
+        + [("b", i) for i in range(20, 50)]
+        + [("c", i) for i in range(45, 60)]
+    )
+    df = spark.createDataFrame(rows, ["label", "item"])
+    mat = {
+        (r["label_a"], r["label_b"]): (
+            r["n_union_sketch"],
+            r["n_overlap"],
+            r["jaccard_milli"],
+        )
+        for r in kmv_pairwise_jaccard(df, "label").collect()
+    }
+    assert set(mat) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for la, lb in mat:
+        single = kmv_jaccard(df, "label", la, lb).collect()[0]
+        assert mat[(la, lb)] == (
+            single["n_union_sketch"],
+            single["n_overlap"],
+            single["jaccard_milli"],
+        )
+    # unions fit under k here, so the values are EXACT set algebra
+    assert mat[("a", "b")] == (50, 10, 200)
+    assert mat[("a", "c")] == (45, 0, 0)
