@@ -176,6 +176,10 @@ BENCH_QUERIES = [
     # 1-bit binary-quantization tier: packed-word XOR+POPCNT scan —
     # the cheapest serving tier, tracked against the int8/PQ tiers
     "x_ann_hamming_topk",
+    # ...and its production composition: 1-bit shortlist → exact
+    # rescore (the BQ+rescore serving shape; recall ladder in
+    # COVERAGE.md)
+    "x_ann_hamming_rerank",
     # TPC-H Q5 snowflake: the 6-way broadcast join + date-pruned scan
     # — the classic-warehouse cost anchor next to j2's star join
     "q5_local_supplier_volume",
