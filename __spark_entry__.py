@@ -1111,6 +1111,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold_milli=1100,
         )
 
+    def w14_gapfill_locf(spark, sf_dir):
+        # calendar gap-fill + last-observation-carried-forward daily
+        # resample per event type (time_bucket_gapfill): spine built
+        # from the aggregate's own min/max via sequence(), LOCF window
+        # over the tiny daily series — never over raw events
+        return _wd.gapfill_locf(_rd.read_table(spark, sf_dir, "events"))
+
+    def w15_mad_outliers(spark, sf_dir):
+        # robust daily anomalies: median/MAD z-score per event type,
+        # integer-exact via the middle-two-sum median (no percentile
+        # interpolation floats). Fixture volumes are near-uniform, so
+        # the registered gate is 1.5 MADs; production uses 3.
+        return _wd.mad_outliers(
+            _rd.read_table(spark, sf_dir, "events"),
+            threshold_milli=1500,
+        )
+
     def w8_cohort_retention(spark, sf_dir):
         # weekly signup-cohort retention triangle; (user, week) grain
         # bounds the join by active-user-weeks, not raw events
@@ -1856,6 +1873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_ann_hamming_topk,
         x_ann_hamming_rerank,
         w13_event_spikes,
+        w14_gapfill_locf,
+        w15_mad_outliers,
         x_quality_calibration,
         x_dedup_components_sc,
         x_substring_seed_vocab,
@@ -2522,6 +2541,8 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "w12_session_paths": _wd.session_paths_sql(),
         "w8_cohort_retention": _wd.cohort_retention_sql(),
         "w13_event_spikes": _wd.event_spikes_sql(threshold_milli=1100),
+        "w14_gapfill_locf": _wd.gapfill_locf_sql(),
+        "w15_mad_outliers": _wd.mad_outliers_sql(threshold_milli=1500),
         "x_dup_cluster_truss": _dd.dup_cluster_truss_report_sql(
             f"SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",

@@ -793,6 +793,228 @@ ORDER BY n_sessions DESC, path ASC LIMIT {top}
 """
 
 
+def gapfill_locf(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Calendar gap-fill + last-observation-carried-forward resample —
+    the hypertable/time_bucket_gapfill query every time-series store
+    ships: DataFrame[event_type, day, n_events, sum_value_cents,
+    observed] with one row for EVERY calendar day between a type's
+    first and last observed day; missing days carry the most recent
+    observed ``sum_value_cents`` forward (LOCF) and flag
+    ``observed = 0`` (``n_events = 0``).
+
+    Integer-exact: day = epoch_us div 86_400_000_000, values in
+    round-to-cents BIGINTs (the engine convention).
+
+    Plan shape for 100 TB: the only corpus-sized step is the
+    (key, day) count/sum aggregate (map-side combined). The calendar
+    spine is built per key from the aggregate's own min/max via
+    ``sequence()`` — n_keys rows exploding to n_keys × n_days — and
+    the LOCF window runs over that tiny daily series, never over raw
+    events. No generator UDF, no driver loop.
+    """
+    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    daily = (
+        events.select(F.col(key_col).alias("key"), day.alias("day"), "value")
+        .groupBy("key", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value") * 100)
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+    )
+    spine = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "key",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(daily, ["key", "day"], "left").select(
+        F.col("key").alias(key_col),
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("sum_value_cents", ignorenulls=True)
+        .over(w)
+        .alias("sum_value_cents"),
+        F.when(F.col("n_events").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("observed"),
+    )
+    return filled
+
+
+def gapfill_locf_sql() -> str:
+    """DuckDB twin of :func:`gapfill_locf` (identical integer day
+    bucketing; the spine via generate_series, LOCF via the same
+    IGNORE NULLS running window)."""
+    return """
+WITH daily AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT key, UNNEST(generate_series(MIN(day), MAX(day))) AS day
+  FROM daily GROUP BY key
+)
+SELECT s.key AS event_type, s.day,
+       CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+       LAST_VALUE(d.sum_value_cents IGNORE NULLS) OVER (
+         PARTITION BY s.key ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS sum_value_cents,
+       CAST(CASE WHEN d.n_events IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS observed
+FROM spine s LEFT JOIN daily d USING (key, day)
+"""
+
+
+def mad_outliers(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    threshold_milli: int = 3000,
+) -> DataFrame:
+    """Robust per-key anomaly detection on the daily series: days whose
+    count deviates from the key's MEDIAN by more than
+    ``threshold_milli``/1000 MADs (median absolute deviation) — the
+    median/MAD z-score that survives the skew and heavy tails a mean/
+    stddev gate drowns in.
+
+    Integer-exact across engines (no percentile interpolation floats):
+    with n daily values sorted, ``med_x2`` = the sum of the two middle
+    elements (positions ⌈n/2⌉ and ⌈(n+1)/2⌉ by row_number — equal for
+    odd n, so med_x2 = 2·median exactly). Deviations are computed in
+    doubled units ``dev_x2 = |2·x − med_x2|``, their median again by
+    the middle-two-sum trick giving ``mad_x4 = 4·MAD``, and
+
+        score_milli = (1000 · 2 · dev_x2) div mad_x4
+
+    equals ⌊1000·|x−med|/MAD⌋ exactly. Zero-MAD keys (constant series)
+    never alert — a documented gate, not a division crash.
+
+    Plan: one corpus-sized (key, day) count, then three windows over
+    the tiny n_keys × n_days daily series. 100 TB-safe for the same
+    reason event_spikes is.
+    """
+    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    daily = (
+        events.select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    wn = Window.partitionBy("key")
+
+    def _median_x2(df: DataFrame, val: str, out: str) -> DataFrame:
+        # sum of the two middle elements of val within key (ties broken
+        # by the value itself — positions only depend on the multiset)
+        wo = Window.partitionBy("key").orderBy(val)
+        ranked = df.select(
+            "*",
+            F.row_number().over(wo).alias("_rn"),
+            F.count("*").over(wn).alias("_n"),
+        )
+        mid = ranked.where(
+            (F.col("_rn") == F.expr("(_n + 1) div 2"))
+            | (F.col("_rn") == F.expr("(_n + 2) div 2"))
+        )
+        # odd n: one row qualifies both predicates -> double it
+        med = mid.groupBy("key").agg(
+            (
+                F.sum(val)
+                * F.when(F.count("*") == 1, F.lit(2)).otherwise(F.lit(1))
+            )
+            .cast("long")
+            .alias(out)
+        )
+        return med
+
+    med = _median_x2(daily, "n_events", "med_x2")
+    dev = daily.join(F.broadcast(med), "key").select(
+        "key",
+        "day",
+        "n_events",
+        "med_x2",
+        F.abs(2 * F.col("n_events") - F.col("med_x2")).alias("dev_x2"),
+    )
+    mad = _median_x2(
+        dev.select("key", "dev_x2"), "dev_x2", "mad_x4"
+    )
+    scored = dev.join(F.broadcast(mad), "key").where(F.col("mad_x4") > 0)
+    return scored.select(
+        F.col("key").alias(key_col),
+        "day",
+        "n_events",
+        F.expr("med_x2 div 2").alias("median_count"),
+        F.expr("(1000 * 2 * dev_x2) div mad_x4").alias("score_milli"),
+    ).where(F.col("score_milli") >= threshold_milli)
+
+
+def mad_outliers_sql(threshold_milli: int = 3000) -> str:
+    """DuckDB twin of :func:`mad_outliers` — same middle-two-sum
+    integer median, same doubled-unit deviations, same floor division."""
+    return f"""
+WITH daily AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY n_events)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY key) AS n
+  FROM daily
+),
+med AS (
+  SELECT key, CAST(SUM(n_events) *
+                   (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END)
+              AS BIGINT) AS med_x2
+  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY key
+),
+dev AS (
+  SELECT d.key, d.day, d.n_events, m.med_x2,
+         ABS(2 * d.n_events - m.med_x2) AS dev_x2
+  FROM daily d JOIN med m USING (key)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY dev_x2) AS rn,
+            COUNT(*) OVER (PARTITION BY key) AS n
+  FROM dev
+),
+mad AS (
+  SELECT key, CAST(SUM(dev_x2) *
+                   (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END)
+              AS BIGINT) AS mad_x4
+  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY key
+)
+SELECT d.key AS event_type, d.day, d.n_events,
+       d.med_x2 // 2 AS median_count,
+       (1000 * 2 * d.dev_x2) // m.mad_x4 AS score_milli
+FROM dev d JOIN mad m USING (key)
+WHERE m.mad_x4 > 0
+  AND (1000 * 2 * d.dev_x2) // m.mad_x4 >= {threshold_milli}
+"""
+
+
 def event_spikes(
     events: DataFrame,
     horizon_days: int = 7,

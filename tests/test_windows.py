@@ -463,3 +463,94 @@ def test_spike_state_prefix_parity_and_replay(spark, sf_dir):
         for r in state.spikes(threshold_milli=1100)
     }
     assert replayed == want
+
+
+def test_gapfill_locf_spine_and_carry(spark):
+    """Calendar spine covers every day between a type's min and max;
+    gap days carry the last observed sum forward with observed=0."""
+    import datetime as dt
+
+    from big_data_computing__spark.operators.windows import gapfill_locf
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # type 'a': days 0 and 3 observed, 1-2 are calendar gaps
+        (0, base, 1, "a", 1.50),
+        (1, base, 1, "a", 2.00),
+        (2, base + dt.timedelta(days=3), 1, "a", 5.25),
+        # type 'b': single day — spine is one row, no gaps
+        (3, base + dt.timedelta(days=1), 1, "b", 7.00),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n_events"],
+            r["sum_value_cents"],
+            r["observed"],
+        )
+        for r in gapfill_locf(ev).collect()
+    }
+    d0 = int(base.timestamp() * 1_000_000) // 86_400_000_000
+    assert got == {
+        ("a", d0): (2, 350, 1),
+        ("a", d0 + 1): (0, 350, 0),   # LOCF carries day-0's 350
+        ("a", d0 + 2): (0, 350, 0),
+        ("a", d0 + 3): (1, 525, 1),
+        ("b", d0 + 1): (1, 700, 1),
+    }
+
+
+def test_mad_outliers_integer_median_and_gate(spark):
+    """score_milli = floor(1000*|x-med|/MAD) via the middle-two-sum
+    integer median; constant series (MAD=0) never alert; even-count
+    (.5-median) series stay exact."""
+    import datetime as dt
+
+    from big_data_computing__spark.operators.windows import mad_outliers
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(day, n, typ):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(days=day), 1, typ)
+            )
+            eid += 1
+
+    # type 'a': counts [2,2,2,2,12] over days 0..4 -> med=2, devs
+    # [0,0,0,0,10] -> MAD=0? no: sorted devs [0,0,0,0,10], median 0.
+    # Use [1,2,2,3,12]: med=2, devs [1,0,0,1,10] sorted [0,0,1,1,10]
+    # -> MAD=1 -> day-4 score = 10000
+    for d, n in enumerate([1, 2, 2, 3, 12]):
+        add(d, n, "a")
+    # type 'c': constant series -> MAD=0, must never alert
+    for d in range(4):
+        add(d, 5, "c")
+    # type 'e': even count [1,2,3,10] -> med=2.5 (med_x2=5), devs_x2
+    # [3,1,1,15] -> mad_x4 = 1+3 = 4 (middle-two of [1,1,3,15]) ->
+    # MAD=1 -> day-3 score = 1000*2*15/4 = 7500
+    for d, n in enumerate([1, 2, 3, 10]):
+        add(d, n, "e")
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n_events"],
+            r["median_count"],
+            r["score_milli"],
+        )
+        for r in mad_outliers(ev, threshold_milli=3000).collect()
+    }
+    d0 = int(base.timestamp() * 1_000_000) // 86_400_000_000
+    assert got == {
+        ("a", d0 + 4): (12, 2, 10000),
+        ("e", d0 + 3): (10, 2, 7500),
+    }
