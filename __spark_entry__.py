@@ -846,6 +846,222 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    # -- TPC-H correlated-subquery shapes (Q2 / Q4 / Q17 / Q21 / Q22
+    # adapted to the fixture's columns — no partsupp table, no
+    # commit/receipt dates, so the correlation STRUCTURE is preserved
+    # on the columns that exist). Each decorrelates the subquery the
+    # way Catalyst wants it expressed: a pre-aggregated build side
+    # broadcast back as an equi/semi/anti join. All money in
+    # round-to-cents BIGINTs. --
+
+    def q4_priority_returns(spark, sf_dir):
+        # Q4 shape (EXISTS -> left-semi): orders in one quarter with at
+        # least one returned line, counted by priority. The semi join
+        # keeps lineitem's duplication out of the count; the date
+        # filter pushes to the orders scan.
+        orders = _rd.read_table(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-04-01'"))
+        )
+        returned = (
+            _rd.read_table(spark, sf_dir, "lineitem")
+            .where(F.col("l_returnflag") == "R")
+            .select("l_orderkey")
+        )
+        return (
+            orders.join(
+                returned,
+                orders.o_orderkey == returned.l_orderkey,
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("order_count"))
+            .orderBy("o_orderpriority")
+        )
+
+    def q17_small_quantity_revenue(spark, sf_dir):
+        # Q17 shape (correlated scalar AVG -> per-key pre-aggregate
+        # broadcast back): revenue of small-quantity lines — quantity
+        # strictly below 0.2x the part's own average — for one brand.
+        # Integer-exact decorrelation: l_quantity < sum_qty/(5*cnt)
+        # <=> 5*qty*cnt < sum_qty, all BIGINTs, no float avg anywhere.
+        part = _rd.read_table(spark, sf_dir, "part").where(
+            F.col("p_brand") == "Brand#3"
+        )
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            "l_partkey",
+            F.round("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        ).join(F.broadcast(part.select("p_partkey")),
+               F.col("l_partkey") == F.col("p_partkey")).drop("p_partkey")
+        per_part = li.groupBy("l_partkey").agg(
+            F.sum("qty").alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+        return (
+            li.join(F.broadcast(per_part), "l_partkey")
+            .where(5 * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+            .agg(
+                F.sum("cents").cast("long").alias("small_qty_cents"),
+                F.count("*").cast("long").alias("n_lines"),
+            )
+        )
+
+    def q2_min_cost_supplier(spark, sf_dir):
+        # Q2 shape (correlated MIN -> groupBy-min joined back on
+        # equality): for each small part, the supplier shipping it at
+        # the minimum observed unit price (milli-cents per unit, floor
+        # div — exact). Ties collapse to the smallest suppkey
+        # (min_by's total order), then top-100 suppliers by account
+        # balance. partsupp doesn't exist in the fixture; lineitem's
+        # observed (part, supp, price, qty) plays its role.
+        part = _rd.read_table(spark, sf_dir, "part").where(
+            F.col("p_size") <= 5
+        )
+        li = (
+            _rd.read_table(spark, sf_dir, "lineitem")
+            .where(F.col("l_quantity") >= 1)
+            .select(
+                "l_partkey",
+                "l_suppkey",
+                F.expr(
+                    "CAST(ROUND(l_extendedprice * 100000) AS BIGINT)"
+                    " div CAST(ROUND(l_quantity) AS BIGINT)"
+                ).alias("unit_milli"),
+            )
+            .join(
+                F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+        )
+        # per (part, supplier) best offer, then the per-part minimum
+        offer = li.groupBy("l_partkey", "p_brand", "l_suppkey").agg(
+            F.min("unit_milli").alias("supp_min")
+        )
+        best = offer.groupBy("l_partkey").agg(
+            F.min("supp_min").alias("min_milli")
+        )
+        winner = (
+            offer.join(F.broadcast(best), "l_partkey")
+            .where(F.col("supp_min") == F.col("min_milli"))
+            .groupBy("l_partkey", "p_brand", "min_milli")
+            .agg(F.min("l_suppkey").alias("s_suppkey"))
+        )
+        supp = _rd.read_table(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100)
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        return (
+            winner.join(F.broadcast(supp), "s_suppkey")
+            .select(
+                "acctbal_cents",
+                "s_name",
+                F.col("l_partkey").alias("p_partkey"),
+                "p_brand",
+                "min_milli",
+            )
+            .orderBy(F.desc("acctbal_cents"), "p_partkey")
+            .limit(100)
+        )
+
+    def q21_sole_blame_supplier(spark, sf_dir):
+        # Q21 shape (EXISTS + NOT EXISTS against the same table under
+        # different correlation): suppliers whose returned line sits in
+        # a finished multi-supplier order where NO other supplier's
+        # line was returned — the classic "who alone held up the
+        # order" query. Two derived per-order profiles replace the
+        # correlated pair: n_supps (EXISTS another supplier) and
+        # n_ret_supps (NOT EXISTS another returned supplier), both
+        # tiny aggregates broadcast back.
+        orders = _rd.read_table(spark, sf_dir, "orders").where(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey")
+        li = _rd.read_table(spark, sf_dir, "lineitem").join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        )
+        profile = li.groupBy("l_orderkey").agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret_supps"),
+        )
+        blamed = (
+            li.where(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+            .join(
+                F.broadcast(
+                    profile.where(
+                        (F.col("n_supps") > 1)
+                        & (F.col("n_ret_supps") == 1)
+                    )
+                ),
+                "l_orderkey",
+            )
+        )
+        supp = _rd.read_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name"
+        )
+        return (
+            blamed.join(
+                F.broadcast(supp),
+                blamed.l_suppkey == supp.s_suppkey,
+            )
+            .groupBy("s_name")
+            .agg(F.count("*").cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100)
+        )
+
+    def q22_dormant_rich_customers(spark, sf_dir):
+        # Q22 shape (scalar AVG subquery + NOT EXISTS anti join):
+        # customers in three segments with above-average positive
+        # balance and no high-value (> 300k) order — every fixture
+        # customer has SOME order, so the spec's "no orders at all"
+        # correlation is degenerate here; the filtered NOT EXISTS
+        # preserves the structure non-vacuously. The global average
+        # becomes a 1-row broadcast (sum, cnt) and the comparison
+        # stays integer: cents * cnt > sum_cents <=> bal > avg.
+        segs = ["AUTOMOBILE", "HOUSEHOLD", "MACHINERY"]
+        cust = _rd.read_table(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment").isin(segs)
+        ).select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100)
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        avg_row = cust.where(F.col("bal_cents") > 0).agg(
+            F.sum("bal_cents").alias("sum_cents"),
+            F.count("*").alias("cnt"),
+        )
+        orders = (
+            _rd.read_table(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 300000)
+            .select("o_custkey")
+        )
+        return (
+            cust.join(F.broadcast(avg_row))
+            .where(F.col("bal_cents") * F.col("cnt") > F.col("sum_cents"))
+            .join(
+                orders,
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_anti",
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("long").alias("numcust"),
+                F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+            )
+            .orderBy("c_mktsegment")
+        )
+
     def j4_anti_join_customers(spark, sf_dir):
         # customers with no high-value (> 400k) order: anti join
         cust = _rd.read_table(spark, sf_dir, "customer")
@@ -1868,6 +2084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q10_returned_customers,
         q6_forecast_revenue,
         q18_large_volume_customers,
+        q4_priority_returns,
+        q17_small_quantity_revenue,
+        q2_min_cost_supplier,
+        q21_sole_blame_supplier,
+        q22_dormant_rich_customers,
         x_media_chunks,
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
@@ -2406,6 +2627,112 @@ WHERE l_orderkey IN (SELECT l_orderkey FROM big)
 GROUP BY c_name, c_custkey, o_orderkey, order_date, totalprice_cents
 ORDER BY totalprice_cents DESC, order_date, o_orderkey
 LIMIT 100
+""",
+        "q4_priority_returns": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        "q17_small_quantity_revenue": """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+),
+pp AS (
+  SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(SUM(li.cents) AS BIGINT) AS small_qty_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM li JOIN pp USING (l_partkey)
+WHERE 5 * li.qty * pp.cnt < pp.sum_qty
+""",
+        "q2_min_cost_supplier": """
+WITH li AS (
+  SELECT l_partkey, p_brand, l_suppkey,
+         CAST(ROUND(l_extendedprice * 100000) AS BIGINT)
+           // CAST(ROUND(l_quantity) AS BIGINT) AS unit_milli
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 5 AND l_quantity >= 1
+),
+offer AS (
+  SELECT l_partkey, p_brand, l_suppkey,
+         MIN(unit_milli) AS supp_min
+  FROM li GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT l_partkey, MIN(supp_min) AS min_milli
+  FROM offer GROUP BY 1
+),
+winner AS (
+  SELECT o.l_partkey, o.p_brand, b.min_milli,
+         MIN(o.l_suppkey) AS s_suppkey
+  FROM offer o JOIN best b
+    ON o.l_partkey = b.l_partkey AND o.supp_min = b.min_milli
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       s.s_name, w.l_partkey AS p_partkey, w.p_brand, w.min_milli
+FROM winner w JOIN supplier s USING (s_suppkey)
+ORDER BY acctbal_cents DESC, p_partkey
+LIMIT 100
+""",
+        "q21_sole_blame_supplier": """
+WITH li AS (
+  SELECT l.* FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey
+                  AND o.o_orderstatus = 'F')
+),
+profile AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END) AS n_ret_supps
+  FROM li GROUP BY l_orderkey
+),
+blamed AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM li WHERE l_returnflag = 'R'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM blamed b
+JOIN profile p USING (l_orderkey)
+JOIN supplier s ON b.l_suppkey = s.s_suppkey
+WHERE p.n_supps > 1 AND p.n_ret_supps = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+        "q22_dormant_rich_customers": """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD', 'MACHINERY')
+),
+avg_row AS (
+  SELECT SUM(bal_cents) AS sum_cents, COUNT(*) AS cnt
+  FROM cust WHERE bal_cents > 0
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM cust, avg_row
+WHERE bal_cents * cnt > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cust.c_custkey
+                    AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """,
         "q3_shipping_priority": """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,

@@ -365,3 +365,40 @@ def test_r6d_operator_plan_shapes(spark):
     q6 = entrymod.queries()["q6_forecast_revenue"](spark, SF)
     plan = executed_plan(q6)
     assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+
+
+def test_r6e_tpch_subquery_plan_shapes(spark):
+    """Plan contracts for the correlated-subquery TPC-H shapes: the
+    decorrelated build sides broadcast (never SortMergeJoin), EXISTS
+    runs as a semi join, NOT EXISTS as an anti join, and the gap-fill
+    spine never goes cartesian."""
+    qs = entrymod.queries()
+
+    plan = executed_plan(qs["q4_priority_returns"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = executed_plan(qs["q17_small_quantity_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = executed_plan(qs["q2_min_cost_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = executed_plan(qs["q21_sole_blame_supplier"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+    plan = executed_plan(qs["q22_dormant_rich_customers"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # the 1-row scalar-average side joins as a broadcast nested loop
+    assert "BroadcastNestedLoopJoin" in plan
+
+    plan = executed_plan(qs["w14_gapfill_locf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
