@@ -574,6 +574,7 @@ def read_pruned(
 # ---------------------------------------------------------------------------
 
 SNAPSHOT_DIR = "_snapshots"
+REFS_DIR = "_refs"
 
 #: every Nth commit is a full file-list checkpoint; the commits in
 #: between store only their (adds, removes) delta against the previous
@@ -1010,7 +1011,10 @@ class ZTable:
         a full checkpoint or as a delta record (see :meth:`_commit`).
         Delta records are resolved by folding (adds, removes) forward
         from the nearest checkpoint; the chain is bounded by the
-        writing handle's ``checkpoint_interval``."""
+        writing handle's ``checkpoint_interval``. ``version`` may be a
+        TAG name (see :meth:`tag`) — resolved to its pinned version."""
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         v = self.latest_version() if version is None else version
         return self._resolve(v)
 
@@ -1065,6 +1069,118 @@ class ZTable:
                 }
             )
         return out
+
+    # -- named refs (tags) + rollback -------------------------------------
+
+    def _refs_dir(self) -> str:
+        d = os.path.join(self.path, REFS_DIR)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    @staticmethod
+    def _ref_name_ok(name: str) -> None:
+        if not name or not all(
+            c.isalnum() or c in "._-" for c in name
+        ) or name.startswith("."):
+            raise ValueError(f"invalid ref name: {name!r}")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin an IMMUTABLE named ref to a snapshot (Iceberg's tags):
+        ``tag('prod-2024w07')`` then ``read(spark, version='prod-2024w07')``
+        forever resolves the same snapshot. Tags are create-only
+        (``O_EXCL`` — re-pointing a tag is a delete + create, so two
+        racing taggers can't silently swap targets) and ``vacuum``
+        RETAINS every tagged version and its reconstruction chain —
+        a tag is the durable audit/repro handle, the retention window
+        only governs unnamed history. Refs live beside the log as one
+        tiny JSON each (``<path>/_refs/<name>.json``); they are
+        pointers INTO the log, not commits, exactly Iceberg's
+        refs-in-metadata design."""
+        self._ref_name_ok(name)
+        v = self.latest_version() if version is None else version
+        self._resolve(v)  # must exist (and not be vacuumed away)
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        fd = None
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(
+                fd, json.dumps({"name": name, "version": v}).encode()
+            )
+        except FileExistsError:
+            raise FileExistsError(
+                f"tag {name!r} already exists (tags are immutable — "
+                "delete_tag it first to re-point)"
+            ) from None
+        finally:
+            if fd is not None:
+                os.close(fd)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All tags as {name: version} (empty dict if none)."""
+        d = os.path.join(self.path, REFS_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, int] = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                rec = json.loads(open(os.path.join(d, fn)).read())
+                out[rec["name"]] = rec["version"]
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise FileNotFoundError(
+                f"tag {name!r} does not exist on {self.path}"
+            )
+        return t[name]
+
+    def delete_tag(self, name: str) -> None:
+        self._ref_name_ok(name)
+        path = os.path.join(self.path, REFS_DIR, f"{name}.json")
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"tag {name!r} does not exist on {self.path}"
+            ) from None
+
+    def restore(self, target: int | str) -> int:
+        """RESTORE TABLE TO VERSION — rollback as a new commit (the
+        Delta RESTORE semantics): the new snapshot's file list AND all
+        non-file metadata (schema, column types, rename epochs, DVs,
+        stats/bloom/ndv config) are copied from ``target`` (a version
+        number or tag name), so post-restore reads are
+        indistinguishable from reading ``target`` directly — but
+        history is PRESERVED: nothing is deleted, the rolled-back
+        versions remain time-travelable until vacuum, and the change
+        feed reports the rollback as exact delete(new)+insert(restored)
+        rows like any other commit. Metadata-only: no data file is
+        read, written, or moved. A lost commit race raises
+        ConcurrentWriteConflict — a restore decision made against a
+        stale latest must be re-taken by the operator, never silently
+        rebased."""
+        snap = self.snapshot(
+            self.resolve_tag(target) if isinstance(target, str) else target
+        )
+        latest = self.latest_version()
+        meta = {
+            k: v
+            for k, v in snap.items()
+            if k not in ("version", "operation", "x", "y", "files")
+        }
+        meta["restored_from"] = snap["version"]
+        try:
+            return self._commit(
+                latest + 1, "restore", snap["files"], meta
+            )
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                f"restore to v{snap['version']} lost the commit race "
+                f"for v{latest + 1}; re-examine the new latest and "
+                "re-issue"
+            ) from None
 
     def _appends_since(self, parent: dict) -> tuple[list[dict], bool]:
         """Conflict detection for read-modify-write rebases: walk every
@@ -1694,6 +1810,11 @@ class ZTable:
         - ``compact`` and ``rename`` commits are logical no-ops and
           contribute nothing (compact's file churn would cancel in the
           multiset difference anyway; skipping it skips the scan).
+        - a ``restore`` commit reports its rollback exactly: the file
+          diff covers re-added/dropped files, and tombstones it DROPS
+          while carrying their target file forward surface the revived
+          positions as inserts (minus positions still dead under the
+          restored version's own DVs).
 
         A ``rename`` INSIDE the range raises: the feed's column names
         would be ambiguous across the boundary — read the two
@@ -1789,6 +1910,41 @@ class ZTable:
                     "left_semi",
                 ).drop("_fp", "_ri")
                 parts.append(tag(dead, "delete", v))
+            # DVs DROPPED while their target file is carried forward —
+            # only a restore rolling back a merge-on-read delete does
+            # this (compact is skipped above; COW rewrites drop the
+            # FILE too, excluded here) — revive rows: positions the
+            # dropped tombstones addressed, minus positions still dead
+            # under the commit's remaining DVs, surface as inserts.
+            cur_dvs = cur.get("dvs") or []
+            dropped_dvs = [p for p in prev_dvs if p not in cur_dvs]
+            carried = [
+                e for e in cur["files"] if e["file"] in prev_paths
+            ]
+            if dropped_dvs and carried:
+                dv = spark.read.parquet(*dropped_dvs).select(
+                    F.col("file_path").alias("_dv_fp"),
+                    F.col("row_index").alias("_dv_ri"),
+                )
+                scan = self._scan_with_pos(spark, carried, cur)
+                if cur_dvs:
+                    still = spark.read.parquet(*cur_dvs).select(
+                        F.col("file_path").alias("_dv_fp"),
+                        F.col("row_index").alias("_dv_ri"),
+                    )
+                    scan = scan.join(
+                        still,
+                        (scan["_fp"] == still["_dv_fp"])
+                        & (scan["_ri"] == still["_dv_ri"]),
+                        "left_anti",
+                    )
+                revived = scan.join(
+                    dv,
+                    (scan["_fp"] == dv["_dv_fp"])
+                    & (scan["_ri"] == dv["_dv_ri"]),
+                    "left_semi",
+                ).drop("_fp", "_ri")
+                parts.append(tag(revived, "insert", v))
         if not parts:
             base = self.snapshot(hi)
             if not base["files"]:
@@ -2157,13 +2313,21 @@ class ZTable:
         missing-file error — ``ignoreMissingFiles`` is deliberately not
         set, so a torn read can never return silently partial results.
         Pick ``keep_last`` >= the longest reader you expect in flight,
-        exactly like Delta's retention window."""
+        exactly like Delta's retention window.
+
+        TAGGED versions (see :meth:`tag`) are always retained — with
+        their data files and delta-reconstruction chains — regardless
+        of ``keep_last``; delete the tag to let the version age out."""
         import shutil
 
         vs = self.versions()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        kept, dropped = vs[-keep_last:], vs[:-keep_last]
+        keep_set = set(vs[-keep_last:]) | (
+            set(self.tags().values()) & set(vs)
+        )
+        kept = sorted(keep_set)
+        dropped = [v for v in vs if v not in keep_set]
         live: set[str] = set()
         for v in kept:
             s = self.snapshot(v)

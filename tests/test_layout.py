@@ -1927,3 +1927,123 @@ def test_describe_detail_reports_maintenance_surface(
     assert d["bloom_cols"] == ["id"] and d["ndv_cols"] == ["id"]
     assert d["layout"]["x"] == "x" and d["layout"]["z"] is None
     assert 0 < d["min_file_rows"] <= d["max_file_rows"]
+
+
+# -- tags + restore ------------------------------------------------------
+
+
+def test_tags_pin_resolve_and_are_immutable(spark, sf_dir, tmp_path):
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra)
+    v = t.tag("prod-w07", 0)
+    assert v == 0 and t.tags() == {"prod-w07": 0}
+    # tag resolves through snapshot()/read()
+    assert t.read(spark, version="prod-w07").count() == base.count()
+    assert t.snapshot("prod-w07")["version"] == 0
+    # default pins latest
+    assert t.tag("latest-now") == 1
+    # immutable: re-pointing requires delete + create
+    import pytest as _pt
+
+    with _pt.raises(FileExistsError):
+        t.tag("prod-w07", 1)
+    t.delete_tag("prod-w07")
+    assert t.tag("prod-w07", 1) == 1
+    with _pt.raises(FileNotFoundError):
+        t.delete_tag("never-created")
+    with _pt.raises(FileNotFoundError):
+        t.resolve_tag("also-never")
+    for bad in ("", "a/b", "..", ".hidden", "a b"):
+        with _pt.raises(ValueError):
+            t.tag(bad, 0)
+    with _pt.raises(FileNotFoundError):
+        t.tag("v99", 99)  # can't tag a version that doesn't exist
+
+
+def test_vacuum_retains_tagged_versions(spark, sf_dir, tmp_path):
+    """A compact supersedes v0's data files entirely, so without the
+    tag vacuum(keep_last=1) would reclaim them; the tag must keep the
+    version readable — and deleting the tag lets it age out."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.tag("audit", 0)
+    t.compact(spark)  # v1: rewrites every file -> v0 shares nothing
+    t.vacuum(keep_last=1)
+    # v0 survives via the tag, data files intact, from a cold handle
+    t2 = L.ZTable(t.path)
+    assert _multiset(t2.read(spark, version="audit")) == _multiset(
+        t2.read(spark, 1)
+    )
+    # delete the tag -> the version ages out on the next vacuum
+    t.delete_tag("audit")
+    removed = t.vacuum(keep_last=1)
+    assert removed, "v0's superseded data files must now be reclaimed"
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        L.ZTable(t.path).snapshot(0)
+
+
+def test_restore_rolls_back_cow_delete_and_keeps_history(
+    spark, sf_dir, tmp_path
+):
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra)  # v1
+    v2, n_rewritten, _ = t.delete_where(
+        spark, (3000.0, 6000.0), (0.0, 5000.0)
+    )
+    n_v1, n_v2 = t.read(spark, 1).count(), t.read(spark, v2).count()
+    assert n_rewritten > 0 and n_v2 < n_v1
+    v3 = t.restore(1)
+    assert v3 == 3
+    # latest now equals v1 exactly; the rolled-back v2 still time-travels
+    assert _multiset(t.read(spark)) == _multiset(t.read(spark, 1))
+    assert t.read(spark, v2).count() == n_v2
+    snap = t.snapshot()
+    assert snap["operation"] == "restore"
+    assert snap["restored_from"] == 1
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["create", "append", "delete", "restore"]
+
+
+def test_restore_via_tag_and_commit_race_raises(spark, sf_dir, tmp_path):
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.tag("good", 0)
+    t.append(extra)
+    assert t.restore("good") == 2
+    assert _multiset(t.read(spark)) == _multiset(t.read(spark, 0))
+    # simulate a lost commit race (another writer claimed the next
+    # version between the restore's read of latest and its commit) by
+    # pinning a stale latest: restore must raise, never silently
+    # rebase a rollback decision
+    import pytest as _pt
+
+    t.latest_version = lambda: 1  # stale view; v2 already exists
+    with _pt.raises(L.ConcurrentWriteConflict):
+        t.restore("good")
+
+
+def test_restore_revives_dv_deleted_rows_and_cdf_reports_them(
+    spark, sf_dir, tmp_path
+):
+    """Rolling back a merge-on-read delete drops tombstones while the
+    file list is unchanged — reads must revive the rows and the change
+    feed must surface exactly those positions as inserts."""
+    t, base, _ = _seed_table(spark, sf_dir, tmp_path)
+    v1, n_dead, _ = t.delete_where_dv(
+        spark, (3000.0, 6000.0), (0.0, 5000.0)
+    )
+    assert n_dead > 0
+    v2 = t.restore(0)
+    assert _multiset(t.read(spark)) == _multiset(t.read(spark, 0))
+    feed = t.changes(spark, v1, v2)
+    assert set(
+        r[0] for r in feed.select("_change_type").distinct().collect()
+    ) == {"insert"}
+    revived = _multiset(feed)
+    dead = _multiset(t.read(spark, 0)) - _multiset(t.read(spark, v1))
+    assert revived == dead
+    # and the whole-range feed nets to zero: delete(d) + insert(d)
+    whole = t.changes(spark, 0, v2)
+    ins = _multiset(whole.where("_change_type = 'insert'"))
+    dele = _multiset(whole.where("_change_type = 'delete'"))
+    assert ins == dele == dead
