@@ -183,6 +183,13 @@ BENCH_QUERIES = [
     # TPC-H Q5 snowflake: the 6-way broadcast join + date-pruned scan
     # — the classic-warehouse cost anchor next to j2's star join
     "q5_local_supplier_volume",
+    # the 22-shape sweep's widest representatives: Q9 (5-way join +
+    # per-row integer profit over an unfiltered lineitem scan), Q13
+    # (outer-join two-level aggregation including empty groups), and
+    # Q16 (broadcast-filtered distinct aggregation on a 3-column key)
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q16_part_supplier_counts",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

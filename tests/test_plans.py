@@ -402,3 +402,52 @@ def test_r6e_tpch_subquery_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, bad
+
+
+def test_r6f_tpch_full_sweep_plan_shapes(spark):
+    """Plan contracts for the queries that complete the 22-shape
+    TPC-H sweep (Q7-Q9, Q11-Q16, Q19, Q20): every dimension side
+    broadcasts (the fact table shuffles at most once on its join
+    key), nothing degrades to SortMergeJoin or a cartesian, and the
+    whole sweep stays JVM-side — no Python eval nodes anywhere."""
+    qs = entrymod.queries()
+    for name in (
+        "q7_nation_trade_volume",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q11_important_parts",
+        "q12_late_shipments",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_part_supplier_counts",
+        "q19_banded_revenue",
+        "q20_heavy_shippers",
+    ):
+        plan = executed_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, (name, bad)
+
+    # the scalar-subquery shapes (Q11 threshold, Q14/Q8 share,
+    # Q15 max) join their 1-row aggregate as a broadcast, and the
+    # semi-join chain of Q20 really is a semi join
+    plan = executed_plan(qs["q11_important_parts"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    plan = executed_plan(qs["q20_heavy_shippers"](spark, SF))
+    assert "LeftSemi" in plan
+
+    # Q19's date-free banded scan still prunes columns: only the five
+    # lineitem columns the bands and the revenue need are read
+    plan = executed_plan(qs["q19_banded_revenue"](spark, SF))
+    assert (
+        "struct<l_partkey:bigint,l_quantity:double,l_extendedprice:double,l_discount:double>"
+        in plan.replace("\n", "")
+    ), "lineitem scan must prune to the 4 needed columns"
+
+    # Q12's ship-year predicate pushes to the parquet scan
+    plan = executed_plan(qs["q12_late_shipments"](spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1
+    )[1][:400]
