@@ -2059,6 +2059,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         return _dd.dedup_survivors(docs, _dd.minhash_lsh_pairs(docs))
 
+    def x_dedup_survivors_quality(spark, sf_dir):
+        # the production survivor rule: per near-dup cluster keep the
+        # HIGHEST-quality member (not the min-id one) — quality scores
+        # in exact micro units so the argmax never compares floats
+        docs = _docs(spark, sf_dir)
+        scores = _ts.quality_scores(docs).select(
+            "doc_id",
+            F.round(F.col("quality_score") * 1000000)
+            .cast("long")
+            .alias("score_micro"),
+        )
+        return _dd.dedup_survivors_quality(
+            scores, _dd.minhash_lsh_pairs(docs)
+        )
+
     def x_semdedup_survivors(spark, sf_dir):
         # SemDeDup (Abbas et al. 2023): near-duplicates in EMBEDDING
         # space — cosine near-pairs (IVF-cell-pruned exact path) →
@@ -2714,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         x_dedup_components,
         x_dedup_components_star,
         x_dedup_survivors,
+        x_dedup_survivors_quality,
         x_ann_cosine_topk,
         x_ann_lsh_topk,
         x_ann_ivf_topk,
@@ -3637,6 +3653,11 @@ WHERE doc_id NOT IN (
       f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})")})
   WHERE doc_id <> component_id
 )""",
+        "x_dedup_survivors_quality": _dd.dedup_survivors_quality_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
+            "SELECT doc_id, CAST(ROUND(quality_score * 1000000) AS BIGINT)"
+            f" AS score_micro FROM ({_ts.quality_scores_sql()})",
+        ),
         "x_semdedup_survivors": f"""
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (

@@ -461,6 +461,100 @@ def dedup_survivors(
     )
 
 
+def dedup_survivors_quality(
+    scores: DataFrame, pairs: DataFrame, score_col: str = "score_micro"
+) -> DataFrame:
+    """Quality-ranked near-dup survivors: DataFrame[doc_id, score_micro,
+    n_dups] — per duplicate component keep the HIGHEST-quality member
+    (ties -> min doc_id) with the component size it represents; docs in
+    no component pass through with n_dups = 1.
+
+    The production survivor rule: min-id (:func:`dedup_survivors`) is
+    the benchmark convention, but a real curation pipeline keeps the
+    best document of each near-dup cluster, not an arbitrary one —
+    cf. the cleaning policies around Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better").
+
+    ``scores`` must cover every document (doc_id, <score_col> integer —
+    float scores should be pre-scaled to micro units so the argmax is
+    exact). Scale shape: components and scores join on their keys only
+    (never text), the per-component argmax is two grouped aggregations
+    (map-side combined), and nothing is collected or broadcast — the
+    number of components is corpus-sized.
+    """
+    comp = duplicate_components(pairs)
+    member = comp.join(scores, "doc_id").select(
+        "doc_id", "component_id", F.col(score_col).alias("_score")
+    )
+    best = member.groupBy("component_id").agg(
+        F.max("_score").alias("_best"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
+    winner = (
+        member.join(best, "component_id")
+        .where(F.col("_score") == F.col("_best"))
+        .groupBy("component_id", "n_dups")
+        .agg(F.min("doc_id").alias("_survivor"))
+    )
+    losers = (
+        member.join(
+            winner.select("component_id", "_survivor"), "component_id"
+        )
+        .where(F.col("doc_id") != F.col("_survivor"))
+        .select("doc_id")
+    )
+    return (
+        scores.select("doc_id", score_col)
+        .join(losers, "doc_id", "left_anti")
+        .join(
+            winner.select(
+                F.col("_survivor").alias("doc_id"), "n_dups"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            score_col,
+            F.coalesce("n_dups", F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def dedup_survivors_quality_sql(pairs_sql: str, scores_sql: str) -> str:
+    """DuckDB twin of :func:`dedup_survivors_quality` over the same
+    pair generator and score table (scores_sql must yield
+    (doc_id, score_micro))."""
+    return f"""
+WITH comp AS ({duplicate_components_sql(pairs_sql)}),
+q AS ({scores_sql}),
+member AS (
+  SELECT c.doc_id, c.component_id, q.score_micro
+  FROM comp c JOIN q USING (doc_id)
+),
+best AS (
+  SELECT component_id, MAX(score_micro) AS best,
+         CAST(COUNT(*) AS BIGINT) AS n_dups
+  FROM member GROUP BY component_id
+),
+winner AS (
+  SELECT m.component_id, b.n_dups, MIN(m.doc_id) AS survivor
+  FROM member m
+  JOIN best b ON m.component_id = b.component_id
+            AND m.score_micro = b.best
+  GROUP BY m.component_id, b.n_dups
+)
+SELECT q.doc_id, q.score_micro,
+       CAST(COALESCE(w.n_dups, 1) AS BIGINT) AS n_dups
+FROM q LEFT JOIN winner w ON q.doc_id = w.survivor
+WHERE q.doc_id NOT IN (
+  SELECT m.doc_id FROM member m
+  JOIN winner w ON m.component_id = w.component_id
+  WHERE m.doc_id <> w.survivor
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -182,6 +182,43 @@ def test_duplicate_components_hand_graph(spark):
     assert survivors == {1, 10, 20, 99}
 
 
+def test_dedup_survivors_quality_hand_graph(spark):
+    """Quality-ranked survivor rule on a hand graph: the HIGHEST score
+    in each component wins (not the min id), score ties break to the
+    min id, and out-of-component docs pass through with n_dups = 1."""
+    from big_data_computing__spark.operators.dedup import (
+        dedup_survivors_quality,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    scores = spark.createDataFrame(
+        [
+            # component {1,2,3}: 2 has the top score -> 2 survives
+            (1, 50), (2, 90), (3, 70),
+            # component {10,11}: tie -> min id 10 survives
+            (10, 40), (11, 40),
+            # component {20,21}: the max-id member wins on score
+            (20, 10), (21, 95),
+            # singleton
+            (99, 5),
+        ],
+        "doc_id long, score_micro long",
+    )
+    out = {
+        r["doc_id"]: (r["score_micro"], r["n_dups"])
+        for r in dedup_survivors_quality(scores, pairs).collect()
+    }
+    assert out == {
+        2: (90, 3),
+        10: (40, 2),
+        21: (95, 2),
+        99: (5, 1),
+    }
+
+
 def test_clean_corpus_composition(spark, sf_dir):
     """The composed curation pipeline: survivors are a subset of the
     corpus, contain no exact-duplicate texts, and every stage filter
