@@ -164,3 +164,95 @@ def test_cdf_agg_state_tracks_full_lifecycle(spark, sf_dir, tmp_path):
     before = dict(st.state)
     assert st.advance(spark) == 0
     assert st.state == before
+
+
+def test_cdf_join_agg_state_tracks_both_tables(spark, sf_dir, tmp_path):
+    """CdfJoinAggState maintains a join-aggregate view under commits
+    on EITHER side (append A → DV-delete B → upsert A → append B →
+    compact A) and equals the full join recompute after every advance
+    — the two-term delta rule dV = dA><B_old + A_new><dB, with the
+    old/new counter-snapshots read via ZTable time travel."""
+    from big_data_computing__spark.sources.layout import ZTable
+    from big_data_computing__spark.sources.readers import (
+        customer_points,
+    )
+    from big_data_computing__spark.streaming.table_stream import (
+        CdfJoinAggState,
+    )
+
+    pts = customer_points(spark, sf_dir)
+    # fact side A: join key k, measure val
+    fact = pts.select(
+        "id",
+        "x",
+        "y",
+        F.pmod(F.col("id"), F.lit(37)).alias("k"),
+        (F.col("id") % 1000).alias("val"),
+    )
+    # dim side B: same key domain, group column grp (disjoint ids/cols)
+    dim = (
+        pts.where(F.col("id") < 3700)
+        .select(
+            (F.col("id") + 10_000_000).alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.pmod(F.col("id"), F.lit(37)).alias("k"),
+            F.pmod(F.col("id"), F.lit(5)).alias("grp"),
+        )
+    )
+    a = ZTable.create(
+        fact.where(F.col("id") % 2 == 0),
+        str(tmp_path / "zt_fact"),
+        n_files=6,
+        cell=200.0,
+    )
+    b = ZTable.create(
+        dim.where(F.col("b_id") % 3 != 0),
+        str(tmp_path / "zt_dim"),
+        x="bx",
+        y="by",
+        n_files=4,
+        cell=200.0,
+    )
+    st = CdfJoinAggState(a, b, "k", "grp", sum_col="val")
+    assert st.advance(spark) == 1  # one bootstrap fold of (A0 >< B0)
+    assert st.state, "join view must be non-empty"
+    assert st.snapshot_equals_recompute(spark)
+
+    # append on the fact side only
+    a.append(fact.where(F.col("id") % 2 == 1), n_files=4)
+    assert st.advance(spark) == 1
+    assert st.snapshot_equals_recompute(spark)
+
+    # merge-on-read delete on the dim side only
+    b.delete_where_dv(spark, (0.0, 5000.0), (0.0, 5000.0))
+    assert st.advance(spark) == 1
+    assert st.snapshot_equals_recompute(spark)
+
+    # commits on BOTH sides folded by one advance: fact upsert
+    # (replace + insert) and a dim append
+    batch = (
+        fact.limit(25)
+        .select(
+            (F.col("id") + 900_000).alias("id"),
+            "x",
+            "y",
+            F.pmod(F.col("id") + 900_000, F.lit(37)).alias("k"),
+            ((F.col("id") + 900_000) % 1000).alias("val"),
+        )
+        .localCheckpoint()
+    )
+    a.upsert(spark, batch)
+    b.append(dim.where(F.col("b_id") % 3 == 0), n_files=2)
+    assert st.advance(spark) == 2
+    assert st.snapshot_equals_recompute(spark)
+
+    # compact is a logical no-op for the view
+    a.compact(spark, n_files=3)
+    st.advance(spark)
+    assert st.snapshot_equals_recompute(spark)
+
+    # replay safety
+    before = dict(st.state)
+    assert st.advance(spark) == 0
+    assert st.state == before
