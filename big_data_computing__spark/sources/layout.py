@@ -1182,6 +1182,71 @@ class ZTable:
                 "re-issue"
             ) from None
 
+    def shallow_clone(
+        self,
+        dest_path: str,
+        version: int | str | None = None,
+        log_store: "LogStore | None" = None,
+    ) -> "ZTable":
+        """Zero-copy clone (Delta's CREATE TABLE ... SHALLOW CLONE):
+        a NEW table at ``dest_path`` whose version 0 carries THIS
+        table's file list at ``version`` (a number, a tag name, or
+        latest) — metadata only, instant, no data file is read or
+        copied. The two tables then evolve independently: commits on
+        either side never see the other, and each side's ``vacuum``
+        only ever deletes files under its OWN directory, so a clone
+        can never reclaim source data.
+
+        The classic shallow-clone hazard — the SOURCE vacuums away a
+        shared file the clone still references — is closed by pinning:
+        cloning tags the source at the cloned version
+        (``clone-<dest>-v<N>``), and :meth:`vacuum` retains tagged
+        versions unconditionally. Delete that tag to disown the clone
+        (its reads then fail LOUDLY on the missing files, per the
+        vacuum reader-isolation contract — never silently partial).
+        ``compact()`` on the clone rewrites its live rows into its own
+        directory, making it self-contained and safe to disown.
+
+        All non-file metadata (schema, column types, rename epochs,
+        DVs, stats/bloom/ndv config, layout columns) is inherited from
+        the cloned snapshot, so the clone reads/writes exactly like
+        the source did at that version."""
+        snap = self.snapshot(version)  # resolves tag names too
+        v = snap["version"]
+        base = os.path.basename(os.path.normpath(dest_path))
+        safe = (
+            "".join(
+                c if (c.isalnum() or c in "._-") else "-" for c in base
+            )
+            or "clone"
+        )
+        tag_name = f"clone-{safe}-v{v}"
+        try:
+            self.tag(tag_name, v)
+        except FileExistsError:
+            # same dest + version re-cloned: the pin already exists
+            pass
+        dest = ZTable(
+            dest_path,
+            snap["x"],
+            snap["y"],
+            snap.get("zcol"),
+            log_store=log_store,
+        )
+        if dest.versions():
+            raise FileExistsError(
+                f"{dest_path} already has a snapshot log"
+            )
+        meta = {
+            k: val
+            for k, val in snap.items()
+            if k not in ("version", "operation", "x", "y", "files")
+        }
+        meta["cloned_from"] = self.path
+        meta["clone_source_version"] = v
+        dest._commit(0, "clone", snap["files"], meta)
+        return dest
+
     def _appends_since(self, parent: dict) -> tuple[list[dict], bool]:
         """Conflict detection for read-modify-write rebases: walk every
         commit after ``parent`` up to the current latest and return

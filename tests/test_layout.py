@@ -2047,3 +2047,85 @@ def test_restore_revives_dv_deleted_rows_and_cdf_reports_them(
     ins = _multiset(whole.where("_change_type = 'insert'"))
     dele = _multiset(whole.where("_change_type = 'delete'"))
     assert ins == dele == dead
+
+
+# -- shallow clone --------------------------------------------------------
+
+
+def _parquet_count(root):
+    import os as _os
+
+    n = 0
+    for dirpath, _dirs, files in _os.walk(root):
+        if "_snapshots" in dirpath or "_refs" in dirpath:
+            continue
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_shallow_clone_zero_copy_and_independent(
+    spark, sf_dir, tmp_path
+):
+    """Cloning copies NO data (the clone dir holds only a log), reads
+    identically at the cloned version, auto-pins a source tag, and the
+    two tables evolve independently afterwards."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.append(extra)  # v1
+    c = t.shallow_clone(str(tmp_path / "clone"), version=1)
+    assert _parquet_count(c.path) == 0, "shallow = no data files copied"
+    assert _multiset(c.read(spark)) == _multiset(t.read(spark, 1))
+    assert c.snapshot()["operation"] == "clone"
+    assert c.snapshot()["clone_source_version"] == 1
+    assert t.tags() == {"clone-clone-v1": 1}
+
+    # divergence: writes on one side never appear on the other
+    n_src = t.read(spark).count()
+    c.append(extra.limit(10).localCheckpoint())
+    assert t.read(spark).count() == n_src
+    t.delete_where(spark, (0.0, 5000.0), (0.0, 2500.0))
+    assert c.read(spark).count() == n_src + 10
+
+    # cloning a TAG works and is pinned at the tag's version
+    t.tag("pin0", 0)
+    c0 = t.shallow_clone(str(tmp_path / "clone0"), version="pin0")
+    assert _multiset(c0.read(spark)) == _multiset(t.read(spark, 0))
+
+
+def test_shallow_clone_survives_source_vacuum_until_disowned(
+    spark, sf_dir, tmp_path
+):
+    """The clone pin keeps shared files through a source
+    compact+vacuum; compacting the clone makes it self-contained, and
+    only after disowning (deleting the pin) may the source reclaim."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    c = t.shallow_clone(str(tmp_path / "clone"))
+    t.compact(spark)  # source v1 shares nothing with v0
+    t.vacuum(keep_last=1)
+    # clone still reads: the auto-tag retained v0's files
+    assert _multiset(c.read(spark)) == _multiset(base)
+
+    # self-contain the clone, then disown it
+    c.compact(spark)
+    assert _parquet_count(c.path) > 0
+    t.delete_tag("clone-clone-v0")
+    removed = t.vacuum(keep_last=1)
+    assert removed, "disowned v0 files must now be reclaimed"
+    # clone is unaffected: its live files are its own
+    assert _multiset(c.read(spark)) == _multiset(base)
+
+
+def test_clone_vacuum_never_touches_source_files(
+    spark, sf_dir, tmp_path
+):
+    """vacuum on a clone only deletes files under the CLONE's own
+    directory — dropping the shared version from the clone's log must
+    leave every source data file on disk."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    c = t.shallow_clone(str(tmp_path / "clone"))
+    n_src_files = _parquet_count(t.path)
+    c.append(extra)  # clone v1, files in clone dir
+    c.compact(spark)  # clone v2: fully self-contained
+    removed = c.vacuum(keep_last=1)
+    assert all(f.startswith(c.path) for f in removed)
+    assert _parquet_count(t.path) == n_src_files
+    assert _multiset(t.read(spark)) == _multiset(base)
