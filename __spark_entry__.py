@@ -560,6 +560,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def a18_grouping_sets(spark, sf_dir):
+        # arbitrary GROUPING SETS (the general form rollup/cube are
+        # sugar for): ((status, priority), (status), (segment), ()) —
+        # mixed dimensions from two tables, one pass, grouping_id()
+        # disambiguating real NULL-less groups from rolled-up ones.
+        # Declared in SQL (Spark's GROUPING SETS has no DataFrame
+        # verb); the scan is still one Exchange + ExpandExec, never
+        # one aggregation per set.
+        orders = _rd.read_table(spark, sf_dir, "orders")
+        cust = _rd.read_table(spark, sf_dir, "customer")
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        ).createOrReplaceTempView("_gs_orders")
+        return spark.sql(
+            """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       CAST(grouping_id(o_orderstatus, o_orderpriority, c_mktsegment)
+            AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS total_cents
+FROM _gs_orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority), (o_orderstatus),
+  (c_mktsegment), ()
+)
+"""
+        )
+
     def a16_argmax_customer(spark, sf_dir):
         # arg-max aggregate: richest customer per market segment
         cust = _rd.read_table(spark, sf_dir, "customer")
@@ -2746,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a2_pricing_summary,
         a12_rollup_pricing,
         a15_cube_order_stats,
+        a18_grouping_sets,
         j6_above_avg_orders,
         f3_date_functions,
         j2_star_join_revenue,
@@ -3077,6 +3108,19 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "a18_grouping_sets": """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       CAST(GROUPING(o_orderstatus, o_orderpriority, c_mktsegment)
+            AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority), (o_orderstatus),
+  (c_mktsegment), ()
+)""",
         "a16_argmax_customer": """
 SELECT c_mktsegment,
        max_by(c_custkey,
