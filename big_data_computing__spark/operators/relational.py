@@ -281,24 +281,24 @@ def salted_join(
     the spread should be planned statically — e.g. a fact table where
     one tenant is half the data and the dimension side is small enough
     to replicate ``salt``× but too big to broadcast whole. The salt is
-    a counter-based hash of a row-unique expression, not rand(): the
-    result is reproducible run-to-run. Row-identical to
-    ``big.join(small, key, how)`` (asserted in tests); 'inner' and
-    'left' only — replication makes right/full null accounting
-    ambiguous.
+    a counter-based hash of the whole row, not rand(): the result is
+    reproducible run-to-run. The shard hash is JVM-native xxhash64
+    over the raw columns (no string casts, no digest): the join result
+    is row-identical under ANY shard hash — equality with the plain
+    join is the asserted contract — so the salt needs distribution
+    quality, not cross-engine parity, and md5 here measurably turned
+    the salting overhead into a net loss at 100M rows (tools/
+    skew_ab.py, STRESS.md). Row-identical to ``big.join(small, key,
+    how)`` (asserted in tests); 'inner' and 'left' only — replication
+    makes right/full null accounting ambiguous.
     """
-    from ..functions.hashing import hash60
-
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     shard = (
-        hash60(
-            F.concat_ws(
-                "\x1f", F.lit("sj"), *[F.col(c).cast("string")
-                                       for c in big.columns]
-            )
+        F.pmod(
+            F.xxhash64(F.lit("sj"), *[F.col(c) for c in big.columns]),
+            F.lit(salt),
         )
-        % F.lit(salt)
     )
     b = big.withColumn("_salt", shard.cast("int"))
     reps = F.explode(
