@@ -2597,7 +2597,8 @@ GROUP BY GROUPING SETS (
         # Hash-to-Min CC / PCA-SemDeDup / ridge / int8-codec / fuzzy
         # waves, and the r6c wave (MaxSim, weighted truss, Kneser-Ney,
         # balanced sample, incremental dedup, TPC-H Q3/Q5/Q10, media
-        # chunks, IVF x int8) --
+        # chunks, IVF x int8), and the r6e wave (the TPC-H sweep
+        # completion Q7-Q20, GROUPING SETS, quality-ranked survivors) --
         a14_approx_distinct,
         a15_key_skew,
         x_dedup_components_htm,
@@ -2636,6 +2637,8 @@ GROUP BY GROUPING SETS (
         q16_part_supplier_counts,
         q19_banded_revenue,
         q20_heavy_shippers,
+        a18_grouping_sets,
+        x_dedup_survivors_quality,
         x_media_chunks,
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
@@ -2759,7 +2762,6 @@ GROUP BY GROUPING SETS (
         x_dedup_components,
         x_dedup_components_star,
         x_dedup_survivors,
-        x_dedup_survivors_quality,
         x_ann_cosine_topk,
         x_ann_lsh_topk,
         x_ann_ivf_topk,
@@ -2776,7 +2778,6 @@ GROUP BY GROUPING SETS (
         a2_pricing_summary,
         a12_rollup_pricing,
         a15_cube_order_stats,
-        a18_grouping_sets,
         j6_above_avg_orders,
         f3_date_functions,
         j2_star_join_revenue,

@@ -1247,6 +1247,108 @@ class ZTable:
         dest._commit(0, "clone", snap["files"], meta)
         return dest
 
+    def publish_from(self, staged: "ZTable") -> int:
+        """Write-Audit-Publish (Iceberg's WAP flow on this log): adopt
+        everything an APPEND-ONLY staging clone added since its clone
+        point, as ONE metadata-only commit on this table — zero data
+        read, rewritten, or copied. The flow:
+
+            stage  = source.shallow_clone(staging_path)
+            stage.append(increment)        # write (isolated)
+            ... run any checks on stage.read(spark) ...   # audit
+            source.publish_from(stage)     # publish (atomic)
+
+        A failed audit simply never publishes — the source never saw
+        the data, and the staging directory is disposable.
+
+        Adopted data files are HARDLINKED into a fresh data dir of this
+        table (one inode, two names), so afterwards neither table's
+        ``vacuum`` can break the other and the staging clone can be
+        deleted wholesale. Manifest entries (stats, blooms, NDV
+        sketches) are carried verbatim from the staging snapshot —
+        they were computed when the stage wrote the files.
+
+        Preconditions (each raises ValueError): ``staged`` must be a
+        clone OF THIS TABLE; its staging commits must be append-only
+        (every clone-point file still live, no new deletion vectors —
+        a staging compact/delete makes "what was added" ambiguous);
+        and its column set must match the table's. The source MAY have
+        advanced since the clone: publish adopts on top of the current
+        latest (Delta's blind-append conflict rule). A lost commit
+        race raises :class:`ConcurrentWriteConflict`; the hardlinked
+        dir is orphaned and vacuum-able, re-issue to retry."""
+        ssnap = staged.snapshot()
+        base = staged.snapshot(0)
+        # the clone markers live in the stage's v0 (the clone commit);
+        # later appends carry only schema/config metadata forward
+        if base.get("cloned_from") != self.path:
+            raise ValueError(
+                "publish_from: staged table is not a clone of "
+                f"{self.path} (cloned_from="
+                f"{base.get('cloned_from')!r})"
+            )
+        base_files = {e["file"] for e in base["files"]}
+        live_files = {e["file"] for e in ssnap["files"]}
+        if not base_files <= live_files:
+            raise ValueError(
+                "publish_from: staging dropped clone-point files "
+                "(compact/delete ran on the stage) — publish supports "
+                "append-only staging"
+            )
+        if set(ssnap.get("dvs") or []) - set(base.get("dvs") or []):
+            raise ValueError(
+                "publish_from: staging added deletion vectors — "
+                "publish supports append-only staging"
+            )
+        parent = self.snapshot()
+        if set(ssnap.get("columns") or []) != set(
+            parent.get("columns") or []
+        ):
+            raise ValueError(
+                "publish_from: staged columns "
+                f"{sorted(ssnap.get('columns') or [])} != table "
+                f"columns {sorted(parent.get('columns') or [])}"
+            )
+        new_entries = [
+            e for e in ssnap["files"] if e["file"] not in base_files
+        ]
+        version = self.latest_version() + 1
+        if new_entries:
+            dest_dir = self._new_data_dir(version)
+            os.makedirs(dest_dir, exist_ok=True)
+            adopted = []
+            import re as _re
+
+            for e in new_entries:
+                src = e["file"]
+                # Spark records local URIs as file:/abs/path
+                src_path = _re.sub(r"^file:/+", "/", src)
+                dst_path = os.path.join(
+                    dest_dir, os.path.basename(src_path)
+                )
+                os.link(src_path, dst_path)
+                e2 = dict(e)
+                e2["file"] = f"file:{dst_path}"
+                adopted.append(e2)
+        else:
+            adopted = []
+        meta = {
+            k: v
+            for k, v in parent.items()
+            if k not in ("version", "operation", "x", "y", "files")
+        }
+        meta["published_from"] = staged.path
+        meta["published_files"] = len(adopted)
+        try:
+            return self._commit(
+                version, "publish", parent["files"] + adopted, meta
+            )
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                f"publish_from lost the commit race for v{version}; "
+                "the adopted dir is orphaned (vacuum-able) — re-issue"
+            ) from None
+
     def _appends_since(self, parent: dict) -> tuple[list[dict], bool]:
         """Conflict detection for read-modify-write rebases: walk every
         commit after ``parent`` up to the current latest and return

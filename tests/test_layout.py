@@ -2129,3 +2129,81 @@ def test_clone_vacuum_never_touches_source_files(
     assert all(f.startswith(c.path) for f in removed)
     assert _parquet_count(t.path) == n_src_files
     assert _multiset(t.read(spark)) == _multiset(base)
+
+
+def test_write_audit_publish_flow(spark, sf_dir, tmp_path):
+    """WAP end-to-end: stage on a shallow clone, audit, publish as one
+    metadata-only commit — adopted files are hardlinks (same inode, no
+    data copy), the source may have advanced in between, and the
+    staging clone is disposable afterwards."""
+    import os as _os
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    stage = t.shallow_clone(str(tmp_path / "stage"))
+    inc = extra.where(F.col("y") < 7500.0).localCheckpoint()
+    stage.append(inc)
+
+    # audit on the STAGE: increment present, source untouched
+    assert stage.read(spark).count() == base.count() + inc.count()
+    assert t.read(spark).count() == base.count()
+
+    # source advances independently before the publish
+    other = extra.where(F.col("y") >= 7500.0).localCheckpoint()
+    t.append(other)
+
+    v = t.publish_from(stage)
+    assert t.snapshot(v)["operation"] == "publish"
+    assert _multiset(t.read(spark)) == _multiset(
+        base.unionAll(other).unionAll(inc)
+    )
+
+    # metadata-only: every adopted file is a hardlink of a stage file
+    pub = t.snapshot(v)
+    base0 = {e["file"] for e in stage.snapshot(0)["files"]}
+    adopted = [
+        e["file"]
+        for e in pub["files"]
+        if e["file"] not in base0
+        and e["file"] not in {x["file"] for x in t.snapshot(v - 1)["files"]}
+    ]
+    assert len(adopted) == pub["published_files"] > 0
+    import re as _re
+
+    for uri in adopted:
+        assert _os.stat(_re.sub(r"^file:/+", "/", uri)).st_nlink >= 2
+
+    # the staging clone is disposable: remove it wholesale, source
+    # still reads (the hardlinked inodes survive)
+    import shutil
+
+    t.delete_tag("clone-stage-v0")
+    shutil.rmtree(stage.path)
+    t2 = L.ZTable(t.path)
+    assert t2.read(spark).count() == base.count() + inc.count() + other.count()
+
+
+def test_publish_from_rejects_non_append_staging(
+    spark, sf_dir, tmp_path
+):
+    import pytest as _pt
+
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    # not a clone of this table
+    other_tbl = L.ZTable.create(
+        base, str(tmp_path / "unrelated"), n_files=2, cell=200.0
+    )
+    with _pt.raises(ValueError, match="not a clone"):
+        t.publish_from(other_tbl)
+
+    # staging compact drops clone-point files -> ambiguous adds
+    s1 = t.shallow_clone(str(tmp_path / "s1"))
+    s1.append(extra.limit(10).localCheckpoint())
+    s1.compact(spark)
+    with _pt.raises(ValueError, match="append-only"):
+        t.publish_from(s1)
+
+    # staging DV delete -> refused too
+    s2 = t.shallow_clone(str(tmp_path / "s2"))
+    s2.delete_where_dv(spark, (0.0, 9000.0), (0.0, 2000.0))
+    with _pt.raises(ValueError, match="deletion vectors"):
+        t.publish_from(s2)
