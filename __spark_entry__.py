@@ -50,6 +50,15 @@ TOPK = 10
 # discriminate); the phrase is a 2-gram that occurs but is not universal
 BM25_QUERY = ["spark", "join", "window"]
 PHRASE_QUERY = ["fast", "join"]
+# blocklist/allowlist-style tagging dictionary: mixed lengths so the
+# positional tail check is exercised (1-, 2-, and 3-token entries)
+KEYWORD_DICT = [
+    ["slow", "query"],
+    ["fast", "join"],
+    ["table", "scan"],
+    ["hash", "value", "table"],
+    ["window"],
+]
 # MaxSim late interaction: OOV surface forms whose best trigram match
 # is a real vocabulary token — 'dupes'→'dup' is rare (df 25/500 at
 # sf0.01), so the per-doc max varies and the ranking is non-trivial
@@ -2237,6 +2246,12 @@ GROUP BY GROUPING SETS (
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+    def x_keyword_tags(spark, sf_dir):
+        # dictionary phrase tagging (blocklist/allowlist curation):
+        # every entry's positional scan evaluated in ONE corpus pass,
+        # stacked row-locally — no join, no token shuffle
+        return _rt.keyword_tags(_docs(spark, sf_dir), KEYWORD_DICT)
+
     def x_hybrid_rrf_topk(spark, sf_dir):
         # hybrid serving fusion: reciprocal-rank fusion (Cormack et
         # al. 2009) of the BM25 lexical list and the MaxSim late-
@@ -2639,6 +2654,7 @@ GROUP BY GROUPING SETS (
         q20_heavy_shippers,
         a18_grouping_sets,
         x_dedup_survivors_quality,
+        x_keyword_tags,
         x_media_chunks,
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
@@ -3738,6 +3754,7 @@ WHERE vec_id NOT IN (
         "x_bm25_topk": _rt.bm25_topk_sql(BM25_QUERY, 20),
         "x_search_conjunctive": _rt.conjunctive_search_sql(BM25_QUERY),
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
+        "x_keyword_tags": _rt.keyword_tags_sql(KEYWORD_DICT),
         "x_maxsim_topk": _rt.maxsim_topk_sql(MAXSIM_QUERY, 20),
         "x_hybrid_rrf_topk": _rt.rrf_fuse_topk_sql(BM25_QUERY, 20),
         "x_chunk_documents": _cu.chunk_documents_sql(),

@@ -585,3 +585,80 @@ FROM fused
 ORDER BY rrf_score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def keyword_tags(
+    docs: DataFrame,
+    phrases: list[list[str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary phrase tagging (the FlashText/Aho-Corasick use case —
+    blocklist/allowlist curation): which documents contain which of the
+    dictionary's token phrases, with occurrence counts.
+    DataFrame[doc_id, phrase, n_hits] (pairs with ≥1 hit).
+
+    Plan: ONE corpus scan — every phrase's positional adjacency check
+    (the :func:`phrase_search` per-row array scan) is evaluated in the
+    same codegen pass, stacked as a row-local explode of (phrase,
+    count) structs; no join, no shuffle beyond the final filter.
+    That inlines one expression per dictionary entry, the right trade
+    up to a few hundred phrases; a 100k-entry dictionary wants the
+    first-token inverted-index join instead (build (first_tok -> 
+    phrase) once, join the token explode, verify tails positionally —
+    the :func:`conjunctive_search` shape), at the cost of the token
+    shuffle this form avoids.
+    """
+    def _count(p: list[str]) -> str:
+        m = len(p)
+        cond = " AND ".join(
+            f"try_element_at(toks, i + {j}) = '{w}'"
+            for j, w in enumerate(p)
+        )
+        return (
+            f"size(filter(sequence(1, greatest(size(toks) - {m - 1},"
+            f" 1)), i -> {cond}))"
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(" ".join(p)).alias("phrase"),
+                F.expr(_count(p)).cast("int").alias("n_hits"),
+            )
+            for p in phrases
+        ]
+    )
+    return (
+        docs.select(
+            "doc_id", tokens(F.col(text_col)).alias("toks")
+        )
+        .select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", "e.phrase", "e.n_hits")
+        .where(F.col("n_hits") > 0)
+    )
+
+
+def keyword_tags_sql(phrases: list[list[str]]) -> str:
+    """DuckDB twin of :func:`keyword_tags` (one positional-scan block
+    per dictionary entry, unioned)."""
+    blocks = []
+    for p in phrases:
+        m = len(p)
+        label = " ".join(p).replace("'", "''")
+        cond = " AND ".join(
+            f"toks[i + {j}] = '{w}'" for j, w in enumerate(p)
+        )
+        blocks.append(
+            f"""
+SELECT doc_id, '{label}' AS phrase,
+       CAST(len([i FOR i IN range(1, greatest(len(toks) - {m - 1}, 1)
+                                      + 1) IF {cond}]) AS INT)
+         AS n_hits
+FROM toks_cte"""
+        )
+    u = "\nUNION ALL".join(blocks)
+    return f"""
+WITH toks_cte AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tagged AS ({u})
+SELECT doc_id, phrase, n_hits FROM tagged WHERE n_hits > 0
+"""

@@ -451,3 +451,25 @@ def test_r6f_tpch_full_sweep_plan_shapes(spark):
     assert "PushedFilters" in plan and "l_shipdate" in plan.split(
         "PushedFilters", 1
     )[1][:400]
+
+
+def test_keyword_tags_single_pass_shuffle_free(spark):
+    """Dictionary tagging evaluates the whole phrase dictionary in ONE
+    corpus scan: no shuffle, no join, no Python eval — every phrase's
+    positional check is a row-local codegen expression."""
+    plan = executed_plan(
+        entrymod.queries()["x_keyword_tags"](spark, SF)
+    )
+    for bad in (
+        "Exchange",
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+    ):
+        assert bad not in plan, bad
+    # the per-entry checks are stacked by a row-local generator, and
+    # only (doc_id, text) is ever read
+    assert "Generate explode" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
