@@ -186,6 +186,9 @@ def main() -> None:
     if "--unigram-only" in sys.argv:
         unigram_stress()
         return
+    if "--wap-only" in sys.argv:
+        wap_stress()
+        return
     spark = get_session(app_name="bdc_stress")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
@@ -372,6 +375,84 @@ def main() -> None:
     }
 
     print(json.dumps(results, indent=2))
+    spark.stop()
+
+
+
+
+def wap_stress(n_replicas: int = 20) -> None:
+    """Clone/WAP at 12M rows: shallow_clone and publish_from must be
+    METADATA-TIME operations regardless of table size — measured next
+    to the physical append of the same increment (the thing publish
+    avoids re-doing on the source)."""
+    import shutil
+    import tempfile
+
+    from big_data_computing__spark.sources.layout import ZTable
+
+    spark = get_session(app_name="bdc_wap_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_quantity") * 2000).alias("y"),
+    )
+    reps = spark.range(n_replicas).select(F.col("id").alias("rep"))
+    pts = (
+        li.crossJoin(reps)
+        .select(
+            F.monotonically_increasing_id().alias("id"),
+            (F.col("x") + F.col("rep") * 37.0).alias("x"),
+            (F.col("y") + F.col("rep") * 53.0).alias("y"),
+        )
+        .repartition(64)
+        .cache()
+    )
+    n = pts.count()
+    inc = (
+        li.limit(600_000)
+        .select(
+            (F.monotonically_increasing_id() + 10**12).alias("id"),
+            (F.col("x") + 9999.0).alias("x"),
+            (F.col("y") + 9999.0).alias("y"),
+        )
+        .repartition(16)
+        .cache()
+    )
+    n_inc = inc.count()
+    root = tempfile.mkdtemp(prefix="wap12m_")
+    try:
+        t0 = time.time()
+        t = ZTable.create(pts, f"{root}/src", n_files=64, cell=500.0)
+        t_create = time.time() - t0
+
+        t0 = time.time()
+        stage = t.shallow_clone(f"{root}/stage")
+        t_clone = time.time() - t0
+
+        t0 = time.time()
+        stage.append(inc, n_files=8)
+        t_stage_append = time.time() - t0
+
+        t0 = time.time()
+        v = t.publish_from(stage)
+        t_publish = time.time() - t0
+
+        # comparison: the same increment physically appended
+        t0 = time.time()
+        t.append(inc, n_files=8)
+        t_phys_append = time.time() - t0
+
+        assert t.read(spark, v).count() == n + n_inc
+        print(
+            f"rows={n:,} inc={n_inc:,}\n"
+            f"create(64 files)   : {t_create:7.2f} s\n"
+            f"shallow_clone      : {t_clone*1000:7.1f} ms\n"
+            f"stage append (8f)  : {t_stage_append:7.2f} s\n"
+            f"publish_from       : {t_publish*1000:7.1f} ms\n"
+            f"physical append(8f): {t_phys_append:7.2f} s"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
 
