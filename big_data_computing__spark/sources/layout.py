@@ -274,6 +274,12 @@ def _file_stats(
     for c in extra_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
+        # per-file null count (Delta's nullCount): IS NULL skips files
+        # with none, IS NOT NULL skips all-null files — min/max can't
+        # answer either (they ignore nulls)
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
     stats = (
         spark.read.parquet(path)
         .select(
@@ -2244,6 +2250,46 @@ class ZTable:
             & (F.col(self.y) <= ye)
         )
         return res, len(keep), total
+
+    def read_null_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        null: bool = True,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """IS NULL / IS NOT NULL planned through the per-file null
+        counts every ``stats_cols`` manifest entry records (Delta's
+        nullCount skipping): ``null=True`` reads only files containing
+        at least one null of ``col``; ``null=False`` skips all-null
+        files. Entries written before null counts existed (or carried
+        from them) conservatively stay in the plan. Returns (result
+        with exact residual filter, n_files_read, n_files_total)."""
+        snap = self.snapshot(version)
+        if col not in snap.get("stats_cols", []):
+            raise ValueError(
+                f"read_null_pruned: no stats recorded for {col!r}; "
+                f"indexed columns: {sorted(snap.get('stats_cols', []))}"
+            )
+        k = f"nulls_{col}"
+
+        def keep_entry(e: dict) -> bool:
+            n = e.get(k)
+            if n is None:  # pre-nullcount entry: cannot prune
+                return True
+            return n > 0 if null else n < e["n_rows"]
+
+        keep = [e for e in snap["files"] if keep_entry(e)]
+        total = len(snap["files"])
+        pred = F.col(col).isNull() if null else F.col(col).isNotNull()
+        if not keep:
+            df = self.read(spark, version).where(F.lit(False))
+            return df, 0, total
+        return (
+            self._read_files(spark, keep, snap).where(pred),
+            len(keep),
+            total,
+        )
 
     def read_pruned_where(
         self,

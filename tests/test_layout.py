@@ -2207,3 +2207,56 @@ def test_publish_from_rejects_non_append_staging(
     s2.delete_where_dv(spark, (0.0, 9000.0), (0.0, 2000.0))
     with _pt.raises(ValueError, match="deletion vectors"):
         t.publish_from(s2)
+
+
+def test_null_count_stats_prune_is_null_reads(spark, sf_dir, tmp_path):
+    """Per-file null counts answer IS NULL / IS NOT NULL at plan time:
+    only files containing nulls are read for IS NULL, all-null files
+    are skipped for IS NOT NULL, results equal the full-scan filter,
+    and the counts survive a compact."""
+    pts = customer_points(spark, sf_dir)
+    # nulls in the bottom-left QUADRANT — a contiguous Morton-prefix
+    # range, so whole z-ordered files land entirely inside it (all-
+    # null) and entirely outside it (no-null), with boundary files
+    # mixed
+    df = pts.select(
+        "id",
+        "x",
+        "y",
+        F.when(
+            (F.col("x") < 5000.0) & (F.col("y") < 5000.0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("id"))
+        .alias("tag"),
+    )
+    t = L.ZTable.create(
+        df,
+        str(tmp_path / "zt_nulls"),
+        n_files=8,
+        cell=200.0,
+        stats_cols=["tag"],
+    )
+    full = t.read(spark)
+    want_null = full.where(F.col("tag").isNull())
+    want_notnull = full.where(F.col("tag").isNotNull())
+
+    got_null, nread_null, total = t.read_null_pruned(spark, "tag", True)
+    assert _multiset(got_null) == _multiset(want_null)
+    got_nn, nread_nn, _ = t.read_null_pruned(spark, "tag", False)
+    assert _multiset(got_nn) == _multiset(want_notnull)
+    # pruning really skipped files on both sides
+    assert 0 < nread_null < total
+    assert 0 < nread_nn < total
+
+    # counts recompute through a compact (same _file_stats path)
+    t.compact(spark, n_files=4)
+    got2, nread2, total2 = t.read_null_pruned(spark, "tag", True)
+    assert _multiset(got2) == _multiset(want_null)
+    assert nread2 <= total2
+
+    # unindexed column raises instead of silently scanning
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no stats recorded"):
+        t.read_null_pruned(spark, "id")
