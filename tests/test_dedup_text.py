@@ -1921,3 +1921,58 @@ def test_incremental_dedup_equals_split_of_full_pairs(spark):
     # canonicalize: new ids here are all > corpus ids
     assert got == want
     assert got, "fixture must produce at least one cross-split match"
+
+
+def test_dedup_survivors_quality_randomized_vs_union_find(spark):
+    """Randomized cross-check (fixed seed): survivors from the
+    distributed operator equal a pure-Python union-find + per-
+    component argmax reference on random graphs."""
+    import random
+
+    from big_data_computing__spark.operators.dedup import (
+        dedup_survivors_quality,
+    )
+
+    rng = random.Random(607)
+    for trial in range(3):
+        n = rng.randint(20, 60)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 40))
+            }
+        )
+        scores = {i: rng.randint(0, 9) for i in range(n)}
+
+        # reference: union-find, then per-root best (score, -id)
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps: dict = {}
+        for i in range(n):
+            comps.setdefault(find(i), []).append(i)
+        want = {}
+        for members in comps.values():
+            best = max(members, key=lambda i: (scores[i], -i))
+            want[best] = (scores[best], len(members))
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges] or [(0, 0)],
+            "doc_a long, doc_b long",
+        ).where(F.col("doc_a") != F.col("doc_b"))
+        sdf = spark.createDataFrame(
+            [(i, scores[i]) for i in range(n)],
+            "doc_id long, score_micro long",
+        )
+        got = {
+            r["doc_id"]: (r["score_micro"], r["n_dups"])
+            for r in dedup_survivors_quality(sdf, pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
