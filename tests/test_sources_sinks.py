@@ -178,3 +178,88 @@ def test_orc_and_jsonl_roundtrip(spark, sf_dir, tmpdir):
     got = {r["doc_id"] for r in jback.select("doc_id").collect()}
     want = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert got == want
+
+
+def test_watermark_drops_beyond_late_after_grace_batch(spark, tmpdir):
+    """The late-data contract, pinned with a controlled THREE-batch
+    replay (maxFilesPerTrigger=1 + availableNow = one file per
+    micro-batch, modification-time order). Spark splits the two
+    watermark roles (SPARK-40925): late-event FILTERING uses the
+    previous batch's watermark while state EVICTION uses the updated
+    one — so a straggler landing in the very next batch after the
+    advance still sneaks into its window (one batch of grace,
+    measured), and only a straggler one batch later is dropped. The
+    test pins the drop: the 10:00 window finalizes at 2 events and the
+    batch-3 straggler into it neither grows nor resurrects it."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    data_dir = str(tmpdir) + "/stream3"
+    os.makedirs(data_dir)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            [
+                Row(ts=r[0], event_type=r[1], value=float(r[2]))
+                for r in rows
+            ]
+        ).select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+        df.coalesce(1).write.parquet(data_dir + "/" + name)
+        for fn in os.listdir(data_dir + "/" + name):
+            os.utime(os.path.join(data_dir, name, fn), (mtime, mtime))
+
+    now = _time.time()
+    # batch 1: the 10:00 window's two real events + a 12:00 event that
+    # will advance the watermark to 11:50 (delay 10m)
+    write_file(
+        "f1",
+        [
+            ("2024-01-01 10:00:00", "click", 1),
+            ("2024-01-01 10:05:00", "click", 1),
+            ("2024-01-01 12:00:00", "view", 1),
+        ],
+        now - 100,
+    )
+    # batch 2: grace batch — watermark 11:50 becomes the FILTERING
+    # watermark from the next batch on; the 10:00 window is evicted
+    # (finalized at n=2) at this batch's end
+    write_file("f2", [("2024-01-01 12:10:00", "view", 1)], now - 50)
+    # batch 3: the beyond-watermark straggler — must be DROPPED
+    write_file(
+        "f3",
+        [
+            ("2024-01-01 10:07:00", "click", 1),
+            ("2024-01-01 12:05:00", "view", 1),
+        ],
+        now - 10,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir + "/*")
+    )
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_counts")
+        .option("checkpointLocation", str(tmpdir) + "/ckpt3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM late_counts").collect()
+    }
+    # finalized with ONLY the two on-time events; the batch-3
+    # straggler was dropped, not merged and not emitted as its own row
+    assert got == {("2024-01-01 10:00:00", "click"): 2}
