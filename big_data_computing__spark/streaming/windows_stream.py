@@ -238,3 +238,63 @@ class SpikeState:
                         }
                     )
         return out
+
+
+def streaming_left_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    delta_seconds: int = 60,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER temporal join: every left event paired
+    with the same-key right events within ``delta_seconds``; left
+    events with NO match emit exactly once with a NULL right id — but
+    only after the watermark passes their match window, because until
+    then a matching right event could still arrive. That is the outer
+    join's semantic cost: null results trail the event by (Δ + the
+    watermark delay) of EVENT time, and at stream END unmatched rows
+    whose window the final watermark never passed are withheld
+    entirely (they would be wrong to emit — the stream didn't end, it
+    paused). The test pins both behaviors.
+
+    Both sides carry watermarks and the join carries the time-range
+    condition — the two requirements Structured Streaming imposes so
+    each side's buffered state stays bounded to (Δ + delay) of event
+    time. DataFrame[key, a_id, b_id (nullable), gap_us (nullable)].
+    """
+    a = left.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("a_id"),
+        F.col(ts_col).cast("timestamp").alias("a_ts"),
+    ).withWatermark("a_ts", watermark_delay)
+    b = right.select(
+        F.col(key_col).alias("kb"),
+        F.col(id_col).alias("b_id"),
+        F.col(ts_col).cast("timestamp").alias("b_ts"),
+    ).withWatermark("b_ts", watermark_delay)
+    joined = a.join(
+        b,
+        (F.col("k") == F.col("kb"))
+        & (
+            F.col("b_ts")
+            >= F.col("a_ts") - F.expr(f"INTERVAL {delta_seconds} SECONDS")
+        )
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {delta_seconds} SECONDS")
+        ),
+        "leftOuter",
+    )
+    gap = F.when(
+        F.col("b_id").isNotNull(),
+        F.abs(F.unix_micros("a_ts") - F.unix_micros("b_ts")),
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        "a_id",
+        "b_id",
+        gap.alias("gap_us"),
+    )

@@ -554,3 +554,108 @@ def test_mad_outliers_integer_median_and_gate(spark):
         ("a", d0 + 4): (12, 2, 10000),
         ("e", d0 + 3): (10, 2, 7500),
     }
+
+
+def test_streaming_left_outer_band_join_null_emission(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics, pinned with a
+    controlled per-file batch replay: matched pairs emit normally;
+    an unmatched left event emits its NULL row only AFTER a later
+    batch's watermark passes its match window; and an unmatched left
+    event whose window the final watermark never passed is WITHHELD at
+    stream end (the honest outer-join caveat)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from big_data_computing__spark.streaming.windows_stream import (
+        streaming_left_band_join,
+    )
+
+    ldir = str(tmp_path / "left")
+    rdir = str(tmp_path / "right")
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+
+    def write(dirpath, name, rows, mtime):
+        df = spark.createDataFrame(
+            [
+                Row(
+                    ts=r[0],
+                    event_type=r[1],
+                    event_id=int(r[2]),
+                )
+                for r in rows
+            ]
+        ).select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "event_id",
+        )
+        df.coalesce(1).write.parquet(dirpath + "/" + name)
+        for fn in os.listdir(dirpath + "/" + name):
+            os.utime(os.path.join(dirpath, name, fn), (mtime, mtime))
+
+    now = _time.time()
+    # left batch 1: click 1 (will match), click 2 (never matches),
+    # click 3 late in the stream (never matches, window never closed)
+    write(
+        ldir,
+        "l1",
+        [
+            ("2024-01-01 10:00:00", "click", 1),
+            ("2024-01-01 10:05:00", "click", 2),
+        ],
+        now - 100,
+    )
+    # right batch 1: a match for click 1 only
+    write(rdir, "r1", [("2024-01-01 10:00:20", "click", 101)], now - 100)
+    # batch 2: advance BOTH watermarks far past click 2's match window
+    # (delta 60s + delay 10m) so its null row must flush; click 3
+    # (12:00) arrives now — its window (closes 12:01) will be passed
+    # by batch 3's watermark (12:20), so its null row flushes too
+    write(ldir, "l2", [("2024-01-01 12:00:00", "click", 3)], now - 50)
+    write(rdir, "r2", [("2024-01-01 12:00:00", "view", 900)], now - 50)
+    # batch 3: one more advance so batch 2's watermark (which trails
+    # one batch, cf. the grace-batch test) actually moves past 10:06;
+    # click 4 (12:30) lands at the stream's very end — its window is
+    # never watermark-passed
+    write(ldir, "l3", [("2024-01-01 12:30:00", "click", 4)], now - 10)
+    write(rdir, "r3", [("2024-01-01 12:30:00", "view", 901)], now - 10)
+
+    schema = "ts timestamp, event_type string, event_id long"
+    ls = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir + "/*")
+    )
+    rs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir + "/*")
+    )
+    out = streaming_left_band_join(ls, rs, delta_seconds=60)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_band")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM lo_band").collect()
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r["a_id"], []).append(r["b_id"])
+    # click 1 matched its view, exactly once
+    assert by_a.get(1) == [101]
+    # clicks 2 and 3: null rows flushed exactly once, each only after
+    # a LATER batch's watermark passed its match window — the outer
+    # join's event-time trailing emission
+    assert by_a.get(2) == [None]
+    assert by_a.get(3) == [None]
+    # click 4: unmatched, window never closed by the final watermark
+    # -> withheld at stream end (NOT emitted as null) — the honest
+    # availableNow caveat: the stream paused, it didn't end
+    assert 4 not in by_a

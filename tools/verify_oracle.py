@@ -31,6 +31,34 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    # --skip golden  (or --skip name1,name2): exclude queries whose
+    # oracle depends on goldens TRAINED AT sf0.01 — either pinned
+    # results (c2/c3/c8's FFT outputs) or pinned models the Spark side
+    # RE-TRAINS from the data it reads (IVF centers / PQ codebooks /
+    # PCA axes): at any other sf the engine trains a different model
+    # and the comparison is golden-vs-fresh, not Spark-vs-DuckDB.
+    # Queries that feed the same pinned constants to BOTH engines as
+    # parameters (x_ann_opq_topk, x_ann_opq_ivf_rpq_topk, c5,
+    # x_dedup_embedding) stay checkable at any sf — verified by the
+    # committed ORACLE_SMALL_r06.json run.
+    GOLDEN_SF_BOUND = {
+        "c2_fft_coreset",
+        "c3_mrfft_radius",
+        "c8_fft_radius_outliers",
+        "x_pca_semdedup",
+        "x_semdedup_within_cell",
+        "x_ann_ivf_topk",
+        "x_ann_pq_topk",
+        "x_ann_ivf_pq_topk",
+        "x_ann_ivf_rpq_topk",
+        "x_ann_ivf_rpq_prod",
+    }
+    skip: set = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        arg = argv[i + 1]
+        skip = GOLDEN_SF_BOUND if arg == "golden" else set(arg.split(","))
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     results: dict[str, dict] = {}
     spark = get_session()
@@ -46,6 +74,10 @@ def main() -> int:
     failures = []
     for name, fn in qs.items():
         if only is not None and name not in only:
+            continue
+        if name in skip:
+            print(f"skip {name}: result-golden pinned at another sf")
+            results[name] = {"match": None, "err": "skipped_golden"}
             continue
         t0 = time.time()
         try:
