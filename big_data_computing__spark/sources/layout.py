@@ -1253,6 +1253,91 @@ class ZTable:
         dest._commit(0, "clone", snap["files"], meta)
         return dest
 
+    def optimize_small_files(
+        self,
+        spark: SparkSession,
+        target_rows: int,
+        small_threshold: int | None = None,
+        max_retries: int = 0,
+    ) -> tuple[int, int, int]:
+        """Incremental OPTIMIZE (Delta's bin-packing form): coalesce
+        only the files SMALLER than ``small_threshold`` (default
+        ``target_rows // 2``) into ~``target_rows``-row files, leaving
+        every adequately-sized file untouched — at 100 TB the
+        small-file debt from streaming appends is fixed WITHOUT
+        rewriting the table, which is what full :meth:`compact` does.
+        Returns (version, n_rewritten, n_kept); no-op (version = -1)
+        when fewer than two files qualify.
+
+        The rewritten rows are read THROUGH the snapshot's deletion
+        vectors (dead rows do not resurrect); the DV list is carried
+        for the kept files (stale DV rows addressing rewritten files
+        match nothing — their file paths leave the manifest). New
+        files are Z-ordered among THEMSELVES; global clustering across
+        kept files is compact's job, not this one's (exactly Delta's
+        OPTIMIZE vs OPTIMIZE ZORDER split). Blind appends commute
+        (``max_retries``); any other interleaved commit raises
+        :class:`ConcurrentWriteConflict`."""
+        parent = self.snapshot()
+        thr = (
+            target_rows // 2 if small_threshold is None else small_threshold
+        )
+        small = [e for e in parent["files"] if e["n_rows"] < thr]
+        kept = [e for e in parent["files"] if e["n_rows"] >= thr]
+        if len(small) < 2:
+            return (-1, 0, len(parent["files"]))
+        rows = self._read_files(spark, small, parent)
+        n_small_rows = sum(e["n_rows"] for e in small)
+        n_out = max(1, round(n_small_rows / target_rows))
+        cols = self.stats_cols(parent)
+        new = self._stamp_epoch(
+            self._write_data(
+                rows,
+                parent["version"] + 1,
+                n_out,
+                parent["cell"],
+                parent["bits"],
+                cols,
+                self.bloom_cols(parent),
+                self.bloom_bits(parent),
+                self.ndv_cols(parent),
+                self.ndv_k(parent),
+            ),
+            parent,
+        )
+        meta = {
+            "cell": parent["cell"],
+            "bits": parent["bits"],
+            "stats_cols": cols,
+            "zcol": self.zcol(parent),
+            "columns": parent.get("columns"),
+            **self._schema_meta(parent),
+        }
+        if "column_types" in parent:
+            meta["column_types"] = parent["column_types"]
+        version = parent["version"] + 1
+        manifest = kept + list(new)
+        for attempt in range(max_retries + 1):
+            try:
+                v = self._commit(version, "optimize", manifest, meta)
+                return (v, len(small), len(kept))
+            except FileExistsError as exc:
+                added, pure = self._appends_since(parent)
+                if not pure:
+                    raise ConcurrentWriteConflict(
+                        f"optimize of {self.path} raced a non-append "
+                        "commit — re-run"
+                    ) from exc
+                if attempt == max_retries:
+                    raise ConcurrentWriteConflict(
+                        f"optimize of {self.path} lost the commit "
+                        f"race {max_retries + 1} time(s); raise "
+                        "max_retries"
+                    ) from exc
+                manifest = kept + list(new) + added
+                version = self.latest_version() + 1
+        raise AssertionError("unreachable")
+
     def publish_from(self, staged: "ZTable") -> int:
         """Write-Audit-Publish (Iceberg's WAP flow on this log): adopt
         everything an APPEND-ONLY staging clone added since its clone

@@ -2260,3 +2260,59 @@ def test_null_count_stats_prune_is_null_reads(spark, sf_dir, tmp_path):
 
     with _pt.raises(ValueError, match="no stats recorded"):
         t.read_null_pruned(spark, "id")
+
+
+def test_optimize_small_files_binpacks_without_touching_big(
+    spark, sf_dir, tmp_path
+):
+    """Incremental OPTIMIZE: tiny streaming appends coalesce into
+    target-sized files while adequately-sized files keep their exact
+    paths (never rewritten); rows survive byte-for-byte, deletion
+    vectors on kept files stay effective, and a tiny table is a
+    no-op."""
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    t = L.ZTable.create(
+        base, str(tmp_path / "zt_opt"), n_files=2, cell=200.0
+    )
+    # DV-delete some rows from the big files BEFORE the small appends
+    _, n_dead, _ = t.delete_where_dv(
+        spark, (0.0, 4000.0), (0.0, 2000.0)
+    )
+    assert n_dead > 0
+    # small-file debt: five 1-file micro-appends
+    extra = pts.where(F.col("y") >= 5000.0).localCheckpoint()
+    n_extra = extra.count()
+    for i in range(5):
+        t.append(
+            extra.where(F.col("id") % 5 == i).localCheckpoint(),
+            n_files=1,
+        )
+    before = t.read(spark)
+    want = _multiset(before)
+    big_paths = {
+        e["file"]
+        for e in t.snapshot()["files"]
+        if e["n_rows"] >= (n_extra // 5) * 2
+    }
+    n_files_before = len(t.snapshot()["files"])
+
+    v, n_rew, n_kept = t.optimize_small_files(
+        spark, target_rows=n_extra
+    )
+    assert v > 0 and n_rew == 5
+    snap = t.snapshot()
+    assert snap["operation"] == "optimize"
+    # big files untouched — same paths in the new manifest
+    assert big_paths <= {e["file"] for e in snap["files"]}
+    # debt coalesced: fewer files, none below half target among new
+    assert len(snap["files"]) < n_files_before
+    # rows identical (DV dead rows still dead, nothing resurrected)
+    assert _multiset(t.read(spark)) == want
+    # DVs carried for the kept files
+    assert snap.get("dvs"), "kept files' tombstones must survive"
+
+    # below-threshold: nothing to do
+    v2, n_rew2, _ = t.optimize_small_files(spark, target_rows=10)
+    assert v2 == -1 and n_rew2 == 0
+    assert t.latest_version() == v
