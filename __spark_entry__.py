@@ -2246,6 +2246,13 @@ GROUP BY GROUPING SETS (
         # (whole-stage codegen; the plan a positional index emulates)
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
+
+    def x_corpus_drift(spark, sf_dir):
+        # distribution-drift monitor: quality deciles + token buckets,
+        # English vs the rest, total-variation distance per mille in
+        # exact integers (no ln -> bit-portable across engines)
+        return _cu.corpus_drift_report(_docs(spark, sf_dir))
+
     def x_keyword_tags(spark, sf_dir):
         # dictionary phrase tagging (blocklist/allowlist curation):
         # every entry's positional scan evaluated in ONE corpus pass,
@@ -2655,6 +2662,7 @@ GROUP BY GROUPING SETS (
         a18_grouping_sets,
         x_dedup_survivors_quality,
         x_keyword_tags,
+        x_corpus_drift,
         x_media_chunks,
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
@@ -3755,6 +3763,7 @@ WHERE vec_id NOT IN (
         "x_search_conjunctive": _rt.conjunctive_search_sql(BM25_QUERY),
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
         "x_keyword_tags": _rt.keyword_tags_sql(KEYWORD_DICT),
+        "x_corpus_drift": _cu.corpus_drift_report_sql(),
         "x_maxsim_topk": _rt.maxsim_topk_sql(MAXSIM_QUERY, 20),
         "x_hybrid_rrf_topk": _rt.rrf_fuse_topk_sql(BM25_QUERY, 20),
         "x_chunk_documents": _cu.chunk_documents_sql(),

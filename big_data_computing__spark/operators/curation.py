@@ -1532,3 +1532,130 @@ SELECT doc_id,
          AS chunk_text
 FROM chunks
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitoring (distribution shift between two slices)
+# ---------------------------------------------------------------------------
+
+
+def corpus_drift_report(
+    docs: DataFrame,
+    split_col: str = "lang",
+    base_value: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpus slices, exact in
+    integers: DataFrame[metric, bin, base_n, comp_n, tvd_milli] — the
+    pipeline-monitoring signal ("did this ingest's quality/length
+    distribution move?"). Two metrics over fixed bins: the quality
+    score in tenths (``q_micro // 100000``, capped at 9) and the token
+    count in 20-token buckets (capped at 9).
+
+    Drift is TOTAL VARIATION DISTANCE per mille — ``(1000 · Σ_bins
+    |base_n·C − comp_n·B|) DIV (2·B·C)`` with B, C the slice totals —
+    the standard PSI alternative that needs NO logarithm, so the
+    number is a bit-portable integer instead of a float ln both
+    engines would round differently. One scan, one 20-group
+    aggregation, one 20-row window; nothing driver-side.
+    """
+    from .textstats import quality_scores
+
+    q = quality_scores(docs, text_col).select("doc_id", "n_tokens",
+                                              "quality_score")
+    joined = docs.select("doc_id", split_col).join(q, "doc_id")
+    is_base = (F.col(split_col) == base_value).cast("long")
+    qbin = F.least(
+        (F.round(F.col("quality_score") * 1000000).cast("long"))
+        / F.lit(100000),
+        F.lit(9),
+    ).cast("long")
+    lbin = F.least(
+        (F.col("n_tokens") / F.lit(20)).cast("long"), F.lit(9)
+    ).cast("long")
+    per_doc = joined.select(
+        is_base.alias("_b"),
+        F.floor(qbin).alias("_qbin"),
+        lbin.alias("_lbin"),
+    )
+    stacked = per_doc.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quality_decile").alias("metric"),
+                    F.col("_qbin").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("token_bucket").alias("metric"),
+                    F.col("_lbin").alias("bin"),
+                ),
+            )
+        ).alias("e"),
+        "_b",
+    ).select("e.metric", "e.bin", "_b")
+    counts = stacked.groupBy("metric", "bin").agg(
+        F.sum("_b").cast("long").alias("base_n"),
+        F.sum(1 - F.col("_b")).cast("long").alias("comp_n"),
+    )
+    w = Window.partitionBy("metric")
+    return counts.withColumn(
+        "_b_tot", F.sum("base_n").over(w)
+    ).withColumn(
+        "_c_tot", F.sum("comp_n").over(w)
+    ).withColumn(
+        "_cross",
+        F.sum(
+            F.abs(
+                F.col("base_n") * F.col("_c_tot")
+                - F.col("comp_n") * F.col("_b_tot")
+            )
+        ).over(w),
+    ).select(
+        "metric",
+        F.col("bin").cast("int").alias("bin"),
+        "base_n",
+        "comp_n",
+        F.expr(
+            "CAST(1000 * _cross DIV (2 * _b_tot * _c_tot) AS BIGINT)"
+        ).alias("tvd_milli"),
+    )
+
+
+def corpus_drift_report_sql(
+    split_col: str = "lang", base_value: str = "en"
+) -> str:
+    """DuckDB twin of :func:`corpus_drift_report`."""
+    from .textstats import quality_scores_sql
+
+    return f"""
+WITH q AS ({quality_scores_sql()}),
+per_doc AS (
+  SELECT CAST(d.{split_col} = '{base_value}' AS BIGINT) AS b,
+         least(CAST(ROUND(q.quality_score * 1000000) AS BIGINT)
+               // 100000, 9) AS qbin,
+         least(CAST(q.n_tokens AS BIGINT) // 20, 9) AS lbin
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+stacked AS (
+  SELECT 'quality_decile' AS metric, qbin AS bin, b FROM per_doc
+  UNION ALL
+  SELECT 'token_bucket' AS metric, lbin AS bin, b FROM per_doc
+),
+counts AS (
+  SELECT metric, CAST(bin AS INT) AS bin,
+         CAST(SUM(b) AS BIGINT) AS base_n,
+         CAST(SUM(1 - b) AS BIGINT) AS comp_n
+  FROM stacked GROUP BY 1, 2
+),
+tot AS (
+  SELECT metric, bin, base_n, comp_n,
+         SUM(base_n) OVER (PARTITION BY metric) AS b_tot,
+         SUM(comp_n) OVER (PARTITION BY metric) AS c_tot
+  FROM counts
+)
+SELECT metric, bin, base_n, comp_n,
+       CAST(1000 * SUM(ABS(base_n * c_tot - comp_n * b_tot))
+                   OVER (PARTITION BY metric)
+            // (2 * b_tot * c_tot) AS BIGINT) AS tvd_milli
+FROM tot
+"""
