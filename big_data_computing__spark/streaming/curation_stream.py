@@ -332,3 +332,113 @@ def dsir_stream(docs_stream: DataFrame, state: DsirBucketState):
     return docs_stream.writeStream.foreachBatch(
         lambda df, bid: state.update(df, bid)
     )
+
+
+class DriftState:
+    """Driver-side running drift monitor: the streaming twin of
+    ``curation.corpus_drift_report``. Per micro-batch, ONE ≤40-row
+    aggregate ships (metric, bin, base?, count) to the driver; the
+    folded histograms are ADDITIVE integer counts, so after any batch
+    prefix :meth:`report` equals the batch operator over the union of
+    arrived documents BIT-FOR-BIT (asserted in tests) — the live
+    "did this ingest drift?" gate with O(40) driver ints of state.
+
+    Exactly-once: ``update`` is keyed by micro-batch id and ignores
+    replays (the foreachBatch idempotence rule of table_stream.py).
+    """
+
+    def __init__(
+        self,
+        split_col: str = "lang",
+        base_value: str = "en",
+        text_col: str = "text",
+    ):
+        self.split_col = split_col
+        self.base_value = base_value
+        self.text_col = text_col
+        # (metric, bin) -> [base_n, comp_n]
+        self.bins: dict[tuple, list[int]] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.textstats import quality_scores
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        q = quality_scores(batch_df, self.text_col).select(
+            "doc_id", "n_tokens", "quality_score"
+        )
+        joined = batch_df.select("doc_id", self.split_col).join(
+            q, "doc_id"
+        )
+        is_base = (F.col(self.split_col) == self.base_value).cast(
+            "long"
+        )
+        qbin = F.least(
+            F.floor(
+                F.round(F.col("quality_score") * 1000000).cast("long")
+                / F.lit(100000)
+            ),
+            F.lit(9),
+        ).cast("long")
+        lbin = F.least(
+            F.floor(F.col("n_tokens") / F.lit(20)), F.lit(9)
+        ).cast("long")
+        rows = (
+            joined.select(
+                is_base.alias("_b"),
+                qbin.alias("_qbin"),
+                lbin.alias("_lbin"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("quality_decile").alias("metric"),
+                            F.col("_qbin").alias("bin"),
+                        ),
+                        F.struct(
+                            F.lit("token_bucket").alias("metric"),
+                            F.col("_lbin").alias("bin"),
+                        ),
+                    )
+                ).alias("e"),
+                "_b",
+            )
+            .groupBy("e.metric", "e.bin")
+            .agg(
+                F.sum("_b").cast("long").alias("base_n"),
+                F.sum(1 - F.col("_b")).cast("long").alias("comp_n"),
+            )
+            .collect()
+        )
+        for r in rows:
+            cell = self.bins.setdefault((r["metric"], r["bin"]), [0, 0])
+            cell[0] += r["base_n"]
+            cell[1] += r["comp_n"]
+
+    def report(self) -> list[tuple]:
+        """[(metric, bin, base_n, comp_n, tvd_milli)] — the batch
+        operator's rows, computed from the folded state."""
+        out = []
+        metrics = sorted({m for m, _ in self.bins})
+        for m in metrics:
+            cells = {
+                b: v for (mm, b), v in self.bins.items() if mm == m
+            }
+            b_tot = sum(v[0] for v in cells.values())
+            c_tot = sum(v[1] for v in cells.values())
+            cross = sum(
+                abs(v[0] * c_tot - v[1] * b_tot)
+                for v in cells.values()
+            )
+            tvd = (
+                1000 * cross // (2 * b_tot * c_tot)
+                if b_tot and c_tot
+                else 0
+            )
+            for b in sorted(cells):
+                v = cells[b]
+                out.append((m, int(b), v[0], v[1], tvd))
+        return out

@@ -393,3 +393,32 @@ def test_dsir_stream_foreachbatch_end_to_end(spark, sf_dir, tmp_path):
         .collect()
     }
     assert state.buckets == want
+
+
+def test_drift_state_prefix_parity_and_replay(spark, sf_dir):
+    """Streaming drift monitor: after EVERY prefix of the stream the
+    folded report equals batch corpus_drift_report over the arrived
+    documents bit-for-bit; batch-id replays are no-ops."""
+    from big_data_computing__spark.operators.curation import (
+        corpus_drift_report,
+    )
+    from big_data_computing__spark.streaming.curation_stream import (
+        DriftState,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    splits = [
+        docs.where(F.col("doc_id") % 3 == i).localCheckpoint()
+        for i in range(3)
+    ]
+    state = DriftState()
+    seen = None
+    for i, part in enumerate(splits):
+        state.update(part, batch_id=i)
+        state.update(part, batch_id=i)  # replay: no-op
+        seen = part if seen is None else seen.unionByName(part)
+        want = sorted(
+            tuple(r)
+            for r in corpus_drift_report(seen).collect()
+        )
+        assert sorted(state.report()) == want, f"prefix {i}"
