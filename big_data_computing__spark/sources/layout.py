@@ -1076,6 +1076,36 @@ class ZTable:
             )
         return out
 
+    def history_metrics(self) -> list[dict]:
+        """DESCRIBE HISTORY with per-commit operation metrics (Delta's
+        operationMetrics): files/rows added and removed per commit,
+        computed driver-side from consecutive manifest diffs — no data
+        read. ``rows_removed`` counts rows of files LEAVING the
+        manifest (a compact therefore shows the full rewrite volume on
+        both sides; a DV delete shows 0 here — its tombstone count
+        lives in the commit's own ``n_deleted`` metadata)."""
+        out = []
+        prev: dict[str, int] = {}
+        for v in self.versions():
+            s = self.snapshot(v)
+            cur = {e["file"]: e["n_rows"] for e in s["files"]}
+            added = [f for f in cur if f not in prev]
+            removed = [f for f in prev if f not in cur]
+            out.append(
+                {
+                    "version": v,
+                    "operation": s["operation"],
+                    "files_added": len(added),
+                    "files_removed": len(removed),
+                    "rows_added": sum(cur[f] for f in added),
+                    "rows_removed": sum(prev[f] for f in removed),
+                    "n_files": len(cur),
+                    "n_rows": sum(cur.values()),
+                }
+            )
+            prev = cur
+        return out
+
     # -- named refs (tags) + rollback -------------------------------------
 
     def _refs_dir(self) -> str:

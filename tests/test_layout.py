@@ -2316,3 +2316,33 @@ def test_optimize_small_files_binpacks_without_touching_big(
     v2, n_rew2, _ = t.optimize_small_files(spark, target_rows=10)
     assert v2 == -1 and n_rew2 == 0
     assert t.latest_version() == v
+
+
+def test_history_metrics_per_commit_diffs(spark, sf_dir, tmp_path):
+    """Operation metrics from manifest diffs: an append adds files and
+    rows without removing any; an optimize removes exactly the small
+    files it coalesced and adds fewer; totals always equal the
+    snapshot's own counts."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path, n_files=2)
+    for i in range(3):
+        t.append(
+            extra.where(F.col("id") % 3 == i).localCheckpoint(),
+            n_files=1,
+        )
+    t.optimize_small_files(spark, target_rows=extra.count())
+    h = t.history_metrics()
+    assert [r["operation"] for r in h] == [
+        "create", "append", "append", "append", "optimize",
+    ]
+    assert h[0]["files_added"] == 2 and h[0]["files_removed"] == 0
+    for r in h[1:4]:
+        assert r["files_added"] == 1 and r["files_removed"] == 0
+        assert r["rows_added"] > 0 and r["rows_removed"] == 0
+    opt = h[4]
+    assert opt["files_removed"] == 3  # the three micro-appends
+    assert opt["files_added"] >= 1
+    assert opt["rows_added"] == opt["rows_removed"] == extra.count()
+    # running totals match each snapshot's own numbers
+    for r, hh in zip(h, t.history()):
+        assert r["n_files"] == hh["n_files"]
+        assert r["n_rows"] == hh["n_rows"]
