@@ -1,0 +1,148 @@
+"""The composed daily-ingest pipeline: quality gate → global near-dup
+gate → drift monitor → exactly-once table ingest, per micro-batch.
+
+Each stage exists and is verified on its own (gopher gate in
+operators/curation.py, the persisted-index LSH probe in
+dedup_stream.py, DriftState in curation_stream.py, idempotent table
+writes in table_stream.py); this module is their PRODUCTION
+COMPOSITION — what a training-data ingest actually runs every batch —
+with one deterministic acceptance contract the integration test can
+verify independently, post-hoc, from batch operators alone.
+
+Acceptance contract (greedy in arrival order): a document is ACCEPTED
+iff it (1) passes the Gopher rule gate, and (2) has NO LSH candidate
+pair to any gate-passing document that arrived before it — an earlier
+batch's gate survivors (via the persisted signature index, which
+indexes gate survivors only) or a lower-id gate survivor of its own
+batch. The within-batch rule is deliberately conservative (a match to
+a lower-id survivor rejects, even if that survivor was itself
+rejected for an even earlier match): decisions then depend only on
+the PAIR GRAPH and arrival order, never on the accept/reject
+recursion — which keeps the contract independently recomputable and
+the per-batch plan one join deeper than the probe itself.
+
+At 100 TB: per-batch cost is the batch's own signing + banded probe of
+the standing index (never corpus × corpus), the drift state is O(40)
+driver ints, and the table write is one idempotent blind append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.curation import gopher_quality_report
+from ..operators.dedup import (
+    incremental_lsh_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from ..sources.layout import ZTable
+from .curation_stream import DriftState
+from .table_stream import append_batch
+
+
+class IngestPipeline:
+    """foreachBatch driver for the composed ingest; see module doc."""
+
+    def __init__(
+        self,
+        table_path: str,
+        index_dir: str,
+        num_hashes: int = 16,
+        ngram: int = 3,
+        text_col: str = "text",
+        split_col: str = "lang",
+        base_value: str = "en",
+    ):
+        self.table_path = table_path
+        self.table: ZTable | None = None  # created on first batch
+        self.index_dir = index_dir
+        self.num_hashes = num_hashes
+        self.ngram = ngram
+        self.text_col = text_col
+        self.drift = DriftState(split_col, base_value, text_col)
+        self._seen: set[int] = set()
+        self._indexed = False
+
+    def _have_index(self) -> bool:
+        import os
+
+        return self._indexed or (
+            os.path.isdir(self.index_dir)
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(self.index_dir)
+            )
+        )
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> int:
+        """Run one micro-batch through the gates; returns the number
+        of accepted documents (0 on a replayed batch id)."""
+        if batch_id in self._seen:
+            return 0
+        self._seen.add(batch_id)
+        spark = batch_df.sparkSession
+
+        # 1) hard quality gate
+        gate = gopher_quality_report(batch_df, self.text_col)
+        passing = (
+            batch_df.join(
+                gate.where(F.col("passes")).select("doc_id"), "doc_id"
+            )
+        ).localCheckpoint()
+
+        # 2) global near-dup gate over gate survivors
+        sigs = minhash_signatures(
+            passing, self.num_hashes, self.ngram, self.text_col
+        ).localCheckpoint()
+        within = minhash_lsh_pairs(passing, sigs=sigs).select(
+            F.col("doc_b").alias("doc_id")
+        )
+        rejected = within
+        if self._have_index():
+            cross = incremental_lsh_duplicates(
+                passing,
+                spark.read.parquet(self.index_dir),
+                self.num_hashes,
+                self.ngram,
+                self.text_col,
+                new_sigs=sigs,
+            ).select(F.col("new_doc_id").alias("doc_id"))
+            rejected = rejected.unionByName(cross)
+        accepted = passing.join(
+            rejected.distinct(), "doc_id", "left_anti"
+        ).localCheckpoint()
+
+        # 3) drift monitor over what actually enters the corpus
+        self.drift.update(accepted, batch_id)
+
+        # 4) exactly-once table ingest (idempotent blind append) —
+        # layout coordinates derived from document shape
+        rows = accepted.select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("x"),
+            (F.col("doc_id") % 10000).cast("double").alias("y"),
+            self.text_col,
+            "lang",
+            "source",
+            "n_chars",
+        )
+        if self.table is None:
+            # first batch creates the table (v0 carries the rows); a
+            # cross-restart replay of batch 0 fails LOUDLY on the
+            # existing log rather than double-writing — later batches
+            # get append_batch's recorded-batch-id idempotence
+            self.table = ZTable.create(
+                rows, self.table_path, n_files=1, cell=512.0
+            )
+        else:
+            append_batch(self.table, rows, batch_id, n_files=1)
+
+        # 5) index THIS batch's gate survivors (accepted or not — the
+        # conservative contract keys on gate survivors) for later
+        # batches' probes. Index LAST: a crash before this point
+        # replays cleanly without self-matching.
+        sigs.write.mode("append").parquet(self.index_dir)
+        self._indexed = True
+        return accepted.count()

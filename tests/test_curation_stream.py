@@ -422,3 +422,90 @@ def test_drift_state_prefix_parity_and_replay(spark, sf_dir):
             for r in corpus_drift_report(seen).collect()
         )
         assert sorted(state.report()) == want, f"prefix {i}"
+
+
+def test_ingest_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The composed ingest (gopher gate -> global LSH dedup gate ->
+    drift monitor -> exactly-once table append) over three
+    micro-batches. The acceptance contract is re-derived INDEPENDENTLY
+    post-hoc: greedy in arrival order over batch minhash_lsh_pairs
+    restricted to batch-gopher survivors — the pipeline's table must
+    hold exactly that set, the drift state must equal the batch drift
+    report over it, and replays must be no-ops."""
+    from big_data_computing__spark.operators.curation import (
+        corpus_drift_report,
+        gopher_quality_report,
+    )
+    from big_data_computing__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from big_data_computing__spark.streaming.ingest_pipeline import (
+        IngestPipeline,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    splits = [
+        docs.where(F.col("doc_id") % 3 == i).localCheckpoint()
+        for i in range(3)
+    ]
+    pipe = IngestPipeline(
+        str(tmp_path / "corpus"), str(tmp_path / "sig_index")
+    )
+    accepted_per_batch = []
+    for i, part in enumerate(splits):
+        n = pipe.process(part, batch_id=i)
+        accepted_per_batch.append(n)
+        assert pipe.process(part, batch_id=i) == 0  # replay: no-op
+    assert sum(accepted_per_batch) > 0
+
+    # ---- independent re-derivation of the contract ----
+    surv = {
+        r["doc_id"]
+        for r in gopher_quality_report(docs)
+        .where(F.col("passes"))
+        .collect()
+    }
+    arrival = {}  # doc_id -> (batch, doc_id)
+    for i, part in enumerate(splits):
+        for r in part.select("doc_id").collect():
+            arrival[r["doc_id"]] = (i, r["doc_id"])
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs.join(
+                spark.createDataFrame(
+                    [(d,) for d in surv], "doc_id long"
+                ),
+                "doc_id",
+            )
+        ).collect()
+    ]
+    partners: dict = {}
+    for a, b in pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    want = set()
+    for d in sorted(surv, key=lambda d: arrival[d]):
+        if not any(
+            arrival[p] < arrival[d] for p in partners.get(d, ())
+        ):
+            want.add(d)
+
+    got = {
+        r["doc_id"] for r in pipe.table.read(spark).collect()
+    }
+    assert got == want
+    assert len(got) == sum(accepted_per_batch)
+
+    # drift state == batch drift over exactly the accepted corpus
+    accepted_df = docs.join(
+        spark.createDataFrame([(d,) for d in want], "doc_id long"),
+        "doc_id",
+    )
+    assert sorted(pipe.drift.report()) == sorted(
+        tuple(r) for r in corpus_drift_report(accepted_df).collect()
+    )
+
+    # table history: one create + one append per non-degenerate batch
+    ops = [h["operation"] for h in pipe.table.history()]
+    assert ops[0] == "create" and set(ops[1:]) <= {"append"}
