@@ -2253,6 +2253,13 @@ GROUP BY GROUPING SETS (
         # exact integers (no ln -> bit-portable across engines)
         return _cu.corpus_drift_report(_docs(spark, sf_dir))
 
+
+    def w16_ab_funnel(spark, sf_dir):
+        # the experimentation readout: the ordered funnel split by a
+        # deterministic 50/50 user-parity variant, conversion vs the
+        # variant's own step-1 cohort as exact integer per mille
+        return _wd.ab_funnel_report(_rd.read_table(spark, sf_dir, "events"))
+
     def x_keyword_tags(spark, sf_dir):
         # dictionary phrase tagging (blocklist/allowlist curation):
         # every entry's positional scan evaluated in ONE corpus pass,
@@ -2663,6 +2670,7 @@ GROUP BY GROUPING SETS (
         x_dedup_survivors_quality,
         x_keyword_tags,
         x_corpus_drift,
+        w16_ab_funnel,
         x_media_chunks,
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
@@ -3764,6 +3772,7 @@ WHERE vec_id NOT IN (
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
         "x_keyword_tags": _rt.keyword_tags_sql(KEYWORD_DICT),
         "x_corpus_drift": _cu.corpus_drift_report_sql(),
+        "w16_ab_funnel": _wd.ab_funnel_report_sql(),
         "x_maxsim_topk": _rt.maxsim_topk_sql(MAXSIM_QUERY, 20),
         "x_hybrid_rrf_topk": _rt.rrf_fuse_topk_sql(BM25_QUERY, 20),
         "x_chunk_documents": _cu.chunk_documents_sql(),

@@ -1099,3 +1099,129 @@ FROM scored
 WHERE trail_sum IS NOT NULL AND trail_sum > 0
   AND (1000 * n_events * trail_days) // trail_sum >= {threshold_milli}
 """
+
+
+def ab_funnel_report(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_us: int = FUNNEL_HORIZON_US,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The experimentation readout: :func:`funnel_report` split by a
+    deterministic 50/50 variant assignment (``user_id`` parity — the
+    hash-bucket A/B split every event platform runs), with conversion
+    against the variant's OWN step-1 cohort as an exact integer per
+    mille. DataFrame[variant, step, event_type, users, conv_milli].
+
+    Same plan as the plain funnel (k-1 user-keyed min-agg joins; the
+    variant is a projection of the join key, so it adds no shuffle) —
+    only the ≤ 2·k-row count collection differs.
+    """
+    if len(steps) < 2:
+        raise ValueError("ab_funnel_report: need at least 2 steps")
+    us = event_time_us(events, ts_col)
+    variant = F.when(
+        F.pmod(F.col("user_id"), F.lit(2)) == 0, "A"
+    ).otherwise("B")
+    typed = events.select(
+        F.col("user_id"),
+        variant.alias("variant"),
+        F.col("event_type"),
+        us.alias("u"),
+    )
+    cur = (
+        typed.where(F.col("event_type") == steps[0])
+        .groupBy("user_id", "variant")
+        .agg(F.min("u").alias("t"))
+        .withColumn("anchor", F.col("t"))
+        .localCheckpoint()
+    )
+
+    def counts_of(df):
+        return {
+            r["variant"]: r["n"]
+            for r in df.groupBy("variant")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    base = counts_of(cur)
+    rows = [
+        (v, 1, steps[0], int(n), 1000)
+        for v, n in sorted(base.items())
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            typed.where(F.col("event_type") == step)
+            .select("user_id", "u")
+            .join(
+                cur.select("user_id", "variant", "t", "anchor"),
+                "user_id",
+            )
+            .where(
+                (F.col("u") > F.col("t"))
+                & (F.col("u") <= F.col("anchor") + F.lit(horizon_us))
+            )
+            .groupBy("user_id", "variant")
+            .agg(
+                F.min("u").alias("t"),
+                F.min("anchor").alias("anchor"),
+            )
+            .localCheckpoint()
+        )
+        got = counts_of(nxt)
+        for v in sorted(base):
+            n = int(got.get(v, 0))
+            rows.append(
+                (v, i, step, n, 1000 * n // base[v] if base[v] else 0)
+            )
+        cur = nxt
+    return events.sparkSession.createDataFrame(
+        rows,
+        "variant string, step int, event_type string, "
+        "users bigint, conv_milli bigint",
+    )
+
+
+def ab_funnel_report_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_us: int = FUNNEL_HORIZON_US,
+) -> str:
+    """DuckDB twin of :func:`ab_funnel_report`."""
+    var = "CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END"
+    ctes = [
+        f"""
+s1 AS (
+  SELECT user_id, {var} AS variant,
+         MIN(epoch_us(ts)) AS t, MIN(epoch_us(ts)) AS anchor
+  FROM events WHERE event_type = '{steps[0]}' GROUP BY 1, 2
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(f"""
+s{i} AS (
+  SELECT e.user_id, p.variant,
+         MIN(epoch_us(e.ts)) AS t, MIN(p.anchor) AS anchor
+  FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{step}'
+    AND epoch_us(e.ts) > p.t
+    AND epoch_us(e.ts) <= p.anchor + {horizon_us}
+  GROUP BY 1, 2
+)"""
+        )
+    ctes.append(
+        "base AS (SELECT variant, COUNT(*) AS b FROM s1 GROUP BY 1)"
+    )
+    selects = [
+        f"""
+SELECT b.variant, {i} AS step, '{s}' AS event_type,
+       CAST(COALESCE(n.n, 0) AS BIGINT) AS users,
+       CAST(1000 * COALESCE(n.n, 0) // b.b AS BIGINT) AS conv_milli
+FROM base b LEFT JOIN (
+  SELECT variant, COUNT(*) AS n FROM s{i} GROUP BY 1
+) n ON b.variant = n.variant"""
+        for i, s in enumerate(steps, start=1)
+    ]
+    return (
+        "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    )
