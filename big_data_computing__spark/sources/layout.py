@@ -997,6 +997,7 @@ class ZTable:
             for k in (
                 "schema_epoch", "epoch_renames", "retired_names", "dvs",
                 "bloom_cols", "bloom_bits", "ndv_cols", "ndv_k",
+                "constraints",
             )
             if k in snap
         }
@@ -1216,6 +1217,91 @@ class ZTable:
                 f"restore to v{snap['version']} lost the commit race "
                 f"for v{latest + 1}; re-examine the new latest and "
                 "re-issue"
+            ) from None
+
+    # -- CHECK constraints (Delta's table invariants) ----------------------
+
+    @staticmethod
+    def _enforce_constraints(df: DataFrame, snap: dict) -> None:
+        """Reject a batch violating any recorded CHECK constraint.
+        SQL-standard semantics: a row violates only when the predicate
+        evaluates FALSE — NULL passes (add an explicit IS NOT NULL to
+        a constraint to forbid nulls)."""
+        cons = snap.get("constraints") or {}
+        for name, expr in cons.items():
+            n_bad = df.where(
+                F.coalesce(F.expr(expr), F.lit(True)) == False  # noqa: E712
+            ).count()
+            if n_bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"{n_bad} row(s) of the batch — nothing committed"
+                )
+
+    def constraints(self) -> dict[str, str]:
+        """The table's recorded CHECK constraints ({} if none)."""
+        return dict(self.snapshot().get("constraints") or {})
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT: validate ``expr`` against the
+        LIVE table first (a constraint existing data violates is a
+        lie), then record it in a metadata-only commit; every later
+        append/upsert batch is checked before anything commits, and
+        every commit path carries the constraint set forward. A lost
+        commit race raises :class:`ConcurrentWriteConflict`."""
+        parent = self.snapshot()
+        cons = dict(parent.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]}"
+            )
+        self._enforce_constraints(
+            self.read(spark), {"constraints": {name: expr}}
+        )
+        cons[name] = expr
+        meta = {
+            k: v
+            for k, v in parent.items()
+            if k not in ("version", "operation", "x", "y", "files")
+        }
+        meta["constraints"] = cons
+        try:
+            return self._commit(
+                parent["version"] + 1,
+                "add_constraint",
+                parent["files"],
+                meta,
+            )
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                "add_constraint lost the commit race — re-issue"
+            ) from None
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT (metadata-only commit)."""
+        parent = self.snapshot()
+        cons = dict(parent.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint named {name!r}")
+        del cons[name]
+        meta = {
+            k: v
+            for k, v in parent.items()
+            if k not in ("version", "operation", "x", "y", "files")
+        }
+        meta["constraints"] = cons
+        try:
+            return self._commit(
+                parent["version"] + 1,
+                "drop_constraint",
+                parent["files"],
+                meta,
+            )
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                "drop_constraint lost the commit race — re-issue"
             ) from None
 
     def shallow_clone(
@@ -1574,8 +1660,13 @@ class ZTable:
         bloom_bits: int = 1024,
         ndv_cols: tuple[str, ...] | list[str] = (),
         ndv_k: int = 64,
+        constraints: dict[str, str] | None = None,
     ) -> "ZTable":
         """Commit version 0 with ``df`` as the initial Z-ordered data.
+        ``constraints`` maps name -> SQL predicate (CHECK constraints,
+        Delta's table invariants): validated against ``df`` now and
+        against every later append/upsert batch BEFORE anything
+        commits; carried through every commit path.
         ``stats_cols`` names extra (non-layout) columns whose per-file
         min/max every snapshot will record for data skipping. ``z``
         declares a THIRD layout column: data files cluster by the 3-D
@@ -1606,9 +1697,12 @@ class ZTable:
         t = cls(path, x, y, z, log_store=log_store)
         if t.versions():
             raise FileExistsError(f"{path} already has a snapshot log")
+        if constraints:
+            cls._enforce_constraints(df, {"constraints": constraints})
         t._write_commit(
             df, 0, "create", n_files, cell, bits, [],
             {
+                **({"constraints": dict(constraints)} if constraints else {}),
                 "stats_cols": stats_cols,
                 "bloom_cols": bloom_cols,
                 "bloom_bits": bloom_bits,
@@ -1720,6 +1814,7 @@ class ZTable:
         conflict rule for appends. Raises RuntimeError once retries are
         exhausted; the orphaned data dir is vacuum-able."""
         parent = self.snapshot()
+        self._enforce_constraints(df, parent)
         cols = self.stats_cols(parent)
         table_cols = parent.get("columns", list(df.columns))
         required = {self.x, self.y, *cols}
@@ -2070,8 +2165,8 @@ class ZTable:
     def changes(
         self,
         spark: SparkSession,
-        from_version: int,
-        to_version: int | None = None,
+        from_version: int | str,
+        to_version: int | str | None = None,
     ) -> DataFrame:
         """Change data feed (Delta's ``table_changes``, compute-on-read
         form): every row logically inserted or deleted by each commit
@@ -2112,6 +2207,10 @@ class ZTable:
         Scale: each commit costs a scan of just its added+removed
         files — change volume, not table size; the multiset difference
         shuffles only rewritten files' rows."""
+        if isinstance(from_version, str):
+            from_version = self.resolve_tag(from_version)
+        if isinstance(to_version, str):
+            to_version = self.resolve_tag(to_version)
         hi = self.latest_version() if to_version is None else to_version
         if from_version > hi:
             raise ValueError(
@@ -2457,6 +2556,7 @@ class ZTable:
         max_retries: int = 0, extra_meta: dict | None = None,
     ) -> tuple[int, int, int]:
         """Coordinate-keyed MERGE — see :func:`ztable_upsert`."""
+        self._enforce_constraints(df, self.snapshot())
         return ztable_upsert(
             self, spark, df, n_files, max_retries, extra_meta
         )

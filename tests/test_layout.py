@@ -2346,3 +2346,85 @@ def test_history_metrics_per_commit_diffs(spark, sf_dir, tmp_path):
     for r, hh in zip(h, t.history()):
         assert r["n_files"] == hh["n_files"]
         assert r["n_rows"] == hh["n_rows"]
+
+
+def test_check_constraints_enforced_and_carried(spark, sf_dir, tmp_path):
+    """CHECK constraints: a violating batch is rejected BEFORE commit
+    (append and upsert), NULL passes per SQL semantics, the set
+    carries through compact, add_constraint validates existing data,
+    and drop lifts enforcement."""
+    import pytest as _pt
+
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    t = L.ZTable.create(
+        base,
+        str(tmp_path / "zt_chk"),
+        n_files=4,
+        cell=200.0,
+        constraints={"y_in_range": "y >= 0 AND y < 5000"},
+    )
+    assert t.constraints() == {"y_in_range": "y >= 0 AND y < 5000"}
+
+    good = pts.where(
+        (F.col("y") >= 0) & (F.col("y") < 5000) & (F.col("x") > 9000)
+    ).localCheckpoint()
+    bad = pts.where(F.col("y") >= 5000.0).localCheckpoint()
+    v_before = t.latest_version()
+    with _pt.raises(ValueError, match="y_in_range"):
+        t.append(bad)
+    with _pt.raises(ValueError, match="y_in_range"):
+        t.upsert(spark, bad.limit(5).localCheckpoint())
+    assert t.latest_version() == v_before, "nothing committed"
+    t.append(good)
+
+    # creating WITH a violating seed is refused too
+    with _pt.raises(ValueError, match="y_in_range"):
+        L.ZTable.create(
+            pts,
+            str(tmp_path / "zt_chk2"),
+            n_files=2,
+            cell=200.0,
+            constraints={"y_in_range": "y < 5000"},
+        )
+
+    # NULL passes (SQL CHECK semantics)
+    t2 = L.ZTable.create(
+        base.select("id", "x", "y", F.lit(5).alias("tag")),
+        str(tmp_path / "zt_chk3"),
+        n_files=2,
+        cell=200.0,
+        constraints={"tag_pos": "tag > 0"},
+    )
+    nulls = base.limit(7).select(
+        (F.col("id") + 10**9).alias("id"),
+        "x",
+        "y",
+        F.lit(None).cast("int").alias("tag"),
+    ).localCheckpoint()
+    t2.append(nulls)  # must NOT raise
+
+    # carried through compact; add validates live data; drop lifts
+    t.compact(spark, n_files=2)
+    assert L.ZTable(t.path).constraints() == {
+        "y_in_range": "y >= 0 AND y < 5000"
+    }
+    with _pt.raises(ValueError, match="violated"):
+        t.add_constraint(spark, "x_low", "x < 9000")  # live rows fail
+    t.add_constraint(spark, "x_sane", "x > -100000")
+    assert set(t.constraints()) == {"y_in_range", "x_sane"}
+    t.drop_constraint("y_in_range")
+    t.append(bad.limit(3).localCheckpoint())  # now allowed
+    ops = [h["operation"] for h in t.history()]
+    assert "add_constraint" in ops and "drop_constraint" in ops
+
+
+def test_changes_accepts_tag_names(spark, sf_dir, tmp_path):
+    """The change feed resolves tag names like read()/snapshot() do."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    t.tag("start")
+    t.append(extra)
+    t.tag("end")
+    by_tag = _multiset(t.changes(spark, "start", "end"))
+    by_ver = _multiset(t.changes(spark, 0, 1))
+    assert by_tag == by_ver and by_tag
