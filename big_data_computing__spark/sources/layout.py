@@ -2505,6 +2505,33 @@ class ZTable:
             total,
         )
 
+    def read_incremental(
+        self, spark: SparkSession, since: int | str
+    ) -> tuple[DataFrame, int]:
+        """Incremental consumption (Delta's ``startingVersion`` stream
+        read, poll form): the rows INSERTED by every commit after
+        ``since`` (a version or tag), plus the version to pass as the
+        next ``since``. Deletes are excluded — this is the
+        append-consumer's view; a MERGE/CDC consumer wants
+        :meth:`changes` with both signs (``CdfAggState`` /
+        ``CdfJoinAggState`` build on that). Cost is a scan of the new
+        commits' files only."""
+        if isinstance(since, str):
+            since = self.resolve_tag(since)
+        latest = self.latest_version()
+        if latest <= since:
+            return (
+                self.read(spark, version=latest).where(F.lit(False)),
+                since,
+            )
+        feed = self.changes(spark, since, latest)
+        return (
+            feed.where(F.col("_change_type") == "insert").drop(
+                "_change_type", "_commit_version"
+            ),
+            latest,
+        )
+
     def read_pruned_where(
         self,
         spark: SparkSession,

@@ -2428,3 +2428,26 @@ def test_changes_accepts_tag_names(spark, sf_dir, tmp_path):
     by_tag = _multiset(t.changes(spark, "start", "end"))
     by_ver = _multiset(t.changes(spark, 0, 1))
     assert by_tag == by_ver and by_tag
+
+
+def test_read_incremental_consumes_appends_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Poll-form incremental reads: each poll returns exactly the
+    rows appended since the cursor; the union of polls equals the
+    table; an idle poll returns an empty frame and the same cursor."""
+    t, base, extra = _seed_table(spark, sf_dir, tmp_path)
+    cursor = t.latest_version()
+    seen = _multiset(t.read(spark))
+    for i in range(3):
+        t.append(
+            extra.where(F.col("id") % 3 == i).localCheckpoint(),
+            n_files=1,
+        )
+        inc, cursor = t.read_incremental(spark, cursor)
+        rows = _multiset(inc)
+        assert rows and not (rows & seen)
+        seen |= rows
+    assert seen == _multiset(t.read(spark))
+    idle, cursor2 = t.read_incremental(spark, cursor)
+    assert idle.count() == 0 and cursor2 == cursor
