@@ -397,6 +397,52 @@ def global_dense_rank(
     )
 
 
+def global_bucket_rank(
+    df: DataFrame,
+    *order_cols: str,
+    rank_col: str = "rank",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """COMPETITION global rank (SQL ``RANK()``: equal keys share, the
+    next distinct key jumps by the group size — rank = 1 + count of
+    strictly-smaller ROWS), same two-pass idiom as
+    :func:`global_dense_rank` but with cumulative per-partition ROW
+    counts as the offsets and ``rank()`` within partitions. Sound for
+    the same reason (equal keys never straddle a range boundary).
+
+    This is the "bucket start" rank Manber-Myers-style suffix
+    construction needs: a tied group's ranks occupy a gap-free
+    interval [start, start+size), so refining ONE group in place can
+    never collide with any rank outside it — the invariant the
+    tied-only doubling rounds in operators/suffix.py rely on.
+    """
+    part = df.repartitionByRange(n_partitions, *order_cols)
+    withpid = part.withColumn("_pid", F.spark_partition_id())
+    withpid = withpid.localCheckpoint()
+    counts = {
+        r["_pid"]: r["c"]
+        for r in withpid.groupBy("_pid")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return withpid.select(
+        *df.columns,
+        (F.rank().over(w) + off[F.col("_pid")])
+        .cast("long")
+        .alias(rank_col),
+    )
+
+
 def global_prefix_sum(
     df: DataFrame,
     value_col: str,

@@ -23,7 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .relational import global_dense_rank, global_prefix_sum, global_rank
+from pyspark.sql import Window
+
+from .relational import global_bucket_rank, global_prefix_sum
+
+#: tied-only refinement kicks in once the tied fraction drops below
+#: this: early rounds (huge tied groups) use the skew-safe range-
+#: partitioned full re-rank; late rounds touch only the remaining
+#: tied rows (Larsson-Sadakane), whose groups are small enough for a
+#: per-group window
+TIED_FRACTION_SWITCH = 3  # tied-only when n_tied < n // SWITCH
 
 CORPUS_SEP = "#"  # never appears in the fixtures' [a-z ] text
 
@@ -53,6 +62,110 @@ def corpus_chars(
     ).select((F.col("off") + F.col("i")).cast("long").alias("pos"), "ch")
 
 
+def _doubling_levels(
+    chars: DataFrame, max_rounds: int, keep_levels: bool
+):
+    """The shared prefix-doubling engine: returns (final_state, n,
+    tables) with RANK (bucket-start) semantics — rank = 1 + count of
+    strictly-smaller suffixes, so a tied group's ranks occupy the
+    gap-free interval [start, start+size) and converged ranks ARE the
+    1..n permutation.
+
+    Two round shapes, switched by the measured tied volume:
+
+    - full re-rank (``global_bucket_rank`` over (rank, rank2)) while
+      most rows are still tied — range partitioning keeps the huge
+      early groups skew-safe;
+    - tied-only refinement (Larsson & Sadakane 1999) once ties are the
+      minority: rows whose rank is already unique are FINAL (their
+      group can never split again), so the round touches only tied
+      rows — new_rank = group_start + RANK()-1 within the group by
+      rank2, a per-group window over the tied minority, with the
+      rank2 lookup semi-filtered to exactly the |tied| needed
+      positions. Per-round cost falls from O(n) shuffled rows to
+      O(tied), which is what turns the long tail of a repetitive
+      corpus (duplicate documents tie deep) from 19 full re-ranks
+      into a few full rounds + cheap refinements.
+
+    ``keep_levels`` retains every level's merged (pos, rank) table for
+    the LCP ladder. Stale ranks of already-unique rows stay CORRECT
+    for the ladder's equality tests: a unique rank equals nothing
+    else (the interval invariant above guarantees refined groups can
+    never collide into it), and unique rows' prefixes genuinely
+    differ from every other suffix at every longer length.
+    """
+    ch_ranked = global_bucket_rank(
+        chars.select("pos", "ch"), "ch", rank_col="r"
+    )
+    state = ch_ranked.select(
+        "pos", F.col("r").cast("long").alias("rank")
+    ).localCheckpoint()
+    n = state.count()
+    tables = [(1, state)] if keep_levels else []
+    k = 1
+    for _ in range(max_rounds):
+        grp = state.groupBy("rank").agg(F.count("*").alias("c"))
+        tied_ranks = grp.where(F.col("c") > 1).select("rank")
+        n_tied = (
+            tied_ranks.join(grp, "rank")
+            .agg(F.sum("c").alias("s"))
+            .collect()[0]["s"]
+        ) or 0
+        if n_tied == 0:
+            return state, n, tables
+        if n_tied >= n // TIED_FRACTION_SWITCH:
+            shifted = state.select(
+                (F.col("pos") - F.lit(k)).alias("pos"),
+                F.col("rank").alias("rank2"),
+            )
+            pairs = state.join(shifted, "pos", "left").select(
+                "pos",
+                "rank",
+                F.coalesce("rank2", F.lit(0))
+                .cast("long")
+                .alias("rank2"),
+            )
+            state = (
+                global_bucket_rank(
+                    pairs, "rank", "rank2", rank_col="nr"
+                )
+                .select("pos", F.col("nr").cast("long").alias("rank"))
+                .localCheckpoint()
+            )
+        else:
+            tr = F.broadcast(tied_ranks)
+            tied = state.join(tr, "rank")
+            need = F.broadcast(
+                tied.select((F.col("pos") + F.lit(k)).alias("pos"))
+            )
+            lookup = state.join(need, "pos", "left_semi").select(
+                (F.col("pos") - F.lit(k)).alias("pos"),
+                F.col("rank").alias("rank2"),
+            )
+            t2 = tied.join(lookup, "pos", "left").select(
+                "pos",
+                "rank",
+                F.coalesce("rank2", F.lit(0))
+                .cast("long")
+                .alias("rank2"),
+            )
+            w = Window.partitionBy("rank").orderBy("rank2")
+            updated = t2.select(
+                "pos",
+                (F.col("rank") + F.rank().over(w) - 1)
+                .cast("long")
+                .alias("rank"),
+            )
+            untouched = state.join(tr, "rank", "left_anti")
+            state = untouched.unionByName(updated).localCheckpoint()
+        k *= 2
+        if keep_levels:
+            tables.append((k, state))
+    raise RuntimeError(
+        f"prefix doubling did not converge in {max_rounds} rounds"
+    )
+
+
 def suffix_array(
     docs: DataFrame,
     text_col: str = "text",
@@ -65,12 +178,9 @@ def suffix_array(
     suffixes that prefix longer ones sort first, the standard
     sentinel-free convention via rank2 = 0 padding).
 
-    Prefix doubling: ranks start as the dense rank of the character;
-    round k re-ranks each position by the pair
-    (rank[pos], rank[pos + 2^k] or 0) — a shifted equi-join, a
-    distinct, the two-pass global_rank over the ≤ n distinct pairs,
-    and a join back — doubling the compared prefix each round, so
-    ⌈log₂ n⌉ rounds total, each a constant number of n-row shuffles.
+    Prefix doubling with RANK (bucket-start) semantics and tied-only
+    refinement — see :func:`_doubling_levels` for the round shapes and
+    why converged ranks are exactly the 1..n permutation.
     ``localCheckpoint`` per round (iterative-loop rule); raises on an
     exhausted round budget rather than returning partial ranks.
     Equivalence to a sequential sorted-suffixes reference is pinned in
@@ -78,46 +188,10 @@ def suffix_array(
     work); the registered query (x_suffix_array_sample) carries a
     computed DuckDB twin that sorts the suffixes directly."""
     chars = corpus_chars(docs, text_col, sep)
-    ch_rank = global_rank(
-        chars.select("ch").distinct(), "ch", rank_col="r"
+    state, _n, _ = _doubling_levels(
+        chars, max_rounds, keep_levels=False
     )
-    state = (
-        chars.join(ch_rank, "ch")
-        .select("pos", F.col("r").cast("long").alias("rank"))
-        .localCheckpoint()
-    )
-    n = state.count()
-    k = 1
-    for _ in range(max_rounds):
-        n_ranks = state.agg(
-            F.countDistinct("rank").alias("d")
-        ).collect()[0]["d"]
-        if n_ranks == n:
-            return state.select("rank", "pos")
-        shifted = state.select(
-            (F.col("pos") - F.lit(k)).alias("pos"),
-            F.col("rank").alias("rank2"),
-        )
-        pairs = (
-            state.join(shifted, "pos", "left")
-            .select(
-                "pos",
-                "rank",
-                F.coalesce("rank2", F.lit(0)).cast("long").alias("rank2"),
-            )
-        )
-        # dense re-rank of the pairs IN PLACE (equal pairs share the
-        # new rank) — global_dense_rank saves the distinct + join-back
-        # pair of shuffles every round
-        state = (
-            global_dense_rank(pairs, "rank", "rank2", rank_col="nr")
-            .select("pos", F.col("nr").cast("long").alias("rank"))
-            .localCheckpoint()
-        )
-        k *= 2
-    raise RuntimeError(
-        f"suffix_array did not converge in {max_rounds} doubling rounds"
-    )
+    return state.select("rank", "pos")
 
 
 def suffix_array_sample_sql(
@@ -163,46 +237,12 @@ def _suffix_tables(
     """Prefix-doubling construction keeping every level's rank table:
     returns (final_state[pos, rank], n, [(L, table[pos, rank]), ...])
     where table L ranks positions by their length-L prefix — the
-    sparse-table ladder :func:`adjacent_lcp` walks. Same recurrence as
-    :func:`suffix_array` (which remains the lean single-output
-    path)."""
+    sparse-table ladder :func:`adjacent_lcp` walks. Same engine as
+    :func:`suffix_array` (:func:`_doubling_levels`); the ladder's
+    equality tests stay valid under tied-only refinement because a
+    unique rank can never be collided into (interval invariant)."""
     chars = corpus_chars(docs, text_col, sep)
-    ch_rank = global_rank(
-        chars.select("ch").distinct(), "ch", rank_col="r"
-    )
-    state = (
-        chars.join(ch_rank, "ch")
-        .select("pos", F.col("r").cast("long").alias("rank"))
-        .localCheckpoint()
-    )
-    n = state.count()
-    tables = [(1, state)]
-    k = 1
-    for _ in range(max_rounds):
-        n_ranks = state.agg(
-            F.countDistinct("rank").alias("d")
-        ).collect()[0]["d"]
-        if n_ranks == n:
-            return state, n, tables
-        shifted = state.select(
-            (F.col("pos") - F.lit(k)).alias("pos"),
-            F.col("rank").alias("rank2"),
-        )
-        pairs = state.join(shifted, "pos", "left").select(
-            "pos",
-            "rank",
-            F.coalesce("rank2", F.lit(0)).cast("long").alias("rank2"),
-        )
-        state = (
-            global_dense_rank(pairs, "rank", "rank2", rank_col="nr")
-            .select("pos", F.col("nr").cast("long").alias("rank"))
-            .localCheckpoint()
-        )
-        k *= 2
-        tables.append((k, state))
-    raise RuntimeError(
-        f"_suffix_tables did not converge in {max_rounds} rounds"
-    )
+    return _doubling_levels(chars, max_rounds, keep_levels=True)
 
 
 def adjacent_lcp(

@@ -146,3 +146,33 @@ def test_key_skew_report_hand_fixture(spark):
     assert b["cum_share_milli"] == 1000 * 90 // 98
     c = got["c"]
     assert (c["rk"], c["cnt"]) == (3, 1)
+
+
+def test_global_bucket_rank_equals_sql_rank(spark, sf_dir):
+    """global_bucket_rank == SQL RANK() (competition rank: ties share,
+    gaps after groups) under the two-pass idiom, pinned against the
+    single-partition window form on a column with heavy ties."""
+    from pyspark.sql import Window
+
+    from big_data_computing__spark.operators.relational import (
+        global_bucket_rank,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rk"]
+        for r in global_bucket_rank(
+            li, "l_quantity", rank_col="rk"
+        ).collect()
+    }
+    w = Window.orderBy("l_quantity")
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]): r["rk"]
+        for r in li.select(
+            "l_orderkey", "l_linenumber", F.rank().over(w).alias("rk")
+        ).collect()
+    }
+    assert got == want
