@@ -37,6 +37,20 @@ TIED_FRACTION_SWITCH = 3  # tied-only when n_tied < n // SWITCH
 CORPUS_SEP = "#"  # never appears in the fixtures' [a-z ] text
 
 
+def _docs_with_offsets(
+    docs: DataFrame, text_col: str, sep: str
+) -> DataFrame:
+    """(doc_id, t, w, off): each document's sep-terminated text, its
+    length, and its global start offset from the two-pass distributed
+    prefix sum — the shared front-end of the corpus-as-one-string
+    views below."""
+    lens = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col(text_col), F.lit(sep)).alias("t"),
+    ).withColumn("w", F.length("t"))
+    return global_prefix_sum(lens, "w", "doc_id", out_col="off")
+
+
 def corpus_chars(
     docs: DataFrame, text_col: str = "text", sep: str = CORPUS_SEP
 ) -> DataFrame:
@@ -49,11 +63,7 @@ def corpus_chars(
     (len + 1), and characters explode per document with
     pos = offset + local index. One narrow explode + one tiny
     prefix-sum pass at any corpus size."""
-    lens = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.concat(F.col(text_col), F.lit(sep)).alias("t"),
-    ).withColumn("w", F.length("t"))
-    off = global_prefix_sum(lens, "w", "doc_id", out_col="off")
+    off = _docs_with_offsets(docs, text_col, sep)
     return off.select(
         F.posexplode(
             F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
@@ -62,8 +72,74 @@ def corpus_chars(
     ).select((F.col("off") + F.col("i")).cast("long").alias("pos"), "ch")
 
 
+def corpus_char_windows(
+    docs: DataFrame,
+    width: int,
+    text_col: str = "text",
+    sep: str = CORPUS_SEP,
+) -> DataFrame:
+    """Fixed-width character windows of the virtual corpus string:
+    DataFrame[pos, key] where ``key`` = the ``width`` characters
+    starting at global position ``pos`` (shorter at the corpus end —
+    and string comparison then orders exactly like suffix order, a
+    proper prefix sorting first).
+
+    Windows that cross a document boundary are completed by joining
+    each document to its successor VIA THE PREFIX-SUM OFFSETS
+    (successor = the doc whose off equals off + w — doc_ids may be
+    sparse after a filter, so arithmetic on doc_id would be wrong) and
+    extending the text by the successor's first ``width − 1``
+    characters. Raises if any successor is too short to complete its
+    predecessor's windows while not being the corpus-final document
+    (window would need a THIRD document — pick a smaller width).
+
+    This is the classic doubling warm start: ranking by ``width``-char
+    keys up front skips the ⌈log₂ width⌉ heaviest (all-tied) rounds.
+    """
+    off = _docs_with_offsets(docs, text_col, sep)
+    nxt = off.select(
+        F.col("off").alias("noff"),
+        F.substring("t", 1, width - 1).alias("npref"),
+        F.col("w").alias("nw"),
+    )
+    ext = off.join(
+        nxt, F.col("off") + F.col("w") == F.col("noff"), "left"
+    )
+    last_off = off.agg(F.max("off").alias("m")).collect()[0]["m"]
+    n_bad = ext.where(
+        F.col("npref").isNotNull()
+        & (F.col("nw") < width - 1)
+        & (F.col("noff") != last_off)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"corpus_char_windows: {n_bad} document(s) shorter than "
+            f"width-1={width - 1} chars sit between longer ones — "
+            "windows would span a third document; use a smaller width"
+        )
+    return ext.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(t)), i -> "
+                f"substring(concat(t, coalesce(npref, '')), i, {width}))"
+            )
+        ).alias("i", "key"),
+        "off",
+    ).select((F.col("off") + F.col("i")).cast("long").alias("pos"), "key")
+
+
+#: doubling warm-start width: rank by INIT_WIDTH-char windows up
+#: front, skipping the ⌈log₂ w⌉ heaviest all-tied rounds (the
+#: measured sf0.1 trace stays ≥98% tied through length-8 prefixes)
+INIT_WIDTH = 8
+
+
 def _doubling_levels(
-    chars: DataFrame, max_rounds: int, keep_levels: bool
+    docs: DataFrame,
+    text_col: str,
+    sep: str,
+    max_rounds: int,
+    keep_levels: bool,
 ):
     """The shared prefix-doubling engine: returns (final_state, n,
     tables) with RANK (bucket-start) semantics — rank = 1 + count of
@@ -93,16 +169,34 @@ def _doubling_levels(
     else (the interval invariant above guarantees refined groups can
     never collide into it), and unique rows' prefixes genuinely
     differ from every other suffix at every longer length.
+
+    Warm start: ranks initialize from ``INIT_WIDTH``-char window keys
+    (:func:`corpus_char_windows`), so the loop begins at k=INIT_WIDTH
+    — the skipped rounds are exactly the all-tied heaviest ones. The
+    LCP ladder fills the missing sub-INIT_WIDTH levels with window
+    KEYS directly (string equality == rank equality at those
+    lengths).
     """
-    ch_ranked = global_bucket_rank(
-        chars.select("pos", "ch"), "ch", rank_col="r"
-    )
-    state = ch_ranked.select(
+    width = INIT_WIDTH
+    while True:
+        try:
+            windows = corpus_char_windows(docs, width, text_col, sep)
+            break
+        except ValueError:
+            # documents too short for this window — halve (width 1
+            # needs no continuation, so this always terminates)
+            width //= 2
+    if keep_levels:
+        # pin the window keys: the LCP ladder derives its
+        # sub-init-width levels from substrings of these
+        windows = windows.localCheckpoint()
+    ranked = global_bucket_rank(windows, "key", rank_col="r")
+    state = ranked.select(
         "pos", F.col("r").cast("long").alias("rank")
     ).localCheckpoint()
     n = state.count()
-    tables = [(1, state)] if keep_levels else []
-    k = 1
+    tables = [(width, state)] if keep_levels else []
+    k = width
     for _ in range(max_rounds):
         grp = state.groupBy("rank").agg(F.count("*").alias("c"))
         tied_ranks = grp.where(F.col("c") > 1).select("rank")
@@ -112,7 +206,7 @@ def _doubling_levels(
             .collect()[0]["s"]
         ) or 0
         if n_tied == 0:
-            return state, n, tables
+            return state, n, tables, windows
         if n_tied >= n // TIED_FRACTION_SWITCH:
             shifted = state.select(
                 (F.col("pos") - F.lit(k)).alias("pos"),
@@ -187,9 +281,8 @@ def suffix_array(
     tests (including repetitive strings where doubling does real
     work); the registered query (x_suffix_array_sample) carries a
     computed DuckDB twin that sorts the suffixes directly."""
-    chars = corpus_chars(docs, text_col, sep)
-    state, _n, _ = _doubling_levels(
-        chars, max_rounds, keep_levels=False
+    state, _n, _, _w = _doubling_levels(
+        docs, text_col, sep, max_rounds, keep_levels=False
     )
     return state.select("rank", "pos")
 
@@ -240,9 +333,11 @@ def _suffix_tables(
     sparse-table ladder :func:`adjacent_lcp` walks. Same engine as
     :func:`suffix_array` (:func:`_doubling_levels`); the ladder's
     equality tests stay valid under tied-only refinement because a
-    unique rank can never be collided into (interval invariant)."""
-    chars = corpus_chars(docs, text_col, sep)
-    return _doubling_levels(chars, max_rounds, keep_levels=True)
+    unique rank can never be collided into (interval invariant).
+    Returns (final_state, n, tables, windows) — ``windows`` is the
+    checkpointed init-width key table the ladder derives its
+    sub-init-width levels from."""
+    return _doubling_levels(docs, text_col, sep, max_rounds, True)
 
 
 def adjacent_lcp(
@@ -267,7 +362,23 @@ def adjacent_lcp(
     sparse-table LCP bound — with per-pair work independent of how
     long the actual match is (the per-character oracle twin is
     O(Σ lcp) and only viable at validation scale)."""
-    state, n, tables = _suffix_tables(docs, text_col, sep)
+    state, n, tables, windows = _suffix_tables(docs, text_col, sep)
+    # the warm start skips sub-init-width rank levels; the ladder's
+    # equality tests at those lengths use window KEYS directly
+    # (string equality == rank equality — equal truncated keys imply
+    # equal remaining length, i.e. the same position, so an advance
+    # never overshoots the corpus end). Each narrower key is a
+    # SUBSTRING of the already-checkpointed init-width key table — no
+    # extra prefix-sum/explode jobs per level. tables[0][0] is the
+    # actual init width after any tiny-doc fallback.
+    w = tables[0][0] // 2
+    while w >= 1:
+        tables.append(
+            (w, windows.select(
+                "pos", F.substring("key", 1, w).alias("rank")
+            ))
+        )
+        w //= 2
     sa = state.select("rank", "pos")
     adj = (
         sa.alias("x")
