@@ -9,13 +9,16 @@ big_data_computing_2.py:10-12); this is a training-data-pipeline
 extension, and the canonical example of an algorithm whose SEQUENTIAL
 form (O(n) SA-IS) does not distribute: the Spark-first shape is the
 doubling recurrence, where round k sorts (rank[i], rank[i+2^k]) pairs
-— every step is a relational operation (shifted self-join + distinct +
-the engine's two-pass global_rank), so the whole construction is
+— every step is a relational operation (a shifted self-join + the
+engine's two-pass global_bucket_rank), so the whole construction is
 O(log n) rounds of joins/aggregations over (pos, rank) rows with NO
-single-partition window and NO driver-side text. 100 TB shape: the
+single-partition window and NO driver-side text. Plus the two
+measured accelerations (STRESS.md): an 8-char warm start (skips the
+all-tied heaviest rounds) and Larsson-Sadakane tied-only refinement
+(late rounds touch only the duplicate remnant). 100 TB shape: the
 corpus string never exists in one place — characters carry global
-positions computed with the distributed prefix sum; each round
-shuffles exactly n small rows.
+positions computed with the distributed prefix sum; a full round
+shuffles n small rows, a refinement round only the still-tied ones.
 """
 
 from __future__ import annotations
