@@ -2260,6 +2260,42 @@ GROUP BY GROUPING SETS (
         # variant's own step-1 cohort as exact integer per mille
         return _wd.ab_funnel_report(_rd.read_table(spark, sf_dir, "events"))
 
+
+    def x_ingest_accepted(spark, sf_dir):
+        # the composed ingest pipeline's acceptance contract as ONE
+        # batch query (the streaming IngestPipeline commits exactly
+        # this set — pinned in tests): Gopher gate survivors minus
+        # docs with an LSH pair partner EARLIER in arrival order
+        # (batch = doc_id % 3, then doc_id). LSH signatures are
+        # doc-local, so subset pairs = full pairs with both ends in
+        # the subset.
+        docs = _docs(spark, sf_dir)
+        surv = (
+            _cu.gopher_quality_report(docs)
+            .where(F.col("passes"))
+            .select("doc_id")
+        )
+        pairs = _dd.minhash_lsh_pairs(docs)
+        sp = (
+            pairs.join(
+                surv.select(F.col("doc_id").alias("doc_a")), "doc_a"
+            ).join(
+                surv.select(F.col("doc_id").alias("doc_b")), "doc_b"
+            )
+        )
+        both = sp.select(
+            F.col("doc_a").alias("d"), F.col("doc_b").alias("p")
+        ).unionByName(
+            sp.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("p"))
+        )
+        arrival = lambda c: (F.col(c) % 3) * F.lit(10**12) + F.col(c)
+        rejected = (
+            both.where(arrival("p") < arrival("d"))
+            .select(F.col("d").alias("doc_id"))
+            .distinct()
+        )
+        return surv.join(rejected, "doc_id", "left_anti")
+
     def x_keyword_tags(spark, sf_dir):
         # dictionary phrase tagging (blocklist/allowlist curation):
         # every entry's positional scan evaluated in ONE corpus pass,
@@ -2671,6 +2707,7 @@ GROUP BY GROUPING SETS (
         x_keyword_tags,
         x_corpus_drift,
         w16_ab_funnel,
+        x_ingest_accepted,
         x_media_chunks,
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
@@ -3773,6 +3810,27 @@ WHERE vec_id NOT IN (
         "x_keyword_tags": _rt.keyword_tags_sql(KEYWORD_DICT),
         "x_corpus_drift": _cu.corpus_drift_report_sql(),
         "w16_ab_funnel": _wd.ab_funnel_report_sql(),
+        "x_ingest_accepted": f"""
+WITH surv AS (
+  SELECT doc_id FROM ({_cu.gopher_quality_report_sql()}) WHERE passes
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})
+  WHERE doc_a IN (SELECT doc_id FROM surv)
+    AND doc_b IN (SELECT doc_id FROM surv)
+),
+sides AS (
+  SELECT doc_a AS d, doc_b AS p FROM pairs
+  UNION ALL
+  SELECT doc_b AS d, doc_a AS p FROM pairs
+),
+rejected AS (
+  SELECT DISTINCT d AS doc_id FROM sides
+  WHERE (p % 3) * 1000000000000 + p < (d % 3) * 1000000000000 + d
+)
+SELECT doc_id FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+""",
         "x_maxsim_topk": _rt.maxsim_topk_sql(MAXSIM_QUERY, 20),
         "x_hybrid_rrf_topk": _rt.rrf_fuse_topk_sql(BM25_QUERY, 20),
         "x_chunk_documents": _cu.chunk_documents_sql(),
