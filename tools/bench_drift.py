@@ -1,0 +1,93 @@
+"""Drift-adjusted bench comparison: separate HOST drift from PLAN
+regressions when comparing two bench artifacts.
+
+The recurring failure mode of raw comparisons (seen in rounds 3, 4,
+and 6): the whole host speeds up or slows down between runs, so every
+query moves together and a naive per-query threshold flags dozens of
+phantom regressions — or hides a real one inside a speedup. The
+fixed-cost queries are the tell: when c6/c7-class sub-second queries
+drift by the same factor as the heavy ones, that factor is the HOST,
+not the plans.
+
+Method: estimate the host factor as the MEDIAN ratio new/old over the
+cheapest half of shared queries (cheap = lowest old-time; their work
+is dominated by fixed per-job overhead, the purest host signal), then
+flag queries whose ratio exceeds the host factor by more than
+``--slack`` (default 1.25×) AND whose absolute delta exceeds
+``--min-delta`` seconds (default 0.3 — sub-300ms noise is noise).
+
+Usage:
+    python tools/bench_drift.py OLD.json NEW.json [--slack 1.25]
+        [--min-delta 0.3]
+
+Exit code 1 if any drift-adjusted regression is flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    slack = 1.25
+    min_delta = 0.3
+    if "--slack" in argv:
+        i = argv.index("--slack")
+        slack = float(argv[i + 1])
+        del argv[i : i + 2]
+    if "--min-delta" in argv:
+        i = argv.index("--min-delta")
+        min_delta = float(argv[i + 1])
+        del argv[i : i + 2]
+    if len(argv) != 2:
+        print(__doc__)
+        return 2
+    old = json.load(open(argv[0]))["queries"]
+    new = json.load(open(argv[1]))["queries"]
+    shared = sorted(set(old) & set(new), key=lambda k: old[k])
+    if len(shared) < 4:
+        print(f"only {len(shared)} shared queries — not comparable")
+        return 2
+    cheap = shared[: max(2, len(shared) // 2)]
+    host = statistics.median(
+        new[k] / old[k] for k in cheap if old[k] > 0
+    )
+    print(
+        f"shared {len(shared)} queries; host factor {host:.3f} "
+        f"(median new/old over the {len(cheap)} cheapest; "
+        f">1 = this host is slower)"
+    )
+    flagged = []
+    for k in shared:
+        if old[k] <= 0:
+            continue
+        ratio = new[k] / old[k]
+        adj = ratio / host
+        if adj > slack and (new[k] - host * old[k]) > min_delta:
+            flagged.append((k, old[k], new[k], ratio, adj))
+    if flagged:
+        print(f"\n{len(flagged)} drift-adjusted regression(s):")
+        for k, o, n, r, a in sorted(
+            flagged, key=lambda f: -f[4]
+        ):
+            print(
+                f"  {k}: {o:.2f}s -> {n:.2f}s "
+                f"(raw {r:.2f}x, host-adjusted {a:.2f}x)"
+            )
+    else:
+        print("no drift-adjusted regressions")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        total = sum(new[k] for k in only_new)
+        print(
+            f"\n{len(only_new)} new quer(ies) add {total:.1f}s "
+            f"of tracked coverage: {', '.join(only_new)}"
+        )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
