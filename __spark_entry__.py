@@ -1889,6 +1889,18 @@ GROUP BY GROUPING SETS (
             _rd.embedding_points(spark, sf_dir), cell=0.1, k=100
         )
 
+    def o5_hilbert_cells(spark, sf_dir):
+        # Hilbert-curve layout keys for the cell grid — the
+        # locality-tightened sibling of o3's Morton keys (consecutive
+        # keys are always grid-adjacent, so contiguous key ranges are
+        # tighter boxes and min/max pruning skips more files; the
+        # liquid-clustering write order). JVM aggregate-fold over bit
+        # planes; the oracle runs the same integer recurrence as a
+        # recursive CTE.
+        return _ol.hilbert_cells_topk(
+            _rd.customer_points(spark, sf_dir), OUTLIER_D, 100
+        )
+
     def x_dup_spans(spark, sf_dir):
         # fraction of duplicated 10-token windows per document — the
         # exact-substring dedup signal (Lee et al. 2022) in bounded
@@ -2800,6 +2812,7 @@ GROUP BY GROUPING SETS (
         x_despanned,
         x_dup_cluster_truss,
         o4_zorder3_cells,
+        o5_hilbert_cells,
         w7_funnel,
         w8_cohort_retention,
         w9_funnel_times,
@@ -3680,6 +3693,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_dup_spans": _dd.dup_span_report_sql(),
         "x_despanned": _dd.despanned_corpus_sql(),
         "o4_zorder3_cells": _ol.zorder3_cells_topk_sql(0.1, 100),
+        "o5_hilbert_cells": _ol.hilbert_cells_topk_sql(OUTLIER_D, 100),
         "w7_funnel": _wd.funnel_report_sql(),
         "w9_funnel_times": _wd.funnel_times_sql(),
         "w10_event_transitions": _wd.event_transitions_sql(),

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "x_ktruss_edges",
     "x_dup_spans",
     "o4_zorder3_cells",
+    "o5_hilbert_cells",
     "w7_funnel",
     "w8_cohort_retention",
     "w9_funnel_times",

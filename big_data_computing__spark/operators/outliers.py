@@ -798,3 +798,160 @@ keyed AS (
 SELECT ci, cj, ck, zkey, cnt FROM keyed
 ORDER BY zkey, ci, cj, ck LIMIT {k}
 """
+
+def hilbert_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Hilbert-curve key of two non-negative quantized coordinates —
+    the locality-preserving alternative to the Morton key
+    (:func:`zorder_key`): consecutive key values are always
+    grid-adjacent cells (Morton jumps across the whole plane at
+    quadrant boundaries), so a file holding a contiguous key range is
+    a tighter box and min/max pruning skips more files for the same
+    box query (why Delta's liquid clustering moved from Z-order to
+    Hilbert).
+
+    The classic xy2d recurrence rotates/reflects the frame once per
+    bit plane, so the state at plane ``i`` depends on every plane
+    above it. Unrolling that into nested CASE expressions would double
+    the expression tree per plane (2**bits nodes); instead the fold
+    runs as a JVM higher-order ``aggregate`` over the descending
+    bit-plane weights with a ``struct(x, y, d)`` accumulator — plan
+    size O(1), runtime O(bits) per row, pure integer arithmetic that
+    produces identical bits in any engine (the DuckDB twin is the same
+    recurrence as a recursive CTE).
+
+    Inputs must lie in ``[0, 2**bits - 1]``; the expression raises at
+    execution time on out-of-range coordinates rather than alias, the
+    :func:`zorder_key` contract.
+    """
+    if 2 * bits > 62:
+        raise ValueError(
+            f"hilbert_key: 2*bits = {2 * bits} exceeds the signed-long "
+            "key width; use bits <= 31"
+        )
+    n = 1 << bits
+    xi, yi = x.cast("long"), y.cast("long")
+    limit = F.lit(n - 1).cast("long")
+    bad = (xi < 0) | (xi > limit) | (yi < 0) | (yi > limit)
+    checked_x = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"hilbert_key: coordinate outside [0, 2**{bits} - 1]"
+                    ": (x="
+                ),
+                xi.cast("string"),
+                F.lit(", y="),
+                yi.cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(xi)
+    planes = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(
+        checked_x.alias("x"),
+        yi.alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    top = F.lit(n - 1).cast("long")
+
+    def _step(acc: Column, s: Column) -> Column:
+        rx_set = acc["x"].bitwiseAND(s) > 0
+        ry_set = acc["y"].bitwiseAND(s) > 0
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        rx = F.when(rx_set, one).otherwise(zero)
+        ry = F.when(ry_set, one).otherwise(zero)
+        d2 = acc["d"] + s * s * (rx * F.lit(3)).bitwiseXOR(ry)
+        flip = (~ry_set) & rx_set
+        fx = F.when(flip, top - acc["x"]).otherwise(acc["x"])
+        fy = F.when(flip, top - acc["y"]).otherwise(acc["y"])
+        return F.struct(
+            F.when(~ry_set, fy).otherwise(fx).alias("x"),
+            F.when(~ry_set, fx).otherwise(fy).alias("y"),
+            d2.alias("d"),
+        )
+
+    return F.aggregate(planes, init, _step, lambda acc: acc["d"])
+
+
+def hilbert_cells_topk(
+    points: DataFrame,
+    d: float,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    bits: int = 16,
+) -> DataFrame:
+    """Grid cells with their Hilbert keys, top-``k`` by key:
+    DataFrame[ci, cj, hkey, cnt] — the write-layout preview for a
+    Hilbert-clustered writer, the locality-tightened sibling of
+    :func:`zorder_cells_topk` (same cell grid, same in-plan broadcast
+    min offset, keys from :func:`hilbert_key`)."""
+    cells = cell_counts(points, d, x, y)
+    mins = cells.agg(
+        F.min("ci").alias("min_ci"), F.min("cj").alias("min_cj")
+    )
+    keyed = cells.crossJoin(F.broadcast(mins)).select(
+        "ci",
+        "cj",
+        hilbert_key(
+            F.col("ci") - F.col("min_ci"),
+            F.col("cj") - F.col("min_cj"),
+            bits=bits,
+        ).alias("hkey"),
+        "cnt",
+    )
+    return keyed.orderBy("hkey", "ci", "cj").limit(k)
+
+
+def hilbert_cells_topk_sql(d: float, k: int, bits: int = 16) -> str:
+    """DuckDB twin of :func:`hilbert_cells_topk` — the same per-plane
+    rotate/reflect recurrence run as a recursive CTE (one iteration per
+    bit plane, terminating when the plane weight reaches zero)."""
+    from ..functions.geometry import grid_lambda
+
+    lam = repr(grid_lambda(d))
+    n = 1 << bits
+    return f"""
+WITH RECURSIVE cp AS (
+  SELECT CAST(c_acctbal AS DOUBLE) AS x,
+         CAST((c_custkey * 2654435761) % 10000 AS DOUBLE) AS y
+  FROM customer
+),
+pts AS (
+  SELECT CAST(FLOOR(x / {lam}) AS BIGINT) AS ci,
+         CAST(FLOOR(y / {lam}) AS BIGINT) AS cj
+  FROM cp
+),
+cells AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pts GROUP BY ci, cj),
+mins AS (SELECT MIN(ci) AS min_ci, MIN(cj) AS min_cj FROM cells),
+hil AS (
+  SELECT ci, cj, cnt,
+         ci - (SELECT min_ci FROM mins) AS hx,
+         cj - (SELECT min_cj FROM mins) AS hy,
+         CAST(0 AS BIGINT) AS d,
+         CAST({n >> 1} AS BIGINT) AS s
+  FROM cells
+  UNION ALL
+  SELECT ci, cj, cnt,
+         CASE WHEN (hy & s) = 0
+              THEN CASE WHEN (hx & s) > 0 THEN {n - 1} - hy ELSE hy END
+              ELSE hx END AS hx,
+         CASE WHEN (hy & s) = 0
+              THEN CASE WHEN (hx & s) > 0 THEN {n - 1} - hx ELSE hx END
+              ELSE hy END AS hy,
+         d + s * s * xor(3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END),
+                         (CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END))
+           AS d,
+         CAST(s // 2 AS BIGINT) AS s
+  FROM hil
+  WHERE s > 0
+)
+SELECT ci, cj, d AS hkey, cnt FROM hil
+WHERE s = 0
+ORDER BY hkey, ci, cj LIMIT {k}
+"""

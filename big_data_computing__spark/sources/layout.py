@@ -366,6 +366,45 @@ def _zorder_write(
     )
 
 
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    x: str = "x",
+    y: str = "y",
+    n_files: int = 16,
+    cell: float = 1.0,
+    bits: int = 16,
+) -> list[dict]:
+    """Hilbert-clustered layout: files are contiguous ranges of the
+    Hilbert key (``operators/outliers.hilbert_key``) of the
+    ``cell``-quantized (x, y) — the liquid-clustering write order.
+
+    Same manifest contract and write shape as :func:`write_zordered`;
+    the difference is the curve. Consecutive Hilbert keys are always
+    grid-adjacent cells, so a file holding a contiguous key range never
+    absorbs the cross-plane jumps the Morton curve takes at quadrant
+    boundaries — its min/max stats box is tighter and a box query
+    prunes at least as many files (measured in STRESS.md and pinned by
+    test_layout.py)."""
+    from ..operators.outliers import hilbert_key
+
+    ci = F.floor(F.col(x) / cell).cast("long")
+    cj = F.floor(F.col(y) / cell).cast("long")
+    mins = df.agg(F.min(ci).alias("_mci"), F.min(cj).alias("_mcj"))
+    keyed = df.crossJoin(F.broadcast(mins)).withColumn(
+        "_hkey",
+        hilbert_key(ci - F.col("_mci"), cj - F.col("_mcj"), bits),
+    ).drop("_mci", "_mcj")
+    (
+        keyed.repartitionByRange(n_files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return _write_manifest(df.sparkSession, path, x, y)
+
+
 def _zorder3_data_write(
     df: DataFrame,
     path: str,

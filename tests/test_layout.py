@@ -2451,3 +2451,45 @@ def test_read_incremental_consumes_appends_exactly_once(
     assert seen == _multiset(t.read(spark))
     idle, cursor2 = t.read_incremental(spark, cursor)
     assert idle.count() == 0 and cursor2 == cursor
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_morton(
+    spark, sf_dir, tmp_path
+):
+    """The curve upgrade must pay: over a sweep of box queries the
+    Hilbert layout reads no more files than the Morton one in
+    aggregate (its contiguous key ranges are tighter boxes), both
+    crush lexicographic, and the pruned read stays exact."""
+    pts = customer_points(spark, sf_dir)
+    hpath = str(tmp_path / "hilbert")
+    zpath = str(tmp_path / "zorder")
+    L.write_hilbert(pts, hpath, n_files=N_FILES, cell=200.0)
+    L.write_zordered(pts, zpath, n_files=N_FILES, cell=200.0)
+
+    boxes = [
+        ((x0, x0 + 1000.0), (y0, y0 + 1000.0))
+        for x0 in (0.0, 2500.0, 5000.0, 7500.0)
+        for y0 in (0.0, 2500.0, 5000.0, 7500.0)
+    ]
+    h_total = z_total = 0
+    for bx, by in boxes:
+        hf, ht = L.prune_files(hpath, bx, by)
+        zf, zt = L.prune_files(zpath, bx, by)
+        assert ht == zt == N_FILES
+        h_total += len(hf)
+        z_total += len(zf)
+    assert h_total <= z_total, (h_total, z_total)
+    # a ~1% box sweep must keep the read a small minority of files
+    assert h_total <= len(boxes) * N_FILES // 4
+
+    # exactness under the new layout
+    want = sorted(
+        (r["x"], r["y"])
+        for r in pts.where(
+            (F.col("x").between(*BOX_X)) & (F.col("y").between(*BOX_Y))
+        ).collect()
+    )
+    res, n_read, n_tot = L.read_pruned(spark, hpath, BOX_X, BOX_Y)
+    got = sorted((r["x"], r["y"]) for r in res.collect())
+    assert got == want
+    assert 0 < n_read < n_tot

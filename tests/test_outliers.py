@@ -223,3 +223,73 @@ def test_zorder_key3_interleave_and_guard(spark):
 
     with _pytest.raises(ValueError, match="bits"):
         O.zorder_key3(F.col("x"), F.col("y"), F.col("z"), bits=21)
+
+
+def test_hilbert_key_matches_reference_and_adjacency(spark):
+    """hilbert_key must equal the classic xy2d recurrence bit-for-bit,
+    and deliver the property Morton lacks: sorted by key, consecutive
+    cells of a full grid are always Manhattan-distance-1 neighbors
+    (Morton jumps across the plane at quadrant boundaries)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 5
+    n = 1 << bits
+    grid = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["k"]
+        for r in df.select(
+            "x",
+            "y",
+            O.hilbert_key(F.col("x"), F.col("y"), bits=bits).alias("k"),
+        ).collect()
+    }
+    assert got == {(x, y): xy2d(n, x, y) for x, y in grid}
+    # bijection onto 0..n^2-1 and full-grid adjacency of the sort order
+    ordered = sorted(got, key=got.get)
+    assert sorted(got.values()) == list(range(n * n))
+    assert all(
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1
+        for a, b in zip(ordered, ordered[1:])
+    )
+    # Morton, for contrast, takes long jumps: its worst consecutive
+    # step on the same grid is much larger than 1
+    mort = {
+        (r["x"], r["y"]): r["k"]
+        for r in df.select(
+            "x",
+            "y",
+            O.zorder_key(F.col("x"), F.col("y"), bits=bits).alias("k"),
+        ).collect()
+    }
+    mordered = sorted(mort, key=mort.get)
+    worst = max(
+        abs(a[0] - b[0]) + abs(a[1] - b[1])
+        for a, b in zip(mordered, mordered[1:])
+    )
+    assert worst > 1
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad = spark.createDataFrame([(n, 0)], "x long, y long")
+    with _pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        bad.select(
+            O.hilbert_key(F.col("x"), F.col("y"), bits=bits)
+        ).collect()
+    with _pytest.raises(ValueError, match="bits"):
+        O.hilbert_key(F.col("x"), F.col("y"), bits=32)
