@@ -2266,6 +2266,16 @@ GROUP BY GROUPING SETS (
         return _cu.corpus_drift_report(_docs(spark, sf_dir))
 
 
+    def w17_scd2_history(spark, sf_dir):
+        # SCD Type 2 dimension history of each user's event_type
+        # stream: one row per VERSION (consecutive equal values
+        # collapse via change-point detection), half-open
+        # [valid_from, valid_to) micros, NULL-open current row. The
+        # batch twin the incremental ZTable scd2_merge reproduces
+        # bit-for-bit under any time-ordered batch split
+        # (test_layout.py).
+        return _wd.scd2_history(_rd.read_table(spark, sf_dir, "events"))
+
     def w16_ab_funnel(spark, sf_dir):
         # the experimentation readout: the ordered funnel split by a
         # deterministic 50/50 user-parity variant, conversion vs the
@@ -2719,6 +2729,7 @@ GROUP BY GROUPING SETS (
         x_keyword_tags,
         x_corpus_drift,
         w16_ab_funnel,
+        w17_scd2_history,
         x_ingest_accepted,
         x_media_chunks,
         x_ann_ivf_int8_topk,
@@ -3824,6 +3835,7 @@ WHERE vec_id NOT IN (
         "x_keyword_tags": _rt.keyword_tags_sql(KEYWORD_DICT),
         "x_corpus_drift": _cu.corpus_drift_report_sql(),
         "w16_ab_funnel": _wd.ab_funnel_report_sql(),
+        "w17_scd2_history": _wd.scd2_history_sql(),
         "x_ingest_accepted": f"""
 WITH surv AS (
   SELECT doc_id FROM ({_cu.gopher_quality_report_sql()}) WHERE passes

@@ -1225,3 +1225,80 @@ FROM base b LEFT JOIN (
     return (
         "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history of an attribute stream:
+    DataFrame[<key>, status, valid_from_us, valid_to_us, is_current].
+
+    Each update stream row says "entity ``key`` has attribute value
+    ``attr`` as of ``ts``"; the SCD2 history keeps one row per
+    VERSION — consecutive updates with the same value collapse into
+    the version that first set it (gaps-and-islands change-point
+    detection), ``valid_to_us`` is the next version's start (NULL for
+    the open, current version). The total order inside an entity is
+    (ts, seq) so ties are deterministic cross-engine.
+
+    One window pass per step over (key)-partitioned data — no global
+    window, scales with the number of entities. This is also the
+    batch twin the incremental table-level merge
+    (``sources/layout.scd2_merge``) must reproduce: applying the same
+    stream in any time-ordered batch split yields bit-identical
+    history (pinned in tests/test_layout.py).
+    """
+    us = event_time_us(events, ts_col)
+    w = Window.partitionBy(key).orderBy("_ts_us", "_seq")
+    chg = (
+        events.select(
+            F.col(key),
+            F.col(attr).alias("status"),
+            us.alias("_ts_us"),
+            F.col(seq).alias("_seq"),
+        )
+        .withColumn("_prev", F.lag("status").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("status")))
+    )
+    w2 = Window.partitionBy(key).orderBy("_ts_us", "_seq")
+    return (
+        chg.withColumn("_next_us", F.lead("_ts_us").over(w2))
+        .select(
+            key,
+            "status",
+            F.col("_ts_us").alias("valid_from_us"),
+            F.col("_next_us").alias("valid_to_us"),
+            F.col("_next_us").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_history_sql(
+    key: str = "user_id",
+    attr: str = "event_type",
+    seq: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`scd2_history` over the events table."""
+    return f"""
+WITH e AS (
+  SELECT {key}, {attr} AS status, epoch_us(ts) AS ts_us, {seq} AS sq
+  FROM events
+),
+ord AS (
+  SELECT *, LAG(status) OVER (PARTITION BY {key} ORDER BY ts_us, sq)
+            AS prev
+  FROM e
+),
+chg AS (SELECT {key}, status, ts_us, sq FROM ord
+        WHERE prev IS NULL OR prev <> status)
+SELECT {key}, status, ts_us AS valid_from_us,
+       LEAD(ts_us) OVER (PARTITION BY {key} ORDER BY ts_us, sq)
+         AS valid_to_us,
+       LEAD(ts_us) OVER (PARTITION BY {key} ORDER BY ts_us, sq) IS NULL
+         AS is_current
+FROM chg
+"""

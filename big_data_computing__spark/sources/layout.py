@@ -3164,3 +3164,140 @@ def ztable_upsert(
                         )[0]
                 else:
                     rerun = True  # a matched row may hide: re-plan
+
+
+def scd2_merge(
+    table: ZTable,
+    spark: SparkSession,
+    updates: DataFrame,
+    attr: str = "status",
+    ts: str = "ts_us",
+    seq: str = "seq",
+    n_files: int = 4,
+) -> tuple[int, int, int]:
+    """Apply one time-ordered batch of dimension updates to an SCD
+    Type 2 ZTable — the incremental half of
+    ``operators/windows.scd2_history``.
+
+    The table's layout columns ARE the version identity: ``table.x``
+    is the entity key and ``table.y`` is ``valid_from_us``, so the
+    coordinate-keyed :func:`ztable_upsert` gives the merge its exact
+    row-replacement semantics (closing the open version rewrites the
+    same coordinate; a new version is a new coordinate) and its
+    replay idempotence (re-applying a batch re-upserts identical
+    rows — a strict no-op on the data).
+
+    ``updates`` rows are (``table.x``, ``attr``, ``ts`` micros,
+    ``seq``); the entity-local total order is (ts, seq). Per batch:
+    the standing open version of each affected entity is prepended as
+    the chain head (seq NULL sorts first on ties), consecutive equal
+    attribute values collapse (so a no-change update never opens a
+    spurious version), LEAD assigns ``valid_to_us``, and the rebuilt
+    chain — O(batch + affected entities) rows — is upserted. Closed
+    history rows are never touched.
+
+    Contract: batches must be time-ordered per entity. An update
+    older than the entity's open version is admitted only when it is
+    REPLAY-CONSISTENT — some retained version's interval covers its
+    timestamp with the same attribute value — and is then dropped
+    (at-least-once delivery replays whole batches; those rows carry
+    no new information). A late row that contradicts history, or
+    predates the entity's first version, raises: genuinely
+    late-arriving dimension rewrites need the full-history rebuild,
+    which is exactly :func:`~big_data_computing__spark.operators
+    .windows.scd2_history` over the corrected stream. Sequentially
+    applying any time-ordered batch split of a stream — including
+    re-applying any batch — yields bit-identical history to the
+    one-shot batch operator, pinned by tests/test_layout.py.
+    """
+    from pyspark.sql import Window
+
+    key = table.x
+    cur = table.read(spark).where(F.col("is_current"))
+    b = updates.select(
+        F.col(key),
+        F.col(attr).alias("_status"),
+        F.col(ts).cast("long").alias("_ts_us"),
+        F.col(seq).cast("long").alias("_seq"),
+    )
+    keys = b.select(key).distinct()
+    cur_aff = cur.join(keys, key, "inner")
+    opens = cur_aff.select(F.col(key), F.col(table.y).alias("_open_from"))
+    b = b.join(opens, key, "left")
+    late = b.where(F.col("_ts_us") < F.col("_open_from"))
+    hist = table.read(spark).select(
+        F.col(key).alias("_hk"),
+        F.col(table.y).alias("_vf"),
+        F.col("valid_to_us").alias("_vt"),
+        F.col(attr).alias("_vstat"),
+    )
+    covered = late.join(
+        hist,
+        (late[key] == hist["_hk"])
+        & (F.col("_vf") <= F.col("_ts_us"))
+        & (F.col("_vt").isNull() | (F.col("_ts_us") < F.col("_vt"))),
+        "left",
+    )
+    bad = (
+        covered.where(
+            F.col("_vstat").isNull()
+            | (F.col("_vstat") != F.col("_status"))
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "scd2_merge: batch contains an update older than an "
+            "entity's open version that contradicts recorded history "
+            "(not a replay); rebuild from the corrected full stream "
+            "with operators/windows.scd2_history instead"
+        )
+    b = b.where(
+        F.col("_open_from").isNull()
+        | (F.col("_ts_us") >= F.col("_open_from"))
+    ).drop("_open_from")
+    head = cur_aff.select(
+        F.col(key),
+        F.col(attr).alias("_status"),
+        F.col(table.y).cast("long").alias("_ts_us"),
+        F.lit(None).cast("long").alias("_seq"),
+    )
+    w = Window.partitionBy(key).orderBy(
+        "_ts_us", F.col("_seq").asc_nulls_first()
+    )
+    chain = (
+        head.unionByName(b)
+        .withColumn("_prev", F.lag("_status").over(w))
+        .where(
+            F.col("_prev").isNull()
+            | (F.col("_prev") != F.col("_status"))
+        )
+        .withColumn("_next_us", F.lead("_ts_us").over(w))
+    )
+    out = chain.select(
+        F.col(key),
+        F.col("_ts_us").alias(table.y),
+        F.col("_status").alias(attr),
+        F.col("_next_us").alias("valid_to_us"),
+        F.col("_next_us").isNull().alias("is_current"),
+    )
+    return table.upsert(spark, out, n_files=n_files)
+
+
+def scd2_as_of(
+    table: ZTable, spark: SparkSession, ts_us: int
+) -> DataFrame:
+    """Point-in-time view of an SCD2 ZTable: the version of every
+    entity that was valid at ``ts_us`` (half-open [valid_from,
+    valid_to) intervals; entities first seen later are absent).
+    Equivalent to filtering :func:`~big_data_computing__spark
+    .operators.windows.scd2_history` of the full stream — pinned in
+    tests."""
+    return table.read(spark).where(
+        (F.col(table.y) <= F.lit(int(ts_us)))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("valid_to_us") > F.lit(int(ts_us)))
+        )
+    )

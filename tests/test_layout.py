@@ -2493,3 +2493,104 @@ def test_hilbert_layout_prunes_at_least_as_well_as_morton(
     got = sorted((r["x"], r["y"]) for r in res.collect())
     assert got == want
     assert 0 < n_read < n_tot
+
+
+def test_scd2_merge_matches_batch_history_and_contracts(
+    spark, sf_dir, tmp_path
+):
+    """SCD Type 2 on ZTable: applying time-ordered batches through
+    scd2_merge must reproduce the one-shot scd2_history of the full
+    stream bit-for-bit; replays are data no-ops; the point-in-time
+    view equals the history filter; late updates raise."""
+    import pytest as _pytest
+
+    from big_data_computing__spark.operators import windows as W
+    from big_data_computing__spark.sources.readers import read_table
+
+    SCD = ("user_id", "valid_from_us", "status", "valid_to_us",
+           "is_current")
+
+    def ms(df):
+        return _multiset(df, cols=SCD)
+
+    events = read_table(spark, sf_dir, "events")
+    us = W.event_time_us(events)
+    ev = events.withColumn("_us", us)
+    p1, p2 = (
+        ev.selectExpr(
+            "percentile_approx(_us, 0.34)", "percentile_approx(_us, 0.67)"
+        ).collect()[0]
+    )
+    batches = [
+        ev.where(F.col("_us") <= p1),
+        ev.where((F.col("_us") > p1) & (F.col("_us") <= p2)),
+        ev.where(F.col("_us") > p2),
+    ]
+
+    def upd(df):
+        return df.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("_us").alias("ts_us"),
+            F.col("event_id").alias("seq"),
+        )
+
+    # version 0 = the batch operator over the first slice
+    h0 = W.scd2_history(batches[0])
+    t = L.ZTable.create(
+        h0.select(
+            "user_id", "valid_from_us", "status", "valid_to_us",
+            "is_current",
+        ),
+        str(tmp_path / "scd2"),
+        x="user_id",
+        y="valid_from_us",
+        n_files=4,
+        cell=86400e6,
+    )
+    for b in batches[1:]:
+        L.scd2_merge(t, spark, upd(b))
+
+    want = ms(W.scd2_history(events))
+    assert ms(t.read(spark)) == want
+
+    # replay of the last batch: data unchanged
+    L.scd2_merge(t, spark, upd(batches[2]))
+    assert ms(t.read(spark)) == want
+
+    # point-in-time view == history filter at an interior timestamp
+    asof = int(p2)
+    got = ms(L.scd2_as_of(t, spark, asof))
+    hist = W.scd2_history(events)
+    exp = ms(
+        hist.where(
+            (F.col("valid_from_us") <= asof)
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("valid_to_us") > asof)
+            )
+        ).select(
+            "user_id", "valid_from_us", "status", "valid_to_us",
+            "is_current",
+        )
+    )
+    assert got == exp
+
+    # a whole-batch replay of OLD data is replay-consistent: dropped,
+    # data unchanged
+    L.scd2_merge(t, spark, upd(batches[0]))
+    assert ms(t.read(spark)) == want
+
+    # a late update that CONTRADICTS recorded history must raise
+    some_user = events.select("user_id").first()[0]
+    early = int(
+        ev.where(F.col("user_id") == some_user)
+        .agg(F.min("_us"))
+        .collect()[0][0]
+    )
+    bogus = spark.createDataFrame(
+        [(some_user, "___bogus___", early, 10**15)],
+        "user_id long, status string, ts_us long, seq long",
+    )
+    with _pytest.raises(ValueError, match="contradicts"):
+        L.scd2_merge(t, spark, bogus)
