@@ -2008,6 +2008,31 @@ GROUP BY GROUPING SETS (
         # scale); one-sided — flags every true leak, tested vs exact
         return _cu.bloom_contamination(_docs(spark, sf_dir))
 
+    def j9_bloom_semi_join(spark, sf_dir):
+        # runtime Bloom pre-filtered semi join (the InjectRuntimeFilter
+        # idea as an explicit operator): lineitems of high-value orders
+        # via a ~16 KB broadcast bloom of the build keys probed in pure
+        # codegen BEFORE the shuffle, exact semi join clearing false
+        # positives — result row-identity == plain semi join, which is
+        # what the oracle runs
+        li = _rd.read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        od = _rd.read_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 450000
+        )
+        surv = _rel.bloom_semi_join(li, od, "o_orderkey")
+        return (
+            surv.groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.round(F.sum(F.col("l_extendedprice") * 100))
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+            .orderBy("l_returnflag")
+        )
+
     def j8_band_join(spark, sf_dir):
         # temporal band self-join |ts_a − ts_b| ≤ 60 s via exact 3-bucket
         # blocking (1-D analog of the outlier grid join); oracle runs the
@@ -2774,6 +2799,7 @@ GROUP BY GROUPING SETS (
         x_domain_quality,
         x_mixture_resample,
         j8_band_join,
+        j9_bloom_semi_join,
         t9_cms_frequent,
         t10_hll_estimate,
         w4_session_window,
@@ -3748,6 +3774,18 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
             k=2,
         ),
         "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),
+        "j9_bloom_semi_join": """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(l_extendedprice * 100)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
         "x_pii_report": _cu.pii_report_sql(),
         "x_domain_quality": _cu.domain_quality_sql(),
         "x_token_budget_sample": _cu.token_budget_sample_sql(),

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     # round-3 additions: banded temporal join, mixture resampling,
     # tf-idf keyword extraction
     "j8_band_join",
+    "j9_bloom_semi_join",
     "x_mixture_resample",
     "x_tfidf_top_terms",
     # round-4 additions: weighted (A-ExpJ) reservoir; duplicate-graph

@@ -575,3 +575,96 @@ FROM top CROSS JOIN totals
 WHERE rk <= {n}
 ORDER BY rk
 """
+
+
+def bloom_member_pred(
+    dim: DataFrame,
+    key: str,
+    bits: int = 1 << 17,
+    probes: int = 3,
+) -> Column:
+    """Codegen membership predicate over a Bloom filter of ``dim``'s
+    distinct ``key`` values — the build half of
+    :func:`bloom_semi_join`, exposed so callers (and tests) can apply
+    or measure the pre-filter alone. One-sided: never false on a true
+    member; false positives at the classic (1 - e^{-kn/m})^k rate for
+    the chosen sizing."""
+    if bits % 60 != 0:
+        bits = ((bits // 60) + 1) * 60
+    n_words = bits // 60
+    keys = dim.select(F.col(key).alias("_bk")).distinct()
+    rows = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("_bk"), F.lit(i)),
+                            F.lit(bits),
+                        ).alias(f"p{i}")
+                        for i in range(probes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos DIV 60").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 60 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("wv"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[int(r["w"])] = r["wv"]
+    arr = F.array(*[F.lit(v).cast("long") for v in words])
+    pred = None
+    for i in range(probes):
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(bits))
+        widx = (F.floor(pos / F.lit(60)) + F.lit(1)).cast("int")
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64({key}, {i}), {bits}) % 60 AS INT))"
+        )
+        hit = F.element_at(arr, widx).bitwiseAND(mask) != F.lit(0)
+        pred = hit if pred is None else (pred & hit)
+    return pred
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    bits: int = 1 << 17,
+    probes: int = 3,
+) -> DataFrame:
+    """Semi join with an explicit runtime Bloom pre-filter — the
+    InjectRuntimeFilter idea (SPARK-32268) as a first-class operator
+    you can size and observe.
+
+    When the build side is too large to broadcast as a hash relation,
+    a shuffled semi join ships EVERY fact row; a Bloom filter of the
+    build keys is ``bits/8`` bytes no matter how many rows it
+    summarizes. Build: distinct build keys -> ``probes`` xxhash64
+    positions each -> OR-fold into ceil(bits/60) BIGINT words (one
+    narrow pass with map-side partial aggregation; the driver holds
+    bits/60 words — ~2K at the default — never one row per key). The
+    dense word list becomes an array LITERAL in the probe predicate
+    (:func:`bloom_member_pred`), so the fact side drops non-members
+    in pure whole-stage codegen BEFORE its shuffle. A final exact
+    semi join clears false positives: output row-identity is the
+    plain semi join's (pinned by test); the bloom only shrinks the
+    shuffle (fp-rate measured in the same test).
+
+    xxhash64 (JVM-native) is deliberately NOT the cross-engine oracle
+    hash: the filter never changes the result, so the salted_join
+    convention applies — result identity is the contract, oracle
+    parity comes from the final join.
+    """
+    pred = bloom_member_pred(dim, key, bits, probes)
+    return fact.where(pred).join(
+        dim.select(key).distinct(), key, "semi"
+    )

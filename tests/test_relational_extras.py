@@ -176,3 +176,59 @@ def test_global_bucket_rank_equals_sql_rank(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_bloom_semi_join_identity_selectivity_and_plan(spark, sf_dir):
+    """The runtime Bloom pre-filter must (1) never change the result
+    vs the plain semi join, (2) actually drop the large majority of
+    non-matching fact rows before the shuffle (measured fp-rate bound
+    at the default sizing), and (3) evaluate as a pure codegen filter
+    — no Python in the plan."""
+    from collections import Counter
+
+    from big_data_computing__spark.operators.relational import (
+        bloom_semi_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fact = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    dim = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_totalprice") > 450000
+    )
+
+    out = bloom_semi_join(fact, dim, "o_orderkey")
+    plain = fact.join(
+        dim.select("o_orderkey").distinct(), "o_orderkey", "semi"
+    )
+
+    def ms(df):
+        return Counter(
+            (r["o_orderkey"], r["l_linenumber"]) for r in
+            df.select("o_orderkey", "l_linenumber").collect()
+        )
+
+    assert ms(out) == ms(plain)
+
+    # survivor measurement: rebuild just the pre-filter by running the
+    # operator against an empty-ish final join — instead, probe the
+    # physical plan: the filter must sit on the fact side and contain
+    # the xxhash64 probes, and nothing Python-evaluated exists
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+    # false-positive rate at the default sizing: survivors of the
+    # bloom ALONE must be the true matches plus a tiny fp tail
+    from big_data_computing__spark.operators.relational import (
+        bloom_member_pred,
+    )
+
+    pred = bloom_member_pred(dim, "o_orderkey")
+    n_fact = fact.count()
+    n_true = plain.count()
+    n_bloom = fact.where(pred).count()
+    assert n_true < n_fact // 5, "fixture must keep the filter selective"
+    assert n_true <= n_bloom, "bloom must never drop a true member"
+    fp = (n_bloom - n_true) / max(1, n_fact - n_true)
+    assert fp < 0.01, (n_bloom, n_true, n_fact, fp)
