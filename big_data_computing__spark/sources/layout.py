@@ -3174,6 +3174,7 @@ def scd2_merge(
     ts: str = "ts_us",
     seq: str = "seq",
     n_files: int = 4,
+    extra_meta: dict | None = None,
 ) -> tuple[int, int, int]:
     """Apply one time-ordered batch of dimension updates to an SCD
     Type 2 ZTable — the incremental half of
@@ -3282,7 +3283,9 @@ def scd2_merge(
         F.col("_next_us").alias("valid_to_us"),
         F.col("_next_us").isNull().alias("is_current"),
     )
-    return table.upsert(spark, out, n_files=n_files)
+    return table.upsert(
+        spark, out, n_files=n_files, extra_meta=extra_meta
+    )
 
 
 def scd2_as_of(

@@ -353,3 +353,61 @@ class CdfJoinAggState:
         )
         want = {r["g"]: (r["cnt"], r["sm"]) for r in full}
         return want == self.state
+
+
+def scd2_batch(
+    table: ZTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    attr: str = "status",
+    ts: str = "ts_us",
+    seq: str = "seq",
+    n_files: int = 2,
+) -> bool:
+    """Idempotently apply one micro-batch of dimension updates as an
+    SCD Type 2 merge (``sources/layout.scd2_merge``): returns True if
+    committed, False if ``batch_id`` was already in the log.
+
+    Three idempotence layers: the batch-id guard; scd2_merge's own
+    replay tolerance (late rows consistent with recorded history are
+    dropped, so even a guard-less replay is a data no-op); and the
+    coordinate-keyed upsert underneath (identical rows rewrite
+    identically). Batches must be time-ordered per entity — the same
+    ordering contract every CDC apply has."""
+    last = last_committed_batch_id(table)
+    if last is not None and batch_id <= last:
+        return False
+    from ..sources.layout import scd2_merge
+
+    scd2_merge(
+        table, batch_df.sparkSession, batch_df,
+        attr=attr, ts=ts, seq=seq, n_files=n_files,
+        extra_meta={"batch_id": batch_id},
+    )
+    return True
+
+
+def table_scd2_stream(
+    src: DataFrame,
+    table: ZTable,
+    checkpoint_dir: str,
+    attr: str = "status",
+    ts: str = "ts_us",
+    seq: str = "seq",
+    n_files: int = 2,
+):
+    """Wire a streaming dimension-update feed into an SCD2 ZTable:
+    each micro-batch closes/opens versions through
+    :func:`scd2_batch`. Returns the DataStreamWriter; caller picks
+    the trigger and calls .start(). The table after any prefix of
+    batches equals ``operators/windows.scd2_history`` of that prefix
+    (pinned in tests/test_table_stream.py)."""
+    return (
+        src.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: scd2_batch(
+                table, df, bid, attr, ts, seq, n_files
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
