@@ -2664,6 +2664,19 @@ GROUP BY GROUPING SETS (
     def x_frame_sample(spark, sf_dir):
         return _mm.frame_sample(_mm.documents_as_media(_docs(spark, sf_dir)))
 
+    def x_media_ahash(spark, sf_dir):
+        # 60-bit average-hash fingerprint of each binary payload —
+        # the aHash design (bucket the payload into 60 equal slices =
+        # the resize step, threshold each bucket mean against the
+        # payload mean, integer-exact via cross-multiplication). On
+        # real images this runs on the decoded luma grid; the pair
+        # search (media_ahash_pairs, banded pigeonhole) is pinned on
+        # a synthetic binary fixture instead of this text corpus,
+        # where byte means honestly do not cluster near-dups.
+        return _mm.media_ahash(
+            _mm.documents_as_media(_docs(spark, sf_dir))
+        ).orderBy("media_id")
+
     def x_media_chunks(spark, sf_dir):
         # overlapped byte-window chunking (the audio/video shard step):
         # one narrow projection — payload bytes never shuffle, only
@@ -2891,6 +2904,7 @@ GROUP BY GROUPING SETS (
         x_frame_sample,
         a16_argmax_customer,
         x_media_metadata,
+        x_media_ahash,
         o1_exact_outliers_topk,
         a11_distinct_items,
         w1_top_order_per_segment,
@@ -3965,6 +3979,7 @@ WHERE vec_id NOT IN (
             nprobe=2,
         ),
         "x_media_metadata": _mm.media_metadata_sql(),
+        "x_media_ahash": _mm.media_ahash_sql(),
         "x_frame_sample": _mm.frame_sample_sql(),
         "x_media_chunks": _mm.chunk_media_sql(),
         # the fake decoder is deterministic and byte-arithmetic only, so

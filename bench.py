@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "x_quality_scores",
     "x_winnow_fingerprints",
     "x_media_metadata",
+    "x_media_ahash",
     # curation family: per-doc repetition aggregation + the cross-split
     # contamination join (the two distinct plan shapes in curation.py)
     "x_repetition",

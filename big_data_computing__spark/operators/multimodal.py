@@ -295,3 +295,170 @@ SELECT media_id,
                        AS BIGINT))) AS fp
 FROM c
 """
+
+
+def media_ahash(media: DataFrame, bits: int = 60) -> DataFrame:
+    """Average-hash perceptual fingerprint of each payload:
+    DataFrame[media_id, ahash] — the aHash design (resize to a fixed
+    grid, threshold each cell against the mean), applied to the
+    opaque binary column: the payload is split into ``bits`` equal
+    byte buckets (the resize analog), bit i set iff bucket i's mean
+    exceeds the payload mean — integer-exact via cross-multiplication
+    (s_i * n_bytes > S * c_i), no division anywhere. 60 bits keeps
+    the fingerprint in one signed BIGINT word, the engine's
+    sketch-word convention.
+
+    On real images this runs on the decoded luma grid; the decode
+    step stays honestly env-blocked (see :func:`decode_features`),
+    but the whole fingerprint pipeline — byte recovery via the
+    cross-engine hex-slice trick, per-bucket partial aggregation,
+    threshold, bit packing — is real, distributed and value-oracled
+    (x_media_ahash). Work is one narrow explode of byte positions
+    (exactly the decode shape) followed by two aggregations with
+    map-side combine; payload bytes themselves never shuffle, only
+    (media_id, bucket, sum, count) rows do.
+
+    Measured honestly: on TEXT payloads the fingerprint does NOT
+    bring edit-level near-duplicates inside small Hamming distances
+    (text edits shift bytes across buckets; byte means of prose are
+    near-constant), so no corpus-level pairs query is registered —
+    the Hamming pair search (:func:`media_ahash_pairs`) is pinned on
+    a synthetic binary fixture where near-dup payloads genuinely
+    cluster, the image regime it exists for.
+    """
+    m = media.where(F.length("payload") > 0).select(
+        "media_id",
+        F.hex(F.col("payload")).alias("_hx"),
+        F.length(F.col("payload")).cast("long").alias("_nb"),
+    )
+    byt = m.select(
+        "media_id",
+        "_nb",
+        F.expr(
+            f"explode(sequence(CAST(0 AS BIGINT), _nb - 1))"
+        ).alias("_i"),
+        "_hx",
+    ).select(
+        "media_id",
+        "_nb",
+        F.expr(f"CAST(_i * {bits} DIV _nb AS INT)").alias("_bkt"),
+        F.expr(
+            "CAST(conv(substring(_hx, CAST(2 * _i + 1 AS INT), 2),"
+            " 16, 10) AS BIGINT)"
+        ).alias("_b"),
+    )
+    agg = byt.groupBy("media_id", "_nb", "_bkt").agg(
+        F.sum("_b").alias("_s"), F.count("*").alias("_c")
+    )
+    tot = agg.groupBy("media_id").agg(F.sum("_s").alias("_S"))
+    g, t = agg.alias("g"), tot.alias("t")
+    return (
+        g.join(t, "media_id")
+        .groupBy("media_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("g._s") * F.col("g._nb")
+                    > F.col("t._S") * F.col("g._c"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(_bkt AS INT))"
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("ahash")
+        )
+    )
+
+
+def media_ahash_sql(bits: int = 60) -> str:
+    """DuckDB twin of :func:`media_ahash` over documents_as_media —
+    same byte buckets, same cross-multiplied threshold, same bit
+    packing."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+pos AS (SELECT media_id, nb, hx, unnest(range(nb)) AS i FROM m),
+byt AS (
+  SELECT media_id, nb, CAST((i * {bits}) // nb AS INT) AS bkt,
+         CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS INT), 2))
+              AS BIGINT) AS b
+  FROM pos
+),
+agg AS (SELECT media_id, nb, bkt, SUM(b) AS s, COUNT(*) AS c
+        FROM byt GROUP BY 1, 2, 3),
+tot AS (SELECT media_id, SUM(s) AS tot_s FROM agg GROUP BY 1)
+SELECT a.media_id,
+       CAST(SUM(CASE WHEN a.s * a.nb > t.tot_s * a.c
+                     THEN (CAST(1 AS BIGINT) << a.bkt)
+                     ELSE 0 END) AS BIGINT) AS ahash
+FROM agg a JOIN tot t ON a.media_id = t.media_id
+GROUP BY 1
+"""
+
+
+def media_ahash_pairs(
+    media: DataFrame,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate payload pairs by average-hash Hamming distance:
+    DataFrame[media_a, media_b, hamming], media_a < media_b, hamming
+    <= ``max_hamming``.
+
+    The banded pigeonhole blocking the simhash text path uses, lifted
+    to the multimodal column: split the fingerprint into ``bands``
+    equal slices — any pair within Hamming ``bands - 1`` agrees on at
+    least one slice — bucket-join on (band, slice), then verify with
+    ``bit_count(xor)``. Never all-pairs; candidates are per-bucket.
+    Completeness to Hamming ``bands - 1`` is pinned against a brute
+    all-pairs check on a synthetic near-dup binary fixture
+    (tests/test_similarity.py) — see :func:`media_ahash` for why no
+    text-corpus pairs query is registered.
+    """
+    if bits % bands != 0:
+        raise ValueError("media_ahash_pairs: bands must divide bits")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            "media_ahash_pairs: banded blocking is only complete up "
+            f"to Hamming {bands - 1} with {bands} bands"
+        )
+    width = bits // bands
+    h = media_ahash(media, bits)
+    bk = h.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(ahash DIV {1 << (width * b)})"
+                            f" % {1 << width}"
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "ahash", F.col("bk.band"), F.col("bk.key"))
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("media_a", "media_b")
+    )

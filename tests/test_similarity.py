@@ -974,3 +974,60 @@ def test_hamming_topk_matches_numpy(spark, emb):
     for qid in got:
         got[qid].sort()
     assert got == truth
+
+
+def test_media_ahash_pairs_complete_on_synthetic_near_dups(spark):
+    """Banded aHash pair search: on a binary fixture where near-dup
+    payloads genuinely cluster (a few concentrated byte edits — the
+    image regime), the blocked search must find EXACTLY the brute
+    all-pairs Hamming <= 3 set; identical payloads hash identically."""
+    import random
+
+    random.seed(42)
+    rows = []
+    mid = 0
+    for base in range(40):
+        payload = bytes(random.randrange(256) for _ in range(600))
+        rows.append((mid, payload))
+        mid += 1
+        if base % 4 == 0:
+            # exact copy + a near-dup with edits inside two buckets
+            rows.append((mid, payload))
+            mid += 1
+            edited = bytearray(payload)
+            for j in range(10, 20):
+                edited[j] = 255
+            rows.append((mid, bytes(edited)))
+            mid += 1
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+
+    hashes = {
+        r["media_id"]: r["ahash"]
+        for r in MM.media_ahash(media).collect()
+    }
+    assert len(hashes) == len(rows)
+    # identical payloads -> identical fingerprints
+    by_payload = {}
+    for m, p in rows:
+        by_payload.setdefault(p, set()).add(hashes[m])
+    assert all(len(v) == 1 for v in by_payload.values())
+
+    want = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    )
+    assert want, "fixture must contain near-dup pairs for the test to bite"
+    got = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in MM.media_ahash_pairs(media).collect()
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="bands"):
+        MM.media_ahash_pairs(media, bands=7)
+    with pytest.raises(ValueError, match="complete"):
+        MM.media_ahash_pairs(media, max_hamming=4)
