@@ -473,3 +473,47 @@ def test_keyword_tags_single_pass_shuffle_free(spark):
     # only (doc_id, text) is ever read
     assert "Generate explode" in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_r6g_session_wave_plan_shapes(spark):
+    """Round-6 sixth-session operators: Hilbert keys fold in the JVM
+    (no Python, no exchange beyond the one broadcast min offset), the
+    SCD2 history runs per-entity windows only, the bloom semi-join
+    probes in codegen before its shuffle, and the aHash fingerprint
+    never moves payload bytes through an exchange."""
+    qs = entrymod.queries()
+
+    # o5: aggregate-fold key — no Python eval, no sort-merge join,
+    # the only join is the broadcast of the 1-row min aggregate
+    plan = executed_plan(qs["o5_hilbert_cells"](spark, SF))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin",
+                "CartesianProduct"):
+        assert bad not in plan, bad
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    # w17: change-point windows partition by the entity key — never a
+    # global (empty-partition-spec) window, never a join
+    plan = executed_plan(qs["w17_scd2_history"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
+    # every window operator carries the user_id partition spec
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
+
+    # j9: bloom probes sit in the plan as xxhash64 codegen, no Python
+    plan = executed_plan(qs["j9_bloom_semi_join"](spark, SF))
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    # x_media_ahash: payload bytes feed ONE narrow projection chain;
+    # what shuffles is the (media_id, bucket, sum, count) aggregate,
+    # never the payload — no payload column in any Exchange input
+    plan = executed_plan(qs["x_media_ahash"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # partial aggregation happens before the exchange
+    assert plan.count("HashAggregate") >= 2
