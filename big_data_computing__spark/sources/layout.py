@@ -386,6 +386,21 @@ def write_hilbert(
     boundaries — its min/max stats box is tighter and a box query
     prunes at least as many files (measured in STRESS.md and pinned by
     test_layout.py)."""
+    _hilbert_write(df, path, x, y, n_files, cell, bits)
+    return _write_manifest(df.sparkSession, path, x, y)
+
+
+def _hilbert_write(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    n_files: int,
+    cell: float,
+    bits: int,
+) -> None:
+    """Write the data files of a Hilbert-clustered layout (no
+    manifest) — the curve-swapped twin of :func:`_zorder_write`."""
     from ..operators.outliers import hilbert_key
 
     ci = F.floor(F.col(x) / cell).cast("long")
@@ -402,7 +417,6 @@ def write_hilbert(
         .write.mode("overwrite")
         .parquet(path)
     )
-    return _write_manifest(df.sparkSession, path, x, y)
 
 
 def _zorder3_data_write(
@@ -454,11 +468,18 @@ def _table_data_write(
     n_files: int,
     cell: float,
     bits: int,
+    curve: str = "morton",
 ) -> None:
-    """Dispatch a ZTable data write to the 2-D or 3-D Morton layout
+    """Dispatch a ZTable data write to the 2-D (Morton or Hilbert,
+    per the table's recorded ``curve``) or 3-D Morton layout
     depending on whether the table declared a third layout column."""
     if zcol is None:
-        _zorder_write(df, path, x, y, n_files, cell, bits)
+        if curve == "hilbert":
+            # Hilbert keys stay in 2*bits <= 62; the table default
+            # bits=20 exceeds no bound (40 bits)
+            _hilbert_write(df, path, x, y, n_files, cell, bits)
+        else:
+            _zorder_write(df, path, x, y, n_files, cell, bits)
     else:
         _zorder3_data_write(df, path, (x, y, zcol), n_files, cell, bits)
 
@@ -884,6 +905,16 @@ class ZTable:
         """Extra stats columns recorded by this table's snapshots."""
         return list((snap or self.snapshot()).get("stats_cols", []))
 
+    def curve(self, snap: dict | None = None) -> str:
+        """The table's recorded clustering curve: ``"morton"``
+        (default, also every pre-curve snapshot) or ``"hilbert"``
+        (liquid-clustering-style layout; see write_hilbert for the
+        measured pruning delta). Parameterizes clustering quality
+        only — read correctness always comes from per-file stats."""
+        if snap is None:
+            snap = self.snapshot()
+        return str(snap.get("curve", "morton"))
+
     def bloom_cols(self, snap: dict | None = None) -> list[str]:
         """Columns with per-file manifest Bloom filters."""
         if snap is None:
@@ -1036,7 +1067,7 @@ class ZTable:
             for k in (
                 "schema_epoch", "epoch_renames", "retired_names", "dvs",
                 "bloom_cols", "bloom_bits", "ndv_cols", "ndv_k",
-                "constraints",
+                "constraints", "curve",
             )
             if k in snap
         }
@@ -1457,6 +1488,7 @@ class ZTable:
                 self.bloom_bits(parent),
                 self.ndv_cols(parent),
                 self.ndv_k(parent),
+                self.curve(parent),
             ),
             parent,
         )
@@ -1700,8 +1732,14 @@ class ZTable:
         ndv_cols: tuple[str, ...] | list[str] = (),
         ndv_k: int = 64,
         constraints: dict[str, str] | None = None,
+        curve: str = "morton",
     ) -> "ZTable":
         """Commit version 0 with ``df`` as the initial Z-ordered data.
+        ``curve`` picks the 2-D clustering order: ``"morton"`` or
+        ``"hilbert"`` (tighter per-file boxes — the liquid-clustering
+        write order; 3-D tables are Morton-only). Recorded in every
+        snapshot and honored by each append/compact/COW rewrite;
+        :meth:`compact` can migrate an existing table to a new curve.
         ``constraints`` maps name -> SQL predicate (CHECK constraints,
         Delta's table invariants): validated against ``df`` now and
         against every later append/upsert batch BEFORE anything
@@ -1712,6 +1750,13 @@ class ZTable:
         Morton key (``OPTIMIZE ZORDER BY (x, y, z)``) and z stats are
         recorded automatically, so ``read_pruned_where({z: ...})``
         prunes the third axis too."""
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(f"create: unknown curve {curve!r}")
+        if z is not None and curve != "morton":
+            raise ValueError(
+                "create: 3-D layouts are Morton-only (no 3-D Hilbert "
+                "kernel); drop z or use curve='morton'"
+            )
         stats_cols = list(stats_cols)
         if z is not None and z not in stats_cols:
             stats_cols = [z] + stats_cols
@@ -1750,6 +1795,7 @@ class ZTable:
                 "columns": list(df.columns),
                 "column_types": _df_types(df),
                 "zcol": z,
+                **({"curve": curve} if curve != "morton" else {}),
             },
             stats_cols,
         )
@@ -1767,6 +1813,7 @@ class ZTable:
         bloom_bits: int | None = None,
         ndv_cols: list[str] | None = None,
         ndv_k: int | None = None,
+        curve: str | None = None,
     ) -> list[dict]:
         """Write one attempt's data files and return their stats
         entries (no commit). Dispatches to the 2-D or 3-D Morton
@@ -1775,6 +1822,8 @@ class ZTable:
         _table_data_write(
             df, data_dir, self.x, self.y, self.zcol(),
             n_files, cell, bits,
+            curve if curve is not None
+            else (self.curve() if self.versions() else "morton"),
         )
         return _file_stats(
             df.sparkSession, data_dir, self.x, self.y, stats_cols,
@@ -1804,9 +1853,12 @@ class ZTable:
         bbits = em.get("bloom_bits", self.bloom_bits() if self.versions() else 1024)
         ncols = em.get("ndv_cols", self.ndv_cols() if self.versions() else [])
         nk = em.get("ndv_k", self.ndv_k() if self.versions() else 64)
+        cv = em.get(
+            "curve", self.curve() if self.versions() else "morton"
+        )
         new = self._write_data(
             df, version, n_files, cell, bits, cols, bcols, bbits,
-            ncols, nk,
+            ncols, nk, cv,
         )
         return self._commit(
             version,
@@ -1923,6 +1975,7 @@ class ZTable:
                 self.bloom_bits(parent),
                 self.ndv_cols(parent),
                 self.ndv_k(parent),
+                self.curve(parent),
             ),
             parent,
         )
@@ -2063,6 +2116,7 @@ class ZTable:
         self, spark: SparkSession, n_files: int = 16,
         max_retries: int = 0,
         cell: float | None = None, bits: int | None = None,
+        curve: str | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the live rows into ``n_files`` fresh
         Z-ordered files (restoring global clustering lost to appends)
@@ -2089,6 +2143,15 @@ class ZTable:
         parent = self.snapshot()
         cell = parent["cell"] if cell is None else cell
         bits = parent["bits"] if bits is None else bits
+        if curve is None:
+            curve = self.curve(parent)
+        elif curve not in ("morton", "hilbert"):
+            raise ValueError(f"compact: unknown curve {curve!r}")
+        elif curve == "hilbert" and self.zcol(parent) is not None:
+            raise ValueError(
+                "compact: 3-D layouts are Morton-only; cannot migrate "
+                "a z-declared table to curve='hilbert'"
+            )
         cols = self.stats_cols(parent)
         live = self.read(spark)
         new = self._stamp_epoch(
@@ -2097,6 +2160,7 @@ class ZTable:
                 cell, bits, cols,
                 self.bloom_cols(parent), self.bloom_bits(parent),
                 self.ndv_cols(parent), self.ndv_k(parent),
+                curve,
             ),
             parent,
         )
@@ -2111,6 +2175,12 @@ class ZTable:
         # the rewrite read `live` THROUGH the deletion vectors, so the
         # compacted files materialize them — drop the tombstones
         meta.pop("dvs", None)
+        # a curve migration overrides the carried value; every later
+        # append/rewrite clusters under the new curve
+        if curve != "morton":
+            meta["curve"] = curve
+        else:
+            meta.pop("curve", None)
         if "column_types" in parent:
             meta["column_types"] = parent["column_types"]
         version = parent["version"] + 1
@@ -2945,7 +3015,7 @@ def ztable_delete_where(
             _table_data_write(
                 survivors, data_dir, table.x, table.y,
                 table.zcol(snap), max(1, len(hit)),
-                snap["cell"], snap["bits"],
+                snap["cell"], snap["bits"], table.curve(snap),
             )
             new = table._stamp_epoch(
                 _file_stats(
@@ -3085,6 +3155,7 @@ def ztable_upsert(
         _table_data_write(
             merged, data_dir, x, y, table.zcol(snap),
             max(n_files, len(hit)), snap["cell"], snap["bits"],
+            table.curve(snap),
         )
         new = table._stamp_epoch(
             _file_stats(

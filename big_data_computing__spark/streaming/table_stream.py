@@ -411,3 +411,144 @@ def table_scd2_stream(
         )
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+class CdfMinMaxState:
+    """Incremental MIN/MAX materialized view off the change data feed
+    — the NON-invertible half of the IVM story that
+    :class:`CdfAggState` (count/sum, abelian-group aggregates) cannot
+    cover by signed deltas alone.
+
+    Inserts maintain MIN/MAX incrementally (new bound = min/max of
+    old bound and the batch's). Deletes can only WIDEN uncertainty:
+    a deleted value strictly inside the current bounds cannot move
+    them, but a delete that TIES a bound may expose a new extreme —
+    those groups (and only those) are re-read from the live table in
+    one predicate-pushed scan per advance (the affected-group
+    recompute every real IVM engine falls back to for MIN/MAX; with
+    the group key declared in ``stats_cols`` the re-scan prunes to
+    the files that can hold those keys). ``rescans`` counts the
+    groups re-read so tests can assert advances with no boundary hit
+    pay ZERO re-read.
+
+    After any prefix of commits the state equals the full
+    GROUP BY key -> (count, min, max) over the live table bit-for-bit
+    (asserted in tests), including groups that vanish."""
+
+    def __init__(self, table: ZTable, key_col: str, val_col: str):
+        self.table = table
+        self.key_col = key_col
+        self.val_col = val_col
+        self.version = 0
+        self.state: dict = {}  # k -> (count, mn, mx)
+        self.rescans = 0
+        self._bootstrap_pending = True
+
+    def _fold(self, rows, spark) -> None:
+        dirty = set()
+        for r in rows:
+            k = r["k"]
+            cnt, mn, mx = self.state.get(k, (0, None, None))
+            cnt += r["ic"] - r["dc"]
+            if cnt <= 0:
+                self.state.pop(k, None)
+                dirty.discard(k)
+                continue
+            if r["ic"]:
+                mn = r["imn"] if mn is None else min(mn, r["imn"])
+                mx = r["imx"] if mx is None else max(mx, r["imx"])
+            self.state[k] = (cnt, mn, mx)
+            if r["dc"] and (
+                mn is None  # all-null value group: bounds unknowable
+                or r["dmn"] is None  # deleted rows carried null values
+                or r["dmn"] <= mn
+                or r["dmx"] >= mx
+            ):
+                dirty.add(k)
+        if dirty:
+            self.rescans += len(dirty)
+            from pyspark.sql import functions as F
+
+            fresh = (
+                self.table.read(spark, version=self._target)
+                .where(F.col(self.key_col).isin(list(dirty)))
+                .groupBy(F.col(self.key_col).alias("k"))
+                .agg(
+                    F.count("*").cast("long").alias("c"),
+                    F.min(self.val_col).alias("mn"),
+                    F.max(self.val_col).alias("mx"),
+                )
+                .collect()
+            )
+            seen = set()
+            for r in fresh:
+                self.state[r["k"]] = (r["c"], r["mn"], r["mx"])
+                seen.add(r["k"])
+            for k in dirty - seen:
+                self.state.pop(k, None)
+
+    def _agg(self, df: DataFrame, sign_col):
+        from pyspark.sql import functions as F
+
+        ins = F.when(sign_col > 0, F.col(self.val_col))
+        del_ = F.when(sign_col < 0, F.col(self.val_col))
+        return (
+            df.groupBy(F.col(self.key_col).alias("k"))
+            .agg(
+                F.count(ins).cast("long").alias("ic"),
+                F.min(ins).alias("imn"),
+                F.max(ins).alias("imx"),
+                F.count(del_).cast("long").alias("dc"),
+                F.min(del_).alias("dmn"),
+                F.max(del_).alias("dmx"),
+            )
+            .collect()
+        )
+
+    def advance(self, spark) -> int:
+        """Fold commits (self.version, latest]; returns commits
+        applied. Replay-safe: advancing twice is a no-op."""
+        from pyspark.sql import functions as F
+
+        latest = self.table.latest_version()
+        n = 0
+        if self._bootstrap_pending:
+            self._target = 0
+            base = self.table.read(spark, version=0)
+            self._fold(self._agg(base, F.lit(1)), spark)
+            self._bootstrap_pending = False
+            n += 1
+        if latest > self.version:
+            self._target = latest
+            ch = self.table.changes(spark, self.version, latest)
+            sign = F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1))
+            self._fold(self._agg(ch, sign), spark)
+            n += len(
+                [
+                    v
+                    for v in self.table.versions()
+                    if self.version < v <= latest
+                ]
+            )
+            self.version = latest
+        return n
+
+    def snapshot_equals_recompute(self, spark) -> bool:
+        """Parity contract: state == full GROUP BY over the live
+        table at the consumed version."""
+        from pyspark.sql import functions as F
+
+        full = (
+            self.table.read(spark, version=self.version)
+            .groupBy(F.col(self.key_col).alias("k"))
+            .agg(
+                F.count("*").cast("long").alias("c"),
+                F.min(self.val_col).alias("mn"),
+                F.max(self.val_col).alias("mx"),
+            )
+            .collect()
+        )
+        want = {r["k"]: (r["c"], r["mn"], r["mx"]) for r in full}
+        return want == self.state

@@ -2594,3 +2594,84 @@ def test_scd2_merge_matches_batch_history_and_contracts(
     )
     with _pytest.raises(ValueError, match="contradicts"):
         L.scd2_merge(t, spark, bogus)
+
+
+def test_ztable_curve_property_family(spark, sf_dir, tmp_path):
+    """curve='hilbert' is a carried table property: honored at create,
+    inherited by every later commit, migratable via compact, and at
+    least as prunable as the Morton twin over a box sweep. Guards:
+    unknown curve and 3-D+hilbert raise."""
+    import pytest as _pytest
+
+    pts = customer_points(spark, sf_dir)
+    ht = L.ZTable.create(
+        pts, str(tmp_path / "zt_h"), n_files=16, cell=200.0,
+        curve="hilbert",
+    )
+    mt = L.ZTable.create(
+        pts, str(tmp_path / "zt_m"), n_files=16, cell=200.0,
+    )
+    assert ht.curve() == "hilbert" and mt.curve() == "morton"
+
+    # lifecycle: append + DV delete + COW delete + upsert + optimize
+    # all carry the curve
+    extra = pts.withColumn("x", F.col("x") + 20000.0)
+    ht.append(extra, n_files=4)
+    assert ht.curve() == "hilbert"
+    ht.delete_where_dv(spark, (20000.0, 22000.0), (0.0, 4000.0))
+    assert ht.curve() == "hilbert"
+    ht.delete_where(spark, (25000.0, 26000.0), (0.0, 1000.0))
+    assert ht.curve() == "hilbert"
+    batch = pts.limit(50).withColumn("y", F.col("y"))
+    ht.upsert(spark, batch)
+    assert ht.curve() == "hilbert"
+    ht.compact(spark, n_files=16)
+    assert ht.curve() == "hilbert"
+
+    # box-sweep pruning: the hilbert table reads no more files than
+    # the morton one in aggregate (both freshly compacted, same files)
+    mt.compact(spark, n_files=16)
+    boxes = [
+        ((x0, x0 + 1000.0), (y0, y0 + 1000.0))
+        for x0 in (0.0, 4000.0, 8000.0)
+        for y0 in (0.0, 4000.0, 8000.0)
+    ]
+    def swept(t):
+        tot = 0
+        for bx, by in boxes:
+            _, n_read, _ = t.read_pruned(spark, bx, by)
+            tot += n_read
+        return tot
+
+    # compare on equal row sets: build fresh twins of the same data
+    h2 = L.ZTable.create(
+        pts, str(tmp_path / "zt_h2"), n_files=16, cell=200.0,
+        curve="hilbert",
+    )
+    m2 = L.ZTable.create(
+        pts, str(tmp_path / "zt_m2"), n_files=16, cell=200.0,
+    )
+    assert swept(h2) <= swept(m2)
+
+    # migration: compact(curve=...) re-clusters and records the curve
+    m2.compact(spark, n_files=16, curve="hilbert")
+    assert m2.curve() == "hilbert"
+    m2.append(pts.limit(10), n_files=1)
+    assert m2.curve() == "hilbert"
+    m2.compact(spark, n_files=16, curve="morton")
+    assert m2.curve() == "morton"
+
+    with _pytest.raises(ValueError, match="curve"):
+        L.ZTable.create(
+            pts, str(tmp_path / "zt_bad"), curve="peano"
+        )
+    emb3 = pts.withColumn("z", F.col("x") * 0.5)
+    with _pytest.raises(ValueError, match="Morton-only"):
+        L.ZTable.create(
+            emb3, str(tmp_path / "zt_z"), z="z", curve="hilbert"
+        )
+    z_t = L.ZTable.create(
+        emb3, str(tmp_path / "zt_z2"), z="z", cell=200.0
+    )
+    with _pytest.raises(ValueError, match="Morton-only"):
+        z_t.compact(spark, curve="hilbert")

@@ -328,3 +328,76 @@ def test_scd2_stream_matches_batch_history(spark, sf_dir, tmp_path):
 
     scd2_merge(t, spark, upd)
     assert ms(t.read(spark)) == want
+
+
+def test_cdf_minmax_state_affected_group_recompute(
+    spark, sf_dir, tmp_path
+):
+    """MIN/MAX IVM: inserts maintain bounds with zero re-reads;
+    deletes re-read ONLY groups whose boundary was tied; parity with
+    the full GROUP BY holds after every advance through the whole
+    lifecycle (append, interior DV delete, boundary COW delete,
+    upsert)."""
+    from big_data_computing__spark.streaming.table_stream import (
+        CdfMinMaxState,
+    )
+
+    pts = customer_points(spark, sf_dir)
+    # key = y-decile bucket, value = x
+    base = pts.select(
+        "x", "y",
+        (F.floor(F.col("y") / 1000.0)).cast("long").alias("bucket"),
+    )
+    t = L.ZTable.create(
+        base, str(tmp_path / "zt_mm"), n_files=8, cell=200.0,
+        stats_cols=["bucket"],
+    )
+    st = CdfMinMaxState(t, "bucket", "x")
+    st.advance(spark)
+    assert st.snapshot_equals_recompute(spark)
+    assert st.rescans == 0  # bootstrap is inserts only
+
+    # pure append: bounds fold incrementally, still no rescan
+    t.append(
+        base.limit(200).withColumn("x", F.col("x") + 1.0), n_files=2
+    )
+    st.advance(spark)
+    assert st.snapshot_equals_recompute(spark)
+    assert st.rescans == 0
+
+    # interior delete: a y-box strictly inside one bucket whose x
+    # range avoids that bucket's min/max — pick it from the state
+    bkt, (_, mn, mx) = sorted(st.state.items())[3]
+    inner = t.read(spark).where(
+        (F.col("bucket") == bkt) & (F.col("x") > mn) & (F.col("x") < mx)
+    )
+    lo = inner.agg(F.min("y"), F.max("y")).collect()[0]
+    # DV-delete a thin y-band inside the bucket, x-range interior
+    t.delete_where_dv(
+        spark, (float(mn) + 0.001, float(mx) - 0.001),
+        (float(lo[0]), float(lo[0]) + 50.0),
+    )
+    before = st.rescans
+    st.advance(spark)
+    assert st.snapshot_equals_recompute(spark)
+    assert st.rescans == before  # interior values never tie a bound
+
+    # boundary delete: remove the exact row holding one bucket's max
+    row = (
+        t.read(spark).where(F.col("bucket") == bkt)
+        .orderBy(F.desc("x")).limit(1).collect()[0]
+    )
+    t.delete_where(
+        spark, (row["x"], row["x"]), (row["y"], row["y"])
+    )
+    st.advance(spark)
+    assert st.snapshot_equals_recompute(spark)
+    assert st.rescans > before  # the tie forced a re-read
+
+    # upsert over tombstoned ground keeps parity
+    t.upsert(spark, base.limit(30).withColumn("x", F.col("x") - 2.5))
+    st.advance(spark)
+    assert st.snapshot_equals_recompute(spark)
+    # replay safety
+    v = st.version
+    assert st.advance(spark) == 0 and st.version == v
