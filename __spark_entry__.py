@@ -2284,6 +2284,50 @@ GROUP BY GROUPING SETS (
         return _rt.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY)
 
 
+    def x_dq_report(spark, sf_dir):
+        # deequ-style acceptance scan: six table-level checks — row
+        # count, completeness / uniqueness / domain membership as
+        # exact milli fractions, a cents bound, and referential
+        # integrity (lineitem -> orders orphans) — ALL single-table
+        # metrics from ONE aggregation pass, the anti-join orphan
+        # count unioned in
+        od = _rd.read_table(spark, sf_dir, "orders")
+        li = _rd.read_table(spark, sf_dir, "lineitem")
+        n = F.count("*")
+        checks = [
+            ("orders_rowcount", n, lambda m: m > 0),
+            (
+                "custkey_complete_milli",
+                F.expr("1000 * count(o_custkey) DIV count(*)"),
+                lambda m: m == 1000,
+            ),
+            (
+                "orderkey_unique_milli",
+                F.expr(
+                    "1000 * count(DISTINCT o_orderkey) DIV count(*)"
+                ),
+                lambda m: m == 1000,
+            ),
+            (
+                "status_domain_milli",
+                F.expr(
+                    "1000 * count_if(o_orderstatus IN ('O','F','P'))"
+                    " DIV count(*)"
+                ),
+                lambda m: m == 1000,
+            ),
+            (
+                "totalprice_min_cents",
+                F.round(F.min("o_totalprice") * 100),
+                lambda m: m > 0,
+            ),
+        ]
+        rep = _cu.dq_report(od, checks)
+        orphans = _cu.referential_check(
+            li, od, "l_orderkey", "o_orderkey", name="lineitem_orphans"
+        )
+        return rep.unionByName(orphans).orderBy("check")
+
     def x_corpus_drift(spark, sf_dir):
         # distribution-drift monitor: quality deciles + token buckets,
         # English vs the rest, total-variation distance per mille in
@@ -2765,6 +2809,7 @@ GROUP BY GROUPING SETS (
         a18_grouping_sets,
         x_dedup_survivors_quality,
         x_keyword_tags,
+        x_dq_report,
         x_corpus_drift,
         w16_ab_funnel,
         w17_scd2_history,
@@ -3885,6 +3930,36 @@ WHERE vec_id NOT IN (
         "x_search_conjunctive": _rt.conjunctive_search_sql(BM25_QUERY),
         "x_search_phrase": _rt.phrase_search_sql(PHRASE_QUERY),
         "x_keyword_tags": _rt.keyword_tags_sql(KEYWORD_DICT),
+        "x_dq_report": """
+SELECT * FROM (
+  SELECT 'orders_rowcount' AS "check", CAST(COUNT(*) AS BIGINT) AS metric,
+         COUNT(*) > 0 AS passed FROM orders
+  UNION ALL
+  SELECT 'custkey_complete_milli',
+         CAST(1000 * COUNT(o_custkey) // COUNT(*) AS BIGINT),
+         1000 * COUNT(o_custkey) // COUNT(*) = 1000 FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique_milli',
+         CAST(1000 * COUNT(DISTINCT o_orderkey) // COUNT(*) AS BIGINT),
+         1000 * COUNT(DISTINCT o_orderkey) // COUNT(*) = 1000 FROM orders
+  UNION ALL
+  SELECT 'status_domain_milli',
+         CAST(1000 * COUNT(*) FILTER (WHERE o_orderstatus IN ('O','F','P'))
+              // COUNT(*) AS BIGINT),
+         1000 * COUNT(*) FILTER (WHERE o_orderstatus IN ('O','F','P'))
+              // COUNT(*) = 1000 FROM orders
+  UNION ALL
+  SELECT 'totalprice_min_cents',
+         CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT),
+         ROUND(MIN(o_totalprice) * 100) > 0 FROM orders
+  UNION ALL
+  SELECT 'lineitem_orphans', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+)
+ORDER BY "check"
+""",
         "x_corpus_drift": _cu.corpus_drift_report_sql(),
         "w16_ab_funnel": _wd.ab_funnel_report_sql(),
         "w17_scd2_history": _wd.scd2_history_sql(),

@@ -1659,3 +1659,62 @@ SELECT metric, bin, base_n, comp_n,
             // (2 * b_tot * c_tot) AS BIGINT) AS tvd_milli
 FROM tot
 """
+
+
+def dq_report(
+    df: DataFrame,
+    checks: list[tuple],
+) -> DataFrame:
+    """Deequ-style data-quality report over one table:
+    DataFrame[check, metric, passed] — each check is
+    (name, metric aggregate Column (BIGINT), pass predicate over the
+    metric). ALL metrics evaluate in ONE aggregation pass (a single
+    1-row job whatever the rule count — the Verification-Suite shape),
+    then unpivot row-locally; fractions use the engine's exact milli
+    convention (1000·x // y), never floats.
+
+    Table-level validation next to the doc-level Gopher gate and the
+    ZTable CHECK constraints: constraints stop bad writes, this
+    PROFILES a table you didn't write — the acceptance scan before a
+    corpus joins the training mix."""
+    agg_row = df.agg(
+        *[m.cast("long").alias(f"_m{i}") for i, (_, m, _) in enumerate(checks)]
+    )
+    structs = [
+        F.struct(
+            F.lit(name).alias("check"),
+            F.col(f"_m{i}").alias("metric"),
+            passed(F.col(f"_m{i}")).alias("passed"),
+        )
+        for i, (name, _, passed) in enumerate(checks)
+    ]
+    return agg_row.select(
+        F.explode(F.array(*structs)).alias("r")
+    ).select("r.check", "r.metric", "r.passed")
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str = "orphans",
+) -> DataFrame:
+    """Referential-integrity row for :func:`dq_report`'s report:
+    DataFrame[check, metric, passed] with metric = the number of
+    child rows whose key has no parent (left anti join — the build
+    side broadcasts when small, and the count never materializes the
+    orphan rows), passed iff zero."""
+    n = (
+        child.join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    return n.select(
+        F.lit(name).alias("check"),
+        F.col("m").alias("metric"),
+        (F.col("m") == 0).alias("passed"),
+    )
