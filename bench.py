@@ -193,6 +193,11 @@ BENCH_QUERIES = [
     "q9_product_type_profit",
     "q13_customer_distribution",
     "q16_part_supplier_counts",
+    # sixth-session wave: SCD2 change-point history and the one-pass
+    # data-quality acceptance scan (o5/j9/x_media_ahash are slotted by
+    # their families above)
+    "w17_scd2_history",
+    "x_dq_report",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a
