@@ -583,35 +583,46 @@ def bloom_member_pred(
     bits: int = 1 << 17,
     probes: int = 3,
 ) -> Column:
-    """Codegen membership predicate over a Bloom filter of ``dim``'s
-    distinct ``key`` values — the build half of
+    """Codegen membership predicate over a split-block Bloom filter
+    of ``dim``'s distinct ``key`` values — the build half of
     :func:`bloom_semi_join`, exposed so callers (and tests) can apply
-    or measure the pre-filter alone. One-sided: never false on a true
-    member; false positives at the classic (1 - e^{-kn/m})^k rate for
-    the chosen sizing."""
+    or measure the pre-filter alone.
+
+    Split-block design (the parquet bloom layout): ONE xxhash64 picks
+    the 60-bit word, a SECOND supplies all ``probes`` bit positions
+    inside it — so the probe costs two hashes, one literal-array
+    index and one mask compare per row, whatever ``probes`` is. (A
+    first version probed 3 independent word positions: 3 hash+index
+    chains per row measured SLOWER than the shuffle it saved —
+    STRESS.md; blocking trades a slightly lumpier fp rate for a probe
+    cheap enough to win.) One-sided: never false on a true member;
+    false positives only cost final-join work.
+    """
+    if probes < 1 or 60 ** probes > (1 << 62):
+        raise ValueError("bloom_member_pred: 1 <= probes <= 10")
     if bits % 60 != 0:
         bits = ((bits // 60) + 1) * 60
     n_words = bits // 60
+
+    def mask_expr(col: str) -> Column:
+        # all probe bits from ONE hash: r = h % 60^probes read as
+        # base-60 digits (codegen CSE shares the repeated subtree)
+        m = None
+        for i in range(probes):
+            part = F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(pmod(xxhash64({col}, 1), {60 ** probes})"
+                f" DIV {60 ** i}, 60) AS INT))"
+            )
+            m = part if m is None else m.bitwiseOR(part)
+        return m
+
     keys = dim.select(F.col(key).alias("_bk")).distinct()
     rows = (
         keys.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.xxhash64(F.col("_bk"), F.lit(i)),
-                            F.lit(bits),
-                        ).alias(f"p{i}")
-                        for i in range(probes)
-                    ]
-                )
-            ).alias("pos")
-        )
-        .select(
-            F.expr("pos DIV 60").alias("w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 60 AS INT))"
-            ).alias("b"),
+            F.pmod(F.xxhash64(F.col("_bk"), F.lit(0)), F.lit(n_words))
+            .alias("w"),
+            mask_expr("_bk").alias("b"),
         )
         .groupBy("w")
         .agg(F.bit_or("b").alias("wv"))
@@ -620,18 +631,13 @@ def bloom_member_pred(
     words = [0] * n_words
     for r in rows:
         words[int(r["w"])] = r["wv"]
-    arr = F.array(*[F.lit(v).cast("long") for v in words])
-    pred = None
-    for i in range(probes):
-        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(bits))
-        widx = (F.floor(pos / F.lit(60)) + F.lit(1)).cast("int")
-        mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(pmod(xxhash64({key}, {i}), {bits}) % 60 AS INT))"
-        )
-        hit = F.element_at(arr, widx).bitwiseAND(mask) != F.lit(0)
-        pred = hit if pred is None else (pred & hit)
-    return pred
+    arr = F.lit(words)
+    widx = (
+        F.pmod(F.xxhash64(F.col(key), F.lit(0)), F.lit(n_words))
+        + F.lit(1)
+    ).cast("int")
+    mask = mask_expr(key)
+    return F.element_at(arr, widx).bitwiseAND(mask) == mask
 
 
 def bloom_semi_join(
@@ -648,16 +654,16 @@ def bloom_semi_join(
     When the build side is too large to broadcast as a hash relation,
     a shuffled semi join ships EVERY fact row; a Bloom filter of the
     build keys is ``bits/8`` bytes no matter how many rows it
-    summarizes. Build: distinct build keys -> ``probes`` xxhash64
-    positions each -> OR-fold into ceil(bits/60) BIGINT words (one
-    narrow pass with map-side partial aggregation; the driver holds
-    bits/60 words — ~2K at the default — never one row per key). The
-    dense word list becomes an array LITERAL in the probe predicate
-    (:func:`bloom_member_pred`), so the fact side drops non-members
-    in pure whole-stage codegen BEFORE its shuffle. A final exact
-    semi join clears false positives: output row-identity is the
-    plain semi join's (pinned by test); the bloom only shrinks the
-    shuffle (fp-rate measured in the same test).
+    summarizes. Build: distinct build keys -> one word position + one
+    in-word mask (split-block design, :func:`bloom_member_pred`) ->
+    bit_or-fold into ceil(bits/60) BIGINT words (one narrow pass with
+    map-side partial aggregation; the driver holds bits/60 words —
+    ~2K at the default — never one row per key). The dense word list
+    becomes an array LITERAL in the probe predicate, so the fact side
+    drops non-members in pure whole-stage codegen BEFORE its shuffle.
+    A final exact semi join clears false positives: output
+    row-identity is the plain semi join's (pinned by test); the bloom
+    only shrinks the shuffle (fp-rate measured in the same test).
 
     xxhash64 (JVM-native) is deliberately NOT the cross-engine oracle
     hash: the filter never changes the result, so the salted_join
