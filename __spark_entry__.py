@@ -248,6 +248,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _rd.event_stream_table(spark, sf_dir), PHI
         )
 
+    def t16_mg_frequent_exact(spark, sf_dir):
+        # two-pass EXACT heavy hitters: per-partition Misra-Gries
+        # summaries (bounded O(k) executor state, mapInPandas) prune
+        # to a candidate set whose completeness is guaranteed, then a
+        # broadcast-semi-join recount makes the answer exact — the
+        # scale path when the full per-item hash aggregate would blow
+        # the shuffle. Same oracle as t4: the sketch only prunes.
+        return _fr.mg_frequent_exact(
+            _rd.event_stream_table(spark, sf_dir), PHI
+        )
+
     def t10_hll_estimate(spark, sf_dir):
         # deterministic HyperLogLog (integer-ops registers, exact-int
         # harmonic sum) — the oracle-checkable twin of a14's native
@@ -2883,6 +2894,7 @@ GROUP BY GROUPING SETS (
         t13_kmv_distinct,
         t14_kmv_jaccard,
         t15_kmv_source_matrix,
+        t16_mg_frequent_exact,
         s6_sql_interface,
         c5_radius_fixed_centers,
         c9b_outliers_nd_brute,
@@ -3185,6 +3197,9 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "SELECT user_id FROM events",
             "CAST(user_id AS BIGINT)",
             10,
+        ),
+        "t16_mg_frequent_exact": _fr.true_frequent_sql(
+            _rd.EVENT_STREAM_SQL, PHI
         ),
         "t13_kmv_distinct": _fr.kmv_estimate_sql(
             "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"

@@ -1361,3 +1361,99 @@ SELECT label_a, label_b,
 FROM usk WHERE pos <= {k}
 GROUP BY label_a, label_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable summaries + exact two-pass frequent items
+# ---------------------------------------------------------------------------
+
+
+def mg_partition_summaries(
+    stream: DataFrame, k: int, item_col: str = "item"
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of capacity ``k-1``:
+    DataFrame[item, lb] with at most ``k-1`` rows per input partition.
+
+    Each partition is streamed through an Arrow batch iterator holding
+    at most ``k-1`` counters. A batch's exact counts are merged into
+    the counters and, when the table exceeds ``k-1`` entries, the
+    k-th-largest counter value is subtracted from every counter and the
+    non-positive ones dropped — the mergeable-summaries reduction
+    (Agarwal et al., PODS'12). Every reduction step that subtracts
+    ``c`` pays ``>= k*c`` total mass, so the per-item undercount within
+    a partition of n_p rows is at most n_p/k, and ``lb`` is a LOWER
+    bound on the partition-local count.
+
+    Scale shape: one pass over the data, O(k) executor memory per
+    partition, and only n_partitions*(k-1) summary rows ever shuffle —
+    the heavy-hitter candidate generation for streams too large to
+    hash-aggregate exactly in one go.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (capacity k-1 counters)")
+    src = stream.select(F.col(item_col).cast("long").alias("item"))
+
+    def _summarize(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for it, c in pdf["item"].value_counts().items():
+                counters[it] = counters.get(it, 0) + int(c)
+            if len(counters) > k - 1:
+                vals = sorted(counters.values(), reverse=True)
+                cut = vals[k - 1]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "lb": list(counters.values())}
+        )
+
+    return src.mapInPandas(_summarize, schema="item long, lb long")
+
+
+def mg_frequent_exact(
+    stream: DataFrame, phi: float, item_col: str = "item", k: int | None = None
+) -> DataFrame:
+    """EXACT frequent items (count >= phi*n) via the two-pass
+    Misra-Gries idiom: DataFrame[item, cnt] == :func:`true_frequent_items`.
+
+    Pass 1 builds per-partition MG summaries with ``k = ceil(1/phi)+1``
+    counters. Completeness: if an item's global count exceeds n/k then
+    some partition has count_p > n_p/k (averaging), so the item
+    survives that partition's summary with lb > 0; k > 1/phi makes
+    n/k < phi*n, hence every phi-frequent item is a candidate. Pass 2
+    broadcast-semi-joins the candidate set (<= n_partitions*(k-1)
+    items) back onto the stream and recounts exactly, so the output is
+    the exact phi-frequent set — the sketch only prunes, it never
+    decides.
+
+    This is the scale path for exact heavy hitters when the full
+    per-item hash aggregate would blow the shuffle: only candidate
+    items are ever grouped globally.
+    """
+    if k is None:
+        k = math.ceil(1.0 / phi) + 1
+    if k <= 1.0 / phi:
+        raise ValueError("k must exceed 1/phi for candidate completeness")
+    candidates = (
+        mg_partition_summaries(stream, k, item_col)
+        .groupBy("item")
+        .agg(F.sum("lb").alias("lb"))
+        .select("item")
+    )
+    matched = stream.join(
+        F.broadcast(candidates),
+        stream[item_col] == candidates["item"],
+        "left_semi",
+    )
+    counts = matched.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").alias("cnt")
+    )
+    total = stream.agg(F.count("*").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(phi) * F.col("_total"))
+        .select("item", "cnt")
+    )

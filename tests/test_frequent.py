@@ -553,3 +553,75 @@ def test_kmv_pairwise_matches_single_pair_operator(spark):
     # unions fit under k here, so the values are EXACT set algebra
     assert mat[("a", "b")] == (50, 10, 200)
     assert mat[("a", "c")] == (45, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries two-pass exact frequent items
+# ---------------------------------------------------------------------------
+
+
+def test_mg_summary_bounded_per_partition(spark, sf_dir):
+    stream = event_stream_table(spark, sf_dir).repartition(8)
+    k = 16
+    summ = FR.mg_partition_summaries(stream, k)
+    # global bound: at most n_partitions * (k-1) summary rows
+    assert summ.count() <= 8 * (k - 1)
+    # every lb is a valid lower bound on the exact count
+    exact = {r["item"]: r["cnt"] for r in FR.item_counts(stream).collect()}
+    merged = (
+        summ.groupBy("item").agg(F.sum("lb").alias("lb")).collect()
+    )
+    for r in merged:
+        assert 0 < r["lb"] <= exact[r["item"]]
+
+
+def test_mg_candidates_cover_true_frequent(spark, sf_dir):
+    stream = event_stream_table(spark, sf_dir).repartition(8)
+    phi = 0.004
+    k = 251  # ceil(1/phi)+1
+    cands = {
+        r["item"]
+        for r in FR.mg_partition_summaries(stream, k)
+        .select("item")
+        .distinct()
+        .collect()
+    }
+    truth = {r["item"] for r in FR.true_frequent_items(stream, phi).collect()}
+    assert truth <= cands
+
+
+def test_mg_frequent_exact_parity(spark, sf_dir):
+    stream = event_stream_table(spark, sf_dir).repartition(8)
+    for phi in (0.004, 0.008):
+        got = {
+            (r["item"], r["cnt"])
+            for r in FR.mg_frequent_exact(stream, phi).collect()
+        }
+        want = {
+            (r["item"], r["cnt"])
+            for r in FR.true_frequent_items(stream, phi).collect()
+        }
+        assert got == want and got
+
+
+def test_mg_frequent_exact_boundary_item(spark):
+    # item 2 sits EXACTLY at phi*n (5 = 0.25*20): inclusive >= must keep
+    # it, and the MG candidate pass must not have pruned it
+    items = [1] * 10 + [2] * 5 + [3, 4, 5, 6, 7]
+    rows = [(i + 1, item) for i, item in enumerate(items)]
+    st = spark.createDataFrame(rows, "seq long, item long").repartition(4)
+    got = {(r["item"], r["cnt"]) for r in FR.mg_frequent_exact(st, 0.25).collect()}
+    assert got == {(1, 10), (2, 5)}
+
+
+def test_mg_partitioning_invariant(spark, sf_dir):
+    stream = event_stream_table(spark, sf_dir)
+    a = {
+        (r["item"], r["cnt"])
+        for r in FR.mg_frequent_exact(stream.repartition(2), 0.004).collect()
+    }
+    b = {
+        (r["item"], r["cnt"])
+        for r in FR.mg_frequent_exact(stream.repartition(16), 0.004).collect()
+    }
+    assert a == b
