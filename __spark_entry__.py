@@ -30,6 +30,7 @@ from big_data_computing__spark.operators import regression as _rg
 from big_data_computing__spark.operators import relational as _rel
 from big_data_computing__spark.operators import retrieval as _rt
 from big_data_computing__spark.operators import similarity as _sim
+from big_data_computing__spark.operators import skyline as _sk
 from big_data_computing__spark.operators import suffix as _sx
 from big_data_computing__spark.operators import textstats as _ts
 from big_data_computing__spark.operators import windows as _wd
@@ -258,6 +259,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _fr.mg_frequent_exact(
             _rd.event_stream_table(spark, sf_dir), PHI
         )
+
+    def o6_skyline_parts(spark, sf_dir):
+        # 2-D Pareto skyline (cheapest price at every size frontier:
+        # minimize p_retailprice, maximize p_size) — fully declarative
+        # window-min + two-pass exclusive prefix-min plan, no self-join
+        part = _rd.read_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_retailprice",
+            F.col("p_size").cast("long").alias("p_size"),
+            (-F.col("p_size")).cast("long").alias("_neg_size"),
+        )
+        return _sk.skyline_2d(part, "p_retailprice", "_neg_size").drop(
+            "_neg_size"
+        )
+
+    def o7_skyline_lineitem(spark, sf_dir):
+        # 3-D skyline over the bulk-quantity lineitems (minimize
+        # price and tax, maximize discount) via the SFS local-skyline
+        # cascade — the d-dimensional scale path, oracled by the same
+        # NOT-EXISTS dominance contract as o6
+        li = (
+            _rd.read_table(spark, sf_dir, "lineitem")
+            .where(F.col("l_quantity") >= 49)
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                (-F.col("l_discount")).alias("_neg_disc"),
+            )
+        )
+        return _sk.skyline_nd(
+            li, ["l_extendedprice", "_neg_disc", "l_tax"]
+        ).drop("_neg_disc")
 
     def t10_hll_estimate(spark, sf_dir):
         # deterministic HyperLogLog (integer-ops registers, exact-int
@@ -2781,6 +2817,10 @@ GROUP BY GROUPING SETS (
         # completion Q7-Q20, GROUPING SETS, quality-ranked survivors) --
         a14_approx_distinct,
         a15_key_skew,
+        # -- r6g wave: MG exact heavy hitters, skyline family --
+        t16_mg_frequent_exact,
+        o6_skyline_parts,
+        o7_skyline_lineitem,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -2894,7 +2934,6 @@ GROUP BY GROUPING SETS (
         t13_kmv_distinct,
         t14_kmv_jaccard,
         t15_kmv_source_matrix,
-        t16_mg_frequent_exact,
         s6_sql_interface,
         c5_radius_fixed_centers,
         c9b_outliers_nd_brute,
@@ -3200,6 +3239,26 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
         ),
         "t16_mg_frequent_exact": _fr.true_frequent_sql(
             _rd.EVENT_STREAM_SQL, PHI
+        ),
+        "o6_skyline_parts": _sk.skyline_sql(
+            "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, "
+            "p_retailprice, CAST(p_size AS BIGINT) AS p_size FROM part",
+            minimize=["p_retailprice"],
+            maximize=["p_size"],
+            out_cols=["p_partkey", "p_retailprice", "p_size"],
+        ),
+        "o7_skyline_lineitem": _sk.skyline_sql(
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+            "l_discount, l_tax FROM lineitem WHERE l_quantity >= 49",
+            minimize=["l_extendedprice", "l_tax"],
+            maximize=["l_discount"],
+            out_cols=[
+                "l_orderkey",
+                "l_linenumber",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            ],
         ),
         "t13_kmv_distinct": _fr.kmv_estimate_sql(
             "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"

@@ -492,6 +492,62 @@ def global_prefix_sum(
     )
 
 
+def global_prefix_min(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: str,
+    out_col: str = "prefix_min",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """EXCLUSIVE prefix minimum of ``value_col`` under a TOTAL order:
+    each row gets the min over all strictly-preceding rows' values
+    (null for the global first row) — the same two-pass idiom as
+    :func:`global_prefix_sum`, never a single-partition window.
+
+    Pass 1 range-repartitions on the order columns and collects one
+    min per partition (≤ ``n_partitions`` scalars); the driver folds
+    them into per-partition EXCLUSIVE prefix offsets; pass 2 combines
+    the within-partition running min (a parallel per-partition window)
+    with the offset via null-skipping ``least``.
+    """
+    part = df.repartitionByRange(n_partitions, *order_cols)
+    withpid = part.withColumn("_pid", F.spark_partition_id())
+    withpid = withpid.localCheckpoint()  # pin the split both passes see
+    mins = {
+        r["_pid"]: r["m"]
+        for r in withpid.groupBy("_pid")
+        .agg(F.min(value_col).alias("m"))
+        .collect()
+    }
+    offsets: dict[int, float] = {}
+    acc = None
+    for pid in sorted(mins):
+        if acc is not None:
+            offsets[pid] = acc
+        m = mins[pid]
+        if m is not None:
+            acc = m if acc is None else min(acc, m)
+    # missing map key -> null offset (first partition / empty prefix)
+    vtype = df.schema[value_col].dataType
+    offset = (
+        F.create_map(
+            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+        )[F.col("_pid")]
+        if offsets
+        else F.lit(None).cast(vtype)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.min(value_col).over(w)
+    return withpid.select(
+        *df.columns,
+        F.least(running, offset).alias(out_col),
+    )
+
+
 def key_skew_report(
     df: DataFrame, key_col: str, n: int = 10
 ) -> DataFrame:
