@@ -82,6 +82,11 @@ JACCARD_THRESHOLD = 0.2
 # 3 = the pigeonhole-complete threshold for the 4-band blocking (every
 # pair within Hamming 3 is guaranteed to collide on >= 1 band)
 SIMHASH_MAX_HAMMING = 3
+# BFS blast-radius probe: two seed docs (doc 1 sits in the simhash
+# graph at every fixture sf; doc 2 exercises the isolated-seed case
+# when it has no near-dups), truncated at 3 rings
+GRAPH_HOP_SEEDS = (1, 2)
+GRAPH_MAX_HOPS = 3
 # weighted truss over the simhash graph (edge weight 4 - hamming ∈
 # 1..4): 20 demands the triangle-price sum of ~2 strong triangles —
 # 2318 edges survive t=10 but 2227 at t=20 at sf0.01, so the weighted
@@ -2128,6 +2133,17 @@ GROUP BY GROUPING SETS (
             _docs(spark, sf_dir), SIMHASH_MAX_HAMMING
         )
 
+    def x_graph_hops(spark, sf_dir):
+        # multi-source BFS over the SimHash near-dup graph: blast
+        # radius of two seed documents, min-hop per reached node;
+        # frontier-only joins + localCheckpoint rounds, recursive-CTE
+        # oracle (bounded walk + MIN collapse)
+        return _dd.hop_distances(
+            _dd.simhash_near_pairs(_docs(spark, sf_dir), SIMHASH_MAX_HAMMING),
+            seeds=GRAPH_HOP_SEEDS,
+            max_hops=GRAPH_MAX_HOPS,
+        )
+
     def x_dedup_ngram_jaccard(spark, sf_dir):
         return _dd.ngram_jaccard_pairs(
             _docs(spark, sf_dir), JACCARD_THRESHOLD
@@ -2821,6 +2837,7 @@ GROUP BY GROUPING SETS (
         t16_mg_frequent_exact,
         o6_skyline_parts,
         o7_skyline_lineitem,
+        x_graph_hops,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -3932,6 +3949,12 @@ GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_exact": _dd.exact_dedup_groups_sql(),
         "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
         "x_dedup_simhash": _dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING),
+        "x_graph_hops": _dd.hop_distances_sql(
+            "SELECT doc_a, doc_b FROM "
+            f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
+            seeds=GRAPH_HOP_SEEDS,
+            max_hops=GRAPH_MAX_HOPS,
+        ),
         "x_dedup_ngram_jaccard": _dd.ngram_jaccard_pairs_sql(
             JACCARD_THRESHOLD
         ),

@@ -3314,3 +3314,85 @@ FROM {table} t
 JOIN names n ON t.{name_col} = n.name
 LEFT JOIN cc ON n.node_id = cc.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distances
+# ---------------------------------------------------------------------------
+
+
+def hop_distances(
+    pairs: DataFrame,
+    seeds: tuple[int, ...],
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS over the undirected pair graph:
+    DataFrame[doc_id, hop] — the minimum edge count from any seed
+    (seeds themselves at hop 0, isolated seeds included), truncated at
+    ``max_hops``. The graph-exploration primitive next to the closure
+    family (components = "which cluster", hops = "how far"): blast
+    radius of a contaminated document through the near-dup graph,
+    curation-review rings, graph sampling by distance.
+
+    Frontier iteration: each round joins ONLY the newly-reached
+    frontier against the edge list, anti-joins the settled set, and
+    checkpoints — per-round shuffle is O(frontier out-degree), and
+    rounds = min(max_hops, eccentricity of the seed set), each plan a
+    leaf thanks to localCheckpoint (the iterative-DataFrame discipline
+    of :func:`duplicate_components`). BFS settles each node at its
+    first visit, so the min is implicit — no re-relaxation rounds.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(doc_a).alias("s"), F.col(doc_b).alias("t"))
+        .union(pairs.select(F.col(doc_b).alias("s"), F.col(doc_a).alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "doc_id long, hop int"
+    ).localCheckpoint()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["doc_id"] == edges["s"])
+            .select(F.col("t").alias("doc_id"))
+            .distinct()
+            .join(dist.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+def hop_distances_sql(
+    pairs_sql: str, seeds: tuple[int, ...], max_hops: int = 6
+) -> str:
+    """DuckDB twin of :func:`hop_distances`: bounded recursive CTE,
+    min-hop per node (the UNION-distinct recursion enumerates every
+    (node, hop<=max_hops) reachable pair; MIN collapses it to BFS)."""
+    seed_rows = ", ".join(f"({int(s)}, 0)" for s in seeds)
+    return f"""
+WITH RECURSIVE
+p AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+walk(id, hop) AS (
+  SELECT * FROM (VALUES {seed_rows}) v(id, hop)
+  UNION
+  SELECT e.t, w.hop + 1
+  FROM walk w JOIN edges e ON e.s = w.id
+  WHERE w.hop < {max_hops}
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(hop) AS INT) AS hop
+FROM walk GROUP BY id
+"""

@@ -1976,3 +1976,50 @@ def test_dedup_survivors_quality_randomized_vs_union_find(spark):
             for r in dedup_survivors_quality(sdf, pairs).collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distances
+# ---------------------------------------------------------------------------
+
+
+def test_hop_distances_chain_and_truncation(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["hop"])
+        for r in D.hop_distances(pairs, seeds=(1,), max_hops=2).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_hop_distances_min_over_paths_and_isolated_seed(spark):
+    # 1-2-3-4 chain plus shortcut 1-4: node 4 is hop 1, not hop 3;
+    # seed 99 is isolated and still reported at hop 0
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["hop"])
+        for r in D.hop_distances(pairs, seeds=(1, 99), max_hops=5).collect()
+    }
+    assert got == {(1, 0), (99, 0), (2, 1), (4, 1), (3, 2)}
+
+
+def test_hop_distances_cover_seed_component(spark):
+    # with an unbounded hop budget, the reached set equals the seed's
+    # connected component (plus the seed rows themselves)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12)], "doc_a long, doc_b long"
+    )
+    reached = {
+        r["doc_id"]
+        for r in D.hop_distances(pairs, seeds=(10,), max_hops=50).collect()
+    }
+    comp = {
+        r["doc_id"]
+        for r in D.duplicate_components(pairs).collect()
+        if r["component_id"] == 10
+    }
+    assert reached == comp == {10, 11, 12}
