@@ -230,20 +230,30 @@ def test_clean_corpus_composition(spark, sf_dir):
     )
     from big_data_computing__spark.sources.readers import read_table
 
+    # cache MUST be released: the tests share one SparkSession, and a
+    # lingering cached full-column scan of `documents` substitutes into
+    # every later plan over the table, breaking plan-shape assertions
+    # (column pruning) in unrelated tests
     docs = read_table(spark, sf_dir, "documents").cache()
-    out = clean_corpus(docs, min_quality=0.45, lang="en")
-    ids = {r["doc_id"] for r in out.collect()}
-    assert 0 < len(ids) <= docs.count()
-    kept = docs.where(F.col("doc_id").isin(*ids)).cache()
-    # no two survivors share a normalized text
-    texts = [r["text"].lower().strip() for r in kept.collect()]
-    assert len(texts) == len(set(texts))
-    # stage filters hold
-    q = {r["doc_id"]: r["quality_score"]
-         for r in quality_scores(kept).collect()}
-    assert all(v >= 0.45 for v in q.values())
-    langs = {r["pred_lang"] for r in language_id(kept).collect()}
-    assert langs == {"en"}
+    kept = None
+    try:
+        out = clean_corpus(docs, min_quality=0.45, lang="en")
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 0 < len(ids) <= docs.count()
+        kept = docs.where(F.col("doc_id").isin(*ids)).cache()
+        # no two survivors share a normalized text
+        texts = [r["text"].lower().strip() for r in kept.collect()]
+        assert len(texts) == len(set(texts))
+        # stage filters hold
+        q = {r["doc_id"]: r["quality_score"]
+             for r in quality_scores(kept).collect()}
+        assert all(v >= 0.45 for v in q.values())
+        langs = {r["pred_lang"] for r in language_id(kept).collect()}
+        assert langs == {"en"}
+    finally:
+        if kept is not None:
+            kept.unpersist()
+        docs.unpersist()
 
 
 def test_duplicate_components_vs_union_find(spark):

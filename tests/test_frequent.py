@@ -93,6 +93,7 @@ def test_sticky_report_epsilon_guarantee(spark, sf_dir):
     assert truth <= reported
     plus = {r["item"] for r in report if r["flag"] == "+"}
     assert plus == truth & reported
+    stream.unpersist()
 
 
 def test_samplers_partitioning_invariant(spark, sf_dir):

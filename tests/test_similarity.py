@@ -13,7 +13,12 @@ from big_data_computing__spark.sources.readers import read_table
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return read_table(spark, sf_dir, "embeddings").cache()
+    # unpersist at module teardown: a lingering cached full-column scan
+    # substitutes into later plans over the table session-wide and
+    # breaks plan-shape (column-pruning) assertions in other files
+    df = read_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def _brute_truth(emb, k):
