@@ -355,6 +355,164 @@ class CdfJoinAggState:
         return want == self.state
 
 
+class JoinViewTable:
+    """Row-level incrementally-maintained join view: ``V = A JOIN B
+    USING (key)`` materialized as its OWN ZTable, kept current from the
+    two source tables' change feeds — the denormalization half of the
+    IVM story (:class:`CdfJoinAggState` maintains the aggregate of the
+    join; this maintains the joined ROWS, so downstream consumers scan
+    a pre-joined table instead of re-running the join).
+
+    Identity: ``a_id`` / ``b_id`` must be unique row ids of A and B;
+    the view's LAYOUT COLUMNS are (a_id, b_id), so the coordinate-keyed
+    :meth:`ZTable.upsert` is exact row replacement per joined pair and
+    re-applying a delta is a no-op (replay idempotence). Deletes are
+    merge-on-read: a pair leaving the join is upserted with
+    ``_mult = 0`` and :meth:`read_view` filters ``_mult > 0`` — the
+    same tombstone shape as deletion vectors, compactable later.
+
+    Each :meth:`advance` folds the classic two-term bag-algebra rule
+
+        dV = dA >< B_old  +  A_new >< dB
+
+    (A_new already contains dA, so the cross term is covered), with
+    signed rows from ``ZTable.changes`` and the OLD/NEW snapshots from
+    time travel. An update of a source row (delete+insert at one
+    version) nets to a payload replacement at the same coordinate.
+
+    Scale shape: every advance joins change-volume-sized deltas against
+    one snapshot scan per term, and upserts only affected (a_id, b_id)
+    coordinates — the view is never rebuilt. After any prefix of
+    commits the view equals the full join recompute exactly
+    (:meth:`parity`, the tested contract).
+    """
+
+    def __init__(
+        self,
+        table_a: ZTable,
+        table_b: ZTable,
+        key: str,
+        a_id: str,
+        b_id: str,
+        view_path: str,
+    ):
+        self.a = table_a
+        self.b = table_b
+        self.key = key
+        self.a_id = a_id
+        self.b_id = b_id
+        self.view_path = view_path
+        self.view: ZTable | None = None
+        self.va = 0
+        self.vb = 0
+
+    def _joined(self, spark, va: int, vb: int) -> DataFrame:
+        return self.a.read(spark, version=va).join(
+            self.b.read(spark, version=vb), self.key
+        )
+
+    def _bootstrap(self, spark) -> None:
+        from pyspark.sql import functions as F
+
+        base = self._joined(spark, 0, 0).withColumn(
+            "_mult", F.lit(1).cast("int")
+        )
+        self.view = ZTable.create(
+            base, self.view_path, x=self.a_id, y=self.b_id, n_files=4
+        )
+
+    def _signed_delta(self, spark) -> "DataFrame | None":
+        """Union of the two delta-join terms with a sign column, or
+        None when neither source moved."""
+        from pyspark.sql import functions as F
+
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        la, lb = self.a.latest_version(), self.b.latest_version()
+        terms = []
+        if la > self.va:
+            d_a = self.a.changes(spark, self.va, la).withColumn(
+                "_sign", sign
+            )
+            terms.append(
+                d_a.join(self.b.read(spark, version=self.vb), self.key)
+            )
+        if lb > self.vb:
+            d_b = self.b.changes(spark, self.vb, lb).withColumn(
+                "_sign", sign
+            )
+            terms.append(
+                self.a.read(spark, version=la).join(d_b, self.key)
+            )
+        self.va, self.vb = la, lb
+        if not terms:
+            return None
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.unionByName(t)
+        return out
+
+    def advance(self, spark) -> int:
+        """Fold all new commits on either source into the view; returns
+        the number of upserted view rows (tombstones included)."""
+        from pyspark.sql import functions as F
+
+        if self.view is None:
+            self._bootstrap(spark)
+        signed = self._signed_delta(spark)
+        if signed is None:
+            return 0
+        row_cols = [
+            c for c in self.view.read(spark).columns if c != "_mult"
+        ]
+        per_row = (
+            signed.groupBy(*[F.col(c) for c in row_cols])
+            .agg(F.sum("_sign").cast("int").alias("_d"))
+            .where(F.col("_d") != 0)
+            .localCheckpoint()
+        )
+        ups = per_row.where(F.col("_d") > 0).select(
+            *row_cols, F.col("_d").alias("_mult")
+        )
+        net = per_row.groupBy(self.a_id, self.b_id).agg(
+            F.sum("_d").alias("_net")
+        )
+        dels = (
+            per_row.where(F.col("_d") < 0)
+            .join(
+                net.where(F.col("_net") < 0).select(self.a_id, self.b_id),
+                [self.a_id, self.b_id],
+            )
+            .select(*row_cols, F.lit(0).cast("int").alias("_mult"))
+        )
+        batch = ups.unionByName(dels)
+        n = batch.count()
+        if n:
+            self.view.upsert(spark, batch)
+        return n
+
+    def read_view(self, spark) -> DataFrame:
+        """The maintained join view (live rows only)."""
+        return self.view.read(spark).where("_mult > 0").drop("_mult")
+
+    def parity(self, spark) -> bool:
+        """Contract: view == full join recompute at (va, vb)."""
+        want = {
+            tuple(r) for r in self._joined(spark, self.va, self.vb)
+            .select(*sorted(self._joined(spark, self.va, self.vb).columns))
+            .collect()
+        }
+        cols = sorted(
+            c for c in self.view.read(spark).columns if c != "_mult"
+        )
+        got = {
+            tuple(r)
+            for r in self.read_view(spark).select(*cols).collect()
+        }
+        return got == want
+
+
 def scd2_batch(
     table: ZTable,
     batch_df: DataFrame,

@@ -401,3 +401,95 @@ def test_cdf_minmax_state_affected_group_recompute(
     # replay safety
     v = st.version
     assert st.advance(spark) == 0 and st.version == v
+
+
+def test_join_view_table_row_level_ivm(spark, sf_dir, tmp_path):
+    """JoinViewTable maintains the joined ROWS as their own ZTable
+    under commits on either side — append A, DV-delete B, payload
+    update A, id-replacing upsert A, append B — and equals the full
+    join recompute after every advance. Deletes are merge-on-read
+    tombstones (_mult = 0) behind read_view."""
+    from big_data_computing__spark.sources.layout import ZTable
+    from big_data_computing__spark.sources.readers import customer_points
+    from big_data_computing__spark.streaming.table_stream import (
+        JoinViewTable,
+    )
+
+    pts = customer_points(spark, sf_dir)
+    fact = pts.select(
+        "id",
+        "x",
+        "y",
+        F.pmod(F.col("id"), F.lit(37)).alias("k"),
+        (F.col("id") % 1000).alias("val"),
+    )
+    dim = pts.where(F.col("id") < 3700).select(
+        (F.col("id") + 10_000_000).alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.pmod(F.col("id"), F.lit(37)).alias("k"),
+        F.pmod(F.col("id"), F.lit(5)).alias("grp"),
+    )
+    a = ZTable.create(
+        fact.where(F.col("id") % 2 == 0),
+        str(tmp_path / "jv_fact"),
+        n_files=6,
+        cell=200.0,
+    )
+    b = ZTable.create(
+        dim.where(F.col("b_id") % 3 != 0),
+        str(tmp_path / "jv_dim"),
+        x="bx",
+        y="by",
+        n_files=4,
+        cell=200.0,
+    )
+    jv = JoinViewTable(
+        a, b, key="k", a_id="id", b_id="b_id",
+        view_path=str(tmp_path / "jv_view"),
+    )
+    jv.advance(spark)
+    assert jv.read_view(spark).count() > 0
+    assert jv.parity(spark)
+
+    # append on the fact side only
+    a.append(fact.where(F.col("id") % 2 == 1), n_files=4)
+    assert jv.advance(spark) > 0
+    assert jv.parity(spark)
+
+    # merge-on-read delete on the dim side: pairs leave the join as
+    # _mult=0 tombstones, invisible through read_view
+    b.delete_where_dv(spark, (0.0, 5000.0), (0.0, 5000.0))
+    jv.advance(spark)
+    assert jv.parity(spark)
+    assert jv.view.read(spark).where("_mult = 0").count() > 0
+
+    # payload UPDATE: same fact ids, changed val — per-pair net 0,
+    # the coordinate is rewritten in place with the new payload
+    upd = fact.limit(10).withColumn("val", F.col("val") + 5000)
+    a.upsert(spark, upd.localCheckpoint())
+    jv.advance(spark)
+    assert jv.parity(spark)
+
+    # id-REPLACING upsert (same (x,y) coordinate, new id): the view
+    # drops the old id's pairs and gains the new id's, in one advance;
+    # then a dim append lands in the same advance window
+    batch = (
+        fact.limit(25)
+        .select(
+            (F.col("id") + 900_000).alias("id"),
+            "x",
+            "y",
+            F.pmod(F.col("id") + 900_000, F.lit(37)).alias("k"),
+            ((F.col("id") + 900_000) % 1000).alias("val"),
+        )
+        .localCheckpoint()
+    )
+    a.upsert(spark, batch)
+    b.append(dim.where(F.col("b_id") % 3 == 0), n_files=2)
+    jv.advance(spark)
+    assert jv.parity(spark)
+
+    # replay safety: nothing moved, advance is a no-op
+    assert jv.advance(spark) == 0
+    assert jv.parity(spark)
