@@ -2085,6 +2085,30 @@ GROUP BY GROUPING SETS (
             .orderBy("l_returnflag")
         )
 
+    def j10_interval_join(spark, sf_dir):
+        # interval overlap join (range join): purchase sessions ×
+        # error windows, bin-bucketed with the report-once rule (a
+        # pair is emitted only at greatest(starts)'s bin — inside both
+        # intervals, so exactly one bin passes); the oracle is the
+        # UNbinned inequality join, certifying the blocking is exact
+        ev = _rd.read_table(spark, sf_dir, "events")
+        us = _wd.event_time_us(ev)
+        a = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("a_id"),
+            us.alias("s"),
+            (us + ((F.col("event_id") % 1200) + 300) * 1_000_000)
+            .cast("long")
+            .alias("e"),
+        )
+        b = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("b_id"),
+            us.alias("s"),
+            (us + ((F.col("event_id") % 600) + 300) * 1_000_000)
+            .cast("long")
+            .alias("e"),
+        )
+        return _wd.interval_overlap_pairs(a, b, bin_width_seconds=1800)
+
     def j8_band_join(spark, sf_dir):
         # temporal band self-join |ts_a − ts_b| ≤ 60 s via exact 3-bucket
         # blocking (1-D analog of the outlier grid join); oracle runs the
@@ -2838,6 +2862,7 @@ GROUP BY GROUPING SETS (
         o6_skyline_parts,
         o7_skyline_lineitem,
         x_graph_hops,
+        j10_interval_join,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -3924,6 +3949,14 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
             k=2,
         ),
         "j8_band_join": _wd.band_join_report_sql(delta_seconds=60),
+        "j10_interval_join": _wd.interval_overlap_sql(
+            "SELECT event_id AS a_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + ((event_id % 1200) + 300) * 1000000 AS e "
+            "FROM events WHERE event_type = 'purchase'",
+            "SELECT event_id AS b_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + ((event_id % 600) + 300) * 1000000 AS e "
+            "FROM events WHERE event_type = 'error'",
+        ),
         "j9_bloom_semi_join": """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_items,

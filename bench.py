@@ -198,6 +198,13 @@ BENCH_QUERIES = [
     # their families above)
     "w17_scd2_history",
     "x_dq_report",
+    # seventh-session wave: MG exact heavy hitters, the skyline
+    # family (declarative 2-D + SFS cascade), BFS blast radius
+    "t16_mg_frequent_exact",
+    "o6_skyline_parts",
+    "o7_skyline_lineitem",
+    "x_graph_hops",
+    "j10_interval_join",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -659,3 +659,74 @@ def test_streaming_left_outer_band_join_null_emission(spark, tmp_path):
     # -> withheld at stream end (NOT emitted as null) — the honest
     # availableNow caveat: the stream paused, it didn't end
     assert 4 not in by_a
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_hand_cases(spark):
+    # nested, partial, touching (overlap 0), and disjoint pairs
+    a = spark.createDataFrame(
+        [(1, 100, 200), (2, 500, 600)], "a_id long, s long, e long"
+    )
+    b = spark.createDataFrame(
+        [
+            (10, 120, 180),  # nested in a1
+            (11, 150, 250),  # partial overlap with a1
+            (12, 200, 300),  # touches a1's end exactly
+            (13, 310, 400),  # disjoint
+            (14, 0, 1000),   # covers everything
+        ],
+        "b_id long, s long, e long",
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["overlap_us"])
+        for r in W.interval_overlap_pairs(
+            a, b, bin_width_seconds=1
+        ).collect()
+    }
+    assert got == {
+        (1, 10, 60),
+        (1, 11, 50),
+        (1, 12, 0),
+        (1, 14, 100),
+        (2, 14, 100),
+    }
+
+
+def test_interval_overlap_brute_parity_and_bin_invariance(spark):
+    import random
+
+    rng = random.Random(13)
+    rows_a = [
+        (i, rng.randint(0, 10_000_000), rng.randint(1, 3_000_000))
+        for i in range(150)
+    ]
+    rows_b = [
+        (i, rng.randint(0, 10_000_000), rng.randint(1, 3_000_000))
+        for i in range(170)
+    ]
+    a = spark.createDataFrame(
+        [(i, s, s + d) for i, s, d in rows_a], "a_id long, s long, e long"
+    )
+    b = spark.createDataFrame(
+        [(i, s, s + d) for i, s, d in rows_b], "b_id long, s long, e long"
+    )
+    want = {
+        (i, j, min(ea, eb) - max(sa, sb))
+        for i, sa, da in rows_a
+        for j, sb, db in rows_b
+        for ea, eb in [(sa + da, sb + db)]
+        if sa <= eb and sb <= ea
+    }
+    assert want, "fixture must produce overlaps"
+    for w in (1, 7):  # bins much smaller / comparable to durations
+        got = {
+            (r["a_id"], r["b_id"], r["overlap_us"])
+            for r in W.interval_overlap_pairs(
+                a, b, bin_width_seconds=w
+            ).collect()
+        }
+        assert got == want, f"bin_width_seconds={w}"
