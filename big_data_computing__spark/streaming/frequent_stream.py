@@ -278,3 +278,83 @@ class KmvState:
             est = n if n < self.k else (self.k - 1) * KMV_M // kth
             out[key] = (n, kth, est)
         return out
+
+
+class MgSummaryState:
+    """Mergeable Misra-Gries summary maintained across micro-batches:
+    at most ``k - 1`` counters in the driver, each batch folded by
+    counter addition followed by the Agarwal et al. reduction
+    (subtract the k-th largest, drop non-positive) — the same merge
+    the batch operator uses per partition
+    (operators/frequent.mg_partition_summaries), so after ANY prefix
+    of batches the guarantees hold stream-wide:
+
+        count(x) − n/k  <=  lb(x)  <=  count(x)
+
+    and every item with count(x) > n/k is present. Feed ``fold`` the
+    cluster-reduced per-partition summaries of a batch (never raw
+    rows): driver work and state are O(k) regardless of batch size.
+    Batch ids make replays no-ops (the foreachBatch at-least-once
+    contract)."""
+
+    def __init__(self, k: int):
+        if k < 2:
+            raise ValueError("k must be >= 2 (capacity k-1 counters)")
+        self.k = k
+        self.counters: dict[int, int] = {}
+        self.n = 0
+        self._batches: set[int] = set()
+
+    def fold(
+        self,
+        summary_rows,
+        n_rows: int,
+        batch_id: int | None = None,
+    ) -> None:
+        """Merge one batch's (item, lb) summary rows; ``n_rows`` is the
+        batch's raw row count (tracked for the n/k guarantee)."""
+        if batch_id is not None:
+            if batch_id in self._batches:
+                return
+            self._batches.add(batch_id)
+        for r in summary_rows:
+            it, lb = r["item"], r["lb"]
+            self.counters[it] = self.counters.get(it, 0) + int(lb)
+        self.n += int(n_rows)
+        if len(self.counters) > self.k - 1:
+            vals = sorted(self.counters.values(), reverse=True)
+            cut = vals[self.k - 1]
+            self.counters = {
+                i: c - cut for i, c in self.counters.items() if c > cut
+            }
+
+    def candidates(self) -> set[int]:
+        """Superset of every item with count > n/k over the arrived
+        prefix — the first pass of the exact two-pass heavy hitters."""
+        return set(self.counters)
+
+
+def mg_stream_query(
+    stream: DataFrame,
+    state: MgSummaryState,
+    checkpoint_dir: str,
+    item_col: str = "item",
+) -> StreamingQuery:
+    """foreachBatch driver: per-partition MG summaries on the cluster,
+    O(k · n_partitions) rows to the driver, one state merge."""
+    from ..operators.frequent import mg_partition_summaries
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        summ = mg_partition_summaries(
+            batch_df, state.k, item_col
+        ).collect()
+        state.fold(
+            summ, n_rows=batch_df.count(), batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

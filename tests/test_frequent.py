@@ -626,3 +626,47 @@ def test_mg_partitioning_invariant(spark, sf_dir):
         for r in FR.mg_frequent_exact(stream.repartition(16), 0.004).collect()
     }
     assert a == b
+
+
+def test_mg_summary_state_prefix_guarantees_and_replay(spark, sf_dir):
+    """Direct-update run of the streaming MG state: after every batch
+    prefix the state is bounded at k-1 counters, every lb is a valid
+    lower bound with undercount <= n/k, every item with count > n/k is
+    a candidate, and a replayed batch id is a strict no-op."""
+    from big_data_computing__spark.streaming.frequent_stream import (
+        MgSummaryState,
+    )
+
+    stream = event_stream_table(spark, sf_dir)
+    n_total = stream.count()
+    k = 64
+    state = MgSummaryState(k)
+    cut1, cut2 = n_total // 3, 2 * n_total // 3
+    slices = [
+        stream.where(F.col("seq") <= cut1),
+        stream.where((F.col("seq") > cut1) & (F.col("seq") <= cut2)),
+        stream.where(F.col("seq") > cut2),
+    ]
+    arrived = None
+    for bid, sl in enumerate(slices):
+        summ = FR.mg_partition_summaries(sl.repartition(4), k).collect()
+        state.fold(summ, n_rows=sl.count(), batch_id=bid)
+        arrived = sl if arrived is None else arrived.union(sl)
+
+        assert len(state.counters) <= k - 1
+        exact = {
+            r["item"]: r["cnt"]
+            for r in FR.item_counts(arrived).collect()
+        }
+        n = state.n
+        assert n == arrived.count()
+        for item, lb in state.counters.items():
+            assert 0 < lb <= exact[item]
+            assert exact[item] - lb <= n // k + 1
+        heavy = {i for i, c in exact.items() if c > n / k}
+        assert heavy <= state.candidates()
+
+    # replay: same batch id, arbitrary rows -> strict no-op
+    before = (dict(state.counters), state.n)
+    state.fold([{"item": 999999, "lb": 10**9}], n_rows=10**9, batch_id=0)
+    assert (dict(state.counters), state.n) == before
