@@ -2543,6 +2543,15 @@ GROUP BY GROUPING SETS (
         # merge; rare-symbol pairs outrank raw-frequency winners
         return _ts.wordpiece_top_pairs(_docs(spark, sf_dir), k=30)
 
+    def x_frequent_pairs(spark, sf_dir):
+        # market-basket frequent token pairs (apriori level-2):
+        # per-document presence, exact-integer 50% support line,
+        # broadcast prefix filter before the per-doc self-join; the
+        # oracle joins UNpruned, certifying apriori loses nothing
+        return _ts.frequent_token_pairs(
+            _docs(spark, sf_dir), support_milli=500
+        )
+
     def x_bigram_rarity(spark, sf_dir):
         # CCNet/KenLM perplexity-filter stand-in at bigram order:
         # improbable token TRANSITIONS (shuffled text, template
@@ -2863,6 +2872,7 @@ GROUP BY GROUPING SETS (
         o7_skyline_lineitem,
         x_graph_hops,
         j10_interval_join,
+        x_frequent_pairs,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4120,6 +4130,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
         "x_dsir_importance": _cu.dsir_importance_sql(),
         "x_dsir_topk": _cu.dsir_select_topk_sql(100),
         "x_bigram_rarity": _ts.bigram_lm_rarity_sql(),
+        "x_frequent_pairs": _ts.frequent_token_pairs_sql(
+            support_milli=500
+        ),
         "x_kneser_ney_score": _ts.kneser_ney_score_sql(),
         "x_bpe_byte_pairs": _ts.bpe_top_pairs_bytes_sql(k=30),
         "x_wordpiece_pairs": _ts.wordpiece_top_pairs_sql(k=30),

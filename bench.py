@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "o7_skyline_lineitem",
     "x_graph_hops",
     "j10_interval_join",
+    "x_frequent_pairs",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

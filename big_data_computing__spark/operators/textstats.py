@@ -1805,3 +1805,73 @@ JOIN syms sb ON sb.sym = substr(pair, 2, 1)
 ORDER BY score DESC, pair
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket frequent token pairs (apriori prefix filter)
+# ---------------------------------------------------------------------------
+
+
+def frequent_token_pairs(
+    docs: DataFrame, support_milli: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """Frequent co-occurring token pairs across documents (the
+    market-basket / frequent-itemset level-2 pass, apriori-pruned):
+    DataFrame[tok_a, tok_b, n_docs] — pairs present together in at
+    least ``support_milli``/1000 of the corpus, tok_a < tok_b.
+
+    The apriori property does the scaling: a pair can only be frequent
+    if BOTH items are, so the per-document self-join runs over the
+    corpus restricted to frequent tokens (a broadcast semi-join) —
+    candidate volume is Σ_d f_d² for f_d frequent tokens in doc d,
+    never vocabulary². Support thresholds compare as exact integers
+    (cnt·1000 >= support_milli·n) so both engines draw the same line.
+    Presence is per-document (array_distinct before the explode):
+    a token repeated inside one document counts once, the standard
+    basket semantics.
+    """
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    )
+    total = docs.agg(F.count("*").cast("long").alias("_n"))
+    sup = (
+        base.groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("c") * 1000 >= F.lit(support_milli) * F.col("_n"))
+        .select("term")
+    )
+    ft = base.join(F.broadcast(sup), "term", "left_semi")
+    a = ft.select(F.col("doc_id"), F.col("term").alias("tok_a"))
+    b = ft.select(F.col("doc_id"), F.col("term").alias("tok_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.col("n_docs") * 1000 >= F.lit(support_milli) * F.col("_n")
+        )
+        .select("tok_a", "tok_b", "n_docs")
+    )
+
+
+def frequent_token_pairs_sql(support_milli: int = 500) -> str:
+    """DuckDB twin of :func:`frequent_token_pairs` (same exact-integer
+    support line, unpruned self-join — agreement certifies the apriori
+    pruning loses nothing)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term
+  FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT a.term AS tok_a, b.term AS tok_b,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND a.term < b.term, nn
+GROUP BY a.term, b.term, nn.n
+HAVING COUNT(*) * 1000 >= {support_milli} * nn.n
+"""

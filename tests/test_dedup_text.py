@@ -2033,3 +2033,46 @@ def test_hop_distances_cover_seed_component(spark):
         if r["component_id"] == 10
     }
     assert reached == comp == {10, 11, 12}
+
+
+def test_frequent_token_pairs_hand_and_apriori(spark):
+    """Basket semantics: presence per doc (repeats count once), exact
+    support line, and the apriori-pruned plan equals an unpruned
+    brute pair count."""
+    rows = [
+        (1, "a b c a a"),   # repeats of 'a' count once
+        (2, "a b d"),
+        (3, "a b c"),
+        (4, "c d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["tok_a"], r["tok_b"], r["n_docs"])
+        for r in TS.frequent_token_pairs(docs, support_milli=500).collect()
+    }
+    # pairs in >= 2 of 4 docs: (a,b) x3, (a,c) x2, (b,c) x2
+    assert got == {("a", "b", 3), ("a", "c", 2), ("b", "c", 2)}
+
+    # unpruned brute truth on the same fixture at a LOW support where
+    # pruning could plausibly bite
+    import itertools
+    baskets = {i: set(t.split()) for i, t in rows}
+    from collections import Counter
+
+    cnt = Counter()
+    for b in baskets.values():
+        for x, y in itertools.combinations(sorted(b), 2):
+            cnt[(x, y)] += 1
+    thr_milli = 250  # >= 1 of 4 docs
+    want = {
+        (x, y, c)
+        for (x, y), c in cnt.items()
+        if c * 1000 >= thr_milli * len(baskets)
+    }
+    got_low = {
+        (r["tok_a"], r["tok_b"], r["n_docs"])
+        for r in TS.frequent_token_pairs(
+            docs, support_milli=thr_milli
+        ).collect()
+    }
+    assert got_low == want

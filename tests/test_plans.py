@@ -517,3 +517,29 @@ def test_r6g_session_wave_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     # partial aggregation happens before the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_r6g_wave_plan_shapes(spark):
+    """Seventh-session operators: the MG recount joins via broadcast
+    semi (the candidate set is tiny by construction), the 2-D skyline
+    never builds a cartesian or single-partition-window plan, the
+    interval join is an equi-join on bins (no nested-loop range join),
+    and the frequent-pair self-join is apriori-gated by a broadcast
+    semi-join."""
+    qs = entrymod.queries()
+
+    mg = executed_plan(qs["t16_mg_frequent_exact"](spark, SF))
+    assert "BroadcastHashJoin" in mg and "LeftSemi" in mg
+    assert "SortMergeJoin" not in mg
+
+    sky = executed_plan(qs["o6_skyline_parts"](spark, SF))
+    assert "CartesianProduct" not in sky
+    assert "BroadcastNestedLoopJoin" not in sky
+
+    ij = executed_plan(qs["j10_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in ij
+    assert "CartesianProduct" not in ij
+
+    fp = executed_plan(qs["x_frequent_pairs"](spark, SF))
+    assert "BroadcastHashJoin" in fp and "LeftSemi" in fp
+    assert "CartesianProduct" not in fp
