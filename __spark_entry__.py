@@ -31,6 +31,7 @@ from big_data_computing__spark.operators import relational as _rel
 from big_data_computing__spark.operators import retrieval as _rt
 from big_data_computing__spark.operators import similarity as _sim
 from big_data_computing__spark.operators import skyline as _sk
+from big_data_computing__spark.operators import stats as _st
 from big_data_computing__spark.operators import suffix as _sx
 from big_data_computing__spark.operators import textstats as _ts
 from big_data_computing__spark.operators import windows as _wd
@@ -353,6 +354,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.explode(_ts.tokens(F.col("text"))).alias("item"),
         )
         return _fr.kmv_pairwise_jaccard(d, "label")
+
+    def t17_f2_sketch(spark, sf_dir):
+        # AMS second-frequency-moment sketch over the token stream —
+        # the self-join-size / skew-mass estimator (Alon-Matias-Szegedy)
+        # next to the exact Σf², from S mergeable sign-counters; signs
+        # are md5 draws so DuckDB reproduces the estimate bit-for-bit
+        d = _docs(spark, sf_dir).select(
+            F.explode(_ts.tokens(F.col("text"))).alias("item")
+        )
+        return _st.f2_sketch(d, "item")
+
+    def x_bootstrap_ci(spark, sf_dir):
+        # one-pass Poisson bootstrap (Chamandy et al.): 200 replicate
+        # means of doc length from per-(row, replicate) Poisson(1)
+        # weights — pinned integer inverse-CDF thresholds, exact milli
+        # order-statistic CI; the uncertainty report a corpus-metric
+        # dashboard runs WITH the metric, not after it
+        return _st.poisson_bootstrap_ci(
+            _docs(spark, sf_dir), "n_chars", "doc_id", n_replicates=200
+        )
 
     def t11_histogram_quantiles(spark, sf_dir):
         # the MERGEABLE quantile summary (O(bins) integer counters,
@@ -2873,6 +2894,8 @@ GROUP BY GROUPING SETS (
         x_graph_hops,
         j10_interval_join,
         x_frequent_pairs,
+        t17_f2_sketch,
+        x_bootstrap_ci,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -3320,6 +3343,17 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
         "t15_kmv_source_matrix": _fr.kmv_pairwise_jaccard_sql(
             "SELECT source AS label, unnest(" + _ts._TOKS_SQL + ") AS item"
             " FROM documents"
+        ),
+        "t17_f2_sketch": _st.f2_sketch_sql(
+            "SELECT unnest(" + _ts._TOKS_SQL + ") AS item"
+            " FROM documents",
+            "item",
+        ),
+        "x_bootstrap_ci": _st.poisson_bootstrap_ci_sql(
+            "SELECT * FROM documents",
+            "n_chars",
+            "doc_id",
+            n_replicates=200,
         ),
         "t14_kmv_jaccard": _fr.kmv_jaccard_sql(
             "SELECT lang AS label, unnest(" + _ts._TOKS_SQL + ") AS item"

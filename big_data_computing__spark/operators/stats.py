@@ -1,0 +1,395 @@
+"""Resampling and moment estimators: Poisson bootstrap CI + AMS F2.
+
+Two estimator families the reference's surface has no equivalent for,
+both built on the engine's counter-based-PRNG contract
+(functions/hashing.py): every "random" draw is a pure md5 function of
+the row it applies to, so the algorithms are deterministic, order-free,
+embarrassingly parallel, and reproducible verbatim in DuckDB SQL.
+
+**Poisson bootstrap** (Chamandy et al., "Estimating Uncertainty for
+Massive Data Streams", Google 2012): the classical bootstrap resamples
+n rows with replacement R times — impossible in one distributed pass.
+The Poisson bootstrap replaces each replicate's multinomial row counts
+with independent Poisson(1) weights, which need NO coordination: one
+pass computes all R replicate statistics simultaneously. Replicate r's
+weight for a row is the Poisson(1) inverse CDF applied to the 60-bit
+hash of (seed, row id, r) — eight pinned integer thresholds, identical
+in both engines, no floating point anywhere. The confidence interval is
+exact order statistics over the R replicate means.
+
+**AMS F2 sketch** (Alon, Matias, Szegedy, STOC'96): the second
+frequency moment F2 = Σ f_i² (self-join size / skew mass) estimated by
+S sign-counters: counter_s = Σ_i sign_s(i)·f_i with sign_s(i) ∈ {±1}
+from the md5 hash, E[counter²] = F2. Median-of-means over G groups
+gives the usual concentration. Counters are linear in the input, hence
+mergeable across partitions, batches, and streams (the streaming twin
+F2State in streaming/frequent_stream.py folds arrivals one by one into
+the same S integers and stays bit-identical to the batch evaluation).
+
+Scale notes: the bootstrap expands each row by R *before* the partial
+aggregate, so the shuffle carries R rows per task, not R×data; the F2
+batch evaluation applies signs to the per-item exact counts (identical
+by linearity of the counters), so the sign expansion touches only the
+vocabulary. |counter| ≤ n keeps counter² inside BIGINT while
+n ≤ 3·10^9 per sketch scope; shard wider streams by key and merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from ..functions.hashing import hash60, hash60_sql
+
+# Poisson(1) inverse-CDF thresholds scaled to 2^60: weight w(h) for a
+# 60-bit hash h is the number of thresholds <= h (i.e. w >= k+1 iff
+# h >= T[k]), capping at 8 — P(w=8 drawn as cap) < 1.1e-5. Pinned
+# integers so Spark and DuckDB take bit-identical decisions.
+POISSON1_T60 = [
+    424136118829305329,
+    848272237658610659,
+    1060340297073263324,
+    1131029650211480879,
+    1148701988496035267,
+    1152236456152946145,
+    1152825534095764625,
+    1152909688087595836,
+]
+
+
+def _poisson_weight(h: Column) -> Column:
+    """Poisson(1) weight of a 60-bit hash column (0..8, integer)."""
+    w = F.lit(0)
+    for t in POISSON1_T60:
+        w = w + (h >= F.lit(t)).cast("int")
+    return w.cast("long")
+
+
+def _poisson_weight_sql(h_expr: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN ({h_expr}) >= {t} THEN 1 ELSE 0 END"
+        for t in POISSON1_T60
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _ci_ranks(n_replicates: int, alpha_permille: int) -> tuple[int, int]:
+    """Symmetric order-statistic ranks: lo = ⌈R·α/2⌉-th smallest
+    replicate mean (at least 1), hi = the mirrored rank from the top."""
+    lo = max(1, -(-n_replicates * alpha_permille // 2000))
+    return lo, n_replicates + 1 - lo
+
+
+def poisson_bootstrap_ci(
+    rows: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    alpha_permille: int = 50,
+    seed: int = 0,
+) -> DataFrame:
+    """One-pass bootstrap CI for the mean of ``value_col`` (exact milli
+    integers): DataFrame[n_rows, point_milli, lo_milli, hi_milli,
+    n_replicates].
+
+    Plan shape: row → Generate(R replicate indices) → Poisson weight in
+    pure codegen → partial hash aggregate per replicate (map-side
+    combine does the heavy lifting; the exchange carries R rows per
+    task) → R-row replicate table → rank window over exactly R rows
+    (parameter-bounded, never data-bounded) → two single-row lookups
+    cross-joined onto the point estimate. 1000·Σ(w·v) must fit BIGINT:
+    holds while Σv < 9·10^14 per replicate scope.
+    """
+    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    base = rows.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    rep = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("rep"),
+    )
+    h = hash60(
+        F.concat_ws(
+            "-",
+            F.lit("boot"),
+            F.lit(str(seed)),
+            F.col("_id").cast("string"),
+            F.col("rep").cast("string"),
+        )
+    )
+    w = _poisson_weight(h)
+    means = (
+        rep.select("rep", (w * F.col("_v")).alias("wv"), w.alias("w"))
+        .groupBy("rep")
+        .agg(F.sum("wv").alias("s"), F.sum("w").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            "rep",
+            F.expr("CAST(1000 * s AS BIGINT) div n").alias("mean_milli"),
+        )
+    )
+    rk = Window.orderBy("mean_milli", "rep")
+    ranked = means.select(
+        "mean_milli", F.row_number().over(rk).alias("rk")
+    )
+    point = base.agg(
+        F.count("*").alias("n_rows"),
+        F.expr("CAST(1000 * sum(_v) AS BIGINT) div count(*)").alias(
+            "point_milli"
+        ),
+    )
+    lo = ranked.where(F.col("rk") == lo_rk).select(
+        F.col("mean_milli").alias("lo_milli")
+    )
+    hi = ranked.where(F.col("rk") == hi_rk).select(
+        F.col("mean_milli").alias("hi_milli")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            "point_milli",
+            "lo_milli",
+            "hi_milli",
+            F.lit(n_replicates).cast("long").alias("n_replicates"),
+        )
+    )
+
+
+def poisson_bootstrap_ci_sql(
+    rows_sql: str,
+    value_expr: str,
+    id_expr: str,
+    n_replicates: int = 200,
+    alpha_permille: int = 50,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_ci` — identical hashes,
+    thresholds, floor divisions, and order-statistic ranks."""
+    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    h = hash60_sql(
+        f"concat('boot', '-', '{seed}', '-', CAST(_id AS VARCHAR),"
+        f" '-', CAST(rep AS VARCHAR))"
+    )
+    w = _poisson_weight_sql(h)
+    return f"""
+WITH base AS (
+  SELECT CAST({id_expr} AS BIGINT) AS _id,
+         CAST({value_expr} AS BIGINT) AS _v
+  FROM ({rows_sql})
+),
+reps AS (
+  SELECT _id, _v, r.rep
+  FROM base CROSS JOIN (
+    SELECT unnest(range({n_replicates})) AS rep
+  ) r
+),
+weighted AS (
+  SELECT rep, {w} AS w, _v FROM reps
+),
+means AS (
+  SELECT rep,
+         CAST(1000 * SUM(w * _v) AS BIGINT) // SUM(w) AS mean_milli
+  FROM weighted GROUP BY rep HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT mean_milli,
+         ROW_NUMBER() OVER (ORDER BY mean_milli, rep) AS rk
+  FROM means
+),
+point AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(1000 * SUM(_v) AS BIGINT) // COUNT(*) AS point_milli
+  FROM base
+)
+SELECT p.n_rows, p.point_milli, lo.mean_milli AS lo_milli,
+       hi.mean_milli AS hi_milli,
+       CAST({n_replicates} AS BIGINT) AS n_replicates
+FROM point p
+CROSS JOIN (SELECT mean_milli FROM ranked WHERE rk = {lo_rk}) lo
+CROSS JOIN (SELECT mean_milli FROM ranked WHERE rk = {hi_rk}) hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 second-moment sketch
+# ---------------------------------------------------------------------------
+
+
+def f2_counters(
+    items: DataFrame,
+    item_col: str = "item",
+    n_counters: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """The S sign-counters over the input: DataFrame[s, c] (S rows).
+
+    Linear in the input — counters over a union of batches equal the
+    elementwise sum of per-batch counters, which is what makes the
+    sketch mergeable (streaming twin F2State folds exactly these rows).
+    """
+    counts = items.groupBy(
+        F.col(item_col).cast("string").alias("_item")
+    ).agg(F.count("*").alias("f"))
+    return _counters_from_counts(counts, n_counters, seed)
+
+
+def _counters_from_counts(
+    counts: DataFrame, n_counters: int, seed: int
+) -> DataFrame:
+    fanned = counts.select(
+        "_item",
+        "f",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_counters - 1))
+        ).alias("s"),
+    )
+    sign = (
+        F.lit(1)
+        - F.lit(2)
+        * (
+            hash60(
+                F.concat_ws(
+                    "-",
+                    F.lit("f2"),
+                    F.lit(str(seed)),
+                    F.col("s").cast("string"),
+                    F.col("_item"),
+                )
+            )
+            % 2
+        )
+    ).cast("long")
+    signed = fanned.select("s", (sign * F.col("f")).alias("sf"))
+    return signed.groupBy("s").agg(F.sum("sf").alias("c"))
+
+
+def f2_estimate_from_counters(
+    counters: list[tuple[int, int]], n_groups: int = 8
+) -> int:
+    """Driver-side estimate from S (s, c) pairs — the exact integer
+    convention of :func:`f2_sketch` (lower median of G group means of
+    c², floor divisions), shared with the streaming F2State."""
+    if len(counters) % n_groups:
+        raise ValueError("n_counters must be divisible by n_groups")
+    per_group = len(counters) // n_groups
+    gsum: dict[int, int] = {}
+    for s, c in counters:
+        gsum[s % n_groups] = gsum.get(s % n_groups, 0) + c * c
+    gmeans = sorted(
+        (v // per_group, g) for g, v in gsum.items()
+    )
+    return gmeans[(n_groups + 1) // 2 - 1][0]
+
+
+def f2_sketch(
+    items: DataFrame,
+    item_col: str = "item",
+    n_counters: int = 64,
+    n_groups: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """AMS estimate of F2 = Σ f_i² next to the exact value:
+    DataFrame[n_items, n_counters, estimate, exact_f2].
+
+    Batch evaluation: exact per-item counts first (ONE shuffle on the
+    item key — the aggregation any F2 query pays anyway), then each
+    distinct item fans out to the S counters (vocabulary-sized Generate,
+    never data-sized), counters reduce to S rows, squares group into G
+    means, and the estimate is the lower median of the G group means —
+    all BIGINT floor arithmetic. By linearity of the counters this is
+    bit-identical to folding raw arrivals one at a time, which is what
+    the mergeable streaming twin (F2State) does and asserts.
+    """
+    if n_counters % n_groups:
+        raise ValueError("n_counters must be divisible by n_groups")
+    per_group = n_counters // n_groups
+    med_rk = (n_groups + 1) // 2
+    counts = items.groupBy(
+        F.col(item_col).cast("string").alias("_item")
+    ).agg(F.count("*").alias("f"))
+    counters = _counters_from_counts(counts, n_counters, seed)
+    groups = (
+        counters.select(
+            (F.col("s") % n_groups).alias("g"),
+            (F.col("c") * F.col("c")).alias("c2"),
+        )
+        .groupBy("g")
+        .agg(
+            F.expr(f"CAST(sum(c2) AS BIGINT) div {per_group}").alias(
+                "gmean"
+            )
+        )
+    )
+    rk = Window.orderBy("gmean", "g")
+    med = (
+        groups.select("gmean", F.row_number().over(rk).alias("rk"))
+        .where(F.col("rk") == med_rk)
+        .select(F.col("gmean").alias("estimate"))
+    )
+    exact = counts.agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("f") * F.col("f")).alias("exact_f2"),
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "n_items",
+        F.lit(n_counters).cast("long").alias("n_counters"),
+        "estimate",
+        "exact_f2",
+    )
+
+
+def f2_sketch_sql(
+    items_sql: str,
+    item_expr: str = "item",
+    n_counters: int = 64,
+    n_groups: int = 8,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`f2_sketch` — identical signs and ranks."""
+    if n_counters % n_groups:
+        raise ValueError("n_counters must be divisible by n_groups")
+    per_group = n_counters // n_groups
+    med_rk = (n_groups + 1) // 2
+    h = hash60_sql(
+        f"concat('f2', '-', '{seed}', '-', CAST(s AS VARCHAR), '-', _item)"
+    )
+    sign = f"CAST(1 - 2 * (({h}) % 2) AS BIGINT)"
+    return f"""
+WITH counts AS (
+  SELECT CAST({item_expr} AS VARCHAR) AS _item, COUNT(*) AS f
+  FROM ({items_sql}) GROUP BY 1
+),
+fanned AS (
+  SELECT _item, f, r.s
+  FROM counts CROSS JOIN (
+    SELECT unnest(range({n_counters})) AS s
+  ) r
+),
+counters AS (
+  SELECT s, SUM({sign} * f) AS c FROM fanned GROUP BY s
+),
+groups AS (
+  SELECT s % {n_groups} AS g,
+         CAST(SUM(c * c) AS BIGINT) // {per_group} AS gmean
+  FROM counters GROUP BY 1
+),
+med AS (
+  SELECT gmean AS estimate
+  FROM (
+    SELECT gmean, ROW_NUMBER() OVER (ORDER BY gmean, g) AS rk
+    FROM groups
+  ) WHERE rk = {med_rk}
+)
+SELECT (SELECT COUNT(*) FROM counts) AS n_items,
+       CAST({n_counters} AS BIGINT) AS n_counters,
+       med.estimate,
+       (SELECT SUM(f * f) FROM counts) AS exact_f2
+FROM med
+"""

@@ -358,3 +358,51 @@ def mg_stream_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class F2State:
+    """Mergeable streaming AMS F2 sketch: the S sign-counters of
+    ``operators.stats.f2_sketch`` maintained across micro-batches by
+    elementwise addition — counters are LINEAR in the input, so the
+    folded state equals the batch counters over the union of arrived
+    rows bit-for-bit after any prefix (asserted in tests), and the
+    estimate applies the identical lower-median-of-means integer
+    convention via ``stats.f2_estimate_from_counters``.
+
+    Each batch contributes its own S-row counter delta (the heavy
+    per-item aggregation and sign fan-out stay in the cluster; only
+    S integers reach the driver). Batch ids make replays no-ops."""
+
+    def __init__(
+        self,
+        n_counters: int = 64,
+        n_groups: int = 8,
+        item_col: str = "item",
+        seed: int = 0,
+    ):
+        if n_counters % n_groups:
+            raise ValueError("n_counters must be divisible by n_groups")
+        self.n_counters = n_counters
+        self.n_groups = n_groups
+        self.item_col = item_col
+        self.seed = seed
+        self.counters = [0] * n_counters
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.stats import f2_counters
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        for r in f2_counters(
+            batch_df, self.item_col, self.n_counters, self.seed
+        ).collect():
+            self.counters[r["s"]] += int(r["c"])
+
+    def estimate(self) -> int:
+        from ..operators.stats import f2_estimate_from_counters
+
+        return f2_estimate_from_counters(
+            list(enumerate(self.counters)), self.n_groups
+        )

@@ -1,0 +1,187 @@
+"""Poisson bootstrap CI + AMS F2 sketch (operators/stats.py).
+
+The bootstrap and the sketch are both pure functions of md5 draws, so
+the tests pin them three ways: a pure-python re-derivation on a hand
+fixture (independent of Spark), a DuckDB twin run on the sf0.001
+corpus (the oracle contract), and the streaming fold's bit-parity with
+the batch counters (linearity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.operators.stats import (
+    POISSON1_T60,
+    _ci_ranks,
+    f2_estimate_from_counters,
+    f2_sketch,
+    f2_sketch_sql,
+    poisson_bootstrap_ci,
+    poisson_bootstrap_ci_sql,
+)
+from big_data_computing__spark.sources.readers import read_table
+
+
+def _h60(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def _pweight(key: str) -> int:
+    h = _h60(key)
+    return sum(1 for t in POISSON1_T60 if h >= t)
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    rows = [(i, (i * 37) % 100 + 1) for i in range(12)]
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+def test_bootstrap_matches_pure_python(spark, small):
+    """End-to-end pin: replicate means, order statistics, and the
+    point estimate re-derived with hashlib alone."""
+    R, alpha, seed = 16, 200, 7
+    rows = [(i, (i * 37) % 100 + 1) for i in range(12)]
+    means = []
+    for r in range(R):
+        s = n = 0
+        for i, v in rows:
+            w = _pweight(f"boot-{seed}-{i}-{r}")
+            s += w * v
+            n += w
+        if n > 0:
+            means.append((1000 * s // n, r))
+    means.sort()
+    lo_rk, hi_rk = _ci_ranks(R, alpha)
+    want_lo = means[lo_rk - 1][0]
+    want_hi = means[hi_rk - 1][0]
+    want_point = 1000 * sum(v for _, v in rows) // len(rows)
+
+    got = poisson_bootstrap_ci(
+        small, "v", "id", n_replicates=R, alpha_permille=alpha, seed=seed
+    ).collect()[0]
+    assert got["n_rows"] == 12
+    assert got["point_milli"] == want_point
+    assert got["lo_milli"] == want_lo
+    assert got["hi_milli"] == want_hi
+    assert got["lo_milli"] <= got["hi_milli"]
+
+
+def test_bootstrap_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = poisson_bootstrap_ci(
+        docs, "n_chars", "doc_id", n_replicates=50
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(
+        poisson_bootstrap_ci_sql(
+            "SELECT * FROM documents", "n_chars", "doc_id", n_replicates=50
+        )
+    ).fetchall()[0]
+    assert tuple(got) == want
+
+
+def test_ci_ranks_symmetric_and_clamped():
+    assert _ci_ranks(200, 50) == (5, 196)
+    assert _ci_ranks(100, 50) == (3, 98)
+    # tiny R: lower rank clamps to 1, upper mirrors to R
+    assert _ci_ranks(4, 50) == (1, 4)
+
+
+def test_f2_matches_pure_python(spark):
+    """Counters, group means, and the lower-median estimate re-derived
+    with hashlib on a skewed hand fixture; exact_f2 = Σf² checked."""
+    items = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    df = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    )
+    S, G, seed = 16, 4, 0
+    counts = {x: items.count(x) for x in set(items)}
+    counters = []
+    for s in range(S):
+        c = 0
+        for it, f in counts.items():
+            sign = 1 - 2 * (_h60(f"f2-{seed}-{s}-{it}") % 2)
+            c += sign * f
+        counters.append((s, c))
+    want_est = f2_estimate_from_counters(counters, G)
+    want_exact = sum(f * f for f in counts.values())
+
+    got = f2_sketch(df, "item", n_counters=S, n_groups=G).collect()[0]
+    assert got["n_items"] == 4
+    assert got["exact_f2"] == want_exact
+    assert got["estimate"] == want_est
+
+
+def test_f2_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    )
+    got = f2_sketch(toks, "item").collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(
+        f2_sketch_sql(
+            "SELECT unnest(string_split(text, ' ')) AS item "
+            "FROM documents",
+            "item",
+        )
+    ).fetchall()[0]
+    assert tuple(got) == want
+
+
+def test_f2_rejects_indivisible_groups(spark, small):
+    with pytest.raises(ValueError):
+        f2_sketch(small, "v", n_counters=10, n_groups=4)
+    with pytest.raises(ValueError):
+        f2_sketch_sql("SELECT 1 AS item", n_counters=10, n_groups=4)
+
+
+def test_f2_stream_state_equals_batch(spark):
+    """F2State folded over three batches equals the batch counters
+    bit-for-bit (linearity), the estimate agrees, and a replayed
+    batch id is a strict no-op."""
+    from big_data_computing__spark.operators.stats import f2_counters
+    from big_data_computing__spark.streaming.frequent_stream import (
+        F2State,
+    )
+
+    items = [("tok%d" % (i % 7),) for i in range(40)]
+    full = spark.createDataFrame(items, "item string")
+    batches = [
+        spark.createDataFrame(items[i : i + 14], "item string")
+        for i in range(0, 40, 14)
+    ]
+    st = F2State(n_counters=16, n_groups=4)
+    for bid, b in enumerate(batches):
+        st.update(b, bid)
+
+    want = {
+        r["s"]: r["c"]
+        for r in f2_counters(full, "item", 16).collect()
+    }
+    assert st.counters == [want.get(s, 0) for s in range(16)]
+
+    batch_est = f2_sketch(
+        full, "item", n_counters=16, n_groups=4
+    ).collect()[0]["estimate"]
+    assert st.estimate() == batch_est
+
+    before = list(st.counters)
+    st.update(batches[0], 0)  # replay
+    assert st.counters == before
