@@ -2067,6 +2067,15 @@ GROUP BY GROUPING SETS (
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir)), k=2
         )
 
+    def x_mis_diverse(spark, sf_dir):
+        # deterministic Luby MIS over the near-dup graph: a maximal
+        # set of pairwise-dissimilar docs (graph-exact diverse
+        # representatives — clusters with internal structure keep
+        # several mutually non-adjacent members, not one); md5
+        # priorities make every round SQL-reproducible, O(log n)
+        # rounds, engine raises past the oracle's unrolled bound
+        return _dd.mis_nodes(_dd.minhash_lsh_pairs(_docs(spark, sf_dir)))
+
     def x_dup_cluster_report(spark, sf_dir):
         # the graph family composed: per-cluster size, edge count,
         # triangle count, density — near-clique (collapse it) vs sparse
@@ -2896,6 +2905,7 @@ GROUP BY GROUPING SETS (
         x_frequent_pairs,
         t17_f2_sketch,
         x_bootstrap_ci,
+        x_mis_diverse,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -3988,6 +3998,9 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_train_order": _cu.interleave_order_sql(),
         "x_pack_sequences": _cu.pack_sequences_sql(),
         "x_pack_chunk_stats": _cu.pack_chunk_stats_sql(),
+        "x_mis_diverse": _dd.mis_nodes_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
         "x_kcore_nodes": _dd.kcore_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
             k=2,

@@ -1486,6 +1486,168 @@ SELECT n AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
 """
 
 
+MIS_MAX_ROUNDS = 12
+
+
+def mis_nodes(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    seed: int = 0,
+    max_iterations: int = MIS_MAX_ROUNDS,
+) -> DataFrame:
+    """Deterministic Luby maximal independent set over the duplicate
+    graph: DataFrame[doc_id, round] — no two selected docs are
+    near-dups, and no further doc can be added (every non-member has a
+    selected neighbor). On a near-dup graph the MIS is a *diverse
+    representative* pick: a maximal set of pairwise-dissimilar docs,
+    the graph-exact counterpart of SemDeDup's one-per-cluster rule
+    (clusters with internal structure contribute several mutually
+    non-adjacent representatives, not just one).
+
+    Luby's algorithm (Luby, SICOMP'86) with the engine's counter-based
+    PRNG: node v's priority is the md5 60-bit hash of (seed, v), so
+    every round is a pure function of the graph — deterministic,
+    order-free, and reproducible in SQL (the oracle unrolls the same
+    rounds). Per round, a node joins the MIS iff its priority is
+    STRICTLY below every active neighbor's; winners and their
+    neighbors leave the active set. Isolated active nodes have an
+    empty neighbor min and win immediately. A hash tie between
+    neighbors (an md5 collision) merely defers both nodes — no wrong
+    answer is possible; total deadlock would trip the round bound,
+    which RAISES so the unrolled oracle can never silently diverge.
+    Expected rounds are O(log n); edges carry both endpoint priorities
+    so each round is two aggregations and two semi-join filters, with
+    per-round ``localCheckpoint`` (the CC loop's lineage rule).
+    """
+    pri = lambda c: hash60(  # noqa: E731
+        F.concat_ws("-", F.lit("mis"), F.lit(str(seed)), c.cast("string"))
+    )
+    e0 = _canonical_edges(pairs, doc_a, doc_b)
+    edges = e0.select(
+        "u", "v", pri(F.col("u")).alias("hu"), pri(F.col("v")).alias("hv")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("n"), F.col("hu").alias("h"))
+        .union(edges.select("v", "hv"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = pairs.sparkSession
+    mis = spark.createDataFrame([], "doc_id long, round long")
+    for rnd in range(1, max_iterations + 1):
+        if nodes.isEmpty():
+            return mis
+        nbr_min = (
+            edges.select(F.col("u").alias("n"), F.col("hv").alias("nh"))
+            .union(edges.select("v", "hu"))
+            .groupBy("n")
+            .agg(F.min("nh").alias("min_nh"))
+        )
+        winners = (
+            nodes.join(nbr_min, "n", "left")
+            .where(F.col("min_nh").isNull() | (F.col("h") < F.col("min_nh")))
+            .select("n")
+            .localCheckpoint()
+        )
+        if winners.isEmpty():
+            break  # only reachable under a neighbor hash tie
+        mis = mis.union(
+            winners.select(
+                F.col("n").alias("doc_id"), F.lit(rnd).cast("long")
+            )
+        ).localCheckpoint()
+        covered = (
+            winners.union(
+                edges.join(
+                    winners.withColumnRenamed("n", "u"), "u", "left_semi"
+                ).select(F.col("v").alias("n"))
+            )
+            .union(
+                edges.join(
+                    winners.withColumnRenamed("n", "v"), "v", "left_semi"
+                ).select(F.col("u").alias("n"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        nodes = nodes.join(covered, "n", "left_anti").localCheckpoint()
+        edges = (
+            edges.join(
+                covered.withColumnRenamed("n", "u"), "u", "left_anti"
+            )
+            .join(covered.withColumnRenamed("n", "v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+    if not nodes.isEmpty():
+        raise RuntimeError(
+            f"mis_nodes: active nodes remain after {max_iterations} "
+            "rounds (raise max_iterations; the oracle unrolls the "
+            "same bound)"
+        )
+    return mis
+
+
+def mis_nodes_sql(
+    pairs_sql: str, seed: int = 0, rounds: int = MIS_MAX_ROUNDS
+) -> str:
+    """DuckDB twin of :func:`mis_nodes`: the Luby rounds unrolled into
+    MATERIALIZED CTEs with identical md5 priorities. Safe because the
+    engine raises past the bound and converged (empty) states are
+    fixed points — an exhausted active set makes later rounds no-ops."""
+    pri = lambda c: hash60_sql(  # noqa: E731
+        f"concat('mis', '-', '{seed}', '-', CAST({c} AS VARCHAR))"
+    )
+    ctes = []
+    prev_nodes, prev_edges = "n0", "g0"
+    sel = []
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+m{i} AS MATERIALIZED (
+  SELECT n FROM {prev_nodes} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (
+      SELECT u AS n, hv AS nh FROM {prev_edges}
+      UNION ALL SELECT v, hu FROM {prev_edges}
+    ) x WHERE x.n = a.n AND x.nh <= a.h
+  )
+),
+c{i} AS MATERIALIZED (
+  SELECT n FROM m{i}
+  UNION SELECT v FROM {prev_edges} WHERE u IN (SELECT n FROM m{i})
+  UNION SELECT u FROM {prev_edges} WHERE v IN (SELECT n FROM m{i})
+),
+n{i} AS MATERIALIZED (
+  SELECT * FROM {prev_nodes} WHERE n NOT IN (SELECT n FROM c{i})
+),
+g{i} AS MATERIALIZED (
+  SELECT * FROM {prev_edges}
+  WHERE u NOT IN (SELECT n FROM c{i})
+    AND v NOT IN (SELECT n FROM c{i})
+)""")
+        sel.append(
+            f"SELECT n AS doc_id, CAST({i} AS BIGINT) AS round FROM m{i}"
+        )
+        prev_nodes, prev_edges = f"n{i}", f"g{i}"
+    return f"""
+WITH p AS MATERIALIZED ({pairs_sql}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM p WHERE doc_a <> doc_b
+),
+g0 AS MATERIALIZED (
+  SELECT u, v, {pri('u')} AS hu, {pri('v')} AS hv FROM e0
+),
+n0 AS MATERIALIZED (
+  SELECT DISTINCT n, h FROM (
+    SELECT u AS n, hu AS h FROM g0 UNION ALL SELECT v, hv FROM g0
+  )
+),
+{','.join(ctes)}
+{' UNION ALL '.join(sel)}
+"""
+
+
 KTRUSS_MAX_ROUNDS = 10
 
 

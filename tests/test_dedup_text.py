@@ -2076,3 +2076,103 @@ def test_frequent_token_pairs_hand_and_apriori(spark):
         ).collect()
     }
     assert got_low == want
+
+
+def test_mis_hand_graph_matches_sequential_luby(spark):
+    """Deterministic Luby MIS on a hand graph equals a sequential
+    re-derivation of the same rounds from the md5 priorities, and the
+    result is independent and maximal."""
+    import hashlib
+
+    from big_data_computing__spark.operators.dedup import mis_nodes
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5),                   # chain off it
+        (10, 11),                         # isolated edge
+        (20, 21), (21, 22), (22, 23), (23, 20),  # 4-cycle
+    ]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        (r["doc_id"], r["round"]) for r in mis_nodes(pairs).collect()
+    }
+
+    def pri(v: int) -> int:
+        key = f"mis-0-{v}".encode()
+        return int(hashlib.md5(key).hexdigest()[:15], 16)
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(adj)
+    want = set()
+    rnd = 0
+    while active:
+        rnd += 1
+        winners = {
+            v
+            for v in active
+            if all(
+                pri(v) < pri(w) for w in adj[v] if w in active
+            )
+        }
+        assert winners, "hand fixture must make progress each round"
+        want |= {(v, rnd) for v in winners}
+        covered = set(winners)
+        for v in winners:
+            covered |= adj[v] & active
+        active -= covered
+    assert got == want
+
+    sel = {v for v, _ in got}
+    assert all(not (a in sel and b in sel) for a, b in edges)
+    nodes = set(adj)
+    assert all(
+        v in sel or any(w in sel for w in adj[v]) for v in nodes
+    )
+
+
+def test_mis_raises_without_convergence(spark):
+    import pytest
+
+    from big_data_computing__spark.operators.dedup import mis_nodes
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="active nodes remain"):
+        mis_nodes(pairs, max_iterations=0)
+
+
+def test_mis_duckdb_parity(spark, sf_dir):
+    """Spark MIS over the minhash-LSH graph equals the unrolled-round
+    DuckDB twin row-for-row at sf0.001."""
+    import duckdb
+
+    from big_data_computing__spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_sql,
+        mis_nodes,
+        mis_nodes_sql,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r) for r in mis_nodes(minhash_lsh_pairs(docs)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            mis_nodes_sql(
+                f"SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql()})"
+            )
+        ).fetchall()
+    )
+    assert got == want and got
