@@ -641,6 +641,7 @@ def read_pruned(
 
 SNAPSHOT_DIR = "_snapshots"
 REFS_DIR = "_refs"
+BRANCHES_DIR = "_branches"
 
 #: every Nth commit is a full file-list checkpoint; the commits in
 #: between store only their (adds, removes) delta against the previous
@@ -1626,6 +1627,205 @@ class ZTable:
                 f"publish_from lost the commit race for v{version}; "
                 "the adopted dir is orphaned (vacuum-able) — re-issue"
             ) from None
+
+    # -- writable branches (Iceberg refs, git-flow shape) ------------------
+
+    def _branch_path(self, name: str) -> str:
+        self._ref_name_ok(name)
+        return os.path.join(self.path, BRANCHES_DIR, name)
+
+    def create_branch(
+        self, name: str, version: int | str | None = None
+    ) -> "ZTable":
+        """Writable branch forked at ``version`` (number, tag, or
+        latest): a full ZTable living under ``<path>/_branches/<name>``
+        whose version 0 is a shallow clone of the fork snapshot — so a
+        branch write/delete/compact/schema-change is just a ZTable
+        commit, isolated from main by construction (no shared commit
+        counter to race on). The fork point is pinned against main's
+        vacuum by the clone tag; main's vacuum never walks the
+        ``_branches`` subtree, and the branch's own vacuum can only
+        reclaim branch-local files. Dev flow: ``create_branch`` →
+        commits on the handle → audit → :meth:`fast_forward` to adopt,
+        or :meth:`delete_branch` to abandon — the WAP pattern
+        (:meth:`publish_from`) generalized beyond append-only staging."""
+        bpath = self._branch_path(name)
+        if ZTable(bpath).versions():
+            raise FileExistsError(
+                f"branch {name!r} already exists on {self.path}"
+            )
+        return self.shallow_clone(bpath, version)
+
+    def branch(self, name: str) -> "ZTable":
+        """Open an existing branch (layout columns recovered from its
+        own snapshot log)."""
+        bpath = self._branch_path(name)
+        probe = ZTable(bpath)
+        if not probe.versions():
+            raise FileNotFoundError(
+                f"branch {name!r} does not exist on {self.path}"
+            )
+        s = probe.snapshot()
+        return ZTable(bpath, s["x"], s["y"], s.get("zcol"))
+
+    def branches(self) -> dict[str, dict]:
+        """All branches as {name: {fork_version, head}}."""
+        d = os.path.join(self.path, BRANCHES_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, dict] = {}
+        for name in sorted(os.listdir(d)):
+            try:
+                br = self.branch(name)
+            except (FileNotFoundError, ValueError):
+                continue
+            out[name] = {
+                "fork_version": br.snapshot(0).get(
+                    "clone_source_version"
+                ),
+                "head": br.latest_version(),
+            }
+        return out
+
+    def fast_forward(self, name: str) -> int:
+        """Adopt a branch's entire evolution onto main as ONE commit —
+        legal only when main has NOT advanced past the fork point
+        (the git fast-forward rule; otherwise the branch must be
+        re-created from the new latest and re-applied — raises
+        :class:`ConcurrentWriteConflict`, including when a racing
+        commit lands between the check and the publish).
+
+        Unlike :meth:`publish_from` this adopts ARBITRARY branch
+        history — deletes, upserts, compactions, schema evolution —
+        because it installs the branch head's full manifest and
+        non-file metadata rather than diffing appends: inherited
+        main files are referenced verbatim, branch-written files are
+        HARDLINKED into a fresh main data dir (one inode, two names —
+        neither side's vacuum can break the other, and the branch dir
+        can be deleted wholesale afterwards), and branch deletion-
+        vector parquets are adopted the same way.
+
+        One honest refusal: a branch DV that tombstones positions in a
+        BRANCH-written data file indexes that file by its branch path,
+        which adoption renames — position tombstones never survive a
+        path rewrite (the delete_where_dv contract), so this raises
+        with the escape hatch spelled out: ``compact()`` the branch
+        (materializes DVs away) and fast-forward again. DVs over
+        inherited main files adopt cleanly (their paths are unchanged).
+        """
+        br = self.branch(name)
+        bsnap = br.snapshot()
+        fork_v = br.snapshot(0).get("clone_source_version")
+        latest = self.latest_version()
+        if latest != fork_v:
+            raise ConcurrentWriteConflict(
+                f"fast_forward({name!r}): main advanced past the fork "
+                f"(fork v{fork_v}, latest v{latest}) — re-create the "
+                "branch from the new latest and re-apply"
+            )
+        if bsnap["version"] == 0:
+            return latest  # nothing committed on the branch
+        import re as _re
+
+        babs = os.path.abspath(br.path)
+
+        def _local(uri: str) -> str | None:
+            p = _re.sub(r"^file:/+", "/", uri)
+            if os.path.abspath(p).startswith(babs + os.sep):
+                return p
+            return None
+
+        dvs = list(bsnap.get("dvs") or [])
+        if dvs:
+            import pyarrow.parquet as _pq
+
+            branch_file_uris = {
+                e["file"] for e in bsnap["files"]
+                if _local(e["file"]) is not None
+            }
+            for p in dvs:
+                refs = set(
+                    _pq.read_table(p, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                )
+                if refs & branch_file_uris:
+                    raise ValueError(
+                        f"fast_forward({name!r}): a branch deletion "
+                        "vector tombstones a branch-written file — "
+                        "position tombstones cannot survive the "
+                        "adoption rename; compact() the branch first"
+                    )
+        version = latest + 1
+        dest_dir: str | None = None
+
+        def _adopt(path: str) -> str:
+            nonlocal dest_dir
+            if dest_dir is None:
+                dest_dir = self._new_data_dir(version)
+                os.makedirs(dest_dir, exist_ok=True)
+            dst = os.path.join(dest_dir, os.path.basename(path))
+            os.link(path, dst)
+            return dst
+
+        files = []
+        for e in bsnap["files"]:
+            local = _local(e["file"])
+            if local is None:
+                files.append(dict(e))
+            else:
+                e2 = dict(e)
+                e2["file"] = f"file:{_adopt(local)}"
+                files.append(e2)
+        adopted_dvs = []
+        for p in dvs:
+            local = _local(p)
+            adopted_dvs.append(_adopt(local) if local else p)
+        meta = {
+            k: v
+            for k, v in bsnap.items()
+            if k not in ("version", "operation", "x", "y", "files",
+                         "dvs", "cloned_from", "clone_source_version")
+        }
+        if adopted_dvs:
+            meta["dvs"] = adopted_dvs
+        meta["fast_forwarded_from"] = name
+        meta["branch_head"] = bsnap["version"]
+        try:
+            return self._commit(version, "fast_forward", files, meta)
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                f"fast_forward({name!r}) lost the commit race for "
+                f"v{version}; the adopted dir is orphaned "
+                "(vacuum-able) — re-examine and re-issue"
+            ) from None
+
+    def delete_branch(self, name: str, force: bool = False) -> None:
+        """Remove a branch directory and un-pin its fork tag. Refuses
+        when the branch carries commits main never adopted (its head
+        differs from the last ``fast_forward`` of this branch recorded
+        on main) unless ``force=True`` — the git ``-D`` rule."""
+        import shutil
+
+        br = self.branch(name)
+        head = br.latest_version()
+        fork_v = br.snapshot(0).get("clone_source_version")
+        if head > 0 and not force:
+            merged = any(
+                s.get("fast_forwarded_from") == name
+                and s.get("branch_head") == head
+                for s in (self.snapshot(v) for v in self.versions())
+            )
+            if not merged:
+                raise ValueError(
+                    f"branch {name!r} has unmerged commits (head "
+                    f"v{head}) — fast_forward it or pass force=True"
+                )
+        shutil.rmtree(br.path)
+        try:
+            self.delete_tag(f"clone-{name}-v{fork_v}")
+        except FileNotFoundError:
+            pass
 
     def _appends_since(self, parent: dict) -> tuple[list[dict], bool]:
         """Conflict detection for read-modify-write rebases: walk every

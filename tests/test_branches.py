@@ -1,0 +1,179 @@
+"""ZTable writable branches: create/open/fast-forward/delete
+(sources/layout.py). Branches generalize the WAP staging flow to
+arbitrary history — the tests pin isolation, the fast-forward-only
+adoption rule, hardlink lifetime decoupling, the DV-over-renamed-file
+refusal with its compact() escape hatch, and the unmerged-delete
+guard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_computing__spark.sources import layout as L
+from big_data_computing__spark.sources.readers import customer_points
+
+BOX_X = (4000.0, 5000.0)
+BOX_Y = (0.0, 5000.0)
+
+
+def _seed(spark, sf_dir, tmp_path):
+    pts = customer_points(spark, sf_dir)
+    base = pts.where(F.col("y") < 5000.0)
+    extra = pts.where(F.col("y") >= 5000.0)
+    t = L.ZTable.create(
+        base, str(tmp_path / "main"), n_files=4, cell=200.0
+    )
+    return t, base, extra
+
+
+def test_branch_create_open_list_and_isolation(
+    spark, sf_dir, tmp_path
+):
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    br = t.create_branch("dev")
+    assert t.branches() == {"dev": {"fork_version": 0, "head": 0}}
+    # a second create of the same name refuses
+    with pytest.raises(FileExistsError):
+        t.create_branch("dev")
+    # the branch reads the fork snapshot
+    assert br.read(spark).count() == base.count()
+    # branch commits are invisible to main
+    br.append(extra)
+    assert t.branch("dev").read(spark).count() == base.count() + (
+        extra.count()
+    )
+    assert t.read(spark).count() == base.count()
+    assert t.latest_version() == 0
+    assert t.branches()["dev"]["head"] == 1
+    # the fork point is pinned against main's vacuum
+    assert "clone-dev-v0" in t.tags()
+    with pytest.raises(FileNotFoundError):
+        t.branch("nope")
+
+
+def test_fast_forward_append_and_hardlink_decoupling(
+    spark, sf_dir, tmp_path
+):
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    br = t.create_branch("dev")
+    br.append(extra)
+    v = t.fast_forward("dev")
+    assert v == 1
+    snap = t.snapshot()
+    assert snap["operation"] == "fast_forward"
+    assert snap["fast_forwarded_from"] == "dev"
+    assert t.read(spark).count() == base.count() + extra.count()
+    # adopted entries live under MAIN's directory, not the branch's
+    bdir = os.path.abspath(br.path)
+    assert all(
+        not os.path.abspath(
+            e["file"].replace("file:", "")
+        ).startswith(bdir + os.sep)
+        for e in snap["files"]
+    )
+    # merged branch deletes without force; main still reads (hardlinks)
+    t.delete_branch("dev")
+    assert not os.path.exists(bdir)
+    assert "clone-dev-v0" not in t.tags()
+    assert t.read(spark).count() == base.count() + extra.count()
+
+
+def test_fast_forward_refuses_diverged_main(spark, sf_dir, tmp_path):
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    br = t.create_branch("dev")
+    br.append(extra.limit(10))
+    t.append(extra)  # main advances past the fork
+    with pytest.raises(L.ConcurrentWriteConflict, match="advanced"):
+        t.fast_forward("dev")
+
+
+def test_fast_forward_empty_branch_is_noop(spark, sf_dir, tmp_path):
+    t, _, _ = _seed(spark, sf_dir, tmp_path)
+    t.create_branch("dev")
+    assert t.fast_forward("dev") == 0
+    assert t.latest_version() == 0
+
+
+def test_fast_forward_cow_delete_and_change_feed(
+    spark, sf_dir, tmp_path
+):
+    """Arbitrary branch history adopts: a branch COW delete lands on
+    main as one commit whose change feed reports exactly the deleted
+    rows."""
+    t, base, _ = _seed(spark, sf_dir, tmp_path)
+    n_del = base.where(
+        (F.col("x") >= BOX_X[0]) & (F.col("x") <= BOX_X[1])
+        & (F.col("y") >= BOX_Y[0]) & (F.col("y") <= BOX_Y[1])
+    ).count()
+    assert n_del > 0
+    br = t.create_branch("dev")
+    _, n_rewritten, _ = br.delete_where(spark, BOX_X, BOX_Y)
+    assert n_rewritten > 0
+    v = t.fast_forward("dev")
+    assert t.read(spark).count() == base.count() - n_del
+    feed = t.changes(spark, 0, v)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type.get("delete", 0) == n_del
+    assert by_type.get("insert", 0) == 0
+
+
+def test_fast_forward_dv_over_inherited_files(spark, sf_dir, tmp_path):
+    """A branch DV that tombstones fork-inherited (main-path) files
+    adopts cleanly: the tombstone parquet is hardlinked, positions
+    still resolve, reads subtract."""
+    t, base, _ = _seed(spark, sf_dir, tmp_path)
+    br = t.create_branch("dev")
+    _, n_del, _ = br.delete_where_dv(spark, BOX_X, BOX_Y)
+    assert n_del > 0
+    t.fast_forward("dev")
+    snap = t.snapshot()
+    bdir = os.path.abspath(br.path)
+    assert snap.get("dvs")
+    assert all(
+        not os.path.abspath(p).startswith(bdir + os.sep)
+        for p in snap["dvs"]
+    )
+    assert t.read(spark).count() == base.count() - n_del
+    t.delete_branch("dev")
+    assert t.read(spark).count() == base.count() - n_del
+
+
+def test_fast_forward_dv_over_branch_files_refuses_then_compact(
+    spark, sf_dir, tmp_path
+):
+    """Position tombstones cannot survive the adoption rename: a DV
+    addressing a branch-WRITTEN file refuses with the compact() escape
+    hatch, after which the fast-forward carries the branch state."""
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    br = t.create_branch("dev")
+    br.append(extra)
+    # the upper y band exists only in branch-written files
+    _, n_del, _ = br.delete_where_dv(
+        spark, (-1e18, 1e18), (5000.0, 1e18)
+    )
+    assert n_del > 0
+    with pytest.raises(ValueError, match="compact"):
+        t.fast_forward("dev")
+    br = t.branch("dev")
+    br.compact(spark, n_files=4)
+    t.fast_forward("dev")
+    want = base.count() + extra.count() - n_del
+    assert t.read(spark).count() == want
+
+
+def test_delete_branch_unmerged_guard(spark, sf_dir, tmp_path):
+    t, _, extra = _seed(spark, sf_dir, tmp_path)
+    br = t.create_branch("dev")
+    br.append(extra)
+    with pytest.raises(ValueError, match="unmerged"):
+        t.delete_branch("dev")
+    t.delete_branch("dev", force=True)
+    assert t.branches() == {}
