@@ -2067,6 +2067,13 @@ GROUP BY GROUPING SETS (
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir)), k=2
         )
 
+    def x_feature_hash_embed(spark, sf_dir):
+        # hashing-trick featurizer (Weinberger et al. / Vowpal Wabbit):
+        # fixed-dim signed-hash vectors with NO vocabulary build — one
+        # Generate + one (doc, bucket) hash aggregate, vocabulary-
+        # independent shuffle, exact integers, md5 cross-engine
+        return _ts.feature_hash_embed(_docs(spark, sf_dir))
+
     def x_mis_diverse(spark, sf_dir):
         # deterministic Luby MIS over the near-dup graph: a maximal
         # set of pairwise-dissimilar docs (graph-exact diverse
@@ -2906,6 +2913,7 @@ GROUP BY GROUPING SETS (
         t17_f2_sketch,
         x_bootstrap_ci,
         x_mis_diverse,
+        x_feature_hash_embed,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -3998,6 +4006,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_train_order": _cu.interleave_order_sql(),
         "x_pack_sequences": _cu.pack_sequences_sql(),
         "x_pack_chunk_stats": _cu.pack_chunk_stats_sql(),
+        "x_feature_hash_embed": _ts.feature_hash_embed_sql(),
         "x_mis_diverse": _dd.mis_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),

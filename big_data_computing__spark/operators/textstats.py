@@ -1875,3 +1875,62 @@ FROM toks a JOIN toks b
 GROUP BY a.term, b.term, nn.n
 HAVING COUNT(*) * 1000 >= {support_milli} * nn.n
 """
+
+
+def feature_hash_embed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al., ICML'09 —
+    the Vowpal Wabbit featurizer): token t adds sign(t)·count to
+    bucket hash(t) mod dim, giving a fixed-dimension vector with NO
+    vocabulary build, no model, and no driver state — the signed hash
+    makes bucket collisions cancel in expectation, which is what keeps
+    the inner product an unbiased estimate of the exact
+    bag-of-words inner product. Output is the sparse flattening
+    DataFrame[id, dim_idx, value] (absent buckets are zero; a bucket
+    whose signs cancel to 0 IS emitted — the groupBy's honest sum).
+
+    The 100 TB featurizer shape: one Generate + one hash aggregate
+    keyed (doc, bucket) — vocabulary-independent, a single shuffle
+    whose key count is n_docs·dim at worst, all integer, and both the
+    bucket and the sign are md5 draws so DuckDB reproduces every
+    vector bit-for-bit.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    hb = hash60(F.concat_ws("-", F.lit("fh-b"), F.lit(str(seed)), F.col("t")))
+    hs = hash60(F.concat_ws("-", F.lit("fh-s"), F.lit(str(seed)), F.col("t")))
+    signed = toks.select(
+        "id",
+        (hb % dim).alias("dim_idx"),
+        (F.lit(1) - F.lit(2) * (hs % 2)).cast("long").alias("s"),
+    )
+    return (
+        signed.groupBy("id", "dim_idx")
+        .agg(F.sum("s").alias("value"))
+        .select(F.col("id").alias(id_col), "dim_idx", "value")
+    )
+
+
+def feature_hash_embed_sql(dim: int = 16, seed: int = 0) -> str:
+    """DuckDB twin of :func:`feature_hash_embed`."""
+    hb = hash60_sql(f"concat('fh-b', '-', '{seed}', '-', t)")
+    hs = hash60_sql(f"concat('fh-s', '-', '{seed}', '-', t)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_TOKS_SQL}) AS t FROM documents
+),
+signed AS (
+  SELECT id, ({hb}) % {dim} AS dim_idx,
+         CAST(1 - 2 * (({hs}) % 2) AS BIGINT) AS s
+  FROM toks
+)
+SELECT id AS doc_id, dim_idx, SUM(s) AS value
+FROM signed GROUP BY id, dim_idx
+"""

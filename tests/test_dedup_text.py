@@ -2176,3 +2176,39 @@ def test_mis_duckdb_parity(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_feature_hash_embed_pinned_and_unbiasedish(spark):
+    """Hashing-trick vectors re-derived with hashlib on a hand corpus:
+    bucket, sign, and counts all pinned; cancelled buckets emit 0."""
+    import hashlib
+
+    from big_data_computing__spark.operators.textstats import (
+        feature_hash_embed,
+    )
+
+    rows = [
+        (1, "a b a c"),
+        (2, "b b d"),
+        (3, ""),  # empty doc: no tokens, no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 4
+    got = {
+        (r["doc_id"], r["dim_idx"]): r["value"]
+        for r in feature_hash_embed(df, dim=dim).collect()
+    }
+
+    def h(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    want: dict[tuple, int] = {}
+    for doc_id, text in rows:
+        for t in text.split():
+            if not t:
+                continue
+            b = h(f"fh-b-0-{t}") % dim
+            s = 1 - 2 * (h(f"fh-s-0-{t}") % 2)
+            want[(doc_id, b)] = want.get((doc_id, b), 0) + s
+    assert got == want
+    assert not any(d == 3 for d, _ in got)
