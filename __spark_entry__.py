@@ -2067,6 +2067,19 @@ GROUP BY GROUPING SETS (
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir)), k=2
         )
 
+    def a19_exact_median_qs(spark, sf_dir):
+        # EXACT median without a global sort: distributed quickselect
+        # by 256-bin histogram rounds — per round the shuffle carries
+        # only histograms (vs global_rank's full total-order shuffle),
+        # <= 8 rounds for any BIGINT domain; oracle is algorithm-
+        # independent (the k-th order statistic itself)
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        return _rel.exact_median_quickselect(li, "cents")
+
     def x_feature_hash_embed(spark, sf_dir):
         # hashing-trick featurizer (Weinberger et al. / Vowpal Wabbit):
         # fixed-dim signed-hash vectors with NO vocabulary build — one
@@ -2914,6 +2927,7 @@ GROUP BY GROUPING SETS (
         x_bootstrap_ci,
         x_mis_diverse,
         x_feature_hash_embed,
+        a19_exact_median_qs,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4007,6 +4021,17 @@ SELECT CAST(user_id AS BIGINT) AS user_id FROM (
         "x_pack_sequences": _cu.pack_sequences_sql(),
         "x_pack_chunk_stats": _cu.pack_chunk_stats_sql(),
         "x_feature_hash_embed": _ts.feature_hash_embed_sql(),
+        "a19_exact_median_qs": """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM v)
+SELECT n.n AS n_rows, CAST((n.n + 1) // 2 AS BIGINT) AS k,
+       r.v AS median
+FROM r, n WHERE r.rk = (n.n + 1) // 2
+""",
         "x_mis_diverse": _dd.mis_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),

@@ -730,3 +730,103 @@ def bloom_semi_join(
     return fact.where(pred).join(
         dim.select(key).distinct(), key, "semi"
     )
+
+
+QUICKSELECT_BUCKETS = 256
+QUICKSELECT_MAX_ROUNDS = 16
+
+
+def global_kth_value(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    n_buckets: int = QUICKSELECT_BUCKETS,
+    max_rounds: int = QUICKSELECT_MAX_ROUNDS,
+) -> tuple[int, int]:
+    """EXACT k-th smallest of an integer column without any global
+    sort: returns (kth_value, n_rounds).
+
+    Distributed quickselect by bounded-histogram rounds (the
+    map-reduce selection folklore; Blum et al.'s selection bound says
+    sorting is overkill for one order statistic): each round buckets
+    the surviving value range into ``n_buckets`` equal-width integer
+    bins with ONE aggregation — the shuffle carries at most n_buckets
+    rows per task, the driver holds one n_buckets histogram — then
+    recurses into the bin containing the k-th element. The range
+    shrinks >= n_buckets× per round, so a 64-bit domain needs <= 8
+    rounds at 256 bins; every row-side op is codegen arithmetic.
+
+    Contrast with :func:`global_rank`'s sort-based median: that
+    range-repartitions the FULL data by value (a total-order shuffle
+    of n rows); this scans the data once per round but shuffles only
+    histograms — at 100 TB the sort shuffle is the cost that matters,
+    and log_256(domain) scans of a columnar file beat one n-row
+    re-sort. Raises past ``max_rounds`` (cannot happen for BIGINT
+    domains at 256 bins; the bound is a loud-failure contract, not a
+    tuning knob).
+    """
+    v = F.col(value_col).cast("long")
+    base = df.select(v.alias("v")).localCheckpoint()
+    bounds = base.agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = bounds["n"], bounds["lo"], bounds["hi"]
+    if not 1 <= k <= (n or 0):
+        raise ValueError(f"k={k} outside 1..{n}")
+    kk = k
+    rounds = 0
+    while lo < hi:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"global_kth_value: range [{lo}, {hi}] not resolved "
+                f"after {max_rounds} rounds"
+            )
+        width = (hi - lo) // n_buckets + 1
+        hist = dict(
+            (r["b"], r["c"])
+            for r in base.where(
+                (F.col("v") >= lo) & (F.col("v") <= hi)
+            )
+            .groupBy(
+                # integer div, never float: (v - lo) can span the full
+                # BIGINT range and double arithmetic would round it
+                F.expr(f"(v - {lo}) div {width}").alias("b")
+            )
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        cum = 0
+        for b in range(n_buckets + 1):
+            c = hist.get(b, 0)
+            if cum + c >= kk:
+                lo2 = lo + b * width
+                hi = min(hi, lo2 + width - 1)
+                lo = lo2
+                kk -= cum
+                break
+            cum += c
+        else:
+            raise AssertionError("k-th bucket not found (impossible)")
+    return lo, rounds
+
+
+def exact_median_quickselect(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Lower-median summary via :func:`global_kth_value`:
+    DataFrame[n_rows, k, median]. The result is order-statistic exact,
+    so the oracle is algorithm-independent (ORDER BY LIMIT 1 OFFSET
+    k-1) — the kernel-independent-oracle pattern."""
+    spark = df.sparkSession
+    n = df.count()
+    k = (n + 1) // 2
+    kth, _ = global_kth_value(df, value_col, k)
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(kth).cast("long").alias("median"),
+    )

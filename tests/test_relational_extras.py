@@ -232,3 +232,44 @@ def test_bloom_semi_join_identity_selectivity_and_plan(spark, sf_dir):
     assert n_true <= n_bloom, "bloom must never drop a true member"
     fp = (n_bloom - n_true) / max(1, n_fact - n_true)
     assert fp < 0.01, (n_bloom, n_true, n_fact, fp)
+
+
+def test_global_kth_value_exact_on_hand_data(spark):
+    """Quickselect equals sorted()[k-1] for every k on a fixture with
+    duplicates, negatives, and a wide gap (multi-round narrowing)."""
+    from big_data_computing__spark.operators.relational import (
+        global_kth_value,
+    )
+
+    vals = [5, -3, 7, 7, 7, 0, 1_000_000, -3, 42, 9]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ordered = sorted(vals)
+    for k in (1, 2, 5, 6, len(vals)):
+        got, rounds = global_kth_value(df, "v", k)
+        assert got == ordered[k - 1], (k, got, rounds)
+        assert rounds >= 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        global_kth_value(df, "v", 0)
+    with pytest.raises(ValueError):
+        global_kth_value(df, "v", len(vals) + 1)
+
+
+def test_exact_median_quickselect_matches_order_statistic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_computing__spark.operators.relational import (
+        exact_median_quickselect,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    got = exact_median_quickselect(li, "c").collect()[0]
+    vals = sorted(r["c"] for r in li.collect())
+    k = (len(vals) + 1) // 2
+    assert got["n_rows"] == len(vals)
+    assert got["k"] == k
+    assert got["median"] == vals[k - 1]
