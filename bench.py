@@ -206,6 +206,16 @@ BENCH_QUERIES = [
     "x_graph_hops",
     "j10_interval_join",
     "x_frequent_pairs",
+    # eighth-session wave: one-pass Poisson bootstrap (R=200 replicate
+    # expansion before the partial agg), the AMS F2 skew-mass sketch
+    # (vocabulary-sized sign fan-out), the vocabulary-free hashing-
+    # trick featurizer, Luby MIS diverse representatives over the
+    # near-dup graph, and the sort-free quickselect median
+    "x_bootstrap_ci",
+    "t17_f2_sketch",
+    "x_feature_hash_embed",
+    "x_mis_diverse",
+    "a19_exact_median_qs",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

