@@ -2067,6 +2067,25 @@ GROUP BY GROUPING SETS (
             _dd.minhash_lsh_pairs(_docs(spark, sf_dir)), k=2
         )
 
+    def t18_join_size_sketch(spark, sf_dir):
+        # AMS join-size estimation (Alon-Gibbons-Matias-Szegedy): the
+        # en-vs-de vocabulary co-occurrence mass Σ f_en(t)·f_de(t)
+        # estimated from two independently-built S-integer sign
+        # sketches (same sign family) next to the exact count-join —
+        # the sketch-catalog answer a cost-based optimizer wants
+        d = _docs(spark, sf_dir)
+        toks = lambda lang: d.where(F.col("lang") == lang).select(  # noqa: E731
+            F.explode(_ts.tokens(F.col("text"))).alias("item")
+        )
+        return _st.f2_join_size(toks("en"), toks("de"))
+
+    def x_heaps_vocab_growth(spark, sf_dir):
+        # Heaps'-law curve: cumulative distinct vocabulary over 10
+        # corpus prefixes from ONE pass (min-step per token), ranks
+        # via the two-pass global_rank — "is more data still buying
+        # new vocabulary", the collection-saturation dashboard row
+        return _ts.heaps_vocab_growth(_docs(spark, sf_dir))
+
     def a19_exact_median_qs(spark, sf_dir):
         # EXACT median without a global sort: distributed quickselect
         # by 256-bin histogram rounds — per round the shuffle carries
@@ -2928,6 +2947,8 @@ GROUP BY GROUPING SETS (
         x_mis_diverse,
         x_feature_hash_embed,
         a19_exact_median_qs,
+        t18_join_size_sketch,
+        x_heaps_vocab_growth,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -3376,6 +3397,14 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "SELECT source AS label, unnest(" + _ts._TOKS_SQL + ") AS item"
             " FROM documents"
         ),
+        "t18_join_size_sketch": _st.f2_join_size_sql(
+            "SELECT unnest(" + _ts._TOKS_SQL + ") AS item"
+            " FROM documents WHERE lang = 'en'",
+            "SELECT unnest(" + _ts._TOKS_SQL + ") AS item"
+            " FROM documents WHERE lang = 'de'",
+            "item",
+        ),
+        "x_heaps_vocab_growth": _ts.heaps_vocab_growth_sql(),
         "t17_f2_sketch": _st.f2_sketch_sql(
             "SELECT unnest(" + _ts._TOKS_SQL + ") AS item"
             " FROM documents",

@@ -81,6 +81,62 @@ def _ci_ranks(n_replicates: int, alpha_permille: int) -> tuple[int, int]:
     return lo, n_replicates + 1 - lo
 
 
+def bootstrap_replicate_sums(
+    rows: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-replicate weighted partial sums: DataFrame[rep, s, n]
+    (R rows). Linear in the input — the streaming BootstrapState folds
+    exactly these rows additively, bit-identical to one batch pass."""
+    base = rows.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    rep = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("rep"),
+    )
+    h = hash60(
+        F.concat_ws(
+            "-",
+            F.lit("boot"),
+            F.lit(str(seed)),
+            F.col("_id").cast("string"),
+            F.col("rep").cast("string"),
+        )
+    )
+    w = _poisson_weight(h)
+    return (
+        rep.select("rep", (w * F.col("_v")).alias("wv"), w.alias("w"))
+        .groupBy("rep")
+        .agg(F.sum("wv").alias("s"), F.sum("w").alias("n"))
+    )
+
+
+def bootstrap_ci_from_sums(
+    sums: list[tuple[int, int, int]],
+    n_rows: int,
+    sum_v: int,
+    n_replicates: int,
+    alpha_permille: int = 50,
+) -> tuple[int, int, int]:
+    """Driver-side (point_milli, lo_milli, hi_milli) from folded
+    (rep, s, n) triples — the exact integer convention of
+    :func:`poisson_bootstrap_ci`, shared with the streaming state."""
+    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    means = sorted(
+        (1000 * s // n, rep) for rep, s, n in sums if n > 0
+    )
+    point = 1000 * sum_v // n_rows
+    return point, means[lo_rk - 1][0], means[hi_rk - 1][0]
+
+
 def poisson_bootstrap_ci(
     rows: DataFrame,
     value_col: str,
@@ -106,27 +162,10 @@ def poisson_bootstrap_ci(
         F.col(id_col).cast("long").alias("_id"),
         F.col(value_col).cast("long").alias("_v"),
     )
-    rep = base.select(
-        "_id",
-        "_v",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(n_replicates - 1))
-        ).alias("rep"),
-    )
-    h = hash60(
-        F.concat_ws(
-            "-",
-            F.lit("boot"),
-            F.lit(str(seed)),
-            F.col("_id").cast("string"),
-            F.col("rep").cast("string"),
-        )
-    )
-    w = _poisson_weight(h)
     means = (
-        rep.select("rep", (w * F.col("_v")).alias("wv"), w.alias("w"))
-        .groupBy("rep")
-        .agg(F.sum("wv").alias("s"), F.sum("w").alias("n"))
+        bootstrap_replicate_sums(
+            rows, value_col, id_col, n_replicates, seed
+        )
         .where(F.col("n") > 0)
         .select(
             "rep",
@@ -392,4 +431,135 @@ SELECT (SELECT COUNT(*) FROM counts) AS n_items,
        med.estimate,
        (SELECT SUM(f * f) FROM counts) AS exact_f2
 FROM med
+"""
+
+
+def f2_join_size(
+    a_items: DataFrame,
+    b_items: DataFrame,
+    item_col: str = "item",
+    n_counters: int = 64,
+    n_groups: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """AMS join-size estimate |A ⋈ B| = Σ_k fA(k)·fB(k) next to the
+    exact value: DataFrame[n_counters, estimate, exact_join_size].
+
+    The classic second use of the AMS sketch (Alon, Gibbons, Matias,
+    Szegedy, PODS'99): with the SAME sign family on both sides,
+    E[cA_s · cB_s] = Σ fA·fB — so two independently-built S-integer
+    sketches estimate a join's output cardinality without running the
+    join, which is what a cost-based optimizer wants from a sketch
+    catalog. Median-of-means over G groups, exact BIGINT floor
+    arithmetic; the estimate can be negative for near-disjoint sides
+    (an unbiased signed estimator; reported as-is, never clamped).
+
+    Scale shape: each side pays its own per-item count (the
+    aggregation a stats collector already runs), the sign fan-out
+    touches vocabularies only, and the final product joins two S-row
+    tables. The exact twin — computed alongside for the oracle — is
+    the real count-join; a production catalog stores only the sketches.
+    """
+    if n_counters % n_groups:
+        raise ValueError("n_counters must be divisible by n_groups")
+    per_group = n_counters // n_groups
+    med_rk = (n_groups + 1) // 2
+    ca = f2_counters(a_items, item_col, n_counters, seed).withColumnRenamed(
+        "c", "ca"
+    )
+    cb = f2_counters(b_items, item_col, n_counters, seed).withColumnRenamed(
+        "c", "cb"
+    )
+    prod = ca.join(cb, "s")
+    groups = (
+        prod.select(
+            (F.col("s") % n_groups).alias("g"),
+            (F.col("ca") * F.col("cb")).alias("p"),
+        )
+        .groupBy("g")
+        .agg(
+            F.expr(f"CAST(sum(p) AS BIGINT) div {per_group}").alias("gmean")
+        )
+    )
+    rk = Window.orderBy("gmean", "g")
+    med = (
+        groups.select("gmean", F.row_number().over(rk).alias("rk"))
+        .where(F.col("rk") == med_rk)
+        .select(F.col("gmean").alias("estimate"))
+    )
+    fa = a_items.groupBy(
+        F.col(item_col).cast("string").alias("_item")
+    ).agg(F.count("*").alias("fa"))
+    fb = b_items.groupBy(
+        F.col(item_col).cast("string").alias("_item")
+    ).agg(F.count("*").alias("fb"))
+    exact = (
+        fa.join(fb, "_item")
+        .agg(
+            F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        F.lit(n_counters).cast("long").alias("n_counters"),
+        "estimate",
+        "exact_join_size",
+    )
+
+
+def f2_join_size_sql(
+    a_sql: str,
+    b_sql: str,
+    item_expr: str = "item",
+    n_counters: int = 64,
+    n_groups: int = 8,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`f2_join_size`."""
+    if n_counters % n_groups:
+        raise ValueError("n_counters must be divisible by n_groups")
+    per_group = n_counters // n_groups
+    med_rk = (n_groups + 1) // 2
+    h = hash60_sql(
+        f"concat('f2', '-', '{seed}', '-', CAST(s AS VARCHAR), '-', _item)"
+    )
+    sign = f"CAST(1 - 2 * (({h}) % 2) AS BIGINT)"
+    return f"""
+WITH ca0 AS (
+  SELECT CAST({item_expr} AS VARCHAR) AS _item, COUNT(*) AS f
+  FROM ({a_sql}) GROUP BY 1
+),
+cb0 AS (
+  SELECT CAST({item_expr} AS VARCHAR) AS _item, COUNT(*) AS f
+  FROM ({b_sql}) GROUP BY 1
+),
+reps AS (SELECT unnest(range({n_counters})) AS s),
+ca AS (
+  SELECT s, SUM({sign} * f) AS ca
+  FROM ca0 CROSS JOIN reps GROUP BY s
+),
+cb AS (
+  SELECT s, SUM({sign} * f) AS cb
+  FROM cb0 CROSS JOIN reps GROUP BY s
+),
+groups AS (
+  SELECT ca.s % {n_groups} AS g,
+         CAST(SUM(ca.ca * cb.cb) AS BIGINT) // {per_group} AS gmean
+  FROM ca JOIN cb ON ca.s = cb.s GROUP BY 1
+),
+med AS (
+  SELECT gmean AS estimate FROM (
+    SELECT gmean, ROW_NUMBER() OVER (ORDER BY gmean, g) AS rk
+    FROM groups
+  ) WHERE rk = {med_rk}
+),
+exact AS (
+  SELECT CAST(COALESCE(SUM(a.f * b.f), 0) AS BIGINT)
+           AS exact_join_size
+  FROM ca0 a JOIN cb0 b ON a._item = b._item
+)
+SELECT CAST({n_counters} AS BIGINT) AS n_counters,
+       med.estimate, exact.exact_join_size
+FROM med CROSS JOIN exact
 """

@@ -1934,3 +1934,96 @@ signed AS (
 SELECT id AS doc_id, dim_idx, SUM(s) AS value
 FROM signed GROUP BY id, dim_idx
 """
+
+
+def heaps_vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_steps: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: the corpus in ``n_steps``
+    equal prefixes (by the total ``id_col`` order) and the CUMULATIVE
+    distinct-token count at each prefix — DataFrame[step, n_docs,
+    vocab]. The collection-curation view of "is more data still buying
+    new vocabulary": a flattening curve means the corpus has saturated
+    its domain (Heaps 1978; the V(n) = K·n^β empiricism).
+
+    One corpus pass, no per-step rescans: a token's contribution is
+    decided by the FIRST prefix it appears in (min step per token), so
+    vocab(s) = Σ_{fs <= s} new(fs) — the cumulative sum runs over
+    ``n_steps`` rows, not data. Doc ranks come from the two-pass
+    distributed global_rank (never a single-partition window over
+    data); the only windows here order <= n_steps rows.
+    """
+    from pyspark.sql import Window
+
+    from .relational import global_rank
+
+    n = docs.count()
+    ranked = global_rank(
+        docs.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        ),
+        "_id",
+        rank_col="rk",
+    )
+    stepped = ranked.select(
+        "_id",
+        "_text",
+        (
+            F.lit(1)
+            + F.expr(f"((rk - 1) * {n_steps}) div {n}")
+        ).cast("long").alias("step"),
+    )
+    first = (
+        stepped.select(
+            "step", F.explode(tokens(F.col("_text"))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.min("step").alias("fs"))
+    )
+    newv = first.groupBy(F.col("fs").alias("step")).agg(
+        F.count("*").alias("nv")
+    )
+    dsteps = stepped.groupBy("step").agg(F.count("*").alias("nd"))
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dsteps.join(newv, "step", "left")
+        .select(
+            "step",
+            F.sum("nd").over(w).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab"),
+        )
+    )
+
+
+def heaps_vocab_growth_sql(n_steps: int = 10) -> str:
+    """DuckDB twin of :func:`heaps_vocab_growth` (ROW_NUMBER over the
+    unique doc_id is the same total order as global_rank's)."""
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+stepped AS (
+  SELECT doc_id, text,
+         CAST(1 + ((ROW_NUMBER() OVER (ORDER BY doc_id) - 1)
+                   * {n_steps}) // nn.n AS BIGINT) AS step
+  FROM documents, nn
+),
+tok AS (
+  SELECT step, unnest({_TOKS_SQL}) AS t
+  FROM (SELECT step, text FROM stepped)
+),
+first AS (SELECT t, MIN(step) AS fs FROM tok GROUP BY t),
+newv AS (SELECT fs AS step, COUNT(*) AS nv FROM first GROUP BY fs),
+dsteps AS (SELECT step, COUNT(*) AS nd FROM stepped GROUP BY step)
+SELECT d.step,
+       CAST(SUM(d.nd) OVER (ORDER BY d.step) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(v.nv, 0)) OVER (ORDER BY d.step) AS BIGINT)
+         AS vocab
+FROM dsteps d LEFT JOIN newv v ON d.step = v.step
+"""

@@ -406,3 +406,74 @@ class F2State:
         return f2_estimate_from_counters(
             list(enumerate(self.counters)), self.n_groups
         )
+
+
+class BootstrapState:
+    """Mergeable streaming Poisson-bootstrap state: the R per-replicate
+    (Σ w·v, Σ w) partial sums plus (n_rows, Σ v), all ADDITIVE — each
+    micro-batch contributes its own R-row replicate-sums table (the
+    heavy Generate + aggregate stays in the cluster; 2R+2 integers
+    reach the driver), and after any prefix the folded state yields
+    the identical (point, lo, hi) milli integers as the batch
+    ``operators.stats.poisson_bootstrap_ci`` over the union of arrived
+    rows — the weight of a row depends only on (seed, id, rep), never
+    on arrival order. Batch ids make replays no-ops."""
+
+    def __init__(
+        self,
+        value_col: str,
+        id_col: str,
+        n_replicates: int = 200,
+        alpha_permille: int = 50,
+        seed: int = 0,
+    ):
+        self.value_col = value_col
+        self.id_col = id_col
+        self.n_replicates = n_replicates
+        self.alpha_permille = alpha_permille
+        self.seed = seed
+        self.s = [0] * n_replicates
+        self.n = [0] * n_replicates
+        self.n_rows = 0
+        self.sum_v = 0
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import bootstrap_replicate_sums
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        for r in bootstrap_replicate_sums(
+            batch_df,
+            self.value_col,
+            self.id_col,
+            self.n_replicates,
+            self.seed,
+        ).collect():
+            self.s[r["rep"]] += int(r["s"])
+            self.n[r["rep"]] += int(r["n"])
+        tot = batch_df.agg(
+            F.count("*").alias("c"),
+            F.sum(F.col(self.value_col).cast("long")).alias("sv"),
+        ).collect()[0]
+        self.n_rows += int(tot["c"])
+        self.sum_v += int(tot["sv"] or 0)
+
+    def estimate(self) -> tuple[int, int, int]:
+        """(point_milli, lo_milli, hi_milli) under the exact batch
+        convention."""
+        from ..operators.stats import bootstrap_ci_from_sums
+
+        return bootstrap_ci_from_sums(
+            [
+                (rep, self.s[rep], self.n[rep])
+                for rep in range(self.n_replicates)
+            ],
+            self.n_rows,
+            self.sum_v,
+            self.n_replicates,
+            self.alpha_permille,
+        )

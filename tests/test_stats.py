@@ -185,3 +185,149 @@ def test_f2_stream_state_equals_batch(spark):
     before = list(st.counters)
     st.update(batches[0], 0)  # replay
     assert st.counters == before
+
+
+def test_f2_join_size_pinned_and_exact(spark):
+    """AMS join-size estimate re-derived with hashlib; exact side is
+    the literal Σ fA·fB on a hand fixture with shared + disjoint
+    items."""
+    from big_data_computing__spark.operators.stats import (
+        f2_join_size,
+        f2_join_size_sql,
+    )
+
+    a_items = ["x"] * 4 + ["y"] * 2 + ["only_a"]
+    b_items = ["x"] * 3 + ["y"] * 5 + ["only_b"] * 2
+    da = spark.createDataFrame([(i,) for i in a_items], "item string")
+    db = spark.createDataFrame([(i,) for i in b_items], "item string")
+    S, G = 16, 4
+    fa = {i: a_items.count(i) for i in set(a_items)}
+    fb = {i: b_items.count(i) for i in set(b_items)}
+    want_exact = sum(fa[i] * fb.get(i, 0) for i in fa)
+
+    def counters(freqs):
+        out = []
+        for s in range(S):
+            c = 0
+            for it, f in freqs.items():
+                sign = 1 - 2 * (_h60(f"f2-0-{s}-{it}") % 2)
+                c += sign * f
+            out.append(c)
+        return out
+
+    ca, cb = counters(fa), counters(fb)
+    gsum = {}
+    for s in range(S):
+        gsum[s % G] = gsum.get(s % G, 0) + ca[s] * cb[s]
+    gmeans = sorted((v // (S // G), g) for g, v in gsum.items())
+    want_est = gmeans[(G + 1) // 2 - 1][0]
+
+    got = f2_join_size(da, db, n_counters=S, n_groups=G).collect()[0]
+    assert got["exact_join_size"] == want_exact
+    assert got["estimate"] == want_est
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ta AS SELECT * FROM (VALUES "
+        + ",".join(f"('{i}')" for i in a_items)
+        + ") t(item)"
+    )
+    con.execute(
+        "CREATE TABLE tb AS SELECT * FROM (VALUES "
+        + ",".join(f"('{i}')" for i in b_items)
+        + ") t(item)"
+    )
+    want = con.execute(
+        f2_join_size_sql(
+            "SELECT item FROM ta",
+            "SELECT item FROM tb",
+            "item",
+            n_counters=S,
+            n_groups=G,
+        )
+    ).fetchall()[0]
+    assert (got["n_counters"], got["estimate"], got["exact_join_size"]) == want
+
+
+def test_heaps_vocab_growth_hand_corpus(spark):
+    """Cumulative vocabulary over prefixes computed by hand: steps
+    split 4 docs into 2 prefixes; the second prefix only adds genuinely
+    new tokens."""
+    from big_data_computing__spark.operators.textstats import (
+        heaps_vocab_growth,
+    )
+
+    rows = [
+        (1, "a b"),
+        (2, "b c"),
+        (3, "c d"),
+        (4, "a e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["step"]: (r["n_docs"], r["vocab"])
+        for r in heaps_vocab_growth(df, n_steps=2).collect()
+    }
+    # prefix 1 = docs 1-2: tokens {a,b,c}; prefix 2 adds {d,e,f}
+    assert got == {1: (2, 3), 2: (4, 6)}
+
+
+def test_heaps_vocab_growth_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from big_data_computing__spark.operators.textstats import (
+        heaps_vocab_growth,
+        heaps_vocab_growth_sql,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(tuple(r) for r in heaps_vocab_growth(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(heaps_vocab_growth_sql()).fetchall()
+    )
+    assert got == want and len(got) == 10
+    # the curve is monotone and ends at the full corpus vocabulary
+    vocab = [v for _, _, v in got]
+    assert vocab == sorted(vocab)
+
+
+def test_bootstrap_stream_state_equals_batch(spark):
+    """BootstrapState over three batches equals the batch CI exactly
+    (weights depend only on (seed, id, rep)); replay is a no-op."""
+    from big_data_computing__spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+    from big_data_computing__spark.streaming.frequent_stream import (
+        BootstrapState,
+    )
+
+    rows = [(i, (i * 13) % 50 + 1) for i in range(30)]
+    full = spark.createDataFrame(rows, "id long, v long")
+    batches = [
+        spark.createDataFrame(rows[i : i + 10], "id long, v long")
+        for i in range(0, 30, 10)
+    ]
+    st = BootstrapState("v", "id", n_replicates=32)
+    for bid, b in enumerate(batches):
+        st.update(b, bid)
+    want = poisson_bootstrap_ci(
+        full, "v", "id", n_replicates=32
+    ).collect()[0]
+    point, lo, hi = st.estimate()
+    assert (point, lo, hi) == (
+        want["point_milli"],
+        want["lo_milli"],
+        want["hi_milli"],
+    )
+    assert st.n_rows == want["n_rows"]
+    before = (list(st.s), list(st.n), st.n_rows, st.sum_v)
+    st.update(batches[1], 1)
+    assert before == (list(st.s), list(st.n), st.n_rows, st.sum_v)
