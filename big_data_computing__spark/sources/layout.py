@@ -1865,6 +1865,26 @@ class ZTable:
             **meta,
             "files": sorted(files, key=lambda e: e["file"]),
         }
+        # in-commit timestamp (Delta's inCommitTimestamp): stamped at
+        # publish time and clamped MONOTONIC past the parent's stamp,
+        # so timestamp-as-of resolution is well-defined even under
+        # clock skew. Set AFTER the meta merge — restore/clone/
+        # fast-forward copy source metadata wholesale and must never
+        # inherit a stale stamp.
+        import time as _time
+
+        parent_ts = 0
+        if version > 0:
+            try:
+                parent_ts = (
+                    self._resolve(version - 1).get("committed_at_us")
+                    or 0
+                )
+            except FileNotFoundError:
+                pass
+        snap["committed_at_us"] = max(
+            int(_time.time() * 1_000_000), parent_ts + 1
+        )
         rec = self._encode_commit(snap)
         # the LogStore's put_if_absent is the single atomic claim;
         # FileExistsError is the only lost-race signal the rebase
@@ -2419,6 +2439,35 @@ class ZTable:
         append (missing columns read as null, the Delta semantics)."""
         snap = self.snapshot(version)
         return self._read_files(spark, snap["files"], snap)
+
+    def version_as_of(self, ts_us: int) -> int:
+        """Latest retained version committed at or before ``ts_us``
+        (Delta's TIMESTAMP AS OF, resolved against the monotone
+        in-commit timestamps `_commit` stamps). Raises when the whole
+        retained history is later than ``ts_us``, or when a retained
+        version predates the timestamp feature (unstamped history
+        cannot be ordered against a wall-clock bound — re-commit or
+        use version numbers)."""
+        best = None
+        for v in self.versions():
+            ts = self.snapshot(v).get("committed_at_us")
+            if ts is None:
+                raise ValueError(
+                    f"version {v} carries no in-commit timestamp — "
+                    "timestamp travel needs stamped history"
+                )
+            if ts <= ts_us:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained version committed at or before {ts_us}"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts_us: int) -> DataFrame:
+        """TIMESTAMP AS OF read: the table as of a wall-clock micro
+        timestamp."""
+        return self.read(spark, self.version_as_of(ts_us))
 
     def _scan_with_pos(
         self, spark: SparkSession, entries: list[dict], snap: dict

@@ -177,3 +177,33 @@ def test_delete_branch_unmerged_guard(spark, sf_dir, tmp_path):
         t.delete_branch("dev")
     t.delete_branch("dev", force=True)
     assert t.branches() == {}
+
+
+def test_in_commit_timestamps_and_as_of_read(spark, sf_dir, tmp_path):
+    """Commits carry monotone in-commit timestamps; TIMESTAMP AS OF
+    resolves to the last commit at-or-before the bound and raises
+    outside the stamped range."""
+    import time
+
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    ts0 = t.snapshot(0)["committed_at_us"]
+    time.sleep(0.01)
+    mid = int(time.time() * 1_000_000)
+    time.sleep(0.01)
+    t.append(extra)
+    ts1 = t.snapshot(1)["committed_at_us"]
+    assert ts0 < ts1  # monotone even under quick successive commits
+
+    assert t.version_as_of(mid) == 0
+    assert t.version_as_of(ts1) == 1
+    assert t.read_as_of(spark, mid).count() == base.count()
+    assert (
+        t.read_as_of(spark, ts1 + 1).count()
+        == base.count() + extra.count()
+    )
+    with pytest.raises(ValueError, match="at or before"):
+        t.version_as_of(ts0 - 1)
+    # a restore copies source metadata wholesale but must get a FRESH
+    # stamp, later than every prior commit's
+    t.restore(0)
+    assert t.snapshot(2)["committed_at_us"] > ts1
