@@ -2106,6 +2106,15 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def x_densest_subgraph(spark, sf_dir):
+        # Bahmani et al. parallel peeling: the single most intensely
+        # copied core of the near-dup graph (max |E|/|S|, exact-integer
+        # removal rule + cross-multiplied round argmax) — the adaptive-
+        # threshold triage signal next to the fixed-k core/truss family
+        return _dd.densest_subgraph(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_mis_diverse(spark, sf_dir):
         # deterministic Luby MIS over the near-dup graph: a maximal
         # set of pairwise-dissimilar docs (graph-exact diverse
@@ -2949,6 +2958,7 @@ GROUP BY GROUPING SETS (
         a19_exact_median_qs,
         t18_join_size_sketch,
         x_heaps_vocab_growth,
+        x_densest_subgraph,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4061,6 +4071,9 @@ SELECT n.n AS n_rows, CAST((n.n + 1) // 2 AS BIGINT) AS k,
        r.v AS median
 FROM r, n WHERE r.rk = (n.n + 1) // 2
 """,
+        "x_densest_subgraph": _dd.densest_subgraph_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
         "x_mis_diverse": _dd.mis_nodes_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),

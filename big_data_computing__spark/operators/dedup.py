@@ -1648,6 +1648,185 @@ n0 AS MATERIALIZED (
 """
 
 
+DENSEST_MAX_ROUNDS = 16
+
+
+def densest_subgraph(
+    pairs: DataFrame,
+    eps_milli: int = 0,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = DENSEST_MAX_ROUNDS,
+) -> DataFrame:
+    """Approximate densest subgraph (max |E(S)|/|S|) by parallel
+    peeling: DataFrame[doc_id, n_nodes, n_edges] — the members of the
+    densest prefix the peel visits, with its size and edge count (the
+    density is their exact ratio). On a near-dup graph this is the
+    "most intensely copied core": the single community with the
+    highest internal duplication rate, a stronger triage signal than
+    any fixed k in k-core/k-truss because the threshold adapts to the
+    graph.
+
+    Bahmani, Kumar, Vassilvitskii (VLDB'12): each round removes EVERY
+    node whose degree is <= 2(1+ε)·ρ(S) (ρ = current density) — a
+    2(1+ε)-approximation of the optimum (Charikar's greedy needs n
+    sequential steps; this is its MapReduce form). The min-degree
+    node always qualifies (min <= avg = 2ρ), so every round strictly
+    shrinks S even at the default ε=0 (the tightest factor, 2);
+    ε>0 additionally guarantees O(log_{1+ε} n) rounds on
+    adversarial-depth graphs — real duplicate graphs peel in a
+    handful either way, and exhaustion raises loudly. The removal
+    inequality is evaluated in exact integers (deg·|S|·1000 <=
+    2·(1000+ε_milli)·|E|), the best round is picked by exact
+    cross-multiplied density comparison (ties to the EARLIER round),
+    and every round is a pure function of the graph — the DuckDB twin
+    unrolls identical rounds. Average degree says some node always
+    qualifies, so each round strictly shrinks S; the engine raises
+    past ``max_iterations`` (the unrolled-oracle contract).
+
+    Per round: one degree aggregation + one anti-join + two semi-join
+    edge filters, ``localCheckpoint`` per round (the CC loop's lineage
+    rule). Round node sets are retained as checkpointed references so
+    the winner is returned without recomputation — O(rounds) handles,
+    each holding only (node) rows.
+    """
+    spark = pairs.sparkSession
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds: list[tuple[int, int, object]] = []  # (n_edges, n_nodes, df)
+    for _ in range(max_iterations + 1):
+        n_edges, n_nodes = e.count(), nodes.count()
+        if n_nodes == 0:
+            break
+        rounds.append((n_edges, n_nodes, nodes))
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .union(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        # exact-integer removal rule: deg*|S|*1000 <= 2*(1000+eps)*|E|;
+        # isolated nodes (deg 0 via the left join) always qualify
+        keep = (
+            nodes.join(deg, "n", "left")
+            .where(
+                F.coalesce(F.col("deg"), F.lit(0))
+                * F.lit(n_nodes)
+                * F.lit(1000)
+                > F.lit(2 * (1000 + eps_milli) * n_edges)
+            )
+            .select("n")
+            .localCheckpoint()
+        )
+        nodes = keep
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"densest_subgraph: peel still active after "
+            f"{max_iterations} rounds (raise max_iterations; the "
+            "oracle unrolls the same bound)"
+        )
+    if not rounds:
+        return spark.createDataFrame(
+            [], "doc_id long, n_nodes long, n_edges long"
+        )
+    # exact cross-multiplied density argmax, ties to the earlier round
+    best = 0
+    for i in range(1, len(rounds)):
+        ei, si, _ = rounds[i]
+        eb, sb, _ = rounds[best]
+        if ei * sb > eb * si:
+            best = i
+    n_edges, n_nodes, nodes = rounds[best]
+    return nodes.select(
+        F.col("n").alias("doc_id"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
+
+
+def densest_subgraph_sql(
+    pairs_sql: str,
+    eps_milli: int = 0,
+    rounds: int = DENSEST_MAX_ROUNDS,
+) -> str:
+    """DuckDB twin of :func:`densest_subgraph`: the peel unrolled into
+    MATERIALIZED round CTEs, best round by exact cross-multiplied
+    density with ties to the earlier round. Safe because the engine
+    raises past the bound and an empty node set is a fixed point (its
+    rounds contribute no candidate rows)."""
+    ctes = []
+    cand = [
+        "SELECT 0 AS i, (SELECT COUNT(*) FROM g0) AS e,"
+        " (SELECT COUNT(*) FROM n0) AS s"
+    ]
+    nodes_all = ["SELECT 0 AS i, n FROM n0"]
+    prev_n, prev_e = "n0", "g0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT a.n, COALESCE(x.deg, 0) AS deg
+  FROM {prev_n} a LEFT JOIN (
+    SELECT n, COUNT(*) AS deg FROM (
+      SELECT u AS n FROM {prev_e} UNION ALL SELECT v FROM {prev_e}
+    ) GROUP BY n
+  ) x ON x.n = a.n
+),
+n{i} AS MATERIALIZED (
+  SELECT n FROM d{i}
+  WHERE deg * (SELECT COUNT(*) FROM {prev_n}) * 1000
+        > 2 * (1000 + {eps_milli}) * (SELECT COUNT(*) FROM {prev_e})
+),
+g{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev_e}
+  WHERE u IN (SELECT n FROM n{i}) AND v IN (SELECT n FROM n{i})
+)""")
+        cand.append(
+            f"SELECT {i} AS i, (SELECT COUNT(*) FROM g{i}) AS e,"
+            f" (SELECT COUNT(*) FROM n{i}) AS s"
+        )
+        nodes_all.append(f"SELECT {i} AS i, n FROM n{i}")
+        prev_n, prev_e = f"n{i}", f"g{i}"
+    return f"""
+WITH p AS MATERIALIZED ({pairs_sql}),
+g0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM p WHERE doc_a <> doc_b
+),
+n0 AS MATERIALIZED (
+  SELECT DISTINCT n FROM (
+    SELECT u AS n FROM g0 UNION ALL SELECT v FROM g0
+  )
+),
+{','.join(ctes)},
+cand AS ({' UNION ALL '.join(cand)}),
+valid AS (SELECT * FROM cand WHERE s > 0),
+best AS (
+  SELECT i, e, s FROM valid r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM valid r2
+    WHERE r2.e * r.s > r.e * r2.s
+       OR (r2.e * r.s = r.e * r2.s AND r2.i < r.i)
+  )
+),
+nodes_all AS ({' UNION ALL '.join(nodes_all)})
+SELECT na.n AS doc_id, CAST(best.s AS BIGINT) AS n_nodes,
+       CAST(best.e AS BIGINT) AS n_edges
+FROM nodes_all na JOIN best ON na.i = best.i
+"""
+
+
 KTRUSS_MAX_ROUNDS = 10
 
 

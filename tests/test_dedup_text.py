@@ -2212,3 +2212,80 @@ def test_feature_hash_embed_pinned_and_unbiasedish(spark):
             want[(doc_id, b)] = want.get((doc_id, b), 0) + s
     assert got == want
     assert not any(d == 3 for d, _ in got)
+
+
+def test_densest_subgraph_picks_the_clique(spark):
+    """4-clique (density 1.5) vs chain (density <1): the peel must
+    return exactly the clique at eps=0, with its (nodes, edges)."""
+    from big_data_computing__spark.operators.dedup import (
+        densest_subgraph,
+    )
+
+    edges = [
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+    ] + [(i, i + 1) for i in range(1, 6)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = sorted(tuple(r) for r in densest_subgraph(pairs).collect())
+    assert got == [
+        (10, 4, 6), (11, 4, 6), (12, 4, 6), (13, 4, 6),
+    ]
+
+
+def test_densest_subgraph_regular_graph_returns_whole(spark):
+    """On a cycle (2-regular) the first peel removes everything
+    (deg == 2ρ for every node), so round 0 — the whole graph — is the
+    densest candidate. Ties to the earlier round are the contract."""
+    from big_data_computing__spark.operators.dedup import (
+        densest_subgraph,
+    )
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    pairs = spark.createDataFrame(cyc, ["doc_a", "doc_b"])
+    got = sorted(tuple(r) for r in densest_subgraph(pairs).collect())
+    assert got == [(i, 6, 6) for i in range(6)]
+
+
+def test_densest_subgraph_raises_past_round_bound(spark):
+    import pytest
+
+    from big_data_computing__spark.operators.dedup import (
+        densest_subgraph,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="still active"):
+        densest_subgraph(pairs, max_iterations=0)
+
+
+def test_densest_subgraph_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from big_data_computing__spark.operators.dedup import (
+        densest_subgraph,
+        densest_subgraph_sql,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_sql,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r)
+        for r in densest_subgraph(minhash_lsh_pairs(docs)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            densest_subgraph_sql(
+                f"SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_sql()})"
+            )
+        ).fetchall()
+    )
+    assert got == want and got
