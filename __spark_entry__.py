@@ -2106,6 +2106,13 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def x_jl_projection(spark, sf_dir):
+        # Johnson-Lindenstrauss sketch with Achlioptas ±1 entries:
+        # 64 → 8 dims as ONE shuffle-free codegen projection (literal
+        # sign matrix, exact BIGINTs through the quantize bridge) —
+        # the data-independent twin of the PCA projection
+        return _sim.jl_projection(_emb(spark, sf_dir))
+
     def x_densest_subgraph(spark, sf_dir):
         # Bahmani et al. parallel peeling: the single most intensely
         # copied core of the near-dup graph (max |E|/|S|, exact-integer
@@ -2959,6 +2966,7 @@ GROUP BY GROUPING SETS (
         t18_join_size_sketch,
         x_heaps_vocab_growth,
         x_densest_subgraph,
+        x_jl_projection,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4071,6 +4079,7 @@ SELECT n.n AS n_rows, CAST((n.n + 1) // 2 AS BIGINT) AS k,
        r.v AS median
 FROM r, n WHERE r.rk = (n.n + 1) // 2
 """,
+        "x_jl_projection": _sim.jl_projection_sql(),
         "x_densest_subgraph": _dd.densest_subgraph_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),

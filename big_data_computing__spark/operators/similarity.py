@@ -3024,3 +3024,103 @@ ranked AS (
 )
 SELECT query_id, vec_id, score FROM ranked WHERE rk <= {k}
 """
+
+
+def jl_signs(
+    in_dim: int, out_dim: int, seed: int = 0
+) -> list[list[int]]:
+    """The ±1 Rademacher projection matrix as pinned literals: entry
+    (j, i) is the md5 parity of ("jl", seed, j, i) — both engines
+    receive the SAME literal matrix from this one generator, so the
+    projection is a deterministic linear map, not a hidden golden."""
+    import hashlib
+
+    def h(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    return [
+        [1 - 2 * (h(f"jl-{seed}-{j}-{i}") % 2) for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def jl_projection(
+    emb: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 8,
+    scale: int = 1000,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sketch of the embedding column with a ±1
+    (Rademacher) matrix — Achlioptas (JCSS'03) shows database-friendly
+    sign entries satisfy the JL distance-preservation lemma, no
+    Gaussians needed: DataFrame[vec_id, dim_idx, value] with
+    value_j = Σ_i sign(j,i)·round(e_i·scale), exact BIGINTs through
+    the engine's quantize bridge.
+
+    The dimensionality-reduction counterpart of the PCA projection
+    (similarity.embedding_pca): data-INDEPENDENT (no training pass, no
+    scatter matrix — the right choice when the corpus drifts or the
+    projection must be fixed before data arrives) at the price of
+    being distribution-agnostic. Same execution shape as PCA's
+    Catalyst projection: the matrix is literals, so the whole map is
+    ONE shuffle-free codegen projection per row — no join, no
+    aggregate, no Python. Downstream ANN/SemDeDup can run in the
+    sketched space at out_dim/in_dim the cost.
+    """
+    qv = F.transform(
+        F.slice(F.col("embedding"), 1, in_dim),
+        lambda e: F.round(e.cast("double") * F.lit(float(scale)))
+        .cast("bigint"),
+    )
+    signs = jl_signs(in_dim, out_dim, seed)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), qv.alias("q")
+    )
+    outs = [
+        sum(
+            (
+                F.element_at(F.col("q"), i + 1)
+                if signs[j][i] > 0
+                else -F.element_at(F.col("q"), i + 1)
+            )
+            for i in range(in_dim)
+        ).alias(f"y{j}")
+        for j in range(out_dim)
+    ]
+    wide = base.select("vec_id", *outs)
+    stack = ", ".join(f"{j}L, y{j}" for j in range(out_dim))
+    return wide.select(
+        "vec_id",
+        F.expr(f"stack({out_dim}, {stack}) AS (dim_idx, value)"),
+    ).select("vec_id", "dim_idx", "value")
+
+
+def jl_projection_sql(
+    in_dim: int = 64,
+    out_dim: int = 8,
+    scale: int = 1000,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`jl_projection` — the same literal sign
+    matrix from the same generator, same quantize bridge."""
+    signs = jl_signs(in_dim, out_dim, seed)
+    qd = (
+        "SELECT vec_id, "
+        + ", ".join(
+            f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * {scale})"
+            f" AS BIGINT) AS q{i}"
+            for i in range(in_dim)
+        )
+        + " FROM embeddings"
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({j} AS BIGINT) AS dim_idx, "
+        + " + ".join(
+            f"({'' if signs[j][i] > 0 else '-'}q{i})"
+            for i in range(in_dim)
+        )
+        + " AS value FROM qd"
+        for j in range(out_dim)
+    )
+    return f"WITH qd AS MATERIALIZED ({qd}) {rows}"
