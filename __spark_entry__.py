@@ -2106,6 +2106,15 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def x_bootstrap_ci_by_source(spark, sf_dir):
+        # the dashboard shape: every per-slice metric ships with its
+        # uncertainty in the SAME pass — per-source mean doc length
+        # with a 200-replicate Poisson-bootstrap CI; rank windows are
+        # per-group over R rows (WindowGroupLimit territory)
+        return _st.poisson_bootstrap_ci_by(
+            _docs(spark, sf_dir), "n_chars", "doc_id", "source"
+        )
+
     def x_jl_projection(spark, sf_dir):
         # Johnson-Lindenstrauss sketch with Achlioptas ±1 entries:
         # 64 → 8 dims as ONE shuffle-free codegen projection (literal
@@ -2967,6 +2976,7 @@ GROUP BY GROUPING SETS (
         x_heaps_vocab_growth,
         x_densest_subgraph,
         x_jl_projection,
+        x_bootstrap_ci_by_source,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4080,6 +4090,9 @@ SELECT n.n AS n_rows, CAST((n.n + 1) // 2 AS BIGINT) AS k,
 FROM r, n WHERE r.rk = (n.n + 1) // 2
 """,
         "x_jl_projection": _sim.jl_projection_sql(),
+        "x_bootstrap_ci_by_source": _st.poisson_bootstrap_ci_by_sql(
+            "SELECT * FROM documents", "n_chars", "doc_id", "source"
+        ),
         "x_densest_subgraph": _dd.densest_subgraph_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
         ),

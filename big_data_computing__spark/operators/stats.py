@@ -563,3 +563,145 @@ SELECT CAST({n_counters} AS BIGINT) AS n_counters,
        med.estimate, exact.exact_join_size
 FROM med CROSS JOIN exact
 """
+
+
+def poisson_bootstrap_ci_by(
+    rows: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    n_replicates: int = 200,
+    alpha_permille: int = 50,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group Poisson-bootstrap CI — one row per group:
+    DataFrame[group, n_rows, point_milli, lo_milli, hi_milli].
+
+    Same plan as :func:`poisson_bootstrap_ci` with the group key
+    carried through: the exchange holds groups×R rows, the rank
+    window is PARTITIONED by group over R rows each (WindowGroupLimit
+    territory, never a single global partition), and a group where a
+    replicate drew all-zero weights (possible only for tiny groups)
+    drops that replicate for that group alone — both engines apply
+    the same rule. The dashboard shape: every per-slice metric ships
+    with its uncertainty in the same pass.
+    """
+    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    base = rows.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    rep = base.select(
+        "grp",
+        "_id",
+        "_v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("rep"),
+    )
+    h = hash60(
+        F.concat_ws(
+            "-",
+            F.lit("boot"),
+            F.lit(str(seed)),
+            F.col("_id").cast("string"),
+            F.col("rep").cast("string"),
+        )
+    )
+    w = _poisson_weight(h)
+    means = (
+        rep.select(
+            "grp", "rep", (w * F.col("_v")).alias("wv"), w.alias("w")
+        )
+        .groupBy("grp", "rep")
+        .agg(F.sum("wv").alias("s"), F.sum("w").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            "grp",
+            "rep",
+            F.expr("CAST(1000 * s AS BIGINT) div n").alias("mean_milli"),
+        )
+    )
+    rk = Window.partitionBy("grp").orderBy("mean_milli", "rep")
+    ranked = means.select(
+        "grp", "mean_milli", F.row_number().over(rk).alias("rk")
+    )
+    point = base.groupBy("grp").agg(
+        F.count("*").alias("n_rows"),
+        F.expr("CAST(1000 * sum(_v) AS BIGINT) div count(*)").alias(
+            "point_milli"
+        ),
+    )
+    lo = ranked.where(F.col("rk") == lo_rk).select(
+        "grp", F.col("mean_milli").alias("lo_milli")
+    )
+    hi = ranked.where(F.col("rk") == hi_rk).select(
+        "grp", F.col("mean_milli").alias("hi_milli")
+    )
+    return (
+        point.join(lo, "grp")
+        .join(hi, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "point_milli",
+            "lo_milli",
+            "hi_milli",
+        )
+    )
+
+
+def poisson_bootstrap_ci_by_sql(
+    rows_sql: str,
+    value_expr: str,
+    id_expr: str,
+    group_expr: str,
+    n_replicates: int = 200,
+    alpha_permille: int = 50,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_ci_by`."""
+    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    h = hash60_sql(
+        f"concat('boot', '-', '{seed}', '-', CAST(_id AS VARCHAR),"
+        f" '-', CAST(rep AS VARCHAR))"
+    )
+    w = _poisson_weight_sql(h)
+    return f"""
+WITH base AS (
+  SELECT {group_expr} AS grp, CAST({id_expr} AS BIGINT) AS _id,
+         CAST({value_expr} AS BIGINT) AS _v
+  FROM ({rows_sql})
+),
+reps AS (
+  SELECT grp, _id, _v, r.rep
+  FROM base CROSS JOIN (
+    SELECT unnest(range({n_replicates})) AS rep
+  ) r
+),
+means AS (
+  SELECT grp, rep,
+         CAST(1000 * SUM({w} * _v) AS BIGINT) // SUM({w}) AS mean_milli
+  FROM reps GROUP BY grp, rep HAVING SUM({w}) > 0
+),
+ranked AS (
+  SELECT grp, mean_milli,
+         ROW_NUMBER() OVER (
+           PARTITION BY grp ORDER BY mean_milli, rep
+         ) AS rk
+  FROM means
+),
+point AS (
+  SELECT grp, COUNT(*) AS n_rows,
+         CAST(1000 * SUM(_v) AS BIGINT) // COUNT(*) AS point_milli
+  FROM base GROUP BY grp
+)
+SELECT p.grp AS {group_expr}, p.n_rows, p.point_milli,
+       lo.mean_milli AS lo_milli, hi.mean_milli AS hi_milli
+FROM point p
+JOIN (SELECT grp, mean_milli FROM ranked WHERE rk = {lo_rk}) lo
+  ON lo.grp = p.grp
+JOIN (SELECT grp, mean_milli FROM ranked WHERE rk = {hi_rk}) hi
+  ON hi.grp = p.grp
+"""

@@ -331,3 +331,36 @@ def test_bootstrap_stream_state_equals_batch(spark):
     before = (list(st.s), list(st.n), st.n_rows, st.sum_v)
     st.update(batches[1], 1)
     assert before == (list(st.s), list(st.n), st.n_rows, st.sum_v)
+
+
+def test_bootstrap_by_group_consistent_with_global(spark):
+    """Per-group CI on a single-group input equals the global CI; on
+    two groups each group's output matches running the operator on
+    that group alone (group draws are independent by construction:
+    the weight key is (seed, id, rep), not the group)."""
+    from big_data_computing__spark.operators.stats import (
+        poisson_bootstrap_ci,
+        poisson_bootstrap_ci_by,
+    )
+
+    rows = [(i, (i * 7) % 40 + 1, "g%d" % (i % 2)) for i in range(24)]
+    df = spark.createDataFrame(rows, "id long, v long, grp string")
+    by = {
+        r["grp"]: (
+            r["n_rows"], r["point_milli"], r["lo_milli"], r["hi_milli"]
+        )
+        for r in poisson_bootstrap_ci_by(
+            df, "v", "id", "grp", n_replicates=32
+        ).collect()
+    }
+    assert set(by) == {"g0", "g1"}
+    for g in ("g0", "g1"):
+        solo = poisson_bootstrap_ci(
+            df.where(F.col("grp") == g), "v", "id", n_replicates=32
+        ).collect()[0]
+        assert by[g] == (
+            solo["n_rows"],
+            solo["point_milli"],
+            solo["lo_milli"],
+            solo["hi_milli"],
+        )
