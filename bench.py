@@ -216,6 +216,15 @@ BENCH_QUERIES = [
     "x_feature_hash_embed",
     "x_mis_diverse",
     "a19_exact_median_qs",
+    # ...and its second half: densest-subgraph peel (adaptive-threshold
+    # graph triage), per-slice bootstrap (groups x R expansion), the
+    # AMS join-size product, Heaps vocabulary growth (global_rank +
+    # min-step), and the shuffle-free JL projection
+    "x_densest_subgraph",
+    "x_bootstrap_ci_by_source",
+    "t18_join_size_sketch",
+    "x_heaps_vocab_growth",
+    "x_jl_projection",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

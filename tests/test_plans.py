@@ -583,3 +583,36 @@ def test_r6h_wave_plan_shapes(spark):
     mis = executed_plan(qs["x_mis_diverse"](spark, SF))
     assert "CartesianProduct" not in mis
     assert "BatchEvalPython" not in mis
+
+
+def test_r6h_wave_plan_shapes_2(spark):
+    """Second half of the eighth-session wave: the JL projection is
+    literally shuffle-free (no Exchange anywhere — a pure codegen
+    linear map), the densest-subgraph peel never builds a cartesian,
+    the grouped bootstrap's rank window carries the group partition
+    spec, and the join-size sketch fans signs over vocabularies."""
+    import re
+
+    qs = entrymod.queries()
+
+    jl = executed_plan(qs["x_jl_projection"](spark, SF))
+    assert "Exchange" not in jl, "JL projection must be shuffle-free"
+    assert "BatchEvalPython" not in jl
+
+    dsg = executed_plan(qs["x_densest_subgraph"](spark, SF))
+    assert "CartesianProduct" not in dsg
+    assert "BatchEvalPython" not in dsg
+
+    gb = executed_plan(qs["x_bootstrap_ci_by_source"](spark, SF))
+    assert "Generate" in gb
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", gb):
+        assert "grp" in m.group(1), m.group(0)
+
+    js = executed_plan(qs["t18_join_size_sketch"](spark, SF))
+    assert "Generate" in js
+    assert "BatchEvalPython" not in js
+    assert "CartesianProduct" not in js
+
+    hp = executed_plan(qs["x_heaps_vocab_growth"](spark, SF))
+    assert "CartesianProduct" not in hp
+    assert "BatchEvalPython" not in hp
