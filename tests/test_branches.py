@@ -207,3 +207,43 @@ def test_in_commit_timestamps_and_as_of_read(spark, sf_dir, tmp_path):
     # stamp, later than every prior commit's
     t.restore(0)
     assert t.snapshot(2)["committed_at_us"] > ts1
+
+
+def test_streaming_ingest_into_branch_then_fast_forward(
+    spark, sf_dir, tmp_path
+):
+    """The WAP streaming flow on branches: exactly-once micro-batch
+    appends land on a branch (main untouched), the audit reads the
+    branch, and ONE fast-forward publishes the whole ingest."""
+    from big_data_computing__spark.streaming.table_stream import (
+        table_append_stream,
+    )
+
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    br = t.create_branch("ingest")
+
+    data = str(tmp_path / "stream_rows")
+    extra.repartition(3).write.parquet(data)
+    src = (
+        spark.readStream.schema(extra.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    q = (
+        table_append_stream(
+            src, br, str(tmp_path / "ingest_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert br.latest_version() > 1  # genuinely incremental batches
+    assert t.latest_version() == 0  # main never saw the stream
+    assert (
+        t.branch("ingest").read(spark).count()
+        == base.count() + extra.count()
+    )
+    t.fast_forward("ingest")
+    assert t.read(spark).count() == base.count() + extra.count()
+    t.delete_branch("ingest")
+    assert t.read(spark).count() == base.count() + extra.count()
