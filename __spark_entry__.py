@@ -2106,6 +2106,25 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def w18_supervised_examples(spark, sf_dir):
+        # next-day-forecast training rows: per-(user, day) dense grid
+        # with today's count, gap-safe trailing-7d count (RANGE
+        # frame), and tomorrow's count as the label — silent days are
+        # real zero rows, the last day is withheld (label unknown)
+        return _wd.supervised_daily_examples(
+            _rd.read_table(spark, sf_dir, "events")
+        )
+
+    def x_negative_samples(spark, sf_dir):
+        # leakage-safe contrastive negatives: up to K md5-drawn corpus
+        # docs per anchor, EXCLUDING the anchor's whole near-dup
+        # cluster (the leakage_safe_splits closure) — rejected draws
+        # drop, never resample (the vectorizable contract)
+        docs = _docs(spark, sf_dir)
+        return _cu.leakage_safe_negatives(
+            docs, _dd.minhash_lsh_pairs(docs)
+        )
+
     def x_bootstrap_ci_by_source(spark, sf_dir):
         # the dashboard shape: every per-slice metric ships with its
         # uncertainty in the SAME pass — per-source mean doc length
@@ -2977,6 +2996,8 @@ GROUP BY GROUPING SETS (
         x_densest_subgraph,
         x_jl_projection,
         x_bootstrap_ci_by_source,
+        w18_supervised_examples,
+        x_negative_samples,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4090,6 +4111,10 @@ SELECT n.n AS n_rows, CAST((n.n + 1) // 2 AS BIGINT) AS k,
 FROM r, n WHERE r.rk = (n.n + 1) // 2
 """,
         "x_jl_projection": _sim.jl_projection_sql(),
+        "w18_supervised_examples": _wd.supervised_daily_examples_sql(),
+        "x_negative_samples": _cu.leakage_safe_negatives_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
         "x_bootstrap_ci_by_source": _st.poisson_bootstrap_ci_by_sql(
             "SELECT * FROM documents", "n_chars", "doc_id", "source"
         ),

@@ -1718,3 +1718,138 @@ def referential_check(
         F.col("m").alias("metric"),
         (F.col("m") == 0).alias("passed"),
     )
+
+
+def leakage_safe_negatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Contrastive-training negatives that can never be secret
+    positives: DataFrame[doc_id, neg_idx, neg_doc_id] — for every doc,
+    up to ``k`` pseudo-random corpus docs EXCLUDING the doc itself and
+    its whole near-dup cluster (the same closure leakage_safe_splits
+    uses). A uniform negative sampler that ignores near-duplicates
+    feeds the model "negatives" that are literal copies of the anchor
+    — the classic contrastive-data leak; filtering by the duplicate
+    component closes it exactly.
+
+    Draws are the counter-based PRNG: candidate j for doc d is the
+    corpus doc at rank 1 + md5(seed, d, j) mod n over the global
+    doc_id order — deterministic, order-free, SQL-reproducible.
+    Rejected draws (self or same-cluster) are DROPPED, not resampled:
+    rejection loops don't vectorize, the expected loss is
+    |cluster|/n per draw, and the honest contract is "at most k"
+    (mirrored in both engines).
+
+    Plan: docs × k Generate (bounded fan-out) → one join on the rank
+    map (global_rank's two-pass order) → two broadcast-sized cluster
+    lookups → filter. No data-sized windows, no cartesian.
+    """
+    from .dedup import duplicate_components
+    from .relational import global_rank
+
+    n = docs.count()
+    ranked = global_rank(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")),
+        "doc_id",
+        rank_col="rk",
+    )
+    comp = duplicate_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component_id").alias("comp"),
+    )
+    anchors = ranked.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("a_comp"),
+    )
+    fanned = anchors.select(
+        "doc_id",
+        "a_comp",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"),
+    )
+    cand_rk = (
+        hash60(
+            F.concat_ws(
+                "-",
+                F.lit("neg"),
+                F.lit(str(seed)),
+                F.col("doc_id").cast("string"),
+                F.col("neg_idx").cast("string"),
+            )
+        )
+        % n
+        + 1
+    )
+    cands = fanned.select(
+        "doc_id", "a_comp", "neg_idx", cand_rk.alias("rk")
+    )
+    resolved = cands.join(
+        ranked.select(
+            F.col("doc_id").alias("neg_doc_id"), "rk"
+        ),
+        "rk",
+    )
+    neg_comp = comp.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("comp").alias("n_comp"),
+    )
+    return (
+        resolved.join(neg_comp, "neg_doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("neg_idx").cast("long").alias("neg_idx"),
+            "neg_doc_id",
+            F.coalesce(F.col("n_comp"), F.col("neg_doc_id")).alias(
+                "nc"
+            ),
+            "a_comp",
+        )
+        .where(
+            (F.col("neg_doc_id") != F.col("doc_id"))
+            & (F.col("nc") != F.col("a_comp"))
+        )
+        .select("doc_id", "neg_idx", "neg_doc_id")
+    )
+
+
+def leakage_safe_negatives_sql(
+    pairs_sql: str, k: int = 4, seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_negatives` (the corpus size
+    enters the draw as an inline COUNT(*), so the twin is valid at
+    any sf)."""
+    from .dedup import duplicate_components_sql
+
+    h = hash60_sql(
+        f"concat('neg', '-', '{seed}', '-', CAST(a.doc_id AS VARCHAR),"
+        f" '-', CAST(j.neg_idx AS VARCHAR))"
+    )
+    return f"""
+WITH comp AS ({duplicate_components_sql(pairs_sql)}),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+ranked AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+  FROM documents
+),
+anchors AS (
+  SELECT r.doc_id, COALESCE(c.component_id, r.doc_id) AS a_comp
+  FROM ranked r LEFT JOIN comp c ON c.doc_id = r.doc_id
+),
+cands AS (
+  SELECT a.doc_id, a.a_comp, j.neg_idx,
+         ({h}) % nn.n + 1 AS rk
+  FROM anchors a CROSS JOIN (
+    SELECT unnest(range({k})) AS neg_idx
+  ) j CROSS JOIN nn
+)
+SELECT c.doc_id, CAST(c.neg_idx AS BIGINT) AS neg_idx,
+       r.doc_id AS neg_doc_id
+FROM cands c
+JOIN ranked r ON r.rk = c.rk
+LEFT JOIN comp nc ON nc.doc_id = r.doc_id
+WHERE r.doc_id <> c.doc_id
+  AND COALESCE(nc.component_id, r.doc_id) <> c.a_comp
+"""

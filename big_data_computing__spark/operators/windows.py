@@ -1377,3 +1377,107 @@ SELECT {key}, status, ts_us AS valid_from_us,
          AS is_current
 FROM chg
 """
+
+
+def supervised_daily_examples(
+    events: DataFrame, lookback: int = 7, ts_col: str = "ts"
+) -> DataFrame:
+    """Per-(user, day) supervised training examples for next-day
+    activity forecasting: DataFrame[user_id, day, cnt_today, cnt_7d,
+    label_next] — today's event count, the trailing ``lookback``-day
+    count (gap-safe RANGE frame), and tomorrow's count as the label.
+    The feature-engineering-at-scale query a forecasting pipeline
+    exports as training data; every value is an exact integer.
+
+    The example grid is each user's DENSE day span (min..max active
+    day, zero-filled): silent days are real training rows — a model
+    that never sees zeros can't predict them. Grid rows = users ×
+    span, a deliberate densification the caller controls via the data
+    horizon; the explode is per-user and the windows are per-user
+    (partitioned, never global). The last day of each span emits no
+    row (its label is outside the data — withheld, not fabricated).
+    """
+    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    daily = (
+        events.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            day.alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        "d1",
+    )
+    grid = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "d1",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias(
+            "cnt_today"
+        ),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-(lookback - 1), 0)
+    )
+    wl = Window.partitionBy("user_id").orderBy("day")
+    return (
+        grid.select(
+            "user_id",
+            "day",
+            "d1",
+            "cnt_today",
+            F.sum("cnt_today").over(wr).cast("long").alias("cnt_7d"),
+            F.lead("cnt_today").over(wl).alias("label_next"),
+        )
+        .where(F.col("day") < F.col("d1"))
+        .select(
+            "user_id", "day", "cnt_today", "cnt_7d",
+            F.col("label_next").cast("long").alias("label_next"),
+        )
+    )
+
+
+def supervised_daily_examples_sql(lookback: int = 7) -> str:
+    """DuckDB twin of :func:`supervised_daily_examples`."""
+    return f"""
+WITH daily AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+  FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day, d1
+  FROM spans
+),
+grid AS (
+  SELECT s.user_id, s.day, s.d1,
+         CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt_today
+  FROM spine s LEFT JOIN daily d
+    ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, day, cnt_today,
+       CAST(SUM(cnt_today) OVER (
+         PARTITION BY user_id ORDER BY day
+         RANGE BETWEEN {lookback - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cnt_7d,
+       CAST(LEAD(cnt_today) OVER (
+         PARTITION BY user_id ORDER BY day
+       ) AS BIGINT) AS label_next
+FROM grid
+QUALIFY day < d1
+"""

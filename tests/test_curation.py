@@ -642,3 +642,39 @@ def test_kneser_ney_score_reference(spark):
     assert got == want
     # predictable text scores higher mean probability than scrambled
     assert got[0][1] > got[1][1]
+
+
+def test_leakage_safe_negatives_properties(spark, sf_dir):
+    """No negative is its own anchor or the anchor's near-dup cluster
+    mate; at most k per anchor; draws are deterministic."""
+    from big_data_computing__spark.operators.curation import (
+        leakage_safe_negatives,
+    )
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components,
+        minhash_lsh_pairs,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    out = leakage_safe_negatives(docs, pairs, k=4).collect()
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(pairs).collect()
+    }
+
+    per_anchor: dict[int, int] = {}
+    for r in out:
+        a, n = r["doc_id"], r["neg_doc_id"]
+        assert a != n
+        assert comp.get(a, a) != comp.get(n, n), (a, n)
+        per_anchor[a] = per_anchor.get(a, 0) + 1
+    assert max(per_anchor.values()) <= 4
+    # most anchors keep all 4 draws (rejection loss is rare)
+    assert sum(v == 4 for v in per_anchor.values()) > 0.8 * len(
+        per_anchor
+    )
+
+    again = leakage_safe_negatives(docs, pairs, k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -730,3 +730,61 @@ def test_interval_overlap_brute_parity_and_bin_invariance(spark):
             ).collect()
         }
         assert got == want, f"bin_width_seconds={w}"
+
+
+def test_supervised_daily_examples_hand_fixture(spark):
+    """Dense grid with a silent day: zero rows are real examples,
+    labels are tomorrow's counts, the last day is withheld."""
+    import datetime as dt
+
+    from big_data_computing__spark.operators.windows import (
+        supervised_daily_examples,
+    )
+
+    D = 86_400_000_000
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(day, h):
+        return base + dt.timedelta(days=day, hours=h)
+
+    rows = [  # user 1: active day0 (2 events), silent day1, day2 (1)
+        (1, ts(0, 1)), (1, ts(0, 2)), (1, ts(2, 3)),
+        # user 2: single active day -> no example (label unknown)
+        (2, ts(5, 1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["day"]): (
+            r["cnt_today"], r["cnt_7d"], r["label_next"]
+        )
+        for r in supervised_daily_examples(ev).collect()
+    }
+    d0 = int(base.timestamp() * 1_000_000) // D
+    assert got == {
+        (1, d0): (2, 2, 0),       # label = silent day1's zero
+        (1, d0 + 1): (0, 2, 1),   # the zero row itself, 7d carries
+    }
+
+
+def test_supervised_examples_trailing_window_is_gap_safe(spark):
+    """A lookback shorter than the gap must NOT leak counts across
+    it: with lookback=2, day2's window covers days 1-2 only."""
+    import datetime as dt
+
+    from big_data_computing__spark.operators.windows import (
+        supervised_daily_examples,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [(7, base)] * 5 + [
+        (7, base + dt.timedelta(days=2)),
+        (7, base + dt.timedelta(days=3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    D = 86_400_000_000
+    d0 = int(base.timestamp() * 1_000_000) // D
+    got = {
+        r["day"]: r["cnt_7d"]
+        for r in supervised_daily_examples(ev, lookback=2).collect()
+    }
+    assert got == {d0: 5, d0 + 1: 5, d0 + 2: 1}
