@@ -2106,6 +2106,18 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def a20_aqp_group_counts(spark, sf_dir):
+        # BlinkDB-shape AQP: per-event-type counts from a
+        # deterministic 10% md5 sample with Horvitz-Thompson scaling
+        # and Poisson-bootstrap error bars, exact counts alongside —
+        # the 1/p-cost dashboard query plus the CI that says when
+        # trusting it is safe
+        return _st.aqp_group_count_ci(
+            _rd.read_table(spark, sf_dir, "events"),
+            "event_type",
+            "event_id",
+        )
+
     def w18_supervised_examples(spark, sf_dir):
         # next-day-forecast training rows: per-(user, day) dense grid
         # with today's count, gap-safe trailing-7d count (RANGE
@@ -2998,6 +3010,7 @@ GROUP BY GROUPING SETS (
         x_bootstrap_ci_by_source,
         w18_supervised_examples,
         x_negative_samples,
+        a20_aqp_group_counts,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4111,6 +4124,9 @@ SELECT n.n AS n_rows, CAST((n.n + 1) // 2 AS BIGINT) AS k,
 FROM r, n WHERE r.rk = (n.n + 1) // 2
 """,
         "x_jl_projection": _sim.jl_projection_sql(),
+        "a20_aqp_group_counts": _st.aqp_group_count_ci_sql(
+            "SELECT * FROM events", "event_type", "event_id"
+        ),
         "w18_supervised_examples": _wd.supervised_daily_examples_sql(),
         "x_negative_samples": _cu.leakage_safe_negatives_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"

