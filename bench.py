@@ -225,6 +225,12 @@ BENCH_QUERIES = [
     "t18_join_size_sketch",
     "x_heaps_vocab_growth",
     "x_jl_projection",
+    # training-data export + AQP: the dense supervised grid (per-user
+    # RANGE windows), leakage-safe contrastive negatives (CC closure +
+    # rank-map join), and the sampled-count dashboard with error bars
+    "w18_supervised_examples",
+    "x_negative_samples",
+    "a20_aqp_group_counts",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a
