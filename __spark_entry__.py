@@ -2106,6 +2106,13 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def x_langid_confusion(spark, sf_dir):
+        # classifier-eval view: marker-heuristic language ID vs the
+        # labeled lang column as a confusion matrix — which languages
+        # the router confuses and how much falls to 'und', the check
+        # before trusting langid-based corpus routing
+        return _ts.langid_confusion(_docs(spark, sf_dir))
+
     def a20_aqp_group_counts(spark, sf_dir):
         # BlinkDB-shape AQP: per-event-type counts from a
         # deterministic 10% md5 sample with Horvitz-Thompson scaling
@@ -3011,6 +3018,7 @@ GROUP BY GROUPING SETS (
         w18_supervised_examples,
         x_negative_samples,
         a20_aqp_group_counts,
+        x_langid_confusion,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4124,6 +4132,7 @@ SELECT n.n AS n_rows, CAST((n.n + 1) // 2 AS BIGINT) AS k,
 FROM r, n WHERE r.rk = (n.n + 1) // 2
 """,
         "x_jl_projection": _sim.jl_projection_sql(),
+        "x_langid_confusion": _ts.langid_confusion_sql(),
         "a20_aqp_group_counts": _st.aqp_group_count_ci_sql(
             "SELECT * FROM events", "event_type", "event_id"
         ),

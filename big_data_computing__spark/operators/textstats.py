@@ -2027,3 +2027,29 @@ SELECT d.step,
          AS vocab
 FROM dsteps d LEFT JOIN newv v ON d.step = v.step
 """
+
+
+def langid_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID evaluation against the labeled ``lang`` column:
+    DataFrame[actual_lang, pred_lang, n_docs] — the confusion matrix a
+    curation pipeline checks before trusting the classifier's routing
+    (which pairs of languages the marker heuristic confuses, and how
+    much lands in 'und'). One classify pass + one tiny aggregate."""
+    preds = language_id(docs, text_col)
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(preds, "doc_id")
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def langid_confusion_sql() -> str:
+    """DuckDB twin of :func:`langid_confusion`."""
+    return f"""
+WITH preds AS ({language_id_sql()})
+SELECT d.lang AS actual_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN preds p ON p.doc_id = d.doc_id
+GROUP BY 1, 2
+"""

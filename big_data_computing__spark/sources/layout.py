@@ -3110,6 +3110,152 @@ class ZTable:
             "checkpoint_interval": self.checkpoint_interval,
         }
 
+    def analyze_histograms(
+        self, spark: SparkSession, cols: list[str], bins: int = 8
+    ) -> int:
+        """ANALYZE TABLE for range selectivity: record a per-file
+        equi-width histogram (``hist_<col>`` = {lo, hi, counts[bins]})
+        for each column in ``cols`` on every CURRENT file, as one
+        metadata commit — the optimizer-statistics layer min/max boxes
+        can't provide (a box says a range *may* match; a histogram
+        says *how much*). The Delta/Iceberg ANALYZE contract: stats
+        are collected on demand, carried verbatim with their file
+        entries through later commits, and files written AFTER the
+        analyze simply lack them until the next run —
+        :meth:`estimate_range_count` reports its histogram coverage so
+        staleness is visible, and falls back to whole-file pro-rata
+        for unanalyzed files. Histograms count physical non-null rows
+        (deletion vectors are not subtracted — they're estimates, and
+        DV-heavy tables should compact anyway). Two scans per run
+        (bounds, then bucket counts), both projecting only ``cols``.
+        A lost commit race raises :class:`ConcurrentWriteConflict`."""
+        snap = self.snapshot()
+        if not snap["files"]:
+            raise ValueError("analyze_histograms: empty table")
+        paths = [e["file"] for e in snap["files"]]
+        entries = [dict(e) for e in snap["files"]]
+        by_file = {e["file"]: e for e in entries}
+        for c in cols:
+            scan = spark.read.option("mergeSchema", "true").parquet(
+                *paths
+            ).select(
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col(c).cast("double").alias("_v"),
+            ).where(F.col("_v").isNotNull())
+            bounds = {
+                r["_fp"]: (r["lo"], r["hi"])
+                for r in scan.groupBy("_fp")
+                .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+                .collect()
+            }
+            lo_map = F.create_map(
+                *[
+                    F.lit(v)
+                    for fp, (lo, hi) in bounds.items()
+                    for v in (fp, float(lo))
+                ]
+            )
+            hi_map = F.create_map(
+                *[
+                    F.lit(v)
+                    for fp, (lo, hi) in bounds.items()
+                    for v in (fp, float(hi))
+                ]
+            )
+            width = hi_map[F.col("_fp")] - lo_map[F.col("_fp")]
+            b = F.when(width <= 0, F.lit(0)).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("_v") - lo_map[F.col("_fp")])
+                        * bins
+                        / width
+                    ).cast("int"),
+                    F.lit(bins - 1),
+                )
+            )
+            counts: dict[str, list[int]] = {
+                fp: [0] * bins for fp in bounds
+            }
+            for r in (
+                scan.select("_fp", b.alias("_b"))
+                .groupBy("_fp", "_b")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ):
+                counts[r["_fp"]][r["_b"]] = r["n"]
+            for fp, (lo, hi) in bounds.items():
+                if fp in by_file:
+                    by_file[fp][f"hist_{c}"] = {
+                        "lo": float(lo),
+                        "hi": float(hi),
+                        "counts": counts[fp],
+                    }
+        meta = {
+            k: v
+            for k, v in snap.items()
+            if k not in ("version", "operation", "x", "y", "files")
+        }
+        meta["hist_cols"] = sorted(
+            set(meta.get("hist_cols", [])) | set(cols)
+        )
+        meta["hist_bins"] = bins
+        try:
+            return self._commit(
+                snap["version"] + 1, "analyze", entries, meta
+            )
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                f"analyze of {self.path} lost the commit race — "
+                "re-run against the new state"
+            ) from None
+
+    def estimate_range_count(
+        self, col: str, lo: float, hi: float
+    ) -> tuple[float, int, int]:
+        """Driver-side selectivity estimate for ``col BETWEEN lo AND
+        hi``: (estimated_rows, n_files_with_histogram, n_files_total)
+        — zero data read. Files with a recorded histogram pro-rate
+        each overlapping bin under the uniform-within-bin assumption
+        (the Selinger convention); unanalyzed files pro-rate the whole
+        file over their min/max stats box when it exists, else count
+        fully (conservative). Exact by construction when the range
+        covers a file entirely or misses it entirely."""
+        snap = self.snapshot()
+        est = 0.0
+        n_hist = 0
+        for e in snap["files"]:
+            h = e.get(f"hist_{col}")
+            if h is not None:
+                n_hist += 1
+                h_lo, h_hi, counts = h["lo"], h["hi"], h["counts"]
+                if h_hi <= h_lo:
+                    if lo <= h_lo <= hi:
+                        est += sum(counts)
+                    continue
+                width = (h_hi - h_lo) / len(counts)
+                for j, cnt in enumerate(counts):
+                    b0 = h_lo + j * width
+                    b1 = h_lo + (j + 1) * width
+                    ov = min(hi, b1) - max(lo, b0)
+                    if ov >= width:
+                        est += cnt
+                    elif ov > 0:
+                        est += cnt * ov / width
+                continue
+            f_lo, f_hi = e.get(f"min_{col}"), e.get(f"max_{col}")
+            if f_lo is None or f_hi is None:
+                est += e["n_rows"]
+            elif f_hi <= f_lo:
+                if lo <= f_lo <= hi:
+                    est += e["n_rows"]
+            else:
+                ov = min(hi, f_hi) - max(lo, f_lo)
+                if ov > 0:
+                    est += e["n_rows"] * min(
+                        1.0, ov / (f_hi - f_lo)
+                    )
+        return est, n_hist, len(snap["files"])
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete every
         data file no retained snapshot references (including orphans from

@@ -247,3 +247,40 @@ def test_streaming_ingest_into_branch_then_fast_forward(
     assert t.read(spark).count() == base.count() + extra.count()
     t.delete_branch("ingest")
     assert t.read(spark).count() == base.count() + extra.count()
+
+
+def test_analyze_histograms_and_selectivity(spark, sf_dir, tmp_path):
+    """ANALYZE records per-file histograms; the estimator is exact on
+    full/disjoint ranges, close on partial ranges, reports coverage
+    staleness after an append, and old versions stay hist-free."""
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    n = base.count()
+    v = t.analyze_histograms(spark, ["x"], bins=8)
+    assert t.snapshot(v)["operation"] == "analyze"
+
+    full, n_hist, n_total = t.estimate_range_count(
+        "x", -1e18, 1e18
+    )
+    assert n_hist == n_total and round(full) == n
+    zero, _, _ = t.estimate_range_count("x", 1e17, 1e18)
+    assert zero == 0.0
+
+    lo, hi = 2000.0, 6000.0
+    exact = base.where(
+        (F.col("x") >= lo) & (F.col("x") <= hi)
+    ).count()
+    est, _, _ = t.estimate_range_count("x", lo, hi)
+    assert exact > 0
+    assert 0.5 * exact <= est <= 2.0 * exact, (est, exact)
+
+    # histograms ride their entries through an append; the new files
+    # lack them and the estimator says so
+    t.append(extra)
+    _, n_hist2, n_total2 = t.estimate_range_count("x", -1e18, 1e18)
+    assert n_hist2 == n_hist and n_total2 > n_total
+    # pre-analyze version has no histograms at all
+    assert all(
+        "hist_x" not in e for e in t.snapshot(0)["files"]
+    )
+    # the change feed ignores the metadata-only analyze commit
+    assert t.changes(spark, 0, v).count() == 0
