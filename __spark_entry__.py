@@ -83,6 +83,17 @@ JACCARD_THRESHOLD = 0.2
 # 3 = the pigeonhole-complete threshold for the 4-band blocking (every
 # pair within Hamming 3 is guaranteed to collide on >= 1 band)
 SIMHASH_MAX_HAMMING = 3
+# pinned tokenizer model for the BPE-apply query (the PQ-codebook
+# parameter pattern: both engines get the identical merge list as
+# literals). Chains spell the head words 'scan'/'ord(er)'/'jo(in)';
+# the final ('i','n') merge deliberately overlaps 'join'/'window'/
+# 'line' so in-order left-to-right application is exercised for real
+BPE_APPLY_MERGES = [
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("o", "r"), ("or", "d"),
+    ("j", "o"), ("jo", "i"),
+    ("i", "n"),
+]
 # BFS blast-radius probe: two seed docs (doc 1 sits in the simhash
 # graph at every fixture sf; doc 2 exercises the isolated-seed case
 # when it has no near-dups), truncated at 3 rings
@@ -2106,6 +2117,15 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def x_bpe_tokenized(spark, sf_dir):
+        # tokenizer SERVING: apply a given BPE model (pinned merge
+        # list, fed to both engines as literals) to the corpus as a
+        # pure per-row Catalyst replace chain — per-doc piece counts;
+        # the trainer's round-trip property is pinned in tests
+        return _ts.bpe_apply_counts(
+            _docs(spark, sf_dir), BPE_APPLY_MERGES
+        )
+
     def x_langid_confusion(spark, sf_dir):
         # classifier-eval view: marker-heuristic language ID vs the
         # labeled lang column as a confusion matrix — which languages
@@ -3019,6 +3039,7 @@ GROUP BY GROUPING SETS (
         x_negative_samples,
         a20_aqp_group_counts,
         x_langid_confusion,
+        x_bpe_tokenized,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4133,6 +4154,7 @@ FROM r, n WHERE r.rk = (n.n + 1) // 2
 """,
         "x_jl_projection": _sim.jl_projection_sql(),
         "x_langid_confusion": _ts.langid_confusion_sql(),
+        "x_bpe_tokenized": _ts.bpe_apply_counts_sql(BPE_APPLY_MERGES),
         "a20_aqp_group_counts": _st.aqp_group_count_ci_sql(
             "SELECT * FROM events", "event_type", "event_id"
         ),

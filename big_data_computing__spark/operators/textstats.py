@@ -2053,3 +2053,70 @@ SELECT d.lang AS actual_lang, p.pred_lang,
 FROM documents d JOIN preds p ON p.doc_id = d.doc_id
 GROUP BY 1, 2
 """
+
+
+def bpe_apply_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE piece counts under a GIVEN merge list:
+    DataFrame[doc_id, token, n] — :func:`bpe_apply` followed by one
+    explode + count. The serving half of the tokenizer story: the
+    model (merge list) is an input parameter, the application is a
+    pure per-row Catalyst map, and the output is directly
+    hash-comparable. Pair with :func:`bpe_train` in production; the
+    registered query pins a hand-chosen merge list so the oracle twin
+    (:func:`bpe_apply_counts_sql`) receives the identical model as
+    literals — the PQ-codebook parameter pattern."""
+    toks = bpe_apply(docs, merges, text_col)
+    return (
+        toks.select(
+            "doc_id", F.explode(F.col("bpe_tokens")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def bpe_apply_counts_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`bpe_apply_counts` (char level): the same
+    framed-cell encode and the same in-order chained replace — both
+    engines' ``replace`` substitutes left-to-right non-overlapping,
+    which is the trainer's semantics."""
+    sep = _BPE_SEP
+    frame = (
+        "concat('{s}', array_to_string(list_transform("
+        "generate_series(1, length(w)), i -> substring(w, i, 1)), "
+        "'{s}{s}'), '{s}')"
+    ).format(s=sep)
+    cell = frame
+    expr = "e"
+    for a, b in merges:
+        pat = f"{sep}{a}{sep}{sep}{b}{sep}"
+        rep = f"{sep}{a}{b}{sep}"
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(text, ' '),
+                       w -> w <> '' AND NOT contains(w, '{sep}')),
+           w -> {cell}) AS cells
+  FROM documents
+),
+merged AS (
+  SELECT doc_id,
+         list_transform(cells, e -> {expr}) AS cells
+  FROM enc
+),
+toks AS (
+  SELECT doc_id,
+         unnest(flatten(list_transform(cells,
+           e -> string_split(substring(e, 2, length(e) - 2),
+                             '{sep}{sep}')))) AS token
+  FROM merged
+)
+SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY doc_id, token
+"""
