@@ -616,3 +616,35 @@ def test_r6h_wave_plan_shapes_2(spark):
     hp = executed_plan(qs["x_heaps_vocab_growth"](spark, SF))
     assert "CartesianProduct" not in hp
     assert "BatchEvalPython" not in hp
+
+
+def test_r6h_wave_plan_shapes_3(spark):
+    """Fourth-wave contracts: the BPE apply is a pure per-row replace
+    chain (its only exchange is the count aggregate), the supervised
+    grid windows carry the user partition spec, the negative sampler
+    never goes cartesian, and the AQP sample predicate evaluates in
+    codegen (no Python anywhere)."""
+    import re
+
+    qs = entrymod.queries()
+
+    bpe = executed_plan(qs["x_bpe_tokenized"](spark, SF))
+    assert "BatchEvalPython" not in bpe
+    assert "SortMergeJoin" not in bpe and "CartesianProduct" not in bpe
+
+    sup = executed_plan(qs["w18_supervised_examples"](spark, SF))
+    assert "BatchEvalPython" not in sup
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", sup):
+        assert "user_id" in m.group(1), m.group(0)
+
+    neg = executed_plan(qs["x_negative_samples"](spark, SF))
+    assert "CartesianProduct" not in neg
+    assert "BatchEvalPython" not in neg
+
+    aqp = executed_plan(qs["a20_aqp_group_counts"](spark, SF))
+    assert "Generate" in aqp
+    assert "BatchEvalPython" not in aqp
+
+    conf = executed_plan(qs["x_langid_confusion"](spark, SF))
+    assert "BatchEvalPython" not in conf
+    assert "CartesianProduct" not in conf
