@@ -2117,6 +2117,18 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def a21_weighted_median(spark, sf_dir):
+        # exact QUANTITY-weighted median price without a global sort:
+        # the weighted quickselect (SUM(weight) histogram rounds) —
+        # oracle is the weighted order statistic itself
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        return _rel.weighted_median_quickselect(li, "cents", "qty")
+
     def x_bpe_tokenized(spark, sf_dir):
         # tokenizer SERVING: apply a given BPE model (pinned merge
         # list, fed to both engines as literals) to the corpus as a
@@ -3040,6 +3052,7 @@ GROUP BY GROUPING SETS (
         a20_aqp_group_counts,
         x_langid_confusion,
         x_bpe_tokenized,
+        a21_weighted_median,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4155,6 +4168,23 @@ FROM r, n WHERE r.rk = (n.n + 1) // 2
         "x_jl_projection": _sim.jl_projection_sql(),
         "x_langid_confusion": _ts.langid_confusion_sql(),
         "x_bpe_tokenized": _ts.bpe_apply_counts_sql(BPE_APPLY_MERGES),
+        "a21_weighted_median": """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+tw AS (SELECT SUM(w) AS tw FROM v),
+r AS (
+  SELECT v, SUM(w) OVER (
+    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cw FROM v
+)
+SELECT tw.tw AS total_weight, CAST((tw.tw + 1) // 2 AS BIGINT) AS k,
+       (SELECT MIN(v) FROM r, tw WHERE r.cw >= (tw.tw + 1) // 2)
+         AS median
+FROM tw
+""",
         "a20_aqp_group_counts": _st.aqp_group_count_ci_sql(
             "SELECT * FROM events", "event_type", "event_id"
         ),

@@ -830,3 +830,85 @@ def exact_median_quickselect(
         F.lit(k).cast("long").alias("k"),
         F.lit(kth).cast("long").alias("median"),
     )
+
+
+def global_weighted_kth(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    k: int,
+    n_buckets: int = QUICKSELECT_BUCKETS,
+    max_rounds: int = QUICKSELECT_MAX_ROUNDS,
+) -> tuple[int, int]:
+    """EXACT weighted k-th: the smallest value v such that the total
+    integer weight of rows with value <= v reaches ``k`` — returns
+    (value, n_rounds). Same bounded-histogram quickselect as
+    :func:`global_kth_value` with SUM(weight) per bin instead of
+    COUNT(*): the weighted median (k = (W+1) div 2) of a 100 TB
+    column costs log_256(domain) aggregation passes whose shuffles
+    carry histograms, never rows. Zero/negative weights are rejected
+    (they would break the monotone cumulative-weight argument)."""
+    v = F.col(value_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    base = df.select(v.alias("v"), w.alias("w")).localCheckpoint()
+    if not base.where(F.col("w") <= 0).isEmpty():
+        raise ValueError("weights must be strictly positive")
+    bounds = base.agg(
+        F.sum("w").alias("tw"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    tw, lo, hi = bounds["tw"], bounds["lo"], bounds["hi"]
+    if tw is None or not 1 <= k <= tw:
+        raise ValueError(f"k={k} outside 1..{tw}")
+    kk = k
+    rounds = 0
+    while lo < hi:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"global_weighted_kth: range [{lo}, {hi}] not "
+                f"resolved after {max_rounds} rounds"
+            )
+        width = (hi - lo) // n_buckets + 1
+        hist = dict(
+            (r["b"], r["c"])
+            for r in base.where(
+                (F.col("v") >= lo) & (F.col("v") <= hi)
+            )
+            .groupBy(F.expr(f"(v - {lo}) div {width}").alias("b"))
+            .agg(F.sum("w").alias("c"))
+            .collect()
+        )
+        cum = 0
+        for b in range(n_buckets + 1):
+            c = hist.get(b, 0)
+            if cum + c >= kk:
+                lo2 = lo + b * width
+                hi = min(hi, lo2 + width - 1)
+                lo = lo2
+                kk -= cum
+                break
+            cum += c
+        else:
+            raise AssertionError("k-th bucket not found (impossible)")
+    return lo, rounds
+
+
+def weighted_median_quickselect(
+    df: DataFrame, value_col: str, weight_col: str
+) -> DataFrame:
+    """Lower weighted-median summary: DataFrame[total_weight, k,
+    median] via :func:`global_weighted_kth`; oracle is algorithm-
+    independent (the weighted order statistic itself)."""
+    spark = df.sparkSession
+    tw = df.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("tw")
+    ).collect()[0]["tw"]
+    k = (tw + 1) // 2
+    kth, _ = global_weighted_kth(df, value_col, weight_col, k)
+    return spark.range(1).select(
+        F.lit(tw).cast("long").alias("total_weight"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(kth).cast("long").alias("median"),
+    )

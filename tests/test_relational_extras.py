@@ -273,3 +273,27 @@ def test_exact_median_quickselect_matches_order_statistic(spark, sf_dir):
     assert got["n_rows"] == len(vals)
     assert got["k"] == k
     assert got["median"] == vals[k - 1]
+
+
+def test_global_weighted_kth_hand_data(spark):
+    """Weighted quickselect equals the brute cumulative-weight scan
+    for every k; rejects non-positive weights and out-of-range k."""
+    import pytest
+
+    from big_data_computing__spark.operators.relational import (
+        global_weighted_kth,
+    )
+
+    rows = [(5, 3), (-2, 1), (9, 4), (5, 2), (100, 1)]
+    df = spark.createDataFrame(rows, "v long, w long")
+    expanded = sorted(
+        v for v, w in rows for _ in range(w)
+    )  # total weight 11
+    for k in (1, 3, 4, 6, 10, 11):
+        got, _ = global_weighted_kth(df, "v", "w", k)
+        assert got == expanded[k - 1], (k, got)
+    with pytest.raises(ValueError, match="outside"):
+        global_weighted_kth(df, "v", "w", 12)
+    bad = spark.createDataFrame([(1, 0)], "v long, w long")
+    with pytest.raises(ValueError, match="positive"):
+        global_weighted_kth(bad, "v", "w", 1)
