@@ -3111,7 +3111,11 @@ class ZTable:
         }
 
     def analyze_histograms(
-        self, spark: SparkSession, cols: list[str], bins: int = 8
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bins: int = 8,
+        incremental: bool = False,
     ) -> int:
         """ANALYZE TABLE for range selectivity: record a per-file
         equi-width histogram (``hist_<col>`` = {lo, hi, counts[bins]})
@@ -3132,8 +3136,28 @@ class ZTable:
         snap = self.snapshot()
         if not snap["files"]:
             raise ValueError("analyze_histograms: empty table")
-        paths = [e["file"] for e in snap["files"]]
         entries = [dict(e) for e in snap["files"]]
+        if incremental:
+            # O(new files): scan only entries missing any requested
+            # histogram — the stats-refresh a streaming-append table
+            # runs per maintenance tick. Bin count must match the
+            # recorded one or the carried and fresh histograms would
+            # not be comparable.
+            rec_bins = snap.get("hist_bins")
+            if rec_bins is not None and rec_bins != bins:
+                raise ValueError(
+                    f"incremental analyze with bins={bins} over "
+                    f"recorded hist_bins={rec_bins} — re-run full"
+                )
+            todo = [
+                e for e in entries
+                if any(f"hist_{c}" not in e for c in cols)
+            ]
+            if not todo:
+                return snap["version"]  # nothing stale, no commit
+            paths = [e["file"] for e in todo]
+        else:
+            paths = [e["file"] for e in entries]
         by_file = {e["file"]: e for e in entries}
         for c in cols:
             scan = spark.read.option("mergeSchema", "true").parquet(

@@ -284,3 +284,38 @@ def test_analyze_histograms_and_selectivity(spark, sf_dir, tmp_path):
     )
     # the change feed ignores the metadata-only analyze commit
     assert t.changes(spark, 0, v).count() == 0
+
+
+def test_incremental_analyze_covers_only_new_files(
+    spark, sf_dir, tmp_path
+):
+    """Incremental ANALYZE recomputes nothing for already-analyzed
+    files, fills the gap after an append, no-ops when fresh, and
+    refuses a bin-count mismatch."""
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    t.analyze_histograms(spark, ["x"], bins=8)
+    old_hists = {
+        e["file"]: e["hist_x"] for e in t.snapshot()["files"]
+    }
+    t.append(extra)
+    v = t.analyze_histograms(spark, ["x"], bins=8, incremental=True)
+    snap = t.snapshot(v)
+    assert all("hist_x" in e for e in snap["files"])
+    # carried entries keep their recorded histograms verbatim
+    for e in snap["files"]:
+        if e["file"] in old_hists:
+            assert e["hist_x"] == old_hists[e["file"]]
+    est, n_hist, n_total = t.estimate_range_count("x", -1e18, 1e18)
+    assert n_hist == n_total
+    assert round(est) == base.count() + extra.count()
+    # fresh table: incremental is a no-op commit-wise
+    assert (
+        t.analyze_histograms(spark, ["x"], bins=8, incremental=True)
+        == v
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="re-run full"):
+        t.analyze_histograms(
+            spark, ["x"], bins=4, incremental=True
+        )
