@@ -2117,6 +2117,13 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def w19_wow_growth(spark, sf_dir):
+        # week-over-week trend per event type: exact permille ratio
+        # against the previous CALENDAR week only (a silent week
+        # breaks the chain — no flattering comparisons across gaps);
+        # the human-readable companion of w13's spike detector
+        return _wd.wow_growth(_rd.read_table(spark, sf_dir, "events"))
+
     def a21_weighted_median(spark, sf_dir):
         # exact QUANTITY-weighted median price without a global sort:
         # the weighted quickselect (SUM(weight) histogram rounds) —
@@ -3053,6 +3060,7 @@ GROUP BY GROUPING SETS (
         x_langid_confusion,
         x_bpe_tokenized,
         a21_weighted_median,
+        w19_wow_growth,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4168,6 +4176,7 @@ FROM r, n WHERE r.rk = (n.n + 1) // 2
         "x_jl_projection": _sim.jl_projection_sql(),
         "x_langid_confusion": _ts.langid_confusion_sql(),
         "x_bpe_tokenized": _ts.bpe_apply_counts_sql(BPE_APPLY_MERGES),
+        "w19_wow_growth": _wd.wow_growth_sql(),
         "a21_weighted_median": """
 WITH v AS (
   SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,

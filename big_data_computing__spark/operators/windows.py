@@ -1481,3 +1481,69 @@ SELECT user_id, day, cnt_today,
 FROM grid
 QUALIFY day < d1
 """
+
+
+def wow_growth(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Week-over-week volume growth per event type:
+    DataFrame[event_type, week, n_events, prev_week_events,
+    growth_permille] — growth is the exact integer
+    ``(n·1000) div prev`` ratio against the PREVIOUS CALENDAR week
+    (lag over the per-type week series; a silent week breaks the
+    chain, and chain-break rows are OMITTED — a type that
+    vanished for a month never shows a flattering ratio against
+    its last active week).
+    The monitoring companion of w13's spike detector: spikes flag
+    days against a trailing mean, this reports the weekly trend a
+    human reads. Per-type windows only; weeks are epoch-based
+    (epoch_us div (7·86400·10^6)), the cross-engine convention."""
+    wk = (
+        event_time_us(events, ts_col) / F.lit(7 * 86_400_000_000)
+    ).cast("long")
+    weekly = (
+        events.select(F.col("event_type"), wk.alias("week"))
+        .groupBy("event_type", "week")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.when(
+        F.lag("week").over(w) == F.col("week") - 1,
+        F.lag("n_events").over(w),
+    )
+    staged = weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        prev.alias("prev_week_events"),
+    )
+    return staged.where(F.col("prev_week_events").isNotNull()).select(
+        "event_type",
+        "week",
+        "n_events",
+        "prev_week_events",
+        F.expr(
+            "CAST(n_events * 1000 AS BIGINT) div prev_week_events"
+        ).alias("growth_permille"),
+    )
+
+
+def wow_growth_sql() -> str:
+    """DuckDB twin of :func:`wow_growth`."""
+    return """
+WITH weekly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT event_type, week, n_events,
+         CASE WHEN LAG(week) OVER w = week - 1
+              THEN LAG(n_events) OVER w END AS prev_week_events
+  FROM weekly
+  WINDOW w AS (PARTITION BY event_type ORDER BY week)
+)
+SELECT event_type, week, n_events, prev_week_events,
+       CAST(n_events * 1000 AS BIGINT) // prev_week_events
+         AS growth_permille
+FROM staged WHERE prev_week_events IS NOT NULL
+"""
