@@ -231,6 +231,12 @@ BENCH_QUERIES = [
     "w18_supervised_examples",
     "x_negative_samples",
     "a20_aqp_group_counts",
+    # session tail: weighted order statistic, weekly trend, tokenizer
+    # serving, router eval
+    "a21_weighted_median",
+    "w19_wow_growth",
+    "x_bpe_tokenized",
+    "x_langid_confusion",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a
