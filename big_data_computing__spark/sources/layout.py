@@ -3280,6 +3280,73 @@ class ZTable:
                     )
         return est, n_hist, len(snap["files"])
 
+    def files_df(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The manifest as a queryable DataFrame (Iceberg's ``.files``
+        metadata table): one row per live data file with its stats box,
+        row count, schema epoch, and histogram/bloom/NDV availability
+        flags — so table maintenance itself is a Spark query (small-
+        file counts, stats staleness, per-file row distribution) with
+        ZERO data read; the input is the snapshot JSON."""
+        snap = self.snapshot(version)
+        rows = [
+            (
+                e["file"],
+                int(e["n_rows"]),
+                float(e["min_x"]),
+                float(e["max_x"]),
+                float(e["min_y"]),
+                float(e["max_y"]),
+                int(e.get("schema_epoch", 0)),
+                sorted(
+                    k[len("hist_"):]
+                    for k in e
+                    if k.startswith("hist_")
+                ),
+                sorted(
+                    k[len("bloom_"):]
+                    for k in e
+                    if k.startswith("bloom_")
+                ),
+            )
+            for e in snap["files"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file string, n_rows long, min_x double, max_x double, "
+            "min_y double, max_y double, schema_epoch long, "
+            "hist_cols array<string>, bloom_cols array<string>",
+        )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY as a DataFrame: one row per retained
+        commit with version, operation, in-commit timestamp, and the
+        file/row deltas from :meth:`history_metrics` — the audit view
+        a lakehouse UI renders, derived entirely from the log."""
+        rows = [
+            (
+                int(m["version"]),
+                str(m["operation"]),
+                int(
+                    self.snapshot(m["version"]).get(
+                        "committed_at_us", 0
+                    )
+                ),
+                int(m["files_added"]),
+                int(m["files_removed"]),
+                int(m["rows_added"]),
+                int(m["rows_removed"]),
+            )
+            for m in self.history_metrics()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, operation string, committed_at_us long, "
+            "n_files_added long, n_files_removed long, "
+            "n_rows_added long, n_rows_removed long",
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete every
         data file no retained snapshot references (including orphans from

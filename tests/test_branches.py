@@ -319,3 +319,43 @@ def test_incremental_analyze_covers_only_new_files(
         t.analyze_histograms(
             spark, ["x"], bins=4, incremental=True
         )
+
+
+def test_metadata_tables_files_and_history(spark, sf_dir, tmp_path):
+    """files_df/history_df expose the log as queryable DataFrames with
+    zero data read: file rows match the manifest, analyze flips the
+    hist flag, and history rows carry the operation metrics and
+    monotone timestamps."""
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    t.append(extra)
+    t.analyze_histograms(spark, ["x"], bins=8)
+
+    fdf = t.files_df(spark)
+    snap = t.snapshot()
+    assert fdf.count() == len(snap["files"])
+    assert (
+        fdf.agg(F.sum("n_rows")).collect()[0][0]
+        == base.count() + extra.count()
+    )
+    assert fdf.where(F.array_contains("hist_cols", "x")).count() == (
+        len(snap["files"])
+    )
+    # pre-analyze version: no hist flags
+    assert (
+        t.files_df(spark, version=1)
+        .where(F.array_contains("hist_cols", "x"))
+        .count()
+        == 0
+    )
+
+    hdf = t.history_df(spark).orderBy("version").collect()
+    assert [r["operation"] for r in hdf] == [
+        "create", "append", "analyze",
+    ]
+    ts = [r["committed_at_us"] for r in hdf]
+    assert ts == sorted(ts) and ts[0] > 0
+    assert hdf[1]["n_rows_added"] == extra.count()
+    # analyze mutates entry CONTENT only — the path-diff metrics
+    # correctly report a no-op commit
+    assert hdf[2]["n_files_added"] == 0
+    assert hdf[2]["n_rows_removed"] == 0
