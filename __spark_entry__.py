@@ -2117,6 +2117,16 @@ GROUP BY GROUPING SETS (
         # independent shuffle, exact integers, md5 cross-engine
         return _ts.feature_hash_embed(_docs(spark, sf_dir))
 
+    def t19_histogram_quantiles_by(spark, sf_dir):
+        # per-event-type mergeable quantile summary (per-group bins +
+        # per-group ⌈q·n⌉ rank) — the per-slice latency-dashboard
+        # shape next to t11's global summary; windows are per-group
+        # over n_bins rows only
+        ev = _rd.read_table(spark, sf_dir, "events").select(
+            F.col("event_type"), F.col("value")
+        )
+        return _fr.histogram_quantiles_by(ev, "value", "event_type")
+
     def w19_wow_growth(spark, sf_dir):
         # week-over-week trend per event type: exact permille ratio
         # against the previous CALENDAR week only (a silent week
@@ -3061,6 +3071,7 @@ GROUP BY GROUPING SETS (
         x_bpe_tokenized,
         a21_weighted_median,
         w19_wow_growth,
+        t19_histogram_quantiles_by,
         x_dedup_components_htm,
         x_pca_semdedup,
         x_ridge_betas,
@@ -4177,6 +4188,10 @@ FROM r, n WHERE r.rk = (n.n + 1) // 2
         "x_langid_confusion": _ts.langid_confusion_sql(),
         "x_bpe_tokenized": _ts.bpe_apply_counts_sql(BPE_APPLY_MERGES),
         "w19_wow_growth": _wd.wow_growth_sql(),
+        "t19_histogram_quantiles_by": _fr.histogram_quantiles_by_sql(
+            "SELECT event_type AS grp, value AS v FROM events",
+            group_expr="event_type",
+        ),
         "a21_weighted_median": """
 WITH v AS (
   SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,

@@ -1457,3 +1457,112 @@ def mg_frequent_exact(
         .where(F.col("cnt") >= F.lit(phi) * F.col("_total"))
         .select("item", "cnt")
     )
+
+
+def histogram_quantiles_by(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group histogram quantiles: DataFrame[group, q, est] — the
+    grouped form of :func:`histogram_quantiles`, same integer-cents
+    bins and ⌈q·n⌉ rank, with bounds/width derived PER GROUP (each
+    group's histogram is independently mergeable — union two shards by
+    adding counters within the group, the same law as the global
+    summary). All windows are per-group over n_bins rows; the per-
+    group (lo, w, n) triple rides a broadcast join back onto the
+    binning, so cost is two narrow aggregates regardless of group
+    count — the per-slice latency dashboard shape."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(col) * 100).cast("long")
+    vals = df.select(
+        F.col(group_col).alias("grp"), cents.alias("c")
+    ).where(F.col("c").isNotNull())
+    stats = vals.groupBy("grp").agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = (
+        vals.join(F.broadcast(stats), "grp")
+        .withColumn(
+            "w",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(hi - lo + {n_bins}) div {n_bins}"),
+            ),
+        )
+        .withColumn("bin", F.expr("(c - lo) div w"))
+        .groupBy("grp", "bin", "lo", "w", "n")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = binned.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("grp")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    qrows = cum.sparkSession.range(1).select(qs)
+    return (
+        cum.crossJoin(F.broadcast(qrows))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("grp", "q")
+        .agg(
+            F.round(
+                (F.min("bin") * F.first("w") + F.first("lo")) / 100.0,
+                2,
+            ).alias("est")
+        )
+        .select(F.col("grp").alias(group_col), "q", "est")
+    )
+
+
+def histogram_quantiles_by_sql(
+    source_expr: str,
+    group_expr: str = "grp",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    n_bins: int = HIST_BINS,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles_by`. ``source_expr``
+    must yield columns ``grp`` and ``v``."""
+    qlist = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in quantiles)
+    return f"""
+WITH vals AS (
+  SELECT grp, CAST(ROUND(v * 100) AS BIGINT) AS c
+  FROM ({source_expr}) WHERE v IS NOT NULL
+),
+s AS (
+  SELECT grp, MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n
+  FROM vals GROUP BY grp
+),
+b AS (
+  SELECT grp, lo, n,
+         GREATEST(CAST(1 AS BIGINT), (hi - lo + {n_bins}) // {n_bins})
+           AS w
+  FROM s
+),
+bins AS (
+  SELECT vals.grp, (vals.c - b.lo) // b.w AS bin, COUNT(*) AS cnt
+  FROM vals JOIN b ON b.grp = vals.grp GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum
+  FROM bins
+),
+qs AS (SELECT unnest([{qlist}]) AS q)
+SELECT cum.grp AS {group_expr}, qs.q AS q,
+       ROUND((MIN(cum.bin) * b.w + b.lo) / 100.0, 2) AS est
+FROM qs, cum
+JOIN b ON b.grp = cum.grp
+WHERE cum.cum >= CEIL(qs.q * b.n)
+GROUP BY cum.grp, qs.q, b.w, b.lo
+"""

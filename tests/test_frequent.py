@@ -670,3 +670,32 @@ def test_mg_summary_state_prefix_guarantees_and_replay(spark, sf_dir):
     before = (dict(state.counters), state.n)
     state.fold([{"item": 999999, "lb": 10**9}], n_rows=10**9, batch_id=0)
     assert (dict(state.counters), state.n) == before
+
+
+def test_histogram_quantiles_by_matches_per_group_global(spark, sf_dir):
+    """Per-group summary equals running the GLOBAL summary on each
+    group alone (bounds and widths are per-group by construction)."""
+    from big_data_computing__spark.operators.frequent import (
+        histogram_quantiles,
+        histogram_quantiles_by,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    by = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in histogram_quantiles_by(
+            ev, "value", "event_type"
+        ).collect()
+    }
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    for t in types:
+        solo = {
+            r["q"]: r["est"]
+            for r in histogram_quantiles(
+                ev.where(F.col("event_type") == t), "value"
+            ).collect()
+        }
+        for q, est in solo.items():
+            assert by[(t, q)] == est, (t, q)
