@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "w19_wow_growth",
     "x_bpe_tokenized",
     "x_langid_confusion",
+    "t19_histogram_quantiles_by",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a
