@@ -3274,7 +3274,50 @@ GROUP BY GROUPING SETS (
         x_winnow_fingerprints,
     ):
         q[fn.__name__] = _with_prepare(fn)
-    return q
+    return _window_order(q)
+
+
+# The driver hash-verifies only the FIRST ~50 registry entries per
+# round; 167 of 220 names have been windowed in rounds 1-6
+# (CORRECTNESS_r01..r06 keys) and 53 never have. Front-load the
+# never-windowed names so rounds 7-8 close the driver-evidence gap
+# (VERDICT r6, next-round item #3); relative order within each block
+# is the original registration order, so the mapping stays total and
+# deterministic.
+_WINDOW_PRIORITY = [
+    # round-6 HUGEINT-red five first (the only red on the board):
+    # value-correct all along, re-green the driver hash now that the
+    # oracle casts landed (VERDICT r6 item #1).
+    "t17_f2_sketch", "x_bootstrap_ci", "x_bootstrap_ci_by_source",
+    "x_feature_hash_embed", "a21_weighted_median",
+    "q21_sole_blame_supplier", "q22_dormant_rich_customers",
+    "q7_nation_trade_volume", "q8_market_share",
+    "q9_product_type_profit", "q11_important_parts",
+    "q12_late_shipments", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_supplier_counts", "q19_banded_revenue",
+    "q20_heavy_shippers", "a18_grouping_sets",
+    "x_dedup_survivors_quality", "x_keyword_tags", "x_dq_report",
+    "x_corpus_drift", "w16_ab_funnel", "w17_scd2_history",
+    "x_ingest_accepted", "x_media_chunks", "x_ann_ivf_int8_topk",
+    "x_ann_hamming_topk", "x_ann_hamming_rerank", "w13_event_spikes",
+    "w14_gapfill_locf", "w15_mad_outliers", "x_quality_calibration",
+    "x_dedup_components_sc", "x_substring_seed_vocab",
+    "x_gopher_quality", "x_semdedup_within_cell",
+    "x_suffix_array_sample", "x_adjacent_lcp_top", "x_bm25_topk",
+    "x_search_conjunctive", "x_search_phrase", "x_dsir_importance",
+    "x_dsir_topk", "x_bigram_rarity", "x_bpe_byte_pairs",
+    "x_wordpiece_pairs", "x_kmeans_clusters", "x_label_propagation",
+    "x_personalized_pagerank", "x_chunk_documents",
+    "j9_bloom_semi_join", "t13_kmv_distinct", "t14_kmv_jaccard",
+    "t15_kmv_source_matrix", "o5_hilbert_cells", "x_media_ahash",
+]
+
+
+def _window_order(q: dict) -> dict:
+    head = {n: q[n] for n in _WINDOW_PRIORITY if n in q}
+    head.update({n: f for n, f in q.items() if n not in head})
+    return head
 
 
 def _with_prepare(fn):
@@ -4204,7 +4247,8 @@ r AS (
     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS cw FROM v
 )
-SELECT tw.tw AS total_weight, CAST((tw.tw + 1) // 2 AS BIGINT) AS k,
+SELECT CAST(tw.tw AS BIGINT) AS total_weight,
+       CAST((tw.tw + 1) // 2 AS BIGINT) AS k,
        (SELECT MIN(v) FROM r, tw WHERE r.cw >= (tw.tw + 1) // 2)
          AS median
 FROM tw

@@ -440,8 +440,8 @@ b AS (
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       (1000 * SUM(CASE WHEN passes THEN 1 ELSE 0 END)) // COUNT(*)
-         AS pass_milli,
+       CAST((1000 * SUM(CASE WHEN passes THEN 1 ELSE 0 END)) // COUNT(*)
+         AS BIGINT) AS pass_milli,
        MIN(score) AS min_score,
        MAX(score) AS max_score
 FROM b GROUP BY bucket

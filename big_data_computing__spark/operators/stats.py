@@ -234,7 +234,8 @@ weighted AS (
 ),
 means AS (
   SELECT rep,
-         CAST(1000 * SUM(w * _v) AS BIGINT) // SUM(w) AS mean_milli
+         CAST(CAST(1000 * SUM(w * _v) AS BIGINT) // SUM(w) AS BIGINT)
+           AS mean_milli
   FROM weighted GROUP BY rep HAVING SUM(w) > 0
 ),
 ranked AS (
@@ -429,7 +430,7 @@ med AS (
 SELECT (SELECT COUNT(*) FROM counts) AS n_items,
        CAST({n_counters} AS BIGINT) AS n_counters,
        med.estimate,
-       (SELECT SUM(f * f) FROM counts) AS exact_f2
+       CAST((SELECT SUM(f * f) FROM counts) AS BIGINT) AS exact_f2
 FROM med
 """
 
@@ -682,7 +683,8 @@ reps AS (
 ),
 means AS (
   SELECT grp, rep,
-         CAST(1000 * SUM({w} * _v) AS BIGINT) // SUM({w}) AS mean_milli
+         CAST(CAST(1000 * SUM({w} * _v) AS BIGINT) // SUM({w}) AS BIGINT)
+           AS mean_milli
   FROM reps GROUP BY grp, rep HAVING SUM({w}) > 0
 ),
 ranked AS (

@@ -1931,7 +1931,7 @@ signed AS (
          CAST(1 - 2 * (({hs}) % 2) AS BIGINT) AS s
   FROM toks
 )
-SELECT id AS doc_id, dim_idx, SUM(s) AS value
+SELECT id AS doc_id, dim_idx, CAST(SUM(s) AS BIGINT) AS value
 FROM signed GROUP BY id, dim_idx
 """
 

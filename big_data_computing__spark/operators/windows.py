@@ -1169,7 +1169,8 @@ scored AS (
                          AND 1 PRECEDING)
 )
 SELECT event_type, day, n_events,
-       (1000 * n_events * trail_days) // trail_sum AS ratio_milli
+       CAST((1000 * n_events * trail_days) // trail_sum AS BIGINT)
+         AS ratio_milli
 FROM scored
 WHERE trail_sum IS NOT NULL AND trail_sum > 0
   AND (1000 * n_events * trail_days) // trail_sum >= {threshold_milli}

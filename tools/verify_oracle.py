@@ -23,6 +23,64 @@ import __spark_entry__ as entrymod
 from big_data_computing__spark.session import get_session
 from big_data_computing__spark.sources.readers import TABLES
 
+# Round-6 lesson: tuple equality (`int == int`) passed 5 oracles whose
+# SUM(BIGINT) column DuckDB types as HUGEINT (int128) while the
+# driver's value-hash — which serializes through Arrow/pandas, where
+# HUGEINT is not an int64 — failed them. The local gate must therefore
+# be at least as strict as the driver's: every oracle output column
+# must carry a type whose Arrow serialization is identical to the
+# Spark column's, which in practice means this whitelist. DECIMAL and
+# HUGEINT are the known offenders; anything new fails loudly.
+DUCK_TYPE_WHITELIST = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE",
+}
+# Spark dtype → acceptable DuckDB types. Integer widths are
+# interchangeable (both engines hand back Python ints and the driver
+# hashes values, not widths — r1-r6 evidence: INTEGER-vs-bigint rows
+# were always hash-green); int128/decimal are NOT.
+_SPARK_TO_DUCK = {
+    "bigint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "int": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "smallint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "tinyint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "timestamp": {"TIMESTAMP"},
+    "date": {"DATE"},
+}
+
+
+def type_errors(con, sql: str, spark_dtypes: list) -> list:
+    """Driver-faithfulness lint: DESCRIBE the oracle and return a list
+    of human-readable type violations (empty = clean)."""
+    errs = []
+    try:
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception as e:  # noqa: BLE001 — surfaced to caller
+        return [f"DESCRIBE failed: {str(e)[:120]}"]
+    duck = {row[0]: row[1] for row in desc}
+    for col, typ in duck.items():
+        if typ not in DUCK_TYPE_WHITELIST:
+            errs.append(f"column {col!r}: DuckDB type {typ} not whitelisted")
+    sdt = dict(spark_dtypes)
+    if sorted(duck) != sorted(sdt):
+        errs.append(
+            f"column-name mismatch: spark={sorted(sdt)} duck={sorted(duck)}"
+        )
+        return errs
+    for col, styp in sdt.items():
+        allowed = _SPARK_TO_DUCK.get(styp)
+        if allowed is None:
+            errs.append(f"column {col!r}: spark type {styp} has no mapping")
+        elif duck[col] not in allowed:
+            errs.append(
+                f"column {col!r}: spark {styp} vs duck {duck[col]}"
+            )
+    return errs
+
 
 def main() -> int:
     argv = list(sys.argv[1:])
@@ -115,6 +173,15 @@ def main() -> int:
             failures.append(name)
             results[name] = {"match": False, "err": f"duck: {str(e)[:120]}"}
             print(f"FAIL {name}: DUCK ERROR {str(e)[:200]}")
+            continue
+        terrs = type_errors(con, oracles[name], sdf.dtypes)
+        if terrs:
+            failures.append(name)
+            results[name] = {
+                "match": False,
+                "err": f"types: {'; '.join(terrs)[:200]}",
+            }
+            print(f"FAIL {name}: TYPE LINT {terrs}")
             continue
         results[name] = {
             "match": srows == drows,
