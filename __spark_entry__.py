@@ -2338,6 +2338,16 @@ GROUP BY GROUPING SETS (
             _docs(spark, sf_dir), SIMHASH_MAX_HAMMING
         )
 
+    # super-bucket guard demonstrated at a cap the 500-doc fixture
+    # actually exceeds (largest LSH bucket is 3-5 docs): the capped
+    # pair join and the audit report of what it dropped, both oracled.
+    # Production default is LSH_MAX_BUCKET (dedup.py).
+    def x_dedup_lsh_capped(spark, sf_dir):
+        return _dd.minhash_lsh_pairs(_docs(spark, sf_dir), max_bucket=2)
+
+    def x_lsh_super_buckets(spark, sf_dir):
+        return _dd.lsh_super_buckets(_docs(spark, sf_dir), max_bucket=2)
+
     def x_graph_hops(spark, sf_dir):
         # multi-source BFS over the SimHash near-dup graph: blast
         # radius of two seed documents, min-hop per reached node;
@@ -3236,6 +3246,8 @@ GROUP BY GROUPING SETS (
         x_dedup_exact,
         x_dedup_minhash_lsh,
         x_dedup_simhash,
+        x_dedup_lsh_capped,
+        x_lsh_super_buckets,
         x_dedup_ngram_jaccard,
         x_dedup_embedding,
         x_dedup_components,
@@ -3311,6 +3323,9 @@ _WINDOW_PRIORITY = [
     "x_personalized_pagerank", "x_chunk_documents",
     "j9_bloom_semi_join", "t13_kmv_distinct", "t14_kmv_jaccard",
     "t15_kmv_source_matrix", "o5_hilbert_cells", "x_media_ahash",
+    # new round-7 queries (never windowed by construction) — after the
+    # round-6 backlog, ahead of everything already driver-green.
+    "x_dedup_lsh_capped", "x_lsh_super_buckets",
 ]
 
 
@@ -4307,6 +4322,8 @@ GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_exact": _dd.exact_dedup_groups_sql(),
         "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
         "x_dedup_simhash": _dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING),
+        "x_dedup_lsh_capped": _dd.minhash_lsh_pairs_sql(max_bucket=2),
+        "x_lsh_super_buckets": _dd.lsh_super_buckets_sql(max_bucket=2),
         "x_graph_hops": _dd.hop_distances_sql(
             "SELECT doc_a, doc_b FROM "
             f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",

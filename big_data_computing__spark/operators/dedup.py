@@ -124,6 +124,34 @@ def minhash_signatures(
     )
 
 
+# Production guard for every banded similarity self-join in this
+# module: a single degenerate bucket (a boilerplate string shared by
+# 10^6 docs at corpus scale) makes that bucket's self-join contribute
+# |bucket|^2 candidate pairs — AQE's skew-join splits the SHUFFLE but
+# not the pair count itself. Buckets larger than this are dropped from
+# pair generation (and surfaced by the *_super_buckets reports, so the
+# drop is audited, never silent). Docs in such a bucket are
+# overwhelmingly exact/boilerplate duplicates, which the exact-hash
+# dedup path already handles at O(n).
+LSH_MAX_BUCKET = 100_000
+
+
+def _drop_super_buckets(
+    buckets: DataFrame, keys: list, max_bucket: int
+) -> DataFrame:
+    """Anti-join out every row of a bucket whose population exceeds
+    ``max_bucket``. The oversize set is tiny by construction (only
+    degenerate buckets qualify), so it broadcasts; the extra pass is
+    one partial+final count over the bucket rows — same shuffle key
+    the pair self-join uses anyway."""
+    over = (
+        buckets.groupBy(*keys)
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+    return buckets.join(F.broadcast(over.select(*keys)), keys, "left_anti")
+
+
 def _band_buckets(sigs: DataFrame, bands: int) -> DataFrame:
     """(doc_id, band, bkey) LSH bucket rows from a signature table —
     bkey = sig[2b]·p + sig[2b+1], the injective integer combine of the
@@ -158,6 +186,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     text_col: str = "text",
     sigs: DataFrame | None = None,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs (band-collision, r=2 rows/band):
     DataFrame[doc_a, doc_b, n_bands] with doc_a < doc_b.
@@ -167,11 +196,19 @@ def minhash_lsh_pairs(
     bucket become candidates; n_bands counts collisions (a monotone
     proxy for similarity). ``sigs`` lets a caller that also needs the
     signatures (minhash_similarity_pairs) compute them once.
+
+    ``max_bucket``: super-bucket guard (see :data:`LSH_MAX_BUCKET`) —
+    buckets above the cap contribute no pairs; n_bands counts only
+    surviving bands. ``None`` disables (exact banded semantics, can go
+    quadratic on degenerate corpora). Dropped buckets are listed by
+    :func:`lsh_super_buckets` at the same cap.
     """
     bands = num_hashes // 2
     if sigs is None:
         sigs = minhash_signatures(docs, num_hashes, ngram, text_col)
     buckets = _band_buckets(sigs, bands)
+    if max_bucket is not None:
+        buckets = _drop_super_buckets(buckets, ["band", "bkey"], max_bucket)
     # Both sides of the self-join read `buckets`; without persistence the
     # whole upstream (shingle explode → md5 → 16-way min aggregation) runs
     # twice — measured ~2× the operator's wall at sf0.1. The persisted
@@ -228,7 +265,10 @@ SELECT doc_id, [{arr}] AS sig FROM per_doc
 
 
 def minhash_lsh_pairs_sql(
-    num_hashes: int = 16, ngram: int = 3, source: str = "documents"
+    num_hashes: int = 16,
+    ngram: int = 3,
+    source: str = "documents",
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> str:
     bands = num_hashes // 2
     sig_sql = minhash_signatures_sql(num_hashes, ngram, source)
@@ -237,15 +277,73 @@ def minhash_lsh_pairs_sql(
         f"+ sig[{2 * b + 2}]}}"
         for b in range(bands)
     )
+    cap = "" if max_bucket is None else f""",
+over AS (
+  SELECT band, bkey FROM buckets
+  GROUP BY 1, 2 HAVING COUNT(*) > {max_bucket}
+),
+kept AS (
+  SELECT b.* FROM buckets b ANTI JOIN over o USING (band, bkey)
+)"""
+    src = "buckets" if max_bucket is None else "kept"
+    return f"""
+WITH sigs AS ({sig_sql}),
+buckets AS (
+  SELECT doc_id, unnest([{structs}], recursive := true) FROM sigs
+){cap}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM {src} a JOIN {src} b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def lsh_super_buckets(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    ngram: int = 3,
+    text_col: str = "text",
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """The audit companion of :func:`minhash_lsh_pairs`'s super-bucket
+    guard: every (band, bkey) bucket whose population exceeds the cap,
+    with its size — DataFrame[band, bkey, n_docs]. What the capped
+    pair join dropped, as a first-class queryable report (the drop is
+    never silent): a non-empty result at production scale means the
+    corpus carries boilerplate clusters the exact-dedup pass should
+    absorb first."""
+    bands = num_hashes // 2
+    sigs = minhash_signatures(docs, num_hashes, ngram, text_col)
+    cap = LSH_MAX_BUCKET if max_bucket is None else max_bucket
+    return (
+        _band_buckets(sigs, bands)
+        .groupBy("band", "bkey")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > cap)
+    )
+
+
+def lsh_super_buckets_sql(
+    num_hashes: int = 16,
+    ngram: int = 3,
+    source: str = "documents",
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> str:
+    bands = num_hashes // 2
+    sig_sql = minhash_signatures_sql(num_hashes, ngram, source)
+    structs = ", ".join(
+        f"{{'band': {b}, 'bkey': sig[{2 * b + 1}] * {MINHASH_PRIME} "
+        f"+ sig[{2 * b + 2}]}}"
+        for b in range(bands)
+    )
+    cap = LSH_MAX_BUCKET if max_bucket is None else max_bucket
     return f"""
 WITH sigs AS ({sig_sql}),
 buckets AS (
   SELECT doc_id, unnest([{structs}], recursive := true) FROM sigs
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-FROM buckets a JOIN buckets b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+SELECT band, bkey, COUNT(*) AS n_docs
+FROM buckets GROUP BY 1, 2 HAVING COUNT(*) > {cap}
 """
 
 
@@ -638,6 +736,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     hash_mode: str = "md5",
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: DataFrame[doc_a, doc_b, hamming].
 
@@ -648,6 +747,13 @@ def simhash_near_pairs(
 
     ``hash_mode``: see :func:`simhash_signatures` — "xxhash64" for
     production corpora, "md5" (default) for oracle parity.
+
+    ``max_bucket``: super-bucket guard (:data:`LSH_MAX_BUCKET`) —
+    a band value shared by more than this many docs contributes no
+    candidates (its pairs would be |bucket|^2); with it the pigeonhole
+    completeness bound holds only for pairs outside dropped buckets,
+    which at production scale are exact-duplicate boilerplate the
+    O(n) hash-dedup path absorbs. ``None`` disables.
     """
     sigs = simhash_signatures(docs, text_col, hash_mode)
     n_bands = 4
@@ -675,6 +781,10 @@ def simhash_near_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.bval").alias("bval"),
     )
+    if max_bucket is not None:
+        bucketed = _drop_super_buckets(
+            bucketed, ["band", "bval"], max_bucket
+        )
     left = bucketed.select(
         "band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
     )
@@ -699,21 +809,32 @@ def simhash_near_pairs(
     )
 
 
-def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+def simhash_near_pairs_sql(
+    max_hamming: int = 3, max_bucket: int | None = LSH_MAX_BUCKET
+) -> str:
     n_bands, width = 4, SIMHASH_BITS // 4
     sig_sql = simhash_signatures_sql()
     structs = ", ".join(
         f"{{'band': {b}, 'bval': (simhash // {2 ** (b * width)}) % {2**width}}}"
         for b in range(n_bands)
     )
+    cap = "" if max_bucket is None else f""",
+over AS (
+  SELECT band, bval FROM bucketed
+  GROUP BY 1, 2 HAVING COUNT(*) > {max_bucket}
+),
+kept AS (
+  SELECT b.* FROM bucketed b ANTI JOIN over o USING (band, bval)
+)"""
+    src = "bucketed" if max_bucket is None else "kept"
     return f"""
 WITH sigs AS ({sig_sql}),
 bucketed AS (
   SELECT doc_id, simhash, unnest([{structs}], recursive := true) FROM sigs
-)
+){cap}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM bucketed a JOIN bucketed b
+FROM {src} a JOIN {src} b
   ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import LSH_MAX_BUCKET, _drop_super_buckets
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -404,6 +406,7 @@ def media_ahash_pairs(
     bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate payload pairs by average-hash Hamming distance:
     DataFrame[media_a, media_b, hamming], media_a < media_b, hamming
@@ -446,6 +449,11 @@ def media_ahash_pairs(
             )
         ).alias("bk"),
     ).select("media_id", "ahash", F.col("bk.band"), F.col("bk.key"))
+    if max_bucket is not None:
+        # super-bucket guard (see dedup.LSH_MAX_BUCKET): a fingerprint
+        # slice shared by a degenerate payload cluster would make its
+        # bucket's self-join quadratic in the cluster size.
+        bk = _drop_super_buckets(bk, ["band", "key"], max_bucket)
     a = bk.alias("a")
     b = bk.alias("b")
     return (

@@ -76,7 +76,23 @@ def skyline_2d(
 
 
 def _local_skyline_kernel(cols: list[str]):
-    """Partition-local SFS skyline over the named (minimized) columns."""
+    """Partition-local SFS skyline over the named (minimized) columns.
+
+    Exactness contract: all-integer dimension sets compare in int64
+    with EXACT (arbitrary-precision Python int) presort sums, so the
+    SFS invariant — a dominator's sum is strictly smaller, hence it is
+    visited first — holds bit-for-bit at any int64 magnitude (the old
+    float64 cast let (1, 10^17) survive next to (0, 10^17): both
+    coordinates rounded to the same float and the sums tied). Float
+    (or mixed) dimension sets compare on the stored float64 values —
+    exact for float inputs — and their sums CAN round-tie even when a
+    dominance pair exists, so sum-tie groups get a pairwise backward
+    re-check (transitivity makes within-group elimination sufficient:
+    any dominator outside the group has a strictly smaller key and was
+    already visited). Integer columns mixed with float ones inherit
+    float64's 2^53 integer-exactness bound — use all-integer
+    dimensions beyond that.
+    """
 
     def _kernel(batches):
         import numpy as np
@@ -86,12 +102,19 @@ def _local_skyline_kernel(cols: list[str]):
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        vals = pdf[cols].to_numpy(dtype="float64")
-        # monotone presort: a dominator's coordinate sum is strictly
-        # smaller than its dominatee's, so it is visited first
-        order = np.argsort(vals.sum(axis=1), kind="stable")
+        all_int = all(
+            pd.api.types.is_integer_dtype(pdf[c].dtype) for c in cols
+        )
+        if all_int:
+            vals = pdf[cols].to_numpy(dtype="int64")
+            # object dtype => Python-int sums: exact, no int64 overflow
+            sums = vals.astype(object).sum(axis=1)
+        else:
+            vals = pdf[cols].to_numpy(dtype="float64")
+            sums = vals.sum(axis=1)
+        order = np.argsort(sums, kind="stable")
         kept_idx: list[int] = []
-        kept = np.empty((0, vals.shape[1]))
+        kept = np.empty((0, vals.shape[1]), dtype=vals.dtype)
         for i in order:
             row = vals[i]
             if kept_idx:
@@ -101,6 +124,32 @@ def _local_skyline_kernel(cols: list[str]):
                     continue
             kept_idx.append(int(i))
             kept = np.vstack([kept, row[None, :]])
+        if not all_int:
+            # float sums round: a dominator can share its dominatee's
+            # sort key, arrive second, and leave the dominatee kept —
+            # re-check each sum-tie group pairwise (groups are tiny)
+            by_key: dict = {}
+            for pos, i in enumerate(kept_idx):
+                by_key.setdefault(float(sums[i]), []).append(pos)
+            dominated: set = set()
+            for group in by_key.values():
+                if len(group) < 2:
+                    continue
+                for a in group:
+                    for b in group:
+                        if a == b or b in dominated:
+                            continue
+                        le = bool((kept[b] <= kept[a]).all())
+                        lt = bool((kept[b] < kept[a]).any())
+                        if le and lt:
+                            dominated.add(a)
+                            break
+            if dominated:
+                kept_idx = [
+                    i
+                    for pos, i in enumerate(kept_idx)
+                    if pos not in dominated
+                ]
         yield pdf.iloc[sorted(kept_idx)]
 
     return _kernel

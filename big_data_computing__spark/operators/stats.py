@@ -76,9 +76,38 @@ def _poisson_weight_sql(h_expr: str) -> str:
 
 def _ci_ranks(n_replicates: int, alpha_permille: int) -> tuple[int, int]:
     """Symmetric order-statistic ranks: lo = ⌈R·α/2⌉-th smallest
-    replicate mean (at least 1), hi = the mirrored rank from the top."""
+    replicate mean (at least 1), hi = the mirrored rank from the top.
+
+    Callers pass the SURVIVING replicate count (replicates that drew
+    all-zero Poisson weights carry no mean and are excluded), so the
+    ranks always exist whenever >= 1 replicate survives — fixed ranks
+    against the nominal R used to make tiny groups vanish through the
+    rank joins (round-7 advice). Spark/DuckDB twins compute the same
+    ranks as ``GREATEST(1, (n_surv·α + 1999) div 2000)``, identical to
+    this ceil for non-negative operands."""
     lo = max(1, -(-n_replicates * alpha_permille // 2000))
     return lo, n_replicates + 1 - lo
+
+
+def _milli_trunc(s: int, n: int) -> int:
+    """1000·s / n truncated TOWARD ZERO — the exact convention of
+    Spark's ``div`` and DuckDB's ``//`` (both verified truncating), so
+    the driver-side fold stays bit-identical to the engines for
+    negative-valued metrics too (Python's ``//`` floors)."""
+    q = (1000 * abs(s)) // n
+    return q if s >= 0 else -q
+
+
+# the SQL/Catalyst spelling of _ci_ranks' lo rank for a window-counted
+# surviving-replicate column (ceil via add-1999 intdiv; operands >= 0).
+# ``op``: Spark spells integer division `div`, DuckDB `//`.
+def _lo_rank_sql(
+    n_surv_expr: str, alpha_permille: int, op: str = "//"
+) -> str:
+    return (
+        f"GREATEST(1, ({n_surv_expr} * {alpha_permille} + 1999)"
+        f" {op} 2000)"
+    )
 
 
 def bootstrap_replicate_sums(
@@ -125,15 +154,31 @@ def bootstrap_ci_from_sums(
     sum_v: int,
     n_replicates: int,
     alpha_permille: int = 50,
-) -> tuple[int, int, int]:
+) -> tuple[int, int | None, int | None]:
     """Driver-side (point_milli, lo_milli, hi_milli) from folded
     (rep, s, n) triples — the exact integer convention of
-    :func:`poisson_bootstrap_ci`, shared with the streaming state."""
-    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    :func:`poisson_bootstrap_ci`, shared with the streaming state.
+
+    Degenerate prefixes are explicit (round-7 advice), matching the
+    batch twins: n_rows == 0 raises (batch emits no row either — there
+    is no estimate to disagree about); replicates that drew zero total
+    weight are dropped and the order-statistic ranks come from the
+    SURVIVING count; if every replicate drew zero (possible only for
+    tiny prefixes) the point estimate returns with null CIs, exactly
+    the left-join behavior of the batch operators."""
+    if n_rows <= 0:
+        raise ValueError(
+            "bootstrap_ci_from_sums: empty prefix (n_rows == 0) — no "
+            "estimate exists; the batch twin emits no row for the "
+            "same input"
+        )
     means = sorted(
-        (1000 * s // n, rep) for rep, s, n in sums if n > 0
+        (_milli_trunc(s, n), rep) for rep, s, n in sums if n > 0
     )
-    point = 1000 * sum_v // n_rows
+    point = _milli_trunc(sum_v, n_rows)
+    if not means:
+        return point, None, None
+    lo_rk, hi_rk = _ci_ranks(len(means), alpha_permille)
     return point, means[lo_rk - 1][0], means[hi_rk - 1][0]
 
 
@@ -157,7 +202,6 @@ def poisson_bootstrap_ci(
     cross-joined onto the point estimate. 1000·Σ(w·v) must fit BIGINT:
     holds while Σv < 9·10^14 per replicate scope.
     """
-    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
     base = rows.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(value_col).cast("long").alias("_v"),
@@ -172,25 +216,38 @@ def poisson_bootstrap_ci(
             F.expr("CAST(1000 * s AS BIGINT) div n").alias("mean_milli"),
         )
     )
+    # ranks against the SURVIVING replicate count (window over <= R
+    # rows, parameter-bounded): fixed nominal-R ranks made the whole
+    # result vanish when > R - hi_rk replicates drew zero weight
     rk = Window.orderBy("mean_milli", "rep")
     ranked = means.select(
-        "mean_milli", F.row_number().over(rk).alias("rk")
+        "mean_milli",
+        F.row_number().over(rk).alias("rk"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_surv"),
     )
+    lo_rk_expr = F.expr(_lo_rank_sql("n_surv", alpha_permille, "div"))
     point = base.agg(
         F.count("*").alias("n_rows"),
         F.expr("CAST(1000 * sum(_v) AS BIGINT) div count(*)").alias(
             "point_milli"
         ),
-    )
-    lo = ranked.where(F.col("rk") == lo_rk).select(
+    ).where(F.col("n_rows") > 0)  # empty input -> empty frame, always
+    lo = ranked.where(F.col("rk") == lo_rk_expr).select(
         F.col("mean_milli").alias("lo_milli")
     )
-    hi = ranked.where(F.col("rk") == hi_rk).select(
-        F.col("mean_milli").alias("hi_milli")
-    )
+    hi = ranked.where(
+        F.col("rk") == F.col("n_surv") + 1 - lo_rk_expr
+    ).select(F.col("mean_milli").alias("hi_milli"))
+    # left joins: zero surviving replicates still reports the point
+    # estimate, with null CIs (the by-group twin and the driver fold
+    # share this contract)
     return (
-        point.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        point.join(F.broadcast(lo), F.lit(True), "left")
+        .join(F.broadcast(hi), F.lit(True), "left")
         .select(
             "n_rows",
             "point_milli",
@@ -210,8 +267,7 @@ def poisson_bootstrap_ci_sql(
     seed: int = 0,
 ) -> str:
     """DuckDB twin of :func:`poisson_bootstrap_ci` — identical hashes,
-    thresholds, floor divisions, and order-statistic ranks."""
-    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
+    thresholds, truncating divisions, and surviving-count ranks."""
     h = hash60_sql(
         f"concat('boot', '-', '{seed}', '-', CAST(_id AS VARCHAR),"
         f" '-', CAST(rep AS VARCHAR))"
@@ -240,20 +296,24 @@ means AS (
 ),
 ranked AS (
   SELECT mean_milli,
-         ROW_NUMBER() OVER (ORDER BY mean_milli, rep) AS rk
+         ROW_NUMBER() OVER (ORDER BY mean_milli, rep) AS rk,
+         COUNT(*) OVER () AS n_surv
   FROM means
 ),
 point AS (
   SELECT COUNT(*) AS n_rows,
          CAST(1000 * SUM(_v) AS BIGINT) // COUNT(*) AS point_milli
-  FROM base
+  FROM base HAVING COUNT(*) > 0
 )
 SELECT p.n_rows, p.point_milli, lo.mean_milli AS lo_milli,
        hi.mean_milli AS hi_milli,
        CAST({n_replicates} AS BIGINT) AS n_replicates
 FROM point p
-CROSS JOIN (SELECT mean_milli FROM ranked WHERE rk = {lo_rk}) lo
-CROSS JOIN (SELECT mean_milli FROM ranked WHERE rk = {hi_rk}) hi
+LEFT JOIN (SELECT mean_milli FROM ranked
+           WHERE rk = {_lo_rank_sql('n_surv', alpha_permille)}) lo ON TRUE
+LEFT JOIN (SELECT mean_milli FROM ranked
+           WHERE rk = n_surv + 1 - {_lo_rank_sql('n_surv', alpha_permille)}
+          ) hi ON TRUE
 """
 
 
@@ -583,11 +643,14 @@ def poisson_bootstrap_ci_by(
     window is PARTITIONED by group over R rows each (WindowGroupLimit
     territory, never a single global partition), and a group where a
     replicate drew all-zero weights (possible only for tiny groups)
-    drops that replicate for that group alone — both engines apply
-    the same rule. The dashboard shape: every per-slice metric ships
-    with its uncertainty in the same pass.
+    drops that replicate for that group alone — the CI ranks come
+    from the group's SURVIVING replicate count and the rank lookups
+    LEFT-join, so such a group still surfaces (null CIs in the
+    all-replicates-dropped extreme) instead of vanishing (round-7
+    advice). Both engines apply the same rule. The dashboard shape:
+    every per-slice metric ships with its uncertainty in the same
+    pass.
     """
-    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
     base = rows.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).cast("long").alias("_id"),
@@ -626,23 +689,27 @@ def poisson_bootstrap_ci_by(
     )
     rk = Window.partitionBy("grp").orderBy("mean_milli", "rep")
     ranked = means.select(
-        "grp", "mean_milli", F.row_number().over(rk).alias("rk")
+        "grp",
+        "mean_milli",
+        F.row_number().over(rk).alias("rk"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n_surv"),
     )
+    lo_rk_expr = F.expr(_lo_rank_sql("n_surv", alpha_permille, "div"))
     point = base.groupBy("grp").agg(
         F.count("*").alias("n_rows"),
         F.expr("CAST(1000 * sum(_v) AS BIGINT) div count(*)").alias(
             "point_milli"
         ),
     )
-    lo = ranked.where(F.col("rk") == lo_rk).select(
+    lo = ranked.where(F.col("rk") == lo_rk_expr).select(
         "grp", F.col("mean_milli").alias("lo_milli")
     )
-    hi = ranked.where(F.col("rk") == hi_rk).select(
-        "grp", F.col("mean_milli").alias("hi_milli")
-    )
+    hi = ranked.where(
+        F.col("rk") == F.col("n_surv") + 1 - lo_rk_expr
+    ).select("grp", F.col("mean_milli").alias("hi_milli"))
     return (
-        point.join(lo, "grp")
-        .join(hi, "grp")
+        point.join(lo, "grp", "left")
+        .join(hi, "grp", "left")
         .select(
             F.col("grp").alias(group_col),
             "n_rows",
@@ -663,7 +730,6 @@ def poisson_bootstrap_ci_by_sql(
     seed: int = 0,
 ) -> str:
     """DuckDB twin of :func:`poisson_bootstrap_ci_by`."""
-    lo_rk, hi_rk = _ci_ranks(n_replicates, alpha_permille)
     h = hash60_sql(
         f"concat('boot', '-', '{seed}', '-', CAST(_id AS VARCHAR),"
         f" '-', CAST(rep AS VARCHAR))"
@@ -691,7 +757,8 @@ ranked AS (
   SELECT grp, mean_milli,
          ROW_NUMBER() OVER (
            PARTITION BY grp ORDER BY mean_milli, rep
-         ) AS rk
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY grp) AS n_surv
   FROM means
 ),
 point AS (
@@ -702,9 +769,12 @@ point AS (
 SELECT p.grp AS {group_expr}, p.n_rows, p.point_milli,
        lo.mean_milli AS lo_milli, hi.mean_milli AS hi_milli
 FROM point p
-JOIN (SELECT grp, mean_milli FROM ranked WHERE rk = {lo_rk}) lo
+LEFT JOIN (SELECT grp, mean_milli FROM ranked
+           WHERE rk = {_lo_rank_sql('n_surv', alpha_permille)}) lo
   ON lo.grp = p.grp
-JOIN (SELECT grp, mean_milli FROM ranked WHERE rk = {hi_rk}) hi
+LEFT JOIN (SELECT grp, mean_milli FROM ranked
+           WHERE rk = n_surv + 1 - {_lo_rank_sql('n_surv', alpha_permille)}
+          ) hi
   ON hi.grp = p.grp
 """
 

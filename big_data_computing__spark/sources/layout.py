@@ -3214,6 +3214,19 @@ class ZTable:
                         "hi": float(hi),
                         "counts": counts[fp],
                     }
+            # a scanned file whose column is entirely NULL never
+            # reaches `bounds` (the isNotNull filter) — record an
+            # explicit empty histogram so it leaves the incremental
+            # todo set instead of being rescanned and re-committed
+            # identically on every maintenance tick (round-7 advice)
+            for fp in paths:
+                e = by_file.get(fp)
+                if e is not None and f"hist_{c}" not in e:
+                    e[f"hist_{c}"] = {
+                        "lo": None,
+                        "hi": None,
+                        "counts": [0] * bins,
+                    }
         meta = {
             k: v
             for k, v in snap.items()
@@ -3251,6 +3264,10 @@ class ZTable:
             h = e.get(f"hist_{col}")
             if h is not None:
                 n_hist += 1
+                if h["lo"] is None:
+                    # explicit all-NULL histogram: no non-null value
+                    # exists, so no range can match — contributes 0
+                    continue
                 h_lo, h_hi, counts = h["lo"], h["hi"], h["counts"]
                 if h_hi <= h_lo:
                     if lo <= h_lo <= hi:

@@ -462,9 +462,11 @@ class BootstrapState:
         self.n_rows += int(tot["c"])
         self.sum_v += int(tot["sv"] or 0)
 
-    def estimate(self) -> tuple[int, int, int]:
+    def estimate(self) -> tuple[int, int | None, int | None]:
         """(point_milli, lo_milli, hi_milli) under the exact batch
-        convention."""
+        convention. Degenerate prefixes follow the shared contract
+        (stats.bootstrap_ci_from_sums): raises on an empty prefix, and
+        returns null CIs if every replicate drew zero weight."""
         from ..operators.stats import bootstrap_ci_from_sums
 
         return bootstrap_ci_from_sums(

@@ -359,3 +359,35 @@ def test_metadata_tables_files_and_history(spark, sf_dir, tmp_path):
     # correctly report a no-op commit
     assert hdf[2]["n_files_added"] == 0
     assert hdf[2]["n_rows_removed"] == 0
+
+
+def test_incremental_analyze_all_null_column_converges(
+    spark, sf_dir, tmp_path
+):
+    """Regression (round-7 advice): a file whose analyzed column is
+    entirely NULL used to stay in the incremental todo set forever —
+    every maintenance tick rescanned it and committed a new identical
+    version. It now records an explicit empty histogram, the next
+    incremental run is a commit-free no-op, and the estimator counts
+    the file as analyzed with zero matching rows."""
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    nulls = extra.withColumn("x", F.lit(None).cast("double"))
+    t.append(nulls)
+    v = t.analyze_histograms(spark, ["x"], bins=8, incremental=True)
+    snap = t.snapshot(v)
+    assert all("hist_x" in e for e in snap["files"])
+    empty = [
+        e["hist_x"]
+        for e in snap["files"]
+        if e["hist_x"]["lo"] is None
+    ]
+    assert empty and all(sum(h["counts"]) == 0 for h in empty)
+    # converged: the next tick neither rescans nor commits
+    assert (
+        t.analyze_histograms(spark, ["x"], bins=8, incremental=True)
+        == v
+    )
+    # estimator: full coverage, and the all-NULL files contribute 0
+    est, n_hist, n_total = t.estimate_range_count("x", -1e18, 1e18)
+    assert n_hist == n_total == len(snap["files"])
+    assert round(est) == base.count()

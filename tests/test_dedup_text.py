@@ -2289,3 +2289,92 @@ def test_densest_subgraph_duckdb_parity(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# super-bucket guard (VERDICT r6 item #4): a degenerate bucket — one
+# boilerplate string shared by a huge doc cluster — must not make the
+# banded self-join quadratic. The guard drops over-cap buckets from
+# pair generation and surfaces them in the audit report.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """1,000 identical docs (the adversarial cluster) + the fox docs:
+    uncapped LSH would emit ~C(1000,2) = 499,500 cluster pairs."""
+    boiler = "subscribe to our newsletter for updates terms apply"
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    near = "the quick brown fox jumps over the lazy cat near the old barn"
+    rows = [(i, boiler) for i in range(10_000, 11_000)]
+    rows += [(1, base), (2, base), (4, near)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_super_bucket_cap_bounds_pair_output(spark, boilerplate_docs):
+    capped = D.minhash_lsh_pairs(boilerplate_docs, max_bucket=100)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # genuine exact/near-dup pairs survive (their buckets hold 3 docs)
+    assert got == {(1, 2), (1, 4), (2, 4)}
+    # i.e. the ~C(1000,2) = 499,500 boilerplate pairs are gone
+
+
+def test_super_bucket_report_lists_dropped_buckets(spark, boilerplate_docs):
+    rep = D.lsh_super_buckets(boilerplate_docs, max_bucket=100).collect()
+    # identical docs share identical signatures: all 8 bands are
+    # single 1,000-doc buckets, every one reported
+    assert len(rep) == 8
+    assert all(r["n_docs"] == 1_000 for r in rep)
+    assert {r["band"] for r in rep} == set(range(8))
+
+
+def test_super_bucket_cap_default_is_inert_at_test_scale(spark, docs):
+    # production default (100k) must not change small-corpus results
+    plain = D.minhash_lsh_pairs(docs, max_bucket=None).collect()
+    guarded = D.minhash_lsh_pairs(docs).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, guarded))
+    sim_plain = D.simhash_near_pairs(docs, max_bucket=None).collect()
+    sim_guarded = D.simhash_near_pairs(docs).collect()
+    assert sorted(map(tuple, sim_plain)) == sorted(map(tuple, sim_guarded))
+
+
+def test_simhash_super_bucket_cap(spark, boilerplate_docs):
+    capped = D.simhash_near_pairs(boilerplate_docs, max_bucket=100)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # the exact-dup pair (hamming 0, 3-doc buckets) survives; docs 1/4
+    # differ by one word => hamming 9 > 3, never a simhash pair
+    assert (1, 2) in got
+    assert not any(a >= 10_000 for a, _ in got)
+
+
+def test_capped_lsh_sql_twin_matches(spark, boilerplate_docs):
+    import duckdb
+
+    from big_data_computing__spark.operators.dedup import (
+        lsh_super_buckets_sql,
+        minhash_lsh_pairs_sql,
+    )
+
+    pdf = boilerplate_docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want_pairs = sorted(
+        (r["doc_a"], r["doc_b"], r["n_bands"])
+        for r in D.minhash_lsh_pairs(
+            boilerplate_docs, max_bucket=100
+        ).collect()
+    )
+    got_pairs = sorted(
+        con.execute(minhash_lsh_pairs_sql(max_bucket=100)).fetchall()
+    )
+    assert got_pairs == want_pairs
+    want_rep = sorted(
+        (r["band"], r["bkey"], r["n_docs"])
+        for r in D.lsh_super_buckets(
+            boilerplate_docs, max_bucket=100
+        ).collect()
+    )
+    got_rep = sorted(
+        con.execute(lsh_super_buckets_sql(max_bucket=100)).fetchall()
+    )
+    assert got_rep == want_rep and len(got_rep) == 8

@@ -400,3 +400,111 @@ def test_aqp_group_counts_properties(spark, sf_dir):
         ).collect()
     }
     assert {g: tuple(r) for g, r in out.items()} == again
+
+
+# ---------------------------------------------------------------------------
+# degenerate-prefix / tiny-group contracts (round-7 advice): small
+# groups must never vanish, empty prefixes must be explicit, and the
+# driver fold must use the engines' truncating division.
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_by_group_keeps_one_row_groups(spark):
+    from big_data_computing__spark.operators.stats import (
+        poisson_bootstrap_ci_by,
+        poisson_bootstrap_ci_by_sql,
+    )
+
+    # one group with plenty of rows, one group with a single row: at
+    # R=200 the singleton draws w=0 in ~37% of replicates, shifting
+    # ranks past the old fixed hi_rk — the group used to disappear
+    rows = [(i, "big", 10 + (i % 3)) for i in range(60)]
+    rows.append((999, "tiny", 7))
+    df = spark.createDataFrame(rows, "id long, src string, v long")
+    got = {
+        r["src"]: r
+        for r in poisson_bootstrap_ci_by(df, "v", "id", "src").collect()
+    }
+    assert set(got) == {"big", "tiny"}
+    t = got["tiny"]
+    assert t["n_rows"] == 1 and t["point_milli"] == 7000
+    # the singleton's surviving replicate means are all exactly 7000
+    assert t["lo_milli"] == 7000 and t["hi_milli"] == 7000
+
+    # DuckDB twin agrees row-for-row
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            poisson_bootstrap_ci_by_sql("SELECT * FROM t", "v", "id", "src")
+        ).fetchall()
+    }
+    assert set(duck) == {"big", "tiny"}
+    for k in got:
+        s = got[k]
+        assert (
+            s["n_rows"], s["point_milli"], s["lo_milli"], s["hi_milli"]
+        ) == tuple(duck[k][1:])
+
+
+def test_bootstrap_from_sums_degenerate_prefixes():
+    from big_data_computing__spark.operators.stats import (
+        bootstrap_ci_from_sums,
+    )
+
+    with pytest.raises(ValueError, match="empty prefix"):
+        bootstrap_ci_from_sums([], 0, 0, 200)
+    # all replicates drew zero weight: point survives, CIs are null
+    point, lo, hi = bootstrap_ci_from_sums(
+        [(r, 0, 0) for r in range(200)], 3, 21, 200
+    )
+    assert (point, lo, hi) == (7000, None, None)
+    # surviving < nominal hi_rk must not IndexError: 4 survivors
+    sums = [(0, 10, 2), (1, 9, 2), (2, 11, 2), (3, 10, 2)]
+    sums += [(r, 0, 0) for r in range(4, 200)]
+    point, lo, hi = bootstrap_ci_from_sums(sums, 2, 10, 200)
+    assert lo == 4500 and hi == 5500  # ranks 1 and 4 of the survivors
+
+
+def test_bootstrap_trunc_division_matches_engines(spark):
+    """Negative-valued metrics: Python // floors, Spark div and DuckDB
+    // truncate toward zero — the fold must truncate."""
+    from big_data_computing__spark.operators.stats import (
+        bootstrap_ci_from_sums,
+        bootstrap_replicate_sums,
+        poisson_bootstrap_ci,
+        poisson_bootstrap_ci_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -1), (2, -2), (3, 4)], "id long, v long"
+    )
+    batch = poisson_bootstrap_ci(df, "v", "id").collect()[0]
+    sums = [
+        (r["rep"], int(r["s"]), int(r["n"]))
+        for r in bootstrap_replicate_sums(df, "v", "id", 200).collect()
+    ]
+    point, lo, hi = bootstrap_ci_from_sums(sums, 3, 1, 200)
+    assert point == batch["point_milli"] == 333  # trunc(1000/3), not 333.33 floored from negative
+    assert lo == batch["lo_milli"] and hi == batch["hi_milli"]
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    drow = con.execute(
+        poisson_bootstrap_ci_sql("SELECT * FROM t", "v", "id")
+    ).fetchall()[0]
+    assert drow[1] == point and drow[2] == lo and drow[3] == hi
+
+
+def test_bootstrap_empty_input_emits_no_row(spark):
+    from big_data_computing__spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame([], "id long, v long")
+    assert poisson_bootstrap_ci(df, "v", "id").count() == 0
