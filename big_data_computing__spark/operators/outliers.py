@@ -431,6 +431,58 @@ def detect_outliers(
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def detect_outliers_analyzed(
+    table,
+    spark,
+    d: float,
+    m: int,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    exact_threshold: int = 200_000,
+    id_col: str = "id",
+):
+    """The ANALYZE-driven cost-based exact/approx switch: decide the
+    mode from the table's recorded histograms at ZERO data read, then
+    execute over only the manifest-pruned files.
+
+    The reference's gate (big_data_computing_1.py:178) hard-codes
+    ``n <= 200,000`` and pays a full count() job to evaluate it;
+    :func:`detect_outliers` mode='auto' inherits that count. Here the
+    row count of the queried box is ESTIMATED from the per-file
+    equi-width histograms ``ZTable.analyze_histograms`` recorded
+    (STRESS.md: 0.48% mean abs rel err at 32 bins), combined across
+    the two dimensions under the Selinger independence convention
+    sel(box) = sel(x)·sel(y) — the estimate costs a manifest read,
+    no data. The exact theta-join's cost is quadratic in the box
+    population, so a wrong-side gate is 10-100× wall time; the
+    histogram estimate picks the side before touching data, which is
+    the cost-based-optimizer shape SURVEY §4 calls for.
+
+    Returns (mode_used, estimated_rows, result DataFrame). Requires
+    ``analyze_histograms([x, y])`` to have run; raises otherwise so a
+    silent fall-back can't masquerade as a cost decision.
+    """
+    snap = table.snapshot()
+    hist_cols = set(snap.get("hist_cols") or [])
+    if not {table.x, table.y} <= hist_cols:
+        raise ValueError(
+            "detect_outliers_analyzed: run "
+            f"analyze_histograms([{table.x!r}, {table.y!r}]) first "
+            f"(recorded: {sorted(hist_cols)})"
+        )
+    n_rows = sum(e["n_rows"] for e in snap["files"])
+    est_x, _, _ = table.estimate_range_count(table.x, *x_range)
+    est_y, _, _ = table.estimate_range_count(table.y, *y_range)
+    est = est_x * est_y / n_rows if n_rows else 0.0
+    pruned, _, _ = table.read_pruned(spark, x_range, y_range)
+    pts = pruned.select(
+        F.col(id_col), F.col(table.x).alias("x"), F.col(table.y).alias("y")
+    )
+    if est <= exact_threshold:
+        return "exact", est, exact_outliers(pts, d, m, id_col)
+    return "approx", est, approx_outliers_summary(pts, d, m)
+
+
 def smallest_cells_topk(
     points: DataFrame, d: float, k: int, x: str = "x", y: str = "y"
 ) -> DataFrame:

@@ -391,3 +391,64 @@ def test_incremental_analyze_all_null_column_converges(
     est, n_hist, n_total = t.estimate_range_count("x", -1e18, 1e18)
     assert n_hist == n_total == len(snap["files"])
     assert round(est) == base.count()
+
+
+def test_detect_outliers_analyzed_gate(spark, sf_dir, tmp_path):
+    """The ANALYZE-driven cost gate: mode decided from recorded
+    histograms with zero data read, estimates close to truth, results
+    identical to running the chosen operator directly."""
+    from big_data_computing__spark.operators.outliers import (
+        approx_outliers_summary,
+        detect_outliers_analyzed,
+        exact_outliers,
+    )
+
+    t, base, extra = _seed(spark, sf_dir, tmp_path)
+    with pytest.raises(ValueError, match="analyze_histograms"):
+        detect_outliers_analyzed(
+            t, spark, 500.0, 3, (0.0, 1e4), (0.0, 1e4)
+        )
+    t.analyze_histograms(spark, ["x", "y"], bins=16)
+
+    full_x = (-1e9, 1e9)
+    full_y = (-1e9, 1e9)
+    n = base.count()
+    # threshold below the table size => approx side
+    mode, est, df = detect_outliers_analyzed(
+        t, spark, 500.0, 3, full_x, full_y, exact_threshold=n // 2
+    )
+    assert mode == "approx"
+    assert abs(est - n) / n < 0.01  # full-range estimate is near-exact
+    pts = t.read(spark).select("id", "x", "y")
+    want = approx_outliers_summary(pts, 500.0, 3).collect()
+    assert df.collect() == want
+
+    # threshold above => exact side, same rows as the direct operator
+    mode, est, df = detect_outliers_analyzed(
+        t, spark, 500.0, 3, full_x, full_y, exact_threshold=2 * n
+    )
+    assert mode == "exact"
+    got = sorted(tuple(r) for r in df.collect())
+    wantx = sorted(
+        tuple(r) for r in exact_outliers(pts, 500.0, 3).collect()
+    )
+    assert got == wantx
+
+    # a selective box gates exact under a threshold the full table
+    # would fail — the histogram sees the box, not the table
+    xs = [r["x"] for r in base.select("x").collect()]
+    ys = [r["y"] for r in base.select("y").collect()]
+    xlo, xhi = min(xs), min(xs) + (max(xs) - min(xs)) * 0.2
+    ylo, yhi = min(ys), min(ys) + (max(ys) - min(ys)) * 0.2
+    in_box = base.where(
+        (F.col("x") >= xlo) & (F.col("x") <= xhi)
+        & (F.col("y") >= ylo) & (F.col("y") <= yhi)
+    ).count()
+    mode, est, df = detect_outliers_analyzed(
+        t, spark, 500.0, 3, (xlo, xhi), (ylo, yhi),
+        exact_threshold=n // 2,
+    )
+    # estimate within 3x of the boxed truth (independence assumption)
+    assert in_box == 0 or (est <= 3 * in_box + n * 0.02)
+    if in_box <= n // 6:
+        assert mode == "exact"
