@@ -36,9 +36,15 @@ def get_session(
     # Only effective if set before the JVM starts (first session in the
     # process); harmless afterwards.
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # collect()-heavy oracles + Arrow batches: the 1g default
+    # maxResultSize kills the job with a cryptic TaskResultLost long
+    # before the 48g heap is in danger — pin it well above any
+    # test-scale result but far below the heap
+    max_result = os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", max_result)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
