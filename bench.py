@@ -238,6 +238,11 @@ BENCH_QUERIES = [
     "x_bpe_tokenized",
     "x_langid_confusion",
     "t19_histogram_quantiles_by",
+    # round-7: super-bucket-guarded LSH (the production pair join) and
+    # its dropped-bucket audit report — tracked next to the unguarded
+    # x_dedup_minhash_lsh so the guard's cost is a committed A/B
+    "x_dedup_lsh_capped",
+    "x_lsh_super_buckets",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a
@@ -245,6 +250,26 @@ BENCH_QUERIES = [
 # r3's t4/c5 episodes were exactly this), and at bench sizes the extra
 # runs are cheap.
 REPEATS = 3
+
+# Canary subset (5 cheap + 5 heavy, pinned from the r6 distribution):
+# run once BEFORE and once AFTER the main loop, recorded separately in
+# the artifact, so (a) every artifact carries its own begin-vs-end
+# host-drift estimate and (b) bench_drift.py can derive the
+# cross-round host factor from identical pinned work instead of the
+# cheapest-half heuristic. Keep this list STABLE across rounds — its
+# value is comparability.
+CANARY_QUERIES = [
+    "o1_topk_orders",
+    "o2_smallest_cells_topk",
+    "w2_tumbling_window_counts",
+    "x_dedup_exact",
+    "t4_true_frequent_items",
+    "x_dup_spans",
+    "x_pca_semdedup",
+    "x_suffix_array_sample",
+    "x_semdedup_survivors",
+    "x_ktruss_edges",
+]
 
 
 def main() -> None:
@@ -257,6 +282,13 @@ def main() -> None:
     # warm the JVM/codegen paths once with the cheapest query
     qs["o1_topk_orders"](spark, sf_dir).collect()
 
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        return round(time.time() - t0, 3)
+
+    canary_start = {n: run_once(n) for n in CANARY_QUERIES}
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         runs = []
@@ -267,6 +299,8 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
+    canary_end = {n: run_once(n) for n in CANARY_QUERIES}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -275,6 +309,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "canary": {"start": canary_start, "end": canary_end},
                 "sf": float(sf),
             }
         )

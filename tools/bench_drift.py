@@ -45,20 +45,52 @@ def main() -> int:
     if len(argv) != 2:
         print(__doc__)
         return 2
-    old = json.load(open(argv[0]))["queries"]
-    new = json.load(open(argv[1]))["queries"]
+    old_art = json.load(open(argv[0]))
+    new_art = json.load(open(argv[1]))
+    old = old_art["queries"]
+    new = new_art["queries"]
     shared = sorted(set(old) & set(new), key=lambda k: old[k])
     if len(shared) < 4:
         print(f"only {len(shared)} shared queries — not comparable")
         return 2
-    cheap = shared[: max(2, len(shared) // 2)]
-    host = statistics.median(
-        new[k] / old[k] for k in cheap if old[k] > 0
-    )
+
+    def canary_medians(art: dict) -> dict | None:
+        """Per-canary median of the start and end passes (each artifact
+        brackets its main loop with the pinned canary subset)."""
+        c = art.get("canary")
+        if not c:
+            return None
+        start, end = c["start"], c["end"]
+        both = set(start) & set(end)
+        return {k: (start[k] + end[k]) / 2 for k in both}
+
+    oc, nc = canary_medians(old_art), canary_medians(new_art)
+    if oc and nc and set(oc) & set(nc):
+        ck = sorted(set(oc) & set(nc))
+        host = statistics.median(nc[k] / oc[k] for k in ck if oc[k] > 0)
+        src = f"pinned canary subset ({len(ck)} queries, start/end medians)"
+        for label, art in (("old", old_art), ("new", new_art)):
+            c = art["canary"]
+            intra = statistics.median(
+                c["end"][k] / c["start"][k]
+                for k in set(c["start"]) & set(c["end"])
+                if c["start"][k] > 0
+            )
+            print(
+                f"{label} artifact intra-run drift (end/start over "
+                f"canaries): {intra:.3f}"
+            )
+    else:
+        # legacy artifacts: cheapest-half heuristic (fixed per-job
+        # overhead dominates the cheap queries, the purest host signal)
+        cheap = shared[: max(2, len(shared) // 2)]
+        host = statistics.median(
+            new[k] / old[k] for k in cheap if old[k] > 0
+        )
+        src = f"median new/old over the {len(cheap)} cheapest shared"
     print(
         f"shared {len(shared)} queries; host factor {host:.3f} "
-        f"(median new/old over the {len(cheap)} cheapest; "
-        f">1 = this host is slower)"
+        f"({src}; >1 = this host is slower)"
     )
     flagged = []
     for k in shared:
