@@ -107,6 +107,56 @@ def fft_coreset(
     return grouped.groupBy("grp").applyInPandas(run_group, schema)
 
 
+def fft_coreset_fast(
+    points: DataFrame,
+    k: int,
+    l: int | None = None,
+    seed: int = 0,
+    features_col: str = "features",
+) -> DataFrame:
+    """MRFFT Round 1, THROUGHPUT path: per-PARTITION FFT over the
+    existing physical partitioning — zero shuffle, zero per-row
+    hashing, one Arrow pass. DataFrame[features array<double>], ≤ K
+    rows per partition.
+
+    This is the reference's exact R1 shape (mapPartitions at
+    big_data_computing_2.py:34): the coreset depends on the physical
+    partitioning, like the reference's does. Use :func:`fft_coreset`
+    when the coreset must be a pure function of the row SET (the
+    content-group contract the golden oracles pin) — that
+    determinism costs a shuffle + md5 per row, measured 3.5s vs 0.9s
+    on 600k points (COMPARE.md r7). The k-center guarantee is
+    identical either way: any partition-wise FFT(K) union is a valid
+    composable coreset.
+
+    ``l``: repartition to exactly L first (only if the current
+    partitioning differs) — the coreset-size bound L·K depends on it.
+    """
+    df = points.select(F.col(features_col).alias("features"))
+    if l is not None and df.rdd.getNumPartitions() != l:
+        df = df.repartition(l)
+    schema = T.StructType(
+        [T.StructField("features", T.ArrayType(T.DoubleType()))]
+    )
+
+    def run_partition(batches):
+        from pyspark import TaskContext
+
+        mats = [
+            np.array(b["features"].tolist(), dtype=np.float64)
+            for b in batches
+            if len(b)
+        ]
+        if not mats:
+            return
+        mat = mats[0] if len(mats) == 1 else np.concatenate(mats)
+        pid = TaskContext.get().partitionId()
+        centers = sequential_fft(mat, k, seed=seed + pid)
+        yield pd.DataFrame({"features": [list(c) for c in centers]})
+
+    return df.mapInPandas(run_partition, schema)
+
+
 def min_dist_to_centers_expr(
     features: Column, centers: list[list[float]]
 ) -> Column:
@@ -175,28 +225,46 @@ def mr_fft(
     seed: int = 0,
     id_col: str = "id",
     features_col: str = "features",
+    fast: bool = False,
 ) -> MRFFTResult:
     """Full 2-round MRFFT + radius (reference big_data_computing_2.py:31-54).
 
     Returns the k-center radius (objective value), the centers, and
     per-round wall-clock ms ("r1_coreset", "r2_centers", "r3_radius").
+
+    ``fast=True`` selects the shuffle-free per-partition R1
+    (:func:`fft_coreset_fast` — the reference's own R1 shape; coreset
+    depends on the partitioning) instead of the deterministic
+    content-group R1 the golden oracles pin. R3 stays in whole-stage
+    codegen (literal-centers Catalyst expression) whenever k·d is
+    small enough to inline; the Arrow matmul kernel takes over for
+    wide embeddings.
     """
     t0 = time.time()
+    r1 = (
+        fft_coreset_fast(points, k, l, seed, features_col)
+        if fast
+        else fft_coreset(points, k, l, seed, id_col, features_col)
+    )
     coreset = np.array(
-        [
-            row["features"]
-            for row in fft_coreset(
-                points, k, l, seed, id_col, features_col
-            ).collect()
-        ],
+        [row["features"] for row in r1.collect()],
         dtype=np.float64,
     )
     t1 = time.time()
     centers = sequential_fft(coreset, k, seed=seed)
     t2 = time.time()
+    # fast mode only: the codegen expression rounds sqrt(Σ(x-c)²)
+    # differently from the matmul identity the golden oracles pinned,
+    # so the deterministic path keeps the Arrow kernel bit-for-bit
+    if fast and centers.size and centers.shape[0] * centers.shape[1] <= 512:
+        min_d = min_dist_to_centers_expr(
+            F.col(features_col), [list(c) for c in centers]
+        )
+        radius_df = points.select(min_d.alias("min_dist"))
+    else:
+        radius_df = min_dist_to_centers(points, centers, features_col)
     radius = (
-        min_dist_to_centers(points, centers, features_col)
-        .agg(F.max("min_dist").alias("radius"))
+        radius_df.agg(F.max("min_dist").alias("radius"))
         .collect()[0]["radius"]
     )
     t3 = time.time()

@@ -253,3 +253,35 @@ def test_kmeans_balanced_sample_same_model_as_lloyd(spark):
     for r in kmeans_balanced_sample(emb, k=3, rounds=2, m=1000).collect():
         got[r["cluster"]] = got.get(r["cluster"], 0) + 1
     assert got == sizes
+
+
+def test_mr_fft_fast_mode_invariants(spark, sf_dir):
+    """fast=True (per-partition R1, codegen R3): valid composable
+    coreset — ≤ L·K rows, radius covers every point — with the
+    reference's own R1 shape (coreset may differ from the
+    deterministic content-group path's; the objective stays a 2-approx
+    either way)."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing__spark.operators.clustering import (
+        fft_coreset_fast,
+        min_dist_to_centers,
+        mr_fft,
+    )
+    from big_data_computing__spark.sources.readers import customer_points
+
+    pts = customer_points(spark, sf_dir).select(
+        "id", "x", "y", F.array("x", "y").alias("features")
+    )
+    k, l = 4, 8
+    cs = fft_coreset_fast(pts, k, l).collect()
+    assert 0 < len(cs) <= k * l
+    res = mr_fft(pts, k, l, seed=0, fast=True)
+    assert res.radius > 0
+    # the radius covers all points (k-center feasibility)
+    max_d = (
+        min_dist_to_centers(pts, res.centers)
+        .agg(F.max("min_dist").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_d <= res.radius * (1 + 1e-9)
