@@ -287,6 +287,13 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         return round(time.time() - t0, 3)
 
+    # run each start-canary twice and keep the SECOND: the first pass
+    # absorbs per-plan codegen/shuffle warmup, so start and end are
+    # both steady-state and end/start measures HOST drift, not warmup
+    # (the r7 artifact's raw first pass read 2x slower than the end
+    # pass for exactly this reason)
+    for n in CANARY_QUERIES:
+        run_once(n)
     canary_start = {n: run_once(n) for n in CANARY_QUERIES}
 
     timings: dict[str, float] = {}
