@@ -354,11 +354,18 @@ def incremental_lsh_duplicates(
     ngram: int = 3,
     text_col: str = "text",
     new_sigs: DataFrame | None = None,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate matches of an INCREMENT against an existing
     corpus signature index: DataFrame[new_doc_id, corpus_doc_id,
     n_bands] — every LSH band collision between a new document and a
     previously-indexed one.
+
+    ``max_bucket`` guards the CORPUS side of the probe (same rationale
+    as :func:`minhash_lsh_pairs`): an index bucket holding 10^6
+    boilerplate docs would fan every colliding new doc out 10^6 ways.
+    Index buckets above the cap contribute no matches; audit with
+    :func:`lsh_super_buckets` over the same corpus. ``None`` disables.
 
     The daily-ingest shape of dedup at 100 TB: the corpus is indexed
     ONCE (``corpus_sigs`` = :func:`minhash_signatures` output, a few
@@ -389,6 +396,8 @@ def incremental_lsh_duplicates(
     cb = _band_buckets(corpus_sigs, bands).withColumnRenamed(
         "doc_id", "corpus_doc_id"
     )
+    if max_bucket is not None:
+        cb = _drop_super_buckets(cb, ["band", "bkey"], max_bucket)
     return (
         nb.join(cb, ["band", "bkey"])
         .groupBy("new_doc_id", "corpus_doc_id")
@@ -401,6 +410,7 @@ def incremental_lsh_duplicates_sql(
     corpus_pred: str,
     num_hashes: int = 16,
     ngram: int = 3,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> str:
     """DuckDB twin of :func:`incremental_lsh_duplicates` with the
     corpus/increment split expressed as predicates over ``documents``
@@ -426,9 +436,16 @@ nb AS (
   SELECT doc_id AS new_doc_id, unnest([{structs}], recursive := true)
   FROM new_sigs
 ),
-cb AS (
+cb0 AS (
   SELECT doc_id AS corpus_doc_id, unnest([{structs}], recursive := true)
   FROM corpus_sigs
+),
+over AS (
+  SELECT band, bkey FROM cb0
+  GROUP BY 1, 2 HAVING COUNT(*) > {max_bucket or 2**62}
+),
+cb AS (
+  SELECT c.* FROM cb0 c ANTI JOIN over o USING (band, bkey)
 )
 SELECT new_doc_id, corpus_doc_id, COUNT(*) AS n_bands
 FROM nb JOIN cb USING (band, bkey)

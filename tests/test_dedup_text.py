@@ -2378,3 +2378,30 @@ def test_capped_lsh_sql_twin_matches(spark, boilerplate_docs):
         con.execute(lsh_super_buckets_sql(max_bucket=100)).fetchall()
     )
     assert got_rep == want_rep and len(got_rep) == 8
+
+
+def test_incremental_probe_super_bucket_guard(spark, boilerplate_docs):
+    """A degenerate INDEX bucket must not fan a colliding new doc out
+    |bucket| ways: the corpus side of the incremental probe carries the
+    same guard as the self-join."""
+    corpus_sigs = D.minhash_signatures(boilerplate_docs)
+    boiler = "subscribe to our newsletter for updates terms apply"
+    base = "the quick brown fox jumps over the lazy dog near the old barn"
+    new = spark.createDataFrame(
+        [(50_000, boiler), (50_001, base)], "doc_id long, text string"
+    )
+    hits = D.incremental_lsh_duplicates(
+        new, corpus_sigs, max_bucket=100
+    ).collect()
+    by_new = {}
+    for r in hits:
+        by_new.setdefault(r["new_doc_id"], []).append(r["corpus_doc_id"])
+    # the boilerplate probe matches nothing (its 1,000-doc index
+    # buckets are capped); the fox doc still matches its 3-doc cluster
+    assert 50_000 not in by_new
+    assert sorted(by_new.get(50_001, [])) == [1, 2, 4]
+    # uncapped: the same probe fans out to all 1,000 boilerplate docs
+    raw = D.incremental_lsh_duplicates(
+        new, corpus_sigs, max_bucket=None
+    )
+    assert raw.where(F.col("new_doc_id") == 50_000).count() == 1_000
