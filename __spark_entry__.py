@@ -376,6 +376,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _st.f2_sketch(d, "item")
 
+    def x_ks_drift(spark, sf_dir):
+        # exact two-sample Kolmogorov-Smirnov: did the 'purchase'
+        # slice's value distribution drift from everything else's?
+        # Unbinned sup-CDF-gap — the shift a binned TVD can miss;
+        # integer-exact cross products over two distributed prefix-sum
+        # passes (never a single-partition window)
+        return _st.ks_drift(
+            _rd.read_table(spark, sf_dir, "events"),
+            "value",
+            "event_type",
+            "purchase",
+        )
+
     def x_bootstrap_ci(spark, sf_dir):
         # one-pass Poisson bootstrap (Chamandy et al.): 200 replicate
         # means of doc length from per-(row, replicate) Poisson(1)
@@ -3066,6 +3079,7 @@ GROUP BY GROUPING SETS (
         x_frequent_pairs,
         t17_f2_sketch,
         x_bootstrap_ci,
+        x_ks_drift,
         x_mis_diverse,
         x_feature_hash_embed,
         a19_exact_median_qs,
@@ -3325,7 +3339,7 @@ _WINDOW_PRIORITY = [
     "t15_kmv_source_matrix", "o5_hilbert_cells", "x_media_ahash",
     # new round-7 queries (never windowed by construction) — after the
     # round-6 backlog, ahead of everything already driver-green.
-    "x_dedup_lsh_capped", "x_lsh_super_buckets",
+    "x_dedup_lsh_capped", "x_lsh_super_buckets", "x_ks_drift",
 ]
 
 
@@ -3590,6 +3604,9 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "SELECT unnest(" + _ts._TOKS_SQL + ") AS item"
             " FROM documents",
             "item",
+        ),
+        "x_ks_drift": _st.ks_drift_sql(
+            "SELECT * FROM events", "value", "event_type", "purchase"
         ),
         "x_bootstrap_ci": _st.poisson_bootstrap_ci_sql(
             "SELECT * FROM documents",

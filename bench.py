@@ -243,6 +243,9 @@ BENCH_QUERIES = [
     # x_dedup_minhash_lsh so the guard's cost is a committed A/B
     "x_dedup_lsh_capped",
     "x_lsh_super_buckets",
+    # exact unbinned KS drift: distinct-value agg + two distributed
+    # prefix-sum passes — the drift test TVD bins can miss
+    "x_ks_drift",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -940,3 +940,122 @@ LEFT JOIN (SELECT grp, est_r FROM ranked WHERE rk = {lo_rk}) lo
 LEFT JOIN (SELECT grp, est_r FROM ranked WHERE rk = {hi_rk}) hi
   ON hi.grp = e.grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift
+# ---------------------------------------------------------------------------
+
+
+def ks_drift(
+    rows: DataFrame,
+    value_col: str,
+    split_col: str,
+    base_value: str,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact (unbinned) two-sample Kolmogorov-Smirnov statistic between
+    the ``split_col == base_value`` slice and everything else — one
+    row: DataFrame[n_base, n_comp, ks_milli, at_value].
+
+    The drift test :func:`curation.corpus_drift_report`'s binned TVD
+    cannot replace: KS is sup_x |F_base(x) − F_comp(x)| over the REAL
+    empirical CDFs, so a shift smaller than a bin width still
+    registers. Kept integer-exact the way the engine keeps every
+    statistic: with cum counts a(x), b(x) and totals A, B, the gap at
+    x is |a(x)·B − b(x)·A| (BIGINT products; requires A·B < 2^63 —
+    shard beyond ~3·10^9 rows per slice), and
+    ``ks_milli = (1000 · max gap) DIV (A·B)``. ``at_value`` is the
+    smallest value attaining the max — a total order, deterministic.
+
+    Scale shape: one map-side-combinable aggregate to the DISTINCT
+    value table, then TWO two-pass distributed prefix sums over that
+    table (relational.global_prefix_sum — range partition + driver
+    offsets, never a single-partition window), then a 1-row max. The
+    prefix passes touch |distinct values| rows, not data.
+    """
+    from .relational import global_prefix_sum
+
+    is_base = (F.col(split_col) == base_value).cast("long")
+    per_value = (
+        rows.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(is_base).alias("na"),
+            F.sum(F.lit(1) - is_base).alias("nb"),
+        )
+    )
+    pa = global_prefix_sum(
+        per_value, "na", "v", out_col="pa", n_partitions=n_partitions
+    )
+    pb = global_prefix_sum(
+        pa, "nb", "v", out_col="pb", n_partitions=n_partitions
+    ).select(
+        "v",
+        "na",
+        "nb",
+        (F.col("pa") + F.col("na")).alias("ca"),
+        (F.col("pb") + F.col("nb")).alias("cb"),
+    )
+    totals = pb.agg(
+        F.sum("na").cast("long").alias("n_base"),
+        F.sum("nb").cast("long").alias("n_comp"),
+    )
+    gaps = pb.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n_base",
+        "n_comp",
+        F.abs(
+            F.col("ca") * F.col("n_comp") - F.col("cb") * F.col("n_base")
+        ).alias("gap"),
+    )
+    best = gaps.groupBy("n_base", "n_comp").agg(F.max("gap").alias("g"))
+    return (
+        gaps.join(F.broadcast(best), ["n_base", "n_comp"])
+        .where(F.col("gap") == F.col("g"))
+        .groupBy("n_base", "n_comp")
+        .agg(
+            F.expr("CAST(1000 * max(gap) AS BIGINT) div (n_base * n_comp)")
+            .alias("ks_milli"),
+            F.min("v").alias("at_value"),
+        )
+        .select("n_base", "n_comp", "ks_milli", "at_value")
+    )
+
+
+def ks_drift_sql(
+    rows_sql: str, value_expr: str, split_expr: str, base_value: str
+) -> str:
+    """DuckDB twin of :func:`ks_drift` (window cum sums stand in for
+    the distributed prefix passes; identical integers)."""
+    return f"""
+WITH pv AS (
+  SELECT {value_expr} AS v,
+         SUM(CASE WHEN {split_expr} = '{base_value}' THEN 1 ELSE 0 END)
+           AS na,
+         SUM(CASE WHEN {split_expr} = '{base_value}' THEN 0 ELSE 1 END)
+           AS nb
+  FROM ({rows_sql}) WHERE {value_expr} IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(na) OVER (ORDER BY v) AS ca,
+         SUM(nb) OVER (ORDER BY v) AS cb
+  FROM pv
+),
+tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_base,
+         CAST(SUM(nb) AS BIGINT) AS n_comp
+  FROM pv
+),
+gaps AS (
+  SELECT v, CAST(ABS(ca * t.n_comp - cb * t.n_base) AS BIGINT) AS gap,
+         t.n_base, t.n_comp
+  FROM cum CROSS JOIN tot t
+)
+SELECT n_base, n_comp,
+       CAST(1000 * MAX(gap) AS BIGINT) // (n_base * n_comp) AS ks_milli,
+       CAST(MIN(CASE WHEN gap = (SELECT MAX(gap) FROM gaps) THEN v END)
+            AS DOUBLE) AS at_value
+FROM gaps GROUP BY n_base, n_comp
+"""

@@ -508,3 +508,38 @@ def test_bootstrap_empty_input_emits_no_row(spark):
 
     df = spark.createDataFrame([], "id long, v long")
     assert poisson_bootstrap_ci(df, "v", "id").count() == 0
+
+
+def test_ks_drift_exact_small_case(spark):
+    """Hand-checkable KS: base = {1,2,3,4}, comp = {3,4,5,6} — the
+    CDF gap peaks at value 2 (F_base=0.5, F_comp=0) => KS = 0.5."""
+    from big_data_computing__spark.operators.stats import (
+        ks_drift,
+        ks_drift_sql,
+    )
+
+    rows = [(float(v), "a") for v in (1, 2, 3, 4)]
+    rows += [(float(v), "b") for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = ks_drift(df, "value", "grp", "a").collect()[0]
+    assert got["n_base"] == 4 and got["n_comp"] == 4
+    assert got["ks_milli"] == 500
+    assert got["at_value"] == 2.0
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    drow = con.execute(
+        ks_drift_sql("SELECT * FROM t", "value", "grp", "a")
+    ).fetchall()[0]
+    assert drow == (4, 4, 500, 2.0)
+
+
+def test_ks_drift_identical_slices_is_zero(spark):
+    from big_data_computing__spark.operators.stats import ks_drift
+
+    rows = [(float(v), g) for v in range(10) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = ks_drift(df, "value", "grp", "a").collect()[0]
+    assert got["ks_milli"] == 0
