@@ -479,3 +479,80 @@ class BootstrapState:
             self.n_replicates,
             self.alpha_permille,
         )
+
+
+class KSDriftState:
+    """Mergeable streaming two-sample Kolmogorov-Smirnov state: the
+    per-distinct-value (n_base, n_comp) counts of
+    ``operators.stats.ks_drift`` folded additively across
+    micro-batches — per-value counts are LINEAR in the input, so after
+    any batch prefix ``estimate()`` equals the batch operator over the
+    union of arrived rows bit-for-bit (asserted in tests). Each batch
+    contributes its own distinct-value count delta (the heavy scan
+    aggregation stays in the cluster; |batch distinct values| pairs of
+    longs reach the driver). Batch ids make replays no-ops.
+
+    State size is proportional to the number of DISTINCT values seen —
+    the exact-KS contract. For unbounded-cardinality streams use the
+    binned TVD drift (curation.corpus_drift_report), which this class
+    deliberately does not replace."""
+
+    def __init__(self, value_col: str, split_col: str, base_value: str):
+        self.value_col = value_col
+        self.split_col = split_col
+        self.base_value = base_value
+        self.counts: dict[float, list[int]] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        is_base = (
+            F.col(self.split_col) == self.base_value
+        ).cast("long")
+        rows = (
+            batch_df.where(F.col(self.value_col).isNotNull())
+            .groupBy(F.col(self.value_col).alias("v"))
+            .agg(
+                F.sum(is_base).alias("na"),
+                F.sum(F.lit(1) - is_base).alias("nb"),
+            )
+            .collect()
+        )
+        for r in rows:
+            c = self.counts.setdefault(float(r["v"]), [0, 0])
+            c[0] += int(r["na"])
+            c[1] += int(r["nb"])
+
+    def estimate(self) -> tuple[int, int, int, float | None]:
+        """(n_base, n_comp, ks_milli, at_value) under the exact batch
+        integer convention (gap = |ca·B − cb·A|, ks_milli =
+        1000·max_gap DIV (A·B), at_value = smallest argmax).
+        Raises if either slice is still empty — KS between an empty
+        CDF and anything is undefined, and the batch twin emits a
+        division by zero there too."""
+        a_tot = sum(c[0] for c in self.counts.values())
+        b_tot = sum(c[1] for c in self.counts.values())
+        if a_tot == 0 or b_tot == 0:
+            raise ValueError(
+                "KSDriftState.estimate: a slice is empty — KS is "
+                "undefined until both sides have arrived"
+            )
+        ca = cb = 0
+        best_gap, at_value = -1, None
+        for v in sorted(self.counts):
+            na, nb = self.counts[v]
+            ca += na
+            cb += nb
+            gap = abs(ca * b_tot - cb * a_tot)
+            if gap > best_gap:
+                best_gap, at_value = gap, v
+        return (
+            a_tot,
+            b_tot,
+            (1000 * best_gap) // (a_tot * b_tot),
+            at_value,
+        )

@@ -543,3 +543,44 @@ def test_ks_drift_identical_slices_is_zero(spark):
     df = spark.createDataFrame(rows, "value double, grp string")
     got = ks_drift(df, "value", "grp", "a").collect()[0]
     assert got["ks_milli"] == 0
+
+
+def test_ks_drift_stream_state_equals_batch(spark, sf_dir):
+    """KSDriftState folded over micro-batch chunks of the events table
+    equals the batch ks_drift over the union bit-for-bit after every
+    prefix that has both slices; replayed batch ids are no-ops; empty
+    slices raise."""
+    from big_data_computing__spark.operators.stats import ks_drift
+    from big_data_computing__spark.streaming.frequent_stream import (
+        KSDriftState,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rows = ev.orderBy("event_id").collect()
+    chunks = [rows[i : i + 400] for i in range(0, len(rows), 400)]
+    schema = "event_id long, event_type string, value double"
+    st = KSDriftState("value", "event_type", "purchase")
+    seen: list = []
+    for bid, chunk in enumerate(chunks):
+        st.update(spark.createDataFrame(chunk, schema), bid)
+        seen.extend(chunk)
+        prefix = spark.createDataFrame(seen, schema)
+        want = ks_drift(
+            prefix, "value", "event_type", "purchase"
+        ).collect()[0]
+        got = st.estimate()
+        assert got == (
+            want["n_base"],
+            want["n_comp"],
+            want["ks_milli"],
+            want["at_value"],
+        )
+    before = dict(st.counts)
+    st.update(spark.createDataFrame(chunks[0], schema), 0)  # replay
+    assert st.counts == before
+
+    empty = KSDriftState("value", "event_type", "purchase")
+    with pytest.raises(ValueError, match="undefined"):
+        empty.estimate()
