@@ -735,6 +735,51 @@ GROUP BY GROUPING SETS (
             .alias("total_cents"),
         )
 
+    def a22_salted_agg(spark, sf_dir):
+        # SURVEY A3 (random regrouping, big_data_computing_1.py:81) as
+        # a DRIVER-ORACLED query, not just a test: the two-phase salted
+        # aggregation must equal the plain GROUP BY exactly — the
+        # oracle IS the plain SQL, so the equality contract is hash-
+        # checked per round. Skew shape: l_returnflag has 3 values
+        # over 600k rows (cardinality-3 hot keys).
+        li = _rd.read_table(spark, sf_dir, "lineitem")
+        out = _rel.salted_agg(
+            li.select(
+                "l_returnflag",
+                F.col("l_quantity").cast("long").alias("qty"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("price_cents"),
+            ),
+            ["l_returnflag"],
+            {"qty": "sum", "price_cents": "sum"},
+            salt=16,
+        )
+        return out.select(
+            "l_returnflag", "sum_qty", "sum_price_cents"
+        )
+
+    def j11_salted_join(spark, sf_dir):
+        # SURVEY A3's join form: the statically-salted skew join must
+        # be row-identical to the plain equi-join — oracled against
+        # the plain SQL join. Skewed side: lineitem on l_returnflag
+        # (3 hot keys); replicated side: the 3-row per-flag totals.
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        dim = (
+            li.groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("flag_rows"))
+        )
+        joined = _rel.salted_join(li, dim, "l_returnflag", salt=16)
+        return joined.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "qty",
+            "flag_rows",
+        )
+
     def j2_star_join_revenue(spark, sf_dir):
         li = _rd.read_table(spark, sf_dir, "lineitem")
         orders = _rd.read_table(spark, sf_dir, "orders").select(
@@ -3287,6 +3332,8 @@ GROUP BY GROUPING SETS (
         j6_above_avg_orders,
         f3_date_functions,
         j2_star_join_revenue,
+        a22_salted_agg,
+        j11_salted_join,
         o1_topk_orders,
         j4_anti_join_customers,
         f1_json_extract,
@@ -3340,6 +3387,7 @@ _WINDOW_PRIORITY = [
     # new round-7 queries (never windowed by construction) — after the
     # round-6 backlog, ahead of everything already driver-green.
     "x_dedup_lsh_capped", "x_lsh_super_buckets", "x_ks_drift",
+    "a22_salted_agg", "j11_salted_join",
 ]
 
 
@@ -3745,6 +3793,27 @@ SELECT l_returnflag,
        ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
        ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
 FROM lineitem GROUP BY l_returnflag""",
+        "a22_salted_agg": """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem GROUP BY l_returnflag
+""",
+        "j11_salted_join": """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+dim AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS flag_rows
+  FROM li GROUP BY 1
+)
+SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag, li.qty,
+       dim.flag_rows
+FROM li JOIN dim USING (l_returnflag)
+""",
         "j2_star_join_revenue": """
 SELECT r_name,
        CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
