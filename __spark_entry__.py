@@ -2861,6 +2861,32 @@ GROUP BY GROUPING SETS (
         # trust-but-verify table before swapping rules for a model
         return _rg.quality_calibration_report(_docs(spark, sf_dir))
 
+    def x_auc_quality(spark, sf_dir):
+        # the single-number companion to x_quality_calibration's
+        # decile table: exact Mann-Whitney ROC AUC of the LEARNED
+        # ridge score against the rule-based Gopher gate — midrank
+        # ties, integer micro, distributed prefix sum over the
+        # distinct-score table (never a single-partition window)
+        docs = _docs(spark, sf_dir)
+        scores = _rg.ridge_quality_scores(docs).select("doc_id", "score")
+        gate = _cu.gopher_quality_report(docs).select("doc_id", "passes")
+        return _st.auc_report(scores.join(gate, "doc_id"), "score", "passes")
+
+    def x_auc_by_lang(spark, sf_dir):
+        # the sharded form that scales past one scope's BIGINT bound:
+        # per-language AUC of the learned scorer vs the rule gate —
+        # does the model rank quality EQUALLY well across languages,
+        # or does it freeload on one register? (fairness-slice eval)
+        docs = _docs(spark, sf_dir)
+        scores = _rg.ridge_quality_scores(docs).select("doc_id", "score")
+        gate = _cu.gopher_quality_report(docs).select("doc_id", "passes")
+        rows = (
+            docs.select("doc_id", "lang")
+            .join(scores, "doc_id")
+            .join(gate, "doc_id")
+        )
+        return _st.auc_by(rows, "score", "passes", "lang")
+
     def x_embed_quantize_codes(spark, sf_dir):
         # int8 absmax codec over a deterministic vector sample — the
         # absmax scales come from the FULL corpus (pass 1), the filter
@@ -3193,6 +3219,8 @@ GROUP BY GROUPING SETS (
         w14_gapfill_locf,
         w15_mad_outliers,
         x_quality_calibration,
+        x_auc_quality,
+        x_auc_by_lang,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -3388,6 +3416,8 @@ _WINDOW_PRIORITY = [
     # round-6 backlog, ahead of everything already driver-green.
     "x_dedup_lsh_capped", "x_lsh_super_buckets", "x_ks_drift",
     "a22_salted_agg", "j11_salted_join",
+    # round-7b wave (this session's new queries, never windowed):
+    "x_auc_quality", "x_auc_by_lang",
 ]
 
 
@@ -4471,6 +4501,21 @@ WHERE vec_id NOT IN (
         "x_embed_quantize_report": _sim.embedding_quantize_report_sql(),
         "x_ann_int8_topk": _sim.int8_topk_sql(),
         "x_quality_calibration": _rg.quality_calibration_report_sql(),
+        "x_auc_quality": _st.auc_report_sql(
+            f"SELECT s.score, g.passes "
+            f"FROM ({_rg.ridge_quality_scores_sql()}) s "
+            f"JOIN ({_cu.gopher_quality_report_sql()}) g USING (doc_id)",
+            "score",
+            "passes",
+        ),
+        "x_auc_by_lang": _st.auc_by_sql(
+            f"SELECT d.lang, s.score, g.passes FROM documents d "
+            f"JOIN ({_rg.ridge_quality_scores_sql()}) s USING (doc_id) "
+            f"JOIN ({_cu.gopher_quality_report_sql()}) g USING (doc_id)",
+            "score",
+            "passes",
+            "lang",
+        ),
         "x_ann_ivf_int8_topk": _sim.ivf_int8_topk_sql(),
         "x_ann_hamming_topk": _sim.hamming_topk_sql(
             64, ANN_K, query_filter="qid % 10 = 0"

@@ -1059,3 +1059,190 @@ SELECT n_base, n_comp,
             AS DOUBLE) AS at_value
 FROM gaps GROUP BY n_base, n_comp
 """
+
+
+def auc_report(
+    rows: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact ROC AUC of ``score_col`` as a ranker for the boolean
+    ``label_col`` — one row: DataFrame[n_pos, n_neg, auc_micro].
+
+    The Mann-Whitney identity (AUC = P[score_pos > score_neg] +
+    ½·P[tie], midrank convention): with per-distinct-score positive/
+    negative counts (p_s, q_s) and the exclusive prefix sum
+    cneg(s) = Σ_{s'<s} q_s', the doubled U statistic
+
+        U_x2 = Σ_s p_s · (2·cneg(s) + q_s)
+
+    is an integer, and ``auc_micro = (10^6 · U_x2) div (2·n_pos·n_neg)``
+    is exact floor arithmetic — no rank floats, no interpolation.
+    Requires 10^6 · 2·n_pos·n_neg < 2^63 (n ≲ 2·10^6 per evaluation
+    scope; score a SAMPLE or shard by group via :func:`auc_by`
+    beyond that — the per-score counts themselves stay mergeable).
+
+    Scale shape (same as :func:`ks_drift`): one map-side-combinable
+    aggregate down to the DISTINCT score table, one two-pass
+    distributed prefix sum over that table (relational.
+    global_prefix_sum — range partition + driver offsets, never a
+    single-partition window), then a 1-row reduction. No per-pair
+    work: the quadratic pair count collapses into the prefix sum.
+    """
+    from .relational import global_prefix_sum
+
+    is_pos = F.col(label_col).cast("boolean").cast("long")
+    per = (
+        rows.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(is_pos).alias("pos"),
+            F.sum(F.lit(1) - is_pos).alias("neg"),
+        )
+    )
+    cum = global_prefix_sum(
+        per, "neg", "s", out_col="cneg", n_partitions=n_partitions
+    )
+    return (
+        cum.agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.sum(
+                F.col("pos") * (2 * F.col("cneg") + F.col("neg"))
+            )
+            .cast("long")
+            .alias("u_x2"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            F.expr("(1000000 * u_x2) div (2 * n_pos * n_neg)").alias(
+                "auc_micro"
+            ),
+        )
+    )
+
+
+def auc_report_sql(
+    rows_sql: str, score_expr: str, label_expr: str
+) -> str:
+    """DuckDB twin of :func:`auc_report` (window cum sum stands in for
+    the distributed prefix pass; identical integers)."""
+    return f"""
+WITH per AS (
+  SELECT {score_expr} AS s,
+         SUM(CASE WHEN {label_expr} THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN {label_expr} THEN 0 ELSE 1 END) AS neg
+  FROM ({rows_sql})
+  WHERE {score_expr} IS NOT NULL AND ({label_expr}) IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT s, pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cneg
+  FROM per
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CAST((1000000 * SUM(pos * (2 * cneg + neg)))
+            // (2 * SUM(pos) * SUM(neg)) AS BIGINT) AS auc_micro
+FROM cum
+"""
+
+
+def auc_by(
+    rows: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group exact ROC AUC: DataFrame[group, n_pos, n_neg,
+    auc_micro], same midrank Mann-Whitney integers as
+    :func:`auc_report` but sharded by ``group_col`` — the form that
+    scales past the single-scope BIGINT bound, because each group's
+    2·n_pos·n_neg product only has to fit 2^63/10^6 on its own.
+
+    The prefix sum here is a window PARTITIONED by group over the
+    per-(group, distinct score) table — parallel across groups, never
+    the global single-partition window. Groups with no positives or
+    no negatives return a null auc_micro (AUC undefined), kept in the
+    output so the caller sees the degenerate slice instead of a
+    silently shorter report.
+    """
+    is_pos = F.col(label_col).cast("boolean").cast("long")
+    per = (
+        rows.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("g"), F.col(score_col).alias("s"))
+        .agg(
+            F.sum(is_pos).alias("pos"),
+            F.sum(F.lit(1) - is_pos).alias("neg"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.select(
+        "*", F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cneg")
+    )
+    return (
+        cum.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.sum(F.col("pos") * (2 * F.col("cneg") + F.col("neg")))
+            .cast("long")
+            .alias("u_x2"),
+        )
+        .select(
+            group_col,
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+                "(1000000 * u_x2) div (2 * n_pos * n_neg) END"
+            ).alias("auc_micro"),
+        )
+    )
+
+
+def auc_by_sql(
+    rows_sql: str,
+    score_expr: str,
+    label_expr: str,
+    group_expr: str,
+    out_group: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`auc_by`."""
+    out_group = out_group or group_expr
+    return f"""
+WITH per AS (
+  SELECT {group_expr} AS g, {score_expr} AS s,
+         SUM(CASE WHEN {label_expr} THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN {label_expr} THEN 0 ELSE 1 END) AS neg
+  FROM ({rows_sql})
+  WHERE {score_expr} IS NOT NULL AND ({label_expr}) IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, pos, neg,
+         COALESCE(SUM(neg) OVER (PARTITION BY g ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cneg
+  FROM per
+)
+SELECT g AS {out_group}, CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CAST(CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+         (1000000 * SUM(pos * (2 * cneg + neg)))
+           // (2 * SUM(pos) * SUM(neg)) END AS BIGINT) AS auc_micro
+FROM cum GROUP BY g
+"""

@@ -1,0 +1,152 @@
+"""Exact evaluation metrics (operators/stats.py auc_*).
+
+The Mann-Whitney AUC is pinned three ways, house style: brute-force
+pair counting on a hand fixture (independent of the prefix-sum
+machinery), closed-form extremes (perfect / inverted / uninformative
+rankers), and the DuckDB twin on the sf0.001 corpus join used by the
+registered x_auc_quality query."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from big_data_computing__spark.operators.curation import (
+    gopher_quality_report,
+    gopher_quality_report_sql,
+)
+from big_data_computing__spark.operators.regression import (
+    ridge_quality_scores,
+    ridge_quality_scores_sql,
+)
+from big_data_computing__spark.operators.stats import (
+    auc_by,
+    auc_by_sql,
+    auc_report,
+    auc_report_sql,
+)
+from big_data_computing__spark.sources.readers import read_table
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _brute_auc_micro(pairs: list[tuple[int, bool]]) -> tuple:
+    """Pair-counting Mann-Whitney: wins + half-ties over pos×neg."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    u_x2 = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    return (
+        len(pos),
+        len(neg),
+        (1_000_000 * u_x2) // (2 * len(pos) * len(neg)),
+    )
+
+
+@pytest.fixture(scope="module")
+def hand(spark):
+    # ties across and within classes, duplicate scores, negatives
+    rows = [
+        (0, 5, True),
+        (1, 3, True),
+        (2, 3, False),
+        (3, 1, False),
+        (4, 5, True),
+        (5, -2, False),
+        (6, 1, True),
+        (7, 3, False),
+        (8, 9, False),
+    ]
+    return spark.createDataFrame(rows, "id long, s long, y boolean")
+
+
+def test_auc_matches_brute_force(spark, hand):
+    got = auc_report(hand, "s", "y").collect()[0]
+    rows = [(r.s, r.y) for r in hand.collect()]
+    n_pos, n_neg, micro = _brute_auc_micro(rows)
+    assert (got.n_pos, got.n_neg, got.auc_micro) == (n_pos, n_neg, micro)
+
+
+def test_auc_extremes(spark):
+    perfect = spark.createDataFrame(
+        [(i, i, i >= 3) for i in range(6)], "id long, s long, y boolean"
+    )
+    assert auc_report(perfect, "s", "y").collect()[0].auc_micro == 1_000_000
+    inverted = spark.createDataFrame(
+        [(i, -i, i >= 3) for i in range(6)], "id long, s long, y boolean"
+    )
+    assert auc_report(inverted, "s", "y").collect()[0].auc_micro == 0
+    # constant score: every pair is a tie -> exactly 1/2
+    flat = spark.createDataFrame(
+        [(i, 7, i % 2 == 0) for i in range(6)], "id long, s long, y boolean"
+    )
+    assert auc_report(flat, "s", "y").collect()[0].auc_micro == 500_000
+
+
+def test_auc_by_matches_global_per_group(spark, hand):
+    two = hand.withColumn("g", (hand.id % 2 == 0).cast("string"))
+    per = {
+        r.g: (r.n_pos, r.n_neg, r.auc_micro)
+        for r in auc_by(two, "s", "y", "g").collect()
+    }
+    for gval in ("true", "false"):
+        solo = auc_report(two.where(two.g == gval), "s", "y").collect()[0]
+        assert per[gval] == (solo.n_pos, solo.n_neg, solo.auc_micro)
+
+
+def test_auc_by_degenerate_group_is_null(spark):
+    rows = [(0, 1, True, "a"), (1, 2, True, "a"), (2, 1, False, "b"),
+            (3, 5, True, "b")]
+    df = spark.createDataFrame(rows, "id long, s long, y boolean, g string")
+    out = {r.g: r for r in auc_by(df, "s", "y", "g").collect()}
+    assert out["a"].auc_micro is None  # no negatives: AUC undefined
+    assert out["a"].n_pos == 2 and out["a"].n_neg == 0
+    assert out["b"].auc_micro == 1_000_000
+
+
+def test_auc_duckdb_parity(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    scores = ridge_quality_scores(docs).select("doc_id", "score")
+    gate = gopher_quality_report(docs).select("doc_id", "passes")
+    got = auc_report(scores.join(gate, "doc_id"), "score", "passes")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = con.execute(
+        auc_report_sql(
+            f"SELECT s.score, g.passes "
+            f"FROM ({ridge_quality_scores_sql()}) s "
+            f"JOIN ({gopher_quality_report_sql()}) g USING (doc_id)",
+            "score",
+            "passes",
+        )
+    ).fetchall()
+    assert [tuple(r) for r in got.collect()] == want
+    # grouped twin on the same join
+    got_by = auc_by(
+        docs.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .join(gate, "doc_id"),
+        "score",
+        "passes",
+        "lang",
+    )
+    want_by = con.execute(
+        auc_by_sql(
+            f"SELECT d.lang, s.score, g.passes FROM documents d "
+            f"JOIN ({ridge_quality_scores_sql()}) s USING (doc_id) "
+            f"JOIN ({gopher_quality_report_sql()}) g USING (doc_id)",
+            "score",
+            "passes",
+            "lang",
+        )
+        + " ORDER BY 1"
+    ).fetchall()
+    assert sorted(tuple(r) for r in got_by.collect()) == want_by
