@@ -2938,6 +2938,31 @@ GROUP BY GROUPING SETS (
             shortlist=32,
         )
 
+    def x_retrieval_eval_hamming(spark, sf_dir):
+        # the go/no-go table for the 1-bit tier: recall@k / MRR / nDCG
+        # of the Hamming top-k against the exact-cosine truth on the
+        # same 10% query set — both sides already-oracled pipelines,
+        # metrics integer-exact with a pinned discount table, so the
+        # EVALUATION itself is value-checked, not just eyeballed
+        emb = _emb(spark, sf_dir)
+        q = emb.where(F.col("vec_id") % 10 == 0)
+        res = _sim.hamming_topk(emb, queries=q, k=ANN_K).select(
+            "query_id", "vec_id", (-F.col("hamming")).alias("score")
+        )
+        truth = _sim.cosine_topk(emb, queries=q, k=ANN_K)
+        return _rt.retrieval_eval(res, truth, k=ANN_K)
+
+    def x_retrieval_eval_int8(spark, sf_dir):
+        # same harness pointed at the int8 serving tier — the codec
+        # A/B a pipeline runs before switching storage formats: how
+        # much ranking quality does 8-dim SQ8 give up vs float cosine?
+        emb = _emb(spark, sf_dir)
+        res = _sim.int8_topk(emb, k=ANN_K)
+        truth = _sim.cosine_topk(
+            emb, queries=emb.where(F.col("vec_id") % 10 == 0), k=ANN_K
+        )
+        return _rt.retrieval_eval(res, truth, k=ANN_K)
+
     def x_fuzzy_name_pairs(spark, sf_dir):
         # record-linkage front end: blocked (head-noun) levenshtein
         # compare over DISTINCT part names — the quadratic work runs
@@ -3215,6 +3240,8 @@ GROUP BY GROUPING SETS (
         x_ann_ivf_int8_topk,
         x_ann_hamming_topk,
         x_ann_hamming_rerank,
+        x_retrieval_eval_hamming,
+        x_retrieval_eval_int8,
         w13_event_spikes,
         w14_gapfill_locf,
         w15_mad_outliers,
@@ -3418,6 +3445,7 @@ _WINDOW_PRIORITY = [
     "a22_salted_agg", "j11_salted_join",
     # round-7b wave (this session's new queries, never windowed):
     "x_auc_quality", "x_auc_by_lang",
+    "x_retrieval_eval_hamming", "x_retrieval_eval_int8",
 ]
 
 
@@ -4522,6 +4550,17 @@ WHERE vec_id NOT IN (
         ),
         "x_ann_hamming_rerank": _sim.hamming_rerank_topk_sql(
             64, ANN_K, 32, query_filter="qid % 10 = 0"
+        ),
+        "x_retrieval_eval_hamming": _rt.retrieval_eval_sql(
+            f"SELECT query_id, vec_id, -hamming AS score FROM ("
+            f"{_sim.hamming_topk_sql(64, ANN_K, query_filter='qid % 10 = 0')})",
+            _sim.cosine_topk_sql(ANN_K, query_filter="qid % 10 = 0"),
+            ANN_K,
+        ),
+        "x_retrieval_eval_int8": _rt.retrieval_eval_sql(
+            _sim.int8_topk_sql(ANN_K),
+            _sim.cosine_topk_sql(ANN_K, query_filter="qid % 10 = 0"),
+            ANN_K,
         ),
         "x_fuzzy_name_pairs": _dd.fuzzy_name_pairs_sql(),
         "x_fuzzy_entities": _dd.fuzzy_entities_sql(),

@@ -662,3 +662,169 @@ WITH toks_cte AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 tagged AS ({u})
 SELECT doc_id, phrase, n_hits FROM tagged WHERE n_hits > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: recall@k / MRR / nDCG against an exact truth set
+# ---------------------------------------------------------------------------
+
+def _disc_micro(k: int) -> list[int]:
+    """Pinned nDCG discount table: disc[i] = ⌊10^6 / log2(i+1)⌋ for
+    ranks i = 1..k. Computed ONCE in Python and injected as the SAME
+    integer literals into both engines, so cross-engine exactness never
+    depends on either engine's log."""
+    import math
+
+    return [int(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def _disc_case(col: str, k: int) -> str:
+    """CASE expression mapping a 1-based rank column to its pinned
+    micro discount — valid in both Spark SQL and DuckDB."""
+    arms = " ".join(
+        f"WHEN {col} = {i + 1} THEN {d}"
+        for i, d in enumerate(_disc_micro(k))
+    )
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+def retrieval_eval(
+    result: DataFrame,
+    truth: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Rank-quality report of an ANN ``result`` against an exact
+    ``truth`` top-k — one row: DataFrame[n_queries, total_hits,
+    recall_milli, mrr_micro, ndcg_micro].
+
+    Both inputs are DataFrame[query_id, vec_id, score] (any extra
+    columns ignored); ranks are re-derived inside under the engine's
+    deterministic total order (score DESC, vec_id ASC), so callers pass
+    raw top-k outputs, not pre-ranked ones.
+
+    Integer-exact metric conventions (documented floors, identical in
+    the SQL twin):
+
+    - ``recall_milli``: micro-averaged — (1000 · Σ_q hits_q) div
+      Σ_q |truth_q|.
+    - ``mrr_micro``: per-query reciprocal rank floored at micro
+      (10^6 div first_hit_rank, 0 when no hit), then mean-floored
+      over queries.
+    - ``ndcg_micro``: micro-averaged binary-relevance nDCG with the
+      pinned ⌊10^6/log2(1+rank)⌋ discount table (:func:`_disc_micro`);
+      IDCG_q places all |truth_q| relevant items first. Bound:
+      n_queries · k · 10^12 < 2^63 (shard by query block beyond
+      ~9·10^6 query·k).
+
+    Scale shape: one (query_id, vec_id) equi-join between two already-
+    top-k tables (k·|queries| rows each — the corpus never re-enters),
+    two skinny per-query aggregates, a 1-row reduction. Queries that
+    retrieve nothing still count: the query universe comes from
+    ``truth``, left-joined.
+    """
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    res = result.select("query_id", "vec_id", "score").select(
+        "query_id", "vec_id", F.row_number().over(wq).alias("rk")
+    ).where(F.col("rk") <= k)
+    tru = truth.select("query_id", "vec_id", "score").select(
+        "query_id", "vec_id", F.row_number().over(wq).alias("trk")
+    ).where(F.col("trk") <= k)
+
+    hits = res.join(tru, ["query_id", "vec_id"]).select(
+        "query_id",
+        "rk",
+        F.expr(_disc_case("rk", k)).alias("disc"),
+    )
+    per_hit = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("hits"),
+        F.min("rk").alias("first_rk"),
+        F.sum("disc").cast("long").alias("dcg"),
+    )
+    # IDCG from the truth size: prefix sums of the pinned table
+    disc = _disc_micro(k)
+    prefix = [0]
+    for d in disc:
+        prefix.append(prefix[-1] + d)
+    idcg_arms = " ".join(
+        f"WHEN n_truth = {i} THEN {prefix[i]}" for i in range(1, k + 1)
+    )
+    per_q = (
+        tru.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_truth"))
+        .join(per_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.coalesce(
+                F.expr("1000000 div first_rk"), F.lit(0)
+            ).alias("rr_micro"),
+            F.coalesce("dcg", F.lit(0)).alias("dcg"),
+            F.expr(f"CASE {idcg_arms} ELSE 0 END").alias("idcg"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.expr("(1000 * sum(hits)) div sum(n_truth)").alias(
+            "recall_milli"
+        ),
+        F.expr("sum(rr_micro) div count(*)").alias("mrr_micro"),
+        F.expr("(1000000 * sum(dcg)) div sum(idcg)").alias("ndcg_micro"),
+    )
+
+
+def retrieval_eval_sql(result_sql: str, truth_sql: str, k: int) -> str:
+    """DuckDB twin of :func:`retrieval_eval` — same pinned discounts,
+    same floors, same truth-anchored query universe."""
+    disc = _disc_micro(k)
+    prefix = [0]
+    for d in disc:
+        prefix.append(prefix[-1] + d)
+    idcg_arms = " ".join(
+        f"WHEN n_truth = {i} THEN {prefix[i]}" for i in range(1, k + 1)
+    )
+    return f"""
+WITH res0 AS ({result_sql}),
+tru0 AS ({truth_sql}),
+res AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rk
+  FROM res0 QUALIFY rk <= {k}
+),
+tru AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS trk
+  FROM tru0 QUALIFY trk <= {k}
+),
+hit AS (
+  SELECT r.query_id, r.rk, {_disc_case('r.rk', k)} AS disc
+  FROM res r JOIN tru t USING (query_id, vec_id)
+),
+per_hit AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+         MIN(rk) AS first_rk, CAST(SUM(disc) AS BIGINT) AS dcg
+  FROM hit GROUP BY query_id
+),
+per_q AS (
+  SELECT t.query_id, t.n_truth,
+         COALESCE(h.hits, 0) AS hits,
+         COALESCE(1000000 // h.first_rk, 0) AS rr_micro,
+         COALESCE(h.dcg, 0) AS dcg,
+         CASE {idcg_arms} ELSE 0 END AS idcg
+  FROM (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+        FROM tru GROUP BY query_id) t
+  LEFT JOIN per_hit h USING (query_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       CAST((1000 * SUM(hits)) // SUM(n_truth) AS BIGINT)
+         AS recall_milli,
+       CAST(SUM(rr_micro) // COUNT(*) AS BIGINT) AS mrr_micro,
+       CAST((1000000 * SUM(dcg)) // SUM(idcg) AS BIGINT) AS ndcg_micro
+FROM per_q
+"""

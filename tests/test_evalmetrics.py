@@ -150,3 +150,87 @@ def test_auc_duckdb_parity(spark, sf_dir):
         + " ORDER BY 1"
     ).fetchall()
     assert sorted(tuple(r) for r in got_by.collect()) == want_by
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+from big_data_computing__spark.operators.retrieval import (  # noqa: E402
+    _disc_micro,
+    retrieval_eval,
+    retrieval_eval_sql,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, score double"
+    )
+
+
+def test_retrieval_eval_perfect(spark):
+    truth = _mk(spark, [(1, 10, 0.9), (1, 11, 0.8), (2, 20, 0.7)])
+    got = retrieval_eval(truth, truth, k=3).collect()[0]
+    assert got.n_queries == 2 and got.total_hits == 3
+    assert got.recall_milli == 1000
+    assert got.mrr_micro == 1_000_000
+    assert got.ndcg_micro == 1_000_000
+
+
+def test_retrieval_eval_hand_computed(spark):
+    # q1: truth {10,11}, result hits 11 at rank 2 only.
+    # q2: truth {20}, result misses entirely.
+    truth = _mk(spark, [(1, 10, 0.9), (1, 11, 0.8), (2, 20, 0.7)])
+    res = _mk(spark, [(1, 99, 0.9), (1, 11, 0.5), (2, 98, 0.6)])
+    got = retrieval_eval(res, truth, k=3).collect()[0]
+    d = _disc_micro(3)
+    assert got.n_queries == 2
+    assert got.total_hits == 1
+    assert got.recall_milli == (1000 * 1) // 3
+    assert got.mrr_micro == (1_000_000 // 2) // 2
+    # DCG: q1 = disc[2] (hit at rank 2), q2 = 0
+    # IDCG: q1 = d1+d2 (2 truths), q2 = d1
+    assert got.ndcg_micro == (1_000_000 * d[1]) // (d[0] + d[1] + d[0])
+
+
+def test_retrieval_eval_query_universe_from_truth(spark):
+    # a query present only in the result must NOT count
+    truth = _mk(spark, [(1, 10, 0.9)])
+    res = _mk(spark, [(1, 10, 0.9), (7, 70, 0.5)])
+    got = retrieval_eval(res, truth, k=3).collect()[0]
+    assert got.n_queries == 1 and got.recall_milli == 1000
+
+
+def test_retrieval_eval_duckdb_parity(spark, sf_dir):
+    from big_data_computing__spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_sql,
+        hamming_topk,
+        hamming_topk_sql,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    import pyspark.sql.functions as F
+
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    res = hamming_topk(emb, queries=q, k=3).select(
+        "query_id", "vec_id", (-F.col("hamming")).alias("score")
+    )
+    got = retrieval_eval(res, cosine_topk(emb, queries=q, k=3), k=3)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = con.execute(
+        retrieval_eval_sql(
+            "SELECT query_id, vec_id, -hamming AS score FROM ("
+            + hamming_topk_sql(64, 3, query_filter="qid % 10 = 0")
+            + ")",
+            cosine_topk_sql(3, query_filter="qid % 10 = 0"),
+            3,
+        )
+    ).fetchall()
+    assert [tuple(r) for r in got.collect()] == want
