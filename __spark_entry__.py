@@ -2192,6 +2192,19 @@ GROUP BY GROUPING SETS (
         # the human-readable companion of w13's spike detector
         return _wd.wow_growth(_rd.read_table(spark, sf_dir, "events"))
 
+    def w20_ewma_daily(spark, sf_dir):
+        # truncated alpha=1/2 exponential smoothing of the per-type
+        # daily counts over the zero-filled dense grid (a silent day
+        # pulls the trend DOWN, not skipped) — power-of-two integer
+        # weights, head-normalized, today's count as a milli ratio
+        return _wd.ewma_daily(_rd.read_table(spark, sf_dir, "events"))
+
+    def w21_acf_daily(spark, sf_dir):
+        # exact lag-1..7 autocorrelation of the same dense daily
+        # series: the weekly-seasonality fingerprint in integer milli
+        # (n-scaled residuals, no float centering anywhere)
+        return _wd.acf_daily(_rd.read_table(spark, sf_dir, "events"))
+
     def a21_weighted_median(spark, sf_dir):
         # exact QUANTITY-weighted median price without a global sort:
         # the weighted quickselect (SUM(weight) histogram rounds) —
@@ -3191,6 +3204,8 @@ GROUP BY GROUPING SETS (
         x_bpe_tokenized,
         a21_weighted_median,
         w19_wow_growth,
+        w20_ewma_daily,
+        w21_acf_daily,
         t19_histogram_quantiles_by,
         x_dedup_components_htm,
         x_pca_semdedup,
@@ -3446,6 +3461,7 @@ _WINDOW_PRIORITY = [
     # round-7b wave (this session's new queries, never windowed):
     "x_auc_quality", "x_auc_by_lang",
     "x_retrieval_eval_hamming", "x_retrieval_eval_int8",
+    "w20_ewma_daily", "w21_acf_daily",
 ]
 
 
@@ -4390,6 +4406,8 @@ FROM r, n WHERE r.rk = (n.n + 1) // 2
         "x_langid_confusion": _ts.langid_confusion_sql(),
         "x_bpe_tokenized": _ts.bpe_apply_counts_sql(BPE_APPLY_MERGES),
         "w19_wow_growth": _wd.wow_growth_sql(),
+        "w20_ewma_daily": _wd.ewma_daily_sql(),
+        "w21_acf_daily": _wd.acf_daily_sql(),
         "t19_histogram_quantiles_by": _fr.histogram_quantiles_by_sql(
             "SELECT event_type AS grp, value AS v FROM events",
             group_expr="event_type",

@@ -1548,3 +1548,241 @@ SELECT event_type, week, n_events, prev_week_events,
          AS growth_permille
 FROM staged WHERE prev_week_events IS NOT NULL
 """
+
+
+def _dense_daily(
+    events: DataFrame, ts_col: str, key_col: str
+) -> DataFrame:
+    """Zero-filled dense daily counts per key: DataFrame[key, day,
+    n_events] with one row for EVERY calendar day between a key's
+    first and last observed day (the :func:`gapfill_locf` spine,
+    zero-fill instead of LOCF — lag arithmetic needs a uniform grid,
+    not carried values)."""
+    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    daily = (
+        events.select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    spine = (
+        daily.groupBy("key")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "key",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    return spine.join(daily, ["key", "day"], "left").select(
+        "key",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+_DENSE_DAILY_SQL = """
+daily AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT key, UNNEST(generate_series(MIN(day), MAX(day))) AS day
+  FROM daily GROUP BY key
+),
+dense AS (
+  SELECT s.key, s.day,
+         CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+  FROM spine s LEFT JOIN daily d USING (key, day)
+)"""
+
+
+def ewma_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: int = 8,
+) -> DataFrame:
+    """Truncated α=½ exponential smoothing of the per-key daily count
+    series: DataFrame[event_type, day, n_events, ewma_milli,
+    ratio_milli] — the seasonal-blind trend line a monitoring pipeline
+    draws, with today's count as a milli ratio against it.
+
+    Integer-exact exponential weights: over the last ``window`` days
+    (dense zero-filled grid — :func:`_dense_daily` — so a silent day
+    PULLS THE TREND DOWN instead of being skipped), lag j carries
+    weight 2^(window−1−j), i.e. exactly the (1/2)^j decay truncated at
+    ``window`` lags; the head of each series divides by the weights
+    actually available, so day 0 is its own EWMA rather than a zero
+    artifact.
+
+        ewma_milli = (1000 · Σ_j 2^(w−1−j)·x_{t−j})
+                       div (Σ_j available 2^(w−1−j))
+        ratio_milli = (1_000_000 · x_t) div ewma_milli   (0 when flat)
+
+    Plan: one corpus-sized (key, day) count, an n_keys-row min/max +
+    sequence explode, then ``window`` LAGs over the tiny daily grid —
+    all per-key partitioned windows, never a single-partition one.
+    """
+    dense = _dense_daily(events, ts_col, key_col)
+    wk = Window.partitionBy("key").orderBy("day")
+    num = None
+    den = None
+    for j in range(window):
+        wgt = 1 << (window - 1 - j)
+        xj = F.lag("n_events", j).over(wk)
+        term = F.when(xj.isNotNull(), xj * wgt).otherwise(F.lit(0))
+        avail = F.when(xj.isNotNull(), F.lit(wgt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    out = dense.select(
+        F.col("key").alias(key_col),
+        "day",
+        "n_events",
+        (F.lit(1000) * num).alias("_num"),
+        den.alias("_den"),
+    ).select(
+        key_col,
+        "day",
+        "n_events",
+        F.expr("_num div _den").alias("ewma_milli"),
+        F.expr(
+            "CASE WHEN _num div _den > 0 THEN "
+            "(1000000 * n_events) div (_num div _den) ELSE 0 END"
+        ).alias("ratio_milli"),
+    )
+    return out
+
+
+def ewma_daily_sql(window: int = 8) -> str:
+    """DuckDB twin of :func:`ewma_daily` — same dense grid, same
+    power-of-two weights, same head normalization and floors."""
+    num_terms = " + ".join(
+        f"COALESCE(LAG(n_events, {j}) OVER w * {1 << (window - 1 - j)}, 0)"
+        for j in range(window)
+    )
+    den_terms = " + ".join(
+        f"(CASE WHEN LAG(n_events, {j}) OVER w IS NULL THEN 0 "
+        f"ELSE {1 << (window - 1 - j)} END)"
+        for j in range(window)
+    )
+    return f"""
+WITH {_DENSE_DAILY_SQL},
+sm AS (
+  SELECT key, day, n_events,
+         (1000 * ({num_terms})) AS num, ({den_terms}) AS den
+  FROM dense
+  WINDOW w AS (PARTITION BY key ORDER BY day)
+)
+SELECT key AS event_type, day, n_events,
+       CAST(num // den AS BIGINT) AS ewma_milli,
+       CAST(CASE WHEN num // den > 0
+            THEN (1000000 * n_events) // (num // den)
+            ELSE 0 END AS BIGINT) AS ratio_milli
+FROM sm
+"""
+
+
+def acf_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Exact lag-k autocorrelation of the per-key daily count series:
+    DataFrame[event_type, lag, n_pairs, acf_milli] for lags 1..max_lag
+    — the weekly-seasonality fingerprint (a lag-7 spike on a business
+    metric) computed without a single float.
+
+    Integer-exact centering: with n days and S = Σx, the n-scaled
+    residual x'_t = n·x_t − S is an integer, and
+
+        acf_milli = (1000 · Σ_t x'_t · x'_{t+k}) div (Σ_t x'²_t)
+
+    equals ⌊1000·ACF_k⌋ with truncation toward zero on both engines
+    (Spark div / DuckDB //). Denominator-zero keys (constant series,
+    ACF undefined) are dropped. Bound: n·(n·max|x|)² < 2^63 — at a
+    million days of million-count magnitudes shard the series first.
+
+    Plan: one corpus-sized (key, day) count; the residual table and
+    the lag join (dense grid against itself shifted k days, k from a
+    max_lag-row literal explode) touch only n_keys × n_days rows.
+    """
+    dense = _dense_daily(events, ts_col, key_col)
+    stats = dense.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+    )
+    resid = dense.join(F.broadcast(stats), "key").select(
+        "key",
+        "day",
+        (F.col("n") * F.col("n_events") - F.col("s")).alias("r"),
+    )
+    denom = resid.groupBy("key").agg(
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("den")
+    )
+    lags = resid.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    shifted = resid.select(
+        F.col("key").alias("key2"),
+        F.col("day").alias("day2"),
+        F.col("r").alias("r2"),
+    )
+    pairs = (
+        resid.crossJoin(F.broadcast(lags))
+        .join(
+            shifted,
+            (F.col("day") + F.col("lag") == F.col("day2"))
+            & (F.col("key") == F.col("key2")),
+        )
+        .select("key", "lag", (F.col("r") * F.col("r2")).alias("p"))
+    )
+    return (
+        pairs.groupBy("key", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("p").cast("long").alias("num"),
+        )
+        .join(F.broadcast(denom), "key")
+        .where(F.col("den") > 0)
+        .select(
+            F.col("key").alias(key_col),
+            "lag",
+            "n_pairs",
+            F.expr("(1000 * num) div den").alias("acf_milli"),
+        )
+    )
+
+
+def acf_daily_sql(max_lag: int = 7) -> str:
+    """DuckDB twin of :func:`acf_daily` — identical n-scaled integer
+    residuals, identical truncating division."""
+    return f"""
+WITH {_DENSE_DAILY_SQL},
+st AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_events) AS BIGINT) AS s
+  FROM dense GROUP BY key
+),
+resid AS (
+  SELECT d.key, d.day, d.n_events * st.n - st.s AS r
+  FROM dense d JOIN st USING (key)
+),
+den AS (
+  SELECT key, CAST(SUM(r * r) AS BIGINT) AS den FROM resid GROUP BY key
+),
+lags AS (SELECT UNNEST(generate_series(1, {max_lag})) AS lag),
+pairs AS (
+  SELECT a.key, l.lag, a.r * b.r AS p
+  FROM resid a CROSS JOIN lags l
+  JOIN resid b ON b.key = a.key AND b.day = a.day + l.lag
+)
+SELECT p.key AS event_type, p.lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST((1000 * SUM(p.p)) // MAX(d.den) AS BIGINT) AS acf_milli
+FROM pairs p JOIN den d USING (key)
+WHERE d.den > 0
+GROUP BY p.key, p.lag
+"""

@@ -788,3 +788,93 @@ def test_supervised_examples_trailing_window_is_gap_safe(spark):
         for r in supervised_daily_examples(ev, lookback=2).collect()
     }
     assert got == {d0: 5, d0 + 1: 5, d0 + 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# ewma_daily / acf_daily (this round's time-series additions)
+# ---------------------------------------------------------------------------
+
+
+def _daily_fixture(spark, counts, key="a"):
+    """Events synthesized so day i holds counts[i] rows (day 0 = epoch);
+    days with count 0 stay EMPTY — the dense grid must re-create them."""
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, i * 86_400_000_000 + 1, key))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, us long, k string")
+    return df.select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        F.col("k").alias("event_type"),
+    )
+
+
+def test_ewma_daily_hand(spark):
+    counts = [4, 0, 2, 8]  # day 1 has no events -> zero-filled row
+    ev = _daily_fixture(spark, counts)
+    out = {r.day: r for r in W.ewma_daily(ev, window=3).collect()}
+    assert len(out) == 4  # dense: the silent day is present
+    # pure-python replication: weights 4,2,1 for lags 0,1,2
+    for t in range(4):
+        num = den = 0
+        for j, wgt in enumerate([4, 2, 1]):
+            if t - j >= 0:
+                num += counts[t - j] * wgt
+                den += wgt
+        ewma = (1000 * num) // den
+        assert out[t].ewma_milli == ewma
+        ratio = (1_000_000 * counts[t]) // ewma if ewma > 0 else 0
+        assert out[t].ratio_milli == ratio
+    # head normalization: day 0's EWMA is exactly its own count
+    assert out[0].ewma_milli == 4000
+
+
+def test_acf_daily_alternation(spark):
+    # perfect period-2 alternation: ACF(1) strongly negative, ACF(2)
+    # positive; verified against a pure-python integer replication
+    counts = [5, 1, 5, 1, 5, 1, 5, 1]
+    ev = _daily_fixture(spark, counts)
+    got = {r.lag: r.acf_milli for r in W.acf_daily(ev, max_lag=3).collect()}
+    n, s = len(counts), sum(counts)
+    r = [n * x - s for x in counts]
+    den = sum(v * v for v in r)
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for k in (1, 2, 3):
+        num = 1000 * sum(r[t] * r[t + k] for t in range(n - k))
+        assert got[k] == trunc_div(num, den)
+    assert got[1] < 0 < got[2]
+
+
+def test_acf_daily_constant_series_dropped(spark):
+    ev = _daily_fixture(spark, [3, 3, 3, 3])
+    assert W.acf_daily(ev, max_lag=2).count() == 0
+
+
+def test_ewma_acf_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    events = read_table(spark, sf_dir, "events")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    got = sorted(
+        tuple(r) for r in W.ewma_daily(events).collect()
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(W.ewma_daily_sql()).fetchall()
+    )
+    assert got == want
+    got = sorted(tuple(r) for r in W.acf_daily(events).collect())
+    want = sorted(
+        tuple(r) for r in con.execute(W.acf_daily_sql()).fetchall()
+    )
+    assert got == want
