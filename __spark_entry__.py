@@ -2217,6 +2217,19 @@ GROUP BY GROUPING SETS (
         )
         return _rel.weighted_median_quickselect(li, "cents", "qty")
 
+    def a23_ht_total(spark, sf_dir):
+        # stratified Horvitz-Thompson revenue estimate: per-priority
+        # md5 sampling at pinned unequal rates (urgent 1/2 ... low
+        # 1/16), each sampled order weighted by its inverse inclusion
+        # probability — the unequal-probability AQP design next to
+        # a20's equal-rate counts; exact total + realized error shown
+        return _st.ht_total(
+            _rd.read_table(spark, sf_dir, "orders"),
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderkey",
+        )
+
     def x_bpe_tokenized(spark, sf_dir):
         # tokenizer SERVING: apply a given BPE model (pinned merge
         # list, fed to both engines as literals) to the corpus as a
@@ -2874,6 +2887,13 @@ GROUP BY GROUPING SETS (
         # trust-but-verify table before swapping rules for a model
         return _rg.quality_calibration_report(_docs(spark, sf_dir))
 
+    def x_conformal_coverage(spark, sf_dir):
+        # split-conformal intervals for the same learned scorer with
+        # the distribution-free >= 1-alpha guarantee CHECKED on the
+        # held-out half (md5 50/50 split, alpha = 10%): q-hat by the
+        # two-pass distributed rank, coverage audited in milli
+        return _rg.conformal_coverage_report(_docs(spark, sf_dir))
+
     def x_auc_quality(spark, sf_dir):
         # the single-number companion to x_quality_calibration's
         # decile table: exact Mann-Whitney ROC AUC of the LEARNED
@@ -3203,6 +3223,7 @@ GROUP BY GROUPING SETS (
         x_langid_confusion,
         x_bpe_tokenized,
         a21_weighted_median,
+        a23_ht_total,
         w19_wow_growth,
         w20_ewma_daily,
         w21_acf_daily,
@@ -3263,6 +3284,7 @@ GROUP BY GROUPING SETS (
         x_quality_calibration,
         x_auc_quality,
         x_auc_by_lang,
+        x_conformal_coverage,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -3461,7 +3483,8 @@ _WINDOW_PRIORITY = [
     # round-7b wave (this session's new queries, never windowed):
     "x_auc_quality", "x_auc_by_lang",
     "x_retrieval_eval_hamming", "x_retrieval_eval_int8",
-    "w20_ewma_daily", "w21_acf_daily",
+    "w20_ewma_daily", "w21_acf_daily", "a23_ht_total",
+    "x_conformal_coverage",
 ]
 
 
@@ -4430,6 +4453,12 @@ SELECT CAST(tw.tw AS BIGINT) AS total_weight,
          AS median
 FROM tw
 """,
+        "a23_ht_total": _st.ht_total_sql(
+            "SELECT * FROM orders",
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderkey",
+        ),
         "a20_aqp_group_counts": _st.aqp_group_count_ci_sql(
             "SELECT * FROM events", "event_type", "event_id"
         ),
@@ -4547,6 +4576,7 @@ WHERE vec_id NOT IN (
         "x_embed_quantize_report": _sim.embedding_quantize_report_sql(),
         "x_ann_int8_topk": _sim.int8_topk_sql(),
         "x_quality_calibration": _rg.quality_calibration_report_sql(),
+        "x_conformal_coverage": _rg.conformal_coverage_report_sql(),
         "x_auc_quality": _st.auc_report_sql(
             f"SELECT s.score, g.passes "
             f"FROM ({_rg.ridge_quality_scores_sql()}) s "

@@ -446,3 +446,137 @@ SELECT bucket,
        MAX(score) AS max_score
 FROM b GROUP BY bucket
 """
+
+
+CONFORMAL_SEED = "conf-v1"
+
+
+def conformal_coverage_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lam: int = RIDGE_LAMBDA,
+    alpha_permille: int = 100,
+) -> DataFrame:
+    """Split-conformal prediction intervals for the ridge quality
+    scorer, with their finite-sample guarantee CHECKED on held-out
+    data — one row: DataFrame[n_cal, n_test, q_milli, n_covered,
+    coverage_milli].
+
+    Split conformal (Papadopoulos et al. 2002; Lei et al. 2018 §2):
+    hash-split the corpus 50/50 (md5 counter-PRNG, so the split is a
+    pure row function both engines replay), compute absolute residuals
+    |y − ŷ| on the CALIBRATION half, take the
+    k = ⌈(n_cal+1)(1−α)⌉-th smallest as the radius q̂; then
+    [ŷ − q̂, ŷ + q̂] on the TEST half covers y with probability
+    ≥ 1−α, distribution-free. The report realizes that check:
+    ``coverage_milli`` should sit at/above ``1000 − alpha_permille``
+    up to binomial noise — the pre-deployment calibration audit for
+    any learned scorer the pipeline ships.
+
+    Integer-exact: residuals in rounded milli, q̂ by the engine's
+    two-pass distributed rank (relational.global_rank — never a
+    single-partition window) with doc_id tie-break; k clamps to n_cal
+    when ⌈(n_cal+1)(1−α)⌉ > n_cal (the textbook infinite-interval
+    case — only at n_cal < 1/α − 1, i.e. single-digit calibration
+    sets; the clamp is visible because coverage then reads low).
+
+    Plan: the scorer's one Gram pass + broadcast projection, a skinny
+    (r_milli, doc_id) rank shuffle on the calibration half, a 1-row
+    broadcast of q̂ onto the test half's aggregate.
+    """
+    from ..functions.hashing import hash60
+    from .relational import global_rank
+
+    scored = ridge_quality_scores(docs, text_col, lam).select(
+        "doc_id",
+        "y",
+        "score",
+        F.expr("CAST(ROUND(1000 * ABS(y - score)) AS BIGINT)").alias(
+            "r_milli"
+        ),
+        (
+            hash60(
+                F.concat(
+                    F.lit(CONFORMAL_SEED + ":"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            < F.lit(1 << 59)
+        ).alias("is_cal"),
+    )
+    cal = scored.where("is_cal")
+    ranked = global_rank(
+        cal.select("r_milli", "doc_id"), "r_milli", "doc_id",
+        rank_col="rk",
+    )
+    n_cal = ranked.agg(F.count("*").cast("long").alias("n_cal"))
+    q = (
+        ranked.crossJoin(F.broadcast(n_cal))
+        .where(
+            F.col("rk")
+            == F.expr(
+                f"LEAST(n_cal, ((n_cal + 1) * (1000 - {alpha_permille})"
+                f" + 999) div 1000)"
+            )
+        )
+        .select("n_cal", F.col("r_milli").alias("q_milli"))
+    )
+    return (
+        scored.where(~F.col("is_cal"))
+        .crossJoin(F.broadcast(q))
+        .groupBy("n_cal", "q_milli")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                (F.col("r_milli") <= F.col("q_milli")).cast("long")
+            ).alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "q_milli",
+            "n_covered",
+            F.expr("(1000 * n_covered) div n_test").alias(
+                "coverage_milli"
+            ),
+        )
+    )
+
+
+def conformal_coverage_report_sql(
+    lam: int = RIDGE_LAMBDA, alpha_permille: int = 100
+) -> str:
+    """DuckDB twin of :func:`conformal_coverage_report` — identical
+    split hashes, rank arithmetic, and floors."""
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql(f"'{CONFORMAL_SEED}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH scored0 AS ({ridge_quality_scores_sql(lam)}),
+scored AS (
+  SELECT doc_id, y, score,
+         CAST(ROUND(1000 * ABS(y - score)) AS BIGINT) AS r_milli,
+         ({h}) < {1 << 59} AS is_cal
+  FROM scored0
+),
+ranked AS (
+  SELECT r_milli,
+         ROW_NUMBER() OVER (ORDER BY r_milli, doc_id) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+  FROM scored WHERE is_cal
+),
+q AS (
+  SELECT n_cal, r_milli AS q_milli FROM ranked
+  WHERE rk = LEAST(n_cal, ((n_cal + 1) * (1000 - {alpha_permille})
+                           + 999) // 1000)
+)
+SELECT q.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, q.q_milli,
+       CAST(SUM(CASE WHEN s.r_milli <= q.q_milli THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST((1000 * SUM(CASE WHEN s.r_milli <= q.q_milli
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS coverage_milli
+FROM scored s CROSS JOIN q
+WHERE NOT s.is_cal
+GROUP BY q.n_cal, q.q_milli
+"""

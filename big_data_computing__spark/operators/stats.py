@@ -1246,3 +1246,157 @@ SELECT g AS {out_group}, CAST(SUM(pos) AS BIGINT) AS n_pos,
            // (2 * SUM(pos) * SUM(neg)) END AS BIGINT) AS auc_micro
 FROM cum GROUP BY g
 """
+
+
+HT_SEED = "ht-v1"
+# pinned per-stratum sampling rates (num, den): the Horvitz-Thompson
+# design — oversample the rare/heavy strata, undersample the bulk.
+HT_RATES: dict[str, tuple[int, int]] = {
+    "1-URGENT": (1, 2),
+    "2-HIGH": (1, 4),
+    "3-MEDIUM": (1, 8),
+    "4-NOT SPECIFIED": (1, 8),
+    "5-LOW": (1, 16),
+}
+
+
+def ht_total(
+    rows: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, tuple[int, int]] | None = None,
+    seed: str = HT_SEED,
+) -> DataFrame:
+    """Stratified Horvitz-Thompson total estimator with the EXACT
+    answer alongside: DataFrame[stratum, n_rows, n_sampled,
+    exact_cents, est_cents, err_milli] — the unequal-probability AQP
+    design (survey-sampling classic; Hájek 1971 exposition) next to
+    the engine's equal-rate a20 AQP counts.
+
+    Row r in stratum s enters the sample iff
+    ``hash60(seed·id) < (num_s·2^60) div den_s`` — the counter-based
+    PRNG contract, so membership is a pure row function both engines
+    replay. The HT estimate weighs each sampled value by 1/π_s:
+
+        est_cents_s = (den_s · Σ_sampled value_cents) div num_s
+
+    exact integer floor per stratum; unbiasedness is the textbook
+    E[Σ 1{sampled}·v/π] = Σ v. ``err_milli`` reports the realized
+    |est − exact| against exact, floored to milli.
+
+    Scale: the estimator is ONE map-side-combinable aggregate whether
+    or not the sample was materialized — at 100 TB you'd persist the
+    sampled partition and run this agg on it; here both sides run from
+    the same scan so the oracle checks estimator + design together.
+    Strata missing from ``rates`` are excluded (documented contract —
+    an unknown stratum has no π and would silently bias the total).
+    """
+    rates = rates or HT_RATES
+    arms = " ".join(
+        f"WHEN stratum = '{s}' THEN {(num << 60) // den}"
+        for s, (num, den) in rates.items()
+    )
+    wnum = " ".join(
+        f"WHEN stratum = '{s}' THEN {den}"
+        for s, (num, den) in rates.items()
+    )
+    wden = " ".join(
+        f"WHEN stratum = '{s}' THEN {num}"
+        for s, (num, den) in rates.items()
+    )
+    known = list(rates)
+    base = rows.select(
+        F.col(stratum_col).alias("stratum"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        hash60(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ).alias("h"),
+    ).where(F.col("stratum").isin(known))
+    flagged = base.select(
+        "stratum",
+        "cents",
+        (F.col("h") < F.expr(f"CASE {arms} END")).cast("long").alias(
+            "in_sample"
+        ),
+    )
+    return (
+        flagged.groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("in_sample").cast("long").alias("n_sampled"),
+            F.sum("cents").cast("long").alias("exact_cents"),
+            F.sum(F.col("cents") * F.col("in_sample"))
+            .cast("long")
+            .alias("sampled_cents"),
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            "n_sampled",
+            "exact_cents",
+            F.expr(
+                f"(CASE {wnum} END * sampled_cents) div CASE {wden} END"
+            ).alias("est_cents"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CASE WHEN exact_cents > 0 THEN "
+                "(1000 * abs(est_cents - exact_cents)) div exact_cents "
+                "END"
+            ).alias("err_milli"),
+        )
+    )
+
+
+def ht_total_sql(
+    rows_sql: str,
+    value_expr: str,
+    stratum_expr: str,
+    id_expr: str,
+    rates: dict[str, tuple[int, int]] | None = None,
+    seed: str = HT_SEED,
+) -> str:
+    """DuckDB twin of :func:`ht_total` — identical md5 thresholds,
+    weights, and floors."""
+    rates = rates or HT_RATES
+    arms = " ".join(
+        f"WHEN stratum = '{s}' THEN {(num << 60) // den}"
+        for s, (num, den) in rates.items()
+    )
+    wnum = " ".join(
+        f"WHEN stratum = '{s}' THEN {den}"
+        for s, (num, den) in rates.items()
+    )
+    wden = " ".join(
+        f"WHEN stratum = '{s}' THEN {num}"
+        for s, (num, den) in rates.items()
+    )
+    known = ", ".join(f"'{s}'" for s in rates)
+    h = hash60_sql(f"'{seed}:' || CAST({id_expr} AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT {stratum_expr} AS stratum,
+         CAST(ROUND({value_expr} * 100) AS BIGINT) AS cents,
+         CASE WHEN {h} < CASE {arms} END THEN 1 ELSE 0 END AS in_sample
+  FROM ({rows_sql})
+  WHERE {stratum_expr} IN ({known})
+),
+agg AS (
+  SELECT stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(in_sample) AS BIGINT) AS n_sampled,
+         CAST(SUM(cents) AS BIGINT) AS exact_cents,
+         CAST(SUM(cents * in_sample) AS BIGINT) AS sampled_cents
+  FROM base GROUP BY stratum
+)
+SELECT stratum, n_rows, n_sampled, exact_cents,
+       CAST((CASE {wnum} END * sampled_cents) // CASE {wden} END
+            AS BIGINT) AS est_cents,
+       CAST(CASE WHEN exact_cents > 0 THEN
+         (1000 * ABS((CASE {wnum} END * sampled_cents)
+                     // CASE {wden} END - exact_cents)) // exact_cents
+         END AS BIGINT) AS err_milli
+FROM agg
+"""

@@ -234,3 +234,92 @@ def test_retrieval_eval_duckdb_parity(spark, sf_dir):
         )
     ).fetchall()
     assert [tuple(r) for r in got.collect()] == want
+
+
+# ---------------------------------------------------------------------------
+# ht_total (operators/stats.py) + conformal_coverage (regression.py)
+# ---------------------------------------------------------------------------
+
+import hashlib  # noqa: E402
+
+from big_data_computing__spark.operators.stats import (  # noqa: E402
+    HT_SEED,
+    ht_total,
+)
+
+
+def _h60(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def test_ht_rate_one_is_exact(spark):
+    rows = [(i, "s", float(i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, st string, v double")
+    out = ht_total(df, "v", "st", "id", rates={"s": (1, 1)}).collect()[0]
+    assert out.n_sampled == out.n_rows == 20
+    assert out.est_cents == out.exact_cents
+    assert out.err_milli == 0
+
+
+def test_ht_matches_pure_python(spark):
+    rates = {"a": (1, 2), "b": (1, 4)}
+    rows = [(i, "a" if i % 2 else "b", float(i * 3 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, st string, v double")
+    got = {r.stratum: r for r in ht_total(df, "v", "st", "id", rates=rates).collect()}
+    for s, (num, den) in rates.items():
+        thresh = (num << 60) // den
+        sampled = [
+            round(v * 100)
+            for i, st, v in rows
+            if st == s and _h60(f"{HT_SEED}:{i}") < thresh
+        ]
+        exact = sum(round(v * 100) for i, st, v in rows if st == s)
+        est = (den * sum(sampled)) // num
+        assert got[s].n_sampled == len(sampled)
+        assert got[s].exact_cents == exact
+        assert got[s].est_cents == est
+
+
+def test_ht_unknown_stratum_excluded(spark):
+    rows = [(1, "a", 5.0), (2, "zzz", 7.0)]
+    df = spark.createDataFrame(rows, "id long, st string, v double")
+    out = ht_total(df, "v", "st", "id", rates={"a": (1, 1)}).collect()
+    assert [r.stratum for r in out] == ["a"]
+
+
+def test_conformal_guarantee_and_parity(spark, sf_dir):
+    from big_data_computing__spark.operators.regression import (
+        conformal_coverage_report,
+        conformal_coverage_report_sql,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = conformal_coverage_report(docs).collect()[0]
+    # distribution-free guarantee: coverage >= 1 - alpha up to
+    # finite-sample noise; assert the audit is in the right regime
+    # (a broken q-hat lands near 0 or at 1000-with-huge-q)
+    assert 850 <= got.coverage_milli <= 1000
+    assert got.n_cal + got.n_test == docs.count()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = con.execute(conformal_coverage_report_sql()).fetchall()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_conformal_clamps_tiny_calibration(spark):
+    # < 1/alpha - 1 calibration rows: k = ceil((n+1)(1-a)) > n clamps
+    rows = [
+        (i, "w " * (i + 2) + "the quick brown fox jumps over it all")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from big_data_computing__spark.operators.regression import (
+        conformal_coverage_report,
+    )
+
+    out = conformal_coverage_report(docs).collect()
+    assert len(out) == 1  # one summary row, q-hat = max residual
