@@ -366,6 +366,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _fr.kmv_pairwise_jaccard(d, "label")
 
+    def t20_kmv_setops(spark, sf_dir):
+        # theta-sketch-style set algebra on the same two vocabularies
+        # t14 measures resemblance on: |A|, |B|, |A u B| from sketch
+        # space, intersection by clamped inclusion-exclusion — the
+        # contamination-triage numbers without touching full vocabs
+        d = _docs(spark, sf_dir).select(
+            F.col("lang").alias("label"),
+            F.explode(_ts.tokens(F.col("text"))).alias("item"),
+        )
+        return _fr.kmv_set_ops(d, "label", "en", "de")
+
+    def x_source_gini(spark, sf_dir):
+        # per-source Gini of document length: the concentration number
+        # a data-mixing dashboard tracks (is one source's mass a few
+        # huge documents or many small ones?) — exact sorted-rank
+        # identity, integer milli, rank window parallel across sources
+        return _st.gini_by(
+            _docs(spark, sf_dir), "n_chars", "source", "doc_id"
+        )
+
     def t17_f2_sketch(spark, sf_dir):
         # AMS second-frequency-moment sketch over the token stream —
         # the self-join-size / skew-mass estimator (Alon-Matias-Szegedy)
@@ -3346,6 +3366,8 @@ GROUP BY GROUPING SETS (
         t13_kmv_distinct,
         t14_kmv_jaccard,
         t15_kmv_source_matrix,
+        t20_kmv_setops,
+        x_source_gini,
         s6_sql_interface,
         c5_radius_fixed_centers,
         c9b_outliers_nd_brute,
@@ -3484,7 +3506,7 @@ _WINDOW_PRIORITY = [
     "x_auc_quality", "x_auc_by_lang",
     "x_retrieval_eval_hamming", "x_retrieval_eval_int8",
     "w20_ewma_daily", "w21_acf_daily", "a23_ht_total",
-    "x_conformal_coverage",
+    "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
 ]
 
 
@@ -3727,6 +3749,20 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
                 "l_discount",
                 "l_tax",
             ],
+        ),
+        "t20_kmv_setops": _fr.kmv_set_ops_sql(
+            "SELECT lang AS label, unnest(" + _ts._TOKS_SQL + ") AS item"
+            " FROM documents",
+            "label",
+            "en",
+            "de",
+            "item",
+        ),
+        "x_source_gini": _st.gini_by_sql(
+            "SELECT * FROM documents",
+            "n_chars",
+            "source",
+            "doc_id",
         ),
         "t13_kmv_distinct": _fr.kmv_estimate_sql(
             "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"

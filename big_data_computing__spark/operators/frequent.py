@@ -1566,3 +1566,139 @@ JOIN b ON b.grp = cum.grp
 WHERE cum.cum >= CEIL(qs.q * b.n)
 GROUP BY cum.grp, qs.q, b.w, b.lo
 """
+
+
+def kmv_set_ops(
+    docs: DataFrame,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = KMV_K,
+    item_col: str = "item",
+) -> DataFrame:
+    """Theta-sketch-style set algebra from two KMV sketches: 1-row
+    DataFrame[est_a, est_b, est_union, est_intersect] — the
+    cardinalities of A, B, A∪B and (by inclusion-exclusion) A∩B,
+    all from sketch space, never from the full item sets.
+
+    The union of two bottom-k sketches re-bottomed to k IS the KMV
+    sketch of A ∪ B (bottom-k of a union = bottom-k of the union of
+    bottom-ks), so est_union reuses the :func:`kmv_estimate` rule —
+    exact when the union sketch is not full, (k−1)·M div kth_hv when
+    it is. ``est_intersect = GREATEST(0, est_a + est_b − est_union)``:
+    inclusion-exclusion on three integer estimates, clamped because
+    independent ±1/√k noise can push a near-empty intersection
+    negative (the clamp is the standard theta-sketch convention).
+
+    Plan: one grouped sketch build off one scan, then pure ≤2k-row
+    sketch algebra — the contamination-triage query (how much does
+    corpus B's vocabulary overlap corpus A's?) at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    both = kmv_sketch(
+        docs.where(F.col(label_col).isin([label_a, label_b])),
+        k,
+        item_col,
+        group_cols=[label_col],
+    )
+    per = both.groupBy(label_col).agg(
+        F.count("*").cast("long").alias("n_sk"),
+        F.max("hv").alias("kth"),
+    )
+
+    def _est(n_col: str, kth_col: str) -> Column:
+        return F.when(F.col(n_col) < k, F.col(n_col)).otherwise(
+            F.expr(f"CAST({(k - 1) * KMV_M} AS BIGINT) div {kth_col}")
+        )
+
+    a = per.where(F.col(label_col) == label_a).select(
+        F.col("n_sk").alias("na"), F.col("kth").alias("ka")
+    )
+    b = per.where(F.col(label_col) == label_b).select(
+        F.col("n_sk").alias("nb"), F.col("kth").alias("kb")
+    )
+    w = Window.orderBy(F.asc("hv"))
+    union_agg = (
+        both.select("hv")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .agg(
+            F.count("*").cast("long").alias("nu"),
+            F.max("hv").alias("ku"),
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(union_agg)
+        .select(
+            _est("na", "ka").cast("long").alias("est_a"),
+            _est("nb", "kb").cast("long").alias("est_b"),
+            _est("nu", "ku").cast("long").alias("est_union"),
+        )
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+            )
+            .cast("long")
+            .alias("est_intersect"),
+        )
+    )
+
+
+def kmv_set_ops_sql(
+    rows_sql: str,
+    label_expr: str,
+    label_a: str,
+    label_b: str,
+    item_expr: str,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` — identical sketch space,
+    estimator rule, and clamp."""
+    est = (
+        f"CASE WHEN n_sk < {k} THEN n_sk "
+        f"ELSE {(k - 1) * KMV_M} // kth END"
+    )
+    return f"""
+WITH base AS (
+  SELECT {label_expr} AS lbl, {_kmv_hv_sql(item_expr)} AS hv
+  FROM ({rows_sql})
+  WHERE {label_expr} IN ('{label_a}', '{label_b}')
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT lbl, hv,
+         ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY hv) AS pos
+  FROM base QUALIFY pos <= {k}
+),
+per AS (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_sk,
+         CAST(MAX(hv) AS BIGINT) AS kth
+  FROM sk GROUP BY lbl
+),
+un AS (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS pos
+  FROM (SELECT DISTINCT hv FROM sk) QUALIFY pos <= {k}
+),
+uagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sk,
+         CAST(MAX(hv) AS BIGINT) AS kth
+  FROM un
+),
+est AS (
+  SELECT
+    (SELECT CAST({est} AS BIGINT) FROM per WHERE lbl = '{label_a}')
+      AS est_a,
+    (SELECT CAST({est} AS BIGINT) FROM per WHERE lbl = '{label_b}')
+      AS est_b,
+    (SELECT CAST({est} AS BIGINT) FROM uagg) AS est_union
+)
+SELECT est_a, est_b, est_union,
+       GREATEST(0, est_a + est_b - est_union) AS est_intersect
+FROM est
+"""

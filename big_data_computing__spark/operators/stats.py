@@ -1400,3 +1400,88 @@ SELECT stratum, n_rows, n_sampled, exact_cents,
          END AS BIGINT) AS err_milli
 FROM agg
 """
+
+
+def gini_by(
+    rows: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact per-group Gini coefficient of a non-negative integer
+    weight column: DataFrame[group, n, total, gini_milli] — the
+    concentration number a data-mixing dashboard tracks (0 = every
+    member equal, →1000 = one member holds all the mass).
+
+    The sorted-rank identity: with within-group values w_1 ≤ … ≤ w_n
+    (rank i by ``(value, id)`` — Gini is invariant to tie order, the
+    id only makes the rank deterministic),
+
+        gini_milli = (1000 · (2·Σ i·w_i − (n+1)·Σw)) div (n·Σw)
+
+    pure BIGINT arithmetic; zero-total groups are dropped (Gini
+    undefined). Bound: 2·Σ i·w_i ≤ 2·n·Σw < 2^63/1000 — shard groups
+    beyond n·Σw ≈ 4.6·10^15 (a billion rows of thousand-unit weights).
+
+    Plan: one within-group rank window over (group, value, id) —
+    partitioned by group, parallel across groups — then a per-group
+    aggregate. Negative weights raise no error but break the identity;
+    the operator filters them out and reports the group over the
+    non-negative mass only (documented contract).
+    """
+    w = Window.partitionBy("g").orderBy("v", "i")
+    ranked = (
+        rows.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+            F.col(id_col).alias("i"),
+        )
+        .where(F.col("v") >= 0)
+        .select("g", "v", F.row_number().over(w).alias("rk"))
+    )
+    return (
+        ranked.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("total"),
+            F.sum(F.col("rk") * F.col("v")).cast("long").alias("iw"),
+        )
+        .where(F.col("total") > 0)
+        .select(
+            group_col,
+            "n",
+            "total",
+            F.expr(
+                "(1000 * (2 * iw - (n + 1) * total)) div (n * total)"
+            ).alias("gini_milli"),
+        )
+    )
+
+
+def gini_by_sql(
+    rows_sql: str,
+    value_expr: str,
+    group_expr: str,
+    id_expr: str,
+    out_group: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`gini_by`."""
+    out_group = out_group or group_expr
+    return f"""
+WITH base AS (
+  SELECT {group_expr} AS g, CAST({value_expr} AS BIGINT) AS v,
+         {id_expr} AS i
+  FROM ({rows_sql}) WHERE {value_expr} >= 0
+),
+ranked AS (
+  SELECT g, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, i) AS rk
+  FROM base
+)
+SELECT g AS {out_group}, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS total,
+       CAST((1000 * (2 * SUM(rk * v) - (COUNT(*) + 1) * SUM(v)))
+            // (COUNT(*) * SUM(v)) AS BIGINT) AS gini_milli
+FROM ranked GROUP BY g
+HAVING SUM(v) > 0
+"""

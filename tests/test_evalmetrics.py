@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_computing__spark.operators.curation import (
     gopher_quality_report,
@@ -211,8 +212,6 @@ def test_retrieval_eval_duckdb_parity(spark, sf_dir):
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    import pyspark.sql.functions as F
-
     q = emb.where(F.col("vec_id") % 10 == 0)
     res = hamming_topk(emb, queries=q, k=3).select(
         "query_id", "vec_id", (-F.col("hamming")).alias("score")
@@ -323,3 +322,78 @@ def test_conformal_clamps_tiny_calibration(spark):
 
     out = conformal_coverage_report(docs).collect()
     assert len(out) == 1  # one summary row, q-hat = max residual
+
+
+# ---------------------------------------------------------------------------
+# gini_by (stats.py) + kmv_set_ops (frequent.py)
+# ---------------------------------------------------------------------------
+
+from big_data_computing__spark.operators.frequent import (  # noqa: E402
+    kmv_set_ops,
+)
+from big_data_computing__spark.operators.stats import gini_by  # noqa: E402
+
+
+def test_gini_extremes(spark):
+    rows = [(i, "eq", 5) for i in range(10)] + [
+        (10 + i, "conc", 100 if i == 0 else 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {r.g: r.gini_milli for r in gini_by(df, "v", "g", "id").collect()}
+    assert got["eq"] == 0
+    # one holder of all mass among n: G = (n-1)/n = 0.9
+    assert got["conc"] == 900
+
+
+def test_gini_matches_pure_python(spark):
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v long"
+    )
+    got = gini_by(df, "v", "g", "id").collect()[0]
+    sv = sorted(vals)
+    n, s = len(sv), sum(sv)
+    want = (1000 * (2 * sum((i + 1) * w for i, w in enumerate(sv))
+                    - (n + 1) * s)) // (n * s)
+    assert got.gini_milli == want and got.n == n and got.total == s
+
+
+def test_gini_drops_zero_total_and_negatives(spark):
+    rows = [(0, "z", 0), (1, "z", 0), (2, "m", -5), (3, "m", 10)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {r.g: r for r in gini_by(df, "v", "g", "id").collect()}
+    assert "z" not in got          # zero mass: undefined, dropped
+    assert got["m"].n == 1         # negative weight filtered out
+
+
+def test_kmv_setops_exact_when_small(spark):
+    # below k the sketches are the sets: algebra must be exact
+    a_items = [f"a{i}" for i in range(30)]
+    shared = [f"s{i}" for i in range(10)]
+    b_items = [f"b{i}" for i in range(20)]
+    rows = [("A", it) for it in a_items + shared] + [
+        ("B", it) for it in b_items + shared
+    ]
+    df = spark.createDataFrame(rows, "label string, item string")
+    got = kmv_set_ops(df, "label", "A", "B").collect()[0]
+    assert (got.est_a, got.est_b, got.est_union, got.est_intersect) == (
+        40, 30, 60, 10,
+    )
+
+
+def test_kmv_setops_union_consistency(spark, sf_dir):
+    # sketch-union estimate == kmv_estimate run on the concatenation
+    from big_data_computing__spark.operators.frequent import kmv_estimate
+    from big_data_computing__spark.operators.textstats import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("lang").alias("label"),
+        F.explode(tokens(F.col("text"))).alias("item"),
+    )
+    got = kmv_set_ops(d, "label", "en", "de").collect()[0]
+    both = kmv_estimate(
+        d.where(F.col("label").isin(["en", "de"])).select("item")
+    ).collect()[0]
+    assert got.est_union == both.estimate
+    assert got.est_intersect >= 0
