@@ -556,3 +556,70 @@ class KSDriftState:
             (1000 * best_gap) // (a_tot * b_tot),
             at_value,
         )
+
+
+class AucState:
+    """Mergeable streaming ROC-AUC state: the per-distinct-score
+    (pos, neg) counts of ``operators.stats.auc_report`` folded
+    additively across micro-batches — counts are LINEAR in the input,
+    so after any batch prefix ``estimate()`` equals the batch operator
+    over the union of arrived rows bit-for-bit (asserted in tests).
+    The model-monitoring shape: score/label pairs stream in from the
+    serving path, AUC is readable after every batch without a rescan.
+
+    Each batch contributes its per-score count delta (the aggregation
+    runs in the cluster; |batch distinct scores| rows reach the
+    driver). Batch ids make replays no-ops. State size ∝ distinct
+    scores seen — for unbounded score spaces quantize the score
+    upstream (the documented cardinality contract, same as
+    KSDriftState's)."""
+
+    def __init__(self, score_col: str, label_col: str):
+        self.score_col = score_col
+        self.label_col = label_col
+        self.counts: dict[float, list[int]] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        is_pos = F.col(self.label_col).cast("boolean").cast("long")
+        rows = (
+            batch_df.where(
+                F.col(self.score_col).isNotNull()
+                & F.col(self.label_col).isNotNull()
+            )
+            .groupBy(F.col(self.score_col).alias("s"))
+            .agg(
+                F.sum(is_pos).alias("pos"),
+                F.sum(F.lit(1) - is_pos).alias("neg"),
+            )
+            .collect()
+        )
+        for r in rows:
+            c = self.counts.setdefault(float(r["s"]), [0, 0])
+            c[0] += int(r["pos"])
+            c[1] += int(r["neg"])
+
+    def estimate(self) -> tuple[int, int, int]:
+        """(n_pos, n_neg, auc_micro) under the exact batch integer
+        convention (doubled midrank U, 10^6 floor). Raises while a
+        class is still absent — AUC is undefined there and the batch
+        twin divides by zero too."""
+        n_pos = sum(c[0] for c in self.counts.values())
+        n_neg = sum(c[1] for c in self.counts.values())
+        if n_pos == 0 or n_neg == 0:
+            raise ValueError(
+                "AucState.estimate: a class is still empty — AUC is "
+                "undefined until both labels have arrived"
+            )
+        cneg = 0
+        u_x2 = 0
+        for s in sorted(self.counts):
+            pos, neg = self.counts[s]
+            u_x2 += pos * (2 * cneg + neg)
+            cneg += neg
+        return n_pos, n_neg, (1_000_000 * u_x2) // (2 * n_pos * n_neg)

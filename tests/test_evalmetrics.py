@@ -397,3 +397,42 @@ def test_kmv_setops_union_consistency(spark, sf_dir):
     ).collect()[0]
     assert got.est_union == both.estimate
     assert got.est_intersect >= 0
+
+
+def test_auc_stream_state_equals_batch(spark, sf_dir):
+    """AucState folded over micro-batch chunks equals the batch
+    auc_report over the union bit-for-bit after every prefix with both
+    classes; replays are no-ops; single-class prefixes raise."""
+    from big_data_computing__spark.streaming.frequent_stream import (
+        AucState,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = (
+        ridge_quality_scores(docs)
+        .select("doc_id", "score")
+        .join(
+            gopher_quality_report(docs).select("doc_id", "passes"),
+            "doc_id",
+        )
+    )
+    rows = scored.orderBy("doc_id").collect()
+    chunks = [rows[i : i + 100] for i in range(0, len(rows), 100)]
+    schema = "doc_id long, score double, passes boolean"
+    st = AucState("score", "passes")
+    seen: list = []
+    for bid, chunk in enumerate(chunks):
+        st.update(spark.createDataFrame(chunk, schema), bid)
+        seen.extend(chunk)
+        prefix = spark.createDataFrame(seen, schema)
+        want = auc_report(prefix, "score", "passes").collect()[0]
+        assert st.estimate() == (
+            want["n_pos"], want["n_neg"], want["auc_micro"],
+        )
+    before = {k: list(v) for k, v in st.counts.items()}
+    st.update(spark.createDataFrame(chunks[0], schema), 0)  # replay
+    assert st.counts == before
+
+    empty = AucState("score", "passes")
+    with pytest.raises(ValueError, match="undefined"):
+        empty.estimate()
