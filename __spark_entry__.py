@@ -2250,6 +2250,31 @@ GROUP BY GROUPING SETS (
             "o_orderkey",
         )
 
+    def a24_trimmed_mean(spark, sf_dir):
+        # 5%-each-tail trimmed mean of extended price in cents: exact
+        # rank semantics via the two-pass distributed rank (ties are
+        # rows, not values), plain mean alongside for the robustness
+        # delta; eager guard keeps the keep-set provably non-empty
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        )
+        li = li.toDF("cents", "rid")
+        return _st.trimmed_mean(li, "cents", "rid")
+
+    def x_feature_corr(spark, sf_dir):
+        # exact pairwise association of the quality-feature matrix:
+        # signed r-squared in milli from one sufficient-statistics
+        # pass (the sqrt-free Pearson the integer convention CAN
+        # carry; DECIMAL(38) holds the 10^34 products) — the
+        # collinearity check run before trusting the ridge fit
+        feats = _rg.quality_features(_docs(spark, sf_dir))
+        return _st.corr_matrix_signed_r2(
+            feats, ["x1", "x2", "x3", "y"]
+        )
+
     def x_bpe_tokenized(spark, sf_dir):
         # tokenizer SERVING: apply a given BPE model (pinned merge
         # list, fed to both engines as literals) to the corpus as a
@@ -2855,6 +2880,13 @@ GROUP BY GROUPING SETS (
         # unigram_rarity contract, one LM order up)
         return _ts.bigram_lm_rarity(_docs(spark, sf_dir))
 
+    def x_bigram_lift(spark, sf_dir):
+        # top-20 collocations by exact integer LIFT (= monotone PMI,
+        # no libm log): N * c(u,v) / (c(u,.) * c(.,v)) over bigram-
+        # position marginals, min-support 5 against the hapax-pair
+        # degeneracy — the phrase-mining pass over the corpus
+        return _ts.bigram_lift_top(_docs(spark, sf_dir))
+
     def x_kneser_ney_score(spark, sf_dir):
         # the PROPER interpolated Kneser-Ney bigram estimator (absolute
         # discount 3/4, continuation-count backoff) in integer micro
@@ -3244,6 +3276,8 @@ GROUP BY GROUPING SETS (
         x_bpe_tokenized,
         a21_weighted_median,
         a23_ht_total,
+        a24_trimmed_mean,
+        x_feature_corr,
         w19_wow_growth,
         w20_ewma_daily,
         w21_acf_daily,
@@ -3317,6 +3351,7 @@ GROUP BY GROUPING SETS (
         x_dsir_importance,
         x_dsir_topk,
         x_bigram_rarity,
+        x_bigram_lift,
         x_bpe_byte_pairs,
         x_wordpiece_pairs,
         x_kmeans_clusters,
@@ -3507,6 +3542,7 @@ _WINDOW_PRIORITY = [
     "x_retrieval_eval_hamming", "x_retrieval_eval_int8",
     "w20_ewma_daily", "w21_acf_daily", "a23_ht_total",
     "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
+    "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
 ]
 
 
@@ -4489,6 +4525,20 @@ SELECT CAST(tw.tw AS BIGINT) AS total_weight,
          AS median
 FROM tw
 """,
+        "a24_trimmed_mean": _st.trimmed_mean_sql(
+            "SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS"
+            " cents, l_orderkey * 10 + l_linenumber AS rid"
+            " FROM lineitem",
+            "cents",
+            "rid",
+        ),
+        "x_feature_corr": _st.corr_matrix_signed_r2_sql(
+            "SELECT * FROM (WITH "
+            + _rg._features_sql()
+            + " SELECT x1, x2, x3, y FROM f)",
+            ["x1", "x2", "x3", "y"],
+        ),
+        "x_bigram_lift": _ts.bigram_lift_top_sql(),
         "a23_ht_total": _st.ht_total_sql(
             "SELECT * FROM orders",
             "o_totalprice",

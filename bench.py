@@ -246,6 +246,17 @@ BENCH_QUERIES = [
     # exact unbinned KS drift: distinct-value agg + two distributed
     # prefix-sum passes — the drift test TVD bins can miss
     "x_ks_drift",
+    # round-7b: evaluation metrics (AUC / retrieval quality /
+    # conformal coverage), time-series (EWMA, ACF), survey sampling
+    # (stratified HT), sketch set algebra, concentration
+    "x_auc_quality",
+    "x_retrieval_eval_hamming",
+    "x_conformal_coverage",
+    "w20_ewma_daily",
+    "w21_acf_daily",
+    "a23_ht_total",
+    "t20_kmv_setops",
+    "x_source_gini",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

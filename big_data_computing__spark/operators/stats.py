@@ -1485,3 +1485,196 @@ SELECT g AS {out_group}, CAST(COUNT(*) AS BIGINT) AS n,
 FROM ranked GROUP BY g
 HAVING SUM(v) > 0
 """
+
+
+def corr_matrix_signed_r2(
+    rows: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Exact pairwise Pearson association of integer columns, reported
+    as SIGNED r² in milli: DataFrame[col_a, col_b, n, r2_milli] for
+    every a < b pair.
+
+    Pearson r needs a square root, which no integer convention can
+    carry — so the engine reports ``sign(cov) · ⌊1000·cov²/(var_a·
+    var_b)⌋`` instead: the exact quantity r·|r| in milli, monotone in
+    r, sign-preserving, and computable in pure fixed-point arithmetic
+    (take a float sqrt offline if a display wants r itself). With
+    S_a = Σa, Q_ab = Σab: cov = n·Q_ab − S_a·S_b and var_a = n·Q_aa −
+    S_a², both BIGINT-exact; the final quotient runs in DECIMAL(38,0)
+    because cov² reaches ~10^34 at corpus scale (Spark DECIMAL /
+    DuckDB HUGEINT — same truncating integer division). Bound:
+    1000·cov² < 10^38, i.e. n·|x|_max² ≲ 6·10^17 per scope.
+
+    Scale: ONE map-side-combinable aggregate over the data (the
+    k(k+1)/2 + k moment sums), then pure 1-row arithmetic — the same
+    sufficient-statistics shape as the ridge Gram pass, and the same
+    reason it holds at 100 TB. Zero-variance columns yield NULL (not a
+    crash): association with a constant is undefined.
+    """
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(F.col(a).cast("long")).alias(f"s_{a}"))
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast("long") * F.col(b).cast("long"))
+                .alias(f"q_{a}_{b}")
+            )
+    m = rows.agg(*aggs)
+    pair_rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cov = f"(CAST(n AS DECIMAL(38,0)) * q_{a}_{b} - CAST(s_{a} AS DECIMAL(38,0)) * s_{b})"
+            va = f"(CAST(n AS DECIMAL(38,0)) * q_{a}_{a} - CAST(s_{a} AS DECIMAL(38,0)) * s_{a})"
+            vb = f"(CAST(n AS DECIMAL(38,0)) * q_{b}_{b} - CAST(s_{b} AS DECIMAL(38,0)) * s_{b})"
+            pair_rows.append(
+                m.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n"),
+                    F.expr(
+                        f"CAST(CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+                        f"CASE WHEN {cov} >= 0 THEN 1 ELSE -1 END * "
+                        f"CAST((1000 * {cov} * {cov}) div ({va} * {vb})"
+                        f" AS DECIMAL(38,0)) END AS BIGINT)"
+                    ).alias("r2_milli"),
+                )
+            )
+    out = pair_rows[0]
+    for p in pair_rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def corr_matrix_signed_r2_sql(rows_sql: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`corr_matrix_signed_r2` (HUGEINT carries
+    the wide products; same truncating division and sign rule)."""
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i, a in enumerate(cols):
+        sums.append(f"CAST(SUM({a}) AS BIGINT) AS s_{a}")
+        for b in cols[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS BIGINT) * {b}) AS BIGINT)"
+                f" AS q_{a}_{b}"
+            )
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cov = (
+                f"(CAST(n AS HUGEINT) * q_{a}_{b}"
+                f" - CAST(s_{a} AS HUGEINT) * s_{b})"
+            )
+            va = (
+                f"(CAST(n AS HUGEINT) * q_{a}_{a}"
+                f" - CAST(s_{a} AS HUGEINT) * s_{a})"
+            )
+            vb = (
+                f"(CAST(n AS HUGEINT) * q_{b}_{b}"
+                f" - CAST(s_{b} AS HUGEINT) * s_{b})"
+            )
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+                f"CAST(CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+                f"(CASE WHEN {cov} >= 0 THEN 1 ELSE -1 END) * "
+                f"((1000 * {cov} * {cov}) // ({va} * {vb})) END"
+                f" AS BIGINT) AS r2_milli FROM m"
+            )
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM ({rows_sql}))\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def trimmed_mean(
+    rows: DataFrame,
+    value_col: str,
+    id_col: str,
+    trim_permille: int = 50,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Symmetrically trimmed mean — the robust location estimate
+    between a13's exact percentiles and the medians: one row
+    DataFrame[n_total, n_kept, mean_cents, trimmed_mean_cents].
+
+    Exact rank semantics: drop the k = (n·trim_permille) div 1000
+    smallest AND largest values under the (value, id) total order
+    (ties are real rows — rank decides, not value equality), average
+    the rest with the engine's floor convention. ``trim_permille``
+    must stay below 500 — enforced eagerly, because 2k < n holds for
+    every n exactly when the rate is below one half, so the keep-set
+    can never silently empty out.
+
+    Plan: skinny (value, id) rank shuffle, one filtered aggregate.
+    """
+    from .relational import global_rank
+
+    if not 0 <= trim_permille < 500:
+        raise ValueError(
+            "trimmed_mean: trim_permille must be in [0, 500) — "
+            f"{trim_permille} would discard every row"
+        )
+    ranked = global_rank(
+        rows.select(
+            F.col(value_col).cast("long").alias("v"),
+            F.col(id_col).alias("i"),
+        ),
+        "v",
+        "i",
+        rank_col="rk",
+        n_partitions=n_partitions,
+    )
+    tot = ranked.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("v").cast("long").alias("sum_all"),
+    )
+    kept = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("rk") > F.expr(f"(n_total * {trim_permille}) div 1000"))
+            & (
+                F.col("rk")
+                <= F.expr(
+                    f"n_total - (n_total * {trim_permille}) div 1000"
+                )
+            )
+        )
+        .groupBy("n_total", "sum_all")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("v").cast("long").alias("sum_kept"),
+        )
+    )
+    return kept.select(
+        "n_total",
+        "n_kept",
+        F.expr("sum_all div n_total").alias("mean_cents"),
+        F.expr("sum_kept div n_kept").alias("trimmed_mean_cents"),
+    )
+
+
+def trimmed_mean_sql(
+    rows_sql: str,
+    value_expr: str,
+    id_expr: str,
+    trim_permille: int = 50,
+) -> str:
+    """DuckDB twin of :func:`trimmed_mean`."""
+    return f"""
+WITH ranked AS (
+  SELECT CAST({value_expr} AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST({value_expr} AS BIGINT),
+                            {id_expr}) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_total,
+         CAST(SUM(CAST({value_expr} AS BIGINT)) OVER () AS BIGINT)
+           AS sum_all
+  FROM ({rows_sql})
+)
+SELECT n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(sum_all // n_total AS BIGINT) AS mean_cents,
+       CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS trimmed_mean_cents
+FROM ranked
+WHERE rk > (n_total * {trim_permille}) // 1000
+  AND rk <= n_total - (n_total * {trim_permille}) // 1000
+GROUP BY n_total, sum_all
+"""

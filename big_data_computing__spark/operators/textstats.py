@@ -2120,3 +2120,98 @@ toks AS (
 SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
 FROM toks GROUP BY doc_id, token
 """
+
+
+def bigram_lift_top(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by LIFT — the PMI family's exactly-computable
+    member: DataFrame[bigram, c_uv, c_u, c_v, lift_milli], the k
+    strongest-associated adjacent token pairs with corpus support
+    ≥ ``min_count``.
+
+        lift_milli = ⌊1000 · N·c(u,v) / (c(u,·)·c(·,v))⌋
+
+    with N the total bigram positions and c(u,·)/c(·,v) the START/END
+    position marginals (so Σ_u c(u,·) = N exactly — the clean
+    contingency normalization; PMI is log(lift), monotone, so the
+    RANKING is PMI's with no libm log anywhere). The wide product runs
+    in DECIMAL(38,0)/HUGEINT: 1000·N·c_uv must stay under 10^38,
+    true for any corpus whose positions fit BIGINT.
+
+    The ``min_count`` floor is the textbook guard against the
+    hapax-pair degeneracy (a 1-1-1 pair has maximal lift and zero
+    evidence). Ties break by bigram text — total order.
+
+    Plan: one bigram count (word-count shape), two marginal
+    re-aggregations OF THE BIGRAM TABLE (never the corpus again), two
+    vocabulary-keyed joins, TakeOrderedAndProject for the top-k.
+    """
+    bi = (
+        docs.select(
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("c_uv"))
+        .select(
+            "bigram",
+            "c_uv",
+            F.split(F.col("bigram"), " ")[0].alias("u"),
+            F.split(F.col("bigram"), " ")[1].alias("v"),
+        )
+    )
+    start = bi.groupBy("u").agg(F.sum("c_uv").cast("long").alias("c_u"))
+    end = bi.groupBy("v").agg(F.sum("c_uv").cast("long").alias("c_v"))
+    total = bi.agg(F.sum("c_uv").cast("long").alias("n_total"))
+    return (
+        bi.where(F.col("c_uv") >= min_count)
+        .join(start, "u")
+        .join(end, "v")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "c_uv",
+            "c_u",
+            "c_v",
+            F.expr(
+                "CAST((1000 * CAST(n_total AS DECIMAL(38,0)) * c_uv)"
+                " div (CAST(c_u AS DECIMAL(38,0)) * c_v) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy(F.col("lift_milli").desc(), "bigram")
+        .limit(k)
+    )
+
+
+def bigram_lift_top_sql(min_count: int = 5, k: int = 20) -> str:
+    """DuckDB twin of :func:`bigram_lift_top`."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+bi AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_uv,
+         string_split(bigram, ' ')[1] AS u,
+         string_split(bigram, ' ')[2] AS v
+  FROM (
+    SELECT unnest(list_transform(
+             range(1, greatest(len(toks) - 1, 0) + 1),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM base
+  ) GROUP BY bigram
+),
+st AS (SELECT u, CAST(SUM(c_uv) AS BIGINT) AS c_u FROM bi GROUP BY u),
+en AS (SELECT v, CAST(SUM(c_uv) AS BIGINT) AS c_v FROM bi GROUP BY v),
+tot AS (SELECT CAST(SUM(c_uv) AS BIGINT) AS n_total FROM bi)
+SELECT b.bigram, b.c_uv, st.c_u, en.c_v,
+       CAST((1000 * CAST(t.n_total AS HUGEINT) * b.c_uv)
+            // (CAST(st.c_u AS HUGEINT) * en.c_v) AS BIGINT)
+         AS lift_milli
+FROM bi b JOIN st USING (u) JOIN en USING (v) CROSS JOIN tot t
+WHERE b.c_uv >= {min_count}
+ORDER BY lift_milli DESC, b.bigram
+LIMIT {k}
+"""

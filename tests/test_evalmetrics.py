@@ -436,3 +436,83 @@ def test_auc_stream_state_equals_batch(spark, sf_dir):
     empty = AucState("score", "passes")
     with pytest.raises(ValueError, match="undefined"):
         empty.estimate()
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix_signed_r2 / trimmed_mean (stats.py), bigram_lift (textstats)
+# ---------------------------------------------------------------------------
+
+from big_data_computing__spark.operators.stats import (  # noqa: E402
+    corr_matrix_signed_r2,
+    trimmed_mean,
+)
+
+
+def test_corr_signed_r2_hand(spark):
+    # y = 2x exactly -> +1000; z = -x -> -1000; w constant -> NULL
+    rows = [(i, i, 2 * i, -i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, z long, w long")
+    got = {
+        (r.col_a, r.col_b): r.r2_milli
+        for r in corr_matrix_signed_r2(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert got[("x", "y")] == 1000
+    assert got[("x", "z")] == -1000
+    assert got[("y", "z")] == -1000
+    assert got[("x", "w")] is None and got[("z", "w")] is None
+    assert len(got) == 6
+
+
+def test_corr_signed_r2_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [(i, rng.randrange(100), rng.randrange(100)) for i in range(50)]
+    df = spark.createDataFrame(vals, "id long, a long, b long")
+    got = corr_matrix_signed_r2(df, ["a", "b"]).collect()[0]
+    n = len(vals)
+    sa = sum(v[1] for v in vals)
+    sb = sum(v[2] for v in vals)
+    qab = sum(v[1] * v[2] for v in vals)
+    qaa = sum(v[1] ** 2 for v in vals)
+    qbb = sum(v[2] ** 2 for v in vals)
+    cov = n * qab - sa * sb
+    va, vb = n * qaa - sa * sa, n * qbb - sb * sb
+    want = (1 if cov >= 0 else -1) * ((1000 * cov * cov) // (va * vb))
+    assert got.r2_milli == want
+
+
+def test_trimmed_mean_hand(spark):
+    # one huge outlier: the 10% trim must remove it
+    vals = [10] * 18 + [10, 100000]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = trimmed_mean(df, "v", "id", trim_permille=100).collect()[0]
+    assert got.n_total == 20 and got.n_kept == 16
+    assert got.trimmed_mean_cents == 10
+    assert got.mean_cents == sum(vals) // 20
+
+
+def test_trimmed_mean_rejects_total_trim(spark):
+    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match="discard every row"):
+        trimmed_mean(df, "v", "id", trim_permille=500)
+
+
+def test_bigram_lift_hand(spark):
+    from big_data_computing__spark.operators.textstats import (
+        bigram_lift_top,
+    )
+
+    # "alpha beta" always together (lift max); "the xx" spread out
+    text = " ".join(["alpha beta the one", "alpha beta the two",
+                     "alpha beta the six"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.bigram: r for r in bigram_lift_top(docs, min_count=3).collect()
+    }
+    ab = got["alpha beta"]
+    # N=11 bigram positions, c(alpha,.)=3, c(.,beta)=3, c_uv=3
+    assert (ab.c_uv, ab.c_u, ab.c_v) == (3, 3, 3)
+    assert ab.lift_milli == (1000 * 11 * 3) // 9
