@@ -257,6 +257,9 @@ BENCH_QUERIES = [
     "a23_ht_total",
     "t20_kmv_setops",
     "x_source_gini",
+    "a24_trimmed_mean",
+    "x_feature_corr",
+    "x_bigram_lift",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -623,3 +623,98 @@ class AucState:
             u_x2 += pos * (2 * cneg + neg)
             cneg += neg
         return n_pos, n_neg, (1_000_000 * u_x2) // (2 * n_pos * n_neg)
+
+
+class HtState:
+    """Mergeable streaming Horvitz-Thompson state: the per-stratum
+    (n_rows, n_sampled, exact_cents, sampled_cents) sums of
+    ``operators.stats.ht_total`` folded additively across
+    micro-batches — all four are LINEAR in the input, so after any
+    prefix ``estimate()`` equals the batch operator over the union of
+    arrived rows bit-for-bit (asserted in tests). The streaming-AQP
+    dashboard shape: the estimator updates per batch from four longs
+    per stratum, never a rescan, and membership is the same pure md5
+    row function both engines replay.
+
+    Batch ids make replays no-ops. Strata outside the pinned rate map
+    are excluded exactly as in the batch operator."""
+
+    def __init__(
+        self,
+        value_col: str,
+        stratum_col: str,
+        id_col: str,
+        rates: dict[str, tuple[int, int]] | None = None,
+        seed: str | None = None,
+    ):
+        from ..operators.stats import HT_RATES, HT_SEED
+
+        self.value_col = value_col
+        self.stratum_col = stratum_col
+        self.id_col = id_col
+        self.rates = rates or HT_RATES
+        self.seed = seed if seed is not None else HT_SEED
+        self.sums: dict[str, list[int]] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..functions.hashing import hash60
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        arms = " ".join(
+            f"WHEN stratum = '{s}' THEN {(num << 60) // den}"
+            for s, (num, den) in self.rates.items()
+        )
+        rows = (
+            batch_df.select(
+                F.col(self.stratum_col).alias("stratum"),
+                F.round(F.col(self.value_col) * 100)
+                .cast("long")
+                .alias("cents"),
+                hash60(
+                    F.concat(
+                        F.lit(self.seed + ":"),
+                        F.col(self.id_col).cast("string"),
+                    )
+                ).alias("h"),
+            )
+            .where(F.col("stratum").isin(list(self.rates)))
+            .select(
+                "stratum",
+                "cents",
+                (F.col("h") < F.expr(f"CASE {arms} END"))
+                .cast("long")
+                .alias("in_sample"),
+            )
+            .groupBy("stratum")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("in_sample").alias("ns"),
+                F.sum("cents").alias("ec"),
+                F.sum(F.col("cents") * F.col("in_sample")).alias("sc"),
+            )
+            .collect()
+        )
+        for r in rows:
+            c = self.sums.setdefault(r["stratum"], [0, 0, 0, 0])
+            c[0] += int(r["n"])
+            c[1] += int(r["ns"])
+            c[2] += int(r["ec"])
+            c[3] += int(r["sc"] or 0)
+
+    def estimate(self) -> list[tuple]:
+        """Rows of (stratum, n_rows, n_sampled, exact_cents,
+        est_cents, err_milli) under the exact batch integer
+        convention, sorted by stratum."""
+        out = []
+        for s in sorted(self.sums):
+            n, ns, ec, sc = self.sums[s]
+            num, den = self.rates[s]
+            est = (den * sc) // num
+            err = (1000 * abs(est - ec)) // ec if ec > 0 else None
+            out.append((s, n, ns, ec, est, err))
+        return out

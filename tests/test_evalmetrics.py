@@ -516,3 +516,37 @@ def test_bigram_lift_hand(spark):
     # N=11 bigram positions, c(alpha,.)=3, c(.,beta)=3, c_uv=3
     assert (ab.c_uv, ab.c_u, ab.c_v) == (3, 3, 3)
     assert ab.lift_milli == (1000 * 11 * 3) // 9
+
+
+def test_ht_stream_state_equals_batch(spark, sf_dir):
+    """HtState folded over micro-batch chunks of the orders table
+    equals the batch ht_total over the union bit-for-bit after every
+    prefix; replays are no-ops."""
+    from big_data_computing__spark.streaming.frequent_stream import (
+        HtState,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    rows = orders.orderBy("o_orderkey").collect()
+    chunks = [rows[i : i + 250] for i in range(0, len(rows), 250)]
+    schema = (
+        "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    st = HtState("o_totalprice", "o_orderpriority", "o_orderkey")
+    seen: list = []
+    for bid, chunk in enumerate(chunks):
+        st.update(spark.createDataFrame(chunk, schema), bid)
+        seen.extend(chunk)
+        prefix = spark.createDataFrame(seen, schema)
+        want = sorted(
+            tuple(r)
+            for r in ht_total(
+                prefix, "o_totalprice", "o_orderpriority", "o_orderkey"
+            ).collect()
+        )
+        assert st.estimate() == want
+    before = {k: list(v) for k, v in st.sums.items()}
+    st.update(spark.createDataFrame(chunks[0], schema), 0)  # replay
+    assert st.sums == before
