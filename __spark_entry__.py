@@ -2264,6 +2264,16 @@ GROUP BY GROUPING SETS (
         li = li.toDF("cents", "rid")
         return _st.trimmed_mean(li, "cents", "rid")
 
+    def x_chi2_lang_source(spark, sf_dir):
+        # is language independent of source? Pearson chi-square over
+        # the lang x source contingency table, n-scaled exact integers
+        # with per-cell micro floors (documented), structural zeros
+        # counted via the margins cross product — the corpus-balance
+        # hypothesis test next to x_corpus_drift's TVD
+        return _st.chi2_independence(
+            _docs(spark, sf_dir), "lang", "source"
+        )
+
     def x_feature_corr(spark, sf_dir):
         # exact pairwise association of the quality-feature matrix:
         # signed r-squared in milli from one sufficient-statistics
@@ -3278,6 +3288,7 @@ GROUP BY GROUPING SETS (
         a23_ht_total,
         a24_trimmed_mean,
         x_feature_corr,
+        x_chi2_lang_source,
         w19_wow_growth,
         w20_ewma_daily,
         w21_acf_daily,
@@ -3543,6 +3554,7 @@ _WINDOW_PRIORITY = [
     "w20_ewma_daily", "w21_acf_daily", "a23_ht_total",
     "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
     "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
+    "x_chi2_lang_source",
 ]
 
 
@@ -4539,6 +4551,9 @@ FROM tw
             ["x1", "x2", "x3", "y"],
         ),
         "x_bigram_lift": _ts.bigram_lift_top_sql(),
+        "x_chi2_lang_source": _st.chi2_independence_sql(
+            "SELECT lang, source FROM documents", "lang", "source"
+        ),
         "a23_ht_total": _st.ht_total_sql(
             "SELECT * FROM orders",
             "o_totalprice",

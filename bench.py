@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "a24_trimmed_mean",
     "x_feature_corr",
     "x_bigram_lift",
+    "x_chi2_lang_source",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

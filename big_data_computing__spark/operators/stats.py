@@ -1678,3 +1678,118 @@ WHERE rk > (n_total * {trim_permille}) // 1000
   AND rk <= n_total - (n_total * {trim_permille}) // 1000
 GROUP BY n_total, sum_all
 """
+
+
+def chi2_independence(
+    rows: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square independence statistic for two categorical
+    columns — one row: DataFrame[n, n_cells, dof, chi2_micro].
+
+    The n-scaled exact form: with observed O_ij, row margins R_i,
+    column margins C_j and total n,
+
+        chi2 = Σ_ij (n·O_ij − R_i·C_j)² / (n·R_i·C_j)
+
+    Each cell's contribution is floored at MICRO precision and the
+    floors are summed — a documented ⌊·⌋-per-cell convention (exact
+    rational summation would need an unbounded common denominator);
+    both engines floor the same cells, so the statistic is
+    bit-identical cross-engine, and the error vs the real χ² is below
+    n_cells·10^-6. Only OBSERVED (a, b) pairs contribute a nonzero
+    (n·O − R·C)² term... plus the structural-zero cells (O_ij = 0,
+    margins positive), whose contribution R_i·C_j/n is NOT zero — the
+    full cross product of margins is joined in, so absent cells are
+    counted exactly, not skipped. DECIMAL(38,0)/HUGEINT carries
+    (n·O − R·C)² ≲ 10^36; dof = (|A|−1)(|B|−1) as usual.
+
+    Scale: one (a, b) count aggregate (map-side combined), two margin
+    re-aggregations OF THAT TABLE, one margins cross join sized
+    |A|·|B| (category space, not data), one broadcast total. The
+    data-sized scan happens once.
+    """
+    obs = rows.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").cast("long").alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").cast("long").alias("r"))
+    cb = obs.groupBy("b").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        ra.crossJoin(cb)
+        .join(obs, ["a", "b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "r",
+            "c",
+        )
+    )
+    contrib = cells.select(
+        "n",
+        F.expr(
+            "CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * o"
+            " - CAST(r AS DECIMAL(38,0)) * c)"
+            " * (CAST(n AS DECIMAL(38,0)) * o"
+            " - CAST(r AS DECIMAL(38,0)) * c))"
+            " div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+        ).alias("x"),
+    )
+    dims = ra.agg(F.count("*").cast("long").alias("na")).crossJoin(
+        cb.agg(F.count("*").cast("long").alias("nb"))
+    )
+    return (
+        contrib.groupBy("n")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("x").cast("long").alias("chi2_micro"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            "n_cells",
+            F.expr("(na - 1) * (nb - 1)").alias("dof"),
+            "chi2_micro",
+        )
+    )
+
+
+def chi2_independence_sql(
+    rows_sql: str, a_expr: str, b_expr: str
+) -> str:
+    """DuckDB twin of :func:`chi2_independence` — identical margins
+    cross product, per-cell micro floors, and HUGEINT products."""
+    return f"""
+WITH obs AS (
+  SELECT {a_expr} AS a, {b_expr} AS b,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM ({rows_sql}) GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY a),
+cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY b),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT t.n, COALESCE(obs.o, 0) AS o, ra.r, cb.c
+  FROM ra CROSS JOIN cb
+  LEFT JOIN obs USING (a, b)
+  CROSS JOIN tot t
+),
+contrib AS (
+  SELECT n,
+         (1000000 * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                  * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c))
+         // (CAST(n AS HUGEINT) * r * c) AS x
+  FROM cells
+),
+dims AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS na,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS nb
+)
+SELECT c.n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       (d.na - 1) * (d.nb - 1) AS dof,
+       CAST(SUM(c.x) AS BIGINT) AS chi2_micro
+FROM contrib c CROSS JOIN dims d
+GROUP BY c.n, d.na, d.nb
+"""

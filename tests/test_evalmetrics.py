@@ -550,3 +550,29 @@ def test_ht_stream_state_equals_batch(spark, sf_dir):
     before = {k: list(v) for k, v in st.sums.items()}
     st.update(spark.createDataFrame(chunks[0], schema), 0)  # replay
     assert st.sums == before
+
+
+def test_chi2_independence_hand(spark):
+    from big_data_computing__spark.operators.stats import (
+        chi2_independence,
+    )
+
+    # perfectly independent 2x2: chi2 exactly 0
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 10
+        + [("b", "x")] * 30 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = chi2_independence(df, "u", "v").collect()[0]
+    assert (got.n, got.n_cells, got.dof, got.chi2_micro) == (80, 4, 1, 0)
+    # perfectly dependent 2x2 (diagonal): chi2 = n
+    rows = [("a", "x")] * 25 + [("b", "y")] * 25
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = chi2_independence(df, "u", "v").collect()[0]
+    assert got.chi2_micro == 50 * 1_000_000
+    # structural zero counted: 2x2 with one absent cell still has
+    # n_cells = 4 (margins cross product, not observed pairs)
+    rows = [("a", "x")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = chi2_independence(df, "u", "v").collect()[0]
+    assert got.n_cells == 4 and got.chi2_micro > 0
