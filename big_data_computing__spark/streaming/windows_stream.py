@@ -298,3 +298,78 @@ def streaming_left_band_join(
         "b_id",
         gap.alias("gap_us"),
     )
+
+
+class EwmaState:
+    """Mergeable streaming EWMA-trend state: per-(key, day) event
+    counts folded additively across micro-batches (counts are LINEAR
+    in the input), with ``estimate()`` recomputing
+    ``operators.windows.ewma_daily``'s integer smoothing over the tiny
+    accumulated daily grid — bit-identical to the batch operator on
+    the union of arrived rows after every prefix (asserted in tests).
+
+    The monitoring shape: events stream in, the per-type trend line +
+    today-vs-trend milli ratio re-derive from n_keys × n_days longs,
+    never a rescan. Batch ids make replays no-ops. The EWMA itself is
+    NOT mergeable (it is order-dependent); the per-day counts are —
+    which is why the state stores counts and derives the smoothing,
+    the same counts-not-results pattern as KSDriftState."""
+
+    def __init__(
+        self, ts_col: str = "ts", key_col: str = "event_type",
+        window: int = 8,
+    ):
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.window = window
+        self.counts: dict[tuple[str, int], int] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.windows import event_time_us
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        day = (
+            event_time_us(batch_df, self.ts_col)
+            / F.lit(86_400_000_000)
+        ).cast("long")
+        rows = (
+            batch_df.select(
+                F.col(self.key_col).alias("k"), day.alias("d")
+            )
+            .groupBy("k", "d")
+            .agg(F.count("*").cast("long").alias("c"))
+            .collect()
+        )
+        for r in rows:
+            key = (r["k"], int(r["d"]))
+            self.counts[key] = self.counts.get(key, 0) + int(r["c"])
+
+    def estimate(self) -> list[tuple]:
+        """Rows of (key, day, n_events, ewma_milli, ratio_milli) under
+        the exact batch convention — zero-filled dense grid per key,
+        power-of-two weights, head normalization — sorted by
+        (key, day)."""
+        by_key: dict[str, dict[int, int]] = {}
+        for (k, d), c in self.counts.items():
+            by_key.setdefault(k, {})[d] = c
+        out = []
+        for k in sorted(by_key):
+            days = by_key[k]
+            d0, d1 = min(days), max(days)
+            series = [days.get(d, 0) for d in range(d0, d1 + 1)]
+            for t, x in enumerate(series):
+                num = den = 0
+                for j in range(self.window):
+                    if t - j >= 0:
+                        wgt = 1 << (self.window - 1 - j)
+                        num += series[t - j] * wgt
+                        den += wgt
+                ewma = (1000 * num) // den
+                ratio = (1_000_000 * x) // ewma if ewma > 0 else 0
+                out.append((k, d0 + t, x, ewma, ratio))
+        return out

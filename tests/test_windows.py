@@ -878,3 +878,32 @@ def test_ewma_acf_duckdb_parity(spark, sf_dir):
         tuple(r) for r in con.execute(W.acf_daily_sql()).fetchall()
     )
     assert got == want
+
+
+def test_ewma_stream_state_equals_batch(spark, sf_dir):
+    """EwmaState folded over micro-batch chunks equals the batch
+    ewma_daily over the union bit-for-bit after every prefix;
+    replays are no-ops."""
+    from big_data_computing__spark.streaming.windows_stream import (
+        EwmaState,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    rows = ev.orderBy("event_id").collect()
+    chunks = [rows[i : i + 700] for i in range(0, len(rows), 700)]
+    schema = "event_id long, ts timestamp, event_type string"
+    st = EwmaState()
+    seen: list = []
+    for bid, chunk in enumerate(chunks):
+        st.update(spark.createDataFrame(chunk, schema), bid)
+        seen.extend(chunk)
+        prefix = spark.createDataFrame(seen, schema)
+        want = sorted(
+            tuple(r) for r in W.ewma_daily(prefix).collect()
+        )
+        assert st.estimate() == want
+    before = dict(st.counts)
+    st.update(spark.createDataFrame(chunks[0], schema), 0)
+    assert st.counts == before
