@@ -2956,6 +2956,13 @@ GROUP BY GROUPING SETS (
         # two-pass distributed rank, coverage audited in milli
         return _rg.conformal_coverage_report(_docs(spark, sf_dir))
 
+    def x_conformal_by_lang(spark, sf_dir):
+        # Mondrian (group-conditional) conformal: each language gets
+        # its OWN calibration quantile, so the >= 1-alpha guarantee
+        # holds per slice — the fairness audit marginal coverage can
+        # hide; empty calibration slices drop visibly
+        return _rg.conformal_coverage_by(_docs(spark, sf_dir))
+
     def x_auc_quality(spark, sf_dir):
         # the single-number companion to x_quality_calibration's
         # decile table: exact Mann-Whitney ROC AUC of the LEARNED
@@ -3350,6 +3357,7 @@ GROUP BY GROUPING SETS (
         x_auc_quality,
         x_auc_by_lang,
         x_conformal_coverage,
+        x_conformal_by_lang,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -3554,7 +3562,7 @@ _WINDOW_PRIORITY = [
     "w20_ewma_daily", "w21_acf_daily", "a23_ht_total",
     "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
     "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
-    "x_chi2_lang_source",
+    "x_chi2_lang_source", "x_conformal_by_lang",
 ]
 
 
@@ -4678,6 +4686,7 @@ WHERE vec_id NOT IN (
         "x_ann_int8_topk": _sim.int8_topk_sql(),
         "x_quality_calibration": _rg.quality_calibration_report_sql(),
         "x_conformal_coverage": _rg.conformal_coverage_report_sql(),
+        "x_conformal_by_lang": _rg.conformal_coverage_by_sql(),
         "x_auc_quality": _st.auc_report_sql(
             f"SELECT s.score, g.passes "
             f"FROM ({_rg.ridge_quality_scores_sql()}) s "

@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "x_feature_corr",
     "x_bigram_lift",
     "x_chi2_lang_source",
+    "x_conformal_by_lang",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from itertools import permutations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -579,4 +579,128 @@ SELECT q.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, q.q_milli,
 FROM scored s CROSS JOIN q
 WHERE NOT s.is_cal
 GROUP BY q.n_cal, q.q_milli
+"""
+
+
+def conformal_coverage_by(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    lam: int = RIDGE_LAMBDA,
+    alpha_permille: int = 100,
+) -> DataFrame:
+    """Per-slice split-conformal audit: DataFrame[group, n_cal,
+    n_test, q_milli, n_covered, coverage_milli] — group-conditional
+    conformal (Vovk 2012's Mondrian form at the group level): each
+    slice gets its OWN calibration quantile, so the ≥ 1−α guarantee
+    holds PER GROUP, not just marginally. The fairness audit for a
+    learned filter: marginal coverage can hide a slice the intervals
+    systematically miss; this table can't.
+
+    Same integer conventions as :func:`conformal_coverage_report`;
+    the rank window is PARTITIONED by group (parallel across groups,
+    never single-partition). Groups whose calibration half is empty
+    drop from the output with their test rows (no quantile exists —
+    visible as a missing row, not a fabricated interval).
+    """
+    from ..functions.hashing import hash60
+
+    scored = (
+        ridge_quality_scores(docs, text_col, lam)
+        .join(docs.select("doc_id", group_col), "doc_id")
+        .select(
+            "doc_id",
+            F.col(group_col).alias("g"),
+            F.expr("CAST(ROUND(1000 * ABS(y - score)) AS BIGINT)")
+            .alias("r_milli"),
+            (
+                hash60(
+                    F.concat(
+                        F.lit(CONFORMAL_SEED + ":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+                < F.lit(1 << 59)
+            ).alias("is_cal"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("r_milli", "doc_id")
+    wn = Window.partitionBy("g")
+    cal = (
+        scored.where("is_cal")
+        .select(
+            "g",
+            "r_milli",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wn).cast("long").alias("n_cal"),
+        )
+        .where(
+            F.col("rk")
+            == F.expr(
+                f"LEAST(n_cal, ((n_cal + 1) * (1000 - {alpha_permille})"
+                f" + 999) div 1000)"
+            )
+        )
+        .select("g", "n_cal", F.col("r_milli").alias("q_milli"))
+    )
+    return (
+        scored.where(~F.col("is_cal"))
+        .join(cal, "g")
+        .groupBy(F.col("g").alias(group_col), "n_cal", "q_milli")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                (F.col("r_milli") <= F.col("q_milli")).cast("long")
+            ).alias("n_covered"),
+        )
+        .select(
+            group_col,
+            "n_cal",
+            "n_test",
+            "q_milli",
+            "n_covered",
+            F.expr("(1000 * n_covered) div n_test").alias(
+                "coverage_milli"
+            ),
+        )
+    )
+
+
+def conformal_coverage_by_sql(
+    group_col: str = "lang",
+    lam: int = RIDGE_LAMBDA,
+    alpha_permille: int = 100,
+) -> str:
+    """DuckDB twin of :func:`conformal_coverage_by`."""
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql(f"'{CONFORMAL_SEED}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH scored0 AS ({ridge_quality_scores_sql(lam)}),
+scored AS (
+  SELECT s.doc_id, d.{group_col} AS g,
+         CAST(ROUND(1000 * ABS(s.y - s.score)) AS BIGINT) AS r_milli,
+         ({h}) < {1 << 59} AS is_cal
+  FROM scored0 s JOIN documents d USING (doc_id)
+),
+cal AS (
+  SELECT g, r_milli AS q_milli, n_cal FROM (
+    SELECT g, r_milli,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY r_milli, doc_id)
+             AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_cal
+    FROM scored WHERE is_cal
+  ) WHERE rk = LEAST(n_cal, ((n_cal + 1) * (1000 - {alpha_permille})
+                             + 999) // 1000)
+)
+SELECT s.g AS {group_col}, c.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+       c.q_milli,
+       CAST(SUM(CASE WHEN s.r_milli <= c.q_milli THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST((1000 * SUM(CASE WHEN s.r_milli <= c.q_milli
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS coverage_milli
+FROM scored s JOIN cal c USING (g)
+WHERE NOT s.is_cal
+GROUP BY s.g, c.n_cal, c.q_milli
 """

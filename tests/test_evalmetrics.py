@@ -576,3 +576,18 @@ def test_chi2_independence_hand(spark):
     df = spark.createDataFrame(rows, "u string, v string")
     got = chi2_independence(df, "u", "v").collect()[0]
     assert got.n_cells == 4 and got.chi2_micro > 0
+
+
+def test_conformal_by_lang_guarantee(spark, sf_dir):
+    from big_data_computing__spark.operators.regression import (
+        conformal_coverage_by,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = conformal_coverage_by(docs).collect()
+    assert len(out) >= 2  # multiple language slices present
+    for r in out:
+        # group-conditional guarantee, generous finite-sample slack
+        # (slices are small at sf0.001)
+        assert r.coverage_milli >= 750
+        assert r.n_cal > 0 and r.n_test > 0
