@@ -1078,10 +1078,12 @@ def auc_report(
         U_x2 = Σ_s p_s · (2·cneg(s) + q_s)
 
     is an integer, and ``auc_micro = (10^6 · U_x2) div (2·n_pos·n_neg)``
-    is exact floor arithmetic — no rank floats, no interpolation.
-    Requires 10^6 · 2·n_pos·n_neg < 2^63 (n ≲ 2·10^6 per evaluation
-    scope; score a SAMPLE or shard by group via :func:`auc_by`
-    beyond that — the per-score counts themselves stay mergeable).
+    is exact floor arithmetic — no rank floats, no interpolation. The
+    final 10^6-scaled division runs in DECIMAL(38,0)/HUGEINT (the
+    accumulated U_x2 itself stays BIGINT), so the bound is
+    2·n_pos·n_neg < 2^63, i.e. n ≲ 4·10^9 per evaluation scope —
+    shard by group via :func:`auc_by` beyond that (the per-score
+    counts themselves stay mergeable).
 
     Scale shape (same as :func:`ks_drift`): one map-side-combinable
     aggregate down to the DISTINCT score table, one two-pass
@@ -1119,9 +1121,11 @@ def auc_report(
         .select(
             "n_pos",
             "n_neg",
-            F.expr("(1000000 * u_x2) div (2 * n_pos * n_neg)").alias(
-                "auc_micro"
-            ),
+            F.expr(
+                "CAST((1000000 * CAST(u_x2 AS DECIMAL(38,0)))"
+                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                " AS BIGINT)"
+            ).alias("auc_micro"),
         )
     )
 
@@ -1149,8 +1153,9 @@ cum AS (
 )
 SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
        CAST(SUM(neg) AS BIGINT) AS n_neg,
-       CAST((1000000 * SUM(pos * (2 * cneg + neg)))
-            // (2 * SUM(pos) * SUM(neg)) AS BIGINT) AS auc_micro
+       CAST((1000000 * CAST(SUM(pos * (2 * cneg + neg)) AS HUGEINT))
+            // (2 * CAST(SUM(pos) AS HUGEINT) * SUM(neg))
+            AS BIGINT) AS auc_micro
 FROM cum
 """
 
@@ -1207,8 +1212,10 @@ def auc_by(
             "n_pos",
             "n_neg",
             F.expr(
-                "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
-                "(1000000 * u_x2) div (2 * n_pos * n_neg) END"
+                "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+                "(1000000 * CAST(u_x2 AS DECIMAL(38,0)))"
+                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                " END AS BIGINT)"
             ).alias("auc_micro"),
         )
     )
@@ -1242,8 +1249,9 @@ cum AS (
 SELECT g AS {out_group}, CAST(SUM(pos) AS BIGINT) AS n_pos,
        CAST(SUM(neg) AS BIGINT) AS n_neg,
        CAST(CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
-         (1000000 * SUM(pos * (2 * cneg + neg)))
-           // (2 * SUM(pos) * SUM(neg)) END AS BIGINT) AS auc_micro
+         (1000000 * CAST(SUM(pos * (2 * cneg + neg)) AS HUGEINT))
+           // (2 * CAST(SUM(pos) AS HUGEINT) * SUM(neg)) END
+         AS BIGINT) AS auc_micro
 FROM cum GROUP BY g
 """
 
