@@ -2472,6 +2472,18 @@ GROUP BY GROUPING SETS (
     def x_dedup_minhash_lsh(spark, sf_dir):
         return _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
 
+    def x_dedup_eval(spark, sf_dir):
+        # the blocked surface priced as a number: precision/recall/F1
+        # of the banded MinHash candidate pairs against the exact
+        # ngram-Jaccard >= threshold truth set — the dedup analog of
+        # x_retrieval_eval_*, value-oracled instead of a test-only
+        # recall sweep
+        docs = _docs(spark, sf_dir)
+        return _dd.pair_set_eval(
+            _dd.minhash_lsh_pairs(docs),
+            _dd.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD),
+        )
+
     def x_dedup_simhash(spark, sf_dir):
         return _dd.simhash_near_pairs(
             _docs(spark, sf_dir), SIMHASH_MAX_HAMMING
@@ -3472,6 +3484,7 @@ GROUP BY GROUPING SETS (
         c10_outliers_grid3,
         x_dedup_exact,
         x_dedup_minhash_lsh,
+        x_dedup_eval,
         x_dedup_simhash,
         x_dedup_lsh_capped,
         x_lsh_super_buckets,
@@ -3562,7 +3575,7 @@ _WINDOW_PRIORITY = [
     "w20_ewma_daily", "w21_acf_daily", "a23_ht_total",
     "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
     "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
-    "x_chi2_lang_source", "x_conformal_by_lang",
+    "x_chi2_lang_source", "x_conformal_by_lang", "x_dedup_eval",
 ]
 
 
@@ -4621,6 +4634,10 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_exact": _dd.exact_dedup_groups_sql(),
         "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
+        "x_dedup_eval": _dd.pair_set_eval_sql(
+            _dd.minhash_lsh_pairs_sql(),
+            _dd.ngram_jaccard_pairs_sql(JACCARD_THRESHOLD),
+        ),
         "x_dedup_simhash": _dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING),
         "x_dedup_lsh_capped": _dd.minhash_lsh_pairs_sql(max_bucket=2),
         "x_lsh_super_buckets": _dd.lsh_super_buckets_sql(max_bucket=2),

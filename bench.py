@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "x_bigram_lift",
     "x_chi2_lang_source",
     "x_conformal_by_lang",
+    "x_dedup_eval",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

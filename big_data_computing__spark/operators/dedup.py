@@ -3875,3 +3875,82 @@ walk(id, hop) AS (
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(hop) AS INT) AS hop
 FROM walk GROUP BY id
 """
+
+
+def pair_set_eval(
+    result_pairs: DataFrame,
+    truth_pairs: DataFrame,
+) -> DataFrame:
+    """Precision/recall/F1 of a candidate near-duplicate PAIR set
+    against an exact truth set — one row: DataFrame[n_truth, n_result,
+    n_hit, precision_milli, recall_milli, f1_milli].
+
+    The dedup analog of ``retrieval.retrieval_eval``: every blocked
+    similarity surface in this module (MinHash bands, SimHash bands,
+    prefix filters) trades recall for candidate-set size, and this
+    report prices that trade as a value-oracled number instead of a
+    test-only sweep. Inputs are any two (doc_a, doc_b) frames with
+    doc_a < doc_b (the module's pair convention; extra columns
+    ignored); both sides are de-duplicated defensively so a pair
+    emitted twice cannot inflate a score.
+
+    Integer conventions: precision = hits/|result| and recall =
+    hits/|truth| floored at milli; ``f1_milli = (2000·hits) div
+    (|truth| + |result|)`` — the harmonic mean computed WITHOUT the
+    intermediate ratios (exact, one floor). Empty truth or result
+    yields NULL for the affected ratio rather than a crash or a
+    silent 0 (an empty truth set means the threshold found nothing —
+    the caller should see that, not a fake perfect score).
+
+    Scale: both inputs are pair tables (candidate-sized, not
+    corpus-sized); one (doc_a, doc_b) equi-join + three 1-row counts.
+    """
+    res = result_pairs.select("doc_a", "doc_b").distinct()
+    tru = truth_pairs.select("doc_a", "doc_b").distinct()
+    hit = res.join(tru, ["doc_a", "doc_b"], "left_semi")
+    return (
+        tru.agg(F.count("*").cast("long").alias("n_truth"))
+        .crossJoin(res.agg(F.count("*").cast("long").alias("n_result")))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_result",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_result > 0 THEN"
+                " (1000 * n_hit) div n_result END"
+            ).alias("precision_milli"),
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN"
+                " (1000 * n_hit) div n_truth END"
+            ).alias("recall_milli"),
+            F.expr(
+                "CASE WHEN n_truth + n_result > 0 THEN"
+                " (2000 * n_hit) div (n_truth + n_result) END"
+            ).alias("f1_milli"),
+        )
+    )
+
+
+def pair_set_eval_sql(result_sql: str, truth_sql: str) -> str:
+    """DuckDB twin of :func:`pair_set_eval`."""
+    return f"""
+WITH res AS (SELECT DISTINCT doc_a, doc_b FROM ({result_sql})),
+tru AS (SELECT DISTINCT doc_a, doc_b FROM ({truth_sql})),
+hit AS (SELECT r.doc_a, r.doc_b
+        FROM res r JOIN tru t USING (doc_a, doc_b)),
+c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tru) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM res) AS n_result,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit
+)
+SELECT n_truth, n_result, n_hit,
+       CAST(CASE WHEN n_result > 0 THEN (1000 * n_hit) // n_result END
+            AS BIGINT) AS precision_milli,
+       CAST(CASE WHEN n_truth > 0 THEN (1000 * n_hit) // n_truth END
+            AS BIGINT) AS recall_milli,
+       CAST(CASE WHEN n_truth + n_result > 0 THEN
+            (2000 * n_hit) // (n_truth + n_result) END
+            AS BIGINT) AS f1_milli
+FROM c
+"""

@@ -591,3 +591,23 @@ def test_conformal_by_lang_guarantee(spark, sf_dir):
         # (slices are small at sf0.001)
         assert r.coverage_milli >= 750
         assert r.n_cal > 0 and r.n_test > 0
+
+
+def test_pair_set_eval_hand(spark):
+    from big_data_computing__spark.operators.dedup import pair_set_eval
+
+    tru = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    res = spark.createDataFrame(
+        [(1, 2), (1, 2), (7, 8)], "doc_a long, doc_b long"  # dup pair
+    )
+    got = pair_set_eval(res, tru).collect()[0]
+    assert (got.n_truth, got.n_result, got.n_hit) == (3, 2, 1)
+    assert got.precision_milli == 500
+    assert got.recall_milli == 333
+    assert got.f1_milli == 2000 // 5
+    # empty truth: NULL recall, not a fake perfect score
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = pair_set_eval(res, empty).collect()[0]
+    assert got.recall_milli is None and got.precision_milli == 0
