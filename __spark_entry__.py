@@ -2484,6 +2484,22 @@ GROUP BY GROUPING SETS (
             _dd.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD),
         )
 
+    def x_dedup_bcubed(spark, sf_dir):
+        # cluster-level grading of the same surface: B-cubed
+        # precision/recall/F1 of the CC closure over MinHash pairs
+        # vs the closure over exact-Jaccard pairs — penalizes the
+        # transitive damage of a bad merge (one false pair glues two
+        # clusters and costs EVERY member), which pair metrics
+        # underprice; singletons filled so both sides partition the
+        # whole corpus
+        docs = _docs(spark, sf_dir)
+        return _dd.bcubed_eval(
+            _dd.full_assignment(docs, _dd.minhash_lsh_pairs(docs)),
+            _dd.full_assignment(
+                docs, _dd.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+            ),
+        )
+
     def x_dedup_simhash(spark, sf_dir):
         return _dd.simhash_near_pairs(
             _docs(spark, sf_dir), SIMHASH_MAX_HAMMING
@@ -3485,6 +3501,7 @@ GROUP BY GROUPING SETS (
         x_dedup_exact,
         x_dedup_minhash_lsh,
         x_dedup_eval,
+        x_dedup_bcubed,
         x_dedup_simhash,
         x_dedup_lsh_capped,
         x_lsh_super_buckets,
@@ -3576,6 +3593,7 @@ _WINDOW_PRIORITY = [
     "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
     "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
     "x_chi2_lang_source", "x_conformal_by_lang", "x_dedup_eval",
+    "x_dedup_bcubed",
 ]
 
 
@@ -4634,6 +4652,11 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_exact": _dd.exact_dedup_groups_sql(),
         "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
+        "x_dedup_bcubed": _dd.bcubed_eval_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
+            f"SELECT doc_a, doc_b FROM"
+            f" ({_dd.ngram_jaccard_pairs_sql(JACCARD_THRESHOLD)})",
+        ),
         "x_dedup_eval": _dd.pair_set_eval_sql(
             _dd.minhash_lsh_pairs_sql(),
             _dd.ngram_jaccard_pairs_sql(JACCARD_THRESHOLD),

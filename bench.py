@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "x_chi2_lang_source",
     "x_conformal_by_lang",
     "x_dedup_eval",
+    "x_dedup_bcubed",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

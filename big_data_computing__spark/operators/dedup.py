@@ -3954,3 +3954,163 @@ SELECT n_truth, n_result, n_hit,
             AS BIGINT) AS f1_milli
 FROM c
 """
+
+
+def full_assignment(
+    docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Total clustering induced by a pair set: DataFrame[doc_id,
+    cluster] over EVERY document — docs inside a connected component
+    get its min-id label, docs in no pair are their own singleton
+    cluster. The completion :func:`bcubed_eval` needs: B-cubed is
+    defined over a partition of the whole corpus, not just the paired
+    subset."""
+    comp = duplicate_components(pairs)
+    return (
+        docs.select(F.col(doc_id).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("cluster"),
+        )
+    )
+
+
+def bcubed_eval(
+    assign_result: DataFrame,
+    assign_truth: DataFrame,
+) -> DataFrame:
+    """B-cubed precision/recall/F1 of a candidate clustering against a
+    truth clustering (Bagga & Baldwin 1998; the standard entity-
+    resolution / dedup-cluster metric): one row DataFrame[n_docs,
+    bcubed_precision_micro, bcubed_recall_micro, bcubed_f1_micro].
+
+    Inputs are total assignments DataFrame[doc_id, cluster] (use
+    :func:`full_assignment` to fill singletons). Per document d,
+    B-cubed precision is |C(d) ∩ T(d)| / |C(d)| — averaging over docs
+    collapses to the (c, t) contingency identity
+
+        precision = (1/N) · Σ_{(c,t)} n_ct² / n_c
+        recall    = (1/N) · Σ_{(c,t)} n_ct² / n_t
+
+    computed here with per-(c,t) micro floors then a final floor over
+    N (documented double-floor, deterministic in both engines; error
+    < (n_cells+1)·10^-6), DECIMAL(38)/HUGEINT carrying n_ct². F1 is
+    the harmonic mean of the two micro values, one more floor.
+
+    Unlike pair-level precision/recall (:func:`pair_set_eval`),
+    B-cubed penalizes the TRANSITIVE damage of a bad merge: one false
+    pair that glues two big clusters costs every member's score, which
+    is exactly the failure mode CC-based dedup has and pair metrics
+    underprice.
+
+    Scale: the contingency table n_ct is one (cluster, cluster) count
+    over the doc_id join of the two assignments; cluster-size tables
+    re-aggregate IT, never the corpus. All map-side combinable.
+    """
+    j = assign_result.select(
+        "doc_id", F.col("cluster").alias("c")
+    ).join(
+        assign_truth.select("doc_id", F.col("cluster").alias("t")),
+        "doc_id",
+    )
+    ct = j.groupBy("c", "t").agg(F.count("*").cast("long").alias("n_ct"))
+    nc = ct.groupBy("c").agg(F.sum("n_ct").cast("long").alias("n_c"))
+    nt = ct.groupBy("t").agg(F.sum("n_ct").cast("long").alias("n_t"))
+    cells = ct.join(nc, "c").join(nt, "t").select(
+        "n_ct",
+        F.expr(
+            "CAST((1000000 * CAST(n_ct AS DECIMAL(38,0)) * n_ct)"
+            " div n_c AS DECIMAL(38,0))"
+        ).alias("p_cell"),
+        F.expr(
+            "CAST((1000000 * CAST(n_ct AS DECIMAL(38,0)) * n_ct)"
+            " div n_t AS DECIMAL(38,0))"
+        ).alias("r_cell"),
+    )
+    return cells.agg(
+        F.sum("n_ct").cast("long").alias("n_docs"),
+        F.sum("p_cell").alias("sp"),
+        F.sum("r_cell").alias("sr"),
+    ).select(
+        "n_docs",
+        F.expr("CAST(sp div n_docs AS BIGINT)").alias(
+            "bcubed_precision_micro"
+        ),
+        F.expr("CAST(sr div n_docs AS BIGINT)").alias(
+            "bcubed_recall_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN sp div n_docs + sr div n_docs > 0 THEN "
+            "(2 * (sp div n_docs) * (sr div n_docs))"
+            " div (sp div n_docs + sr div n_docs) ELSE 0 END AS BIGINT)"
+        ).alias("bcubed_f1_micro"),
+    )
+
+
+def bcubed_eval_sql(
+    result_pairs_sql: str, truth_pairs_sql: str
+) -> str:
+    """DuckDB twin of :func:`bcubed_eval` over :func:`full_assignment`
+    of the two pair sets — recursive-CTE closures + the contingency
+    identity, identical floors."""
+
+    def _assign(pairs_sql: str, name: str) -> str:
+        return f"""
+{name}_p AS ({pairs_sql}),
+{name}_nodes AS (
+  SELECT doc_a AS id FROM {name}_p UNION SELECT doc_b FROM {name}_p
+),
+{name}_edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM {name}_p
+  UNION ALL SELECT doc_b, doc_a FROM {name}_p
+),
+{name}_reach(id, lab) AS (
+  SELECT id, id FROM {name}_nodes
+  UNION
+  SELECT e.t, r.lab FROM {name}_reach r
+  JOIN {name}_edges e ON e.s = r.id
+),
+{name}_comp AS (
+  SELECT id AS doc_id, MIN(lab) AS component_id
+  FROM {name}_reach GROUP BY id
+),
+{name}_assign AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN {name}_comp c USING (doc_id)
+)"""
+
+    return f"""
+WITH RECURSIVE
+{_assign(result_pairs_sql, 'res')},
+{_assign(truth_pairs_sql, 'tru')},
+ct AS (
+  SELECT r.cluster AS c, t.cluster AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_ct
+  FROM res_assign r JOIN tru_assign t USING (doc_id)
+  GROUP BY 1, 2
+),
+nc AS (SELECT c, CAST(SUM(n_ct) AS BIGINT) AS n_c FROM ct GROUP BY c),
+nt AS (SELECT t, CAST(SUM(n_ct) AS BIGINT) AS n_t FROM ct GROUP BY t),
+cells AS (
+  SELECT ct.n_ct,
+         (1000000 * CAST(ct.n_ct AS HUGEINT) * ct.n_ct) // nc.n_c
+           AS p_cell,
+         (1000000 * CAST(ct.n_ct AS HUGEINT) * ct.n_ct) // nt.n_t
+           AS r_cell
+  FROM ct JOIN nc USING (c) JOIN nt USING (t)
+),
+agg AS (
+  SELECT CAST(SUM(n_ct) AS BIGINT) AS n_docs,
+         SUM(p_cell) AS sp, SUM(r_cell) AS sr
+  FROM cells
+)
+SELECT n_docs,
+       CAST(sp // n_docs AS BIGINT) AS bcubed_precision_micro,
+       CAST(sr // n_docs AS BIGINT) AS bcubed_recall_micro,
+       CAST(CASE WHEN sp // n_docs + sr // n_docs > 0 THEN
+         (2 * (sp // n_docs) * (sr // n_docs))
+           // (sp // n_docs + sr // n_docs) ELSE 0 END AS BIGINT)
+         AS bcubed_f1_micro
+FROM agg
+"""

@@ -611,3 +611,67 @@ def test_pair_set_eval_hand(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     got = pair_set_eval(res, empty).collect()[0]
     assert got.recall_milli is None and got.precision_milli == 0
+
+
+def test_bcubed_hand(spark):
+    from big_data_computing__spark.operators.dedup import bcubed_eval
+
+    def mk(assign):
+        return spark.createDataFrame(assign, "doc_id long, cluster long")
+
+    truth = mk([(1, 1), (2, 1), (3, 3), (4, 3)])
+    # identical clustering: all three metrics exactly 1
+    got = bcubed_eval(truth, truth).collect()[0]
+    assert (
+        got.bcubed_precision_micro,
+        got.bcubed_recall_micro,
+        got.bcubed_f1_micro,
+    ) == (1_000_000, 1_000_000, 1_000_000)
+    # everything merged into one cluster: precision penalized
+    # per-doc |C∩T|/|C| = 2/4 -> 0.5; recall perfect
+    merged = mk([(1, 1), (2, 1), (3, 1), (4, 1)])
+    got = bcubed_eval(merged, truth).collect()[0]
+    assert got.bcubed_precision_micro == 500_000
+    assert got.bcubed_recall_micro == 1_000_000
+    # all singletons: precision perfect, recall 1/2
+    single = mk([(1, 1), (2, 2), (3, 3), (4, 4)])
+    got = bcubed_eval(single, truth).collect()[0]
+    assert got.bcubed_precision_micro == 1_000_000
+    assert got.bcubed_recall_micro == 500_000
+    # f1 = harmonic mean of the micro values
+    assert got.bcubed_f1_micro == (
+        2 * 1_000_000 * 500_000
+    ) // 1_500_000
+
+
+def test_bcubed_transitive_merge_penalty(spark):
+    """One false pair gluing two big clusters must cost more under
+    B-cubed than under pair-level metrics — the metric's raison
+    d'etre."""
+    from big_data_computing__spark.operators.dedup import (
+        bcubed_eval,
+        full_assignment,
+        pair_set_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id long"
+    )
+    # truth: {1..4}, {5..8}
+    tpairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8)],
+        "doc_a long, doc_b long",
+    )
+    # candidate: same pairs PLUS one false bridge 4-5
+    cpairs = tpairs.union(
+        spark.createDataFrame([(4, 5)], "doc_a long, doc_b long")
+    )
+    pair_p = pair_set_eval(cpairs, tpairs).collect()[0].precision_milli
+    got = bcubed_eval(
+        full_assignment(docs, cpairs), full_assignment(docs, tpairs)
+    ).collect()[0]
+    # pair precision: 6/7 ~ 857 milli; B-cubed precision: every doc's
+    # cluster doubled -> 4/8 = 500 milli. The transitive damage shows.
+    assert pair_p == 857
+    assert got.bcubed_precision_micro == 500_000
+    assert got.bcubed_recall_micro == 1_000_000
