@@ -718,3 +718,67 @@ class HtState:
             err = (1000 * abs(est - ec)) // ec if ec > 0 else None
             out.append((s, n, ns, ec, est, err))
         return out
+
+
+class GiniState:
+    """Mergeable streaming Gini-concentration state: per-(group,
+    value) counts of ``operators.stats.gini_by`` folded additively
+    across micro-batches; ``estimate()`` re-derives the exact
+    sorted-rank identity from the accumulated counts — bit-identical
+    to the batch operator on the union of arrived rows after every
+    prefix. Same counts-not-results pattern as AucState; state size ∝
+    distinct (group, value) pairs (quantize unbounded value spaces
+    upstream, the documented cardinality contract)."""
+
+    def __init__(self, value_col: str, group_col: str):
+        self.value_col = value_col
+        self.group_col = group_col
+        self.counts: dict[tuple[str, int], int] = {}
+        self._seen: set[int] = set()
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        rows = (
+            batch_df.select(
+                F.col(self.group_col).alias("g"),
+                F.col(self.value_col).cast("long").alias("v"),
+            )
+            .where(F.col("v") >= 0)
+            .groupBy("g", "v")
+            .agg(F.count("*").cast("long").alias("c"))
+            .collect()
+        )
+        for r in rows:
+            key = (r["g"], int(r["v"]))
+            self.counts[key] = self.counts.get(key, 0) + int(r["c"])
+
+    def estimate(self) -> list[tuple]:
+        """Rows of (group, n, total, gini_milli) under the exact batch
+        convention (rank ties collapse: equal values contribute the
+        same regardless of order), sorted by group; zero-total groups
+        dropped as in batch."""
+        by_g: dict[str, dict[int, int]] = {}
+        for (g, v), c in self.counts.items():
+            by_g.setdefault(g, {})[v] = by_g.setdefault(g, {}).get(v, 0) + c
+        out = []
+        for g in sorted(by_g):
+            n = total = iw = 0
+            rank = 0
+            for v in sorted(by_g[g]):
+                c = by_g[g][v]
+                # ranks rank+1 .. rank+c all hold value v:
+                # Σ i·v over the run = v · (c·rank + c(c+1)/2)
+                iw += v * (c * rank + c * (c + 1) // 2)
+                rank += c
+                n += c
+                total += v * c
+            if total > 0:
+                out.append(
+                    (g, n, total,
+                     (1000 * (2 * iw - (n + 1) * total)) // (n * total))
+                )
+        return out

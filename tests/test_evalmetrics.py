@@ -675,3 +675,33 @@ def test_bcubed_transitive_merge_penalty(spark):
     assert pair_p == 857
     assert got.bcubed_precision_micro == 500_000
     assert got.bcubed_recall_micro == 1_000_000
+
+
+def test_gini_stream_state_equals_batch(spark, sf_dir):
+    """GiniState folded over micro-batch chunks equals batch gini_by
+    after every prefix; replays are no-ops."""
+    from big_data_computing__spark.streaming.frequent_stream import (
+        GiniState,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rows = docs.orderBy("doc_id").collect()
+    chunks = [rows[i : i + 120] for i in range(0, len(rows), 120)]
+    schema = "doc_id long, source string, n_chars long"
+    st = GiniState("n_chars", "source")
+    seen: list = []
+    for bid, chunk in enumerate(chunks):
+        st.update(spark.createDataFrame(chunk, schema), bid)
+        seen.extend(chunk)
+        prefix = spark.createDataFrame(seen, schema)
+        want = sorted(
+            tuple(r)
+            for r in gini_by(prefix, "n_chars", "source", "doc_id")
+            .collect()
+        )
+        assert st.estimate() == want
+    before = dict(st.counts)
+    st.update(spark.createDataFrame(chunks[0], schema), 0)
+    assert st.counts == before
