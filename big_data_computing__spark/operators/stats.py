@@ -1421,38 +1421,58 @@ def gini_by(
     concentration number a data-mixing dashboard tracks (0 = every
     member equal, →1000 = one member holds all the mass).
 
-    The sorted-rank identity: with within-group values w_1 ≤ … ≤ w_n
-    (rank i by ``(value, id)`` — Gini is invariant to tie order, the
-    id only makes the rank deterministic),
+    The sorted-rank identity: with within-group values w_1 ≤ … ≤ w_n,
 
         gini_milli = (1000 · (2·Σ i·w_i − (n+1)·Σw)) div (n·Σw)
 
-    pure BIGINT arithmetic; zero-total groups are dropped (Gini
-    undefined). Bound: 2·Σ i·w_i ≤ 2·n·Σw < 2^63/1000 — shard groups
-    beyond n·Σw ≈ 4.6·10^15 (a billion rows of thousand-unit weights).
-
-    Plan: one within-group rank window over (group, value, id) —
-    partitioned by group, parallel across groups — then a per-group
-    aggregate. Negative weights raise no error but break the identity;
-    the operator filters them out and reports the group over the
-    non-negative mass only (documented contract).
+    — Gini is invariant to tie order, so the rank sum collapses onto
+    the DISTINCT-value table: a run of c copies of value v starting
+    after cumulative count R contributes v·(c·R + c(c+1)/2) to
+    Σ i·w_i. The window therefore orders distinct values per group,
+    never rows — a billion-row group with thousands of distinct
+    weights costs a thousand-row window (the ks_drift shape), and the
+    heavy step is one map-side-combinable (group, value) count.
+    ``id_col`` is accepted for API symmetry with the rank family but
+    no longer enters the math (ties never need breaking). Pure BIGINT;
+    zero-total groups are dropped (Gini undefined). Bound:
+    2·Σ i·w_i ≤ 2·n·Σw < 2^63/1000 — shard groups beyond
+    n·Σw ≈ 4.6·10^15. Negative weights are filtered out and the group
+    reports over its non-negative mass only (documented contract).
     """
-    w = Window.partitionBy("g").orderBy("v", "i")
-    ranked = (
+    per = (
         rows.select(
             F.col(group_col).alias("g"),
             F.col(value_col).cast("long").alias("v"),
-            F.col(id_col).alias("i"),
         )
         .where(F.col("v") >= 0)
-        .select("g", "v", F.row_number().over(w).alias("rk"))
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = per.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("rr"),
     )
     return (
-        ranked.groupBy(F.col("g").alias(group_col))
+        runs.groupBy(F.col("g").alias(group_col))
         .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("v").cast("long").alias("total"),
-            F.sum(F.col("rk") * F.col("v")).cast("long").alias("iw"),
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("v") * F.col("c")).cast("long").alias("total"),
+            F.sum(
+                F.col("v")
+                * (
+                    F.col("c") * F.col("rr")
+                    + F.expr("c * (c + 1) div 2")
+                )
+            )
+            .cast("long")
+            .alias("iw"),
         )
         .where(F.col("total") > 0)
         .select(
@@ -1476,22 +1496,25 @@ def gini_by_sql(
     """DuckDB twin of :func:`gini_by`."""
     out_group = out_group or group_expr
     return f"""
-WITH base AS (
+WITH per AS (
   SELECT {group_expr} AS g, CAST({value_expr} AS BIGINT) AS v,
-         {id_expr} AS i
+         CAST(COUNT(*) AS BIGINT) AS c
   FROM ({rows_sql}) WHERE {value_expr} >= 0
+  GROUP BY 1, 2
 ),
-ranked AS (
-  SELECT g, v,
-         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, i) AS rk
-  FROM base
+runs AS (
+  SELECT g, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rr
+  FROM per
 )
-SELECT g AS {out_group}, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(v) AS BIGINT) AS total,
-       CAST((1000 * (2 * SUM(rk * v) - (COUNT(*) + 1) * SUM(v)))
-            // (COUNT(*) * SUM(v)) AS BIGINT) AS gini_milli
-FROM ranked GROUP BY g
-HAVING SUM(v) > 0
+SELECT g AS {out_group}, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(v * c) AS BIGINT) AS total,
+       CAST((1000 * (2 * SUM(v * (c * rr + c * (c + 1) // 2))
+                     - (SUM(c) + 1) * SUM(v * c)))
+            // (SUM(c) * SUM(v * c)) AS BIGINT) AS gini_milli
+FROM runs GROUP BY g
+HAVING SUM(v * c) > 0
 """
 
 
