@@ -2977,6 +2977,17 @@ GROUP BY GROUPING SETS (
         # trust-but-verify table before swapping rules for a model
         return _rg.quality_calibration_report(_docs(spark, sf_dir))
 
+    def x_pr_curve(spark, sf_dir):
+        # the operating table AUC compresses away: precision/recall/F1
+        # of the learned scorer vs the rule gate at the top-k/10
+        # corpus cuts (descending prefix sums over the distinct-score
+        # table, crossing rows by inequality join — never a single-
+        # partition window); tie runs report whole, the honest cut
+        docs = _docs(spark, sf_dir)
+        scores = _rg.ridge_quality_scores(docs).select("doc_id", "score")
+        gate = _cu.gopher_quality_report(docs).select("doc_id", "passes")
+        return _st.pr_curve(scores.join(gate, "doc_id"), "score", "passes")
+
     def x_conformal_coverage(spark, sf_dir):
         # split-conformal intervals for the same learned scorer with
         # the distribution-free >= 1-alpha guarantee CHECKED on the
@@ -3386,6 +3397,7 @@ GROUP BY GROUPING SETS (
         x_auc_by_lang,
         x_conformal_coverage,
         x_conformal_by_lang,
+        x_pr_curve,
         x_dedup_components_sc,
         x_substring_seed_vocab,
         x_gopher_quality,
@@ -3593,7 +3605,7 @@ _WINDOW_PRIORITY = [
     "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
     "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
     "x_chi2_lang_source", "x_conformal_by_lang", "x_dedup_eval",
-    "x_dedup_bcubed",
+    "x_dedup_bcubed", "x_pr_curve",
 ]
 
 
@@ -4726,6 +4738,13 @@ WHERE vec_id NOT IN (
         "x_ann_int8_topk": _sim.int8_topk_sql(),
         "x_quality_calibration": _rg.quality_calibration_report_sql(),
         "x_conformal_coverage": _rg.conformal_coverage_report_sql(),
+        "x_pr_curve": _st.pr_curve_sql(
+            f"SELECT s.score, g.passes "
+            f"FROM ({_rg.ridge_quality_scores_sql()}) s "
+            f"JOIN ({_cu.gopher_quality_report_sql()}) g USING (doc_id)",
+            "score",
+            "passes",
+        ),
         "x_conformal_by_lang": _rg.conformal_coverage_by_sql(),
         "x_auc_quality": _st.auc_report_sql(
             f"SELECT s.score, g.passes "

@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "x_conformal_by_lang",
     "x_dedup_eval",
     "x_dedup_bcubed",
+    "x_pr_curve",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -1824,3 +1824,143 @@ SELECT c.n, CAST(COUNT(*) AS BIGINT) AS n_cells,
 FROM contrib c CROSS JOIN dims d
 GROUP BY c.n, d.na, d.nb
 """
+
+
+def pr_curve(
+    rows: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_points: int = 10,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Precision/recall operating points at score-distribution
+    deciles: DataFrame[point, threshold, n_pred_pos, n_tp,
+    precision_milli, recall_milli, f1_milli] for point = 1..n_points,
+    where point k's threshold is the score at rank ⌈k·N/n_points⌉
+    from the TOP — "what do I get if I keep the top k/n of the corpus
+    by score?", the operating table a curation pipeline actually reads
+    (AUC compresses it to one number; this is the dial).
+
+    Exact integers end to end: cum_pos/cum_all come from one exclusive
+    prefix sum over the distinct-score table in DESCENDING score order
+    (relational.global_prefix_sum on the negated score — never a
+    single-partition window); the crossing row for each k is found by
+    an inequality join of an n_points-row literal frame against that
+    skinny table. precision = tp/pred_pos and recall = tp/n_pos floor
+    at milli; ``f1_milli = (2000·tp) div (pred_pos + n_pos)`` — one
+    floor, no intermediate ratios.
+
+    Ties share a score, so a decile boundary inside a tie run reports
+    the whole run (pred_pos can exceed k·N/n_points by the tie width —
+    the honest convention; a row cannot be half-kept).
+    """
+    from .relational import global_prefix_sum
+
+    is_pos = F.col(label_col).cast("boolean").cast("long")
+    per = (
+        rows.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum(is_pos).alias("pos"),
+        )
+        .select("s", "c", "pos", (-F.col("s")).alias("neg_s"))
+    )
+    cum = global_prefix_sum(
+        per, "c", "neg_s", out_col="above", n_partitions=n_partitions
+    )
+    cum = global_prefix_sum(
+        cum, "pos", "neg_s", out_col="pos_above",
+        n_partitions=n_partitions,
+    ).select(
+        "s",
+        (F.col("above") + F.col("c")).alias("cum_all"),
+        (F.col("pos_above") + F.col("pos")).alias("cum_pos"),
+        "c",
+    )
+    tot = cum.agg(
+        F.max("cum_all").cast("long").alias("n_total"),
+        F.max("cum_pos").cast("long").alias("n_pos"),
+    )
+    pts = rows.sparkSession.range(1, n_points + 1).select(
+        F.col("id").cast("long").alias("point")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(pts),
+            (
+                F.col("cum_all") - F.col("c")
+                < F.expr(f"(point * n_total + {n_points - 1})"
+                         f" div {n_points}")
+            )
+            & (
+                F.expr(f"(point * n_total + {n_points - 1})"
+                       f" div {n_points}")
+                <= F.col("cum_all")
+            ),
+        )
+        .select(
+            "point",
+            F.col("s").alias("threshold"),
+            F.col("cum_all").alias("n_pred_pos"),
+            F.col("cum_pos").alias("n_tp"),
+            F.expr("(1000 * cum_pos) div cum_all").alias(
+                "precision_milli"
+            ),
+            F.expr(
+                "CASE WHEN n_pos > 0 THEN (1000 * cum_pos) div n_pos"
+                " END"
+            ).alias("recall_milli"),
+            F.expr(
+                "(2000 * cum_pos) div (cum_all + n_pos)"
+            ).alias("f1_milli"),
+        )
+    )
+
+
+def pr_curve_sql(
+    rows_sql: str,
+    score_expr: str,
+    label_expr: str,
+    n_points: int = 10,
+) -> str:
+    """DuckDB twin of :func:`pr_curve`."""
+    return f"""
+WITH per AS (
+  SELECT {score_expr} AS s, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN {label_expr} THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos
+  FROM ({rows_sql})
+  WHERE {score_expr} IS NOT NULL AND ({label_expr}) IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT s, c,
+         SUM(c) OVER (ORDER BY s DESC) AS cum_all,
+         SUM(pos) OVER (ORDER BY s DESC) AS cum_pos
+  FROM per
+),
+tot AS (
+  SELECT CAST(MAX(cum_all) AS BIGINT) AS n_total,
+         CAST(MAX(cum_pos) AS BIGINT) AS n_pos
+  FROM cum
+),
+pts AS (SELECT UNNEST(generate_series(1, {n_points})) AS point)
+SELECT p.point, m.s AS threshold,
+       CAST(m.cum_all AS BIGINT) AS n_pred_pos,
+       CAST(m.cum_pos AS BIGINT) AS n_tp,
+       CAST((1000 * m.cum_pos) // m.cum_all AS BIGINT)
+         AS precision_milli,
+       CAST(CASE WHEN t.n_pos > 0 THEN (1000 * m.cum_pos) // t.n_pos
+            END AS BIGINT) AS recall_milli,
+       CAST((2000 * m.cum_pos) // (m.cum_all + t.n_pos) AS BIGINT)
+         AS f1_milli
+FROM cum m CROSS JOIN tot t
+JOIN pts p
+  ON m.cum_all - m.c < (p.point * t.n_total + {n_points - 1})
+                       // {n_points}
+ AND (p.point * t.n_total + {n_points - 1}) // {n_points} <= m.cum_all
+"""

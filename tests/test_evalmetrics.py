@@ -705,3 +705,35 @@ def test_gini_stream_state_equals_batch(spark, sf_dir):
     before = dict(st.counts)
     st.update(spark.createDataFrame(chunks[0], schema), 0)
     assert st.counts == before
+
+
+def test_pr_curve_hand(spark):
+    from big_data_computing__spark.operators.stats import pr_curve
+
+    # scores 10..1 (distinct), positives = the top 3 scores
+    rows = [(i, 10 - i, i < 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, s long, y boolean")
+    got = {r.point: r for r in pr_curve(df, "s", "y", n_points=5).collect()}
+    assert len(got) == 5
+    # point 1 = top 2 docs: both positive
+    assert (got[1].n_pred_pos, got[1].n_tp) == (2, 2)
+    assert got[1].precision_milli == 1000
+    assert got[1].recall_milli == (1000 * 2) // 3
+    # point 5 = whole corpus: recall 1, precision 3/10
+    assert (got[5].n_pred_pos, got[5].n_tp) == (10, 3)
+    assert got[5].precision_milli == 300
+    assert got[5].recall_milli == 1000
+    assert got[5].f1_milli == (2000 * 3) // 13
+
+
+def test_pr_curve_tie_run_reports_whole(spark):
+    from big_data_computing__spark.operators.stats import pr_curve
+
+    # all ten rows share one score: every cut crosses inside the tie
+    # run, so every point reports the full corpus
+    rows = [(i, 7, i < 4) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, s long, y boolean")
+    got = pr_curve(df, "s", "y", n_points=4).collect()
+    assert len(got) == 4
+    for r in got:
+        assert (r.n_pred_pos, r.n_tp) == (10, 4)
