@@ -1735,6 +1735,9 @@ def chi2_independence(
     full cross product of margins is joined in, so absent cells are
     counted exactly, not skipped. DECIMAL(38,0)/HUGEINT carries
     (n·O − R·C)² ≲ 10^36; dof = (|A|−1)(|B|−1) as usual.
+    ``v2_micro`` is Cramér's V², the [0, 1]-normalized effect size
+    χ²/(n·min(|A|−1, |B|−1)) — the number comparable ACROSS tables,
+    where raw χ² only compares against its own dof.
 
     Scale: one (a, b) count aggregate (map-side combined), two margin
     re-aggregations OF THAT TABLE, one margins cross join sized
@@ -1783,6 +1786,9 @@ def chi2_independence(
             "n_cells",
             F.expr("(na - 1) * (nb - 1)").alias("dof"),
             "chi2_micro",
+            F.expr(
+                "chi2_micro div (n * LEAST(na - 1, nb - 1))"
+            ).alias("v2_micro"),
         )
     )
 
@@ -1820,7 +1826,9 @@ dims AS (
 )
 SELECT c.n, CAST(COUNT(*) AS BIGINT) AS n_cells,
        (d.na - 1) * (d.nb - 1) AS dof,
-       CAST(SUM(c.x) AS BIGINT) AS chi2_micro
+       CAST(SUM(c.x) AS BIGINT) AS chi2_micro,
+       CAST(CAST(SUM(c.x) AS BIGINT)
+            // (c.n * LEAST(d.na - 1, d.nb - 1)) AS BIGINT) AS v2_micro
 FROM contrib c CROSS JOIN dims d
 GROUP BY c.n, d.na, d.nb
 """

@@ -570,6 +570,7 @@ def test_chi2_independence_hand(spark):
     df = spark.createDataFrame(rows, "u string, v string")
     got = chi2_independence(df, "u", "v").collect()[0]
     assert got.chi2_micro == 50 * 1_000_000
+    assert got.v2_micro == 1_000_000  # perfect association: V^2 = 1
     # structural zero counted: 2x2 with one absent cell still has
     # n_cells = 4 (margins cross product, not observed pairs)
     rows = [("a", "x")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 5
