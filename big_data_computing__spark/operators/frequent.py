@@ -1578,8 +1578,9 @@ def kmv_set_ops(
 ) -> DataFrame:
     """Theta-sketch-style set algebra from two KMV sketches: 1-row
     DataFrame[est_a, est_b, est_union, est_intersect] — the
-    cardinalities of A, B, A∪B and (by inclusion-exclusion) A∩B,
-    all from sketch space, never from the full item sets.
+    cardinalities of A, B, A∪B, (by inclusion-exclusion) A∩B, and
+    the directed differences A∖B / B∖A — all from sketch space,
+    never from the full item sets.
 
     The union of two bottom-k sketches re-bottomed to k IS the KMV
     sketch of A ∪ B (bottom-k of a union = bottom-k of the union of
@@ -1647,6 +1648,15 @@ def kmv_set_ops(
             .cast("long")
             .alias("est_intersect"),
         )
+        .select(
+            "*",
+            F.expr("GREATEST(0, est_union - est_b)")
+            .cast("long")
+            .alias("est_diff_a"),
+            F.expr("GREATEST(0, est_union - est_a)")
+            .cast("long")
+            .alias("est_diff_b"),
+        )
     )
 
 
@@ -1699,6 +1709,8 @@ est AS (
     (SELECT CAST({est} AS BIGINT) FROM uagg) AS est_union
 )
 SELECT est_a, est_b, est_union,
-       GREATEST(0, est_a + est_b - est_union) AS est_intersect
+       GREATEST(0, est_a + est_b - est_union) AS est_intersect,
+       GREATEST(0, est_union - est_b) AS est_diff_a,
+       GREATEST(0, est_union - est_a) AS est_diff_b
 FROM est
 """

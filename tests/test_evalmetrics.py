@@ -379,6 +379,7 @@ def test_kmv_setops_exact_when_small(spark):
     assert (got.est_a, got.est_b, got.est_union, got.est_intersect) == (
         40, 30, 60, 10,
     )
+    assert (got.est_diff_a, got.est_diff_b) == (30, 20)
 
 
 def test_kmv_setops_union_consistency(spark, sf_dir):
