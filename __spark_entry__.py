@@ -409,6 +409,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "purchase",
         )
 
+    def x_cvm_drift(spark, sf_dir):
+        # the integrated companion of x_ks_drift: Cramér–von Mises
+        # accumulates the SQUARED CDF gap over the pooled
+        # distribution, catching many-small-shift drift KS's single
+        # supremum can miss — same distinct-value/prefix-sum shape,
+        # tie-safe pooled form, DECIMAL/HUGEINT squares
+        return _st.cvm_drift(
+            _rd.read_table(spark, sf_dir, "events"),
+            "value",
+            "event_type",
+            "purchase",
+        )
+
     def x_bootstrap_ci(spark, sf_dir):
         # one-pass Poisson bootstrap (Chamandy et al.): 200 replicate
         # means of doc length from per-(row, replicate) Poisson(1)
@@ -3135,6 +3148,14 @@ GROUP BY GROUPING SETS (
             emb, queries=emb.where(F.col("vec_id") % 10 == 0), k=ANN_K
         )
 
+    def x_mutual_knn(spark, sf_dir):
+        # reciprocal nearest neighbors: keep (a, b) only when each is
+        # in the OTHER's cosine top-k — the mutual-kNN dedup filter
+        # (one-directional membership is cheap in dense regions;
+        # reciprocity is the real duplicate symmetry); pure pair
+        # algebra over the exact top-k table
+        return _sim.mutual_knn_pairs(_emb(spark, sf_dir), k=ANN_K)
+
     def x_ann_lsh_topk(spark, sf_dir):
         # oracle: the sketch is deterministic integer arithmetic, so the
         # whole band/candidate/re-rank plan has an exact SQL twin
@@ -3317,6 +3338,7 @@ GROUP BY GROUPING SETS (
         t17_f2_sketch,
         x_bootstrap_ci,
         x_ks_drift,
+        x_cvm_drift,
         x_mis_diverse,
         x_feature_hash_embed,
         a19_exact_median_qs,
@@ -3514,6 +3536,7 @@ GROUP BY GROUPING SETS (
         x_dedup_minhash_lsh,
         x_dedup_eval,
         x_dedup_bcubed,
+        x_mutual_knn,
         x_dedup_simhash,
         x_dedup_lsh_capped,
         x_lsh_super_buckets,
@@ -3605,7 +3628,7 @@ _WINDOW_PRIORITY = [
     "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
     "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
     "x_chi2_lang_source", "x_conformal_by_lang", "x_dedup_eval",
-    "x_dedup_bcubed", "x_pr_curve",
+    "x_dedup_bcubed", "x_pr_curve", "x_mutual_knn", "x_cvm_drift",
 ]
 
 
@@ -3884,6 +3907,9 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "SELECT unnest(" + _ts._TOKS_SQL + ") AS item"
             " FROM documents",
             "item",
+        ),
+        "x_cvm_drift": _st.cvm_drift_sql(
+            "SELECT * FROM events", "value", "event_type", "purchase"
         ),
         "x_ks_drift": _st.ks_drift_sql(
             "SELECT * FROM events", "value", "event_type", "purchase"
@@ -4894,6 +4920,7 @@ WHERE vec_id NOT IN (
         "x_ann_cosine_topk": _sim.cosine_topk_sql(
             ANN_K, query_filter="qid % 10 = 0"
         ),
+        "x_mutual_knn": _sim.mutual_knn_pairs_sql(ANN_K),
         "x_ann_lsh_topk": _sim.hyperplane_lsh_topk_sql(ANN_K, dim=64),
         "x_ann_ivf_topk": _sim.ivf_topk_sql(
             ANN_K, _gold.C3_CENTERS, nprobe=2

@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "x_dedup_eval",
     "x_dedup_bcubed",
     "x_pr_curve",
+    "x_mutual_knn",
+    "x_cvm_drift",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

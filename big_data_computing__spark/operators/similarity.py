@@ -3124,3 +3124,53 @@ def jl_projection_sql(
         for j in range(out_dim)
     )
     return f"WITH qd AS MATERIALIZED ({qd}) {rows}"
+
+
+def mutual_knn_pairs(
+    emb: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs: DataFrame[vec_a, vec_b,
+    score] with vec_a < vec_b, keeping (a, b) only when b is in a's
+    cosine top-k AND a is in b's — the mutual-kNN filter image-dedup
+    and SNN-clustering pipelines run on top of any ANN tier, because
+    one-directional neighborhood membership is cheap to satisfy in a
+    dense region while reciprocity is the actual symmetry of "these
+    two are each other's duplicates".
+
+    Built as pure pair algebra over the engine's exact
+    :func:`cosine_topk` self-search (queries = full corpus): one
+    self-join of the top-k table on the reversed key. Swapping in a
+    celled tier (ivf_topk etc.) changes the candidate generator, not
+    this reciprocity join. Score is the cosine (identical in both
+    directions by symmetry — the join keeps a's copy).
+
+    Scale: the top-k table is k·N rows; the reciprocity join is an
+    equi-join on (query_id, vec_id) — candidate-sized, never
+    corpus-squared.
+    """
+    topk = cosine_topk(emb, k=k).select("query_id", "vec_id", "score")
+    rev = topk.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("query_id").alias("vec_id"),
+    )
+    return (
+        topk.join(rev, ["query_id", "vec_id"], "left_semi")
+        .where(F.col("query_id") < F.col("vec_id"))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            "score",
+        )
+    )
+
+
+def mutual_knn_pairs_sql(k: int = 3) -> str:
+    """DuckDB twin of :func:`mutual_knn_pairs`."""
+    return f"""
+WITH topk AS ({cosine_topk_sql(k)})
+SELECT a.query_id AS vec_a, a.vec_id AS vec_b, a.score
+FROM topk a
+JOIN topk b ON b.query_id = a.vec_id AND b.vec_id = a.query_id
+WHERE a.query_id < a.vec_id
+"""

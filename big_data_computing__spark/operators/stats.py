@@ -1972,3 +1972,127 @@ JOIN pts p
                        // {n_points}
  AND (p.point * t.n_total + {n_points - 1}) // {n_points} <= m.cum_all
 """
+
+
+def cvm_drift(
+    rows: DataFrame,
+    value_col: str,
+    split_col: str,
+    base_value: str,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises criterion between the
+    ``split_col == base_value`` slice and everything else — one row:
+    DataFrame[n_base, n_comp, cvm_micro].
+
+    The integrated companion of :func:`ks_drift`: KS is the SUP of the
+    CDF gap and fires on one sharp local shift; CvM integrates the
+    SQUARED gap over the pooled distribution and accumulates many
+    small shifts KS's single supremum can miss. Tie-safe pooled form
+    (the empirical integral ∫(F_a−F_b)² dH_pooled): with per-distinct-
+    value counts (a_v, b_v), inclusive cumulatives (ca, cb), totals
+    (n, m), N = n+m,
+
+        cvm_micro = ⌊10^6 · Σ_v (a_v+b_v)·(ca_v·m − cb_v·n)²
+                      / (N² · n · m)⌋
+
+    — every factor an integer; the per-value squares run in
+    DECIMAL(38,0)/HUGEINT ((ca·m)² reaches 10^22 at million-row
+    slices; the final quotient needs n·m·N² < 10^38 − trivially true
+    whenever the counts fit BIGINT).
+
+    Scale shape: identical to ks_drift — one map-side-combinable
+    aggregate to the distinct-value table, two distributed prefix
+    sums over it, a 1-row reduction.
+    """
+    from .relational import global_prefix_sum
+
+    is_base = (F.col(split_col) == base_value).cast("long")
+    per = (
+        rows.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(is_base).alias("na"),
+            F.sum(F.lit(1) - is_base).alias("nb"),
+        )
+    )
+    pa = global_prefix_sum(
+        per, "na", "v", out_col="pa", n_partitions=n_partitions
+    )
+    pb = global_prefix_sum(
+        pa, "nb", "v", out_col="pb", n_partitions=n_partitions
+    ).select(
+        "v",
+        "na",
+        "nb",
+        (F.col("pa") + F.col("na")).alias("ca"),
+        (F.col("pb") + F.col("nb")).alias("cb"),
+    )
+    tot = pb.agg(
+        F.sum("na").cast("long").alias("n_base"),
+        F.sum("nb").cast("long").alias("n_comp"),
+    )
+    return (
+        pb.crossJoin(F.broadcast(tot))
+        .select(
+            "n_base",
+            "n_comp",
+            F.expr(
+                "CAST((na + nb) AS DECIMAL(38,0)) * "
+                "(CAST(ca AS DECIMAL(38,0)) * n_comp"
+                " - CAST(cb AS DECIMAL(38,0)) * n_base) * "
+                "(CAST(ca AS DECIMAL(38,0)) * n_comp"
+                " - CAST(cb AS DECIMAL(38,0)) * n_base)"
+            ).alias("term"),
+        )
+        .groupBy("n_base", "n_comp")
+        .agg(F.sum("term").alias("u"))
+        .select(
+            "n_base",
+            "n_comp",
+            F.expr(
+                "CAST((1000000 * u) div "
+                "(CAST(n_base + n_comp AS DECIMAL(38,0))"
+                " * (n_base + n_comp) * n_base * n_comp) AS BIGINT)"
+            ).alias("cvm_micro"),
+        )
+    )
+
+
+def cvm_drift_sql(
+    rows_sql: str, value_expr: str, split_expr: str, base_value: str
+) -> str:
+    """DuckDB twin of :func:`cvm_drift` (window cum sums stand in for
+    the distributed prefix passes; HUGEINT squares)."""
+    return f"""
+WITH pv AS (
+  SELECT {value_expr} AS v,
+         SUM(CASE WHEN {split_expr} = '{base_value}' THEN 1 ELSE 0 END)
+           AS na,
+         SUM(CASE WHEN {split_expr} = '{base_value}' THEN 0 ELSE 1 END)
+           AS nb
+  FROM ({rows_sql}) WHERE {value_expr} IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT v, na, nb,
+         SUM(na) OVER (ORDER BY v) AS ca,
+         SUM(nb) OVER (ORDER BY v) AS cb
+  FROM pv
+),
+tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_base,
+         CAST(SUM(nb) AS BIGINT) AS n_comp
+  FROM pv
+)
+SELECT t.n_base, t.n_comp,
+       CAST((1000000 * SUM(CAST(na + nb AS HUGEINT)
+              * (CAST(ca AS HUGEINT) * t.n_comp
+                 - CAST(cb AS HUGEINT) * t.n_base)
+              * (CAST(ca AS HUGEINT) * t.n_comp
+                 - CAST(cb AS HUGEINT) * t.n_base)))
+            // (CAST(t.n_base + t.n_comp AS HUGEINT)
+                * (t.n_base + t.n_comp) * t.n_base * t.n_comp)
+            AS BIGINT) AS cvm_micro
+FROM cum CROSS JOIN tot t
+GROUP BY t.n_base, t.n_comp
+"""

@@ -739,3 +739,55 @@ def test_pr_curve_tie_run_reports_whole(spark):
     assert len(got) == 4
     for r in got:
         assert (r.n_pred_pos, r.n_tp) == (10, 4)
+
+
+def test_mutual_knn_reciprocity(spark, sf_dir):
+    from big_data_computing__spark.operators.similarity import (
+        cosine_topk,
+        mutual_knn_pairs,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = mutual_knn_pairs(emb, k=3)
+    topk = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, k=3).collect()
+    }
+    rows = pairs.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        # reciprocity: both directions present in the top-k table
+        assert (r.vec_a, r.vec_b) in topk and (r.vec_b, r.vec_a) in topk
+    # completeness: every reciprocal top-k pair is reported
+    want = {
+        (a, b) for (a, b) in topk if a < b and (b, a) in topk
+    }
+    assert {(r.vec_a, r.vec_b) for r in rows} == want
+
+
+def test_cvm_drift_properties(spark):
+    from big_data_computing__spark.operators.stats import cvm_drift
+
+    # identical distributions: gap zero everywhere -> statistic 0
+    rows = [
+        (float((i // 2) % 10), "a" if i % 2 else "b") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = cvm_drift(df, "value", "grp", "a").collect()[0]
+    assert got.cvm_micro == 0
+    # disjoint supports: maximal integrated gap; pure-python check
+    rows = [(float(i), "a") for i in range(10)] + [
+        (float(100 + i), "b") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = cvm_drift(df, "value", "grp", "a").collect()[0]
+    n = m = 10
+    N = n + m
+    u = 0
+    # values 0..9: ca = i+1, cb = 0; values 100..109: ca = 10, cb = j+1
+    for i in range(10):
+        u += 1 * ((i + 1) * m - 0 * n) ** 2
+    for j in range(10):
+        u += 1 * (10 * m - (j + 1) * n) ** 2
+    assert got.cvm_micro == (1_000_000 * u) // (N * N * n * m)
