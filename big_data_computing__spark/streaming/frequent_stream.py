@@ -782,3 +782,43 @@ class GiniState:
                      (1000 * (2 * iw - (n + 1) * total)) // (n * total))
                 )
         return out
+
+
+class CvmDriftState:
+    """Mergeable streaming Cramér–von Mises state: the same
+    per-distinct-value (n_base, n_comp) counts as :class:`KSDriftState`
+    (linear, replay-safe), with ``estimate()`` evaluating the
+    integrated-squared-gap criterion of ``operators.stats.cvm_drift``
+    instead of the supremum — run both states off one stream and the
+    dashboard shows the sharp-shift detector and the accumulated-shift
+    detector side by side from identical folded counts."""
+
+    def __init__(self, value_col: str, split_col: str, base_value: str):
+        self.value_col = value_col
+        self.split_col = split_col
+        self.base_value = base_value
+        self.counts: dict[float, list[int]] = {}
+        self._seen: set[int] = set()
+
+    update = KSDriftState.update
+
+    def estimate(self) -> tuple[int, int, int]:
+        """(n_base, n_comp, cvm_micro) under the exact batch integer
+        convention. Raises while a slice is empty (criterion
+        undefined; the batch twin divides by zero there too)."""
+        n = sum(c[0] for c in self.counts.values())
+        m = sum(c[1] for c in self.counts.values())
+        if n == 0 or m == 0:
+            raise ValueError(
+                "CvmDriftState.estimate: a slice is empty — the "
+                "criterion is undefined until both sides have arrived"
+            )
+        ca = cb = 0
+        u = 0
+        for v in sorted(self.counts):
+            na, nb = self.counts[v]
+            ca += na
+            cb += nb
+            u += (na + nb) * (ca * m - cb * n) ** 2
+        big_n = n + m
+        return n, m, (1_000_000 * u) // (big_n * big_n * n * m)

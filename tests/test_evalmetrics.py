@@ -791,3 +791,34 @@ def test_cvm_drift_properties(spark):
     for j in range(10):
         u += 1 * (10 * m - (j + 1) * n) ** 2
     assert got.cvm_micro == (1_000_000 * u) // (N * N * n * m)
+
+
+def test_cvm_stream_state_equals_batch(spark, sf_dir):
+    from big_data_computing__spark.operators.stats import cvm_drift
+    from big_data_computing__spark.streaming.frequent_stream import (
+        CvmDriftState,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rows = ev.orderBy("event_id").collect()
+    chunks = [rows[i : i + 400] for i in range(0, len(rows), 400)]
+    schema = "event_id long, event_type string, value double"
+    st = CvmDriftState("value", "event_type", "purchase")
+    seen: list = []
+    for bid, chunk in enumerate(chunks):
+        st.update(spark.createDataFrame(chunk, schema), bid)
+        seen.extend(chunk)
+        want = cvm_drift(
+            spark.createDataFrame(seen, schema),
+            "value",
+            "event_type",
+            "purchase",
+        ).collect()[0]
+        assert st.estimate() == (
+            want["n_base"], want["n_comp"], want["cvm_micro"],
+        )
+    empty = CvmDriftState("value", "event_type", "purchase")
+    with pytest.raises(ValueError, match="undefined"):
+        empty.estimate()
