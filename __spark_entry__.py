@@ -2497,6 +2497,16 @@ GROUP BY GROUPING SETS (
             _dd.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD),
         )
 
+    def x_random_walks(spark, sf_dir):
+        # DeepWalk's data side over the duplicate graph: one 4-step
+        # walk per node, each step a counter-PRNG argmin over the
+        # neighbor set (fresh hash per walk x step = a uniform draw,
+        # not a fixed edge priority) — order-free, cluster-size-
+        # invariant, and replayed verbatim by the oracle
+        return _dd.random_walks(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
     def x_dedup_bcubed(spark, sf_dir):
         # cluster-level grading of the same surface: B-cubed
         # precision/recall/F1 of the CC closure over MinHash pairs
@@ -3537,6 +3547,7 @@ GROUP BY GROUPING SETS (
         x_dedup_eval,
         x_dedup_bcubed,
         x_mutual_knn,
+        x_random_walks,
         x_dedup_simhash,
         x_dedup_lsh_capped,
         x_lsh_super_buckets,
@@ -3629,6 +3640,7 @@ _WINDOW_PRIORITY = [
     "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
     "x_chi2_lang_source", "x_conformal_by_lang", "x_dedup_eval",
     "x_dedup_bcubed", "x_pr_curve", "x_mutual_knn", "x_cvm_drift",
+    "x_random_walks",
 ]
 
 
@@ -4690,6 +4702,9 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""",
         "x_dedup_exact": _dd.exact_dedup_groups_sql(),
         "x_dedup_minhash_lsh": _dd.minhash_lsh_pairs_sql(),
+        "x_random_walks": _dd.random_walks_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
         "x_dedup_bcubed": _dd.bcubed_eval_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})",
             f"SELECT doc_a, doc_b FROM"

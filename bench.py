@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "x_pr_curve",
     "x_mutual_knn",
     "x_cvm_drift",
+    "x_random_walks",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

@@ -24,7 +24,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -4114,3 +4114,112 @@ SELECT n_docs,
          AS bcubed_f1_micro
 FROM agg
 """
+
+
+WALK_SEED = "walk-v1"
+
+
+def random_walks(
+    pairs: DataFrame,
+    length: int = 4,
+    seed: str = WALK_SEED,
+) -> DataFrame:
+    """Deterministic random walks over an undirected pair graph — the
+    data side of DeepWalk/node2vec (Perozzi et al. 2014): one
+    ``length``-step walk per node, DataFrame[start, step, node] with
+    step 0 = the start itself.
+
+    The step choice is the engine's counter-PRNG contract instead of a
+    stateful RNG: from node u at step t of start s's walk, the
+    successor is the neighbor v minimizing
+    ``hash60(seed:s:t:u:v)`` — a pure row function, so the walk corpus
+    is order-free, embarrassingly parallel, identical on any cluster
+    size, and replayable verbatim in DuckDB (each neighbor's hash is
+    fresh per (walk, step), so this is a uniform draw per step, not a
+    fixed per-edge priority). Dead-end nodes simply truncate (no
+    self-loop padding) — with symmetrized edges that only happens on
+    isolated starts, which never enter.
+
+    Plan: ``length`` chained candidate joins, each frontier-sized ×
+    mean degree, with a per-(start)-partitioned rank window picking
+    the argmin — a STATIC declarative plan (no driver loop state), so
+    Catalyst sees the whole pipeline. Walk fan-out is n_nodes rows per
+    step, never edges².
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+            )
+        )
+        .distinct()
+    )
+    frontier = edges.select(F.col("u").alias("start")).distinct().select(
+        "start", F.lit(0).alias("step"), F.col("start").alias("node")
+    )
+    out = frontier
+    for t in range(1, length + 1):
+        cand = frontier.join(
+            edges, frontier["node"] == edges["u"]
+        ).select(
+            "start",
+            F.lit(t).alias("step"),
+            F.col("v").alias("nxt"),
+            hash60(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("start").cast("string"),
+                    F.lit(str(t)),
+                    F.col("node").cast("string"),
+                    F.col("v").cast("string"),
+                )
+            ).alias("h"),
+        )
+        w = Window.partitionBy("start").orderBy("h", "nxt")
+        frontier = (
+            cand.select(
+                "start",
+                "step",
+                F.col("nxt").alias("node"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        out = out.unionByName(frontier)
+    return out
+
+
+def random_walks_sql(
+    pairs_sql: str, length: int = 4, seed: str = WALK_SEED
+) -> str:
+    """DuckDB twin of :func:`random_walks` — identical hashes,
+    identical argmin tie order."""
+    h = hash60_sql(
+        f"'{seed}:' || CAST(w.start AS VARCHAR) || ':{{t}}:' "
+        f"|| CAST(w.node AS VARCHAR) || ':' || CAST(e.v AS VARCHAR)"
+    )
+    ctes = [
+        f"p AS ({pairs_sql})",
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM p "
+        "UNION SELECT doc_b, doc_a FROM p)",
+        "w0 AS (SELECT DISTINCT u AS start, 0 AS step, u AS node FROM e)",
+    ]
+    for t in range(1, length + 1):
+        ht = h.replace("{t}", str(t))
+        ctes.append(
+            f"""w{t} AS (
+  SELECT start, {t} AS step, node FROM (
+    SELECT w.start, e.v AS node,
+           ROW_NUMBER() OVER (PARTITION BY w.start
+                              ORDER BY {ht}, e.v) AS rn
+    FROM w{t - 1} w JOIN e ON e.u = w.node
+  ) WHERE rn = 1
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, step, node FROM w{t}" for t in range(length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects

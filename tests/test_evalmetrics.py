@@ -822,3 +822,39 @@ def test_cvm_stream_state_equals_batch(spark, sf_dir):
     empty = CvmDriftState("value", "event_type", "purchase")
     with pytest.raises(ValueError, match="undefined"):
         empty.estimate()
+
+
+def test_random_walks_structure(spark):
+    from big_data_computing__spark.operators.dedup import random_walks
+
+    # path graph 1-2-3-4: every walk must follow edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    walks = random_walks(pairs, length=3).collect()
+    by_start = {}
+    for r in walks:
+        by_start.setdefault(r.start, {})[r.step] = r.node
+    edges = {(1, 2), (2, 3), (3, 4), (2, 1), (3, 2), (4, 3)}
+    assert set(by_start) == {1, 2, 3, 4}
+    for s0, steps in by_start.items():
+        assert steps[0] == s0
+        for t in range(1, len(steps)):
+            assert (steps[t - 1], steps[t]) in edges  # legal moves only
+        assert len(steps) == 4  # no dead ends on a connected graph
+
+
+def test_random_walks_deterministic_and_seeded(spark):
+    from big_data_computing__spark.operators.dedup import random_walks
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "doc_a long, doc_b long"
+    )
+    a = sorted(tuple(r) for r in random_walks(pairs, length=4).collect())
+    b = sorted(tuple(r) for r in random_walks(pairs, length=4).collect())
+    assert a == b  # pure function of (graph, seed)
+    c = sorted(
+        tuple(r)
+        for r in random_walks(pairs, length=4, seed="other").collect()
+    )
+    assert a != c  # the seed actually steers the draws
