@@ -268,6 +268,10 @@ BENCH_QUERIES = [
     "x_mutual_knn",
     "x_cvm_drift",
     "x_random_walks",
+    # x_mutual_knn stays correctness-gated but out of the headline set
+    # (house convention for deliberate exact baselines, like
+    # c9_outliers_nd): its cost IS the full-corpus brute cosine pass;
+    # the production shape swaps in a celled candidate generator
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

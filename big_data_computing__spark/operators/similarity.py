@@ -3147,7 +3147,11 @@ def mutual_knn_pairs(
 
     Scale: the top-k table is k·N rows; the reciprocity join is an
     equi-join on (query_id, vec_id) — candidate-sized, never
-    corpus-squared.
+    corpus-squared. The dominant cost is the full-corpus exact
+    scoring pass itself (queries = the whole corpus — the brute
+    baseline; production swaps in a celled generator), so this
+    operator follows the engine's exact-baseline convention:
+    correctness-gated, not in the bench headline set.
     """
     topk = cosine_topk(emb, k=k).select("query_id", "vec_id", "score")
     rev = topk.select(
