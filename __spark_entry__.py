@@ -38,6 +38,9 @@ from big_data_computing__spark.operators import windows as _wd
 from big_data_computing__spark.plans import fft_golden_sf001 as _gold
 from big_data_computing__spark.plans import pca_golden_sf001 as _pcag
 from big_data_computing__spark.sources import readers as _rd
+from big_data_computing__spark.streaming import frequent_stream as _fs
+from big_data_computing__spark.streaming import windows_stream as _ws
+from big_data_computing__spark.streaming.replay import replay_batches as _replay
 
 # ---------------------------------------------------------------------------
 # Fixed parameters (chosen so every result class is non-degenerate at
@@ -420,6 +423,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value",
             "event_type",
             "purchase",
+        )
+
+    # -- streaming-state stream-end reports (r8): each mergeable
+    # foreachBatch state replayed over a deterministic micro-batch
+    # split of the SAME fixture its batch twin reads, final
+    # estimate() emitted as a DataFrame and hash-compared by the
+    # driver against the BATCH operator's oracle — stream-end ≡ batch
+    # under the hard signal, not just pytest (VERDICT r7 item #5).
+    # Real-streaming machinery equivalence (availableNow source,
+    # checkpoint replays) is pinned by the suite's bit-parity tests;
+    # replay_batches calls the exact state.update a foreachBatch sink
+    # invokes per trigger. --
+
+    def x_streaming_auc_final(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        scored = (
+            _rg.ridge_quality_scores(docs)
+            .select("doc_id", "score")
+            .join(
+                _cu.gopher_quality_report(docs).select("doc_id", "passes"),
+                "doc_id",
+            )
+        )
+        st = _fs.AucState("score", "passes")
+        _replay(scored, st, key=F.col("doc_id"))
+        return spark.createDataFrame(
+            [st.estimate()], "n_pos long, n_neg long, auc_micro long"
+        )
+
+    def x_streaming_ks_final(spark, sf_dir):
+        ev = _rd.read_table(spark, sf_dir, "events")
+        st = _fs.KSDriftState("value", "event_type", "purchase")
+        _replay(ev, st, key=F.col("event_id"))
+        return spark.createDataFrame(
+            [st.estimate()],
+            "n_base long, n_comp long, ks_milli long, at_value double",
+        )
+
+    def x_streaming_cvm_final(spark, sf_dir):
+        ev = _rd.read_table(spark, sf_dir, "events")
+        st = _fs.CvmDriftState("value", "event_type", "purchase")
+        _replay(ev, st, key=F.col("event_id"))
+        return spark.createDataFrame(
+            [st.estimate()], "n_base long, n_comp long, cvm_micro long"
+        )
+
+    def x_streaming_ht_final(spark, sf_dir):
+        od = _rd.read_table(spark, sf_dir, "orders")
+        st = _fs.HtState("o_totalprice", "o_orderpriority", "o_orderkey")
+        _replay(od, st, key=F.col("o_orderkey"))
+        return spark.createDataFrame(
+            st.estimate(),
+            "stratum string, n_rows long, n_sampled long, "
+            "exact_cents long, est_cents long, err_milli long",
+        )
+
+    def x_streaming_gini_final(spark, sf_dir):
+        st = _fs.GiniState("n_chars", "source")
+        _replay(_docs(spark, sf_dir), st, key=F.col("doc_id"))
+        return spark.createDataFrame(
+            st.estimate(),
+            "source string, n long, total long, gini_milli long",
+        )
+
+    def x_streaming_ewma_final(spark, sf_dir):
+        ev = _rd.read_table(spark, sf_dir, "events")
+        st = _ws.EwmaState(ts_col="ts", key_col="event_type")
+        _replay(ev, st, key=F.col("event_id"))
+        return spark.createDataFrame(
+            st.estimate(),
+            "event_type string, day long, n_events long, "
+            "ewma_milli long, ratio_milli long",
         )
 
     def x_bootstrap_ci(spark, sf_dir):
@@ -3166,6 +3241,27 @@ GROUP BY GROUPING SETS (
         # algebra over the exact top-k table
         return _sim.mutual_knn_pairs(_emb(spark, sf_dir), k=ANN_K)
 
+    def x_mutual_knn_ivf(spark, sf_dir):
+        # the production shape of mutual kNN: the celled IVF tier
+        # generates each point's top-k (nprobe cells per query, never
+        # the full corpus), then the SAME reciprocity join filters to
+        # mutual pairs — proving the documented one-line generator
+        # swap. Oracled with the pinned-MRFFT-center machinery of
+        # x_ann_ivf_topk; parity=True for the driver hash.
+        emb = _emb(spark, sf_dir)
+        return _sim.mutual_knn_pairs(
+            emb,
+            k=ANN_K,
+            topk=_sim.ivf_topk(
+                emb,
+                k=ANN_K,
+                n_cells=FFT_K,
+                seed=SEED,
+                l=FFT_L,
+                parity=True,
+            ),
+        )
+
     def x_ann_lsh_topk(spark, sf_dir):
         # oracle: the sketch is deterministic integer arithmetic, so the
         # whole band/candidate/re-rank plan has an exact SQL twin
@@ -3349,6 +3445,12 @@ GROUP BY GROUPING SETS (
         x_bootstrap_ci,
         x_ks_drift,
         x_cvm_drift,
+        x_streaming_auc_final,
+        x_streaming_ks_final,
+        x_streaming_cvm_final,
+        x_streaming_ht_final,
+        x_streaming_gini_final,
+        x_streaming_ewma_final,
         x_mis_diverse,
         x_feature_hash_embed,
         a19_exact_median_qs,
@@ -3547,6 +3649,7 @@ GROUP BY GROUPING SETS (
         x_dedup_eval,
         x_dedup_bcubed,
         x_mutual_knn,
+        x_mutual_knn_ivf,
         x_random_walks,
         x_dedup_simhash,
         x_dedup_lsh_capped,
@@ -3602,37 +3705,17 @@ GROUP BY GROUPING SETS (
 # is the original registration order, so the mapping stays total and
 # deterministic.
 _WINDOW_PRIORITY = [
-    # round-6 HUGEINT-red five first (the only red on the board):
-    # value-correct all along, re-green the driver hash now that the
-    # oracle casts landed (VERDICT r6 item #1).
-    "t17_f2_sketch", "x_bootstrap_ci", "x_bootstrap_ci_by_source",
-    "x_feature_hash_embed", "a21_weighted_median",
-    "q21_sole_blame_supplier", "q22_dormant_rich_customers",
-    "q7_nation_trade_volume", "q8_market_share",
-    "q9_product_type_profit", "q11_important_parts",
-    "q12_late_shipments", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier",
-    "q16_part_supplier_counts", "q19_banded_revenue",
-    "q20_heavy_shippers", "a18_grouping_sets",
-    "x_dedup_survivors_quality", "x_keyword_tags", "x_dq_report",
-    "x_corpus_drift", "w16_ab_funnel", "w17_scd2_history",
-    "x_ingest_accepted", "x_media_chunks", "x_ann_ivf_int8_topk",
-    "x_ann_hamming_topk", "x_ann_hamming_rerank", "w13_event_spikes",
-    "w14_gapfill_locf", "w15_mad_outliers", "x_quality_calibration",
-    "x_dedup_components_sc", "x_substring_seed_vocab",
-    "x_gopher_quality", "x_semdedup_within_cell",
-    "x_suffix_array_sample", "x_adjacent_lcp_top", "x_bm25_topk",
-    "x_search_conjunctive", "x_search_phrase", "x_dsir_importance",
-    "x_dsir_topk", "x_bigram_rarity", "x_bpe_byte_pairs",
-    "x_wordpiece_pairs", "x_kmeans_clusters", "x_label_propagation",
+    # The 34 registry names that have NEVER held a driver hash-green
+    # row (= ORACLE_FULL_r07 keys minus the union of hash-green names
+    # across CORRECTNESS_r01..r07; recomputed from the artifacts this
+    # round, matches VERDICT r7 item #1's list exactly). All 34 are
+    # value-matched by the type-strict local gate; the driver window
+    # is the hard signal, so they fill positions 1-34.
     "x_personalized_pagerank", "x_chunk_documents",
     "j9_bloom_semi_join", "t13_kmv_distinct", "t14_kmv_jaccard",
     "t15_kmv_source_matrix", "o5_hilbert_cells", "x_media_ahash",
-    # new round-7 queries (never windowed by construction) — after the
-    # round-6 backlog, ahead of everything already driver-green.
     "x_dedup_lsh_capped", "x_lsh_super_buckets", "x_ks_drift",
     "a22_salted_agg", "j11_salted_join",
-    # round-7b wave (this session's new queries, never windowed):
     "x_auc_quality", "x_auc_by_lang",
     "x_retrieval_eval_hamming", "x_retrieval_eval_int8",
     "w20_ewma_daily", "w21_acf_daily", "a23_ht_total",
@@ -3641,6 +3724,12 @@ _WINDOW_PRIORITY = [
     "x_chi2_lang_source", "x_conformal_by_lang", "x_dedup_eval",
     "x_dedup_bcubed", "x_pr_curve", "x_mutual_knn", "x_cvm_drift",
     "x_random_walks",
+    # Round-8 NEW queries (never windowed by construction) occupy the
+    # remaining window slots (35-50):
+    "x_mutual_knn_ivf",
+    "x_streaming_auc_final", "x_streaming_gini_final",
+    "x_streaming_ewma_final", "x_streaming_ht_final",
+    "x_streaming_ks_final", "x_streaming_cvm_final",
 ]
 
 
@@ -3925,6 +4014,28 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
         ),
         "x_ks_drift": _st.ks_drift_sql(
             "SELECT * FROM events", "value", "event_type", "purchase"
+        ),
+        # streaming-state stream-end reports: the oracle is the BATCH
+        # operator's SQL twin over the same fixture — hash equality
+        # proves stream-end ≡ batch under the driver's signal
+        "x_streaming_ks_final": _st.ks_drift_sql(
+            "SELECT * FROM events", "value", "event_type", "purchase"
+        ),
+        "x_streaming_cvm_final": _st.cvm_drift_sql(
+            "SELECT * FROM events", "value", "event_type", "purchase"
+        ),
+        "x_streaming_gini_final": _st.gini_by_sql(
+            "SELECT * FROM documents",
+            "n_chars",
+            "source",
+            "doc_id",
+        ),
+        "x_streaming_ewma_final": _wd.ewma_daily_sql(),
+        "x_streaming_ht_final": _st.ht_total_sql(
+            "SELECT * FROM orders",
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderkey",
         ),
         "x_bootstrap_ci": _st.poisson_bootstrap_ci_sql(
             "SELECT * FROM documents",
@@ -4794,6 +4905,13 @@ WHERE vec_id NOT IN (
             "score",
             "passes",
         ),
+        "x_streaming_auc_final": _st.auc_report_sql(
+            f"SELECT s.score, g.passes "
+            f"FROM ({_rg.ridge_quality_scores_sql()}) s "
+            f"JOIN ({_cu.gopher_quality_report_sql()}) g USING (doc_id)",
+            "score",
+            "passes",
+        ),
         "x_auc_by_lang": _st.auc_by_sql(
             f"SELECT d.lang, s.score, g.passes FROM documents d "
             f"JOIN ({_rg.ridge_quality_scores_sql()}) s USING (doc_id) "
@@ -4936,6 +5054,9 @@ WHERE vec_id NOT IN (
             ANN_K, query_filter="qid % 10 = 0"
         ),
         "x_mutual_knn": _sim.mutual_knn_pairs_sql(ANN_K),
+        "x_mutual_knn_ivf": _sim.mutual_knn_from_sql(
+            _sim.ivf_topk_sql(ANN_K, _gold.C3_CENTERS, nprobe=2)
+        ),
         "x_ann_lsh_topk": _sim.hyperplane_lsh_topk_sql(ANN_K, dim=64),
         "x_ann_ivf_topk": _sim.ivf_topk_sql(
             ANN_K, _gold.C3_CENTERS, nprobe=2

@@ -265,13 +265,14 @@ BENCH_QUERIES = [
     "x_dedup_eval",
     "x_dedup_bcubed",
     "x_pr_curve",
-    "x_mutual_knn",
     "x_cvm_drift",
     "x_random_walks",
     # x_mutual_knn stays correctness-gated but out of the headline set
     # (house convention for deliberate exact baselines, like
     # c9_outliers_nd): its cost IS the full-corpus brute cosine pass;
-    # the production shape swaps in a celled candidate generator
+    # the production shape is x_mutual_knn_ivf below (celled candidate
+    # generator, same reciprocity join)
+    "x_mutual_knn_ivf",
 ]
 
 # Repeats per query; the reported time is the MEDIAN. One slow run on a

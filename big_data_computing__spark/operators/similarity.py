@@ -3129,6 +3129,7 @@ def jl_projection_sql(
 def mutual_knn_pairs(
     emb: DataFrame,
     k: int = 3,
+    topk: DataFrame | None = None,
 ) -> DataFrame:
     """Reciprocal nearest-neighbor pairs: DataFrame[vec_a, vec_b,
     score] with vec_a < vec_b, keeping (a, b) only when b is in a's
@@ -3142,7 +3143,9 @@ def mutual_knn_pairs(
     :func:`cosine_topk` self-search (queries = full corpus): one
     self-join of the top-k table on the reversed key. Swapping in a
     celled tier (ivf_topk etc.) changes the candidate generator, not
-    this reciprocity join. Score is the cosine (identical in both
+    this reciprocity join — pass its DataFrame[query_id, vec_id,
+    score] as ``topk`` (the production path; see
+    ``x_mutual_knn_ivf``). Score is the cosine (identical in both
     directions by symmetry — the join keeps a's copy).
 
     Scale: the top-k table is k·N rows; the reciprocity join is an
@@ -3153,7 +3156,9 @@ def mutual_knn_pairs(
     operator follows the engine's exact-baseline convention:
     correctness-gated, not in the bench headline set.
     """
-    topk = cosine_topk(emb, k=k).select("query_id", "vec_id", "score")
+    if topk is None:
+        topk = cosine_topk(emb, k=k)
+    topk = topk.select("query_id", "vec_id", "score")
     rev = topk.select(
         F.col("vec_id").alias("query_id"),
         F.col("query_id").alias("vec_id"),
@@ -3170,9 +3175,17 @@ def mutual_knn_pairs(
 
 
 def mutual_knn_pairs_sql(k: int = 3) -> str:
-    """DuckDB twin of :func:`mutual_knn_pairs`."""
+    """DuckDB twin of :func:`mutual_knn_pairs` (brute generator)."""
+    return mutual_knn_from_sql(cosine_topk_sql(k))
+
+
+def mutual_knn_from_sql(topk_sql: str) -> str:
+    """Reciprocity join over ANY top-k SQL producing (query_id,
+    vec_id, score) — the SQL twin of passing ``topk=`` to
+    :func:`mutual_knn_pairs`. Compose with :func:`ivf_topk_sql` for
+    the celled production shape."""
     return f"""
-WITH topk AS ({cosine_topk_sql(k)})
+WITH topk AS ({topk_sql})
 SELECT a.query_id AS vec_a, a.vec_id AS vec_b, a.score
 FROM topk a
 JOIN topk b ON b.query_id = a.vec_id AND b.vec_id = a.query_id

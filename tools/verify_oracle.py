@@ -110,6 +110,7 @@ def main() -> int:
         "x_ann_ivf_pq_topk",
         "x_ann_ivf_rpq_topk",
         "x_ann_ivf_rpq_prod",
+        "x_mutual_knn_ivf",
     }
     skip: set = set()
     if "--skip" in argv:
