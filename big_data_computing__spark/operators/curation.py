@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.sqlsafe import sql_str
+
 from ..functions.hashing import hash60, hash60_sql, uniform01, uniform01_sql
 from ..functions.text import token_count, tokens, word_ngrams
 
@@ -1630,7 +1632,7 @@ def corpus_drift_report_sql(
     return f"""
 WITH q AS ({quality_scores_sql()}),
 per_doc AS (
-  SELECT CAST(d.{split_col} = '{base_value}' AS BIGINT) AS b,
+  SELECT CAST(d.{split_col} = {sql_str(base_value)} AS BIGINT) AS b,
          least(CAST(ROUND(q.quality_score * 1000000) AS BIGINT)
                // 100000, 9) AS qbin,
          least(CAST(q.n_tokens AS BIGINT) // 20, 9) AS lbin

@@ -46,6 +46,7 @@ from ..functions.hashing import (
     hash60_sql,
     uniform01_sql,
 )
+from ..functions.sqlsafe import sql_str
 
 
 def _u(tag: str, seed: int, t: Column) -> Column:
@@ -1225,7 +1226,7 @@ def kmv_jaccard_sql(
 WITH s AS ({stream_sql}),
 d AS (
   SELECT DISTINCT label, {_kmv_hv_sql('item')} AS hv FROM s
-  WHERE label IN ('{label_a}', '{label_b}')
+  WHERE label IN ({sql_str(label_a)}, {sql_str(label_b)})
 ),
 r AS (
   SELECT label, hv,
@@ -1240,8 +1241,8 @@ u AS (
 us AS (SELECT hv FROM u WHERE pos <= {k}),
 ov AS (
   SELECT us.hv FROM us
-  WHERE us.hv IN (SELECT hv FROM sk WHERE label = '{label_a}')
-    AND us.hv IN (SELECT hv FROM sk WHERE label = '{label_b}')
+  WHERE us.hv IN (SELECT hv FROM sk WHERE label = {sql_str(label_a)})
+    AND us.hv IN (SELECT hv FROM sk WHERE label = {sql_str(label_b)})
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM us) AS n_union_sketch,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM ov) AS n_overlap,
@@ -1678,7 +1679,7 @@ def kmv_set_ops_sql(
 WITH base AS (
   SELECT {label_expr} AS lbl, {_kmv_hv_sql(item_expr)} AS hv
   FROM ({rows_sql})
-  WHERE {label_expr} IN ('{label_a}', '{label_b}')
+  WHERE {label_expr} IN ({sql_str(label_a)}, {sql_str(label_b)})
   GROUP BY 1, 2
 ),
 sk AS (
@@ -1702,9 +1703,9 @@ uagg AS (
 ),
 est AS (
   SELECT
-    (SELECT CAST({est} AS BIGINT) FROM per WHERE lbl = '{label_a}')
+    (SELECT CAST({est} AS BIGINT) FROM per WHERE lbl = {sql_str(label_a)})
       AS est_a,
-    (SELECT CAST({est} AS BIGINT) FROM per WHERE lbl = '{label_b}')
+    (SELECT CAST({est} AS BIGINT) FROM per WHERE lbl = {sql_str(label_b)})
       AS est_b,
     (SELECT CAST({est} AS BIGINT) FROM uagg) AS est_union
 )

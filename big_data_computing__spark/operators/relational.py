@@ -193,9 +193,11 @@ def pivot_event_values(
     us_day = F.lit(86_400_000_000)
     ts_us = event_time_us(events, "ts")
     # pmod gives the non-negative remainder, so (us − pmod) is the exact
-    # FLOOR multiple for negative timestamps too — matching DuckDB's //
-    # (plain % truncates toward zero and would disagree pre-epoch); the
-    # division of an exact multiple carries no float-floor hazard
+    # FLOOR multiple for negative timestamps too — matching the SQL
+    # twin's pmod-subtracted floor helper (DuckDB's raw integer //
+    # itself TRUNCATES toward zero, hence the shared convention in
+    # windows._floor_div_sql); the division of an exact multiple
+    # carries no float-floor hazard
     day = ((ts_us - F.pmod(ts_us, us_day)) / us_day).cast("long")
     return (
         events.groupBy(day.alias("day_idx"))
@@ -213,7 +215,7 @@ def pivot_event_values_sql(
         for t in event_types
     )
     return (
-        f"SELECT epoch_us(ts) // 86400000000 AS day_idx, {cells} "
+        f"SELECT (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_idx, {cells} "
         f"FROM events GROUP BY 1"
     )
 

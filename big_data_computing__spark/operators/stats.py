@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 from ..functions.hashing import hash60, hash60_sql
+from ..functions.sqlsafe import sql_str
 
 # Poisson(1) inverse-CDF thresholds scaled to 2^60: weight w(h) for a
 # 60-bit hash h is the number of thresholds <= h (i.e. w >= k+1 iff
@@ -1031,9 +1032,9 @@ def ks_drift_sql(
     return f"""
 WITH pv AS (
   SELECT {value_expr} AS v,
-         SUM(CASE WHEN {split_expr} = '{base_value}' THEN 1 ELSE 0 END)
+         SUM(CASE WHEN {split_expr} = {sql_str(base_value)} THEN 1 ELSE 0 END)
            AS na,
-         SUM(CASE WHEN {split_expr} = '{base_value}' THEN 0 ELSE 1 END)
+         SUM(CASE WHEN {split_expr} = {sql_str(base_value)} THEN 0 ELSE 1 END)
            AS nb
   FROM ({rows_sql}) WHERE {value_expr} IS NOT NULL GROUP BY 1
 ),
@@ -1302,15 +1303,15 @@ def ht_total(
     """
     rates = rates or HT_RATES
     arms = " ".join(
-        f"WHEN stratum = '{s}' THEN {(num << 60) // den}"
+        f"WHEN stratum = {sql_str(s)} THEN {(num << 60) // den}"
         for s, (num, den) in rates.items()
     )
     wnum = " ".join(
-        f"WHEN stratum = '{s}' THEN {den}"
+        f"WHEN stratum = {sql_str(s)} THEN {den}"
         for s, (num, den) in rates.items()
     )
     wden = " ".join(
-        f"WHEN stratum = '{s}' THEN {num}"
+        f"WHEN stratum = {sql_str(s)} THEN {num}"
         for s, (num, den) in rates.items()
     )
     known = list(rates)
@@ -1370,18 +1371,18 @@ def ht_total_sql(
     weights, and floors."""
     rates = rates or HT_RATES
     arms = " ".join(
-        f"WHEN stratum = '{s}' THEN {(num << 60) // den}"
+        f"WHEN stratum = {sql_str(s)} THEN {(num << 60) // den}"
         for s, (num, den) in rates.items()
     )
     wnum = " ".join(
-        f"WHEN stratum = '{s}' THEN {den}"
+        f"WHEN stratum = {sql_str(s)} THEN {den}"
         for s, (num, den) in rates.items()
     )
     wden = " ".join(
-        f"WHEN stratum = '{s}' THEN {num}"
+        f"WHEN stratum = {sql_str(s)} THEN {num}"
         for s, (num, den) in rates.items()
     )
-    known = ", ".join(f"'{s}'" for s in rates)
+    known = ", ".join(sql_str(s) for s in rates)
     h = hash60_sql(f"'{seed}:' || CAST({id_expr} AS VARCHAR)")
     return f"""
 WITH base AS (
@@ -1743,10 +1744,20 @@ def chi2_independence(
     re-aggregations OF THAT TABLE, one margins cross join sized
     |A|·|B| (category space, not data), one broadcast total. The
     data-sized scan happens once.
+
+    NULL contract: rows where either category is NULL are excluded at
+    entry (both engines). NULL is not a category level here — the
+    margins cross-product equi-join cannot match NULL keys, so an
+    unfiltered NULL row would be counted in the margins but dropped
+    from its observed cell, silently inflating chi2. Map NULLs to an
+    explicit sentinel level upstream if missingness itself is the
+    signal under test.
     """
-    obs = rows.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count("*").cast("long").alias("o"))
+    obs = (
+        rows.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").cast("long").alias("o"))
+    )
     ra = obs.groupBy("a").agg(F.sum("o").cast("long").alias("r"))
     cb = obs.groupBy("b").agg(F.sum("o").cast("long").alias("c"))
     tot = obs.agg(F.sum("o").cast("long").alias("n"))
@@ -1802,7 +1813,9 @@ def chi2_independence_sql(
 WITH obs AS (
   SELECT {a_expr} AS a, {b_expr} AS b,
          CAST(COUNT(*) AS BIGINT) AS o
-  FROM ({rows_sql}) GROUP BY 1, 2
+  FROM ({rows_sql})
+  WHERE ({a_expr}) IS NOT NULL AND ({b_expr}) IS NOT NULL
+  GROUP BY 1, 2
 ),
 ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY a),
 cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY b),
@@ -2067,9 +2080,9 @@ def cvm_drift_sql(
     return f"""
 WITH pv AS (
   SELECT {value_expr} AS v,
-         SUM(CASE WHEN {split_expr} = '{base_value}' THEN 1 ELSE 0 END)
+         SUM(CASE WHEN {split_expr} = {sql_str(base_value)} THEN 1 ELSE 0 END)
            AS na,
-         SUM(CASE WHEN {split_expr} = '{base_value}' THEN 0 ELSE 1 END)
+         SUM(CASE WHEN {split_expr} = {sql_str(base_value)} THEN 0 ELSE 1 END)
            AS nb
   FROM ({rows_sql}) WHERE {value_expr} IS NOT NULL GROUP BY 1
 ),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.sqlsafe import sql_str
+
 
 def event_time_us(df: DataFrame, ts_col: str = "ts") -> Column:
     """Event time as microseconds-since-epoch (long) — the engine's
@@ -22,6 +24,33 @@ def event_time_us(df: DataFrame, ts_col: str = "ts") -> Column:
     if dict(df.dtypes).get(ts_col) in ("bigint", "int", "long"):
         return F.col(ts_col).cast("long")
     return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def _floor_div_sql(us_expr: str, divisor: int) -> str:
+    """Exact integer FLOOR division for generated DuckDB SQL: DuckDB's
+    integer ``//`` truncates toward zero (probed: −1 // d = 0), so the
+    twins subtract the non-negative pmod remainder first — the
+    quotient operand is then an exact multiple and truncation equals
+    floor, matching :func:`event_day` for all sign ranges."""
+    return (
+        f"({us_expr} - (({us_expr} % {divisor}) + {divisor})"
+        f" % {divisor}) // {divisor}"
+    )
+
+
+def event_day(df: DataFrame, ts_col: str = "ts") -> Column:
+    """Calendar-day index (long) of :func:`event_time_us` — exact
+    FLOOR division for all sign ranges: subtract the always
+    non-negative ``pmod`` remainder, divide the exact multiple in
+    DECIMAL, matching the SQL twins' ``//``. (The previous double
+    division truncated toward zero — diverging for pre-1970
+    timestamps — and implicitly relied on epoch micros staying
+    exactly representable below 2^53.)"""
+    us = event_time_us(df, ts_col)
+    day_us = F.lit(86_400_000_000)
+    return (
+        (us - F.pmod(us, day_us)).cast("decimal(30,0)") / day_us
+    ).cast("long")
 
 
 def _event_timestamp(df: DataFrame, ts_col: str) -> Column:
@@ -490,7 +519,7 @@ s{i} AS (
 )"""
         )
     selects = [
-        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"SELECT {i} AS step, {sql_str(s)} AS event_type, "
         f"CAST(COUNT(*) AS BIGINT) AS users FROM s{i}"
         for i, s in enumerate(steps, start=1)
     ]
@@ -587,7 +616,7 @@ s{i} AS (
 )"""
         )
     selects = [
-        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"SELECT {i} AS step, {sql_str(s)} AS event_type, "
         f"CAST(COUNT(*) AS BIGINT) AS users, "
         f"quantile_cont(t - anchor, 0.5) AS median_gap_us, "
         f"CAST(MAX(t - anchor) AS BIGINT) AS max_gap_us FROM s{i}"
@@ -644,7 +673,7 @@ def cohort_retention_sql(
     anchor_type: str = "signup", max_offset: int = 3
 ) -> str:
     """DuckDB twin of :func:`cohort_retention` (// floors like pmod)."""
-    wk = f"(epoch_us(ts) // {WEEK_US})"
+    wk = f"({_floor_div_sql('epoch_us(ts)', WEEK_US)})"
     return f"""
 WITH cohorts AS (
   SELECT user_id, MIN({wk}) AS cohort_week
@@ -891,9 +920,7 @@ def gapfill_locf(
     the LOCF window runs over that tiny daily series, never over raw
     events. No generator UDF, no driver loop.
     """
-    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
-        "long"
-    )
+    day = event_day(events, ts_col)
     daily = (
         events.select(F.col(key_col).alias("key"), day.alias("day"), "value")
         .groupBy("key", "day")
@@ -938,7 +965,7 @@ def gapfill_locf_sql() -> str:
     IGNORE NULLS running window)."""
     return """
 WITH daily AS (
-  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+  SELECT event_type AS key, (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
   FROM events GROUP BY 1, 2
@@ -987,9 +1014,7 @@ def mad_outliers(
     the tiny n_keys × n_days daily series. 100 TB-safe for the same
     reason event_spikes is.
     """
-    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
-        "long"
-    )
+    day = event_day(events, ts_col)
     daily = (
         events.select(F.col(key_col).alias("key"), day.alias("day"))
         .groupBy("key", "day")
@@ -1047,7 +1072,7 @@ def mad_outliers_sql(threshold_milli: int = 3000) -> str:
     integer median, same doubled-unit deviations, same floor division."""
     return f"""
 WITH daily AS (
-  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+  SELECT event_type AS key, (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2
 ),
@@ -1116,9 +1141,7 @@ def event_spikes(
     daily series. At 100 TB the window input is n_types × n_days rows,
     thousands not billions.
     """
-    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
-        "long"
-    )
+    day = event_day(events, ts_col)
     daily = (
         events.select(F.col("event_type"), day.alias("day"))
         .groupBy("event_type", "day")
@@ -1155,7 +1178,7 @@ def event_spikes_sql(
     bucketing, identical RANGE frame, identical floor division)."""
     return f"""
 WITH daily AS (
-  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+  SELECT event_type, (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2
 ),
@@ -1290,7 +1313,7 @@ s{i} AS (
     )
     selects = [
         f"""
-SELECT b.variant, {i} AS step, '{s}' AS event_type,
+SELECT b.variant, {i} AS step, {sql_str(s)} AS event_type,
        CAST(COALESCE(n.n, 0) AS BIGINT) AS users,
        CAST(1000 * COALESCE(n.n, 0) // b.b AS BIGINT) AS conv_milli
 FROM base b LEFT JOIN (
@@ -1398,9 +1421,7 @@ def supervised_daily_examples(
     (partitioned, never global). The last day of each span emits no
     row (its label is outside the data — withheld, not fabricated).
     """
-    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
-        "long"
-    )
+    day = event_day(events, ts_col)
     daily = (
         events.select(
             F.col("user_id").cast("long").alias("user_id"),
@@ -1453,7 +1474,7 @@ def supervised_daily_examples_sql(lookback: int = 7) -> str:
     return f"""
 WITH daily AS (
   SELECT CAST(user_id AS BIGINT) AS user_id,
-         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS BIGINT) AS day,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1, 2
 ),
@@ -1497,9 +1518,11 @@ def wow_growth(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     days against a trailing mean, this reports the weekly trend a
     human reads. Per-type windows only; weeks are epoch-based
     (epoch_us div (7·86400·10^6)), the cross-engine convention."""
-    wk = (
-        event_time_us(events, ts_col) / F.lit(7 * 86_400_000_000)
-    ).cast("long")
+    us = event_time_us(events, ts_col)
+    wk_us = F.lit(7 * 86_400_000_000)
+    wk = ((us - F.pmod(us, wk_us)).cast("decimal(30,0)") / wk_us).cast(
+        "long"
+    )
     weekly = (
         events.select(F.col("event_type"), wk.alias("week"))
         .groupBy("event_type", "week")
@@ -1532,7 +1555,7 @@ def wow_growth_sql() -> str:
     return """
 WITH weekly AS (
   SELECT event_type,
-         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+         CAST((epoch_us(ts) - ((epoch_us(ts) % 604800000000) + 604800000000) % 604800000000) // 604800000000 AS BIGINT) AS week,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2
 ),
@@ -1558,9 +1581,7 @@ def _dense_daily(
     first and last observed day (the :func:`gapfill_locf` spine,
     zero-fill instead of LOCF — lag arithmetic needs a uniform grid,
     not carried values)."""
-    day = (event_time_us(events, ts_col) / F.lit(86_400_000_000)).cast(
-        "long"
-    )
+    day = event_day(events, ts_col)
     daily = (
         events.select(F.col(key_col).alias("key"), day.alias("day"))
         .groupBy("key", "day")
@@ -1583,7 +1604,7 @@ def _dense_daily(
 
 _DENSE_DAILY_SQL = """
 daily AS (
-  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS day,
+  SELECT event_type AS key, (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2
 ),

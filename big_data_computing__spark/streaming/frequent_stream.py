@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.hashing import TWO_POW_60
+from ..functions.sqlsafe import sql_str
 from ..operators.frequent import reservoir_size, sticky_rate
 
 ITEM_SCHEMA = T.StructType(
@@ -481,6 +482,26 @@ class BootstrapState:
         )
 
 
+def _assert_float_keyable(df: DataFrame, col: str, cls: str) -> None:
+    """The value/score-keyed states (KSDrift/Cvm/Auc) fold collected
+    rows into a ``float``-keyed dict — exact only when the column is
+    already a float/integer type whose values round-trip through
+    ``float``. A DECIMAL (or non-numeric) column would collapse or
+    reorder distinct keys relative to the batch operator's native
+    grouping, breaking the documented bit-for-bit prefix equivalence —
+    so reject it loudly at update() time (the documented numeric-score
+    contract; cast or quantize upstream)."""
+    dtype = dict(df.dtypes).get(col)
+    ok = ("double", "float", "bigint", "int", "smallint", "tinyint")
+    if dtype not in ok:
+        raise TypeError(
+            f"{cls}: column {col!r} has type {dtype!r}; the float-"
+            f"keyed fold requires one of {ok} (decimal/string keys "
+            "would collapse or reorder vs the batch operator) — cast "
+            "or quantize the column upstream"
+        )
+
+
 class KSDriftState:
     """Mergeable streaming two-sample Kolmogorov-Smirnov state: the
     per-distinct-value (n_base, n_comp) counts of
@@ -510,6 +531,7 @@ class KSDriftState:
         if batch_id in self._seen:
             return
         self._seen.add(batch_id)
+        _assert_float_keyable(batch_df, self.value_col, type(self).__name__)
         is_base = (
             F.col(self.split_col) == self.base_value
         ).cast("long")
@@ -586,6 +608,7 @@ class AucState:
         if batch_id in self._seen:
             return
         self._seen.add(batch_id)
+        _assert_float_keyable(batch_df, self.score_col, "AucState")
         is_pos = F.col(self.label_col).cast("boolean").cast("long")
         rows = (
             batch_df.where(
@@ -666,7 +689,7 @@ class HtState:
             return
         self._seen.add(batch_id)
         arms = " ".join(
-            f"WHEN stratum = '{s}' THEN {(num << 60) // den}"
+            f"WHEN stratum = {sql_str(s)} THEN {(num << 60) // den}"
             for s, (num, den) in self.rates.items()
         )
         rows = (

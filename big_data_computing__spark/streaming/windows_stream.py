@@ -187,15 +187,12 @@ class SpikeState:
         self._seen: set[int] = set()
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.windows import event_time_us
+        from ..operators.windows import event_day
 
         if batch_id in self._seen:
             return
         self._seen.add(batch_id)
-        day = (
-            event_time_us(batch_df, self.ts_col)
-            / F.lit(86_400_000_000)
-        ).cast("long")
+        day = event_day(batch_df, self.ts_col)
         rows = (
             batch_df.select(F.col("event_type"), day.alias("day"))
             .groupBy("event_type", "day")
@@ -328,15 +325,12 @@ class EwmaState:
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        from ..operators.windows import event_time_us
+        from ..operators.windows import event_day
 
         if batch_id in self._seen:
             return
         self._seen.add(batch_id)
-        day = (
-            event_time_us(batch_df, self.ts_col)
-            / F.lit(86_400_000_000)
-        ).cast("long")
+        day = event_day(batch_df, self.ts_col)
         rows = (
             batch_df.select(
                 F.col(self.key_col).alias("k"), day.alias("d")
