@@ -860,12 +860,21 @@ def histogram_quantiles(
     )
     from pyspark.sql import Window
 
+    # The cumulative sum runs over the POST-AGGREGATION bin table —
+    # ≤ n_bins rows by construction (one per occupied bin), never the
+    # input — so a single window partition is the intended, bounded
+    # plan, not a scale hazard. Partitioning by (lo, w, n) — constant
+    # across all bins of one run by construction — declares that
+    # partition explicitly, silencing WindowExec's "No Partition
+    # Defined" warning (aimed at unbounded inputs; a foldable lit()
+    # key would be optimized away). A plan test pins the window's
+    # child being the bin aggregate.
     cum = binned.withColumn(
         "cum",
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+            Window.partitionBy("lo", "w", "n")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
     qs = F.explode(

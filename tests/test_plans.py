@@ -648,3 +648,28 @@ def test_r6h_wave_plan_shapes_3(spark):
     conf = executed_plan(qs["x_langid_confusion"](spark, SF))
     assert "BatchEvalPython" not in conf
     assert "CartesianProduct" not in conf
+
+
+def test_t11_window_partitioned_over_bin_aggregate(spark):
+    """The t11 cumulative-sum window (a) declares an explicit
+    partition spec — the constant (lo, w, n) triple — so WindowExec
+    never logs the single-partition warning, and (b) consumes the
+    POST-AGGREGATION bin table (its subtree aggregates before the
+    window), pinning the O(n_bins) input bound that makes the single
+    partition safe at any corpus size."""
+    import re
+
+    qs = entrymod.queries()
+    plan = executed_plan(qs["t11_histogram_quantiles"](spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window in the t11 plan"
+    for spec in specs:
+        assert "lo#" in spec and "w#" in spec and "n#" in spec, spec
+    # the window's child subtree aggregates the bins first: the
+    # Window node appears ABOVE (= before, in plan text) a
+    # HashAggregate keyed by the bin
+    wpos = plan.index("Window ")
+    agg_after = plan[wpos:]
+    assert re.search(r"HashAggregate\(keys=\[bin#", agg_after), (
+        "window must consume the post-aggregation bin table"
+    )
