@@ -311,6 +311,163 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def _overlay_histogram(files: list[dict], hist_key: str) -> list[int]:
+    """Merge per-file equi-width histograms ({lo, hi, counts}) onto
+    one global equi-width grid by proportional overlap — the driver-
+    side manifest fold every stats consumer shares. Returns the
+    global bin counts (len = the recorded per-file bin count)."""
+    hists = [e[hist_key] for e in files if e.get(hist_key)]
+    if not hists:
+        return []
+    bins = len(hists[0]["counts"])
+    glo = min(h["lo"] for h in hists)
+    ghi = max(h["hi"] for h in hists)
+    out = [0.0] * bins
+    if ghi <= glo:
+        out[0] = float(sum(sum(h["counts"]) for h in hists))
+        return [int(round(c)) for c in out]
+    gw = (ghi - glo) / bins
+    for h in hists:
+        flo, fhi = h["lo"], h["hi"]
+        fb = len(h["counts"])
+        fw = (fhi - flo) / fb if fhi > flo else 0.0
+        for i, cnt in enumerate(h["counts"]):
+            if not cnt:
+                continue
+            if fw == 0.0:
+                j = min(bins - 1, max(0, int((flo - glo) / gw)))
+                out[j] += cnt
+                continue
+            a, b = flo + i * fw, flo + (i + 1) * fw
+            j0 = min(bins - 1, max(0, int((a - glo) / gw)))
+            j1 = min(bins - 1, max(0, int((b - glo) / gw - 1e-12)))
+            if j0 == j1:
+                out[j0] += cnt
+                continue
+            for j in range(j0, j1 + 1):
+                lo_j, hi_j = glo + j * gw, glo + (j + 1) * gw
+                frac = (min(b, hi_j) - max(a, lo_j)) / (b - a)
+                if frac > 0:
+                    out[j] += cnt * frac
+    return [int(round(c)) for c in out]
+
+
+def join_strategy_from_stats(
+    big_snapshot: dict,
+    small_snapshot: dict,
+    key: str,
+    broadcast_max_rows: int = 1_000_000,
+    skew_factor_threshold: float = 4.0,
+    salt_min_hot_rows: int = 30_000_000,
+) -> dict:
+    """Pick broadcast / plain / salted for ``big ⋈ small ON key`` from
+    the tables' RECORDED manifest statistics at ZERO data read — the
+    second ANALYZE-driven cost gate (the first:
+    outliers.detect_outliers_analyzed), replacing the hardcoded
+    per-call-site threshold a user would otherwise guess:
+
+    - build-side size: Σ n_rows over the small table's manifest
+      (every commit records it — no count() job). ≤
+      ``broadcast_max_rows`` → **broadcast** (the hash side fits every
+      executor; no shuffle at all).
+    - probe-side skew: the big table's ``hist_<key>`` per-file
+      histograms (``analyze_histograms``) overlaid onto one global
+      grid; skew factor = hottest-bin count ÷ uniform share.
+      **salted** only when BOTH the ratio clears
+      ``skew_factor_threshold`` AND the hottest bin's absolute row
+      count clears ``salt_min_hot_rows`` — a skewed RATIO over a
+      small hot volume doesn't straggle, and the A/B measured
+      plain+AQE beating salted there (20M rows / 80% hot: 5.9 s vs
+      7.3 s, tools/join_gate_ab.py), while at 100M rows / 80% hot
+      static salting is 2.2–3.8× over an unsplit plain join and AQE's
+      own byte threshold has a documented blind spot just under
+      256 MB (tools/skew_ab.py, STRESS.md r6e). Otherwise **plain**
+      (AQE handles residual imbalance at runtime; salting uniform or
+      small-hot data is pure replication overhead).
+
+    Raises if the stats are missing rather than silently guessing —
+    a fallback would masquerade as a cost decision (the
+    detect_outliers_analyzed contract). Returns {strategy,
+    small_rows, skew_factor, hot_bin_rows, bins} for logging/tests.
+
+    Scale: both inputs are manifest JSON already on the driver; the
+    decision costs microseconds however large the data is, which is
+    what makes it usable inside a planner loop at 100 TB.
+    """
+    small_rows = sum(e["n_rows"] for e in small_snapshot["files"])
+    out = {
+        "small_rows": small_rows,
+        "skew_factor": None,
+        "hot_bin_rows": None,
+        "bins": None,
+    }
+    if small_rows <= broadcast_max_rows:
+        out["strategy"] = "broadcast"
+        return out
+    hist_key = f"hist_{key}"
+    files = [e for e in big_snapshot["files"] if e.get(hist_key)]
+    if not files:
+        raise ValueError(
+            f"join_strategy_from_stats: big side has no {hist_key!r} "
+            "histograms — run analyze_histograms([key]) first (no "
+            "silent fallback: a guess would masquerade as a cost "
+            "decision)"
+        )
+    overlay = _overlay_histogram(files, hist_key)
+    total = sum(overlay)
+    bins = len(overlay)
+    hot = max(overlay) if overlay else 0
+    skew = (hot * bins / total) if total else 0.0
+    out.update(
+        {
+            "skew_factor": round(skew, 3),
+            "hot_bin_rows": hot,
+            "bins": bins,
+        }
+    )
+    out["strategy"] = (
+        "salted"
+        if skew >= skew_factor_threshold and hot >= salt_min_hot_rows
+        else "plain"
+    )
+    return out
+
+
+def join_analyzed(
+    spark,
+    big_table,
+    small_table,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+    broadcast_max_rows: int = 1_000_000,
+    skew_factor_threshold: float = 4.0,
+    salt_min_hot_rows: int = 30_000_000,
+) -> tuple[dict, DataFrame]:
+    """Execute ``big ⋈ small ON key`` under the strategy
+    :func:`join_strategy_from_stats` picks from the two ZTables'
+    manifests. Returns (decision dict, result DataFrame); the result
+    is row-identical across strategies (asserted in tests) — the gate
+    picks COST, never semantics."""
+    decision = join_strategy_from_stats(
+        big_table.snapshot(),
+        small_table.snapshot(),
+        key,
+        broadcast_max_rows=broadcast_max_rows,
+        skew_factor_threshold=skew_factor_threshold,
+        salt_min_hot_rows=salt_min_hot_rows,
+    )
+    big = big_table.read(spark)
+    small = small_table.read(spark)
+    if decision["strategy"] == "broadcast":
+        joined = big.join(F.broadcast(small), key, how)
+    elif decision["strategy"] == "salted":
+        joined = salted_join(big, small, key, salt=salt, how=how)
+    else:
+        joined = big.join(small, key, how)
+    return decision, joined
+
+
 def global_rank(
     df: DataFrame,
     *order_cols: str,

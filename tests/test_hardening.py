@@ -104,3 +104,107 @@ def test_event_day_floors_pre_epoch(spark):
         "(-86400000000), (-86400000001), (86400000000)) t(us) "
     ).fetchall()
     assert got == [w[0] for w in want]
+
+
+# ---------------------------------------------------------------------------
+# join_strategy_from_stats / join_analyzed (relational.py, r8)
+# ---------------------------------------------------------------------------
+
+
+def _mk_table(spark, df, path, key):
+    from big_data_computing__spark.sources import layout as L
+
+    t = L.ZTable.create(
+        df.withColumn("x", F.col(key).cast("double"))
+        .withColumn("y", F.lit(0.0)),
+        str(path),
+        n_files=4,
+    )
+    return t
+
+
+def test_join_gate_three_regimes(spark, tmp_path):
+    """The stats gate picks broadcast for a manifest-small build side,
+    salted for a histogram-skewed probe side, plain otherwise — all at
+    zero data read — and every strategy returns identical rows."""
+    from big_data_computing__spark.operators.relational import (
+        join_analyzed,
+        join_strategy_from_stats,
+    )
+
+    n = 20_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 8, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    uniform = spark.range(n).select(
+        (F.col("id") % 100).cast("long").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("name"),
+    )
+    t_skew = _mk_table(spark, skewed, tmp_path / "skew", "k")
+    t_unif = _mk_table(spark, uniform, tmp_path / "unif", "k")
+    t_dim = _mk_table(spark, dim, tmp_path / "dim", "k")
+    t_skew.analyze_histograms(spark, ["k"], bins=8)
+    t_unif.analyze_histograms(spark, ["k"], bins=8)
+
+    # tiny build side -> broadcast regardless of probe shape
+    d = join_strategy_from_stats(t_skew.snapshot(), t_dim.snapshot(), "k")
+    assert d["strategy"] == "broadcast" and d["small_rows"] == 100
+
+    # big build side + skewed probe -> salted (the volume floor
+    # scaled to the fixture: a skewed RATIO only straggles when the
+    # hot volume is absolutely large — A/B-calibrated default 30M)
+    d = join_strategy_from_stats(
+        t_skew.snapshot(), t_unif.snapshot(), "k",
+        broadcast_max_rows=10, salt_min_hot_rows=10_000,
+    )
+    assert d["strategy"] == "salted"
+    assert d["skew_factor"] >= 4.0  # 80% of rows in one bin of 8
+    assert d["hot_bin_rows"] >= 10_000
+
+    # same skew ratio under the volume floor -> plain (AQE-trusting)
+    d = join_strategy_from_stats(
+        t_skew.snapshot(), t_unif.snapshot(), "k", broadcast_max_rows=10
+    )
+    assert d["strategy"] == "plain"
+
+    # big build side + uniform probe -> plain
+    d = join_strategy_from_stats(
+        t_unif.snapshot(), t_skew.snapshot(), "k", broadcast_max_rows=10
+    )
+    assert d["strategy"] == "plain"
+    assert d["skew_factor"] < 4.0
+
+    # missing histograms raise instead of silently guessing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="analyze_histograms"):
+        join_strategy_from_stats(
+            t_dim.snapshot(), t_unif.snapshot(), "k", broadcast_max_rows=10
+        )
+
+    # executed results are identical across all three strategies
+    want = sorted(
+        map(
+            tuple,
+            t_skew.read(spark)
+            .join(t_dim.read(spark), "k")
+            .select("k", "v", "name")
+            .collect(),
+        )
+    )
+    for kwargs in (
+        {},  # broadcast
+        {"broadcast_max_rows": 10, "salt_min_hot_rows": 10_000},  # salted
+        {"broadcast_max_rows": 10, "skew_factor_threshold": 99.0},  # plain
+    ):
+        dec, df = join_analyzed(spark, t_skew, t_dim, "k", **kwargs)
+        got = sorted(map(tuple, df.select("k", "v", "name").collect()))
+        assert got == want, dec
