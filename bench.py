@@ -301,6 +301,26 @@ CANARY_QUERIES = [
     "x_ktruss_edges",
 ]
 
+# Pinned canary reference: the per-query start/end medians of the
+# committed BENCH_CLEAN_r07 artifact (sf0.1, quiet host). The
+# artifact's `value_canary_normalized` divides the raw total by the
+# median(current/reference) host factor over these pinned queries, so
+# cross-round totals compare on one scale without a narrative about
+# host contention (VERDICT r7 item #6). Update ONLY when the canary
+# list itself changes — the anchor's value is stability.
+CANARY_REFERENCE_SF01 = {
+    "o1_topk_orders": 0.168,
+    "o2_smallest_cells_topk": 0.221,
+    "w2_tumbling_window_counts": 0.326,
+    "x_dedup_exact": 0.292,
+    "t4_true_frequent_items": 0.225,
+    "x_dup_spans": 6.564,
+    "x_pca_semdedup": 7.831,
+    "x_suffix_array_sample": 14.389,
+    "x_semdedup_survivors": 19.568,
+    "x_ktruss_edges": 25.964,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -339,11 +359,29 @@ def main() -> None:
     canary_end = {n: run_once(n) for n in CANARY_QUERIES}
 
     total = round(sum(timings.values()), 3)
+    # host factor vs the pinned r7 canary anchor (sf0.1 runs only —
+    # other sf dirs have no reference, factor reported as null)
+    host_factor = None
+    norm_total = None
+    if float(sf) == 0.1:
+        import statistics
+
+        med = {
+            n: (canary_start[n] + canary_end[n]) / 2
+            for n in CANARY_QUERIES
+        }
+        ref = CANARY_REFERENCE_SF01
+        ratios = [med[n] / ref[n] for n in ref if n in med and ref[n] > 0]
+        if ratios:
+            host_factor = round(statistics.median(ratios), 4)
+            norm_total = round(total / host_factor, 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "value_canary_normalized": norm_total,
+                "canary_host_factor": host_factor,
                 "unit": "sec",
                 "queries": timings,
                 "canary": {"start": canary_start, "end": canary_end},

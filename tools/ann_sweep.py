@@ -13,6 +13,7 @@ Usage:
     python tools/ann_sweep.py --shortlist [sf_dir] [k]
     python tools/ann_sweep.py --bands [sf_dir] [k]
     python tools/ann_sweep.py --binary [sf_dir] [k]
+    python tools/ann_sweep.py --mutual [sf_dir] [k]
 
 Defaults: /root/testdata/sf0.01, k=3, nprobe sweep 1,2,4,8. Prints one
 markdown table and one machine-readable JSON line.
@@ -327,7 +328,78 @@ def run_binary(sf_dir: str, k: int) -> None:
     spark.stop()
 
 
+def run_mutual(sf_dir: str, k: int) -> None:
+    """Pair recall of the CELLED mutual-kNN (ivf_topk candidate
+    generator -> reciprocity join, the x_mutual_knn_ivf production
+    shape) against the exact reciprocal-pair truth (brute cosine
+    top-k -> same join), over an nprobe sweep. The reciprocity join
+    is fixed algebra; every recall point is purely the candidate
+    generator's, which is the documented claim behind the one-line
+    generator swap."""
+    spark = get_session(app_name="ann_sweep_mutual")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+
+    def pair_set(df):
+        return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+    t0 = time.time()
+    truth = pair_set(sim.mutual_knn_pairs(emb, k=k))
+    brute_wall = round(time.time() - t0, 2)
+    centers = sim.build_ivf_centroids(emb, n_cells=N_CELLS, seed=SEED, l=L)
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.time()
+        got = pair_set(
+            sim.mutual_knn_pairs(
+                emb,
+                k=k,
+                topk=sim.ivf_topk(
+                    emb, k=k, nprobe=nprobe, centers=centers
+                ),
+            )
+        )
+        wall = round(time.time() - t0, 2)
+        rows.append(
+            {
+                "nprobe": nprobe,
+                "pairs": len(got),
+                "pair_recall": round(
+                    len(got & truth) / len(truth), 3
+                ) if truth else 1.0,
+                "false_pairs": len(got - truth),
+                "wall_sec": wall,
+            }
+        )
+    print(f"\nexact reciprocal pairs: {len(truth)} ({brute_wall} s brute)")
+    print(f"| nprobe | pairs | pair recall@{k} | false pairs | wall (s) |")
+    print("|--------|-------|-----------|-------------|----------|")
+    for r in rows:
+        print(
+            f"| {r['nprobe']} | {r['pairs']} | {r['pair_recall']} "
+            f"| {r['false_pairs']} | {r['wall_sec']} |"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "mutual_knn_pair_recall",
+                "k": k,
+                "truth_pairs": len(truth),
+                "brute_wall_sec": brute_wall,
+                "rows": rows,
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--mutual":
+        run_mutual(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--binary":
         run_binary(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
