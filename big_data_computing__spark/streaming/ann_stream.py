@@ -210,3 +210,161 @@ def streaming_ann_topk(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class KnnIndexState:
+    """Streaming EXACT maintenance of the celled top-k neighbor table
+    over an insert-only vector stream — the incremental form of
+    ``similarity.ivf_topk`` + ``mutual_knn_pairs`` (the
+    x_mutual_knn_ivf production shape), per-batch cost bounded by the
+    batch's probed cells, never O(corpus²).
+
+    The discovered-once candidate-log pattern (LshIndexState's law,
+    dedup_stream.py): a directed candidate (q → v, score) with v in
+    one of q's ``nprobe`` probed cells is discovered exactly once — in
+    the batch holding the LATER of q, v (or their shared batch) — and
+    appended to ``cand_dir``. Scores never change on an insert-only
+    stream, and a new arrival can only ADD candidates, so
+    ``topk(spark)`` (rank the log per query, keep k) equals the batch
+    ``ivf_topk`` over all arrived vectors BIT-FOR-BIT after any batch
+    prefix (asserted in tests/test_ann_stream.py), and
+    ``mutual_pairs(spark)`` is the same reciprocity join the batch
+    operator runs. Cell assignment/probing uses the batch operator's
+    own kernels (``parity`` included) against PRETRAINED centers — the
+    persisted-quantizer lifecycle of :func:`write_ann_index`.
+
+    State is ON DISK (the candidate log + a (vid, cell, vec, norm,
+    probes) index), not driver memory. Replayed batch ids are no-ops
+    (the foreachBatch idempotence rule)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cand_dir: str,
+        centers: list[list[float]],
+        k: int = 3,
+        nprobe: int = 2,
+        parity: bool = True,
+    ):
+        self.index_dir = index_dir
+        self.cand_dir = cand_dir
+        self.centers = centers
+        self.k = k
+        self.nprobe = nprobe
+        self.parity = parity
+        self._seen: set[int] = set()
+        self._indexed = False
+
+    def _prep(self, batch_df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        from ..functions.vectors import as_double_vec, norm
+        from ..operators.similarity import _cell_probe_udfs
+
+        c = np.asarray(self.centers, dtype=np.float64)
+        probe_udf, assign_udf = _cell_probe_udfs(
+            c, self.nprobe, self.parity
+        )
+        return batch_df.select(
+            F.col("vec_id").cast("long").alias("vid"),
+            as_double_vec(F.col("embedding")).alias("v"),
+        ).select(
+            "vid",
+            "v",
+            norm(F.col("v")).alias("nrm"),
+            assign_udf("v").alias("cell"),
+            probe_udf("v").alias("probes"),
+        )
+
+    @staticmethod
+    def _score(q, x):
+        from ..functions.vectors import dot
+
+        # distinct column names on the corpus side: the within-batch
+        # call joins two derivations of the SAME DataFrame, which
+        # Spark's ambiguous-self-join check rejects on shared names
+        c = x.select(
+            F.col("vid").alias("cvid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+            F.col("cell").alias("ccell"),
+        )
+        return (
+            q.join(c, F.col("p") == F.col("ccell"))
+            .where(F.col("qid") != F.col("cvid"))
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("cvid").alias("vec_id"),
+                F.round(
+                    dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qnrm") * F.col("cnrm")),
+                    6,
+                ).alias("score"),
+            )
+        )
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        spark = batch_df.sparkSession
+        prepped = self._prep(batch_df).localCheckpoint()
+        as_q = prepped.select(
+            F.col("vid").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.explode("probes").alias("p"),
+        )
+        cands = self._score(as_q, prepped)  # within-batch, both dirs
+        have_index = self._indexed or (
+            os.path.isdir(self.index_dir)
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(self.index_dir)
+            )
+        )
+        if have_index:
+            standing = spark.read.parquet(self.index_dir)
+            st_q = standing.select(
+                F.col("vid").alias("qid"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+                F.explode("probes").alias("p"),
+            )
+            # later-arrival discovery, both directions: the batch
+            # probing the standing corpus AND the standing corpus
+            # probing the batch
+            cands = (
+                cands.unionByName(self._score(as_q, standing))
+                .unionByName(self._score(st_q, prepped))
+            )
+        # log FIRST, index LAST (the LshIndexState crash rule: a
+        # replay of a half-written batch re-runs cleanly; indexing
+        # first would make the batch self-match on replay)
+        cands.write.mode("append").parquet(self.cand_dir)
+        prepped.write.mode("append").parquet(self.index_dir)
+        self._indexed = True
+
+    def topk(self, spark) -> DataFrame:
+        """Current top-k table: rank the candidate log per query —
+        equals batch ``ivf_topk`` over all arrived vectors."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return (
+            spark.read.parquet(self.cand_dir)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= self.k)
+            .drop("rk")
+        )
+
+    def mutual_pairs(self, spark) -> DataFrame:
+        """Current reciprocal-neighbor pairs — the streaming face of
+        ``mutual_knn_pairs``: same pair algebra over :meth:`topk`."""
+        from ..operators.similarity import mutual_knn_pairs
+
+        return mutual_knn_pairs(None, k=self.k, topk=self.topk(spark))

@@ -97,3 +97,53 @@ def test_candidate_stream_is_cell_pruned(spark, sf_dir, tmp_path):
     # expected pruning ratio ~ nprobe/n_cells (cells are FFT-balanced
     # only roughly; allow generous slack)
     assert n_cand < n_q * n_corpus * 0.75
+
+
+def test_knn_index_state_prefix_parity(spark, sf_dir, tmp_path):
+    """KnnIndexState folded over micro-batch chunks equals the batch
+    ivf_topk (pretrained centers, parity kernels) over the union
+    bit-for-bit after EVERY prefix, and its mutual_pairs equal the
+    batch reciprocity join; replays are no-ops."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centers = sim.build_ivf_centroids(emb, n_cells=4, seed=42, l=2)
+    st = A.KnnIndexState(
+        str(tmp_path / "knn_idx"),
+        str(tmp_path / "knn_cand"),
+        centers,
+        k=K,
+        nprobe=NPROBE,
+    )
+    for bid in range(3):
+        batch = emb.where(F.col("vec_id") % 3 == bid)
+        st.update(batch, bid)
+        prefix = emb.where(F.col("vec_id") % 3 <= bid)
+        want_topk = sim.ivf_topk(
+            prefix, k=K, nprobe=NPROBE, centers=centers, parity=True
+        )
+        got = sorted(
+            map(
+                tuple,
+                st.topk(spark)
+                .select("query_id", "vec_id", "score")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                want_topk.select("query_id", "vec_id", "score").collect(),
+            )
+        )
+        assert got == want, f"prefix through batch {bid}"
+        want_pairs = sorted(
+            map(
+                tuple,
+                sim.mutual_knn_pairs(None, k=K, topk=want_topk).collect(),
+            )
+        )
+        got_pairs = sorted(map(tuple, st.mutual_pairs(spark).collect()))
+        assert got_pairs == want_pairs
+
+    n_before = spark.read.parquet(st.cand_dir).count()
+    st.update(emb.where(F.col("vec_id") % 3 == 0), 0)  # replay
+    assert spark.read.parquet(st.cand_dir).count() == n_before
