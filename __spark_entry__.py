@@ -497,6 +497,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ewma_milli long, ratio_milli long",
         )
 
+    def x_streaming_spike_final(spark, sf_dir):
+        ev = _rd.read_table(spark, sf_dir, "events")
+        st = _ws.SpikeState(ts_col="ts")
+        _replay(ev, st, key=F.col("event_id"))
+        rows = [
+            (r["event_type"], r["day"], r["n_events"], r["ratio_milli"])
+            for r in st.spikes(threshold_milli=1100)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_type string, day long, n_events long, "
+            "ratio_milli long",
+        )
+
+    def x_streaming_f2_final(spark, sf_dir):
+        toks = _docs(spark, sf_dir).select(
+            F.explode(_ts.tokens(F.col("text"))).alias("item")
+        )
+        st = _fs.F2State(item_col="item")
+        # token rows carry no stable id; split on the item hash — any
+        # deterministic partition works, the counters are additive
+        _replay(toks, st, key=F.xxhash64("item"))
+        return spark.createDataFrame(
+            [(st.estimate(),)], "estimate long"
+        )
+
     def x_bootstrap_ci(spark, sf_dir):
         # one-pass Poisson bootstrap (Chamandy et al.): 200 replicate
         # means of doc length from per-(row, replicate) Poisson(1)
@@ -3451,6 +3477,8 @@ GROUP BY GROUPING SETS (
         x_streaming_ht_final,
         x_streaming_gini_final,
         x_streaming_ewma_final,
+        x_streaming_spike_final,
+        x_streaming_f2_final,
         x_mis_diverse,
         x_feature_hash_embed,
         a19_exact_median_qs,
@@ -3730,6 +3758,7 @@ _WINDOW_PRIORITY = [
     "x_streaming_auc_final", "x_streaming_gini_final",
     "x_streaming_ewma_final", "x_streaming_ht_final",
     "x_streaming_ks_final", "x_streaming_cvm_final",
+    "x_streaming_spike_final", "x_streaming_f2_final",
 ]
 
 
@@ -4031,6 +4060,18 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "doc_id",
         ),
         "x_streaming_ewma_final": _wd.ewma_daily_sql(),
+        "x_streaming_spike_final": _wd.event_spikes_sql(
+            threshold_milli=1100
+        ),
+        "x_streaming_f2_final": (
+            "SELECT estimate FROM ("
+            + _st.f2_sketch_sql(
+                "SELECT unnest(" + _ts._TOKS_SQL + ") AS item"
+                " FROM documents",
+                "item",
+            )
+            + ") t"
+        ),
         "x_streaming_ht_final": _st.ht_total_sql(
             "SELECT * FROM orders",
             "o_totalprice",

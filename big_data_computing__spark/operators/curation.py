@@ -1103,6 +1103,7 @@ def leakage_safe_splits(
     train: int = 80,
     val: int = 10,
     doc_id: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-aware train/val/test assignment:
     DataFrame[doc_id, cluster_rep, split] where every document in the
@@ -1117,10 +1118,16 @@ def leakage_safe_splits(
 
     Plan: the component labeling is the existing bounded-round
     min-label propagation; the assignment itself is one left join plus
-    a hash expression — no extra shuffle beyond the closure."""
+    a hash expression — no extra shuffle beyond the closure.
+    ``components``: a precomputed ``duplicate_components(pairs)``
+    table; pass it when the pipeline already ran the closure for the
+    survivor step (the 10M-doc composed stress measured the repeated
+    closure at 87 s / 15 GiB shuffle — tools/pipeline_stress.py)."""
     from .dedup import duplicate_components
 
-    comp = duplicate_components(pairs)
+    comp = (
+        components if components is not None else duplicate_components(pairs)
+    )
     base = docs.select(F.col(doc_id).cast("long").alias("doc_id"))
     assigned = base.join(comp, "doc_id", "left").select(
         "doc_id",

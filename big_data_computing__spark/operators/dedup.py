@@ -561,13 +561,22 @@ SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id
 
 
 def dedup_survivors(
-    docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_id: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Deduplicated corpus ids: DataFrame[doc_id] keeping, per duplicate
     component, only the min-id representative; docs in no component pass
     through. The end-to-end output of a near-dup pipeline
-    (pairs → components → survivors)."""
-    comp = duplicate_components(pairs)
+    (pairs → components → survivors).
+
+    ``components``: a precomputed ``duplicate_components(pairs)`` table
+    — pass it when a composed pipeline needs the closure MORE than once
+    (survivors + leakage splits both consume it; the 10M-doc composed
+    stress measured the duplicated closure at 87 s / 15 GiB shuffle of
+    pure waste — tools/pipeline_stress.py, STRESS.md r8)."""
+    comp = components if components is not None else duplicate_components(pairs)
     losers = comp.where(F.col("doc_id") != F.col("component_id")).select(
         "doc_id"
     )

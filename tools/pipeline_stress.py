@@ -41,6 +41,7 @@ from big_data_computing__spark.operators.curation import (  # noqa: E402
 )
 from big_data_computing__spark.operators.dedup import (  # noqa: E402
     dedup_survivors,
+    duplicate_components,
     minhash_lsh_pairs,
 )
 from big_data_computing__spark.operators.textstats import (  # noqa: E402
@@ -184,10 +185,18 @@ def main(n_docs: int) -> None:
     )
     print(f"    candidate pairs {pairs.count():,}")
 
+    # the closure is computed ONCE and reused by survivors AND splits
+    # — the first run of this stress computed it twice (inside each
+    # operator): s4 133 s + s5 87 s, ~15 GiB shuffle EACH. The reuse
+    # is the components= parameter both operators now take.
+    comp = stage(
+        "s4a_duplicate_components",
+        lambda: duplicate_components(pairs).localCheckpoint(),
+    )
     survivors = stage(
-        "s4_cc_survivors",
+        "s4b_cc_survivors",
         lambda: dedup_survivors(
-            kept2.select("doc_id"), pairs
+            kept2.select("doc_id"), pairs, components=comp
         ).localCheckpoint(),
     )
     print(f"    survivors {survivors.count():,}")
@@ -195,7 +204,7 @@ def main(n_docs: int) -> None:
     splits = stage(
         "s5_leakage_safe_splits",
         lambda: leakage_safe_splits(
-            survivors.select("doc_id"), pairs
+            survivors.select("doc_id"), pairs, components=comp
         ).localCheckpoint(),
     )
     split_counts = {
