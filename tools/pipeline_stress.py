@@ -41,7 +41,7 @@ from big_data_computing__spark.operators.curation import (  # noqa: E402
 )
 from big_data_computing__spark.operators.dedup import (  # noqa: E402
     dedup_survivors,
-    duplicate_components,
+    duplicate_components_shortcut,
     minhash_lsh_pairs,
 )
 from big_data_computing__spark.operators.textstats import (  # noqa: E402
@@ -185,13 +185,16 @@ def main(n_docs: int) -> None:
     )
     print(f"    candidate pairs {pairs.count():,}")
 
-    # the closure is computed ONCE and reused by survivors AND splits
+    # The closure is computed ONCE and reused by survivors AND splits
     # — the first run of this stress computed it twice (inside each
-    # operator): s4 133 s + s5 87 s, ~15 GiB shuffle EACH. The reuse
-    # is the components= parameter both operators now take.
+    # operator): s4 133 s + s5 87 s, ~15 GiB shuffle EACH; the reuse
+    # is the components= parameter both operators now take. The
+    # closure itself runs hook+shortcut (A/B at this exact graph,
+    # 7.3M nodes / 10.6M pairs: 105.8 s vs min-label's 225.4 s,
+    # mismatches = 0 — STRESS.md r8).
     comp = stage(
         "s4a_duplicate_components",
-        lambda: duplicate_components(pairs).localCheckpoint(),
+        lambda: duplicate_components_shortcut(pairs).localCheckpoint(),
     )
     survivors = stage(
         "s4b_cc_survivors",
