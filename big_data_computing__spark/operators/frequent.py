@@ -1153,8 +1153,6 @@ def kmv_jaccard(
     Plan: two grouped sketches off one scan (the label is just a group
     key), a ≤2k-row union re-sketch, and two ≤k-row semi joins —
     nothing beyond the sketch build touches data scale."""
-    from pyspark.sql import Window
-
     both = kmv_sketch(
         docs.where(F.col(label_col).isin([label_a, label_b])),
         k,
@@ -1163,14 +1161,12 @@ def kmv_jaccard(
     )
     a = both.where(F.col(label_col) == label_a).select("hv")
     b = both.where(F.col(label_col) == label_b).select("hv")
-    w = Window.orderBy(F.asc("hv"))
-    union_sk = (
-        a.union(b)
-        .distinct()
-        .withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= k)
-        .select("hv")
-    )
+    # bottom-k of the ≤2k-row sketch union via orderBy+limit —
+    # TakeOrderedAndProject (per-partition heaps + driver merge), not
+    # the single-partition row_number window the same selection used
+    # to compile to (bounded input either way; this shape is
+    # warning-free and the engine's preferred top-K plan)
+    union_sk = a.union(b).distinct().orderBy("hv").limit(k)
     overlap = union_sk.join(a, "hv", "left_semi").join(
         b, "hv", "left_semi"
     )
@@ -1605,8 +1601,6 @@ def kmv_set_ops(
     sketch algebra — the contamination-triage query (how much does
     corpus B's vocabulary overlap corpus A's?) at any corpus size.
     """
-    from pyspark.sql import Window
-
     both = kmv_sketch(
         docs.where(F.col(label_col).isin([label_a, label_b])),
         k,
@@ -1629,12 +1623,13 @@ def kmv_set_ops(
     b = per.where(F.col(label_col) == label_b).select(
         F.col("n_sk").alias("nb"), F.col("kth").alias("kb")
     )
-    w = Window.orderBy(F.asc("hv"))
+    # bottom-k via orderBy+limit (TakeOrderedAndProject) — see
+    # kmv_jaccard: same selection, no single-partition window
     union_agg = (
         both.select("hv")
         .distinct()
-        .withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= k)
+        .orderBy("hv")
+        .limit(k)
         .agg(
             F.count("*").cast("long").alias("nu"),
             F.max("hv").alias("ku"),
