@@ -3283,6 +3283,117 @@ def duplicate_components_shortcut(
     )
 
 
+def duplicate_components_twophase(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Connected components via the two-phase large-star/small-star
+    alternation (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", Alg. 3): same contract as
+    :func:`duplicate_components` — DataFrame[doc_id, component_id],
+    component_id = min doc id.
+
+    The fifth CC implementation, and the one whose PER-ROUND cost
+    SHRINKS: unlike hook+shortcut (which joins the STATIC edge list
+    against parents every round — the measured 58%-of-wall/72%-of-
+    shuffle stage of the 10M-doc composed pipeline, STRESS.md r8),
+    both phases here rewrite the edge list itself, and as stars form
+    the rewritten list collapses toward one (node, root) edge per
+    node — so round r+1 shuffles the CONTRACTED graph, not the input.
+
+    - **large-star** (per node u, over ALL neighbors): emit
+      (w, min(Γ⁺(u))) for every neighbor w > u — strictly-larger
+      neighbors re-hook to u's best-known minimum;
+    - **small-star** (per node u, over smaller neighbors only): emit
+      (w, m) for every w ∈ Γ⁻(u) ∪ {u} − {m}, m = min(Γ⁻(u)) —
+      u and its smaller neighbors consolidate under their minimum.
+
+    Both emissions preserve connectivity and never raise the
+    component minimum (each new edge connects two nodes through a
+    current common neighbor); at fixpoint the edge set is a star
+    forest rooted at component minima, read out as
+    (member, root) ∪ (root, root). Fixpoint = the canonical edge set
+    stops changing (exact set equality via two anti-join counts —
+    edge counts alone can coincide). ``localCheckpoint`` per round
+    resets lineage; raises on bound exhaustion rather than returning
+    partial labels."""
+    edges = (
+        pairs.select(F.col(doc_a).alias("a"), F.col(doc_b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"),
+            F.greatest("a", "b").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # bidirect, group by center u over all neighbors
+        nbrs = e.select(
+            F.col("lo").alias("u"), F.col("hi").alias("w")
+        ).union(e.select(F.col("hi").alias("u"), F.col("lo").alias("w")))
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("w"), F.first("u")).alias("m")
+        )
+        # emit (w, m) for w > u; m <= u < w so (m, w) is canonical
+        return (
+            nbrs.join(m, "u")
+            .where(F.col("w") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("w").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct big -> small: center u = hi endpoint, Γ⁻(u) = los
+        m = e.groupBy(F.col("hi").alias("u")).agg(
+            F.min("lo").alias("m")
+        )
+        withm = e.join(m, e["hi"] == m["u"], "inner").select(
+            "lo", "hi", "m"
+        )
+        # emit (w, m) for w in Γ⁻(u) ∪ {u} − {m}: the smaller
+        # neighbors (excluding m itself) plus the center u
+        from_small = (
+            withm.where(F.col("lo") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+        )
+        from_center = withm.select(
+            F.col("m").alias("lo"), F.col("hi").alias("hi")
+        )
+        return (
+            from_small.union(from_center)
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    for _ in range(max_iterations):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        diff = (
+            new_edges.join(edges, ["lo", "hi"], "left_anti").count()
+            + edges.join(new_edges, ["lo", "hi"], "left_anti").count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if diff == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_components_twophase did not converge in "
+            f"{max_iterations} rounds"
+        )
+    members = edges.select(
+        F.col("hi").alias("doc_id"), F.col("lo").alias("component_id")
+    )
+    roots = edges.select(F.col("lo").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    return members.union(roots)
+
+
 def duplicate_components_htm(
     pairs: DataFrame,
     doc_a: str = "doc_a",

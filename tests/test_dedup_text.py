@@ -2405,3 +2405,79 @@ def test_incremental_probe_super_bucket_guard(spark, boilerplate_docs):
         new, corpus_sigs, max_bucket=None
     )
     assert raw.where(F.col("new_doc_id") == 50_000).count() == 1_000
+
+
+def test_components_twophase_random_graphs_vs_union_find(spark, sf_dir):
+    """The large-star/small-star alternation (fifth CC implementation)
+    against a Python union-find ground truth on the same seeded case
+    family as the shortcut test, plus the fixture pair graph against
+    the shortcut labels (mismatch count must be exactly zero)."""
+    import random
+
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components_shortcut,
+        duplicate_components_twophase,
+    )
+
+    def union_find_labels(n_ids, edge_list):
+        parent = {i: i for i in n_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = {}
+        for i in n_ids:
+            out.setdefault(find(i), []).append(i)
+        return {
+            i: min(members)
+            for r, members in out.items()
+            for i in members
+        }
+
+    rng = random.Random(11)
+    cases = [
+        [
+            (a, b)
+            for a in range(80)
+            for b in range(a + 1, 80)
+            if rng.random() < 0.03
+        ],
+        [(i, i + 1) for i in range(300, 390)],  # long chain
+        [(h, h + j) for h in (500, 600, 700) for j in (1, 2, 3)],
+        [(0, 1), (1, 2), (2, 0), (10, 11)],  # triangle + edge
+    ]
+    for edge_list in cases:
+        ids = sorted({x for e in edge_list for x in e})
+        want = union_find_labels(ids, edge_list)
+        pairs = spark.createDataFrame(
+            edge_list, "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in duplicate_components_twophase(pairs).collect()
+        }
+        assert got == want
+
+    from big_data_computing__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).localCheckpoint()
+    a = duplicate_components_shortcut(pairs)
+    b = duplicate_components_twophase(pairs)
+    assert (
+        a.join(b, "doc_id")
+        .where(a["component_id"] != b["component_id"])
+        .count()
+        == 0
+    )
+    assert a.count() == b.count()
