@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     # O(log n) rounds AND linear state (the recommended scale path
     # after the r6 chain-graph measurements)
     "x_dedup_components_sc",
+    # fifth CC implementation (r8): large-star/small-star alternation —
+    # the contracting-edge-list scale path (CC ladder in STRESS.md r8)
+    "x_dedup_components_2p",
     # SemDeDup's paper-faithful within-cluster path (the approximate
     # low-threshold scale shape, next to the exact x_semdedup_survivors
     # whose pruning degrades to all-pairs at threshold 0.3) and the
