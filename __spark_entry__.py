@@ -511,6 +511,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ratio_milli long",
         )
 
+    def x_streaming_kmv_final(spark, sf_dir):
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.col("l_orderkey").cast("long").alias("item"),
+        )
+        st = _fs.KmvState(group_cols=["l_returnflag"])
+        _replay(li, st, key=F.col("item"))
+        rows = [
+            (key[0], n, kth, est)
+            for key, (n, kth, est) in sorted(st.estimate().items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "l_returnflag string, n_sketch long, kth_hv long, "
+            "estimate long",
+        )
+
+    def x_streaming_mg_final(spark, sf_dir):
+        # Misra-Gries stream-end EXACT heavy hitters: fold each
+        # micro-batch's per-partition MG summaries into the driver
+        # state (the mg_stream_query foreachBatch body), then the
+        # exact recount over the arrived union restricted to the
+        # state's candidate superset — the two-pass guarantee holds
+        # per prefix because candidates() only ever over-approximates
+        import math
+
+        stream = _rd.event_stream_table(spark, sf_dir)
+        k = math.ceil(1.0 / PHI) + 1
+        st = _fs.MgSummaryState(k)
+        tagged = stream.withColumn(
+            "_b", F.pmod(F.xxhash64("seq"), F.lit(4))
+        )
+        for i in range(4):
+            b = tagged.where(F.col("_b") == i).drop("_b")
+            st.fold(
+                _fr.mg_partition_summaries(b, k, "item").collect(),
+                n_rows=b.count(),
+                batch_id=i,
+            )
+        cands = sorted(st.candidates())
+        counts = (
+            stream.where(F.col("item").isin(cands))
+            .groupBy("item")
+            .agg(F.count("*").alias("cnt"))
+        )
+        total = stream.agg(F.count("*").alias("_total"))
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .where(F.col("cnt") >= F.lit(PHI) * F.col("_total"))
+            .select("item", "cnt")
+        )
+
+    def x_streaming_bootstrap_final(spark, sf_dir):
+        st = _fs.BootstrapState("n_chars", "doc_id", n_replicates=200)
+        _replay(_docs(spark, sf_dir), st, key=F.col("doc_id"))
+        point, lo, hi = st.estimate()
+        return spark.createDataFrame(
+            [(st.n_rows, point, lo, hi, 200)],
+            "n_rows long, point_milli long, lo_milli long, "
+            "hi_milli long, n_replicates long",
+        )
+
     def x_streaming_f2_final(spark, sf_dir):
         toks = _docs(spark, sf_dir).select(
             F.explode(_ts.tokens(F.col("text"))).alias("item")
@@ -3489,6 +3551,9 @@ GROUP BY GROUPING SETS (
         x_streaming_ewma_final,
         x_streaming_spike_final,
         x_streaming_f2_final,
+        x_streaming_kmv_final,
+        x_streaming_mg_final,
+        x_streaming_bootstrap_final,
         x_mis_diverse,
         x_feature_hash_embed,
         a19_exact_median_qs,
@@ -3771,6 +3836,8 @@ _WINDOW_PRIORITY = [
     "x_streaming_ks_final", "x_streaming_cvm_final",
     "x_streaming_spike_final", "x_streaming_f2_final",
     "x_dedup_components_2p",
+    "x_streaming_kmv_final", "x_streaming_mg_final",
+    "x_streaming_bootstrap_final",
 ]
 
 
@@ -4083,6 +4150,20 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
                 "item",
             )
             + ") t"
+        ),
+        "x_streaming_kmv_final": _fr.kmv_estimate_sql(
+            "SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS item"
+            " FROM lineitem",
+            group_cols=["l_returnflag"],
+        ),
+        "x_streaming_mg_final": _fr.true_frequent_sql(
+            _rd.EVENT_STREAM_SQL, PHI
+        ),
+        "x_streaming_bootstrap_final": _st.poisson_bootstrap_ci_sql(
+            "SELECT * FROM documents",
+            "n_chars",
+            "doc_id",
+            200,
         ),
         "x_streaming_ht_final": _st.ht_total_sql(
             "SELECT * FROM orders",
