@@ -3394,6 +3394,27 @@ def duplicate_components_twophase(
     return members.union(roots)
 
 
+def duplicate_components_auto(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Closure with the variant picked by measured regime: shortcut's
+    static-edge-list rounds win on SMALL graphs (sf0.1 fixture:
+    4.7 s vs two-phase's 13.2 s — per-round fixed costs dominate);
+    the two-phase contraction wins once the edge list IS the cost
+    (10M-doc graph: 116 s vs 152 s wall and 2.6× fewer shuffle
+    bytes). One edge count (the aggregation any closure pays anyway)
+    decides; the threshold sits between the two measured regimes
+    (STRESS.md r8 CC ladder). Same output from either side — labels
+    are identical by the cross-implementation tests."""
+    n_edges = pairs.count()
+    if n_edges >= edge_threshold:
+        return duplicate_components_twophase(pairs, doc_a, doc_b)
+    return duplicate_components_shortcut(pairs, doc_a, doc_b)
+
+
 def duplicate_components_htm(
     pairs: DataFrame,
     doc_a: str = "doc_a",

@@ -2481,3 +2481,35 @@ def test_components_twophase_random_graphs_vs_union_find(spark, sf_dir):
         == 0
     )
     assert a.count() == b.count()
+
+
+def test_components_auto_dispatch(spark, sf_dir):
+    """duplicate_components_auto picks by edge count and returns the
+    same labels either side of the threshold."""
+    from big_data_computing__spark.operators.dedup import (
+        duplicate_components_auto,
+        duplicate_components_shortcut,
+        minhash_lsh_pairs,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).localCheckpoint()
+    want = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components_shortcut(pairs).collect()
+    }
+    # below threshold -> shortcut path; force the two-phase path with
+    # threshold 1 — identical labels either way
+    got_small = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components_auto(pairs).collect()
+    }
+    got_big = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components_auto(
+            pairs, edge_threshold=1
+        ).collect()
+    }
+    assert got_small == want
+    assert got_big == want
