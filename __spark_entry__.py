@@ -38,7 +38,13 @@ from big_data_computing__spark.operators import windows as _wd
 from big_data_computing__spark.plans import fft_golden_sf001 as _gold
 from big_data_computing__spark.plans import pca_golden_sf001 as _pcag
 from big_data_computing__spark.sources import readers as _rd
+from big_data_computing__spark.streaming import ann_stream as _ans
+from big_data_computing__spark.streaming import curation_stream as _cs
+from big_data_computing__spark.streaming import dedup_stream as _dds
+from big_data_computing__spark.streaming import embed_stream as _es
 from big_data_computing__spark.streaming import frequent_stream as _fs
+from big_data_computing__spark.streaming import graph_stream as _gst
+from big_data_computing__spark.streaming import table_stream as _tbs
 from big_data_computing__spark.streaming import windows_stream as _ws
 from big_data_computing__spark.streaming.replay import replay_batches as _replay
 
@@ -584,6 +590,322 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(
             [(st.estimate(),)], "estimate long"
         )
+
+    # -- r9: the rest of the stream-end oracle roster (VERDICT r8
+    # item #1). Same replay law as the r8 wave: the EXACT foreachBatch
+    # update callable folded over a deterministic micro-batch split,
+    # final report hash-compared by the driver against the BATCH
+    # twin's oracle. The disk-backed index states (LSH / kNN / CDF
+    # families) additionally prove their on-disk maintenance: the
+    # stream-end TABLE itself equals the batch operator's output. --
+
+    def x_streaming_drift_final(spark, sf_dir):
+        st = _cs.DriftState()
+        _replay(_docs(spark, sf_dir), st, key=F.col("doc_id"))
+        return spark.createDataFrame(
+            st.report(),
+            "metric string, bin int, base_n long, comp_n long, "
+            "tvd_milli long",
+        )
+
+    def x_streaming_dsir_final(spark, sf_dir):
+        # exact incremental DSIR bucket maintenance; scoring the
+        # accumulated corpus against the FINAL bucket table reproduces
+        # batch dsir_importance exactly (integer q_b math shared)
+        docs = _docs(spark, sf_dir)
+        st = _cs.DsirBucketState()
+        _replay(docs, st, key=F.col("doc_id"))
+        return st.score(docs)
+
+    def x_streaming_scatter_final(spark, sf_dir):
+        # additive integer scatter totals: stream-end (i, j) sums and
+        # the derived cov equal batch embedding_scatter bit-for-bit
+        st = _es.ScatterState(k=8)
+        _replay(_emb(spark, sf_dir), st, key=F.col("vec_id"))
+        rows = [
+            (i, j, n, s_i, s_j, s_ij, cov)
+            for (i, j), (n, s_i, s_j, s_ij, cov) in sorted(
+                st.result().items()
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "i int, j int, n_vecs long, s_i long, s_j long, "
+            "s_ij long, cov double",
+        )
+
+    def _orders_ztable_frame(spark, sf_dir):
+        # layout x = okey mod 100 so the COW-delete box removes a
+        # FIXED FRACTION (~20%) of rows at every sf — an absolute-key
+        # box would swallow the whole sf0.001 fixture and leave the
+        # oracle degenerately empty there
+        od = _rd.read_table(spark, sf_dir, "orders")
+        return od.select(
+            F.col("o_orderkey").cast("long").alias("okey"),
+            F.col("o_orderpriority").alias("prio"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.pmod(F.col("o_orderkey"), F.lit(100))
+            .cast("double")
+            .alias("x"),
+            F.lit(0.0).alias("y"),
+        )
+
+    def x_streaming_cdf_agg_final(spark, sf_dir):
+        # incremental GROUP-BY materialized view off the change data
+        # feed, driver-hashed at stream end: three insert commits plus
+        # one copy-on-write DELETE on a scratch ZTable built from
+        # orders; the signed-delta state equals the GROUP BY over the
+        # surviving rows (the oracle's WHERE o_orderkey > 3000)
+        import shutil
+        import tempfile
+
+        from big_data_computing__spark.sources.layout import ZTable
+
+        od = _orders_ztable_frame(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdf_agg_")
+        try:
+            t = ZTable.create(
+                od.where("okey % 3 = 0"), tmp + "/t", n_files=4
+            )
+            st = _tbs.CdfAggState(t, "prio", sum_col="cents")
+            st.advance(spark)
+            t.append(od.where("okey % 3 = 1"), n_files=4)
+            st.advance(spark)
+            t.append(od.where("okey % 3 = 2"), n_files=4)
+            t.delete_where(spark, (0.0, 20.0), (0.0, 0.0))
+            st.advance(spark)
+            rows = [
+                (k, c, s) for k, (c, s) in sorted(st.state.items())
+            ]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "prio string, cnt long, sum_cents long"
+        )
+
+    def x_streaming_cdf_minmax_final(spark, sf_dir):
+        # the NON-invertible IVM half: MIN/MAX maintained off the CDF
+        # with affected-group rescans only where a delete ties a bound
+        import shutil
+        import tempfile
+
+        from big_data_computing__spark.sources.layout import ZTable
+
+        od = _orders_ztable_frame(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="cdf_mm_")
+        try:
+            t = ZTable.create(
+                od.where("okey % 3 = 0"), tmp + "/t", n_files=4
+            )
+            st = _tbs.CdfMinMaxState(t, "prio", "cents")
+            st.advance(spark)
+            t.append(od.where("okey % 3 <> 0"), n_files=4)
+            st.advance(spark)
+            t.delete_where(spark, (0.0, 20.0), (0.0, 0.0))
+            st.advance(spark)
+            rows = [
+                (k, c, mn, mx)
+                for k, (c, mn, mx) in sorted(st.state.items())
+            ]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            rows,
+            "prio string, cnt long, min_cents long, max_cents long",
+        )
+
+    def x_streaming_cdf_join_final(spark, sf_dir):
+        # incremental JOIN-aggregate view (dV = dA><B_old + A_new><dB,
+        # the z-set rule) over two scratch ZTables: orders fact side
+        # committed in two appends, customer dim side hit by a COW
+        # delete — stream-end state ≡ the full join GROUP BY over the
+        # surviving rows of both tables
+        import shutil
+        import tempfile
+
+        from big_data_computing__spark.sources.layout import ZTable
+
+        od = _rd.read_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").cast("long").alias("k_cust"),
+            F.col("o_orderkey").cast("long").alias("okey"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.pmod(F.col("o_orderkey"), F.lit(100))
+            .cast("double")
+            .alias("x"),
+            F.lit(0.0).alias("y"),
+        )
+        cu = _rd.read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("long").alias("k_cust"),
+            F.col("c_mktsegment").alias("segment"),
+            F.pmod(F.col("c_custkey"), F.lit(100))
+            .cast("double")
+            .alias("bx"),
+            F.lit(0.0).alias("by"),
+        )
+        tmp = tempfile.mkdtemp(prefix="cdf_join_")
+        try:
+            a = ZTable.create(
+                od.where("okey % 2 = 0"), tmp + "/fact", n_files=4
+            )
+            b = ZTable.create(
+                cu, tmp + "/dim", x="bx", y="by", n_files=4
+            )
+            st = _tbs.CdfJoinAggState(
+                a, b, "k_cust", "segment", sum_col="cents"
+            )
+            st.advance(spark)
+            a.append(od.where("okey % 2 = 1"), n_files=4)
+            st.advance(spark)
+            b.delete_where(spark, (0.0, 20.0), (0.0, 0.0))
+            st.advance(spark)
+            rows = [
+                (g, c, s) for g, (c, s) in sorted(st.state.items())
+            ]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "segment string, cnt long, sum_cents long"
+        )
+
+    def x_streaming_truss_final(spark, sf_dir):
+        # incrementally-maintained triangle supports over an arriving
+        # edge stream (insertion-side delta enumeration, never the
+        # full O(m^1.5) pass), then the shared peel: stream-end truss
+        # ≡ batch ktruss_edges over the union — the x_ktruss_edges
+        # oracle verbatim
+        pairs = _dd.simhash_near_pairs(
+            _docs(spark, sf_dir), SIMHASH_MAX_HAMMING
+        )
+        st = _gst.TrussState(k=4)
+        tagged = pairs.withColumn(
+            "_b", F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(4))
+        )
+        for i in range(4):
+            st.update(tagged.where(F.col("_b") == i).drop("_b"))
+        return st.truss()
+
+    def x_streaming_lsh_final(spark, sf_dir):
+        # streaming exact global LSH dedup: per batch, within-batch
+        # self-join + probe of the PERSISTED signature index; the
+        # accumulated pair log at stream end ≡ batch minhash_lsh_pairs
+        # over all arrived documents (discovered-exactly-once law)
+        import shutil
+        import tempfile
+
+        docs = _docs(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="lsh_idx_")
+        try:
+            st = _dds.LshIndexState(tmp + "/index", tmp + "/pairs")
+            tagged = docs.withColumn(
+                "_b", F.pmod(F.col("doc_id"), F.lit(4))
+            )
+            for i in range(4):
+                st.update(tagged.where(F.col("_b") == i).drop("_b"), i)
+            pairs = st.pairs(spark)
+            rows, schema = pairs.collect(), pairs.schema
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    def x_streaming_knn_final(spark, sf_dir):
+        # streaming exact celled top-k maintenance (KnnIndexState's
+        # discovered-once candidate log) against the SAME pretrained
+        # quantizer the batch tier uses: stream-end topk ≡ batch
+        # ivf_topk — the x_ann_ivf_topk oracle verbatim (golden
+        # sf-bound like every pinned-center ANN query)
+        import shutil
+        import tempfile
+
+        from big_data_computing__spark.functions.vectors import (
+            as_double_vec,
+        )
+
+        emb = _emb(spark, sf_dir)
+        pts = emb.select(
+            F.col("vec_id").cast("long").alias("id"),
+            as_double_vec(F.col("embedding")).alias("features"),
+        )
+        centers = _cl.mr_fft(pts, k=FFT_K, l=FFT_L, seed=SEED).centers
+        tmp = tempfile.mkdtemp(prefix="knn_idx_")
+        try:
+            st = _ans.KnnIndexState(
+                tmp + "/idx",
+                tmp + "/cand",
+                centers,
+                k=ANN_K,
+                nprobe=2,
+                parity=True,
+            )
+            tagged = emb.withColumn(
+                "_b", F.pmod(F.col("vec_id"), F.lit(4))
+            )
+            for i in range(4):
+                st.update(tagged.where(F.col("_b") == i).drop("_b"), i)
+            rows = st.topk(spark).collect()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "query_id long, vec_id long, score double"
+        )
+
+    def x_dedup_components_auto(spark, sf_dir):
+        # the measured-crossover dispatcher under the driver's hash:
+        # the sf pair graph sits far below the 2M-edge threshold, so
+        # this routes through the shortcut variant — what's new under
+        # test is the localCheckpoint + count + dispatch path itself;
+        # shares the CC oracle verbatim (labels identical either way)
+        return _dd.duplicate_components_auto(
+            _dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+        )
+
+    def x_join_analyzed(spark, sf_dir):
+        # the manifest-stats join gate under the driver's hash: two
+        # scratch ZTables (lineitem fact / part dim); join_analyzed
+        # picks the strategy from recorded row counts + byte sizes +
+        # key histograms at ZERO data read (broadcast here — part is
+        # manifest-small), executes it, and the decision itself rides
+        # the output as a literal column the oracle pins
+        import shutil
+        import tempfile
+
+        from big_data_computing__spark.sources.layout import ZTable
+
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("long").alias("pk"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.col("l_partkey").cast("double").alias("x"),
+            F.lit(0.0).alias("y"),
+        )
+        pt = _rd.read_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").cast("long").alias("pk"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").cast("double").alias("bx"),
+            F.lit(0.0).alias("by"),
+        )
+        tmp = tempfile.mkdtemp(prefix="join_gate_")
+        try:
+            big = ZTable.create(li, tmp + "/fact", n_files=8)
+            big.analyze_histograms(spark, ["pk"], bins=16)
+            small = ZTable.create(
+                pt, tmp + "/dim", x="bx", y="by", n_files=4
+            )
+            dec, joined = _rel.join_analyzed(spark, big, small, "pk")
+            agg = (
+                joined.groupBy("brand")
+                .agg(
+                    F.count("*").cast("long").alias("n_items"),
+                    F.sum("qty").cast("long").alias("sum_qty"),
+                )
+                .withColumn("strategy", F.lit(dec["strategy"]))
+            )
+            rows, schema = agg.collect(), agg.schema
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
 
     def x_bootstrap_ci(spark, sf_dir):
         # one-pass Poisson bootstrap (Chamandy et al.): 200 replicate
@@ -3554,6 +3876,19 @@ GROUP BY GROUPING SETS (
         x_streaming_kmv_final,
         x_streaming_mg_final,
         x_streaming_bootstrap_final,
+        # -- r9 wave: stream-end oracle roster completion + the two
+        # dispatch gates under the driver's hash --
+        x_streaming_drift_final,
+        x_streaming_dsir_final,
+        x_streaming_scatter_final,
+        x_streaming_cdf_agg_final,
+        x_streaming_cdf_minmax_final,
+        x_streaming_cdf_join_final,
+        x_streaming_truss_final,
+        x_streaming_lsh_final,
+        x_streaming_knn_final,
+        x_dedup_components_auto,
+        x_join_analyzed,
         x_mis_diverse,
         x_feature_hash_embed,
         a19_exact_median_qs,
@@ -3802,42 +4137,36 @@ GROUP BY GROUPING SETS (
 
 
 # The driver hash-verifies only the FIRST ~50 registry entries per
-# round; 167 of 220 names have been windowed in rounds 1-6
-# (CORRECTNESS_r01..r06 keys) and 53 never have. Front-load the
-# never-windowed names so rounds 7-8 close the driver-evidence gap
-# (VERDICT r6, next-round item #3); relative order within each block
-# is the original registration order, so the mapping stays total and
-# deterministic.
+# round. The never-green backlog closed in r8 (cumulative driver-
+# green = 259/259), so the window's standing job is now REFRESH
+# (VERDICT r8 item #2): new queries lead (driver evidence before
+# anything else), then the registry names whose last hash-green
+# round is oldest (computed from CORRECTNESS_r01..r08 at r9 start;
+# the 39 stalest are r1/r3/r4-vintage). Ordering within a
+# staleness tier is the artifact sort, so the list stays
+# deterministic and auditable.
 _WINDOW_PRIORITY = [
-    # The 34 registry names that have NEVER held a driver hash-green
-    # row (= ORACLE_FULL_r07 keys minus the union of hash-green names
-    # across CORRECTNESS_r01..r07; recomputed from the artifacts this
-    # round, matches VERDICT r7 item #1's list exactly). All 34 are
-    # value-matched by the type-strict local gate; the driver window
-    # is the hard signal, so they fill positions 1-34.
-    "x_personalized_pagerank", "x_chunk_documents",
-    "j9_bloom_semi_join", "t13_kmv_distinct", "t14_kmv_jaccard",
-    "t15_kmv_source_matrix", "o5_hilbert_cells", "x_media_ahash",
-    "x_dedup_lsh_capped", "x_lsh_super_buckets", "x_ks_drift",
-    "a22_salted_agg", "j11_salted_join",
-    "x_auc_quality", "x_auc_by_lang",
-    "x_retrieval_eval_hamming", "x_retrieval_eval_int8",
-    "w20_ewma_daily", "w21_acf_daily", "a23_ht_total",
-    "x_conformal_coverage", "t20_kmv_setops", "x_source_gini",
-    "a24_trimmed_mean", "x_feature_corr", "x_bigram_lift",
-    "x_chi2_lang_source", "x_conformal_by_lang", "x_dedup_eval",
-    "x_dedup_bcubed", "x_pr_curve", "x_mutual_knn", "x_cvm_drift",
-    "x_random_walks",
-    # Round-8 NEW queries (never windowed by construction) occupy the
-    # remaining window slots (35-50):
-    "x_mutual_knn_ivf",
-    "x_streaming_auc_final", "x_streaming_gini_final",
-    "x_streaming_ewma_final", "x_streaming_ht_final",
-    "x_streaming_ks_final", "x_streaming_cvm_final",
-    "x_streaming_spike_final", "x_streaming_f2_final",
-    "x_dedup_components_2p",
-    "x_streaming_kmv_final", "x_streaming_mg_final",
-    "x_streaming_bootstrap_final",
+    # r9 NEW queries (never windowed by construction):
+    "x_streaming_drift_final", "x_streaming_dsir_final",
+    "x_streaming_scatter_final", "x_streaming_cdf_agg_final",
+    "x_streaming_cdf_minmax_final", "x_streaming_cdf_join_final",
+    "x_streaming_truss_final", "x_streaming_lsh_final",
+    "x_streaming_knn_final", "x_dedup_components_auto",
+    "x_join_analyzed",
+    # the 39 stalest driver-green rows (last green r1-r4):
+    "c9b_outliers_nd_ivf", "j5_asof_join", "j7_full_outer", "j8_band_join",
+    "t10_hll_estimate", "t9_cms_frequent", "w2_tumbling_window_counts",
+    "w3_sessionize", "w4_session_window", "w5_moving_avg",
+    "w6_ntile_quartiles", "x_ann_opq_ivf_rpq_topk",
+    "x_bloom_contamination", "x_clean_corpus", "x_contamination",
+    "x_domain_mixture", "x_domain_quality", "x_mixture_resample",
+    "x_pagerank_dupgraph", "x_pii_report", "x_repetition",
+    "x_tfidf_top_terms", "x_token_budget_sample", "a11_distinct_items",
+    "a12_rollup_pricing", "a13_quantile_stats", "a15_cube_order_stats",
+    "a16_argmax_customer", "a17_pivot_events", "a2_pricing_summary",
+    "c5_radius_fixed_centers", "c9b_outliers_nd_brute", "f1_json_extract",
+    "f3_date_functions", "j2_star_join_revenue", "j4_anti_join_customers",
+    "j6_above_avg_orders", "o1_exact_outliers_topk", "o1_topk_orders",
 ]
 
 
@@ -4171,6 +4500,57 @@ CROSS JOIN ({_fr.hll_estimate_corrected_sql(
             "o_orderpriority",
             "o_orderkey",
         ),
+        # -- r9 stream-end finals: each oracle is the BATCH twin's SQL
+        # verbatim (the replay law: stream-end report ≡ batch over the
+        # arrived union) --
+        "x_streaming_drift_final": _cu.corpus_drift_report_sql(),
+        "x_streaming_dsir_final": _cu.dsir_importance_sql(),
+        "x_streaming_scatter_final": _sim.embedding_scatter_sql(k=8),
+        # the CDF views' oracles: GROUP BY over the rows surviving the
+        # deterministic commit schedule (the COW-delete box removes
+        # key % 100 in [0, 20] — a fixed ~20% fraction at EVERY sf, so
+        # the oracle never degenerates to empty on a small fixture)
+        "x_streaming_cdf_agg_final": """
+SELECT o_orderpriority AS prio,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders WHERE o_orderkey % 100 > 20 GROUP BY 1
+""",
+        "x_streaming_cdf_minmax_final": """
+SELECT o_orderpriority AS prio,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS min_cents,
+       MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents
+FROM orders WHERE o_orderkey % 100 > 20 GROUP BY 1
+""",
+        "x_streaming_cdf_join_final": """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 100 > 20 GROUP BY 1
+""",
+        "x_streaming_truss_final": _dd.ktruss_edges_sql(
+            f"SELECT doc_a, doc_b FROM "
+            f"({_dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING)})",
+            k=4,
+        ),
+        "x_streaming_lsh_final": _dd.minhash_lsh_pairs_sql(),
+        "x_streaming_knn_final": _sim.ivf_topk_sql(
+            ANN_K, _gold.C3_CENTERS, nprobe=2
+        ),
+        "x_dedup_components_auto": _dd.duplicate_components_sql(
+            f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        "x_join_analyzed": """
+SELECT p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       'broadcast' AS strategy
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+""",
         "x_bootstrap_ci": _st.poisson_bootstrap_ci_sql(
             "SELECT * FROM documents",
             "n_chars",

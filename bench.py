@@ -134,6 +134,15 @@ BENCH_QUERIES = [
     # fifth CC implementation (r8): large-star/small-star alternation —
     # the contracting-edge-list scale path (CC ladder in STRESS.md r8)
     "x_dedup_components_2p",
+    # the auto-dispatching closure (r9): localCheckpoint + edge count +
+    # crossover dispatch — its tracked cost vs the direct variants IS
+    # the price of the gate (should sit at shortcut + one count here,
+    # far below the 2M-edge threshold)
+    "x_dedup_components_auto",
+    # the manifest-stats join gate end-to-end (r9): two scratch ZTable
+    # builds + histogram ANALYZE + the gated join — the planner-loop
+    # cost a catalog-backed warehouse would amortize across queries
+    "x_join_analyzed",
     # SemDeDup's paper-faithful within-cluster path (the approximate
     # low-threshold scale shape, next to the exact x_semdedup_survivors
     # whose pruning degrades to all-pairs at threshold 0.3) and the

@@ -136,6 +136,36 @@ def minhash_signatures(
 LSH_MAX_BUCKET = 100_000
 
 
+def lsh_max_bucket_from_stats(
+    snapshot: dict,
+    pairs_per_row_budget: int = 8,
+    floor: int = 64,
+    cap: int = LSH_MAX_BUCKET,
+) -> int:
+    """Derive the super-bucket cap from a documents table's RECORDED
+    manifest row count at zero data read — the join-gate pattern
+    (relational.join_strategy_from_stats) applied to the last
+    hardcoded threshold in the dedup path (VERDICT r8 item #5).
+
+    Cost model: a bucket of size b contributes b·(b−1)/2 candidate
+    pairs to the band self-join, so the cap is sized to keep ONE
+    degenerate bucket's contribution within a LINEAR budget of the
+    corpus — ``b²/2 ≤ pairs_per_row_budget · N`` →
+    ``b = √(2 · budget · N)``. A fixed global cap is wrong in both
+    directions: at N=10⁴ a 100k cap admits a bucket whose self-join is
+    10⁹ pairs (10⁵× the corpus); at N=10¹⁰ it drops buckets whose
+    pair volume the cluster would not notice. ``floor`` keeps tiny
+    fixtures from capping out genuine near-dup buckets; ``cap`` keeps
+    the absolute ceiling (beyond it the docs are boilerplate exact
+    dups the O(n) hash path already handles).
+
+    A/B at two corpus shapes in tools/lsh_cap_ab.py (STRESS.md r9).
+    """
+    n = sum(e["n_rows"] for e in snapshot["files"])
+    b = int((2.0 * pairs_per_row_budget * max(n, 0)) ** 0.5)
+    return max(floor, min(b, cap))
+
+
 def _drop_super_buckets(
     buckets: DataFrame, keys: list, max_bucket: int
 ) -> DataFrame:
@@ -3405,10 +3435,17 @@ def duplicate_components_auto(
     4.7 s vs two-phase's 13.2 s — per-round fixed costs dominate);
     the two-phase contraction wins once the edge list IS the cost
     (10M-doc graph: 116 s vs 152 s wall and 2.6× fewer shuffle
-    bytes). One edge count (the aggregation any closure pays anyway)
-    decides; the threshold sits between the two measured regimes
-    (STRESS.md r8 CC ladder). Same output from either side — labels
-    are identical by the cross-implementation tests."""
+    bytes). One edge count decides; the threshold sits between the two
+    measured regimes (STRESS.md r8/r9 CC ladder). Same output from
+    either side — labels are identical by the cross-implementation
+    tests.
+
+    The count MATERIALIZES ``pairs`` via ``localCheckpoint`` first, so
+    the chosen variant starts from the computed edge rows instead of
+    re-deriving the (possibly LSH-sized) lineage from scratch — the
+    dispatch count must not double the most expensive upstream stage
+    (ADVICE r8)."""
+    pairs = pairs.localCheckpoint()
     n_edges = pairs.count()
     if n_edges >= edge_threshold:
         return duplicate_components_twophase(pairs, doc_a, doc_b)

@@ -359,6 +359,7 @@ def join_strategy_from_stats(
     broadcast_max_rows: int = 1_000_000,
     skew_factor_threshold: float = 4.0,
     salt_min_hot_rows: int = 30_000_000,
+    broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> dict:
     """Pick broadcast / plain / salted for ``big ⋈ small ON key`` from
     the tables' RECORDED manifest statistics at ZERO data read — the
@@ -366,13 +367,21 @@ def join_strategy_from_stats(
     outliers.detect_outliers_analyzed), replacing the hardcoded
     per-call-site threshold a user would otherwise guess:
 
-    - build-side size: Σ n_rows over the small table's manifest
-      (every commit records it — no count() job). ≤
-      ``broadcast_max_rows`` → **broadcast** (the hash side fits every
-      executor; no shuffle at all).
+    - build-side size: Σ n_rows AND Σ recorded parquet bytes over the
+      small table's manifest (every commit records both — no count()
+      job). Broadcast only when rows ≤ ``broadcast_max_rows`` and
+      bytes ≤ ``broadcast_max_bytes`` — a 1M-row table of wide strings
+      can blow executor broadcast memory that a row gate alone would
+      wave through (ADVICE r8). Manifests written before ``size_bytes``
+      was recorded gate on rows alone (bytes unknown ≠ bytes huge).
     - probe-side skew: the big table's ``hist_<key>`` per-file
       histograms (``analyze_histograms``) overlaid onto one global
-      grid; skew factor = hottest-bin count ÷ uniform share.
+      grid; skew factor = hot volume ÷ single-bin uniform share, where
+      hot volume = max(hottest bin, hottest 2-bin window − one uniform
+      share) — the overlay's proportional re-binning can split a hot
+      key across two adjacent global bins and the single-bin read
+      would understate it; subtracting one uniform share from the
+      window keeps uniform data at ~1.0 (ADVICE r8).
       **salted** only when BOTH the ratio clears
       ``skew_factor_threshold`` AND the hottest bin's absolute row
       count clears ``salt_min_hot_rows`` — a skewed RATIO over a
@@ -395,13 +404,20 @@ def join_strategy_from_stats(
     what makes it usable inside a planner loop at 100 TB.
     """
     small_rows = sum(e["n_rows"] for e in small_snapshot["files"])
+    sizes = [e.get("size_bytes") for e in small_snapshot["files"]]
+    small_bytes = (
+        sum(sizes) if all(s is not None for s in sizes) else None
+    )
     out = {
         "small_rows": small_rows,
+        "small_bytes": small_bytes,
         "skew_factor": None,
         "hot_bin_rows": None,
         "bins": None,
     }
-    if small_rows <= broadcast_max_rows:
+    if small_rows <= broadcast_max_rows and (
+        small_bytes is None or small_bytes <= broadcast_max_bytes
+    ):
         out["strategy"] = "broadcast"
         return out
     hist_key = f"hist_{key}"
@@ -416,7 +432,19 @@ def join_strategy_from_stats(
     overlay = _overlay_histogram(files, hist_key)
     total = sum(overlay)
     bins = len(overlay)
-    hot = max(overlay) if overlay else 0
+    hot1 = max(overlay) if overlay else 0
+    win2 = (
+        max(overlay[i] + overlay[i + 1] for i in range(bins - 1))
+        if bins >= 2
+        else hot1
+    )
+    # straddle-corrected hot volume: a hot key the overlay split
+    # across two adjacent global bins shows its full volume only in
+    # the 2-bin window; subtract ONE uniform share (the background the
+    # second bin would hold anyway) so uniform data still reads ~1.0
+    # and a genuinely single-bin hot key still reads hot1
+    uniform = total / bins if bins else 0.0
+    hot = max(hot1, int(win2 - uniform))
     skew = (hot * bins / total) if total else 0.0
     out.update(
         {
@@ -443,6 +471,7 @@ def join_analyzed(
     broadcast_max_rows: int = 1_000_000,
     skew_factor_threshold: float = 4.0,
     salt_min_hot_rows: int = 30_000_000,
+    broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> tuple[dict, DataFrame]:
     """Execute ``big ⋈ small ON key`` under the strategy
     :func:`join_strategy_from_stats` picks from the two ZTables'
@@ -456,6 +485,7 @@ def join_analyzed(
         broadcast_max_rows=broadcast_max_rows,
         skew_factor_threshold=skew_factor_threshold,
         salt_min_hot_rows=salt_min_hot_rows,
+        broadcast_max_bytes=broadcast_max_bytes,
     )
     big = big_table.read(spark)
     small = small_table.read(spark)

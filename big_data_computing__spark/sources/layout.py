@@ -270,6 +270,10 @@ def _file_stats(
         F.min(y).alias("min_y"),
         F.max(y).alias("max_y"),
         F.count("*").alias("n_rows"),
+        # on-disk parquet bytes (constant per file): the byte-budget
+        # input broadcast gates need — row counts alone can't see a
+        # wide-string table blowing executor broadcast memory
+        F.min("_fsize").alias("size_bytes"),
     ]
     for c in extra_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -284,6 +288,7 @@ def _file_stats(
         spark.read.parquet(path)
         .select(
             F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("_fsize"),
             x,
             y,
             *extra_cols,

@@ -235,7 +235,14 @@ class KnnIndexState:
 
     State is ON DISK (the candidate log + a (vid, cell, vec, norm,
     probes) index), not driver memory. Replayed batch ids are no-ops
-    (the foreachBatch idempotence rule)."""
+    (the foreachBatch idempotence rule), and the guard is DURABLE:
+    both logs carry a ``batch_id`` column, so after a process restart
+    (in-memory ``_seen`` lost) or a crash between the two appends, a
+    replay consults the logs themselves — fully-committed batches
+    skip, a half-committed batch (candidates logged, index not)
+    appends ONLY its missing index rows, never its candidates twice
+    (ADVICE r8: duplicate candidate rows would occupy top-k slots and
+    break the documented ``topk ≡ batch ivf_topk`` parity)."""
 
     def __init__(
         self,
@@ -303,13 +310,41 @@ class KnnIndexState:
             )
         )
 
+    @staticmethod
+    def _logged_ids(spark, path: str) -> set:
+        """Batch ids already committed to the parquet log at ``path``
+        (empty set for a not-yet-created log). One column-pruned
+        distinct over the log — the durable form of ``_seen``."""
+        import os
+
+        if not (
+            os.path.isdir(path)
+            and any(f.endswith(".parquet") for f in os.listdir(path))
+        ):
+            return set()
+        return {
+            r["batch_id"]
+            for r in spark.read.parquet(path)
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         if batch_id in self._seen:
             return
-        self._seen.add(batch_id)
         spark = batch_df.sparkSession
+        if batch_id in self._logged_ids(spark, self.index_dir):
+            # fully committed before a restart: both appends landed
+            self._seen.add(batch_id)
+            self._indexed = True
+            return
+        cands_logged = batch_id in self._logged_ids(
+            spark, self.cand_dir
+        )
+        self._seen.add(batch_id)
         prepped = self._prep(batch_df).localCheckpoint()
         as_q = prepped.select(
             F.col("vid").alias("qid"),
@@ -340,11 +375,19 @@ class KnnIndexState:
                 cands.unionByName(self._score(as_q, standing))
                 .unionByName(self._score(st_q, prepped))
             )
-        # log FIRST, index LAST (the LshIndexState crash rule: a
-        # replay of a half-written batch re-runs cleanly; indexing
-        # first would make the batch self-match on replay)
-        cands.write.mode("append").parquet(self.cand_dir)
-        prepped.write.mode("append").parquet(self.index_dir)
+        # log FIRST, index LAST (the LshIndexState crash rule:
+        # indexing first would make the batch self-match on replay).
+        # A half-committed replay (cands_logged, index missing) skips
+        # the candidate append — the re-derived cands are identical
+        # (the standing index excludes this batch either way), so only
+        # the missing index rows land
+        if not cands_logged:
+            cands.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(self.cand_dir)
+        prepped.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(self.index_dir)
         self._indexed = True
 
     def topk(self, spark) -> DataFrame:
@@ -357,6 +400,7 @@ class KnnIndexState:
         )
         return (
             spark.read.parquet(self.cand_dir)
+            .select("query_id", "vec_id", "score")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= self.k)
             .drop("rk")

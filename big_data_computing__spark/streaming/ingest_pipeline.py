@@ -92,13 +92,27 @@ class IngestPipeline:
             )
         ).localCheckpoint()
 
-        # 2) global near-dup gate over gate survivors
+        # 2) global near-dup gate over gate survivors. The super-
+        # bucket cap is DERIVED from the corpus table's manifest row
+        # count once the table exists (lsh_max_bucket_from_stats —
+        # the manifest-stats gate pattern, zero data read); batch 0
+        # has no manifest yet and keeps the static default
+        from ..operators.dedup import (
+            LSH_MAX_BUCKET,
+            lsh_max_bucket_from_stats,
+        )
+
+        cap = (
+            lsh_max_bucket_from_stats(self.table.snapshot())
+            if self.table is not None
+            else LSH_MAX_BUCKET
+        )
         sigs = minhash_signatures(
             passing, self.num_hashes, self.ngram, self.text_col
         ).localCheckpoint()
-        within = minhash_lsh_pairs(passing, sigs=sigs).select(
-            F.col("doc_b").alias("doc_id")
-        )
+        within = minhash_lsh_pairs(
+            passing, sigs=sigs, max_bucket=cap
+        ).select(F.col("doc_b").alias("doc_id"))
         rejected = within
         if self._have_index():
             cross = incremental_lsh_duplicates(

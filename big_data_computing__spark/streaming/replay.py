@@ -43,8 +43,14 @@ def replay_batches(
     Scale: each update() call runs one cluster-side aggregation over
     its slice and collects only the state-sized delta (the states'
     documented contract) — the replay never gathers raw rows.
+
+    NULL keys land deterministically in batch 0 (``pmod(NULL, n)`` is
+    NULL and would match NO bucket, silently dropping the row from
+    every update — the replay must be a true partition of ``df``).
     """
-    bucket = F.pmod(key.cast("long"), F.lit(n_batches))
+    bucket = F.coalesce(
+        F.pmod(key.cast("long"), F.lit(n_batches)), F.lit(0)
+    )
     tagged = df.withColumn("_replay_b", bucket)
     for i in range(n_batches):
         state.update(

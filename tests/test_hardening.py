@@ -208,3 +208,159 @@ def test_join_gate_three_regimes(spark, tmp_path):
         dec, df = join_analyzed(spark, t_skew, t_dim, "k", **kwargs)
         got = sorted(map(tuple, df.select("k", "v", "name").collect()))
         assert got == want, dec
+
+
+# ---------------------------------------------------------------------------
+# round-9 hardening (ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def test_replay_batches_null_keys_reach_state(spark):
+    """replay_batches must be a TRUE partition of the input: NULL keys
+    (pmod(NULL, n) is NULL — matches no bucket) land in batch 0
+    instead of silently reaching no update call (ADVICE r8)."""
+    from big_data_computing__spark.streaming.replay import replay_batches
+
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def update(self, df, bid):
+            self.n += df.count()
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (7, "e")],
+        "k long, v string",
+    )
+    st = Counter()
+    replay_batches(df, st, key=F.col("k"), n_batches=3)
+    assert st.n == 5  # every row, NULL keys included
+
+
+def test_join_gate_byte_budget():
+    """A manifest-small (rows) but byte-fat build side must NOT
+    broadcast; legacy manifests without size_bytes gate on rows alone
+    (ADVICE r8)."""
+    from big_data_computing__spark.operators.relational import (
+        join_strategy_from_stats,
+    )
+
+    hist = {"lo": 0.0, "hi": 8.0, "counts": [100] * 8}
+    big = {"files": [{"n_rows": 10_000_000, "hist_k": hist}]}
+
+    fat = {"files": [{"n_rows": 500, "size_bytes": 4 << 30}]}
+    d = join_strategy_from_stats(big, fat, "k")
+    assert d["strategy"] != "broadcast"
+    assert d["small_bytes"] == 4 << 30
+
+    slim = {"files": [{"n_rows": 500, "size_bytes": 1 << 20}]}
+    assert (
+        join_strategy_from_stats(big, slim, "k")["strategy"]
+        == "broadcast"
+    )
+
+    legacy = {"files": [{"n_rows": 500}]}  # pre-size_bytes manifest
+    d = join_strategy_from_stats(big, legacy, "k")
+    assert d["strategy"] == "broadcast" and d["small_bytes"] is None
+
+
+def test_join_gate_straddled_hot_bin():
+    """A hot key split across two adjacent global bins by the overlay's
+    proportional re-binning must still read as skewed: the gate takes
+    the max over 2-bin sliding windows too (ADVICE r8)."""
+    from big_data_computing__spark.operators.relational import (
+        join_strategy_from_stats,
+    )
+
+    # file A's grid is shifted half a bin vs file B, so the hot key
+    # (~79% of rows, at the shared value 4.0) lands half in global
+    # bin 3 and half in bin 4: each single bin reads ~40%, under the
+    # 4.0x-of-uniform-share threshold for 8 bins, but the 2-bin
+    # window sees the full volume
+    hot_a = {"lo": 0.0, "hi": 8.0, "counts": [150] * 4 + [19_400] + [200] * 3}
+    hot_b = {"lo": 0.5, "hi": 8.5, "counts": [150] * 3 + [19_400] + [200] * 4}
+    big = {
+        "files": [
+            {"n_rows": 20_450, "hist_k": hot_a},
+            {"n_rows": 20_450, "hist_k": hot_b},
+        ]
+    }
+    small = {"files": [{"n_rows": 10_000_000, "size_bytes": 4 << 30}]}
+    d = join_strategy_from_stats(
+        big, small, "k", broadcast_max_rows=10, salt_min_hot_rows=10_000
+    )
+    assert d["strategy"] == "salted", d
+    assert d["hot_bin_rows"] >= 30_000
+
+
+def test_knn_index_state_durable_replay(spark, sf_dir, tmp_path):
+    """The replay guard survives a process restart: a NEW KnnIndexState
+    over the same on-disk logs skips fully-committed batches (no
+    duplicate candidate rows), and a half-committed batch (candidates
+    logged, index append lost) is repaired index-only (ADVICE r8)."""
+    import os
+
+    from big_data_computing__spark.operators import similarity as sim
+    from big_data_computing__spark.sources.readers import read_table
+    from big_data_computing__spark.streaming import ann_stream as A
+
+    emb = read_table(spark, sf_dir, "embeddings").where("vec_id < 120")
+    centers = sim.build_ivf_centroids(emb, n_cells=4, seed=42, l=2)
+    idx, cand = str(tmp_path / "didx"), str(tmp_path / "dcand")
+    st = A.KnnIndexState(idx, cand, centers, k=3, nprobe=2)
+    st.update(emb.where("vec_id % 2 = 0"), 0)
+    st.update(emb.where("vec_id % 2 = 1"), 1)
+    want = sorted(map(tuple, st.topk(spark).collect()))
+    n_cands = spark.read.parquet(cand).count()
+
+    # restart: fresh state object, same dirs, replayed batch -> no-op
+    st2 = A.KnnIndexState(idx, cand, centers, k=3, nprobe=2)
+    st2.update(emb.where("vec_id % 2 = 1"), 1)
+    assert spark.read.parquet(cand).count() == n_cands
+    assert sorted(map(tuple, st2.topk(spark).collect())) == want
+
+    # half-commit: drop batch 1's index files (crash between appends),
+    # then replay on a fresh state -> candidates NOT re-appended, the
+    # missing index rows restored, parity intact
+    before = set()
+    idx3, cand3 = str(tmp_path / "hidx"), str(tmp_path / "hcand")
+    st3 = A.KnnIndexState(idx3, cand3, centers, k=3, nprobe=2)
+    st3.update(emb.where("vec_id % 2 = 0"), 0)
+    before = set(os.listdir(idx3))
+    st3.update(emb.where("vec_id % 2 = 1"), 1)
+    for f in set(os.listdir(idx3)) - before:
+        os.remove(os.path.join(idx3, f))
+    n_cands3 = spark.read.parquet(cand3).count()
+    st4 = A.KnnIndexState(idx3, cand3, centers, k=3, nprobe=2)
+    st4.update(emb.where("vec_id % 2 = 1"), 1)
+    assert spark.read.parquet(cand3).count() == n_cands3
+    assert (
+        spark.read.parquet(idx3).select("vid").distinct().count()
+        == emb.count()
+    )
+    assert sorted(map(tuple, st4.topk(spark).collect())) == want
+
+
+def test_lsh_cap_from_stats():
+    """The derived super-bucket cap follows the linear pair budget
+    b = sqrt(2·budget·N) with floor and absolute ceiling (VERDICT r8
+    item #5: the last hardcoded threshold, now manifest-driven)."""
+    from big_data_computing__spark.operators.dedup import (
+        LSH_MAX_BUCKET,
+        lsh_max_bucket_from_stats,
+    )
+
+    def snap(n):
+        return {"files": [{"n_rows": n // 2}, {"n_rows": n - n // 2}]}
+
+    assert lsh_max_bucket_from_stats(snap(0)) == 64  # floor
+    assert lsh_max_bucket_from_stats(snap(100)) == 64  # floor
+    # 1M rows, budget 8 -> sqrt(16M) = 4000
+    assert lsh_max_bucket_from_stats(snap(1_000_000)) == 4000
+    # monotone in N; ceiling at LSH_MAX_BUCKET
+    assert lsh_max_bucket_from_stats(snap(10**8)) == 40_000
+    assert (
+        lsh_max_bucket_from_stats(snap(10**8))
+        < lsh_max_bucket_from_stats(snap(10**12))
+        == LSH_MAX_BUCKET
+    )

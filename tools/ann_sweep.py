@@ -13,7 +13,7 @@ Usage:
     python tools/ann_sweep.py --shortlist [sf_dir] [k]
     python tools/ann_sweep.py --bands [sf_dir] [k]
     python tools/ann_sweep.py --binary [sf_dir] [k]
-    python tools/ann_sweep.py --mutual [sf_dir] [k]
+    python tools/ann_sweep.py --mutual [sf_dir] [k] [--clustered]
 
 Defaults: /root/testdata/sf0.01, k=3, nprobe sweep 1,2,4,8. Prints one
 markdown table and one machine-readable JSON line.
@@ -328,17 +328,26 @@ def run_binary(sf_dir: str, k: int) -> None:
     spark.stop()
 
 
-def run_mutual(sf_dir: str, k: int) -> None:
+def run_mutual(sf_dir: str, k: int, clustered: bool = False) -> None:
     """Pair recall of the CELLED mutual-kNN (ivf_topk candidate
     generator -> reciprocity join, the x_mutual_knn_ivf production
     shape) against the exact reciprocal-pair truth (brute cosine
     top-k -> same join), over an nprobe sweep. The reciprocity join
     is fixed algebra; every recall point is purely the candidate
     generator's, which is the documented claim behind the one-line
-    generator swap."""
+    generator swap.
+
+    ``clustered``: run on the clustered anisotropic fixture instead of
+    the near-uniform one — the near-uniform fixture is cell pruning's
+    documented WORST case (neighbors spread across cells), so the
+    production-shape recall/false-pair numbers belong to the regime
+    real embedding corpora live in (VERDICT r8 item #7)."""
     spark = get_session(app_name="ann_sweep_mutual")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = read_table(spark, sf_dir, "embeddings").cache()
+    emb = read_table(spark, sf_dir, "embeddings")
+    if clustered:
+        emb = clustered_fixture(emb)
+    emb = emb.cache()
     emb.count()
 
     def pair_set(df):
@@ -383,7 +392,8 @@ def run_mutual(sf_dir: str, k: int) -> None:
     print(
         json.dumps(
             {
-                "metric": "mutual_knn_pair_recall",
+                "metric": "mutual_knn_pair_recall"
+                + ("_clustered" if clustered else ""),
                 "k": k,
                 "truth_pairs": len(truth),
                 "brute_wall_sec": brute_wall,
@@ -395,9 +405,12 @@ def run_mutual(sf_dir: str, k: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--mutual":
+        clustered = "--clustered" in sys.argv
+        rest = [a for a in sys.argv[2:] if a != "--clustered"]
         run_mutual(
-            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01",
-            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+            rest[0] if rest else "/root/testdata/sf0.01",
+            int(rest[1]) if len(rest) > 1 else 3,
+            clustered=clustered,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--binary":

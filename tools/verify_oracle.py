@@ -111,6 +111,7 @@ def main() -> int:
         "x_ann_ivf_rpq_topk",
         "x_ann_ivf_rpq_prod",
         "x_mutual_knn_ivf",
+        "x_streaming_knn_final",
     }
     skip: set = set()
     if "--skip" in argv:
