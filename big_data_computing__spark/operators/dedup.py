@@ -3428,17 +3428,20 @@ def duplicate_components_auto(
     pairs: DataFrame,
     doc_a: str = "doc_a",
     doc_b: str = "doc_b",
-    edge_threshold: int = 2_000_000,
+    edge_threshold: int = 600_000,
 ) -> DataFrame:
     """Closure with the variant picked by measured regime: shortcut's
-    static-edge-list rounds win on SMALL graphs (sf0.1 fixture:
-    4.7 s vs two-phase's 13.2 s — per-round fixed costs dominate);
-    the two-phase contraction wins once the edge list IS the cost
-    (10M-doc graph: 116 s vs 152 s wall and 2.6× fewer shuffle
-    bytes). One edge count decides; the threshold sits between the two
-    measured regimes (STRESS.md r8/r9 CC ladder). Same output from
-    either side — labels are identical by the cross-implementation
-    tests.
+    static-edge-list rounds win on SMALL graphs (sf0.1 fixture,
+    ~10⁵ edges: 4.7 s vs two-phase's 13.2 s — per-round fixed costs
+    dominate); the two variants MEASURE EQUAL at 6.6·10⁵ edges
+    (22.9 s vs 23.2 s, tools/cc_crossover_ab.py — the r9 mid-regime
+    point); the two-phase contraction wins once the edge list IS the
+    cost (10M-doc graph, 1.06·10⁷ edges: 116 s vs 152 s wall and
+    2.6× fewer shuffle bytes). One edge count decides; the threshold
+    sits at the measured tie point, so dispatching two-phase above it
+    is free where they tie and wins where they diverge (STRESS.md
+    r8/r9 CC ladder). Same output from either side — labels are
+    identical by the cross-implementation tests.
 
     The count MATERIALIZES ``pairs`` via ``localCheckpoint`` first, so
     the chosen variant starts from the computed edge rows instead of

@@ -8,8 +8,13 @@ instead of interpolated between them (VERDICT r8 item #4).
 The edge list is the REAL dup graph of the pipeline-stress corpus
 (synth_corpus → minhash_lsh_pairs), not a synthetic chain: the
 crossover claim is about the workload the dispatcher actually serves.
-Edge count scales ≈ 1.37 × n_docs on this corpus shape (trios +
-exact-dup bands), so n_docs ≈ 730k lands near 10⁶ edges.
+As in the composed pipeline, the junk class (exact duplicates of one
+text) is removed BEFORE LSH — in the pipeline that's the exact-dedup
+stage's job; left in, its single band bucket self-joins into n_junk²/2
+edges (measured: 2.67B edges from 73k junk docs at n_docs=730k — the
+exact pathology lsh_max_bucket_from_stats guards against). Edge count
+scales ≈ 1.4 × n_docs after the filter, so n_docs ≈ 730k lands near
+10⁶ edges.
 
 Usage: python tools/cc_crossover_ab.py [n_docs] (default 730_000) —
 results recorded in the STRESS.md CC ladder (r9).
@@ -40,7 +45,11 @@ REPEATS = 3
 def main(n_docs: int) -> None:
     spark = get_session(app_name="cc_crossover_ab")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = synth_corpus(spark, n_docs).localCheckpoint()
+    docs = (
+        synth_corpus(spark, n_docs)
+        .where(~F.col("text").startswith("zq"))
+        .localCheckpoint()
+    )
     t0 = time.time()
     pairs = minhash_lsh_pairs(docs).localCheckpoint()
     n_edges = pairs.count()
@@ -61,10 +70,11 @@ def main(n_docs: int) -> None:
             out = fn(pairs)
             # one row: (row count, order-free label hash) — the
             # identical-output assertion, paid inside the timed run
-            # identically for both variants
+            # identically for both variants (bit_xor, not sum: a sum
+            # of 64-bit hashes overflows under ANSI mode)
             sig = out.agg(
                 F.count("*").cast("long"),
-                F.sum(F.xxhash64("doc_id", "component_id")),
+                F.expr("bit_xor(xxhash64(doc_id, component_id))"),
             ).collect()[0]
             runs.append(time.time() - t0)
         walls[name] = round(statistics.median(runs), 2)

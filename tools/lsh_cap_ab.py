@@ -2,14 +2,16 @@
 (dedup.lsh_max_bucket_from_stats): does deriving the cap from the
 manifest row count beat the fixed LSH_MAX_BUCKET in BOTH directions?
 
-Two corpus shapes, each run under both caps (wall = median of REPEATS,
-pair counts reported so the output difference is audited, never
-silent):
+Two corpus shapes, each run under both caps (wall = median of REPEATS
+on the timed shape, pair counts reported so the output difference is
+audited, never silent):
 
-  clean     — the synthetic documents fixture replicated to N rows
-              with per-copy salt. No degenerate buckets: both caps
-              must produce IDENTICAL pairs (the derived cap is a
-              no-op on healthy corpora — asserted).
+  clean     — the pipeline-stress synthetic corpus (synth_corpus:
+              near-dup trios + exact-dup bands + two side languages —
+              the shape the composed-pipeline stress measures). No
+              degenerate buckets: both caps must produce IDENTICAL
+              pairs (the derived cap is a no-op on healthy corpora —
+              asserted).
   boilerplate — the same corpus with DUP_FRAC of the docs sharing one
               boilerplate paragraph (the licence-header / cookie-
               banner shape real crawls have). The shared shingles
@@ -46,7 +48,7 @@ from big_data_computing__spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
 )
 from big_data_computing__spark.session import get_session  # noqa: E402
-from big_data_computing__spark.sources.readers import read_table  # noqa: E402
+from tools.pipeline_stress import synth_corpus  # noqa: E402
 
 REPEATS = 3
 DUP_FRAC = 0.02  # 2% of docs share the boilerplate paragraph
@@ -57,29 +59,17 @@ BOILERPLATE = (
 )
 
 
-def corpus(spark, sf_dir: str, n_docs: int, boilerplate: bool):
-    """Replicate the fixture's documents to ``n_docs`` rows with a
-    per-copy salt token (keeps shingle sets distinct across copies);
-    optionally overwrite DUP_FRAC of the texts with the shared
-    boilerplate (plus a 2-token unique tail so the docs are near- not
-    exact-duplicates — the exact-hash path must NOT be able to absorb
-    them, which is precisely the super-bucket regime)."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base_n = docs.count()
-    copies = (n_docs + base_n - 1) // base_n
-    rep = (
-        docs.crossJoin(
-            spark.range(copies).select(F.col("id").alias("copy"))
-        )
-        .select(
-            (F.col("doc_id") + F.col("copy") * base_n).alias("doc_id"),
-            F.concat(
-                F.col("text"),
-                F.lit(" salt"),
-                F.col("copy").cast("string"),
-            ).alias("text"),
-        )
-        .where(F.col("doc_id") < n_docs)
+def corpus(spark, n_docs: int, boilerplate: bool):
+    """The pipeline-stress synthetic corpus at ``n_docs`` rows, minus
+    its junk class — those docs are EXACT duplicates of one text, and
+    in the composed pipeline the LSH stage runs after exact dedup has
+    collapsed them (their mega-bucket is exact-dedup's job, not the
+    guard's). Optionally overwrite DUP_FRAC of the texts with the
+    shared boilerplate (plus a 2-token unique tail so the docs are
+    near- not exact-duplicates — the exact-hash path must NOT be able
+    to absorb them, which is precisely the super-bucket regime)."""
+    rep = synth_corpus(spark, n_docs).where(
+        ~F.col("text").startswith("zq")
     )
     if boilerplate:
         rep = rep.withColumn(
@@ -96,10 +86,10 @@ def corpus(spark, sf_dir: str, n_docs: int, boilerplate: bool):
     return rep
 
 
-def timed_pairs(docs, cap: int) -> tuple[float, int]:
+def timed_pairs(docs, cap: int, repeats: int = REPEATS) -> tuple[float, int]:
     walls = []
     n_pairs = 0
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         t0 = time.time()
         n_pairs = minhash_lsh_pairs(docs, max_bucket=cap).count()
         walls.append(time.time() - t0)
@@ -108,7 +98,6 @@ def timed_pairs(docs, cap: int) -> tuple[float, int]:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    sf_dir = "/root/testdata/sf0.01"
     spark = get_session(app_name="lsh_cap_ab")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -124,10 +113,14 @@ def main() -> None:
     results = []
     for shape in ("clean", "boilerplate"):
         docs = corpus(
-            spark, sf_dir, n_docs, boilerplate=(shape == "boilerplate")
+            spark, n_docs, boilerplate=(shape == "boilerplate")
         ).localCheckpoint()
-        w_fixed, p_fixed = timed_pairs(docs, LSH_MAX_BUCKET)
-        w_derived, p_derived = timed_pairs(docs, derived)
+        # the clean shape is an IDENTITY check (same pairs both caps),
+        # so one pass per cap; the boilerplate shape carries the
+        # timing claim and gets the repeats
+        reps = 1 if shape == "clean" else REPEATS
+        w_fixed, p_fixed = timed_pairs(docs, LSH_MAX_BUCKET, reps)
+        w_derived, p_derived = timed_pairs(docs, derived, reps)
         dropped = lsh_super_buckets(docs, max_bucket=derived).count()
         if shape == "clean":
             assert p_fixed == p_derived, (
