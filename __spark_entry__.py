@@ -852,6 +852,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "query_id long, vec_id long, score double"
         )
 
+    def x_lsh_adaptive_cap(spark, sf_dir):
+        # the manifest-derived super-bucket cap under the driver's
+        # hash: build the corpus ZTable (the table the ingest
+        # pipeline maintains), derive the cap from its RECORDED row
+        # count (b = sqrt(2·budget·N), floor 64, ceiling 100k), run
+        # the capped pair join, and pin the derived cap itself as a
+        # column — the oracle recomputes it from COUNT(*), so a
+        # derivation drift at ANY sf hash-mismatches
+        import shutil
+        import tempfile
+
+        from big_data_computing__spark.sources.layout import ZTable
+
+        docs = _docs(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="lsh_cap_")
+        try:
+            t = ZTable.create(
+                docs.select(
+                    "doc_id",
+                    "text",
+                    F.pmod(F.col("doc_id"), F.lit(100))
+                    .cast("double")
+                    .alias("x"),
+                    F.lit(0.0).alias("y"),
+                ),
+                tmp + "/t",
+                n_files=4,
+            )
+            cap = _dd.lsh_max_bucket_from_stats(t.snapshot())
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return _dd.minhash_lsh_pairs(docs, max_bucket=cap).withColumn(
+            "derived_cap", F.lit(cap).cast("long")
+        )
+
     def x_dedup_components_auto(spark, sf_dir):
         # the measured-crossover dispatcher under the driver's hash:
         # the sf pair graph sits far below the 2M-edge threshold, so
@@ -3889,6 +3924,7 @@ GROUP BY GROUPING SETS (
         x_streaming_knn_final,
         x_dedup_components_auto,
         x_join_analyzed,
+        x_lsh_adaptive_cap,
         x_mis_diverse,
         x_feature_hash_embed,
         a19_exact_median_qs,
@@ -4152,8 +4188,9 @@ _WINDOW_PRIORITY = [
     "x_streaming_cdf_minmax_final", "x_streaming_cdf_join_final",
     "x_streaming_truss_final", "x_streaming_lsh_final",
     "x_streaming_knn_final", "x_dedup_components_auto",
-    "x_join_analyzed",
-    # the 39 stalest driver-green rows (last green r1-r4):
+    "x_join_analyzed", "x_lsh_adaptive_cap",
+    # the 38 stalest driver-green rows (last green r1-r4; the 12 new
+    # names above take the window's lead positions):
     "c9b_outliers_nd_ivf", "j5_asof_join", "j7_full_outer", "j8_band_join",
     "t10_hll_estimate", "t9_cms_frequent", "w2_tumbling_window_counts",
     "w3_sessionize", "w4_session_window", "w5_moving_avg",
@@ -4166,7 +4203,7 @@ _WINDOW_PRIORITY = [
     "a16_argmax_customer", "a17_pivot_events", "a2_pricing_summary",
     "c5_radius_fixed_centers", "c9b_outliers_nd_brute", "f1_json_extract",
     "f3_date_functions", "j2_star_join_revenue", "j4_anti_join_customers",
-    "j6_above_avg_orders", "o1_exact_outliers_topk", "o1_topk_orders",
+    "j6_above_avg_orders", "o1_exact_outliers_topk",
 ]
 
 
@@ -4190,6 +4227,15 @@ def _with_prepare(fn):
 
 _PTS = _rd.CUSTOMER_POINTS_SQL
 _LAM = OUTLIER_D / (2 * 2**0.5)
+
+# the manifest-derived LSH cap, recomputed from the corpus count
+# (dedup.lsh_max_bucket_from_stats's b = sqrt(2·budget·N), budget 8,
+# floor 64, ceiling LSH_MAX_BUCKET) — parenthesized so it drops into
+# both a HAVING comparison and a SELECT column
+_LSH_CAP_SQL = (
+    "(GREATEST(64, LEAST(CAST(FLOOR(SQRT(16.0 * "
+    "(SELECT COUNT(*) FROM documents))) AS BIGINT), 100000)))"
+)
 
 _CELLS = (
     f"SELECT CAST(FLOOR(x/{_LAM!r}) AS BIGINT) AS ci, "
@@ -4543,6 +4589,17 @@ WHERE c.c_custkey % 100 > 20 GROUP BY 1
         ),
         "x_dedup_components_auto": _dd.duplicate_components_sql(
             f"SELECT doc_a, doc_b FROM ({_dd.minhash_lsh_pairs_sql()})"
+        ),
+        # derived cap recomputed IN SQL from the corpus count — the
+        # same b = sqrt(2·8·N) with floor/ceiling the Python gate
+        # computes from the manifest (sqrt is correctly rounded IEEE
+        # on both engines; FLOOR ≡ int() truncation for positives)
+        "x_lsh_adaptive_cap": (
+            "SELECT p.doc_a, p.doc_b, p.n_bands, "
+            "CAST(" + _LSH_CAP_SQL + " AS BIGINT) AS derived_cap "
+            "FROM ("
+            + _dd.minhash_lsh_pairs_sql(max_bucket=_LSH_CAP_SQL)
+            + ") p"
         ),
         "x_join_analyzed": """
 SELECT p_brand AS brand,

@@ -255,6 +255,10 @@ BENCH_QUERIES = [
     # x_dedup_minhash_lsh so the guard's cost is a committed A/B
     "x_dedup_lsh_capped",
     "x_lsh_super_buckets",
+    # r9: the manifest-derived cap end-to-end (corpus ZTable build +
+    # derivation + capped pair join) — the adaptive gate's tracked
+    # cost next to the fixed-cap pair join above
+    "x_lsh_adaptive_cap",
     # exact unbinned KS drift: distinct-value agg + two distributed
     # prefix-sum passes — the drift test TVD bins can miss
     "x_ks_drift",

@@ -61,9 +61,14 @@ class LshIndexState:
     integers per document — the artifact a production pipeline keeps
     in a table), not driver memory: the ScatterState/DsirBucketState
     driver-dict pattern cannot hold a corpus-sized index. Replays of
-    a seen batch id are ignored (the foreachBatch idempotence rule);
-    restart durability for the _seen set itself is the ZTable CDC
-    guard's job (table_stream.py), not re-solved here.
+    a seen batch id are ignored (the foreachBatch idempotence rule),
+    and the guard is DURABLE (the KnnIndexState pattern,
+    ann_stream.py): both logs carry a ``batch_id`` column, so after a
+    process restart a replay consults the logs — fully-committed
+    batches skip, a half-committed batch (pairs logged, index append
+    lost) re-appends ONLY its missing signatures, never its pairs
+    twice (duplicate pair rows would break the documented
+    ``pairs() ≡ batch minhash_lsh_pairs`` parity).
     """
 
     def __init__(
@@ -82,6 +87,25 @@ class LshIndexState:
         self._seen: set[int] = set()
         self._indexed = False
 
+    @staticmethod
+    def _logged_ids(spark, path: str) -> set:
+        """Batch ids already committed to the parquet log at ``path``
+        (empty for a not-yet-created log) — the durable ``_seen``."""
+        import os
+
+        if not (
+            os.path.isdir(path)
+            and any(f.endswith(".parquet") for f in os.listdir(path))
+        ):
+            return set()
+        return {
+            r["batch_id"]
+            for r in spark.read.parquet(path)
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
@@ -93,8 +117,16 @@ class LshIndexState:
 
         if batch_id in self._seen:
             return
-        self._seen.add(batch_id)
         spark = batch_df.sparkSession
+        if batch_id in self._logged_ids(spark, self.index_dir):
+            # fully committed before a restart: both appends landed
+            self._seen.add(batch_id)
+            self._indexed = True
+            return
+        pairs_logged = batch_id in self._logged_ids(
+            spark, self.pairs_dir
+        )
+        self._seen.add(batch_id)
         sigs = minhash_signatures(
             batch_df, self.num_hashes, self.ngram, self.text_col
         ).localCheckpoint()
@@ -118,17 +150,26 @@ class LshIndexState:
             pairs = within.unionByName(cross)
         else:
             pairs = within
-        # pairs FIRST, index LAST: a crash between the writes leaves
-        # the batch un-indexed but its id consumed only in memory, so
-        # the replay re-runs cleanly; appending the index before the
-        # probe would make the batch self-match
-        pairs.write.mode("append").parquet(self.pairs_dir)
-        sigs.write.mode("append").parquet(self.index_dir)
+        # pairs FIRST, index LAST (indexing first would make the batch
+        # self-match on replay). A half-committed replay (pairs
+        # logged, index missing) skips the pair append — the
+        # re-derived pairs are identical because the standing index
+        # excludes this batch either way — and lands only the missing
+        # signature rows
+        if not pairs_logged:
+            pairs.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(self.pairs_dir)
+        sigs.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(self.index_dir)
         self._indexed = True
 
     def pairs(self, spark) -> DataFrame:
         """All candidate pairs discovered so far (doc_a < doc_b)."""
-        return spark.read.parquet(self.pairs_dir)
+        return spark.read.parquet(self.pairs_dir).select(
+            "doc_a", "doc_b", "n_bands"
+        )
 
 
 def lsh_dedup_stream_query(

@@ -364,3 +364,48 @@ def test_lsh_cap_from_stats():
         < lsh_max_bucket_from_stats(snap(10**12))
         == LSH_MAX_BUCKET
     )
+
+
+def test_lsh_index_state_durable_replay(spark, sf_dir, tmp_path):
+    """LshIndexState's replay guard survives a process restart (the
+    KnnIndexState pattern): a NEW state over the same on-disk logs
+    skips committed batches, and a half-committed batch (pairs
+    logged, index append lost) is repaired signatures-only."""
+    import os
+
+    from big_data_computing__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+    from big_data_computing__spark.streaming.dedup_stream import (
+        LshIndexState,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").where("doc_id < 120")
+    idx, prs = str(tmp_path / "lidx"), str(tmp_path / "lprs")
+    st = LshIndexState(idx, prs)
+    st.update(docs.where("doc_id % 2 = 0"), 0)
+    before_files = set(os.listdir(idx))
+    st.update(docs.where("doc_id % 2 = 1"), 1)
+    want = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+    assert sorted(map(tuple, st.pairs(spark).collect())) == want
+    n_pairs = spark.read.parquet(prs).count()
+
+    # restart: replayed batch is a no-op on both logs
+    st2 = LshIndexState(idx, prs)
+    st2.update(docs.where("doc_id % 2 = 1"), 1)
+    assert spark.read.parquet(prs).count() == n_pairs
+    assert sorted(map(tuple, st2.pairs(spark).collect())) == want
+
+    # half-commit: drop batch 1's index files, replay on a fresh
+    # state -> pairs NOT re-appended, signatures restored
+    for f in set(os.listdir(idx)) - before_files:
+        os.remove(os.path.join(idx, f))
+    st3 = LshIndexState(idx, prs)
+    st3.update(docs.where("doc_id % 2 = 1"), 1)
+    assert spark.read.parquet(prs).count() == n_pairs
+    assert (
+        spark.read.parquet(idx).select("doc_id").distinct().count()
+        == docs.count()
+    )
+    assert sorted(map(tuple, st3.pairs(spark).collect())) == want
