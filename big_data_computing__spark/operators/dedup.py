@@ -435,6 +435,77 @@ def incremental_lsh_duplicates(
     )
 
 
+def lsh_greedy_within_rejects(
+    sigs: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Documents with a LOWER-id LSH band collision inside one
+    signature table: DataFrame[doc_id] — the within-batch rejection
+    set of a greedy (arrival-ordered) dedup gate, computed EXACTLY
+    and pair-free.
+
+    The greedy acceptance predicate only ever asks "does d have ANY
+    partner with earlier arrival?" — never which partner. Per band
+    bucket that collapses to ``doc_id > min(doc_id)``: every
+    non-minimum member has the minimum as an earlier partner, and the
+    minimum has none (within that bucket). The union over buckets is
+    therefore IDENTICAL to deriving the predicate from the uncapped
+    pair graph (:func:`minhash_lsh_pairs` with ``max_bucket=None``),
+    but costs one O(n·bands) min-aggregation instead of a self-join —
+    a 10^6-doc boilerplate bucket contributes 10^6 rows, not 10^12
+    pairs, so no super-bucket cap is needed and none is applied.
+    The equivalence is pinned against the uncapped pair graph in
+    tests/test_hardening.py.
+    """
+    bands = num_hashes // 2
+    b = _band_buckets(sigs, bands)
+    mins = b.groupBy("band", "bkey").agg(
+        F.min("doc_id").alias("min_doc")
+    )
+    return (
+        b.join(mins, ["band", "bkey"])
+        .where(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def lsh_greedy_cross_rejects(
+    new_sigs: DataFrame, corpus_sigs: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """New documents sharing ANY LSH band key with an already-indexed
+    document: DataFrame[doc_id] — the cross-batch rejection set of a
+    greedy dedup gate, computed exactly and fan-out-free.
+
+    Every indexed document arrived earlier, so the greedy predicate is
+    just key membership: a new doc is rejected iff one of its band
+    keys occurs in the index. No per-partner enumeration — an index
+    bucket of 10^6 boilerplate docs rejects a colliding new doc via
+    ONE key hit, where :func:`incremental_lsh_duplicates` would emit
+    10^6 match rows (the fan-out its ``max_bucket`` cap guards).
+
+    Plan, sized for a batch probing a 100-TB index: broadcast the
+    batch's distinct band keys, stream the index scan once against
+    them, and partial-aggregate the hits to distinct keys map-side —
+    the shuffle carries at most |batch|·bands key rows regardless of
+    index bucket sizes. The surviving keys broadcast back onto the
+    batch as a semi-join.
+    """
+    bands = num_hashes // 2
+    nb = _band_buckets(new_sigs, bands)
+    batch_keys = nb.select("band", "bkey").distinct()
+    hit_keys = (
+        _band_buckets(corpus_sigs, bands)
+        .join(F.broadcast(batch_keys), ["band", "bkey"])
+        .select("band", "bkey")
+        .distinct()
+    )
+    return (
+        nb.join(F.broadcast(hit_keys), ["band", "bkey"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def incremental_lsh_duplicates_sql(
     new_pred: str,
     corpus_pred: str,

@@ -21,6 +21,19 @@ the PAIR GRAPH and arrival order, never on the accept/reject
 recursion — which keeps the contract independently recomputable and
 the per-batch plan one join deeper than the probe itself.
 
+The pair graph in the contract is the UNCAPPED band-collision graph
+(``minhash_lsh_pairs`` with ``max_bucket=None``) — and the
+implementation realizes it EXACTLY, without ever enumerating pairs:
+the greedy predicate per band bucket collapses to "is this the
+minimum-arrival member?" (within-batch: ``lsh_greedy_within_rejects``,
+one min-aggregation) and to bare key membership against the index
+(cross-batch: ``lsh_greedy_cross_rejects``, a semi-join). A
+boilerplate super-bucket therefore costs O(b) rows here, not O(b²)
+pairs, so the acceptance path needs NO super-bucket cap — the
+derived-cap machinery (``lsh_max_bucket_from_stats``) belongs to the
+pair-ENUMERATION surfaces (reports, maintained pair tables), where
+output volume, not the accept bit, is the thing being bounded.
+
 At 100 TB: per-batch cost is the batch's own signing + banded probe of
 the standing index (never corpus × corpus), the drift state is O(40)
 driver ints, and the table write is one idempotent blind append.
@@ -33,8 +46,8 @@ from pyspark.sql import functions as F
 
 from ..operators.curation import gopher_quality_report
 from ..operators.dedup import (
-    incremental_lsh_duplicates,
-    minhash_lsh_pairs,
+    lsh_greedy_cross_rejects,
+    lsh_greedy_within_rejects,
     minhash_signatures,
 )
 from ..sources.layout import ZTable
@@ -92,37 +105,23 @@ class IngestPipeline:
             )
         ).localCheckpoint()
 
-        # 2) global near-dup gate over gate survivors. The super-
-        # bucket cap is DERIVED from the corpus table's manifest row
-        # count once the table exists (lsh_max_bucket_from_stats —
-        # the manifest-stats gate pattern, zero data read); batch 0
-        # has no manifest yet and keeps the static default
-        from ..operators.dedup import (
-            LSH_MAX_BUCKET,
-            lsh_max_bucket_from_stats,
-        )
-
-        cap = (
-            lsh_max_bucket_from_stats(self.table.snapshot())
-            if self.table is not None
-            else LSH_MAX_BUCKET
-        )
+        # 2) global near-dup gate over gate survivors — the EXACT
+        # greedy predicate, pair-free (module doc): within-batch
+        # rejection is the bucket-min rule, cross-batch rejection is
+        # band-key membership against the standing index. No
+        # super-bucket cap exists on this path because no pair set is
+        # ever enumerated — a boilerplate bucket costs O(b), and its
+        # members are (correctly) rejected down to the earliest one.
         sigs = minhash_signatures(
             passing, self.num_hashes, self.ngram, self.text_col
         ).localCheckpoint()
-        within = minhash_lsh_pairs(
-            passing, sigs=sigs, max_bucket=cap
-        ).select(F.col("doc_b").alias("doc_id"))
-        rejected = within
+        rejected = lsh_greedy_within_rejects(sigs, self.num_hashes)
         if self._have_index():
-            cross = incremental_lsh_duplicates(
-                passing,
+            cross = lsh_greedy_cross_rejects(
+                sigs,
                 spark.read.parquet(self.index_dir),
                 self.num_hashes,
-                self.ngram,
-                self.text_col,
-                new_sigs=sigs,
-            ).select(F.col("new_doc_id").alias("doc_id"))
+            )
             rejected = rejected.unionByName(cross)
         accepted = passing.join(
             rejected.distinct(), "doc_id", "left_anti"

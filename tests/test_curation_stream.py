@@ -469,6 +469,9 @@ def test_ingest_pipeline_end_to_end(spark, sf_dir, tmp_path):
     for i, part in enumerate(splits):
         for r in part.select("doc_id").collect():
             arrival[r["doc_id"]] = (i, r["doc_id"])
+    # the contract's pair graph is the UNCAPPED band-collision graph
+    # (module doc) — and the gate implements it exactly, so the
+    # recompute disables the enumeration cap rather than matching one
     pairs = [
         (r["doc_a"], r["doc_b"])
         for r in minhash_lsh_pairs(
@@ -477,7 +480,8 @@ def test_ingest_pipeline_end_to_end(spark, sf_dir, tmp_path):
                     [(d,) for d in surv], "doc_id long"
                 ),
                 "doc_id",
-            )
+            ),
+            max_bucket=None,
         ).collect()
     ]
     partners: dict = {}

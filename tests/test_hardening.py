@@ -409,3 +409,141 @@ def test_lsh_index_state_durable_replay(spark, sf_dir, tmp_path):
         == docs.count()
     )
     assert sorted(map(tuple, st3.pairs(spark).collect())) == want
+
+
+def test_lsh_greedy_within_equals_uncapped_pairs(spark, sf_dir):
+    """The pair-free within-batch rejection set (bucket-min rule) is
+    IDENTICAL to 'appears as doc_b in the uncapped pair graph' — the
+    equivalence the ingest gate's exactness rests on."""
+    from big_data_computing__spark.operators.dedup import (
+        lsh_greedy_within_rejects,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    got = {
+        r["doc_id"]
+        for r in lsh_greedy_within_rejects(sigs).collect()
+    }
+    want = {
+        r["doc_b"]
+        for r in minhash_lsh_pairs(
+            docs, sigs=sigs, max_bucket=None
+        ).collect()
+    }
+    assert got == want and want  # non-degenerate fixture
+
+
+def test_lsh_greedy_cross_equals_uncapped_probe(spark, sf_dir):
+    """The fan-out-free cross-batch rejection set (band-key
+    membership) equals the distinct new side of the uncapped
+    incremental probe."""
+    from big_data_computing__spark.operators.dedup import (
+        incremental_lsh_duplicates,
+        lsh_greedy_cross_rejects,
+        minhash_signatures,
+    )
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    csigs = minhash_signatures(corpus)
+    nsigs = minhash_signatures(new)
+    got = {
+        r["doc_id"]
+        for r in lsh_greedy_cross_rejects(nsigs, csigs).collect()
+    }
+    want = {
+        r["new_doc_id"]
+        for r in incremental_lsh_duplicates(
+            new, csigs, new_sigs=nsigs, max_bucket=None
+        ).collect()
+    }
+    assert got == want and want  # non-degenerate fixture
+
+
+def _gopher_passing_doc(doc_id: int, words: list) -> tuple:
+    text = " ".join(words)
+    return (doc_id, text, "en", "synth", len(text))
+
+
+def test_ingest_gate_boilerplate_superbucket(spark, tmp_path):
+    """ADVICE r9 (medium): a boilerplate band bucket larger than the
+    old derived cap (floor 64) but under the old static 100k cap must
+    still be DEDUPED by the ingest gate — the capped-pair-join gate
+    silently accepted all of it (dropped buckets contribute no pairs).
+    The exact gate accepts only the earliest boilerplate arrival."""
+    from big_data_computing__spark.streaming.ingest_pipeline import (
+        IngestPipeline,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    vocab = [
+        "the", "system", "keeps", "sorted", "rows", "under", "merge",
+        "windows", "while", "batch", "readers", "scan", "older",
+        "files", "without", "locking", "writers", "during", "compact",
+        "runs",
+    ]
+    # batch 0: six distinct gopher-passing docs (rotations give
+    # distinct shingle sets)
+    b0 = [
+        _gopher_passing_doc(i, (vocab[i:] + vocab[:i]) * 3)
+        for i in range(6)
+    ]
+    # batch 1: 80 IDENTICAL boilerplate docs (one 80-doc bucket in
+    # every band — over the old derived cap of 64, under 100k) plus
+    # five distinct docs
+    boiler = list(reversed(vocab)) * 3
+    b1 = [_gopher_passing_doc(100 + i, boiler) for i in range(80)]
+    b1 += [
+        _gopher_passing_doc(200 + i, (vocab[6 + i:] + vocab[:6 + i]) * 3)
+        for i in range(5)
+    ]
+    pipe = IngestPipeline(
+        str(tmp_path / "corpus"), str(tmp_path / "sig_index")
+    )
+    pipe.process(spark.createDataFrame(b0, schema), batch_id=0)
+    pipe.process(spark.createDataFrame(b1, schema), batch_id=1)
+
+    got = {r["doc_id"] for r in pipe.table.read(spark).collect()}
+    accepted_boiler = sorted(d for d in got if 100 <= d < 180)
+    assert accepted_boiler == [100], accepted_boiler
+
+    # belt and braces: the full accepted set equals the independent
+    # greedy recompute over the UNCAPPED pair graph
+    from big_data_computing__spark.operators.curation import (
+        gopher_quality_report,
+    )
+    from big_data_computing__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    all_docs = spark.createDataFrame(b0 + b1, schema)
+    surv = {
+        r["doc_id"]
+        for r in gopher_quality_report(all_docs)
+        .where(F.col("passes"))
+        .collect()
+    }
+    assert len(surv) == len(b0) + len(b1)  # all synthetic docs pass
+    arrival = lambda d: (0 if d < 100 else 1, d)
+    partners: dict = {}
+    for r in minhash_lsh_pairs(
+        all_docs, max_bucket=None
+    ).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if a in surv and b in surv:
+            partners.setdefault(a, set()).add(b)
+            partners.setdefault(b, set()).add(a)
+    want = {
+        d
+        for d in surv
+        if not any(
+            arrival(p) < arrival(d) for p in partners.get(d, ())
+        )
+    }
+    assert got == want
