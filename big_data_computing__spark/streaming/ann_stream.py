@@ -235,14 +235,18 @@ class KnnIndexState:
 
     State is ON DISK (the candidate log + a (vid, cell, vec, norm,
     probes) index), not driver memory. Replayed batch ids are no-ops
-    (the foreachBatch idempotence rule), and the guard is DURABLE:
-    both logs carry a ``batch_id`` column, so after a process restart
-    (in-memory ``_seen`` lost) or a crash between the two appends, a
-    replay consults the logs themselves — fully-committed batches
-    skip, a half-committed batch (candidates logged, index not)
-    appends ONLY its missing index rows, never its candidates twice
-    (ADVICE r8: duplicate candidate rows would occupy top-k slots and
-    break the documented ``topk ≡ batch ivf_topk`` parity)."""
+    (the foreachBatch idempotence rule), and the guard is DURABLE
+    (batchlog.py): each batch writes its own ``batch_id=N`` partition
+    dir in both logs, committed by the job's ``_SUCCESS`` marker.
+    After a process restart ONE directory listing (no data read —
+    the guard's cost is independent of stream length, ADVICE r9)
+    recovers the committed ids: committed batches skip, and anything
+    short of a full commit — a crash between the two writes, or
+    mid-job-commit part files without the marker — is pruned and
+    rewritten idempotently (mode=overwrite), so candidates are never
+    duplicated or lost (ADVICE r8: duplicate candidate rows would
+    occupy top-k slots and break the documented ``topk ≡ batch
+    ivf_topk`` parity)."""
 
     def __init__(
         self,
@@ -261,6 +265,24 @@ class KnnIndexState:
         self.parity = parity
         self._seen: set[int] = set()
         self._indexed = False
+        self._recovered = False
+        self._cands_committed: set[int] = set()
+
+    def _recover(self) -> None:
+        """One-time restart recovery — first update after
+        construction only; within a live process ``_seen`` is
+        authoritative (ADVICE r9). Prunes uncommitted partition dirs
+        so the standing-index read never sees a partial batch."""
+        from .batchlog import committed_batch_ids, prune_uncommitted
+
+        if self._recovered:
+            return
+        self._recovered = True
+        prune_uncommitted(self.index_dir)
+        prune_uncommitted(self.cand_dir)
+        self._seen |= committed_batch_ids(self.index_dir)
+        self._indexed = self._indexed or bool(self._seen)
+        self._cands_committed = committed_batch_ids(self.cand_dir)
 
     def _prep(self, batch_df: DataFrame) -> DataFrame:
         import numpy as np
@@ -310,40 +332,15 @@ class KnnIndexState:
             )
         )
 
-    @staticmethod
-    def _logged_ids(spark, path: str) -> set:
-        """Batch ids already committed to the parquet log at ``path``
-        (empty set for a not-yet-created log). One column-pruned
-        distinct over the log — the durable form of ``_seen``."""
-        import os
-
-        if not (
-            os.path.isdir(path)
-            and any(f.endswith(".parquet") for f in os.listdir(path))
-        ):
-            return set()
-        return {
-            r["batch_id"]
-            for r in spark.read.parquet(path)
-            .select("batch_id")
-            .distinct()
-            .collect()
-        }
-
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         if batch_id in self._seen:
             return
-        spark = batch_df.sparkSession
-        if batch_id in self._logged_ids(spark, self.index_dir):
-            # fully committed before a restart: both appends landed
-            self._seen.add(batch_id)
-            self._indexed = True
+        self._recover()
+        if batch_id in self._seen:
+            # fully committed before a restart: both writes landed
             return
-        cands_logged = batch_id in self._logged_ids(
-            spark, self.cand_dir
-        )
+        spark = batch_df.sparkSession
+        cands_logged = batch_id in self._cands_committed
         self._seen.add(batch_id)
         prepped = self._prep(batch_df).localCheckpoint()
         as_q = prepped.select(
@@ -353,14 +350,7 @@ class KnnIndexState:
             F.explode("probes").alias("p"),
         )
         cands = self._score(as_q, prepped)  # within-batch, both dirs
-        have_index = self._indexed or (
-            os.path.isdir(self.index_dir)
-            and any(
-                f.endswith(".parquet")
-                for f in os.listdir(self.index_dir)
-            )
-        )
-        if have_index:
+        if self._indexed:
             standing = spark.read.parquet(self.index_dir)
             st_q = standing.select(
                 F.col("vid").alias("qid"),
@@ -377,17 +367,17 @@ class KnnIndexState:
             )
         # log FIRST, index LAST (the LshIndexState crash rule:
         # indexing first would make the batch self-match on replay).
-        # A half-committed replay (cands_logged, index missing) skips
-        # the candidate append — the re-derived cands are identical
-        # (the standing index excludes this batch either way), so only
-        # the missing index rows land
+        # A half-committed replay (cands committed, index missing)
+        # skips the candidate write — the re-derived cands are
+        # identical (the standing index excludes this batch either
+        # way), so only the missing index partition lands; an
+        # UNcommitted candidate partition was pruned at recovery and
+        # is rewritten whole here
+        from .batchlog import write_batch_partition
+
         if not cands_logged:
-            cands.withColumn(
-                "batch_id", F.lit(batch_id).cast("long")
-            ).write.mode("append").parquet(self.cand_dir)
-        prepped.withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("append").parquet(self.index_dir)
+            write_batch_partition(cands, self.cand_dir, batch_id)
+        write_batch_partition(prepped, self.index_dir, batch_id)
         self._indexed = True
 
     def topk(self, spark) -> DataFrame:

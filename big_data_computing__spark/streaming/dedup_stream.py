@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
 from ..functions.text import normalized
+from .batchlog import (
+    committed_batch_ids,
+    prune_uncommitted,
+    write_batch_partition,
+)
 
 
 def dedup_stream(
@@ -63,12 +68,19 @@ class LshIndexState:
     driver-dict pattern cannot hold a corpus-sized index. Replays of
     a seen batch id are ignored (the foreachBatch idempotence rule),
     and the guard is DURABLE (the KnnIndexState pattern,
-    ann_stream.py): both logs carry a ``batch_id`` column, so after a
-    process restart a replay consults the logs — fully-committed
-    batches skip, a half-committed batch (pairs logged, index append
-    lost) re-appends ONLY its missing signatures, never its pairs
-    twice (duplicate pair rows would break the documented
-    ``pairs() ≡ batch minhash_lsh_pairs`` parity).
+    ann_stream.py): each batch writes its own ``batch_id=N``
+    partition directory in both logs, committed by the ``_SUCCESS``
+    marker FileOutputCommitter drops at job-commit completion. After
+    a process restart, ONE directory listing (no data read, no
+    per-batch log scan — the guard's cost is independent of stream
+    length, ADVICE r9) recovers the committed ids; a replay of a
+    committed batch skips, and anything short of a full commit — a
+    crash between the two writes, OR mid-job-commit part files left
+    without the marker — is repaired by REWRITING the partition
+    (``mode=overwrite`` = delete-then-write, idempotent), so no
+    committed pairs ever duplicate and no half-committed pairs are
+    ever silently lost (duplicate or missing pair rows would break
+    the documented ``pairs() ≡ batch minhash_lsh_pairs`` parity).
     """
 
     def __init__(
@@ -86,29 +98,26 @@ class LshIndexState:
         self.text_col = text_col
         self._seen: set[int] = set()
         self._indexed = False
+        self._recovered = False
+        self._pairs_committed: set[int] = set()
 
-    @staticmethod
-    def _logged_ids(spark, path: str) -> set:
-        """Batch ids already committed to the parquet log at ``path``
-        (empty for a not-yet-created log) — the durable ``_seen``."""
-        import os
-
-        if not (
-            os.path.isdir(path)
-            and any(f.endswith(".parquet") for f in os.listdir(path))
-        ):
-            return set()
-        return {
-            r["batch_id"]
-            for r in spark.read.parquet(path)
-            .select("batch_id")
-            .distinct()
-            .collect()
-        }
+    def _recover(self) -> None:
+        """One-time restart recovery — runs on the FIRST update after
+        construction only; within a live process ``_seen`` is
+        authoritative (ADVICE r9: a per-batch log scan would grow
+        with stream length). Uncommitted partition dirs (crash
+        debris) are pruned so the standing-index read never sees a
+        partial batch's rows."""
+        if self._recovered:
+            return
+        self._recovered = True
+        prune_uncommitted(self.index_dir)
+        prune_uncommitted(self.pairs_dir)
+        self._seen |= committed_batch_ids(self.index_dir)
+        self._indexed = self._indexed or bool(self._seen)
+        self._pairs_committed = committed_batch_ids(self.pairs_dir)
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         from ..operators.dedup import (
             incremental_lsh_duplicates,
             minhash_lsh_pairs,
@@ -117,27 +126,18 @@ class LshIndexState:
 
         if batch_id in self._seen:
             return
-        spark = batch_df.sparkSession
-        if batch_id in self._logged_ids(spark, self.index_dir):
-            # fully committed before a restart: both appends landed
-            self._seen.add(batch_id)
-            self._indexed = True
+        self._recover()
+        if batch_id in self._seen:
+            # fully committed before a restart: both writes landed
             return
-        pairs_logged = batch_id in self._logged_ids(
-            spark, self.pairs_dir
-        )
+        spark = batch_df.sparkSession
+        pairs_logged = batch_id in self._pairs_committed
         self._seen.add(batch_id)
         sigs = minhash_signatures(
             batch_df, self.num_hashes, self.ngram, self.text_col
         ).localCheckpoint()
         within = minhash_lsh_pairs(batch_df, sigs=sigs)
-        have_index = self._indexed or (
-            os.path.isdir(self.index_dir)
-            and any(
-                f.endswith(".parquet") for f in os.listdir(self.index_dir)
-            )
-        )
-        if have_index:
+        if self._indexed:
             corpus_sigs = spark.read.parquet(self.index_dir)
             cross = incremental_lsh_duplicates(
                 batch_df, corpus_sigs, self.num_hashes,
@@ -152,17 +152,14 @@ class LshIndexState:
             pairs = within
         # pairs FIRST, index LAST (indexing first would make the batch
         # self-match on replay). A half-committed replay (pairs
-        # logged, index missing) skips the pair append — the
+        # committed, index missing) skips the pair write — the
         # re-derived pairs are identical because the standing index
         # excludes this batch either way — and lands only the missing
-        # signature rows
+        # signature partition; an UNcommitted pair partition was
+        # already pruned at recovery and is rewritten whole here
         if not pairs_logged:
-            pairs.withColumn(
-                "batch_id", F.lit(batch_id).cast("long")
-            ).write.mode("append").parquet(self.pairs_dir)
-        sigs.withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("append").parquet(self.index_dir)
+            write_batch_partition(pairs, self.pairs_dir, batch_id)
+        write_batch_partition(sigs, self.index_dir, batch_id)
         self._indexed = True
 
     def pairs(self, spark) -> DataFrame:

@@ -319,17 +319,16 @@ def test_knn_index_state_durable_replay(spark, sf_dir, tmp_path):
     assert spark.read.parquet(cand).count() == n_cands
     assert sorted(map(tuple, st2.topk(spark).collect())) == want
 
-    # half-commit: drop batch 1's index files (crash between appends),
-    # then replay on a fresh state -> candidates NOT re-appended, the
-    # missing index rows restored, parity intact
-    before = set()
+    # half-commit: drop batch 1's index partition (crash between the
+    # two writes), then replay on a fresh state -> candidates NOT
+    # re-written, the missing index partition restored, parity intact
+    import shutil
+
     idx3, cand3 = str(tmp_path / "hidx"), str(tmp_path / "hcand")
     st3 = A.KnnIndexState(idx3, cand3, centers, k=3, nprobe=2)
     st3.update(emb.where("vec_id % 2 = 0"), 0)
-    before = set(os.listdir(idx3))
     st3.update(emb.where("vec_id % 2 = 1"), 1)
-    for f in set(os.listdir(idx3)) - before:
-        os.remove(os.path.join(idx3, f))
+    shutil.rmtree(os.path.join(idx3, "batch_id=1"))
     n_cands3 = spark.read.parquet(cand3).count()
     st4 = A.KnnIndexState(idx3, cand3, centers, k=3, nprobe=2)
     st4.update(emb.where("vec_id % 2 = 1"), 1)
@@ -339,6 +338,23 @@ def test_knn_index_state_durable_replay(spark, sf_dir, tmp_path):
         == emb.count()
     )
     assert sorted(map(tuple, st4.topk(spark).collect())) == want
+
+    # mid-job-commit debris (ADVICE r9): a crash DURING the candidate
+    # job commit leaves part files visible but no _SUCCESS marker (and
+    # no index write — it runs after). The batch must read as
+    # UNcommitted: the replay prunes the debris and rewrites both
+    # partitions (the old row-level batch_id scan saw the partial rows,
+    # skipped the re-append, and lost the missing rows forever)
+    os.remove(os.path.join(cand3, "batch_id=1", "_SUCCESS"))
+    shutil.rmtree(os.path.join(idx3, "batch_id=1"))
+    st5 = A.KnnIndexState(idx3, cand3, centers, k=3, nprobe=2)
+    st5.update(emb.where("vec_id % 2 = 1"), 1)
+    assert spark.read.parquet(cand3).count() == n_cands3
+    assert (
+        spark.read.parquet(idx3).select("vid").distinct().count()
+        == emb.count()
+    )
+    assert sorted(map(tuple, st5.topk(spark).collect())) == want
 
 
 def test_lsh_cap_from_stats():
@@ -385,7 +401,6 @@ def test_lsh_index_state_durable_replay(spark, sf_dir, tmp_path):
     idx, prs = str(tmp_path / "lidx"), str(tmp_path / "lprs")
     st = LshIndexState(idx, prs)
     st.update(docs.where("doc_id % 2 = 0"), 0)
-    before_files = set(os.listdir(idx))
     st.update(docs.where("doc_id % 2 = 1"), 1)
     want = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
     assert sorted(map(tuple, st.pairs(spark).collect())) == want
@@ -397,10 +412,11 @@ def test_lsh_index_state_durable_replay(spark, sf_dir, tmp_path):
     assert spark.read.parquet(prs).count() == n_pairs
     assert sorted(map(tuple, st2.pairs(spark).collect())) == want
 
-    # half-commit: drop batch 1's index files, replay on a fresh
-    # state -> pairs NOT re-appended, signatures restored
-    for f in set(os.listdir(idx)) - before_files:
-        os.remove(os.path.join(idx, f))
+    # half-commit: drop batch 1's index partition, replay on a fresh
+    # state -> pairs NOT re-written, signatures restored
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "batch_id=1"))
     st3 = LshIndexState(idx, prs)
     st3.update(docs.where("doc_id % 2 = 1"), 1)
     assert spark.read.parquet(prs).count() == n_pairs
@@ -409,6 +425,16 @@ def test_lsh_index_state_durable_replay(spark, sf_dir, tmp_path):
         == docs.count()
     )
     assert sorted(map(tuple, st3.pairs(spark).collect())) == want
+
+    # mid-job-commit debris (ADVICE r9): pair part files without the
+    # _SUCCESS marker (and no index write) -> pruned and rewritten,
+    # never skipped-as-seen
+    os.remove(os.path.join(prs, "batch_id=1", "_SUCCESS"))
+    shutil.rmtree(os.path.join(idx, "batch_id=1"))
+    st4 = LshIndexState(idx, prs)
+    st4.update(docs.where("doc_id % 2 = 1"), 1)
+    assert spark.read.parquet(prs).count() == n_pairs
+    assert sorted(map(tuple, st4.pairs(spark).collect())) == want
 
 
 def test_lsh_greedy_within_equals_uncapped_pairs(spark, sf_dir):
