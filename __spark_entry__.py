@@ -944,6 +944,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(tmp, ignore_errors=True)
         return spark.createDataFrame(rows, schema)
 
+    def x_join_analyzed_salted(spark, sf_dir):
+        # the SALTED branch of the manifest-stats join gate under the
+        # driver's hash (VERDICT r9 #3): a hot-key fact — 70% of
+        # lineitem rows collapse onto pk=0 — whose recorded histogram
+        # trips the skew gate (skew ≈ 0.7·bins ≈ 11 ≥ 4, hot bin ≥
+        # the salt floor), with a dim over the broadcast row budget,
+        # so join_analyzed must dispatch salted_join. The decision
+        # rides the output as a pinned literal the oracle re-asserts,
+        # and the salted plan's values must equal the oracle's PLAIN
+        # join — the row-identity contract of the salting itself.
+        import shutil
+        import tempfile
+
+        from big_data_computing__spark.sources.layout import ZTable
+
+        li = _rd.read_table(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .cast("long")
+            .alias("pk"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        li = li.withColumn("x", F.col("pk").cast("double")).withColumn(
+            "y", F.lit(0.0)
+        )
+        dim = (
+            li.select("pk")
+            .distinct()
+            .select(
+                "pk",
+                F.pmod(F.col("pk"), F.lit(5)).cast("long").alias("grp"),
+                F.col("pk").cast("double").alias("bx"),
+                F.lit(0.0).alias("by"),
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix="join_gate_salt_")
+        try:
+            big = ZTable.create(li, tmp + "/fact", n_files=8)
+            big.analyze_histograms(spark, ["pk"], bins=16)
+            small = ZTable.create(
+                dim, tmp + "/dim", x="bx", y="by", n_files=4
+            )
+            dec, joined = _rel.join_analyzed(
+                spark,
+                big,
+                small,
+                "pk",
+                broadcast_max_rows=64,
+                salt_min_hot_rows=1_000,
+            )
+            agg = (
+                joined.groupBy("grp")
+                .agg(
+                    F.count("*").cast("long").alias("n_items"),
+                    F.sum("qty").cast("long").alias("sum_qty"),
+                )
+                .withColumn("strategy", F.lit(dec["strategy"]))
+            )
+            rows, schema = agg.collect(), agg.schema
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
     def x_bootstrap_ci(spark, sf_dir):
         # one-pass Poisson bootstrap (Chamandy et al.): 200 replicate
         # means of doc length from per-(row, replicate) Poisson(1)
@@ -3926,6 +3989,7 @@ GROUP BY GROUPING SETS (
         x_streaming_knn_final,
         x_dedup_components_auto,
         x_join_analyzed,
+        x_join_analyzed_salted,
         x_lsh_adaptive_cap,
         x_mis_diverse,
         x_feature_hash_embed,
@@ -4609,6 +4673,26 @@ SELECT p_brand AS brand,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        'broadcast' AS strategy
 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+""",
+        # the salted branch: oracle recomputes the hot-key fixture and
+        # runs the PLAIN join — equality proves the salted plan's
+        # row-identity contract; the pinned 'salted' literal proves
+        # the gate took the salted branch (a 'plain'/'broadcast'
+        # decision would hash-mismatch)
+        "x_join_analyzed_salted": """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN CAST(0 AS BIGINT)
+              ELSE CAST(l_orderkey AS BIGINT) END AS pk,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+dim AS (SELECT DISTINCT pk, pk % 5 AS grp FROM fact)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       'salted' AS strategy
+FROM fact JOIN dim USING (pk)
+GROUP BY 1
 """,
         "x_bootstrap_ci": _st.poisson_bootstrap_ci_sql(
             "SELECT * FROM documents",
