@@ -379,7 +379,11 @@ def main() -> None:
     # other sf dirs have no reference, factor reported as null)
     host_factor = None
     norm_total = None
+    prev_ratio = None
+    prev_art_name = None
     if float(sf) == 0.1:
+        import glob
+        import os.path as _p
         import statistics
 
         med = {
@@ -391,6 +395,34 @@ def main() -> None:
         if ratios:
             host_factor = round(statistics.median(ratios), 4)
             norm_total = round(total / host_factor, 3)
+        # cross-round canary factor (VERDICT r9 item #4): median ratio
+        # of this run's canary medians vs the NEWEST committed
+        # BENCH_CLEAN_r*.json's — the number that adjudicates a
+        # round-over-round total delta as host vs plans, published in
+        # the artifact itself instead of re-derived from raw artifacts
+        # (r9's +13% common-set delta was exactly this ratio, 1.13)
+        arts = sorted(
+            glob.glob(
+                _p.join(_p.dirname(_p.abspath(__file__)),
+                        "BENCH_CLEAN_r*.json")
+            )
+        )
+        if arts:
+            prev = json.load(open(arts[-1]))
+            pc = prev.get("canary")
+            if pc and float(prev.get("sf", 0)) == 0.1:
+                pmed = {
+                    n: (pc["start"][n] + pc["end"][n]) / 2
+                    for n in set(pc["start"]) & set(pc["end"])
+                }
+                rr = [
+                    med[n] / pmed[n]
+                    for n in med
+                    if pmed.get(n, 0) > 0
+                ]
+                if rr:
+                    prev_ratio = round(statistics.median(rr), 4)
+                    prev_art_name = _p.basename(arts[-1])
     print(
         json.dumps(
             {
@@ -398,6 +430,8 @@ def main() -> None:
                 "value": total,
                 "value_canary_normalized": norm_total,
                 "canary_host_factor": host_factor,
+                "canary_vs_prev_round": prev_ratio,
+                "canary_prev_artifact": prev_art_name,
                 "unit": "sec",
                 "queries": timings,
                 "canary": {"start": canary_start, "end": canary_end},

@@ -92,6 +92,13 @@ def main() -> int:
         f"shared {len(shared)} queries; host factor {host:.3f} "
         f"({src}; >1 = this host is slower)"
     )
+    if new_art.get("canary_vs_prev_round") is not None:
+        print(
+            f"new artifact self-published canary_vs_prev_round="
+            f"{new_art['canary_vs_prev_round']} (vs "
+            f"{new_art.get('canary_prev_artifact')}); this "
+            f"comparison's factor {host:.3f}"
+        )
     flagged = []
     for k in shared:
         if old[k] <= 0:
