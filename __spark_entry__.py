@@ -3120,6 +3120,17 @@ GROUP BY GROUPING SETS (
     def x_dedup_lsh_capped(spark, sf_dir):
         return _dd.minhash_lsh_pairs(_docs(spark, sf_dir), max_bucket=2)
 
+    def x_lsh_pairs_sharded(spark, sf_dir):
+        # the band-sharded pair join (r10): bands independent per-band
+        # sub-joins unioned before the (doc_a, doc_b) count, so no
+        # single shuffle carries all bands — the 100-TB provisioning
+        # fix for the composed pipeline's largest single stage
+        # (STRESS.md). Same cap as x_dedup_lsh_capped so the oracle
+        # pins row-identity THROUGH the super-bucket guard too.
+        return _dd.minhash_lsh_pairs_sharded(
+            _docs(spark, sf_dir), max_bucket=2
+        )
+
     def x_lsh_super_buckets(spark, sf_dir):
         return _dd.lsh_super_buckets(_docs(spark, sf_dir), max_bucket=2)
 
@@ -4194,6 +4205,7 @@ GROUP BY GROUPING SETS (
         x_random_walks,
         x_dedup_simhash,
         x_dedup_lsh_capped,
+        x_lsh_pairs_sharded,
         x_lsh_super_buckets,
         x_dedup_ngram_jaccard,
         x_dedup_embedding,
@@ -5484,6 +5496,9 @@ GROUP BY l_returnflag, l_linestatus""",
         ),
         "x_dedup_simhash": _dd.simhash_near_pairs_sql(SIMHASH_MAX_HAMMING),
         "x_dedup_lsh_capped": _dd.minhash_lsh_pairs_sql(max_bucket=2),
+        # the sharded join shares the unsharded oracle VERBATIM —
+        # row-identity through the cap is the contract under the hash
+        "x_lsh_pairs_sharded": _dd.minhash_lsh_pairs_sql(max_bucket=2),
         "x_lsh_super_buckets": _dd.lsh_super_buckets_sql(max_bucket=2),
         "x_graph_hops": _dd.hop_distances_sql(
             "SELECT doc_a, doc_b FROM "

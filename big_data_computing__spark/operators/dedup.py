@@ -263,6 +263,79 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_sharded(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    ngram: int = 3,
+    text_col: str = "text",
+    sigs: DataFrame | None = None,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    shard_dir: str | None = None,
+) -> DataFrame:
+    """Band-sharded LSH candidate pairs — ROW-IDENTICAL to
+    :func:`minhash_lsh_pairs` (same columns, same values, asserted in
+    tests and under the value oracle), but the bucket self-join runs
+    as ``bands`` independent per-band sub-joins unioned before the
+    (doc_a, doc_b) count, so no single shuffle stage carries ALL
+    bands' bucket rows.
+
+    Why: at 50M docs the one-shot band join was the composed
+    pipeline's largest single-stage shuffle (13.9 GiB, 24% of wall,
+    STRESS.md r9) and grows linearly with the corpus — the one stage
+    whose spill/disk footprint a 100-TB run must provision for
+    whole. Sharding by band cuts that provisioning unit ~bands-fold:
+    each sub-join exchanges only its band's ~n rows on ``bkey``
+    alone, and AQE sizes each sub-shuffle independently. Total
+    shuffle volume is unchanged (the same rows move, band by band);
+    what changes is the MAXIMUM any one stage carries — the metric
+    that decides whether a stage fits its executors' spill budget.
+    Identity holds because each doc has exactly ONE bucket per band,
+    so a pair collides at most once per band and the post-union
+    count(*) ≡ the unsharded count over (band, bkey).
+
+    ``shard_dir``: optional caller-owned directory. When given, the
+    (capped) bucket rows are written ONCE as a ``band=N``-partitioned
+    parquet layout and each sub-join reads its band back via
+    partition pruning — the 100-TB shape, where re-scanning a
+    checkpoint ``bands`` times (the in-memory default) would read
+    the bucket table ``bands``× instead of once. The caller deletes
+    the directory when done.
+    """
+    bands = num_hashes // 2
+    if sigs is None:
+        sigs = minhash_signatures(docs, num_hashes, ngram, text_col)
+    buckets = _band_buckets(sigs, bands)
+    if max_bucket is not None:
+        buckets = _drop_super_buckets(buckets, ["band", "bkey"], max_bucket)
+    if shard_dir is not None:
+        buckets.write.partitionBy("band").mode("overwrite").parquet(
+            shard_dir
+        )
+        buckets = docs.sparkSession.read.parquet(shard_dir)
+    else:
+        # same persistence rationale as minhash_lsh_pairs; the
+        # per-band filters below all read these blocks
+        buckets = buckets.localCheckpoint()
+    per_band = []
+    for b in range(bands):
+        bb = buckets.where(F.col("band") == b).select("bkey", "doc_id")
+        per_band.append(
+            bb.select("bkey", F.col("doc_id").alias("doc_a"))
+            .join(
+                bb.select("bkey", F.col("doc_id").alias("doc_b")),
+                "bkey",
+            )
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_bands")
+    )
+
+
 def minhash_signatures_sql(
     num_hashes: int = 16, ngram: int = 3, source: str = "documents"
 ) -> str:

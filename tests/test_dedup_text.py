@@ -52,6 +52,45 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_lsh_pairs_sharded_row_identity(spark, sf_dir, tmp_path):
+    """The band-sharded pair join is row-identical to the one-shot
+    join — uncapped, through the super-bucket cap, and via the
+    disk-backed band=N shard layout — on the 500-doc fixture corpus
+    (real buckets, cap=2 actually drops some)."""
+    from big_data_computing__spark.sources.readers import read_table
+
+    corpus = read_table(spark, sf_dir, "documents")
+    for cap in (None, 2, D.LSH_MAX_BUCKET):
+        want = sorted(
+            map(
+                tuple,
+                D.minhash_lsh_pairs(corpus, max_bucket=cap).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                D.minhash_lsh_pairs_sharded(
+                    corpus, max_bucket=cap
+                ).collect(),
+            )
+        )
+        assert got == want
+    disk = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs_sharded(
+                corpus,
+                max_bucket=2,
+                shard_dir=str(tmp_path / "bands"),
+            ).collect(),
+        )
+    )
+    assert disk == sorted(
+        map(tuple, D.minhash_lsh_pairs(corpus, max_bucket=2).collect())
+    )
+
+
 def test_simhash_hamming(spark, docs):
     sigs = {
         r["doc_id"]: r["simhash"]
