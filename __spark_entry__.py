@@ -4251,37 +4251,49 @@ GROUP BY GROUPING SETS (
 
 
 # The driver hash-verifies only the FIRST ~50 registry entries per
-# round. The never-green backlog closed in r8 (cumulative driver-
-# green = 259/259), so the window's standing job is now REFRESH
-# (VERDICT r8 item #2): new queries lead (driver evidence before
-# anything else), then the registry names whose last hash-green
-# round is oldest (computed from CORRECTNESS_r01..r08 at r9 start;
-# the 39 stalest are r1/r3/r4-vintage). Ordering within a
-# staleness tier is the artifact sort, so the list stays
+# round. The window's standing jobs, in order (VERDICT r9 item #1
+# made the middle one a standing rule):
+#   1. NEW queries lead (driver evidence before anything else);
+#   2. every query whose PHYSICAL PLAN changed since its last green
+#      row ("plan changed => next window" — value oracles cover the
+#      values, but the driver's hash is the evidence of record);
+#   3. staleness refresh — the registry names whose last hash-green
+#      round is oldest (computed from CORRECTNESS_r01..r09 at r10
+#      start; the full <=r4-vintage block fits this round, max
+#      evidence age after r10 <= 4 rounds), topped up with the
+#      artifact-sorted head of the r5 tier.
+# Ordering within a tier is the artifact sort, so the list stays
 # deterministic and auditable.
 _WINDOW_PRIORITY = [
-    # r9 NEW queries (never windowed by construction):
-    "x_streaming_drift_final", "x_streaming_dsir_final",
-    "x_streaming_scatter_final", "x_streaming_cdf_agg_final",
-    "x_streaming_cdf_minmax_final", "x_streaming_cdf_join_final",
-    "x_streaming_truss_final", "x_streaming_lsh_final",
-    "x_streaming_knn_final", "x_dedup_components_auto",
-    "x_join_analyzed", "x_lsh_adaptive_cap",
-    # the 38 stalest driver-green rows (last green r1-r4; the 12 new
-    # names above take the window's lead positions):
-    "c9b_outliers_nd_ivf", "j5_asof_join", "j7_full_outer", "j8_band_join",
-    "t10_hll_estimate", "t9_cms_frequent", "w2_tumbling_window_counts",
-    "w3_sessionize", "w4_session_window", "w5_moving_avg",
-    "w6_ntile_quartiles", "x_ann_opq_ivf_rpq_topk",
-    "x_bloom_contamination", "x_clean_corpus", "x_contamination",
-    "x_domain_mixture", "x_domain_quality", "x_mixture_resample",
-    "x_pagerank_dupgraph", "x_pii_report", "x_repetition",
-    "x_tfidf_top_terms", "x_token_budget_sample", "a11_distinct_items",
-    "a12_rollup_pricing", "a13_quantile_stats", "a15_cube_order_stats",
-    "a16_argmax_customer", "a17_pivot_events", "a2_pricing_summary",
-    "c5_radius_fixed_centers", "c9b_outliers_nd_brute", "f1_json_extract",
-    "f3_date_functions", "j2_star_join_revenue", "j4_anti_join_customers",
-    "j6_above_avg_orders", "o1_exact_outliers_topk",
+    # r10 NEW queries (never windowed by construction):
+    "x_join_analyzed_salted", "x_lsh_pairs_sharded",
+    # r9-changed plans: the BIGINT-div rewrite of event_day /
+    # wow_growth (windows.py:41,1507) re-planned every event_day
+    # consumer after their last green rows (w20/w21/spike_final were
+    # green in the r8 window but the rewrite landed in r9):
+    "w13_event_spikes", "w14_gapfill_locf", "w15_mad_outliers",
+    "w18_supervised_examples", "w19_wow_growth", "w20_ewma_daily",
+    "w21_acf_daily", "x_streaming_spike_final",
+    # the 31 stalest driver-green rows (last green r4; the r1-vintage
+    # "c9b_outliers_nd_ivf" row is a RETIRED name — the query was
+    # renamed c9b_outliers_nd_brute in r5 and has r5+ evidence):
+    "o1_topk_orders", "o2_smallest_cells_topk",
+    "o3_zorder_cells", "s6_sql_interface", "so1_set_ops",
+    "t11_histogram_quantiles", "t12_hll_by_type",
+    "t4_true_frequent_items", "t5_reservoir_report", "t6_sticky_report",
+    "w1_top_order_per_segment", "x_balanced_sample",
+    "x_bpe_token_counts", "x_containment_pairs",
+    "x_dedup_jaccard_prefix", "x_dedup_snm", "x_dup_cluster_report",
+    "x_fingerprints", "x_kcore_nodes", "x_language_id",
+    "x_media_metadata", "x_minhash_similarity", "x_quality_scores",
+    "x_rolling_fingerprints", "x_stratified_sample", "x_token_stats",
+    "x_top_ngrams", "x_triangle_counts", "x_weighted_reservoir",
+    "x_weighted_reservoir_strat", "x_winnow_fingerprints",
+    # r5-vintage top-up to fill the ~50-slot window:
+    "a4_cell_neighborhood", "c10_outliers_grid3", "c2_fft_coreset",
+    "c3_mrfft_radius", "c6_exact_outliers",
+    "c7_approx_outliers_summary", "c8_fft_radius_outliers",
+    "c9_outliers_nd", "o4_zorder3_cells",
 ]
 
 
