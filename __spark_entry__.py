@@ -3134,6 +3134,27 @@ GROUP BY GROUPING SETS (
     def x_lsh_super_buckets(spark, sf_dir):
         return _dd.lsh_super_buckets(_docs(spark, sf_dir), max_bucket=2)
 
+    def x_lsh_greedy_rejects(spark, sf_dir):
+        # the ingest gate's within-batch predicate (r10): bucket-min
+        # rejection — EXACT uncapped-pair-graph greedy semantics at
+        # O(n·bands), no pair enumeration; the oracle enumerates the
+        # pairs the operator never materializes (doc_b of any pair),
+        # which IS the equivalence under the hash
+        return _dd.lsh_greedy_within_rejects(
+            _dd.minhash_signatures(_docs(spark, sf_dir))
+        )
+
+    def x_lsh_greedy_cross(spark, sf_dir):
+        # the gate's cross-batch predicate: new docs (odd ids) with
+        # ANY band key already in the standing index (even ids) —
+        # broadcast-semi-join key membership, fan-out-free where the
+        # enumeration form would emit one row per indexed partner
+        docs = _docs(spark, sf_dir)
+        return _dd.lsh_greedy_cross_rejects(
+            _dd.minhash_signatures(docs.where(F.col("doc_id") % 2 == 1)),
+            _dd.minhash_signatures(docs.where(F.col("doc_id") % 2 == 0)),
+        )
+
     def x_graph_hops(spark, sf_dir):
         # multi-source BFS over the SimHash near-dup graph: blast
         # radius of two seed documents, min-hop per reached node;
@@ -4207,6 +4228,8 @@ GROUP BY GROUPING SETS (
         x_dedup_lsh_capped,
         x_lsh_pairs_sharded,
         x_lsh_super_buckets,
+        x_lsh_greedy_rejects,
+        x_lsh_greedy_cross,
         x_dedup_ngram_jaccard,
         x_dedup_embedding,
         x_dedup_components,
@@ -4267,6 +4290,7 @@ GROUP BY GROUPING SETS (
 _WINDOW_PRIORITY = [
     # r10 NEW queries (never windowed by construction):
     "x_join_analyzed_salted", "x_lsh_pairs_sharded",
+    "x_lsh_greedy_rejects", "x_lsh_greedy_cross",
     # r9-changed plans: the BIGINT-div rewrite of event_day /
     # wow_growth (windows.py:41,1507) re-planned every event_day
     # consumer after their last green rows (w20/w21/spike_final were
@@ -4293,7 +4317,6 @@ _WINDOW_PRIORITY = [
     "a4_cell_neighborhood", "c10_outliers_grid3", "c2_fft_coreset",
     "c3_mrfft_radius", "c6_exact_outliers",
     "c7_approx_outliers_summary", "c8_fft_radius_outliers",
-    "c9_outliers_nd", "o4_zorder3_cells",
 ]
 
 
@@ -5511,6 +5534,10 @@ GROUP BY l_returnflag, l_linestatus""",
         # the sharded join shares the unsharded oracle VERBATIM —
         # row-identity through the cap is the contract under the hash
         "x_lsh_pairs_sharded": _dd.minhash_lsh_pairs_sql(max_bucket=2),
+        "x_lsh_greedy_rejects": _dd.lsh_greedy_within_rejects_sql(),
+        "x_lsh_greedy_cross": _dd.lsh_greedy_cross_rejects_sql(
+            "doc_id % 2 = 1", "doc_id % 2 = 0"
+        ),
         "x_lsh_super_buckets": _dd.lsh_super_buckets_sql(max_bucket=2),
         "x_graph_hops": _dd.hop_distances_sql(
             "SELECT doc_a, doc_b FROM "

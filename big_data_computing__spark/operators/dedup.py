@@ -579,6 +579,40 @@ def lsh_greedy_cross_rejects(
     )
 
 
+def lsh_greedy_within_rejects_sql(
+    num_hashes: int = 16, ngram: int = 3, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`lsh_greedy_within_rejects`, restated
+    pair-side: a doc is rejected iff it has SOME lower-id band
+    partner, i.e. iff it appears as ``doc_b`` in the UNCAPPED pair
+    graph. The operator computes the same set pair-free (bucket-min);
+    the oracle enumerating the pairs the operator never materializes
+    is exactly the equivalence being pinned."""
+    return (
+        "SELECT DISTINCT doc_b AS doc_id FROM ("
+        + minhash_lsh_pairs_sql(num_hashes, ngram, source, None)
+        + ")"
+    )
+
+
+def lsh_greedy_cross_rejects_sql(
+    new_pred: str,
+    corpus_pred: str,
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> str:
+    """DuckDB twin of :func:`lsh_greedy_cross_rejects`: the distinct
+    new-side ids of the UNCAPPED incremental probe — key membership
+    is "≥1 banded match", enumerated here, fan-out-free there."""
+    return (
+        "SELECT DISTINCT new_doc_id AS doc_id FROM ("
+        + incremental_lsh_duplicates_sql(
+            new_pred, corpus_pred, num_hashes, ngram, max_bucket=None
+        )
+        + ")"
+    )
+
+
 def incremental_lsh_duplicates_sql(
     new_pred: str,
     corpus_pred: str,
