@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     # builds + histogram ANALYZE + the gated join — the planner-loop
     # cost a catalog-backed warehouse would amortize across queries
     "x_join_analyzed",
+    # r10: the gate's SALTED branch end-to-end (hot-key fact whose
+    # recorded histogram trips the skew gate; salted_join execution)
+    "x_join_analyzed_salted",
     # SemDeDup's paper-faithful within-cluster path (the approximate
     # low-threshold scale shape, next to the exact x_semdedup_survivors
     # whose pruning degrades to all-pairs at threshold 0.3) and the
@@ -254,6 +257,14 @@ BENCH_QUERIES = [
     # its dropped-bucket audit report — tracked next to the unguarded
     # x_dedup_minhash_lsh so the guard's cost is a committed A/B
     "x_dedup_lsh_capped",
+    # r10: the band-sharded pair join next to the one-shot capped
+    # form above — the committed A/B of the shuffle-sharding layout
+    "x_lsh_pairs_sharded",
+    # r10: the pair-free ingest-gate predicates (bucket-min within,
+    # key-membership cross) — the acceptance path's tracked cost,
+    # which stays O(n·bands) where the pair joins above enumerate
+    "x_lsh_greedy_rejects",
+    "x_lsh_greedy_cross",
     "x_lsh_super_buckets",
     # r9: the manifest-derived cap end-to-end (corpus ZTable build +
     # derivation + capped pair join) — the adaptive gate's tracked
