@@ -43,6 +43,7 @@ from big_data_computing__spark.operators.dedup import (  # noqa: E402
     dedup_survivors,
     duplicate_components_auto,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_sharded,
 )
 from big_data_computing__spark.operators.textstats import (  # noqa: E402
     language_id,
@@ -51,6 +52,10 @@ from big_data_computing__spark.operators.textstats import (  # noqa: E402
 from big_data_computing__spark.session import get_session  # noqa: E402
 
 AZ = "abcdefghijklmnopqrstuvwxyz"
+
+# --ab-unsharded: also time the one-shot band join after the sharded
+# s3, for the head-to-head shuffle table (same process, same corpus)
+AB_UNSHARDED = False
 
 
 def synth_corpus(spark, n_docs: int):
@@ -179,11 +184,29 @@ def main(n_docs: int) -> None:
     kept2 = stage("s2_exact_dedup", s2)
     print(f"    exact-distinct {kept2.count():,}")
 
+    # s3 runs the BAND-SHARDED join (r10): the one-shot band join was
+    # this pipeline's largest single-stage shuffle (13.9 GiB at 50M,
+    # 24% of wall, STRESS.md r9) — sharding by band cuts the largest
+    # stage ~bands-fold while total volume stays put. The bucket rows
+    # land once in a band=N parquet layout (partition-pruned reads),
+    # the 100-TB shape.
+    import shutil
+    import tempfile
+
+    shard_tmp = tempfile.mkdtemp(prefix="lsh_bands_")
     pairs = stage(
         "s3_minhash_lsh_pairs",
-        lambda: minhash_lsh_pairs(kept2).localCheckpoint(),
+        lambda: minhash_lsh_pairs_sharded(
+            kept2, shard_dir=shard_tmp + "/bands"
+        ).localCheckpoint(),
     )
     print(f"    candidate pairs {pairs.count():,}")
+    if AB_UNSHARDED:
+        stage(
+            "s3ab_oneshot_band_join",
+            lambda: minhash_lsh_pairs(kept2).localCheckpoint(),
+        )
+    shutil.rmtree(shard_tmp, ignore_errors=True)
 
     # The closure is computed ONCE and reused by survivors AND splits
     # — the first run of this stress computed it twice (inside each
@@ -248,4 +271,6 @@ def main(n_docs: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    AB_UNSHARDED = "--ab-unsharded" in sys.argv
+    main(int(args[0]) if args else 10_000_000)
