@@ -889,9 +889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def x_dedup_components_auto(spark, sf_dir):
         # the measured-crossover dispatcher under the driver's hash:
-        # the sf pair graph sits far below the 600k-edge tie point
-        # (CC ladder, STRESS.md: shortcut 2.8x at 1e5 edges, tie at
-        # 6.6e5, two-phase ahead ≥1e7), so
+        # the sf pair graph (~30 edges) sits below the 2k-edge
+        # crossover (r10 quiet-host CC ladder, STRESS.md: two-phase
+        # wins every rung ≥2.2k edges; the sub-2k fixture regime is
+        # shortcut's by a sub-second margin), so
         # this routes through the shortcut variant — what's new under
         # test is the localCheckpoint + count + dispatch path itself;
         # shares the CC oracle verbatim (labels identical either way)

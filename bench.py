@@ -137,7 +137,7 @@ BENCH_QUERIES = [
     # the auto-dispatching closure (r9): localCheckpoint + edge count +
     # crossover dispatch — its tracked cost vs the direct variants IS
     # the price of the gate (should sit at shortcut + one count here,
-    # far below the 600k-edge crossover tie point)
+    # below the 2k-edge crossover of the r10 quiet-host ladder)
     "x_dedup_components_auto",
     # the manifest-stats join gate end-to-end (r9): two scratch ZTable
     # builds + histogram ANALYZE + the gated join — the planner-loop

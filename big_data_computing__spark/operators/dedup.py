@@ -3606,20 +3606,26 @@ def duplicate_components_auto(
     pairs: DataFrame,
     doc_a: str = "doc_a",
     doc_b: str = "doc_b",
-    edge_threshold: int = 600_000,
+    edge_threshold: int = 2_000,
 ) -> DataFrame:
-    """Closure with the variant picked by measured regime: shortcut's
-    static-edge-list rounds win on SMALL graphs (sf0.1 fixture,
-    ~10⁵ edges: 4.7 s vs two-phase's 13.2 s — per-round fixed costs
-    dominate); the two variants MEASURE EQUAL at 6.6·10⁵ edges
-    (22.9 s vs 23.2 s, tools/cc_crossover_ab.py — the r9 mid-regime
-    point); the two-phase contraction wins once the edge list IS the
-    cost (10M-doc graph, 1.06·10⁷ edges: 116 s vs 152 s wall and
-    2.6× fewer shuffle bytes). One edge count decides; the threshold
-    sits at the measured tie point, so dispatching two-phase above it
-    is free where they tie and wins where they diverge (STRESS.md
-    r8/r9 CC ladder). Same output from either side — labels are
-    identical by the cross-implementation tests.
+    """Closure with the variant picked by measured regime. The r10
+    quiet-host ladder (tools/cc_crossover_ab.py, production-shaped
+    trio dup graphs, STRESS.md r10) moved the crossover far below
+    the earlier estimates: two-phase wins EVERY probed rung —
+    2.2k edges 2.0 vs 3.1 s, 8.7k 2.0 vs 3.7, 26k 3.0 vs 6.9,
+    96k 4.8 vs 14.8, 293k 6.1 vs 14.5, 660k 14.4 vs 20.1, 1.06·10⁷
+    116 vs 152 s with 2.6× fewer shuffle bytes — and the only
+    remaining shortcut win is the 1.3k-edge sf0.1 fixture graph, by
+    0.45 s (2.39 vs 2.84). The r8/r9 numbers that put the crossover
+    at ~600k ("tie at 6.6·10⁵") came from contended runs: re-measured
+    quiet, the same rung reads 14.4 vs 20.1 (two-phase has more
+    stage barriers per round, so contention inflates it 1.6× where
+    shortcut moves 1.1× — the tie was an artifact). One edge count
+    decides; the threshold sits between the fixture's marginal
+    shortcut win and the first measured two-phase win, where the
+    loss surface is sub-second in both directions. Same output from
+    either side — labels are identical by the cross-implementation
+    tests.
 
     The count MATERIALIZES ``pairs`` via ``localCheckpoint`` first, so
     the chosen variant starts from the computed edge rows instead of
