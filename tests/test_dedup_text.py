@@ -91,6 +91,51 @@ def test_lsh_pairs_sharded_row_identity(spark, sf_dir, tmp_path):
     )
 
 
+def test_lsh_pairs_sharded_degenerate_shapes(spark):
+    """Sharded ≡ one-shot on the shapes that break banded joins:
+    one corpus-wide super bucket (all-identical texts), a pair-free
+    corpus (all-distinct random texts), and a seeded mix — at an
+    exceeded cap, the production cap, and uncapped."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "carol", "delta", "echos", "fox"]
+
+    def corpus(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    identical = corpus([(i, "same text for every doc") for i in range(60)])
+    distinct = corpus(
+        [
+            (i, " ".join(rng.choice(words) for _ in range(12)) + f" u{i}")
+            for i in range(60)
+        ]
+    )
+    mixed = corpus(
+        [
+            (i, "boilerplate header common to the group " + str(i % 7))
+            for i in range(60)
+        ]
+    )
+    for c in (identical, distinct, mixed):
+        for cap in (2, D.LSH_MAX_BUCKET, None):
+            want = sorted(
+                map(
+                    tuple,
+                    D.minhash_lsh_pairs(c, max_bucket=cap).collect(),
+                )
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    D.minhash_lsh_pairs_sharded(
+                        c, max_bucket=cap
+                    ).collect(),
+                )
+            )
+            assert got == want
+
+
 def test_simhash_hamming(spark, docs):
     sigs = {
         r["doc_id"]: r["simhash"]
