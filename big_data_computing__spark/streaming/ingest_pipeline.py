@@ -51,6 +51,11 @@ from ..operators.dedup import (
     minhash_signatures,
 )
 from ..sources.layout import ZTable
+from .batchlog import (
+    committed_batch_ids,
+    prune_uncommitted,
+    write_batch_partition,
+)
 from .curation_stream import DriftState
 from .table_stream import append_batch
 
@@ -77,22 +82,37 @@ class IngestPipeline:
         self.drift = DriftState(split_col, base_value, text_col)
         self._seen: set[int] = set()
         self._indexed = False
+        self._recovered = False
+
+    def _recover(self) -> None:
+        """One-time restart recovery (the batchlog guard the index
+        states use): a replay of a batch whose signature partition is
+        committed must SKIP — reprocessing it against an index that
+        already contains its own signatures would self-match every
+        doc and report accepted=0; the table side was always safe
+        (append_batch's recorded-batch-id idempotence), this closes
+        the index side. Marker-less partition dirs are crash debris
+        and are pruned so the standing-index read never sees a
+        partial batch."""
+        if self._recovered:
+            return
+        self._recovered = True
+        prune_uncommitted(self.index_dir)
+        self._seen |= committed_batch_ids(self.index_dir)
+        self._indexed = self._indexed or bool(self._seen)
 
     def _have_index(self) -> bool:
-        import os
-
-        return self._indexed or (
-            os.path.isdir(self.index_dir)
-            and any(
-                f.endswith(".parquet")
-                for f in os.listdir(self.index_dir)
-            )
-        )
+        return self._indexed
 
     def process(self, batch_df: DataFrame, batch_id: int) -> int:
         """Run one micro-batch through the gates; returns the number
         of accepted documents (0 on a replayed batch id)."""
         if batch_id in self._seen:
+            return 0
+        self._recover()
+        if batch_id in self._seen:
+            # committed before a restart: sig partition present, and
+            # the table append is idempotent by recorded batch id
             return 0
         self._seen.add(batch_id)
         spark = batch_df.sparkSession
@@ -142,20 +162,39 @@ class IngestPipeline:
             "n_chars",
         )
         if self.table is None:
-            # first batch creates the table (v0 carries the rows); a
-            # cross-restart replay of batch 0 fails LOUDLY on the
-            # existing log rather than double-writing — later batches
-            # get append_batch's recorded-batch-id idempotence
-            self.table = ZTable.create(
-                rows, self.table_path, n_files=1, cell=512.0
-            )
+            import os
+
+            marker = os.path.join(self.table_path, "_created_batch_id")
+            if os.path.exists(marker):
+                # restart with the table already created: re-open the
+                # existing log. The creating batch's rows live in v0
+                # with no recorded batch_id, so its replay (possible
+                # only when its sig partition was lost — _recover
+                # skips committed batches) is guarded by the marker;
+                # every later batch gets append_batch's
+                # recorded-batch-id idempotence.
+                self.table = ZTable(self.table_path)
+                if batch_id != int(open(marker).read()):
+                    append_batch(self.table, rows, batch_id, n_files=1)
+            else:
+                # first batch ever creates the table (v0 carries the
+                # rows), then records WHICH batch created it. A crash
+                # between the two writes replays into a LOUD create-
+                # on-existing-log failure rather than a double write.
+                self.table = ZTable.create(
+                    rows, self.table_path, n_files=1, cell=512.0
+                )
+                with open(marker, "w") as f:
+                    f.write(str(batch_id))
         else:
             append_batch(self.table, rows, batch_id, n_files=1)
 
         # 5) index THIS batch's gate survivors (accepted or not — the
         # conservative contract keys on gate survivors) for later
         # batches' probes. Index LAST: a crash before this point
-        # replays cleanly without self-matching.
-        sigs.write.mode("append").parquet(self.index_dir)
+        # replays cleanly without self-matching; the batch_id=N
+        # partition + _SUCCESS marker make the replay guard durable
+        # across restarts (see _recover).
+        write_batch_partition(sigs, self.index_dir, batch_id)
         self._indexed = True
         return accepted.count()

@@ -513,3 +513,63 @@ def test_ingest_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # table history: one create + one append per non-degenerate batch
     ops = [h["operation"] for h in pipe.table.history()]
     assert ops[0] == "create" and set(ops[1:]) <= {"append"}
+
+    # ---- cross-RESTART replay (r10: the batchlog guard) ----
+    # a fresh pipeline over the same dirs must skip every committed
+    # batch outright — no sig re-append (which would self-match the
+    # batch into accepted=0 and bloat the index), no table change
+    import os
+
+    n_idx = spark.read.parquet(str(tmp_path / "sig_index")).count()
+    pipe2 = IngestPipeline(
+        str(tmp_path / "corpus"), str(tmp_path / "sig_index")
+    )
+    for i, part in enumerate(splits):
+        assert pipe2.process(part, batch_id=i) == 0
+    assert (
+        spark.read.parquet(str(tmp_path / "sig_index")).count()
+        == n_idx
+    )
+    # the restarted pipeline keeps INGESTING: a genuinely new batch
+    # (fresh doc ids above the corpus) flows through create-less
+    # append with the probe running against the recovered index
+    new_docs = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).localCheckpoint()
+    n_new = pipe2.process(new_docs, batch_id=len(splits))
+    # every new doc duplicates an indexed gate survivor's text, so
+    # the cross probe must reject all gate survivors among them;
+    # gate failures were never accepted either way
+    assert n_new == 0
+    assert (
+        spark.read.parquet(str(tmp_path / "sig_index")).count()
+        > n_idx
+    )
+    # the reopened table still holds exactly the committed corpus
+    assert {
+        r["doc_id"] for r in pipe2.table.read(spark).collect()
+    } == want
+    # half-commit debris: drop the new batch's _SUCCESS marker and
+    # replay on another fresh pipeline -> pruned and rewritten, with
+    # the same decision and no duplicate index rows
+    n_idx2 = spark.read.parquet(str(tmp_path / "sig_index")).count()
+    os.remove(
+        str(
+            tmp_path
+            / "sig_index"
+            / f"batch_id={len(splits)}"
+            / "_SUCCESS"
+        )
+    )
+    pipe3 = IngestPipeline(
+        str(tmp_path / "corpus"), str(tmp_path / "sig_index")
+    )
+    assert pipe3.process(new_docs, batch_id=len(splits)) == 0
+    assert (
+        spark.read.parquet(str(tmp_path / "sig_index")).count()
+        == n_idx2
+    )
