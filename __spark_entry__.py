@@ -4292,6 +4292,9 @@ _WINDOW_PRIORITY = [
     # r10 NEW queries (never windowed by construction):
     "x_join_analyzed_salted", "x_lsh_pairs_sharded",
     "x_lsh_greedy_rejects", "x_lsh_greedy_cross",
+    # r10-changed plan (the standing rule): clean_corpus's stage-1
+    # joins were fused into the join-free quality_lang_gate
+    "x_clean_corpus",
     # r9-changed plans: the BIGINT-div rewrite of event_day /
     # wow_growth (windows.py:41,1507) re-planned every event_day
     # consumer after their last green rows (w20/w21/spike_final were
@@ -4317,7 +4320,7 @@ _WINDOW_PRIORITY = [
     # r5-vintage top-up to fill the ~50-slot window:
     "a4_cell_neighborhood", "c10_outliers_grid3", "c2_fft_coreset",
     "c3_mrfft_radius", "c6_exact_outliers",
-    "c7_approx_outliers_summary", "c8_fft_radius_outliers",
+    "c7_approx_outliers_summary",
 ]
 
 

@@ -43,20 +43,17 @@ def clean_corpus(
     its pieces — is correctness-checked.
     """
     from .dedup import dedup_survivors, minhash_lsh_pairs
-    from .textstats import language_id, quality_scores
+    from .textstats import quality_lang_gate
     from ..functions.hashing import hash60
     from ..functions.text import normalized
 
-    q = quality_scores(docs, text_col).select("doc_id", "quality_score")
-    lng = language_id(docs, text_col).select("doc_id", "pred_lang")
-    kept = (
-        docs.join(q, "doc_id")
-        .join(lng, "doc_id")
-        .where(
-            (F.col("quality_score") >= F.lit(min_quality))
-            & (F.col("pred_lang") == F.lit(lang))
-        )
-        .select("doc_id", text_col)
+    # stages 1+2 fused into one join-free per-row filter (r10): both
+    # scores are stateless Catalyst expressions, so the old
+    # docs ⋈ quality_scores ⋈ language_id shape re-shuffled the text
+    # column twice for a filter a single WHERE expresses (row-identity
+    # with the join form pinned in tests + the unchanged SQL twin)
+    kept = quality_lang_gate(docs, text_col, min_quality, lang).select(
+        "doc_id", text_col
     )
     fp = kept.select(
         "doc_id", hash60(normalized(F.col(text_col))).alias("f")

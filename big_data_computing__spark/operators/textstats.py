@@ -77,6 +77,54 @@ def quality_score_expr(text_col: str = "text") -> Column:
     return F.round(_quality_parts(text_col)[3], 6)
 
 
+def pred_lang_expr(text_col: str = "text") -> Column:
+    """The marker-argmax predicted language as one stateless per-row
+    Column — the same (-hits, lang) sorted-struct argmax
+    :func:`language_id` materializes, exposed as a bare expression so
+    gates can FILTER on language without joining the operator's
+    output back to the corpus (equality with the join form is pinned
+    in tests). Repeated marker-count subtrees are shared by codegen
+    subexpression elimination."""
+    toks = tokens(F.col(text_col))
+    pairs = F.array(
+        *[
+            F.struct(
+                (-_count_tokens_in(toks, words)).alias("neg"),
+                F.lit(lang).alias("lang"),
+                _count_tokens_in(toks, words).alias("hits"),
+            )
+            for lang, words in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_sort(pairs)[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise("und")
+
+
+def quality_lang_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.45,
+    lang: str = "en",
+) -> DataFrame:
+    """Join-free quality + language gate: the rows of ``docs`` whose
+    rounded quality score clears ``min_quality`` AND whose
+    marker-argmax language equals ``lang`` — ONE narrow per-row
+    filter, all input columns preserved.
+
+    Row-identical to the join form (docs ⋈ quality_scores ⋈
+    language_id with both filters) — pinned in tests — but with NO
+    shuffle: the first-stage corpus gate is embarrassingly parallel,
+    and expressing it as two operator joins re-shuffles the full text
+    column twice for nothing (the composed 50M-doc run priced that
+    join form at 248 s; see STRESS.md r10). Plans as Filter → Scan
+    with both predicates inside one WholeStageCodegen span, so at
+    100 TB the gate runs at scan speed with zero exchange."""
+    return docs.where(
+        (quality_score_expr(text_col) >= F.lit(min_quality))
+        & (pred_lang_expr(text_col) == F.lit(lang))
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality scoring: DataFrame[doc_id, n_chars, n_tokens,
     stopword_ratio, distinct_ratio, quality_score].

@@ -303,6 +303,44 @@ def test_dedup_survivors_quality_hand_graph(spark):
     }
 
 
+def test_quality_lang_gate_equals_join_form(spark, sf_dir):
+    """The fused join-free gate ≡ the docs ⋈ quality_scores ⋈
+    language_id filter it replaced (two threshold/lang points), all
+    input columns preserved, and the plan has NO join and NO exchange
+    — a pure codegen filter over the scan."""
+    from big_data_computing__spark.operators.textstats import (
+        quality_lang_gate,
+    )
+    from big_data_computing__spark.plans import executed_plan
+    from big_data_computing__spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for min_q, lg in ((0.45, "en"), (0.6, "en")):
+        q = TS.quality_scores(docs).select("doc_id", "quality_score")
+        lng = TS.language_id(docs).select("doc_id", "pred_lang")
+        want = sorted(
+            r["doc_id"]
+            for r in docs.join(q, "doc_id")
+            .join(lng, "doc_id")
+            .where(
+                (F.col("quality_score") >= F.lit(min_q))
+                & (F.col("pred_lang") == F.lit(lg))
+            )
+            .select("doc_id")
+            .collect()
+        )
+        gated = quality_lang_gate(docs, "text", min_q, lg)
+        assert gated.columns == docs.columns
+        got = sorted(
+            r["doc_id"] for r in gated.select("doc_id").collect()
+        )
+        assert got == want and len(want) > 0
+    plan = executed_plan(quality_lang_gate(docs))
+    assert "Exchange" not in plan
+    for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
 def test_clean_corpus_composition(spark, sf_dir):
     """The composed curation pipeline: survivors are a subset of the
     corpus, contain no exact-duplicate texts, and every stage filter

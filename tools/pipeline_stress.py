@@ -46,8 +46,7 @@ from big_data_computing__spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs_sharded,
 )
 from big_data_computing__spark.operators.textstats import (  # noqa: E402
-    language_id,
-    quality_scores,
+    quality_lang_gate,
 )
 from big_data_computing__spark.session import get_session  # noqa: E402
 
@@ -155,9 +154,26 @@ def main(n_docs: int) -> None:
     )
 
     def s1():
+        # r10: the fused join-free gate (quality_lang_gate) — the old
+        # two-join shape re-shuffled the text column twice and priced
+        # this stage at 248 s / 2.3 GiB shuffle at 50M docs
+        return (
+            quality_lang_gate(docs)
+            .select("doc_id", "text")
+            .localCheckpoint()
+        )
+
+    def s1_joined():
+        # the pre-r10 shape, timed under --ab-unsharded for the
+        # committed same-process head-to-head
+        from big_data_computing__spark.operators.textstats import (
+            language_id,
+            quality_scores,
+        )
+
         q = quality_scores(docs).select("doc_id", "quality_score")
         lng = language_id(docs).select("doc_id", "pred_lang")
-        kept = (
+        return (
             docs.join(q, "doc_id")
             .join(lng, "doc_id")
             .where(
@@ -167,9 +183,10 @@ def main(n_docs: int) -> None:
             .select("doc_id", "text")
             .localCheckpoint()
         )
-        return kept
 
     kept = stage("s1_quality_lang_filter", s1)
+    if AB_UNSHARDED:
+        stage("s1ab_joined_gate", s1_joined)
     print(f"    kept {kept.count():,} of {n_docs:,}")
 
     def s2():
