@@ -706,31 +706,44 @@ def duplicate_components(
         pairs.select(F.col(doc_a).alias("s"), F.col(doc_b).alias("t"))
         .union(pairs.select(F.col(doc_b).alias("s"), F.col(doc_a).alias("t")))
         .distinct()
-        # read once per round: persist, with GC-driven cleanup
-        .localCheckpoint()
+        # read once per round: persist, with GC-driven cleanup (lazy —
+        # round 1's convergence aggregate materializes both tables)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lab"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # Convergence check (r10 round-overhead fix, guide §1.2): min-label
+    # propagation only ever DECREASES a label, so the label column's
+    # total is strictly monotone and the fixpoint is exactly "sum
+    # unchanged" — one shuffle-free aggregate instead of the r9 shape's
+    # per-round join of consecutive label tables. With a LAZY
+    # localCheckpoint the aggregate is also the action that
+    # materializes the round's checkpoint (the agg scans every
+    # partition), so each round runs ONE job where the r9 shape ran two
+    # (eager checkpoint + join-count). DECIMAL(38,0) keeps the sum
+    # exact for any BIGINT id universe at any node count.
+    def _lab_sum(lb: DataFrame):
+        return lb.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None
     for _ in range(max_iterations):
         prop = edges.join(
             labels.withColumnRenamed("id", "s"), "s"
         ).select(F.col("t").alias("id"), "lab")
         new_labels = (
             labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
+        ).localCheckpoint(eager=False)
+        new_sum = _lab_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # returning silently-wrong components is worse than failing:
         # propagation needs diameter rounds, so a graph deeper than the
@@ -1423,7 +1436,7 @@ def pagerank_integer(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return rank.select(
         F.col("id").alias("doc_id"), F.col("rank").alias("rank_scaled")
@@ -1514,7 +1527,7 @@ def triangle_counts(
     # (degrees, two join sides, closure) — without this the upstream
     # pair generator (e.g. the whole MinHash pipeline) replays per
     # reference. Bounded: two longs per edge.
-    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint(eager=False)
     tri = _oriented_triangles(e, n_edges=e.count())
     # one explode, not a 3-way union: a union re-enumerates the full
     # triangle set once per branch (see ktruss_edges)
@@ -1776,17 +1789,28 @@ def kcore_nodes(
     idempotent, so an oracle that unrolls MORE rounds than the engine
     needed computes the identical fixed point.
     """
-    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint(eager=False)
     for _ in range(max_iterations):
+        # r10 round-overhead fix (guide §1.2): ONE aggregate job per
+        # round — it returns total and weak node counts together and
+        # is the action that materializes the round's lazy degree
+        # checkpoint (and, through its lineage, the previous round's
+        # lazy filtered-edge checkpoint). The r9 shape paid 4 jobs per
+        # round: eager deg checkpoint, two counts, eager e checkpoint.
         deg = (
             e.select(F.col("u").alias("n"))
             .union(e.select(F.col("v").alias("n")))
             .groupBy("n")
             .agg(F.count("*").cast("long").alias("deg"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         strong = deg.where(F.col("deg") >= k).select("n")
-        n_weak = deg.count() - strong.count()
-        if n_weak == 0:
+        row = deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("deg") < k, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_weak"),
+        ).collect()[0]
+        if (row["n_weak"] or 0) == 0:
             return deg.select(
                 F.col("n").alias("doc_id"), F.col("deg").alias("degree")
             )
@@ -1794,7 +1818,7 @@ def kcore_nodes(
             e.join(strong.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(strong.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(
         f"kcore_nodes: no fixed point after {max_iterations} rounds "
@@ -1892,8 +1916,16 @@ def mis_nodes(
     )
     spark = pairs.sparkSession
     mis = spark.createDataFrame([], "doc_id long, round long")
+    # r10 round-overhead fix (guide §1.2): TWO count jobs per round
+    # (winners, then surviving nodes) — each doubles as the
+    # materializing action of the round's lazy checkpoints (counts
+    # scan every partition; the isEmpty probes they replace stop at
+    # the first non-empty partition and would leave a lazy checkpoint
+    # partial). The r9 shape paid up to 7 jobs per round: two isEmpty
+    # probes + five eager checkpoints.
+    n_active = nodes.count()
     for rnd in range(1, max_iterations + 1):
-        if nodes.isEmpty():
+        if n_active == 0:
             return mis
         nbr_min = (
             edges.select(F.col("u").alias("n"), F.col("hv").alias("nh"))
@@ -1905,15 +1937,15 @@ def mis_nodes(
             nodes.join(nbr_min, "n", "left")
             .where(F.col("min_nh").isNull() | (F.col("h") < F.col("min_nh")))
             .select("n")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if winners.isEmpty():
+        if winners.count() == 0:
             break  # only reachable under a neighbor hash tie
         mis = mis.union(
             winners.select(
                 F.col("n").alias("doc_id"), F.lit(rnd).cast("long")
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         covered = (
             winners.union(
                 edges.join(
@@ -1926,17 +1958,20 @@ def mis_nodes(
                 ).select(F.col("u").alias("n"))
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        nodes = nodes.join(covered, "n", "left_anti").localCheckpoint()
+        nodes = nodes.join(covered, "n", "left_anti").localCheckpoint(
+            eager=False
+        )
         edges = (
             edges.join(
                 covered.withColumnRenamed("n", "u"), "u", "left_anti"
             )
             .join(covered.withColumnRenamed("n", "v"), "v", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    if not nodes.isEmpty():
+        n_active = nodes.count()
+    if n_active != 0:
         raise RuntimeError(
             f"mis_nodes: active nodes remain after {max_iterations} "
             "rounds (raise max_iterations; the oracle unrolls the "
@@ -2048,12 +2083,18 @@ def densest_subgraph(
     each holding only (node) rows.
     """
     spark = pairs.sparkSession
-    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
+    # r10 round-overhead fix (guide §1.2): every checkpoint in the
+    # peel is LAZY; the two per-round counts (edges, surviving nodes)
+    # are the materializing actions, so a round costs 2 jobs where the
+    # r9 shape paid 4 (the counts plus two eager checkpoints)
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("u").alias("n"))
         .union(e.select("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds: list[tuple[int, int, object]] = []  # (n_edges, n_nodes, df)
     for _ in range(max_iterations + 1):
@@ -2080,13 +2121,13 @@ def densest_subgraph(
                 > F.lit(2 * (1000 + eps_milli) * n_edges)
             )
             .select("n")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         nodes = keep
         e = (
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     else:
         raise RuntimeError(
@@ -2236,9 +2277,10 @@ def ktruss_edges(
             "ktruss_edges: k must be >= 3 (the 2-truss is every edge; "
             "use the edge list itself)"
         )
-    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
-    support = triangle_supports(e, n_edges=e.count())
-    kept = _truss_peel(e, support, k, max_iterations)
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint(eager=False)
+    n_e = e.count()
+    support = triangle_supports(e, n_edges=n_e)
+    kept = _truss_peel(e, support, k, max_iterations, n_edges=n_e)
     return kept.select(
         F.col("u").alias("doc_a"), F.col("v").alias("doc_b"), "support"
     )
@@ -2289,6 +2331,7 @@ def _truss_peel(
     support: DataFrame,
     k: int,
     max_iterations: int = KTRUSS_MAX_ROUNDS,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """The parallel delete-all-weak-edges peel, starting from already-
     computed full-graph supports: returns DataFrame[u, v, support]
@@ -2297,30 +2340,48 @@ def _truss_peel(
     maintenance path (streaming/graph_stream.py, which maintains
     supports incrementally across micro-batches) — the peel never
     re-enumerates; every round touches only triangles through
-    just-removed edges."""
-    # inner join: an edge in NO triangle has support 0 < k-2 for
-    # every legal k, so dropping it via the join is the filter
-    kept = (
-        e.join(support, ["u", "v"])
-        .where(F.col("support") >= k - 2)
-        .localCheckpoint()
+    just-removed edges.
+
+    ``n_edges``: pass ``e``'s row count when known — the r10 round-
+    overhead fix (guide §1.2, remove passes): each round runs ONE job —
+    a LAZY localCheckpoint of the rescored edge table whose
+    materializing action is the kept-side count (the count's filter
+    scans every partition, so the checkpoint is fully populated);
+    kept/removed are filter views of the checkpointed blocks, and the
+    removed count is derived from the previous round's kept count (the
+    rescored table has exactly the previous kept's rows, so a second
+    count job is pure waste). The r9 shape paid 4 jobs per round
+    (2 eager checkpoints + 2 counts) for the same answers.
+    """
+    n_e = n_edges if n_edges is not None else e.count()
+    # left join + coalesce(0): an edge in NO triangle has support
+    # 0 < k-2 for every legal k, so the filter below removes it — and,
+    # unlike the old inner-join form, it stays visible in `removed`
+    # without a separate anti-join + checkpoint pass
+    scored = (
+        e.join(support, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("support", F.lit(0).cast("long")).alias("support"),
+        )
+        .localCheckpoint(eager=False)
     )
-    # removed = zero-triangle edges + under-supported scored edges
-    removed = (
-        e.join(kept.select("u", "v"), ["u", "v"], "left_anti")
-        .localCheckpoint()
-    )
-    n_removed = removed.count()
+    kept = scored.where(F.col("support") >= k - 2)
+    removed = scored.where(F.col("support") < k - 2).select("u", "v")
+    n_kept = kept.count()
+    n_removed = n_e - n_kept
     for _ in range(max_iterations - 1):
         if n_removed == 0:
-            return kept
-        # G_prev = kept ∪ removed; triangles of G_prev through a
-        # removed edge (u, v) = common neighbors w of u and v.
+            return kept.select("u", "v", "support")
+        # G_prev = kept ∪ removed = every edge of the scored table;
+        # triangles of G_prev through a removed edge (u, v) = common
+        # neighbors w of u and v.
         # (Broadcasting the small `removed` side here was measured and
         # does NOT pay: the per-round adjacency shuffles are already
         # small, and the peel wall is identical either way — see
         # STRESS.md r5. The support SEEDING is where broadcast wins.)
-        gprev = kept.select("u", "v").union(removed.select("u", "v"))
+        gprev = scored.select("u", "v")
         adj = gprev.union(
             gprev.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("n"), F.col("v").alias("w"))
@@ -2363,7 +2424,7 @@ def _truss_peel(
             .groupBy("u", "v")
             .agg(F.count("*").cast("long").alias("dec"))
         )
-        rescored = (
+        scored = (
             kept.join(dec_edges, ["u", "v"], "left")
             .select(
                 "u",
@@ -2373,15 +2434,17 @@ def _truss_peel(
                     - F.coalesce("dec", F.lit(0).cast("long"))
                 ).alias("support"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        kept = rescored.where(F.col("support") >= k - 2).localCheckpoint()
-        removed = rescored.where(F.col("support") < k - 2).select(
+        kept = scored.where(F.col("support") >= k - 2)
+        removed = scored.where(F.col("support") < k - 2).select(
             "u", "v"
         )
-        n_removed = rescored.count() - kept.count()
+        n_prev = n_kept
+        n_kept = kept.count()
+        n_removed = n_prev - n_kept
     if n_removed == 0:
-        return kept
+        return kept.select("u", "v", "support")
     raise RuntimeError(
         f"ktruss_edges: no fixed point after {max_iterations} rounds "
         "(raise max_iterations; the oracle unrolls the same bound)"
@@ -2469,9 +2532,10 @@ def truss_decomposition(
     """
     if kmax < 3:
         raise ValueError("truss_decomposition: kmax must be >= 3")
-    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint()
-    support = triangle_supports(e, n_edges=e.count())
-    kept = _truss_peel(e, support, 3, max_iterations)
+    e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint(eager=False)
+    n_e = e.count()
+    support = triangle_supports(e, n_edges=n_e)
+    kept = _truss_peel(e, support, 3, max_iterations, n_edges=n_e)
     frames = [
         e.join(kept.select("u", "v"), ["u", "v"], "left_anti").select(
             "u", "v", F.lit(2).cast("long").alias("trussness")
@@ -3432,14 +3496,16 @@ def duplicate_components_shortcut(
         )
         .where(F.col("v") != F.col("u"))
         .distinct()
-        .localCheckpoint()
+        # lazy: round 1's parent-sum aggregate materializes both
+        .localCheckpoint(eager=False)
     )
     parents = (
         edges.select("v")
         .distinct()
         .select("v", F.col("v").alias("p"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    prev_sum = None
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(
@@ -3469,18 +3535,23 @@ def duplicate_components_shortcut(
                 "p",
             )
             .select(F.col("a.v").alias("v"), F.col("pp").alias("p"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            shortcut.alias("n")
-            .join(parents.alias("o"), "v")
-            .where(F.col("n.p") != F.col("o.p"))
-            .count()
-        )
+        # Convergence (r10 round-overhead fix, guide §1.2): hook takes
+        # a least() and shortcut replaces p by p(p) ≤ p (the p(x) ≤ x
+        # invariant holds inductively from p=v), so every parent is
+        # monotone non-increasing and "no parent changed" ⟺ "Σp
+        # unchanged" — one shuffle-free DECIMAL(38,0) aggregate that
+        # also materializes the round's lazy checkpoint, instead of
+        # the r9 shape's eager checkpoint + join-count (2 jobs → 1).
+        new_sum = shortcut.agg(
+            F.sum(F.col("p").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         parents.unpersist()
         parents = shortcut
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"duplicate_components_shortcut did not converge in "
@@ -3535,7 +3606,8 @@ def duplicate_components_twophase(
             F.greatest("a", "b").alias("hi"),
         )
         .distinct()
-        .localCheckpoint()
+        # lazy: round 1's symmetric-difference count materializes it
+        .localCheckpoint(eager=False)
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -3579,10 +3651,25 @@ def duplicate_components_twophase(
         )
 
     for _ in range(max_iterations):
-        new_edges = small_star(large_star(edges)).localCheckpoint()
+        # LAZY checkpoint; the symmetric-difference count below is the
+        # materializing action. One full-outer join + count replaces
+        # the r9 shape's eager checkpoint + TWO anti-join counts
+        # (3 jobs → 1 per round, same exact set-equality test — edge
+        # counts alone can coincide, a one-sided anti-join can miss
+        # disappearances, but a row with either side NULL is exactly
+        # the symmetric difference). Guide §1.2: remove passes.
+        new_edges = small_star(large_star(edges)).localCheckpoint(
+            eager=False
+        )
         diff = (
-            new_edges.join(edges, ["lo", "hi"], "left_anti").count()
-            + edges.join(new_edges, ["lo", "hi"], "left_anti").count()
+            new_edges.select("lo", "hi", F.lit(1).alias("_n"))
+            .join(
+                edges.select("lo", "hi", F.lit(1).alias("_o")),
+                ["lo", "hi"],
+                "full_outer",
+            )
+            .where(F.col("_n").isNull() | F.col("_o").isNull())
+            .count()
         )
         edges.unpersist()
         edges = new_edges
@@ -3695,6 +3782,7 @@ def duplicate_components_htm(
     )
     state_bound = max(state.count(), 1) * max_state_factor
     mins = None
+    prev_minsum = None
     for _ in range(max_iterations):
         cur_min = state.groupBy("v").agg(F.min("m").alias("mn"))
         with_min = state.join(cur_min, "v")
@@ -3706,12 +3794,36 @@ def duplicate_components_htm(
         tomin = with_min.select(
             F.col("mn").alias("v"), F.col("m")
         )
-        state = bcast.union(tomin).distinct().localCheckpoint()
+        state = bcast.union(tomin).distinct().localCheckpoint(
+            eager=False
+        )
+        # r10 round-overhead fix (guide §1.2): ONE aggregate job per
+        # round returns the state size (the loud blow-up gate below)
+        # AND the per-v-min total together, materializing the round's
+        # lazy checkpoint. The v-slot set is CONSTANT across rounds
+        # (every node starts as a member via its self row, tomin
+        # re-sends every member to the current min so membership never
+        # lapses, and bcast turns every member into a v-slot), and a
+        # persistent v always keeps mn(v) in its member set (the bcast
+        # row with m = v), so each v's min is monotone non-increasing
+        # over a fixed key set and "no min changed" ⟺ "Σ mins
+        # unchanged" —
+        # the same exact fixpoint the r9 shape established with a
+        # per-round join of consecutive min tables (4 jobs per round:
+        # eager state checkpoint, state count, join-count, eager mins
+        # checkpoint).
+        grp = state.groupBy("v").agg(
+            F.min("m").alias("mn"), F.count("*").alias("c")
+        )
+        row = grp.agg(
+            F.sum("c").alias("n_state"),
+            F.sum(F.col("mn").cast("decimal(38,0)")).alias("minsum"),
+        ).collect()[0]
+        n_state = row["n_state"]
         # loud state gate instead of a mid-round executor OOM: on long
         # paths the member sets double per round (~n·d/2 peak — the
         # measured blowup, STRESS.md r6), which no memory setting
         # survives at scale. Raising names the safe alternatives.
-        n_state = state.count()
         if n_state > state_bound:
             raise RuntimeError(
                 "duplicate_components_htm state blow-up: "
@@ -3722,18 +3834,10 @@ def duplicate_components_htm(
                 "linear state) or duplicate_components_star instead, "
                 "or raise max_state_factor if memory allows."
             )
-        new_min = state.groupBy("v").agg(F.min("m").alias("mn"))
-        if mins is not None:
-            changed = (
-                new_min.alias("n")
-                .join(mins.alias("o"), "v")
-                .where(F.col("n.mn") != F.col("o.mn"))
-                .count()
-            )
-            if changed == 0:
-                mins = new_min
-                break
-        mins = new_min.localCheckpoint()
+        mins = grp.select("v", "mn")
+        if row["minsum"] == prev_minsum:
+            break
+        prev_minsum = row["minsum"]
     else:
         raise RuntimeError(
             f"duplicate_components_htm did not converge in "
@@ -3795,10 +3899,17 @@ def label_propagation(
     )
     nodes = sym.select("u").distinct()
     # inclusive neighborhood: self-loop vote
+    # r10: the whole fixed-round loop is LAZY-checkpointed — each
+    # round's plan is already a LogicalRDD leaf (lineage stays flat),
+    # but no per-round materialization job runs; the consumer's single
+    # action computes and persists the chain (guide §1.2: N checkpoint
+    # jobs collapse into the one job that needed the result)
     adj = sym.unionByName(
         nodes.select("u", F.col("u").alias("v"))
-    ).localCheckpoint()
-    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint(
+        eager=False
+    )
     for _ in range(rounds):
         votes = (
             adj.join(
@@ -3821,9 +3932,8 @@ def label_propagation(
                 ).alias("m")
             )
             .select("u", F.col("m.lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        labels.unpersist()
         labels = new_labels
     return labels.select(
         F.col("u").alias("doc_id"), F.col("lbl").alias("community")
@@ -3912,13 +4022,16 @@ def personalized_pagerank(
         )
     base = ((100 - damping_pct) * scale) // (100 * n_seeds)
     r0 = scale // n_seeds
+    # r10: fixed-round loop, lazy checkpoints — lineage stays flat
+    # (every round is a LogicalRDD leaf) but the materialization jobs
+    # collapse into the consumer's single action (guide §1.2)
     rank = seeds.select(
         F.col("s").alias("id"),
         F.when(F.col("is_seed"), F.lit(r0))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("rank"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = (
             edges.join(rank, edges.s == rank.id)
@@ -3941,7 +4054,7 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return rank.select(
         F.col("id").alias("doc_id"), F.col("rank").alias("rank_scaled")
@@ -4202,17 +4315,25 @@ def hop_distances(
     ).localCheckpoint()
     frontier = dist
     for h in range(1, max_hops + 1):
+        # r10 round-overhead fix (guide §1.2): one count job per round
+        # — it materializes the frontier's LAZY checkpoint (a count
+        # scans every partition; isEmpty would stop at the first
+        # non-empty one and leave the checkpoint partial) — and the
+        # settled set stays a lazy union chain of leaves that the next
+        # round's anti-join (or the final consumer) computes. The r9
+        # shape paid 3 jobs per round: eager frontier checkpoint,
+        # isEmpty probe, eager settled-union checkpoint.
         nxt = (
             frontier.join(edges, frontier["doc_id"] == edges["s"])
             .select(F.col("t").alias("doc_id"))
             .distinct()
             .join(dist.select("doc_id"), "doc_id", "left_anti")
             .withColumn("hop", F.lit(h).cast("int"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        dist = dist.union(nxt).localCheckpoint()
+        dist = dist.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return dist
 

@@ -523,7 +523,11 @@ def global_rank(
     """
     part = df.repartitionByRange(n_partitions, *order_cols)
     withpid = part.withColumn("_pid", F.spark_partition_id())
-    withpid = withpid.localCheckpoint()  # pin the split both passes see
+    # pin the split both passes see; LAZY checkpoint — the driver-side
+    # offsets collect below is the materializing action (scans every
+    # partition), so pass 1 costs one job, not an eager-checkpoint job
+    # plus a collect job (r10 round-overhead fix, guide §1.2)
+    withpid = withpid.localCheckpoint(eager=False)
     counts = {
         r["_pid"]: r["cnt"]
         for r in withpid.groupBy("_pid")
@@ -563,7 +567,11 @@ def global_dense_rank(
     per round than distinct→rank→join."""
     part = df.repartitionByRange(n_partitions, *order_cols)
     withpid = part.withColumn("_pid", F.spark_partition_id())
-    withpid = withpid.localCheckpoint()  # pin the split both passes see
+    # pin the split both passes see; LAZY checkpoint — the driver-side
+    # offsets collect below is the materializing action (scans every
+    # partition), so pass 1 costs one job, not an eager-checkpoint job
+    # plus a collect job (r10 round-overhead fix, guide §1.2)
+    withpid = withpid.localCheckpoint(eager=False)
     counts = {
         r["_pid"]: r["d"]
         for r in withpid.groupBy("_pid")
@@ -607,7 +615,8 @@ def global_bucket_rank(
     """
     part = df.repartitionByRange(n_partitions, *order_cols)
     withpid = part.withColumn("_pid", F.spark_partition_id())
-    withpid = withpid.localCheckpoint()
+    # lazy: the offsets collect below materializes the checkpoint
+    withpid = withpid.localCheckpoint(eager=False)
     counts = {
         r["_pid"]: r["c"]
         for r in withpid.groupBy("_pid")
@@ -653,7 +662,11 @@ def global_prefix_sum(
     """
     part = df.repartitionByRange(n_partitions, *order_cols)
     withpid = part.withColumn("_pid", F.spark_partition_id())
-    withpid = withpid.localCheckpoint()  # pin the split both passes see
+    # pin the split both passes see; LAZY checkpoint — the driver-side
+    # offsets collect below is the materializing action (scans every
+    # partition), so pass 1 costs one job, not an eager-checkpoint job
+    # plus a collect job (r10 round-overhead fix, guide §1.2)
+    withpid = withpid.localCheckpoint(eager=False)
     sums = {
         r["_pid"]: r["s"]
         for r in withpid.groupBy("_pid")
@@ -701,7 +714,11 @@ def global_prefix_min(
     """
     part = df.repartitionByRange(n_partitions, *order_cols)
     withpid = part.withColumn("_pid", F.spark_partition_id())
-    withpid = withpid.localCheckpoint()  # pin the split both passes see
+    # pin the split both passes see; LAZY checkpoint — the driver-side
+    # offsets collect below is the materializing action (scans every
+    # partition), so pass 1 costs one job, not an eager-checkpoint job
+    # plus a collect job (r10 round-overhead fix, guide §1.2)
+    withpid = withpid.localCheckpoint(eager=False)
     mins = {
         r["_pid"]: r["m"]
         for r in withpid.groupBy("_pid")

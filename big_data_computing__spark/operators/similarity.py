@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import hash60, hash60_sql
-from ..functions.vectors import as_double_vec, dot, norm
+from ..functions.vectors import as_double_vec, dot, dot_vec, norm
 
 
 def _vec_df(emb: DataFrame) -> DataFrame:
@@ -74,7 +74,7 @@ def cosine_topk(
             F.col("qid").alias("query_id"),
             F.col("vid").alias("vec_id"),
             F.round(
-                dot(F.col("qv"), F.col("v"))
+                dot_vec(F.col("qv"), F.col("v"))
                 / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("score"),
@@ -137,7 +137,7 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
             "vec_a",
             "vec_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                dot_vec(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("score"),
         )
@@ -239,7 +239,7 @@ def cosine_near_pairs_blocked(
             "vec_a",
             "vec_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                dot_vec(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("score"),
         )
@@ -409,7 +409,7 @@ def hyperplane_lsh_topk(
             F.col("qid").alias("query_id"),
             F.col("cid").alias("vec_id"),
             F.round(
-                dot(F.col("qv"), F.col("cv"))
+                dot_vec(F.col("qv"), F.col("cv"))
                 / (F.col("qnrm") * F.col("cnrm")),
                 6,
             ).alias("score"),
@@ -615,7 +615,7 @@ def ivf_topk(
             F.col("qid").alias("query_id"),
             F.col("vid").alias("vec_id"),
             F.round(
-                dot(F.col("qv"), F.col("v"))
+                dot_vec(F.col("qv"), F.col("v"))
                 / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("score"),
@@ -893,7 +893,7 @@ def pq_topk(
         F.col("qid").alias("query_id"),
         F.col("vid").alias("vec_id"),
         F.round(
-            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+            dot_vec(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
             6,
         ).alias("score"),
     )
@@ -1090,7 +1090,7 @@ def ivf_pq_topk(
             F.col("qid").alias("query_id"),
             F.col("vid").alias("vec_id"),
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                dot_vec(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("score"),
         )
@@ -1422,7 +1422,7 @@ def ivf_rpq_topk(
             F.col("qid").alias("query_id"),
             F.col("vid").alias("vec_id"),
             F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                dot_vec(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("score"),
         )
@@ -1737,7 +1737,7 @@ def opq_topk(
         F.col("qid").alias("query_id"),
         F.col("vid").alias("vec_id"),
         F.round(
-            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+            dot_vec(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
             6,
         ).alias("score"),
     )
@@ -2682,7 +2682,7 @@ def cell_cosine_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                dot(F.col("va"), F.col("vb"))
+                dot_vec(F.col("va"), F.col("vb"))
                 / (F.col("na") * F.col("nb")),
                 6,
             ).alias("score"),
@@ -2957,7 +2957,7 @@ def hamming_rerank_topk(
             "query_id",
             "vec_id",
             F.round(
-                dot(F.col("qv"), F.col("v"))
+                dot_vec(F.col("qv"), F.col("v"))
                 / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("score"),

@@ -191,20 +191,27 @@ def _doubling_levels(
             width //= 2
     if keep_levels:
         # pin the window keys: the LCP ladder derives its
-        # sub-init-width levels from substrings of these
-        windows = windows.localCheckpoint()
+        # sub-init-width levels from substrings of these (lazy — the
+        # range sampler of the initial ranking materializes it)
+        windows = windows.localCheckpoint(eager=False)
     ranked = global_bucket_rank(windows, "key", rank_col="r")
+    # LAZY checkpoint + count-as-materializer: one job where the r9
+    # shape paid an eager-checkpoint job plus a count job; same
+    # pattern per round below, where the tied-volume aggregate is the
+    # materializing action (r10 round-overhead fix, guide §1.2)
     state = ranked.select(
         "pos", F.col("r").cast("long").alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n = state.count()
     tables = [(width, state)] if keep_levels else []
     k = width
     for _ in range(max_rounds):
         grp = state.groupBy("rank").agg(F.count("*").alias("c"))
         tied_ranks = grp.where(F.col("c") > 1).select("rank")
+        # tied volume straight off the group counts — the r9 form
+        # re-joined tied_ranks against grp to sum the same counts
         n_tied = (
-            tied_ranks.join(grp, "rank")
+            grp.where(F.col("c") > 1)
             .agg(F.sum("c").alias("s"))
             .collect()[0]["s"]
         ) or 0
@@ -227,7 +234,7 @@ def _doubling_levels(
                     pairs, "rank", "rank2", rank_col="nr"
                 )
                 .select("pos", F.col("nr").cast("long").alias("rank"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         else:
             tr = F.broadcast(tied_ranks)
@@ -254,7 +261,9 @@ def _doubling_levels(
                 .alias("rank"),
             )
             untouched = state.join(tr, "rank", "left_anti")
-            state = untouched.unionByName(updated).localCheckpoint()
+            state = untouched.unionByName(updated).localCheckpoint(
+                eager=False
+            )
         k *= 2
         if keep_levels:
             tables.append((k, state))

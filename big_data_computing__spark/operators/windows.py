@@ -466,7 +466,7 @@ def funnel_report(
         .groupBy("user_id")
         .agg(F.min("u").alias("t"))
         .withColumn("anchor", F.col("t"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counts = [(1, steps[0], cur.count())]
     for i, step in enumerate(steps[1:], start=2):
@@ -482,7 +482,7 @@ def funnel_report(
                 F.min("u").alias("t"),
                 F.min("anchor").alias("anchor"),  # unique per user
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         counts.append((i, step, nxt.count()))
         cur = nxt
@@ -556,7 +556,7 @@ def funnel_times(
         .groupBy("user_id")
         .agg(F.min("u").alias("t"))
         .withColumn("anchor", F.col("t"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     gaps = None
     for i, step in enumerate(steps[1:], start=2):
@@ -572,7 +572,7 @@ def funnel_times(
                 F.min("u").alias("t"),
                 F.min("anchor").alias("anchor"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         g = cur.select(
             F.lit(i).alias("step"),
@@ -1232,7 +1232,7 @@ def ab_funnel_report(
         .groupBy("user_id", "variant")
         .agg(F.min("u").alias("t"))
         .withColumn("anchor", F.col("t"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def counts_of(df):
@@ -1265,7 +1265,7 @@ def ab_funnel_report(
                 F.min("u").alias("t"),
                 F.min("anchor").alias("anchor"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         got = counts_of(nxt)
         for v in sorted(base):

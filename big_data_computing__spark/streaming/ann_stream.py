@@ -307,7 +307,7 @@ class KnnIndexState:
 
     @staticmethod
     def _score(q, x):
-        from ..functions.vectors import dot
+        from ..functions.vectors import dot_vec
 
         # distinct column names on the corpus side: the within-batch
         # call joins two derivations of the SAME DataFrame, which
@@ -325,7 +325,7 @@ class KnnIndexState:
                 F.col("qid").alias("query_id"),
                 F.col("cvid").alias("vec_id"),
                 F.round(
-                    dot(F.col("qv"), F.col("cv"))
+                    dot_vec(F.col("qv"), F.col("cv"))
                     / (F.col("qnrm") * F.col("cnrm")),
                     6,
                 ).alias("score"),

@@ -156,7 +156,11 @@ class TrussState:
         if self.edges is None:
             raise ValueError("TrussState.truss: no edges ingested yet")
         kept = _truss_peel(
-            self.edges, self.support, self.k, self.max_iterations
+            self.edges,
+            self.support,
+            self.k,
+            self.max_iterations,
+            n_edges=self.n_edges,
         )
         return kept.select(
             F.col("u").alias("doc_a"),
