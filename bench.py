@@ -306,7 +306,22 @@ BENCH_QUERIES = [
 # contended host no longer poisons the artifact (r2's c7=15.6 s and
 # r3's t4/c5 episodes were exactly this), and at bench sizes the extra
 # runs are cheap.
+#
+# r11 METHODOLOGY CHANGE (explicit, per the bench contract): repeats
+# are INTERLEAVED — the whole query list runs end-to-end REPEATS times
+# (A,B,C,…,A,B,C,…) instead of each query running its repeats
+# back-to-back. A multi-second host stall used to span all three
+# consecutive repeats of whichever query it landed on and poison that
+# median unrejectably (the r10 artifacts' adjudication problem);
+# interleaving decorrelates the repeats by the full list length
+# (~5 min), so a stall inflates single samples that the median then
+# rejects. Same query set, same repeat count, same median — the
+# artifact carries repeat_order so rounds are comparable; the r11
+# transition commit lands one old-order and one new-order run side by
+# side (BENCH_OPT_r11_before.json = consecutive, the r11 after/clean
+# artifacts = interleaved).
 REPEATS = 3
+REPEAT_ORDER = "interleaved"
 
 # Canary subset (5 cheap + 5 heavy, pinned from the r6 distribution):
 # run once BEFORE and once AFTER the main loop, recorded separately in
@@ -373,15 +388,17 @@ def main() -> None:
         run_once(n)
     canary_start = {n: run_once(n) for n in CANARY_QUERIES}
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        runs = []
-        for _ in range(REPEATS):
+    runs: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _ in range(REPEATS):
+        for name in BENCH_QUERIES:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.collect()
-            runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            runs[name].append(time.time() - t0)
+    timings: dict[str, float] = {
+        name: round(sorted(rs)[len(rs) // 2], 3)
+        for name, rs in runs.items()
+    }
 
     canary_end = {n: run_once(n) for n in CANARY_QUERIES}
 
@@ -446,6 +463,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "canary": {"start": canary_start, "end": canary_end},
+                "repeat_order": REPEAT_ORDER,
                 "sf": float(sf),
             }
         )

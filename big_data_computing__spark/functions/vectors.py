@@ -49,8 +49,46 @@ def _make_dot_vec():
     def _dot_seq(a, b):
         if len(a) == 0:
             return pd.Series([], dtype="float64")
+        # NULL contract (r11, ADVICE): the Catalyst fold propagates NULL
+        # for a null array on either side and for mismatched lengths
+        # (zip_with pads with null → x*y null → acc+null null). np.array
+        # over a ragged/None-bearing batch instead raised, so any null
+        # embedding reaching a rescore site failed the whole job. Mask
+        # those rows out and emit NaN (pyarrow's from_pandas maps NaN to
+        # SQL NULL), folding only the valid uniform-dim majority.
+        av = a.to_numpy()
+        bv = b.to_numpy()
+        n = len(av)
+        valid = np.array(
+            [
+                x is not None
+                and y is not None
+                and len(x) == len(y)
+                for x, y in zip(av, bv)
+            ]
+        )
+        if not valid.all():
+            out = np.full(n, np.nan)
+            if valid.any():
+                sub = _dot_seq(a[valid], b[valid])
+                out[valid] = sub.to_numpy()
+            return pd.Series(out)
+        # ragged-but-pairwise-equal lengths: group rows by length so
+        # each subfold is rectangular (same strict per-row result);
+        # np.array over a ragged batch would raise
+        lens = np.array([len(r) for r in av])
+        uniq = np.unique(lens)
+        if len(uniq) > 1:
+            out = np.empty(n, dtype=np.float64)
+            for ln in uniq:
+                m = lens == ln
+                out[m] = _dot_seq(a[m], b[m]).to_numpy()
+            return pd.Series(out)
         x = np.array(a.tolist(), dtype=np.float64)
         y = np.array(b.tolist(), dtype=np.float64)
+        if x.ndim == 1:
+            # zero-length vectors: the empty fold is 0.0
+            return pd.Series(np.zeros(n))
         acc = np.zeros(len(x))
         for j in range(x.shape[1]):
             acc += x[:, j] * y[:, j]
@@ -71,6 +109,39 @@ def _make_dot_vec():
     # through the active SparkContext, which does not exist yet when a
     # Python WORKER imports this module to unpickle a UDF
     return F.pandas_udf(_dot_seq, DoubleType()).asNondeterministic()
+
+
+def block_dot(x, y, max_cells: int = 4_000_000):
+    """All-pairs strict-fold dot products of two row blocks: for
+    ``x`` (m×d) and ``y`` (n×d) float64 matrices, returns the m×n
+    matrix ``D[i, k] = dot(x[i], y[k])`` where every entry is the SAME
+    strict left fold as :func:`dot` / :func:`dot_vec` — acc starts at
+    0.0 and adds x[i,j]·y[k,j] in ascending j (one rank-1 outer-product
+    accumulation per dimension, no BLAS matmul and no pairwise
+    re-association), so every score is bit-identical to the Catalyst
+    fold and to DuckDB's list_dot_product (r11; the cell-pair-grouped
+    rescore ships each vector once per neighbor cell instead of once
+    per candidate pair — guide §8 "move heavy bytes once" — and this
+    kernel is where the pairs are actually scored).
+
+    ``max_cells`` bounds the in-flight accumulator: x is processed in
+    row chunks so each chunk's m'×n accumulator stays ≤ max_cells
+    entries (~32 MB at the default), whatever the cell sizes are.
+    Returns a list of (row_chunk_start, chunk_matrix) pieces.
+    """
+    import numpy as np
+
+    m, d = x.shape
+    n = y.shape[0]
+    step = max(1, max_cells // max(n, 1))
+    pieces = []
+    for s in range(0, m, step):
+        xs = x[s : s + step]
+        acc = np.zeros((xs.shape[0], n))
+        for j in range(d):
+            acc += np.multiply.outer(xs[:, j], y[:, j])
+        pieces.append((s, acc))
+    return pieces
 
 
 _DOT_VEC = None

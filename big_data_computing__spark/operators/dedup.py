@@ -2326,6 +2326,143 @@ def triangle_supports(
     )
 
 
+#: decrement rounds chained LAZILY per materializing boundary job
+#: (r11, guide §1.2): within a window the rounds are plain lazy
+#: checkpoints of each other; one aggregate at the window boundary
+#: materializes the whole chain and reads (rows, kept) for the
+#: convergence test. Rounds after the fixpoint are no-ops (empty
+#: removed set → empty decrement join → identical scored table), so a
+#: window that overshoots converges to the same values; the boundary
+#: test n_rows == n_kept is exactly the old per-round n_removed == 0.
+TRUSS_UNROLL = 4
+
+
+def _peel_round(scored: DataFrame, thr: int) -> DataFrame:
+    """One decrement round of the truss peel (see :func:`_truss_peel`):
+    from the scored edge table, enumerate triangles of the previous
+    graph through below-threshold edges (common-neighbor join), dedup
+    by node triple, decrement surviving edges. Returns the next scored
+    table as a LAZY localCheckpoint."""
+    kept = scored.where(F.col("support") >= thr)
+    removed = scored.where(F.col("support") < thr).select("u", "v")
+    # G_prev = kept ∪ removed = every edge of the scored table;
+    # triangles of G_prev through a removed edge (u, v) = common
+    # neighbors w of u and v.
+    # (Broadcasting the small `removed` side here was measured and
+    # does NOT pay: the per-round adjacency shuffles are already
+    # small, and the peel wall is identical either way — see
+    # STRESS.md r5. The support SEEDING is where broadcast wins.)
+    gprev = scored.select("u", "v")
+    adj = gprev.union(
+        gprev.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("n"), F.col("v").alias("w"))
+    cand = removed.join(adj, removed["u"] == adj["n"]).select(
+        removed["u"], removed["v"], adj["w"]
+    )
+    tri_hit = cand.join(
+        adj.select(F.col("n").alias("v"), F.col("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    # dedup by node triple: a triangle with 2-3 removed edges is
+    # found once per removed edge but must decrement each of its
+    # surviving edges exactly once
+    triple = tri_hit.select(
+        F.array_sort(F.array("u", "v", "w")).alias("t")
+    ).distinct()
+    # one explode, not a 3-way union of selects, so the candidate
+    # join + distinct above runs once per round, not three times
+    dec_edges = (
+        triple.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.element_at("t", 1).alias("u"),
+                        F.element_at("t", 2).alias("v"),
+                    ),
+                    F.struct(
+                        F.element_at("t", 1).alias("u"),
+                        F.element_at("t", 3).alias("v"),
+                    ),
+                    F.struct(
+                        F.element_at("t", 2).alias("u"),
+                        F.element_at("t", 3).alias("v"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("dec"))
+    )
+    return (
+        kept.join(dec_edges, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            (
+                F.col("support")
+                - F.coalesce("dec", F.lit(0).cast("long"))
+            ).alias("support"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _peel_stats(scored: DataFrame, thresholds: list[int]):
+    """One full-scan aggregate (the window's materializing job):
+    (row count, {t: count of edges with support >= t}). The row/kept
+    counts at the CURRENT threshold drive convergence; the extra
+    thresholds are free and let :func:`truss_decomposition` skip
+    levels whose first round would remove nothing."""
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(
+            F.when(F.col("support") >= t, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"ge{t}")
+        for t in thresholds
+    ]
+    row = scored.agg(*aggs).collect()[0]
+    return (row["n"] or 0), {
+        t: (row[f"ge{t}"] or 0) for t in thresholds
+    }
+
+
+def _truss_peel_state(
+    scored: DataFrame,
+    k: int,
+    max_iterations: int,
+    n_rows: int,
+    ge: dict[int, int],
+    thresholds: list[int],
+    unroll: int = TRUSS_UNROLL,
+):
+    """Window-unrolled peel from an already-scored, already-counted
+    edge table: returns (scored_fixpoint, n_rows, ge) where ge carries
+    kept-counts at every requested threshold (measured at the final
+    boundary, i.e. over the fixpoint). Executes at most
+    ``max_iterations - 1`` REAL decrement rounds (the raise-on-
+    exhaustion contract of :func:`ktruss_edges` — the oracle unrolls
+    the same bound); window overshoot past the fixpoint is value-free
+    (no-op rounds)."""
+    thr = k - 2
+    rounds_done = 0
+    while True:
+        if n_rows - ge[thr] == 0:
+            return scored, n_rows, ge
+        if rounds_done >= max_iterations - 1:
+            raise RuntimeError(
+                f"ktruss_edges: no fixed point after {max_iterations} "
+                "rounds (raise max_iterations; the oracle unrolls the "
+                "same bound)"
+            )
+        # cap the window so the total REAL rounds never exceed the
+        # contract; rounds after an in-window fixpoint are no-ops
+        for _ in range(min(unroll, max_iterations - 1 - rounds_done)):
+            scored = _peel_round(scored, thr)
+            rounds_done += 1
+        n_rows, ge = _peel_stats(scored, thresholds)
+
+
 def _truss_peel(
     e: DataFrame,
     support: DataFrame,
@@ -2342,16 +2479,13 @@ def _truss_peel(
     re-enumerates; every round touches only triangles through
     just-removed edges.
 
-    ``n_edges``: pass ``e``'s row count when known — the r10 round-
-    overhead fix (guide §1.2, remove passes): each round runs ONE job —
-    a LAZY localCheckpoint of the rescored edge table whose
-    materializing action is the kept-side count (the count's filter
-    scans every partition, so the checkpoint is fully populated);
-    kept/removed are filter views of the checkpointed blocks, and the
-    removed count is derived from the previous round's kept count (the
-    rescored table has exactly the previous kept's rows, so a second
-    count job is pure waste). The r9 shape paid 4 jobs per round
-    (2 eager checkpoints + 2 counts) for the same answers.
+    ``n_edges``: pass ``e``'s row count when known. r10 made each round
+    ONE job (lazy checkpoints, derived removed-counts); r11 goes
+    further (guide §1.2): rounds are chained lazily in windows of
+    :data:`TRUSS_UNROLL` and ONE boundary aggregate materializes the
+    whole window — ~unroll× fewer driver actions and convergence-count
+    stages for the same per-round shuffles (see
+    :func:`_truss_peel_state`).
     """
     n_e = n_edges if n_edges is not None else e.count()
     # left join + coalesce(0): an edge in NO triangle has support
@@ -2367,88 +2501,12 @@ def _truss_peel(
         )
         .localCheckpoint(eager=False)
     )
-    kept = scored.where(F.col("support") >= k - 2)
-    removed = scored.where(F.col("support") < k - 2).select("u", "v")
-    n_kept = kept.count()
-    n_removed = n_e - n_kept
-    for _ in range(max_iterations - 1):
-        if n_removed == 0:
-            return kept.select("u", "v", "support")
-        # G_prev = kept ∪ removed = every edge of the scored table;
-        # triangles of G_prev through a removed edge (u, v) = common
-        # neighbors w of u and v.
-        # (Broadcasting the small `removed` side here was measured and
-        # does NOT pay: the per-round adjacency shuffles are already
-        # small, and the peel wall is identical either way — see
-        # STRESS.md r5. The support SEEDING is where broadcast wins.)
-        gprev = scored.select("u", "v")
-        adj = gprev.union(
-            gprev.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).select(F.col("u").alias("n"), F.col("v").alias("w"))
-        cand = removed.join(adj, removed["u"] == adj["n"]).select(
-            removed["u"], removed["v"], adj["w"]
-        )
-        tri_hit = cand.join(
-            adj.select(F.col("n").alias("v"), F.col("w")),
-            ["v", "w"],
-            "left_semi",
-        )
-        # dedup by node triple: a triangle with 2-3 removed edges is
-        # found once per removed edge but must decrement each of its
-        # surviving edges exactly once
-        triple = tri_hit.select(
-            F.array_sort(F.array("u", "v", "w")).alias("t")
-        ).distinct()
-        # one explode, not a 3-way union of selects, so the candidate
-        # join + distinct above runs once per round, not three times
-        dec_edges = (
-            triple.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.element_at("t", 1).alias("u"),
-                            F.element_at("t", 2).alias("v"),
-                        ),
-                        F.struct(
-                            F.element_at("t", 1).alias("u"),
-                            F.element_at("t", 3).alias("v"),
-                        ),
-                        F.struct(
-                            F.element_at("t", 2).alias("u"),
-                            F.element_at("t", 3).alias("v"),
-                        ),
-                    )
-                ).alias("e")
-            )
-            .select("e.u", "e.v")
-            .groupBy("u", "v")
-            .agg(F.count("*").cast("long").alias("dec"))
-        )
-        scored = (
-            kept.join(dec_edges, ["u", "v"], "left")
-            .select(
-                "u",
-                "v",
-                (
-                    F.col("support")
-                    - F.coalesce("dec", F.lit(0).cast("long"))
-                ).alias("support"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        kept = scored.where(F.col("support") >= k - 2)
-        removed = scored.where(F.col("support") < k - 2).select(
-            "u", "v"
-        )
-        n_prev = n_kept
-        n_kept = kept.count()
-        n_removed = n_prev - n_kept
-    if n_removed == 0:
-        return kept.select("u", "v", "support")
-    raise RuntimeError(
-        f"ktruss_edges: no fixed point after {max_iterations} rounds "
-        "(raise max_iterations; the oracle unrolls the same bound)"
+    thr = k - 2
+    _, ge = _peel_stats(scored, [thr])
+    scored, _, _ = _truss_peel_state(
+        scored, k, max_iterations, n_e, ge, [thr]
     )
+    return scored.select("u", "v", "support")
 
 
 def _truss_peel_ctes(
@@ -2535,24 +2593,73 @@ def truss_decomposition(
     e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint(eager=False)
     n_e = e.count()
     support = triangle_supports(e, n_edges=n_e)
-    kept = _truss_peel(e, support, 3, max_iterations, n_edges=n_e)
+    # r11 level chaining (guide §1.2): the peel level k+1 used to
+    # re-join the k-fixpoint against its own supports, re-checkpoint
+    # and re-count it. The fixpoint SCORED table already is that
+    # relation, and the boundary aggregate of every peel carries the
+    # kept-count at EVERY level threshold (1..kmax-2, free in the same
+    # job) — so level transitions are pure filter-view changes with
+    # ZERO jobs, and levels whose first round would remove nothing
+    # (histogram says every edge clears the next threshold) are
+    # skipped outright: their fixpoint IS the current edge set and
+    # their trussness diff is empty.
+    thresholds = list(range(1, kmax - 1))
+    scored = (
+        e.join(support, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("support", F.lit(0).cast("long")).alias("support"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    _, ge = _peel_stats(scored, thresholds)
+    scored, n_rows, ge = _truss_peel_state(
+        scored, 3, max_iterations, n_e, ge, thresholds
+    )
     frames = [
-        e.join(kept.select("u", "v"), ["u", "v"], "left_anti").select(
+        e.join(scored.select("u", "v"), ["u", "v"], "left_anti").select(
             "u", "v", F.lit(2).cast("long").alias("trussness")
         )
     ]
-    for k in range(3, kmax):
-        nxt = _truss_peel(
-            kept.select("u", "v"), kept, k + 1, max_iterations
+    k = 3
+    while k < kmax:
+        # smallest level whose threshold actually removes an edge of
+        # the current fixpoint; every level below it shares this edge
+        # set and contributes an empty diff
+        k_star = next(
+            (
+                kk
+                for kk in range(k + 1, kmax + 1)
+                if ge.get(kk - 2, n_rows) < n_rows
+            ),
+            None,
+        )
+        if k_star is None or k_star > kmax:
+            break
+        prev = scored
+        scored, n_rows, ge = _truss_peel_state(
+            scored,
+            k_star,
+            max_iterations,
+            n_rows,
+            ge,
+            thresholds,
         )
         frames.append(
-            kept.select("u", "v")
-            .join(nxt.select("u", "v"), ["u", "v"], "left_anti")
-            .select("u", "v", F.lit(k).cast("long").alias("trussness"))
+            prev.select("u", "v")
+            .join(scored.select("u", "v"), ["u", "v"], "left_anti")
+            .select(
+                "u",
+                "v",
+                F.lit(k_star - 1).cast("long").alias("trussness"),
+            )
         )
-        kept = nxt
+        k = k_star
     frames.append(
-        kept.select("u", "v", F.lit(kmax).cast("long").alias("trussness"))
+        scored.select(
+            "u", "v", F.lit(kmax).cast("long").alias("trussness")
+        )
     )
     out = frames[0]
     for f in frames[1:]:
@@ -2743,6 +2850,12 @@ def weighted_truss_edges(
         raise ValueError("weighted_truss_edges: min_wsupport must be >= 1")
     # canonical weighted edges; MAX collapses duplicate pair rows so
     # the weight of an unordered pair is well-defined
+    # r11: the identical 1-job-per-round restructure _truss_peel got in
+    # r10 (guide §1.2) — lazy checkpoints materialized by the kept-side
+    # count, removed-count derived from the previous kept count, and
+    # kept/removed as filter views of one scored table. The r10 shape
+    # here still paid 4 jobs per round (2 eager checkpoints + 2 counts)
+    # plus a 3-job seeding pass.
     wmap = (
         pairs.select(
             F.least(doc_a, doc_b).alias("u"),
@@ -2752,10 +2865,11 @@ def weighted_truss_edges(
         .where(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.max("w").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    n_e = wmap.count()
     e = wmap.select("u", "v")
-    tri = _oriented_triangles(e, n_edges=e.count())
+    tri = _oriented_triangles(e, n_edges=n_e)
     mem = tri.select(
         F.array_sort(F.array("a", "b", "c")).alias("t")
     ).select(
@@ -2790,15 +2904,27 @@ def weighted_truss_edges(
     support = priced.groupBy("u", "v").agg(
         F.sum("tw").cast("long").alias("wsupport")
     )
-    kept = (
-        wmap.join(support, ["u", "v"])
-        .where(F.col("wsupport") >= min_wsupport)
-        .localCheckpoint()
+    # left join + coalesce(0): an edge in no triangle has wsupport
+    # 0 < min_wsupport (>= 1), so it lands in `removed` without the
+    # old anti-join + second checkpoint pass
+    scored = (
+        wmap.join(support, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            "w",
+            F.coalesce("wsupport", F.lit(0).cast("long")).alias(
+                "wsupport"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
-    removed = wmap.join(
-        kept.select("u", "v"), ["u", "v"], "left_anti"
-    ).localCheckpoint()
-    n_removed = removed.count()
+    kept = scored.where(F.col("wsupport") >= min_wsupport)
+    removed = scored.where(F.col("wsupport") < min_wsupport).select(
+        "u", "v"
+    )
+    n_kept = kept.count()
+    n_removed = n_e - n_kept
     for _ in range(max_iterations - 1):
         if n_removed == 0:
             return kept.select(
@@ -2806,7 +2932,7 @@ def weighted_truss_edges(
                 F.col("v").alias("doc_b"),
                 "wsupport",
             )
-        gprev = kept.select("u", "v").union(removed.select("u", "v"))
+        gprev = scored.select("u", "v")
         adj = gprev.union(
             gprev.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("n"), F.col("v").alias("w2"))
@@ -2852,7 +2978,7 @@ def weighted_truss_edges(
             .groupBy("u", "v")
             .agg(F.sum("tw").cast("long").alias("dec"))
         )
-        rescored = (
+        scored = (
             kept.join(dec_edges, ["u", "v"], "left")
             .select(
                 "u",
@@ -2863,15 +2989,15 @@ def weighted_truss_edges(
                     - F.coalesce("dec", F.lit(0).cast("long"))
                 ).alias("wsupport"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        kept = rescored.where(
-            F.col("wsupport") >= min_wsupport
-        ).localCheckpoint()
-        removed = rescored.where(
-            F.col("wsupport") < min_wsupport
-        ).select("u", "v", "w")
-        n_removed = rescored.count() - kept.count()
+        kept = scored.where(F.col("wsupport") >= min_wsupport)
+        removed = scored.where(F.col("wsupport") < min_wsupport).select(
+            "u", "v"
+        )
+        n_prev = n_kept
+        n_kept = kept.count()
+        n_removed = n_prev - n_kept
     if n_removed == 0:
         return kept.select(
             F.col("u").alias("doc_a"),
@@ -3819,7 +3945,11 @@ def duplicate_components_htm(
             F.sum("c").alias("n_state"),
             F.sum(F.col("mn").cast("decimal(38,0)")).alias("minsum"),
         ).collect()[0]
-        n_state = row["n_state"]
+        # empty-input guard (r11, ADVICE): SUM over zero rows is NULL —
+        # `None > state_bound` raised where the pre-r10 shape returned
+        # an empty result. 0 never trips the gate (state_bound >= 1),
+        # and minsum None == prev None breaks to the empty `mins`.
+        n_state = row["n_state"] or 0
         # loud state gate instead of a mid-round executor OOM: on long
         # paths the member sets double per round (~n·d/2 peak — the
         # measured blowup, STRESS.md r6), which no memory setting
@@ -3903,7 +4033,14 @@ def label_propagation(
     # round's plan is already a LogicalRDD leaf (lineage stays flat),
     # but no per-round materialization job runs; the consumer's single
     # action computes and persists the chain (guide §1.2: N checkpoint
-    # jobs collapse into the one job that needed the result)
+    # jobs collapse into the one job that needed the result).
+    # FOOTPRINT BOUND (r11, ADVICE): at materialization every round's
+    # checkpoint persists until the DataFrames are GC'd — `rounds`
+    # label tables of ONE (node, label) row per node each (4 × |V|
+    # rows at the default; personalized_pagerank likewise holds
+    # `iterations` rank tables of one row per node). There is no safe
+    # earlier unpersist: no action runs inside the loop, so every
+    # earlier checkpoint is an ancestor of a not-yet-materialized one.
     adj = sym.unionByName(
         nodes.select("u", F.col("u").alias("v"))
     ).localCheckpoint(eager=False)

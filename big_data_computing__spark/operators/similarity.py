@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import hash60, hash60_sql
-from ..functions.vectors import as_double_vec, dot, dot_vec, norm
+from ..functions.vectors import as_double_vec, block_dot, dot, dot_vec, norm
 
 
 def _vec_df(emb: DataFrame) -> DataFrame:
@@ -46,6 +46,160 @@ def _vec_df(emb: DataFrame) -> DataFrame:
         F.col("vec_id").cast("long").alias("vid"),
         as_double_vec(F.col("embedding")).alias("v"),
     ).withColumn("nrm", norm(F.col("v")))
+
+
+# ---------------------------------------------------------------------------
+# Cell-pair-grouped exact rescore (r11, guide §8 "move heavy bytes
+# once"): the r10 shape scored candidate PAIRS — every pair row carried
+# both full vectors through the join and across the Arrow boundary, so
+# the dominant job of the blocked/celled paths was transferring each
+# vector once per candidate pair (~|cell_a|·|cell_b| copies per cell
+# pair). The grouped rescore ships each vector once per neighbor CELL
+# (cogroup on the cell-pair id), folds the whole block with the
+# bit-identical strict-fold kernel (vectors.block_dot), and emits only
+# (id, id, raw-score) rows; the 6-dp rounding and the threshold filter
+# stay in Catalyst on those narrow rows, so the final scores are the
+# same expression as before. The Python-side prefilter keeps
+# raw >= threshold - 1e-6: |round(x, 6) - x| <= 5e-7, so every pair the
+# rounded filter accepts survives the prefilter (margin 2×), and the
+# exact filter re-applies on the rounded value.
+# ---------------------------------------------------------------------------
+
+_PAIR_RAW_SCHEMA = "vec_a long, vec_b long, raw double"
+_TOPK_RAW_SCHEMA = "query_id long, vec_id long, raw double"
+
+
+def _clean_block(pdf, id_col, v_col, nrm_col):
+    """(ids, X, nrm) numpy views of one group's rows, dropping NULL
+    vectors (a null embedding's Catalyst score is NULL, which every
+    caller's filter/ranking discards — same contract as dot_vec's
+    null mask)."""
+    vv = pdf[v_col].to_numpy()
+    keep = np.array([x is not None for x in vv], dtype=bool)
+    if not keep.all():
+        pdf = pdf[keep]
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0)), np.zeros(0)
+    X = np.asarray(pdf[v_col].tolist(), dtype=np.float64)
+    nrm = pdf[nrm_col].to_numpy(dtype=np.float64)
+    return ids, X, nrm
+
+
+def _emit_pairs(ia, X, na, ib, Y, nb, diag, margin):
+    """Score an A-block against a B-block and emit canonical
+    (vec_a < vec_b) pair rows with raw >= margin. ``diag`` = the two
+    blocks are the same cell: restrict to the strict upper triangle by
+    id (each unordered pair once); off-diagonal blocks are disjoint id
+    sets, so every cross pair is emitted once, canonically oriented
+    (score is bitwise symmetric: per-element products commute and the
+    fold order is the same j sequence)."""
+    empty = pd.DataFrame(
+        {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+            "raw": np.array([], dtype=np.float64),
+        }
+    )
+    if len(ia) == 0 or len(ib) == 0:
+        return empty
+    outs = []
+    for s, acc in block_dot(X, Y):
+        m = acc.shape[0]
+        raw = acc / np.multiply.outer(na[s : s + m], nb)
+        va = ia[s : s + m][:, None]
+        vb = ib[None, :]
+        keep = (va < vb) if diag else (va != vb)
+        keep &= raw >= margin
+        r, c = np.nonzero(keep)
+        if len(r):
+            aa = ia[s + r]
+            bb = ib[c]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(aa, bb),
+                        "vec_b": np.maximum(aa, bb),
+                        "raw": raw[r, c],
+                    }
+                )
+            )
+    if not outs:
+        return empty
+    return pd.concat(outs, ignore_index=True)
+
+
+def _pair_block_scorer(threshold: float):
+    """Cogroup scorer for cell-PAIR groups: left rows carry a constant
+    ``diag`` flag (cell pair (i, i))."""
+    margin = threshold - 1e-6
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return _emit_pairs(
+                np.array([], dtype=np.int64), None, None,
+                np.array([], dtype=np.int64), None, None, False, margin,
+            )
+        diag = bool(left["diag"].iloc[0])
+        ia, X, na = _clean_block(left, "vid", "v", "nrm")
+        ib, Y, nb = _clean_block(right, "bvid", "bv", "bnrm")
+        return _emit_pairs(ia, X, na, ib, Y, nb, diag, margin)
+
+    return score
+
+
+def _within_block_scorer(threshold: float):
+    """Single-group scorer for WITHIN-cell pairs (each vector ships
+    exactly once; the group scores its own upper triangle)."""
+    margin = threshold - 1e-6
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, X, nrm = _clean_block(pdf, "vid", "v", "nrm")
+        return _emit_pairs(ids, X, nrm, ids, X, nrm, True, margin)
+
+    return score
+
+
+def _topk_block_scorer():
+    """Cogroup scorer for query-vs-cell top-k candidates: emits EVERY
+    (query, vector) candidate score in the cell (the top-k ranking
+    needs them all — round + window stay in Catalyst)."""
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "vec_id": np.array([], dtype=np.int64),
+                "raw": np.array([], dtype=np.float64),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        iq, Q, nq = _clean_block(left, "qid", "qv", "qnrm")
+        ib, Y, nb = _clean_block(right, "vid", "v", "nrm")
+        if len(iq) == 0 or len(ib) == 0:
+            return empty
+        outs = []
+        for s, acc in block_dot(Q, Y):
+            m = acc.shape[0]
+            raw = acc / np.multiply.outer(nq[s : s + m], nb)
+            keep = iq[s : s + m][:, None] != ib[None, :]
+            r, c = np.nonzero(keep)
+            if len(r):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": iq[s + r],
+                            "vec_id": ib[c],
+                            "raw": raw[r, c],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return score
 
 
 def cosine_topk(
@@ -212,39 +366,55 @@ def cosine_near_pairs_blocked(
         )
     )
     spark = emb.sparkSession
+    # UNORDERED surviving cell pairs (i <= j): the r10 shape kept both
+    # orientations and filtered vec_a < vec_b per pair row; the grouped
+    # rescore scores each unordered cell pair once and canonicalizes
+    # ids inside the kernel — half the shipped rows, same pair set
     cell_pairs = [
         (int(i), int(j))
         for i in range(len(centers))
-        for j in range(len(centers))
+        for j in range(i, len(centers))
         if cdist[i, j] <= radii[i] + radii[j] + d_thresh + 1e-9
     ]
-    cp = spark.createDataFrame(cell_pairs, "ca int, cb int")
-    a = assigned.select(
-        F.col("vid").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        F.col("cluster").alias("ca"),
+    cp = spark.createDataFrame(
+        [(p, i, j) for p, (i, j) in enumerate(cell_pairs)],
+        "p int, ca int, cb int",
     )
-    b = assigned.select(
-        F.col("vid").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        F.col("cluster").alias("cb"),
+    # cell-pair-grouped exact rescore (r11, guide §8): each vector
+    # crosses the shuffle + Arrow boundary once per NEIGHBOR CELL PAIR
+    # it participates in, never once per candidate pair; scores come
+    # from the bit-identical strict-fold block kernel, and the 6-dp
+    # round + threshold stay in Catalyst (see _pair_block_scorer)
+    a_side = assigned.join(
+        F.broadcast(
+            cp.select(
+                "p",
+                F.col("ca").alias("cluster"),
+                (F.col("ca") == F.col("cb")).alias("diag"),
+            )
+        ),
+        "cluster",
+    ).select("p", "diag", "vid", "v", "nrm")
+    # disjoint column names on the b-side: both sides derive from the
+    # same `assigned` checkpoint, and the self-cogroup is ambiguous to
+    # the analyzer if the attribute names collide
+    b_side = assigned.join(
+        F.broadcast(cp.select(F.col("p").alias("bp"), F.col("cb").alias("cluster"))),
+        "cluster",
+    ).select(
+        "bp",
+        F.col("vid").alias("bvid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
     )
-    return (
-        a.join(F.broadcast(cp), "ca")
-        .join(b, "cb")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot_vec(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("score"),
-        )
-        .where(F.col("score") >= F.lit(threshold))
+    pairs = (
+        a_side.groupBy("p")
+        .cogroup(b_side.groupBy("bp"))
+        .applyInPandas(_pair_block_scorer(threshold), _PAIR_RAW_SCHEMA)
     )
+    return pairs.select(
+        "vec_a", "vec_b", F.round(F.col("raw"), 6).alias("score")
+    ).where(F.col("score") >= F.lit(threshold))
 
 
 def embedding_near_dup_pairs(
@@ -608,17 +778,20 @@ def ivf_topk(
         norm(F.col("features")).alias("qnrm"),
         F.explode(probe_udf("features")).alias("cell"),
     )
+    # cell-grouped candidate scoring (r11, guide §8): the r10 shape
+    # joined queries×corpus on cell and scored per candidate ROW (both
+    # vectors duplicated per pair); the cogroup ships each query vector
+    # once per probed cell and each corpus vector once, scores the
+    # block in the strict-fold kernel, and leaves round + top-k window
+    # in Catalyst on the narrow (qid, vid, raw) rows
     scored = (
-        queries.join(corpus, "cell")
-        .where(F.col("qid") != F.col("vid"))
+        queries.groupBy("cell")
+        .cogroup(corpus.groupBy("cell"))
+        .applyInPandas(_topk_block_scorer(), _TOPK_RAW_SCHEMA)
         .select(
-            F.col("qid").alias("query_id"),
-            F.col("vid").alias("vec_id"),
-            F.round(
-                dot_vec(F.col("qv"), F.col("v"))
-                / (F.col("qnrm") * F.col("nrm")),
-                6,
-            ).alias("score"),
+            "query_id",
+            "vec_id",
+            F.round(F.col("raw"), 6).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -2667,25 +2840,15 @@ def cell_cosine_pairs(
         norm(F.col("features")).alias("nrm"),
         assign_udf("features").alias("cell"),
     )
-    a = base.select(
-        F.col("vid").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "cell",
-    )
-    b = base.select(
-        F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "cell",
-    )
+    # within-cell grouped rescore (r11, guide §8): the r10 shape was a
+    # self-join on cell — every candidate pair row carried both full
+    # vectors. Grouping by cell ships each vector exactly ONCE; the
+    # group scores its own upper triangle in the strict-fold kernel
     return (
-        a.join(b, "cell")
-        .where(F.col("vec_a") < F.col("vec_b"))
+        base.groupBy("cell")
+        .applyInPandas(_within_block_scorer(threshold), _PAIR_RAW_SCHEMA)
         .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot_vec(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("score"),
+            "vec_a", "vec_b", F.round(F.col("raw"), 6).alias("score")
         )
         .where(F.col("score") >= F.lit(threshold))
     )
@@ -2950,6 +3113,11 @@ def hamming_rerank_topk(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
+    # Catalyst fold, NOT dot_vec (r11): the rerank set is
+    # n_queries×shortlist rows — small enough that the Arrow
+    # batch transfer costs more than the interpreted fold saves
+    # (r10's dot_vec swap here regressed ~1.6-2× in every committed
+    # artifact; per-site A/B in OPTIMIZATION_r11.md)
     scored = (
         cand.join(base, cand["vec_id"] == base["vid"])
         .join(qside, "query_id")
@@ -2957,7 +3125,7 @@ def hamming_rerank_topk(
             "query_id",
             "vec_id",
             F.round(
-                dot_vec(F.col("qv"), F.col("v"))
+                dot(F.col("qv"), F.col("v"))
                 / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("score"),

@@ -375,22 +375,6 @@ def adjacent_lcp(
     long the actual match is (the per-character oracle twin is
     O(Σ lcp) and only viable at validation scale)."""
     state, n, tables, windows = _suffix_tables(docs, text_col, sep)
-    # the warm start skips sub-init-width rank levels; the ladder's
-    # equality tests at those lengths use window KEYS directly
-    # (string equality == rank equality — equal truncated keys imply
-    # equal remaining length, i.e. the same position, so an advance
-    # never overshoots the corpus end). Each narrower key is a
-    # SUBSTRING of the already-checkpointed init-width key table — no
-    # extra prefix-sum/explode jobs per level. tables[0][0] is the
-    # actual init width after any tiny-doc fallback.
-    w = tables[0][0] // 2
-    while w >= 1:
-        tables.append(
-            (w, windows.select(
-                "pos", F.substring("key", 1, w).alias("rank")
-            ))
-        )
-        w //= 2
     sa = state.select("rank", "pos")
     adj = (
         sa.alias("x")
@@ -443,6 +427,43 @@ def adjacent_lcp(
             F.when(advance, F.col("a") + L).otherwise(F.col("a")).alias("a"),
             F.when(advance, F.col("b") + L).otherwise(F.col("b")).alias("b"),
         )
+    # sub-init-width levels collapsed into ONE window-key join per side
+    # (r11; was 2 joins per level = 2·(log2 W) joins): every remaining
+    # advance reads inside the W-char key fetched at the positions held
+    # HERE — the level offsets within the sub-ladder sum to at most
+    # W/2 + W/4 + … + 1 = W−1, so offset+w ≤ W−1 < W and
+    # substring(key@a₀, δ+1, w) is char-identical to the per-level
+    # lookup substring(key@(a₀+δ), 1, w) (both read chars
+    # [a₀+δ, min(a₀+δ+w, n)); the key is truncated only by the corpus
+    # end). Equality on truncated keys still implies equal remaining
+    # length — i.e. the same position, which adjacent suffix pairs
+    # never share — so an advance never overshoots the corpus end,
+    # exactly the warm-start argument the per-level form used.
+    w0 = tables[0][0]
+    if w0 >= 2:
+        ka = windows.select(
+            F.col("pos").alias("a"), F.col("key").alias("ka")
+        )
+        kb = windows.select(
+            F.col("pos").alias("b"), F.col("key").alias("kb")
+        )
+        adj = adj.join(ka, "a", "left").join(kb, "b", "left")
+        lcp_col = F.col("lcp")
+        off = F.lit(0)
+        w = w0 // 2
+        while w >= 1:
+            adv = (
+                F.col("ka").isNotNull()
+                & F.col("kb").isNotNull()
+                & (
+                    F.col("ka").substr(off + F.lit(1), F.lit(w))
+                    == F.col("kb").substr(off + F.lit(1), F.lit(w))
+                )
+            )
+            lcp_col = F.when(adv, lcp_col + w).otherwise(lcp_col)
+            off = F.when(adv, off + w).otherwise(off)
+            w //= 2
+        return adj.select("rank", "pos_a", "pos_b", lcp_col.alias("lcp"))
     return adj.select("rank", "pos_a", "pos_b", "lcp")
 
 

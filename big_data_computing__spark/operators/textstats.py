@@ -896,11 +896,37 @@ def bpe_train(
             ),
             F.lit(sep),
         )
-    vocab = words.select(enc.alias("enc"), "cnt").localCheckpoint()
+    # r11 (guide §1.2): the whole merge loop now runs ONE job per merge
+    # — the argmax collect. Every checkpoint is LAZY; the argmax is a
+    # TakeOrderedAndProject whose per-partition top-1 scans every
+    # partition of the counts chain, so it materializes the current
+    # counts checkpoint AND (through the delta's `affected` filter
+    # scan) the previous vocab checkpoint. The r10 shape paid 3 jobs
+    # per merge (argmax + eager counts checkpoint + eager vocab
+    # checkpoint) and was left eager only because its unpersist
+    # bookkeeping ran before the next materializer; the fix is to
+    # RETIRE generations late: after the argmax of round r, counts_{r-1}
+    # and vocab_{r-2} have no un-materialized dependents left
+    # (counts_r and vocab_{r-1} are in blocks), so exactly those are
+    # unpersisted. Footprint: ≤ 2 vocab + 2 counts checkpoints live at
+    # any time — same O(1) bound as before, one generation later.
+    vocab = words.select(enc.alias("enc"), "cnt").localCheckpoint(
+        eager=False
+    )
     merges: list[tuple[str, str, int]] = []
     counts = (
-        _bpe_pair_counts(vocab).localCheckpoint() if incremental else None
+        _bpe_pair_counts(vocab).localCheckpoint(eager=False)
+        if incremental
+        else None
     )
+    # retire-queues: checkpoints whose last un-materialized dependent
+    # becomes materialized by the NEXT argmax (see block comment above)
+    retire_counts: list[DataFrame] = []
+    retire_vocabs: list[DataFrame] = []
+    # full-recount mode materializes vocab_r at round r's own argmax
+    # (the recount scans it directly), so vocab retires one round
+    # earlier than in incremental mode
+    vocab_lag = 2 if incremental else 1
     for _ in range(n_merges):
         src = counts if incremental else _bpe_pair_counts(vocab)
         if objective == "likelihood":
@@ -935,6 +961,13 @@ def bpe_train(
         )
         if not pair_rows:
             break
+        # the collect above materialized the current counts chain (and
+        # with it the previous vocab) — retire the generations nothing
+        # un-materialized depends on anymore
+        while len(retire_counts) > 1:
+            retire_counts.pop(0).unpersist()
+        while len(retire_vocabs) > vocab_lag - 1:
+            retire_vocabs.pop(0).unpersist()
         a, b, n = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["n_pairs"]
         merges.append((a, b, n))
         # leftmost non-overlapping merge = one framed string replace
@@ -958,15 +991,15 @@ def bpe_train(
                 .groupBy("a", "b")
                 .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
                 .where(F.col("n_pairs") > 0)
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            counts.unpersist()
+            retire_counts.append(counts)
             counts = new_counts
         new_vocab = vocab.select(
             F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc"),
             "cnt",
-        ).localCheckpoint()
-        vocab.unpersist()
+        ).localCheckpoint(eager=False)
+        retire_vocabs.append(vocab)
         vocab = new_vocab
     return merges
 

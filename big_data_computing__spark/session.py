@@ -65,4 +65,22 @@ def get_session(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # r11: finalize EVERY marked lazy localCheckpoint a job computes,
+    # not just the first one on each path from the action's root
+    # (Spark's default). The iterative loops chain lazy checkpoints
+    # whose materializing action runs over ONE of several chains (e.g.
+    # BPE's argmax scans the pair-counts chain, never the vocab
+    # chain); without this, the un-finalized chain's NARROW lineage
+    # grows one RDD per round with no shuffle boundary to stop task
+    # serialization, and a ~150+-round loop dies deserializing the
+    # task graph (StackOverflow — reproduced and pinned by
+    # test_bpe_train_256_merges_matches_sequential_reference). A
+    # thread-local property, inherited by child threads, so streaming
+    # micro-batch threads see it too. Side benefit: finalization
+    # computes a checkpoint's MISSING partitions (LocalRDDCheckpointData
+    # launches a completion job), closing the take/limit
+    # partial-materializer hazard documented in r10.
+    spark.sparkContext.setLocalProperty(
+        "spark.checkpoint.checkpointAllMarkedAncestors", "true"
+    )
     return spark

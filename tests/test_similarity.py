@@ -1102,3 +1102,89 @@ def test_jl_projection_pinned_and_distance_preserving(spark, sf_dir):
     # around one value, so correlation is noise-dominated by design.)
     ratio = float(np.mean(d_jl) / np.mean(d_orig)) / 8.0
     assert 0.8 < ratio < 1.2, ratio
+
+
+def test_dot_vec_and_block_dot_bit_identical_to_catalyst_fold(spark):
+    """r11 (VERDICT r10 #6): pin the strict-left-fold parity of the
+    three dot implementations — the Catalyst higher-order fold (the
+    oracle-parity reference), the Arrow pair kernel (dot_vec) and the
+    cell-pair block kernel (block_dot) — BIT-identically, over mixed
+    magnitudes and several dims, so a numpy/Arrow dtype or accumulation
+    drift can never pass silently. Also pins the NULL contract: a null
+    array on either side, and pairwise length mismatches, score NULL
+    (what zip_with padding produces), never a crash."""
+    import struct
+
+    from big_data_computing__spark.functions.vectors import (
+        block_dot,
+        dot,
+        dot_vec,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    rid = 0
+    for dim in (3, 17, 64):
+        for _ in range(200):
+            scale = 10.0 ** rng.randint(-4, 5)
+            a = (rng.standard_normal(dim) * scale).tolist()
+            b = (rng.standard_normal(dim) * scale).tolist()
+            rows.append((rid, a, b))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {
+        r["id"]: (r["ref"], r["vec"])
+        for r in df.select(
+            "id",
+            dot(F.col("a"), F.col("b")).alias("ref"),
+            dot_vec(F.col("a"), F.col("b")).alias("vec"),
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    pack = lambda x: struct.pack("<d", x)  # noqa: E731 — bitwise equality
+    for rid2, a, b in rows:
+        ref, vec = got[rid2]
+        # pure-Python strict left fold: Python floats ARE IEEE doubles
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        assert pack(ref) == pack(acc), (rid2, ref, acc)
+        assert pack(vec) == pack(ref), (rid2, vec, ref)
+    # block kernel: all-pairs matrix over two row blocks, tiny
+    # max_cells to force the row-chunking path
+    X = np.array([r[1] for r in rows if len(r[1]) == 64][:40])
+    Y = np.array([r[2] for r in rows if len(r[2]) == 64][:23])
+    out = np.zeros((40, 23))
+    for s, piece in block_dot(X, Y, max_cells=7 * 23):
+        out[s : s + piece.shape[0]] = piece
+    for i in range(40):
+        for j in range(23):
+            acc = 0.0
+            for d in range(64):
+                acc += X[i, d] * Y[j, d]
+            assert pack(out[i, j]) == pack(acc), (i, j)
+    # NULL contract (ADVICE r10): null array / mismatched lengths →
+    # NULL, matching the Catalyst fold's zip_with padding
+    ndf = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0], [3.0, 4.0]),
+            (1, None, [3.0, 4.0]),
+            (2, [1.0, 2.0], None),
+            (3, [1.0, 2.0, 5.0], [3.0, 4.0]),
+            (4, [], []),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    nres = {
+        r["id"]: (r["ref"], r["vec"])
+        for r in ndf.select(
+            "id",
+            dot(F.col("a"), F.col("b")).alias("ref"),
+            dot_vec(F.col("a"), F.col("b")).alias("vec"),
+        ).collect()
+    }
+    assert nres[0] == (11.0, 11.0)
+    assert nres[1] == (None, None)
+    assert nres[2] == (None, None)
+    assert nres[3] == (None, None)
+    assert nres[4] == (0.0, 0.0)
