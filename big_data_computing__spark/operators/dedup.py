@@ -731,16 +731,28 @@ def duplicate_components(
             F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    # r11 (guide §1.2): rounds are chained lazily in windows of
+    # ITER_UNROLL with ONE materializing sum-aggregate per window
+    # boundary. Labels are monotone non-increasing, so "boundary sum
+    # unchanged since the previous boundary" ⟺ no round in the window
+    # changed any label ⟺ the window's first state was already the
+    # fixpoint; overshoot rounds past the fixpoint are no-ops (min
+    # over an unchanged neighborhood), so boundary values are the
+    # fixpoint values exactly.
     prev_sum = None
-    for _ in range(max_iterations):
-        prop = edges.join(
-            labels.withColumnRenamed("id", "s"), "s"
-        ).select(F.col("t").alias("id"), "lab")
-        new_labels = (
-            labels.union(prop).groupBy("id").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint(eager=False)
-        new_sum = _lab_sum(new_labels)
-        labels = new_labels
+    rounds_done = 0
+    while rounds_done < max_iterations:
+        for _ in range(min(ITER_UNROLL, max_iterations - rounds_done)):
+            prop = edges.join(
+                labels.withColumnRenamed("id", "s"), "s"
+            ).select(F.col("t").alias("id"), "lab")
+            labels = (
+                labels.union(prop)
+                .groupBy("id")
+                .agg(F.min("lab").alias("lab"))
+            ).localCheckpoint(eager=False)
+            rounds_done += 1
+        new_sum = _lab_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -1790,20 +1802,32 @@ def kcore_nodes(
     needed computes the identical fixed point.
     """
     e = _canonical_edges(pairs, doc_a, doc_b).localCheckpoint(eager=False)
-    for _ in range(max_iterations):
-        # r10 round-overhead fix (guide §1.2): ONE aggregate job per
-        # round — it returns total and weak node counts together and
-        # is the action that materializes the round's lazy degree
-        # checkpoint (and, through its lineage, the previous round's
-        # lazy filtered-edge checkpoint). The r9 shape paid 4 jobs per
-        # round: eager deg checkpoint, two counts, eager e checkpoint.
-        deg = (
-            e.select(F.col("u").alias("n"))
-            .union(e.select(F.col("v").alias("n")))
-            .groupBy("n")
-            .agg(F.count("*").cast("long").alias("deg"))
-        ).localCheckpoint(eager=False)
-        strong = deg.where(F.col("deg") >= k).select("n")
+    # r10 made each round ONE job (lazy checkpoints + a combined
+    # total/weak aggregate); r11 chains rounds lazily in windows of
+    # ITER_UNROLL with one boundary aggregate (guide §1.2). Peel
+    # rounds past the fixpoint are no-ops (no weak nodes → the
+    # semi-joins keep every edge and the recomputed degrees are
+    # identical), so the boundary's degree table carries the fixpoint
+    # values whatever the overshoot.
+    rounds_done = 0
+    while rounds_done < max_iterations:
+        for _ in range(min(ITER_UNROLL, max_iterations - rounds_done)):
+            deg = (
+                e.select(F.col("u").alias("n"))
+                .union(e.select(F.col("v").alias("n")))
+                .groupBy("n")
+                .agg(F.count("*").cast("long").alias("deg"))
+            ).localCheckpoint(eager=False)
+            strong = deg.where(F.col("deg") >= k).select("n")
+            e = (
+                e.join(
+                    strong.withColumnRenamed("n", "u"), "u", "left_semi"
+                )
+                .join(strong.withColumnRenamed("n", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=False)
+            )
+            rounds_done += 1
         row = deg.agg(
             F.count("*").alias("n_nodes"),
             F.sum(
@@ -1814,12 +1838,6 @@ def kcore_nodes(
             return deg.select(
                 F.col("n").alias("doc_id"), F.col("deg").alias("degree")
             )
-        e = (
-            e.join(strong.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(strong.withColumnRenamed("n", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=False)
-        )
     raise RuntimeError(
         f"kcore_nodes: no fixed point after {max_iterations} rounds "
         "(raise max_iterations; the oracle unrolls the same bound)"
@@ -1923,54 +1941,76 @@ def mis_nodes(
     # the first non-empty partition and would leave a lazy checkpoint
     # partial). The r9 shape paid up to 7 jobs per round: two isEmpty
     # probes + five eager checkpoints.
+    # r11 (guide §1.2): rounds chain lazily in windows of ITER_UNROLL;
+    # the boundary active-node count materializes the window's chain.
+    # Every productive round strictly shrinks the active set (>= 1
+    # winner leaves), so "boundary count unchanged and nonzero" ⟺ a
+    # total neighbor-hash-tie deadlock (the old per-round
+    # zero-winners break), and rounds past convergence/deadlock are
+    # no-ops on an unchanged (or empty) active set.
     n_active = nodes.count()
-    for rnd in range(1, max_iterations + 1):
-        if n_active == 0:
-            return mis
-        nbr_min = (
-            edges.select(F.col("u").alias("n"), F.col("hv").alias("nh"))
-            .union(edges.select("v", "hu"))
-            .groupBy("n")
-            .agg(F.min("nh").alias("min_nh"))
-        )
-        winners = (
-            nodes.join(nbr_min, "n", "left")
-            .where(F.col("min_nh").isNull() | (F.col("h") < F.col("min_nh")))
-            .select("n")
-            .localCheckpoint(eager=False)
-        )
-        if winners.count() == 0:
-            break  # only reachable under a neighbor hash tie
-        mis = mis.union(
-            winners.select(
-                F.col("n").alias("doc_id"), F.lit(rnd).cast("long")
+    rnd = 0
+    rounds_done = 0
+    while n_active > 0 and rounds_done < max_iterations:
+        prev_active = n_active
+        for _ in range(min(ITER_UNROLL, max_iterations - rounds_done)):
+            rnd += 1
+            rounds_done += 1
+            nbr_min = (
+                edges.select(
+                    F.col("u").alias("n"), F.col("hv").alias("nh")
+                )
+                .union(edges.select("v", "hu"))
+                .groupBy("n")
+                .agg(F.min("nh").alias("min_nh"))
             )
-        ).localCheckpoint(eager=False)
-        covered = (
-            winners.union(
+            winners = (
+                nodes.join(nbr_min, "n", "left")
+                .where(
+                    F.col("min_nh").isNull()
+                    | (F.col("h") < F.col("min_nh"))
+                )
+                .select("n")
+                .localCheckpoint(eager=False)
+            )
+            mis = mis.union(
+                winners.select(
+                    F.col("n").alias("doc_id"), F.lit(rnd).cast("long")
+                )
+            ).localCheckpoint(eager=False)
+            covered = (
+                winners.union(
+                    edges.join(
+                        winners.withColumnRenamed("n", "u"),
+                        "u",
+                        "left_semi",
+                    ).select(F.col("v").alias("n"))
+                )
+                .union(
+                    edges.join(
+                        winners.withColumnRenamed("n", "v"),
+                        "v",
+                        "left_semi",
+                    ).select(F.col("u").alias("n"))
+                )
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            nodes = nodes.join(covered, "n", "left_anti").localCheckpoint(
+                eager=False
+            )
+            edges = (
                 edges.join(
-                    winners.withColumnRenamed("n", "u"), "u", "left_semi"
-                ).select(F.col("v").alias("n"))
+                    covered.withColumnRenamed("n", "u"), "u", "left_anti"
+                )
+                .join(
+                    covered.withColumnRenamed("n", "v"), "v", "left_anti"
+                )
+                .localCheckpoint(eager=False)
             )
-            .union(
-                edges.join(
-                    winners.withColumnRenamed("n", "v"), "v", "left_semi"
-                ).select(F.col("u").alias("n"))
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        nodes = nodes.join(covered, "n", "left_anti").localCheckpoint(
-            eager=False
-        )
-        edges = (
-            edges.join(
-                covered.withColumnRenamed("n", "u"), "u", "left_anti"
-            )
-            .join(covered.withColumnRenamed("n", "v"), "v", "left_anti")
-            .localCheckpoint(eager=False)
-        )
         n_active = nodes.count()
+        if n_active == prev_active:
+            break  # only reachable under a total neighbor hash tie
     if n_active != 0:
         raise RuntimeError(
             f"mis_nodes: active nodes remain after {max_iterations} "
@@ -2334,7 +2374,11 @@ def triangle_supports(
 #: removed set → empty decrement join → identical scored table), so a
 #: window that overshoots converges to the same values; the boundary
 #: test n_rows == n_kept is exactly the old per-round n_removed == 0.
+#: The same window pattern drives every r11-unrolled iterative loop
+#: whose convergence certificate is window-safe (monotone sums for the
+#: CC variants, idempotent-at-fixpoint peels here and in kcore).
 TRUSS_UNROLL = 4
+ITER_UNROLL = TRUSS_UNROLL
 
 
 def _peel_round(scored: DataFrame, thr: int) -> DataFrame:
@@ -3631,50 +3675,58 @@ def duplicate_components_shortcut(
         .select("v", F.col("v").alias("p"))
         .localCheckpoint(eager=False)
     )
+    # Convergence (r10, guide §1.2): hook takes a least() and shortcut
+    # replaces p by p(p) ≤ p (the p(x) ≤ x invariant holds inductively
+    # from p=v), so every parent is monotone non-increasing and "no
+    # parent changed" ⟺ "Σp unchanged" — one shuffle-free
+    # DECIMAL(38,0) aggregate. r11: rounds chain lazily in windows of
+    # ITER_UNROLL with one boundary aggregate (same monotone-sum
+    # certificate across the whole window; overshoot rounds are
+    # no-ops); superseded window states unpersist after the boundary
+    # materializes the chain.
     prev_sum = None
-    for _ in range(max_iterations):
-        nbr_min = (
-            edges.join(
-                parents.select(
-                    F.col("v").alias("u"), F.col("p").alias("pu")
-                ),
-                "u",
+    rounds_done = 0
+    while rounds_done < max_iterations:
+        olds = []
+        for _ in range(min(ITER_UNROLL, max_iterations - rounds_done)):
+            nbr_min = (
+                edges.join(
+                    parents.select(
+                        F.col("v").alias("u"), F.col("p").alias("pu")
+                    ),
+                    "u",
+                )
+                .groupBy("v")
+                .agg(F.min("pu").alias("nm"))
             )
-            .groupBy("v")
-            .agg(F.min("pu").alias("nm"))
-        )
-        hooked = (
-            parents.join(nbr_min, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("p"), F.coalesce("nm", F.col("p"))
-                ).alias("p"),
+            hooked = (
+                parents.join(nbr_min, "v", "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("p"), F.coalesce("nm", F.col("p"))
+                    ).alias("p"),
+                )
             )
-        )
-        shortcut = (
-            hooked.alias("a")
-            .join(
-                hooked.select(
-                    F.col("v").alias("p"), F.col("p").alias("pp")
-                ).alias("b"),
-                "p",
+            shortcut = (
+                hooked.alias("a")
+                .join(
+                    hooked.select(
+                        F.col("v").alias("p"), F.col("p").alias("pp")
+                    ).alias("b"),
+                    "p",
+                )
+                .select(F.col("a.v").alias("v"), F.col("pp").alias("p"))
+                .localCheckpoint(eager=False)
             )
-            .select(F.col("a.v").alias("v"), F.col("pp").alias("p"))
-            .localCheckpoint(eager=False)
-        )
-        # Convergence (r10 round-overhead fix, guide §1.2): hook takes
-        # a least() and shortcut replaces p by p(p) ≤ p (the p(x) ≤ x
-        # invariant holds inductively from p=v), so every parent is
-        # monotone non-increasing and "no parent changed" ⟺ "Σp
-        # unchanged" — one shuffle-free DECIMAL(38,0) aggregate that
-        # also materializes the round's lazy checkpoint, instead of
-        # the r9 shape's eager checkpoint + join-count (2 jobs → 1).
-        new_sum = shortcut.agg(
+            olds.append(parents)
+            parents = shortcut
+            rounds_done += 1
+        new_sum = parents.agg(
             F.sum(F.col("p").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        parents.unpersist()
-        parents = shortcut
+        for o in olds:
+            o.unpersist()
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

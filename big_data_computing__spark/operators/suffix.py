@@ -205,16 +205,60 @@ def _doubling_levels(
     n = state.count()
     tables = [(width, state)] if keep_levels else []
     k = width
-    for _ in range(max_rounds):
-        grp = state.groupBy("rank").agg(F.count("*").alias("c"))
-        tied_ranks = grp.where(F.col("c") > 1).select("rank")
+
+    def _tied_volume(st: DataFrame) -> int:
         # tied volume straight off the group counts — the r9 form
-        # re-joined tied_ranks against grp to sum the same counts
-        n_tied = (
+        # re-joined tied_ranks against grp to sum the same counts.
+        # This aggregate is also the action that materializes the
+        # lazily-checkpointed round chain behind `st`.
+        grp = st.groupBy("rank").agg(F.count("*").alias("c"))
+        return (
             grp.where(F.col("c") > 1)
             .agg(F.sum("c").alias("s"))
             .collect()[0]["s"]
         ) or 0
+
+    def _tied_round(st: DataFrame, kk: int) -> DataFrame:
+        grp = st.groupBy("rank").agg(F.count("*").alias("c"))
+        tr = F.broadcast(grp.where(F.col("c") > 1).select("rank"))
+        tied = st.join(tr, "rank")
+        need = F.broadcast(
+            tied.select((F.col("pos") + F.lit(kk)).alias("pos"))
+        )
+        lookup = st.join(need, "pos", "left_semi").select(
+            (F.col("pos") - F.lit(kk)).alias("pos"),
+            F.col("rank").alias("rank2"),
+        )
+        t2 = tied.join(lookup, "pos", "left").select(
+            "pos",
+            "rank",
+            F.coalesce("rank2", F.lit(0)).cast("long").alias("rank2"),
+        )
+        w = Window.partitionBy("rank").orderBy("rank2")
+        updated = t2.select(
+            "pos",
+            (F.col("rank") + F.rank().over(w) - 1)
+            .cast("long")
+            .alias("rank"),
+        )
+        untouched = st.join(tr, "rank", "left_anti")
+        return untouched.unionByName(updated).localCheckpoint(
+            eager=False
+        )
+
+    # r11 (guide §1.2): once the loop enters TIED-ONLY refinement it
+    # never leaves (ranks only split, so the tied volume is monotone
+    # non-increasing), and a tied-only round over zero ties is a no-op
+    # (updated empty, untouched = state) — so tied-only rounds chain
+    # lazily in windows with ONE materializing tied-volume aggregate
+    # per boundary. The full-re-rank phase keeps per-round aggregates
+    # (global_bucket_rank's range sampler is an eager driver action
+    # anyway), and keep_levels keeps per-round windows of ONE so the
+    # LCP ladder never acquires post-convergence duplicate levels.
+    unroll = 1 if keep_levels else 4
+    rounds_done = 0
+    n_tied = _tied_volume(state)
+    while rounds_done < max_rounds:
         if n_tied == 0:
             return state, n, tables, windows
         if n_tied >= n // TIED_FRACTION_SWITCH:
@@ -236,37 +280,20 @@ def _doubling_levels(
                 .select("pos", F.col("nr").cast("long").alias("rank"))
                 .localCheckpoint(eager=False)
             )
+            k *= 2
+            rounds_done += 1
+            if keep_levels:
+                tables.append((k, state))
         else:
-            tr = F.broadcast(tied_ranks)
-            tied = state.join(tr, "rank")
-            need = F.broadcast(
-                tied.select((F.col("pos") + F.lit(k)).alias("pos"))
-            )
-            lookup = state.join(need, "pos", "left_semi").select(
-                (F.col("pos") - F.lit(k)).alias("pos"),
-                F.col("rank").alias("rank2"),
-            )
-            t2 = tied.join(lookup, "pos", "left").select(
-                "pos",
-                "rank",
-                F.coalesce("rank2", F.lit(0))
-                .cast("long")
-                .alias("rank2"),
-            )
-            w = Window.partitionBy("rank").orderBy("rank2")
-            updated = t2.select(
-                "pos",
-                (F.col("rank") + F.rank().over(w) - 1)
-                .cast("long")
-                .alias("rank"),
-            )
-            untouched = state.join(tr, "rank", "left_anti")
-            state = untouched.unionByName(updated).localCheckpoint(
-                eager=False
-            )
-        k *= 2
-        if keep_levels:
-            tables.append((k, state))
+            for _ in range(min(unroll, max_rounds - rounds_done)):
+                state = _tied_round(state, k)
+                k *= 2
+                rounds_done += 1
+                if keep_levels:
+                    tables.append((k, state))
+        n_tied = _tied_volume(state)
+    if n_tied == 0:
+        return state, n, tables, windows
     raise RuntimeError(
         f"prefix doubling did not converge in {max_rounds} rounds"
     )
