@@ -320,8 +320,16 @@ BENCH_QUERIES = [
 # transition commit lands one old-order and one new-order run side by
 # side (BENCH_OPT_r11_before.json = consecutive, the r11 after/clean
 # artifacts = interleaved).
+# Measured cost of the new default (r11, both artifacts committed):
+# interleaving re-pays per-query planning/codegen on every repeat
+# (140 plans cycle through the bounded codegen caches between
+# repeats), which raises the reported totals ~10-15% uniformly vs the
+# old warm consecutive-repeat medians — a methodology shift, not a
+# code change. SPARK_GRAFT_REPEAT_ORDER=consecutive restores the old
+# order for same-methodology A/Bs against pre-r11 artifacts; the
+# artifact always reports which order produced it.
 REPEATS = 3
-REPEAT_ORDER = "interleaved"
+REPEAT_ORDER = os.environ.get("SPARK_GRAFT_REPEAT_ORDER", "interleaved")
 
 # Canary subset (5 cheap + 5 heavy, pinned from the r6 distribution):
 # run once BEFORE and once AFTER the main loop, recorded separately in
@@ -389,12 +397,20 @@ def main() -> None:
     canary_start = {n: run_once(n) for n in CANARY_QUERIES}
 
     runs: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
-    for _ in range(REPEATS):
+    if REPEAT_ORDER == "interleaved":
+        for _ in range(REPEATS):
+            for name in BENCH_QUERIES:
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.collect()
+                runs[name].append(time.time() - t0)
+    else:
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.collect()
-            runs[name].append(time.time() - t0)
+            for _ in range(REPEATS):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.collect()
+                runs[name].append(time.time() - t0)
     timings: dict[str, float] = {
         name: round(sorted(rs)[len(rs) // 2], 3)
         for name, rs in runs.items()

@@ -732,7 +732,7 @@ def duplicate_components(
         ).collect()[0]["s"]
 
     # r11 (guide §1.2): rounds are chained lazily in windows of
-    # ITER_UNROLL with ONE materializing sum-aggregate per window
+    # CC_UNROLL with ONE materializing sum-aggregate per window
     # boundary. Labels are monotone non-increasing, so "boundary sum
     # unchanged since the previous boundary" ⟺ no round in the window
     # changed any label ⟺ the window's first state was already the
@@ -742,7 +742,7 @@ def duplicate_components(
     prev_sum = None
     rounds_done = 0
     while rounds_done < max_iterations:
-        for _ in range(min(ITER_UNROLL, max_iterations - rounds_done)):
+        for _ in range(min(CC_UNROLL, max_iterations - rounds_done)):
             prop = edges.join(
                 labels.withColumnRenamed("id", "s"), "s"
             ).select(F.col("t").alias("id"), "lab")
@@ -2379,6 +2379,17 @@ def triangle_supports(
 #: CC variants, idempotent-at-fixpoint peels here and in kcore).
 TRUSS_UNROLL = 4
 ITER_UNROLL = TRUSS_UNROLL
+#: window size for the monotone-sum CC loops (min-label, hook+
+#: shortcut). 1 by default = the r10 per-round shape: near-dup
+#: graphs have tiny diameters, so these loops converge in a handful
+#: of rounds and the window's overshoot no-op rounds (each a real
+#: join+agg stage chain) cost more than the saved boundary
+#: aggregates — measured r11 A/B at sf0.1: U=1 beats U=4 by ~20 % on
+#: x_dedup_components_sc/_auto and is never worse. Raise for
+#: deep-diameter graphs where per-round driver barriers dominate
+#: (the window algebra is already in place and value-exact at any
+#: size).
+CC_UNROLL = 1
 
 
 def _peel_round(scored: DataFrame, thr: int) -> DataFrame:
@@ -3680,7 +3691,7 @@ def duplicate_components_shortcut(
     # from p=v), so every parent is monotone non-increasing and "no
     # parent changed" ⟺ "Σp unchanged" — one shuffle-free
     # DECIMAL(38,0) aggregate. r11: rounds chain lazily in windows of
-    # ITER_UNROLL with one boundary aggregate (same monotone-sum
+    # CC_UNROLL with one boundary aggregate (same monotone-sum
     # certificate across the whole window; overshoot rounds are
     # no-ops); superseded window states unpersist after the boundary
     # materializes the chain.
@@ -3688,7 +3699,7 @@ def duplicate_components_shortcut(
     rounds_done = 0
     while rounds_done < max_iterations:
         olds = []
-        for _ in range(min(ITER_UNROLL, max_iterations - rounds_done)):
+        for _ in range(min(CC_UNROLL, max_iterations - rounds_done)):
             nbr_min = (
                 edges.join(
                     parents.select(
